@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Helpers shared by every declared query (SURVEY.md §2).
+  *
+  * Determinism rules (SURVEY §2 preamble): every query ends with an ORDER BY
+  * giving a total order; DOUBLE aggregates are rounded to 4 dp and cast to
+  * DECIMAL(28,4) before the driver hashes them; timestamps are compared as
+  * epoch microseconds (BIGINT) because the testdata mixes ms/us/ns parquet
+  * timestamp encodings that Spark and DuckDB widen differently.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one driver testdata table from `dir` (e.g. /root/testdata/sf0.01).
+    *
+    * `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Read it as a nanos long via the legacy
+    * conf and truncate to a µs TimestampType — the same value DuckDB's
+    * `epoch_us(ts)` sees, keeping both engines in one timestamp domain.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Round to 4 dp, cast DECIMAL(28,4) — the oracle hashing convention. */
+  def dec4(c: Column): Column = round(c, 4).cast(DecimalType(28, 4))
+
+  /** Timestamp column → epoch microseconds (matches DuckDB epoch_us). */
+  def us(c: Column): Column = unix_micros(c)
+}

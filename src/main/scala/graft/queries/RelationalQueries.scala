@@ -1,0 +1,420 @@
+package graft.queries
+
+import graft.Tables.{dec4, t, us}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 Part B — relational query surface.
+  *
+  * Each query has a DuckDB oracle (RelationalQueries.oracle) producing an
+  * identical result set: same column names, total ORDER BY, doubles rounded
+  * per the §2 determinism rules. The reference delegates all querying to
+  * Spark over the table it maintains (reference Writer.java:141-145); this
+  * is that declared surface, expressed with the DataFrame API so Catalyst
+  * plans the physical execution (pushdown, broadcast, AQE).
+  */
+object RelationalQueries {
+
+  // B1 — parquet scan with agg pushdown-friendly min/max/count.
+  def b01_scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      min("l_orderkey").as("min_ok"),
+      max("l_orderkey").as("max_ok"))
+
+  // B7 — projection with computed column.
+  def b07_project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // B8 — conjunctive predicates: BETWEEN, IN, LIKE (all pushed to parquet).
+  def b08_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1994-01-01").cast("timestamp"), lit("1994-12-31").cast("timestamp"))
+        && col("l_discount").isin(0.05, 0.06, 0.07)
+        && col("l_returnflag").like("A%"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // B9 — two-dim equi-join + agg (TPC-H Q5 shape).
+  def b09_join_inner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dec4(sum(col("o_totalprice"))).as("total"))
+      .orderBy("n_name")
+
+  // B10 — same result, dims explicitly broadcast (plan asserted in tests).
+  def b10_join_broadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dec4(sum(col("o_totalprice"))).as("total"))
+      .orderBy("n_name")
+
+  // B11 — left outer join; COUNT(col) counts only matched rows.
+  def b11_join_left(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  // B12 — anti join (customers with no orders).
+  def b12_join_anti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+
+  // B12b — semi join (customers with at least one order).
+  def b12_join_semi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+
+  // B13 — theta (non-equi) join, planned as nested loop over tiny inputs.
+  def b13_join_theta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("n_regionkey") > col("r_regionkey"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // B14 — range join: purchase within 1h after a click by the same user.
+  // Compared in epoch-µs space on both sides (events.ts is ns parquet that
+  // Spark truncates to µs; DuckDB keeps ns — integer µs math makes the two
+  // engines see identical values).
+  def b14_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), us(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), us(col("ts")).as("p_us"))
+    clicks.join(purchases,
+        col("cu") === col("pu")
+          && col("p_us") > col("c_us")
+          && col("p_us") <= col("c_us") + lit(3600000000L))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // B15 — as-of join: latest click at-or-before each purchase, same user.
+  def b15_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), us(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), us(col("ts")).as("p_us"))
+    purchases.join(clicks, col("pu") === col("cu") && col("c_us") <= col("p_us"))
+      .groupBy("event_id")
+      .agg(max(col("c_us")).as("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  // B16 — cross join.
+  def b16_cross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // B17 — hash aggregate, TPC-H Q1 shape (partial+final agg, codegen'd).
+  def b17_q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dec4(sum(col("l_quantity"))).as("sum_qty"),
+        dec4(sum(col("l_extendedprice"))).as("sum_base"),
+        dec4(avg(col("l_extendedprice"))).as("avg_price"),
+        dec4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // B18 — distinct aggregates (expand + two-phase agg).
+  def b18_distinct_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("cd_part"),
+      countDistinct(col("l_suppkey")).as("cd_supp"))
+
+  // B19 — approximate distinct (HLL++). No SQL oracle: tolerance-checked in
+  // tests against the exact count; driver records a rows-only check.
+  def b19_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_part"))
+
+  // B20 — ROLLUP with GROUPING marker.
+  def b20_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // B21 — stddev aggregate.
+  def b21_stddev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(dec4(stddev_samp(col("o_totalprice"))).as("sd"))
+      .orderBy("o_orderpriority")
+
+  // B22 — ranking window: top-3 orders per customer.
+  def b22_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // B23 — analytic window: per-user delta vs previous event.
+  def b23_window_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(us(col("ts")), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), us(col("ts")).as("ts_us"), col("event_id"),
+        dec4(col("value") - lag(col("value"), 1).over(w)).as("d"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .limit(500)
+  }
+
+  // B24 — frame-spec window: rolling 4-row sum.
+  def b24_window_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(us(col("ts")), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), dec4(sum(col("value")).over(w)).as("sl"))
+      .orderBy("event_id")
+  }
+
+  // B25/B26 — global multi-key sort + top-K (TakeOrderedAndProject).
+  def b25_sort_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec4(col("l_extendedprice")).as("price"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(1000)
+      .drop("l_extendedprice")
+
+  // B27 — union distinct.
+  def b27_union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  // B28 — intersect.
+  def b28_intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  // B28b — except.
+  def b28_except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  // B29 — exact deduplication on a key pair.
+  def b29_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .orderBy("l_orderkey", "l_partkey")
+      .limit(1000)
+
+  // B30 — scalar subquery (avg) as a broadcast 1-row cross join.
+  def b30_subquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.crossJoin(broadcast(o.agg(avg(col("o_totalprice")).as("ap"))))
+      .filter(col("o_totalprice") > col("ap"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // B31 — CTE via spark.sql over temp views.
+  def b31_cte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH flagged AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
+        |  FROM lineitem WHERE l_quantity > 10
+        |)
+        |SELECT rf, ls, COUNT(*) AS n FROM flagged GROUP BY rf, ls
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  // B32 — explode / lateral view (Generator) over embedding arrays.
+  def b32_explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        dec4(col("col").cast("double")).as("v"))
+      .orderBy("vec_id", "pos")
+
+  // B33 — pivot on event_type.
+  def b33_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select((col("user_id") % 10).as("g"), col("event_type"))
+      .groupBy("g")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("g")
+
+  /** Spark entries for SparkEntry.queries. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_scan" -> b01_scan _,
+    "b07_project" -> b07_project _,
+    "b08_filter" -> b08_filter _,
+    "b09_join_inner" -> b09_join_inner _,
+    "b10_join_broadcast" -> b10_join_broadcast _,
+    "b11_join_left" -> b11_join_left _,
+    "b12_join_anti" -> b12_join_anti _,
+    "b12_join_semi" -> b12_join_semi _,
+    "b13_join_theta" -> b13_join_theta _,
+    "b14_range_join" -> b14_range_join _,
+    "b15_asof_join" -> b15_asof_join _,
+    "b16_cross" -> b16_cross _,
+    "b17_q1" -> b17_q1 _,
+    "b18_distinct_agg" -> b18_distinct_agg _,
+    "b19_approx_distinct" -> b19_approx_distinct _,
+    "b20_rollup" -> b20_rollup _,
+    "b21_stddev" -> b21_stddev _,
+    "b22_window_rank" -> b22_window_rank _,
+    "b23_window_lag" -> b23_window_lag _,
+    "b24_window_frame" -> b24_window_frame _,
+    "b25_sort_topk" -> b25_sort_topk _,
+    "b27_union" -> b27_union _,
+    "b28_intersect" -> b28_intersect _,
+    "b28_except" -> b28_except _,
+    "b29_dedup" -> b29_dedup _,
+    "b30_subquery" -> b30_subquery _,
+    "b31_cte" -> b31_cte _,
+    "b32_explode" -> b32_explode _,
+    "b33_pivot" -> b33_pivot _,
+  )
+
+  /** DuckDB oracle SQL — column names and ordering match the Spark side. */
+  val oracle: Map[String, String] = Map(
+    "b01_scan" ->
+      "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
+    "b07_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4)) AS net
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "b08_filter" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-12-31'
+        |  AND l_discount IN (0.05, 0.06, 0.07) AND l_returnflag LIKE 'A%'""".stripMargin,
+    "b09_join_inner" ->
+      """SELECT n_name, CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "b10_join_broadcast" ->
+      """SELECT n_name, CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "b11_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "b12_join_anti" ->
+      """SELECT COUNT(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "b12_join_semi" ->
+      """SELECT COUNT(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "b13_join_theta" ->
+      "SELECT COUNT(*) AS cnt FROM region r JOIN nation n ON n.n_regionkey > r.r_regionkey",
+    "b14_range_join" ->
+      """SELECT COUNT(*) AS cnt
+        |FROM (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.p_us > c.c_us AND p.p_us <= c.c_us + 3600000000""".stripMargin,
+    "b15_asof_join" ->
+      """SELECT p.event_id AS event_id, MAX(epoch_us(c.ts)) AS last_click_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |GROUP BY p.event_id ORDER BY event_id""".stripMargin,
+    "b16_cross" ->
+      "SELECT COUNT(*) AS cnt FROM region CROSS JOIN nation",
+    "b17_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS sum_qty,
+        | CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS sum_base,
+        | CAST(round(AVG(l_extendedprice), 4) AS DECIMAL(28,4)) AS avg_price,
+        | CAST(round(AVG(l_discount), 4) AS DECIMAL(28,4)) AS avg_disc,
+        | COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b18_distinct_agg" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS cd_part, COUNT(DISTINCT l_suppkey) AS cd_supp
+        |FROM lineitem""".stripMargin,
+    "b20_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "b21_stddev" ->
+      """SELECT o_orderpriority, CAST(round(STDDEV_SAMP(o_totalprice), 4) AS DECIMAL(28,4)) AS sd
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b22_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "b23_window_lag" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        | CAST(round(value - LAG(value) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS DECIMAL(28,4)) AS d
+        |FROM events ORDER BY user_id, ts_us, event_id LIMIT 500""".stripMargin,
+    "b24_window_frame" ->
+      """SELECT event_id,
+        | CAST(round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DECIMAL(28,4)) AS sl
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b25_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS price
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "b27_union" ->
+      """SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+    "b28_intersect" ->
+      """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+    "b28_except" ->
+      """SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+    "b29_dedup" ->
+      """SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |ORDER BY l_orderkey, l_partkey LIMIT 1000""".stripMargin,
+    "b30_subquery" ->
+      """SELECT COUNT(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""".stripMargin,
+    "b31_cte" ->
+      """WITH flagged AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
+        |  FROM lineitem WHERE l_quantity > 10)
+        |SELECT rf, ls, COUNT(*) AS n FROM flagged GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
+    "b32_explode" ->
+      """SELECT vec_id, pos, CAST(round(CAST(v AS DOUBLE), 4) AS DECIMAL(28,4)) AS v
+        |FROM (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |        unnest(embedding) AS v
+        |      FROM embeddings WHERE vec_id < 10)
+        |ORDER BY vec_id, pos""".stripMargin,
+    "b33_pivot" ->
+      """SELECT user_id % 10 AS g,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY g ORDER BY g""".stripMargin,
+  )
+}
