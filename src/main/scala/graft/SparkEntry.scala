@@ -16,11 +16,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
     * records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracle
+    graft.queries.RelationalQueries.oracle ++
+      graft.queries.FunctionQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

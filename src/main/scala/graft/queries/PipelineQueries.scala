@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.Tables.{dec4, t}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 Part D — LLM-training-pipeline operators over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale posture (D6): every oracled query below is a pure dataflow —
+  * shuffle-partitioned groupBy/join/window with no driver-side collection —
+  * so the same plan runs on a 1000-executor cluster. Quadratic candidate
+  * generation (brute-force cosine, exact Jaccard) is bounded to declared
+  * probe subsets; the scale path for each is the LSH variant
+  * (d03_minhash_lsh / d02_ann_lsh) whose cost is linear in rows ×
+  * bucket-collision rate.
+  */
+object PipelineQueries {
+
+  private def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  // D1 — exact dedup by content hash: keep lowest doc_id per sha256(text).
+  def d01_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy("h")
+
+  // D1b — dedup keep-first via window (the rewrite-side pattern: which rows
+  // survive, not just the groups).
+  def d01_dedup_keepfirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col("text").cast("binary"), 256))
+      .orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
+  // Native zip_with/aggregate expressions (codegen-friendly, no UDF);
+  // broadcast the probe side so the big side never shuffles.
+  def d02_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = expr(
+      """aggregate(zip_with(qe, oe, (x, y) -> cast(x as double) * cast(y as double)),
+        |          0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(qe, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+        |    * sqrt(aggregate(oe, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+        |""".stripMargin)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    e.select(col("vec_id").as("oid"), col("embedding").as("oe"))
+      .crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("oid"))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // D2-scale — LSH-bucketed ANN: random-hyperplane signatures (SimHash for
+  // vectors), candidates only within equal signature buckets. Deterministic
+  // pseudo-random planes derived from (dim, plane) via a hash — no RNG at
+  // plan time. No SQL oracle (approximate); spec checks recall vs d02.
+  def d02_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // 2 bands × 8 hyperplanes; plane weights from xxhash64(dim, plane).
+    def sig(band: Int) = expr(
+      s"""aggregate(
+         |  transform(sequence(0, 7), p ->
+         |    CASE WHEN aggregate(zip_with(embedding,
+         |        transform(sequence(0, 63), d ->
+         |          cast(xxhash64(d * 16 + p + $band * 8) % 1000 as double) / 1000.0 - 0.5),
+         |        (x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v) > 0
+         |    THEN cast(pow(2, p) as bigint) ELSE 0L END),
+         |  0L, (acc, b) -> acc + b)""".stripMargin)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      sig(0).as("s0"), sig(1).as("s1"))
+    val a = sigs.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("s0").as("as0"), col("s1").as("as1"))
+    val b = sigs.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("s0").as("bs0"), col("s1").as("bs1"))
+    val cos = expr(
+      """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+        |          0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+        |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+        |""".stripMargin)
+    a.join(b, col("a_id") < col("b_id")
+        && (col("as0") === col("bs0") || col("as1") === col("bs1")))
+      .withColumn("cos", cos)
+      .filter(col("cos") > 0.8)
+      .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // D3 — exact token-set Jaccard over a bounded candidate set (same lang,
+  // doc_id < 100). Integer-ratio math → bit-identical across engines.
+  def d03_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("toks").as("a_toks"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("toks").as("b_toks"))
+    a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("ni", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("ni")))
+      .filter(col("j") >= 0.3)
+      .select(col("a_id"), col("b_id"), dec4(col("j")).as("j"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // D3-scale — MinHash + LSH banding: per-token xxhash64 under 8 seed
+  // mixes → 8 min-hashes → 4 bands of 2 → candidates join on equal band
+  // values. Linear in corpus size × collision rate (the 100 TB path).
+  // Approximate → no SQL oracle; spec checks containment vs exact Jaccard.
+  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val withSig = d.withColumn("sig", expr(
+      """transform(sequence(0, 7), i ->
+        |  aggregate(toks, 9223372036854775807L,
+        |    (acc, t) -> least(acc, xxhash64(t, i))))""".stripMargin))
+    val bands = withSig.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b as band, sig[b*2] as h0, sig[b*2+1] as h1))")))
+      .select(col("doc_id"), col("col.band").as("band"),
+        col("col.h0").as("h0"), col("col.h1").as("h1"))
+    val l = bands.select(col("doc_id").as("a_id"), col("band"), col("h0"), col("h1"))
+    val r = bands.select(col("doc_id").as("b_id"), col("band"), col("h0"), col("h1"))
+    l.join(r, Seq("band", "h0", "h1"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  // D4 — corpus stats by language/source.
+  def d04_text_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "source")
+
+  // D4b — token frequency top-50 (explode + agg).
+  def d04_token_topn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  // D4c — order-sensitive document fingerprint (position-weighted rolling
+  // hash over tokens) — pure integer math, identical in DuckDB.
+  def d04_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .groupBy("doc_id")
+      .agg((sum((length(col("col")) * 31 + ascii(col("col")))
+        * (col("pos") + 1)) % 2147483647L).as("fp"))
+      .orderBy("doc_id")
+
+  // D4d — token count + quality scoring (avg token length, keyword ratio).
+  def d04_quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        dec4(col("n_chars").cast("double") / size(toks)).as("avg_tok_len"),
+        dec4(size(filter(toks, tk => tk.isin("value", "table", "row")))
+          .cast("double") / size(toks)).as("kw_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // D4e — n-gram language ID: score = fraction of a doc's bigrams that are
+  // among its language's globally most-frequent bigrams. Engine-side
+  // heuristic (argmax over per-lang profiles) → no SQL oracle; its spec
+  // checks accuracy against the labeled lang column.
+  def d04_langid(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bigrams = d.select(col("doc_id"), col("lang"), explode(expr(
+      """transform(sequence(0, size(split(text, ' ')) - 2),
+        |  i -> concat(split(text, ' ')[i], '_', split(text, ' ')[i+1]))""".stripMargin))
+      .as("bg"))
+    // per-lang top-20 bigram profile, built from the corpus itself
+    val profile = bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("bg"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("p_lang"), col("bg"))
+    val scored = bigrams.join(broadcast(profile), Seq("bg"))
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("hits"))
+    val best = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"))
+    d.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("unk")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> d01_dedup_exact _,
+    "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
+    "d02_cosine_topk" -> d02_cosine_topk _,
+    "d02_ann_lsh" -> d02_ann_lsh _,
+    "d03_jaccard_pairs" -> d03_jaccard_pairs _,
+    "d03_minhash_lsh" -> d03_minhash_lsh _,
+    "d04_text_stats" -> d04_text_stats _,
+    "d04_token_topn" -> d04_token_topn _,
+    "d04_fingerprint" -> d04_fingerprint _,
+    "d04_quality" -> d04_quality _,
+    "d04_langid" -> d04_langid _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    "d01_dedup_keepfirst" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER
+        |    (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d02_cosine_topk" ->
+      """WITH elems AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS oid,
+        |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |  GROUP BY qid, oid),
+        |scored AS (
+        |  SELECT qid, oid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, oid) AS rn
+        |  FROM pairs)
+        |SELECT qid, rn, oid, CAST(round(cos, 4) AS DECIMAL(28,4)) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "d03_jaccard_pairs" ->
+      """WITH dtok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ni
+        |  FROM dtok x JOIN dtok y ON x.tk = y.tk AND x.lang = y.lang
+        |  WHERE x.doc_id < y.doc_id GROUP BY a_id, b_id)
+        |SELECT a_id, b_id,
+        |  CAST(round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS DECIMAL(28,4)) AS j
+        |FROM inter JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d04_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "d04_token_topn" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "d04_fingerprint" ->
+      """SELECT doc_id, CAST(SUM((length(tok) * 31 + ascii(tok)) * i) % 2147483647 AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d04_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        | CAST(round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+        |   AS DECIMAL(28,4)) AS avg_tok_len,
+        | CAST(round(CAST(len(list_filter(string_split(text, ' '),
+        |     tk -> tk IN ('value', 'table', 'row'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4) AS DECIMAL(28,4)) AS kw_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
