@@ -1,0 +1,103 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-log (de)serialization via Jackson (ships with Spark).
+  * Hand-mapped tree model — no reflection modules, stable field layout.
+  */
+object Json {
+  private val mapper = new ObjectMapper()
+
+  def obj(): ObjectNode = mapper.createObjectNode()
+  def arr(): ArrayNode = mapper.createArrayNode()
+  def parse(s: String): JsonNode = mapper.readTree(s)
+  def write(n: JsonNode): String = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+
+  def fileToNode(f: DataFileMeta): ObjectNode = {
+    val n = obj()
+    n.put("path", f.path)
+    n.put("sizeBytes", f.sizeBytes)
+    n.put("rowCount", f.rowCount)
+    n.put("partitionValue", f.partitionValue)
+    n.put("format", f.format)
+    val st = n.putObject("stats")
+    f.stats.foreach { case (c, s) =>
+      val cs = st.putObject(c); cs.put("min", s.min); cs.put("max", s.max)
+    }
+    n
+  }
+
+  def nodeToFile(n: JsonNode): DataFileMeta = {
+    val stats = Option(n.get("stats")).map { st =>
+      st.properties().asScala.map { e =>
+        e.getKey -> ColStats(e.getValue.get("min").asLong, e.getValue.get("max").asLong)
+      }.toMap
+    }.getOrElse(Map.empty[String, ColStats])
+    DataFileMeta(
+      path = n.get("path").asText,
+      sizeBytes = n.get("sizeBytes").asLong,
+      rowCount = n.get("rowCount").asLong,
+      partitionValue = n.get("partitionValue").asLong,
+      format = Option(n.get("format")).map(_.asText).getOrElse("parquet"),
+      stats = stats)
+  }
+
+  def manifestToJson(files: Seq[DataFileMeta]): String = {
+    val root = obj()
+    val a = root.putArray("files")
+    files.foreach(f => a.add(fileToNode(f)))
+    write(root)
+  }
+
+  def manifestFromJson(s: String): Seq[DataFileMeta] =
+    parse(s).get("files").elements().asScala.map(nodeToFile).toSeq
+
+  def metaToJson(m: TableMeta): String = {
+    val root = obj()
+    root.put("formatVersion", m.formatVersion)
+    root.put("location", m.location)
+    root.put("schemaDdl", m.schemaDdl)
+    val sp = root.putObject("spec")
+    sp.put("column", m.spec.column)
+    sp.put("widthMicros", m.spec.widthMicros)
+    val pr = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    val sn = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = sn.addObject()
+      n.put("id", s.id)
+      n.put("parentId", s.parentId)
+      n.put("timestampMs", s.timestampMs)
+      n.put("operation", s.operation)
+      val ma = n.putArray("manifests")
+      s.manifests.foreach(ma.add)
+    }
+    root.put("currentSnapshotId", m.currentSnapshotId)
+    write(root)
+  }
+
+  def metaFromJson(s: String): TableMeta = {
+    val n = parse(s)
+    val snaps = n.get("snapshots").elements().asScala.map { sn =>
+      Snapshot(
+        id = sn.get("id").asLong,
+        parentId = sn.get("parentId").asLong,
+        timestampMs = sn.get("timestampMs").asLong,
+        operation = sn.get("operation").asText,
+        manifests = sn.get("manifests").elements().asScala.map(_.asText).toSeq)
+    }.toSeq
+    TableMeta(
+      formatVersion = n.get("formatVersion").asInt,
+      location = n.get("location").asText,
+      schemaDdl = n.get("schemaDdl").asText,
+      spec = TruncateSpec(
+        n.get("spec").get("column").asText,
+        n.get("spec").get("widthMicros").asLong),
+      properties = n.get("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap,
+      snapshots = snaps,
+      currentSnapshotId = n.get("currentSnapshotId").asLong)
+  }
+}

@@ -1,0 +1,366 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** LakeTable — a lightweight snapshot-log table format re-expressing the
+  * reference's Iceberg semantics natively (SURVEY §1.1, §7.1 M1; no Iceberg
+  * jars exist in this environment).
+  *
+  * Layout under `location`:
+  *   metadata/v<N>.json          — full TableMeta (snapshot log)
+  *   metadata/manifest-*.json    — immutable data-file lists
+  *   metadata/version-hint.text  — latest committed N (recoverable by listing)
+  *   data/<col>_trunc=<v>/<uuid>.parquet
+  *   _commits/{tmp,pending}/     — two-phase moniker handoff (A11)
+  *
+  * Commit protocol (A10 + §7.5.1): write metadata/v<N+1>.json.tmp-<uuid>,
+  * atomically rename onto v<N+1>.json — rename-if-absent is the CAS; on
+  * contention, reload and retry (bounded by commit.retry.num-retries).
+  * Fast append: each commit adds ONE manifest and reuses the parent's
+  * manifest list untouched (reference Writer.java:141-146), so commit cost
+  * is O(1) in table size; manifests merge once they exceed
+  * commit.manifest.min-count-to-merge (Writer.java:120).
+  */
+final class LakeTable private (val location: String, private var meta: TableMeta) {
+  import LakeFormat._
+
+  private def conf = new Configuration()
+  private def fs: FileSystem = new Path(location).getFileSystem(conf)
+  private def metaDir = new Path(location, MetadataDir)
+
+  def tableMeta: TableMeta = meta
+  def spec: TruncateSpec = meta.spec
+  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+  def currentSnapshotId: Long = meta.currentSnapshotId
+  def snapshots: Seq[Snapshot] = meta.snapshots
+
+  def refresh(): LakeTable = {
+    meta = LakeTable.readMeta(location)
+    this
+  }
+
+  // ---- file listing ------------------------------------------------------
+
+  private def readManifest(name: String): Seq[DataFileMeta] = {
+    val p = new Path(metaDir, name)
+    val in = fs.open(p)
+    try Json.manifestFromJson(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
+  }
+
+  /** All live data files at a snapshot (current by default). */
+  def files(snapshotId: Long = meta.currentSnapshotId): Seq[DataFileMeta] =
+    meta.snapshot(snapshotId) match {
+      case None => throw new IllegalArgumentException(s"no snapshot $snapshotId")
+      case Some(s) => s.manifests.flatMap(readManifest)
+    }
+
+  /** Files added between two snapshots (exclusive, inclusive) — the
+    * incremental-read contract the reference is designed around (A25,
+    * Writer.java:141-145). Manifest-level diff: fast appends never rewrite
+    * manifests, so added files = manifests in s2 not in s1.
+    */
+  def addedFilesBetween(fromId: Long, toId: Long): Seq[DataFileMeta] = {
+    val fromM = meta.snapshot(fromId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromId"))
+      .manifests.toSet
+    val toS = meta.snapshot(toId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId"))
+    val fromPaths = files(fromId).map(_.path).toSet
+    toS.manifests.filterNot(fromM.contains).flatMap(readManifest)
+      .filterNot(f => fromPaths.contains(f.path))
+  }
+
+  // ---- commit ------------------------------------------------------------
+
+  private def writeManifest(fm: Seq[DataFileMeta]): String = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    writeAtomic(new Path(metaDir, name), Json.manifestToJson(fm))
+    name
+  }
+
+  private def writeAtomic(dest: Path, content: String): Unit = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.getScheme == "file") {
+      // Local FS: Hadoop's rename overwrites (and checksum sidecars go
+      // stale under races) — hard-link creation is the POSIX
+      // create-if-absent CAS.
+      try
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"concurrent commit: $dest exists", e)
+      } finally fs.delete(tmp, false)
+    } else if (!fs.rename(tmp, dest)) {
+      // HDFS-semantics rename refuses existing destinations — that IS the CAS.
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"concurrent commit: $dest exists")
+    }
+  }
+
+  private def maxRetries: Int =
+    meta.properties.getOrElse(PropCommitRetries, "20").toInt
+
+  /** Optimistic CAS commit of the next metadata version. */
+  private def commit(op: String, nextManifests: Seq[Snapshot] => Seq[String],
+      pruneSnapshots: Seq[Snapshot] => Seq[Snapshot] = identity): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = meta
+      val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
+      val parent = cur.currentSnapshotId
+      val snap = Snapshot(nextVersion, parent, System.currentTimeMillis(), op,
+        nextManifests(cur.snapshots))
+      val kept = pruneSnapshots(cur.snapshots)
+      val next = cur.copy(snapshots = kept :+ snap, currentSnapshotId = nextVersion)
+      try {
+        writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
+        // Pointer update is advisory (recovery lists metadata/ for max v),
+        // so hint races must never fail a commit that already landed.
+        try {
+          val hint = new Path(metaDir, VersionHint)
+          fs.delete(hint, false)
+          writeAtomic(hint, nextVersion.toString)
+        } catch { case _: java.io.IOException => }
+        meta = next
+        cleanupOldMetadata(next)
+        return nextVersion
+      } catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(s"commit failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Honors write.metadata.delete-after-commit.enabled +
+    * previous-versions-max (§1.3): drop superseded v*.json beyond the limit.
+    */
+  private def cleanupOldMetadata(m: TableMeta): Unit = {
+    if (m.properties.get("write.metadata.delete-after-commit.enabled").contains("true")) {
+      val keep = m.properties.getOrElse("write.metadata.previous-versions-max", "200").toInt
+      val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
+        .sorted
+      vs.dropRight(keep + 1).foreach(v => fs.delete(new Path(metaDir, s"v$v.json"), false))
+    }
+  }
+
+  /** Fast append (A10) with path-dedupe for idempotent replay — the
+    * crash-window fix for the reference's delete-before-commit /
+    * at-least-once-redelivery bugs (A14, §3.3.6).
+    */
+  def append(newFiles: Seq[DataFileMeta]): Long = {
+    commit("append", { _ =>
+      val existing = meta.current.map(_.manifests).getOrElse(Nil)
+      val known = existing.flatMap(readManifest).map(_.path).toSet
+      // dedupe within the batch too: one sweep can carry the same file
+      // twice (at-least-once event redelivery)
+      val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
+      val withNew =
+        if (fresh.isEmpty) existing
+        else existing :+ writeManifest(fresh)
+      maybeMerge(withNew)
+    })
+  }
+
+  /** Manifest compaction once the count crosses the merge threshold. */
+  private def maybeMerge(manifests: Seq[String]): Seq[String] = {
+    val threshold = meta.properties.getOrElse(PropManifestMinMerge, "200").toInt
+    if (manifests.size >= threshold)
+      Seq(writeManifest(manifests.flatMap(readManifest)))
+    else manifests
+  }
+
+  /** Metadata-only retention delete (A21): drop every data file whose
+    * partition bucket is strictly below the (bucket-aligned) cutoff. The
+    * reference aligns the cutoff down to the partition width so the
+    * predicate covers whole files (FileBasedBookkeeper.java:182-192).
+    * Returns the new snapshot id, or -1 if nothing matched.
+    */
+  def deleteOlderThan(cutoffMicros: Long): Long = {
+    val aligned = spec(cutoffMicros)
+    val live = files()
+    val (dropped, kept) = live.partition(_.partitionValue < aligned)
+    if (dropped.isEmpty) -1L
+    else commit("delete", _ => if (kept.isEmpty) Nil else Seq(writeManifest(kept)))
+  }
+
+  /** General-predicate delete via copy-on-write (§7.5.4): files whose rows
+    * all match are dropped metadata-only; files with partial matches are
+    * rewritten without the matching rows.
+    */
+  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val live = files()
+    if (live.isEmpty) return -1L
+    val df = LakeTable.readFiles(spark, schema, live.map(_.path))
+      .withColumn("__path", org.apache.spark.sql.functions.input_file_name())
+    val perFile = df.groupBy("__path")
+      .agg(count(lit(1)).as("n"),
+        sum(when(predicate, 1L).otherwise(0L)).as("matched"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // input_file_name returns file:/// URIs; manifests store plain paths —
+    // normalize both through Hadoop Path
+    def norm(p: String) = new Path(p).toUri.getPath
+    val byPath = perFile.map { case (p, n, m) => (norm(p), (n, m)) }.toMap
+    def lookup(f: DataFileMeta) = byPath.getOrElse(norm(f.path), (f.rowCount, 0L))
+    val untouched = live.filter(f => lookup(f)._2 == 0L)
+    val partial = live.filter { f => val (n, m) = lookup(f); m > 0 && m < n }
+    val fullyDropped = live.filter { f => val (n, m) = lookup(f); m > 0 && m == n }
+    if (partial.isEmpty && fullyDropped.isEmpty) return -1L
+    val rewritten: Seq[DataFileMeta] =
+      if (partial.isEmpty) Nil
+      else {
+        val keepRows = LakeTable.readFiles(spark, schema, partial.map(_.path))
+          .filter(!predicate)
+        LakeWriter.writeDataFiles(keepRows, this)
+      }
+    commit("rewrite", { _ =>
+      val kept = untouched ++ rewritten
+      if (kept.isEmpty) Nil else Seq(writeManifest(kept))
+    })
+  }
+
+  /** Snapshot expiry (A22, Reaper.java:17-27): expire snapshots older than
+    * the timestamp, always retaining the last `retainLast` and the floor
+    * from history.expire.min-snapshots-to-keep; physically deletes data
+    * files and manifests referenced only by expired snapshots.
+    */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = -1): Long = {
+    // history.expire.min-snapshots-to-keep is the DEFAULT retention floor;
+    // an explicit retainLast (the Reaper passes 20, Reaper.java:22) wins.
+    val keepCount =
+      if (retainLast > 0) retainLast
+      else meta.properties.getOrElse(PropMinSnapshotsToKeep, "100").toInt
+    val ordered = meta.snapshots.sortBy(_.id)
+    val byAge = ordered.filter(s =>
+      s.timestampMs >= olderThanMs || s.id == meta.currentSnapshotId)
+    val byCount = ordered.takeRight(keepCount)
+    val keep = (byAge ++ byCount).distinctBy(_.id).sortBy(_.id)
+    if (keep.size == meta.snapshots.size) return -1L
+    val keptManifests = keep.flatMap(_.manifests).toSet
+    val expired = ordered.filterNot(s => keep.exists(_.id == s.id))
+    val orphanManifests = expired.flatMap(_.manifests).toSet -- keptManifests
+    val keptPaths = keep.flatMap(s => s.manifests.flatMap(readManifest)).map(_.path).toSet
+    val orphanFiles = orphanManifests.flatMap(readManifest).map(_.path) -- keptPaths
+    val id = commit("expire",
+      _ => meta.current.map(_.manifests).getOrElse(Nil),
+      _ => keep)
+    orphanFiles.foreach(p => fs.delete(new Path(p), false))
+    orphanManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
+    id
+  }
+
+  // ---- read path ---------------------------------------------------------
+
+  /** Current table as a DataFrame. */
+  def toDF(spark: SparkSession): DataFrame = snapshotDF(spark, meta.currentSnapshotId)
+
+  /** Time travel (B2). */
+  def snapshotDF(spark: SparkSession, snapshotId: Long): DataFrame =
+    LakeTable.readFiles(spark, schema, files(snapshotId).map(_.path))
+
+  /** Incremental read (B3): rows added in (fromId, toId]. */
+  def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
+    LakeTable.readFiles(spark, schema, addedFilesBetween(fromId, toId).map(_.path))
+
+  /** Scan with manifest-level pruning (SURVEY §4): partition-bucket and
+    * column min/max stats filter the file list before Spark plans the scan.
+    */
+  def scan(spark: SparkSession,
+      partitionMin: Option[Long] = None, partitionMax: Option[Long] = None,
+      colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    val pruned = files().filter { f =>
+      partitionMin.forall(lo => f.partitionValue + spec.widthMicros > lo) &&
+        partitionMax.forall(hi => f.partitionValue <= hi) &&
+        colRanges.forall { case (c, (lo, hi)) =>
+          f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+        }
+    }
+    LakeTable.readFiles(spark, schema, pruned.map(_.path))
+  }
+}
+
+object LakeTable {
+  import LakeFormat._
+
+  private def fsFor(location: String) =
+    new Path(location).getFileSystem(new Configuration())
+
+  def create(location: String, schemaDdl: String, spec: TruncateSpec,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    val fs = fsFor(location)
+    val metaDir = new Path(location, MetadataDir)
+    if (fs.exists(new Path(metaDir, "v0.json")))
+      throw new IllegalStateException(s"table exists at $location")
+    fs.mkdirs(metaDir)
+    fs.mkdirs(new Path(location, DataDir))
+    fs.mkdirs(new Path(location, PendingCommitsDir))
+    fs.mkdirs(new Path(location, TmpCommitsDir))
+    val meta = TableMeta(1, location, schemaDdl, spec,
+      DefaultProperties ++ properties,
+      Seq(Snapshot(0L, -1L, System.currentTimeMillis(), "create", Nil)), 0L)
+    val t = new LakeTable(location, meta)
+    val out = fs.create(new Path(metaDir, "v0.json"), false)
+    try out.write(Json.metaToJson(meta).getBytes("UTF-8")) finally out.close()
+    val hintOut = fs.create(new Path(metaDir, VersionHint), true)
+    try hintOut.write("0".getBytes("UTF-8")) finally hintOut.close()
+    t
+  }
+
+  private[lake] def readMeta(location: String): TableMeta = {
+    val fs = fsFor(location)
+    val metaDir = new Path(location, MetadataDir)
+    val hint = new Path(metaDir, VersionHint)
+    val version: Long = {
+      val fromHint =
+        if (fs.exists(hint)) {
+          val in = fs.open(hint)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+          finally in.close()
+        } else None
+      // The hint is advisory (written after the CAS): recover by listing.
+      val listed = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(_.stripPrefix("v").stripSuffix(".json").toLongOption)
+      val maxListed = listed.maxOption
+        .getOrElse(throw new IllegalStateException(s"no table at $location"))
+      math.max(fromHint.getOrElse(-1L), maxListed)
+    }
+    val in = fs.open(new Path(metaDir, s"v$version.json"))
+    try Json.metaFromJson(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
+  }
+
+  def load(location: String): LakeTable =
+    new LakeTable(location, readMeta(location))
+
+  def exists(location: String): Boolean =
+    fsFor(location).exists(new Path(new Path(location, MetadataDir), "v0.json"))
+
+  def drop(location: String): Unit = {
+    val fs = fsFor(location)
+    fs.delete(new Path(location), true)
+  }
+
+  private[lake] def readFiles(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+}

@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Write path: synthetic event generation (A4), partitioned data-file
+  * writes (A5–A9), and parquet footer-metrics harvesting (A18).
+  */
+object LakeWriter {
+
+  /** The reference's single table schema (Constants.java:26-31). */
+  val EventSchemaDdl: String =
+    "message_id BIGINT NOT NULL, data STRING, timestamp TIMESTAMP, " +
+      "timeperiod_loadedBy BIGINT, message_body BINARY"
+
+  /** The reference's partition spec (Constants.java:25,33-35). */
+  val EventSpec: TruncateSpec = TruncateSpec("timeperiod_loadedBy", 300000000L)
+
+  /** Synthetic record batch (A4, Writer.java:52-72): sequential message_id,
+    * random-UUID data, now() timestamp, batch-constant timeperiod µs, and a
+    * ~1.8 KB random binary body (50 concatenated UUIDs — sized to model the
+    * 1432 B Kafka average, Writer.java:58-60). `seed >= 0` swaps the random
+    * pieces for deterministic md5-derived bytes so tests replay exactly.
+    */
+  def generateBatch(spark: SparkSession, numRows: Long, batchMicros: Long,
+      seed: Long = -1L): DataFrame = {
+    val base = spark.range(numRows).toDF("message_id")
+    val (dataCol, bodyCol) =
+      if (seed < 0)
+        (expr("uuid()"),
+          expr("cast(concat_ws('', transform(sequence(1, 50), i -> uuid())) as binary)"))
+      else
+        (expr(s"md5(concat('d', $seed, '-', message_id))"),
+          expr(s"cast(concat_ws('', transform(sequence(1, 50), " +
+            s"i -> md5(concat('b', $seed, '-', message_id, '-', i)))) as binary)"))
+    base.select(
+      col("message_id"),
+      dataCol.as("data"),
+      timestamp_micros(lit(batchMicros) + col("message_id")).as("timestamp"),
+      lit(batchMicros).as("timeperiod_loadedBy"),
+      bodyCol.as("message_body"))
+  }
+
+  /** Write a DataFrame into the table's data layout (A5–A7): rows land in
+    * `data/<col>_trunc=<bucket>/<uuid>.parquet` directories keyed by the
+    * truncate transform; returns DataFileMeta with footer-harvested stats.
+    * `filesPerPartition` > 1 emulates the reference's multi-file batches
+    * (A9, Writer.java:126-137).
+    */
+  def writeDataFiles(df: DataFrame, table: LakeTable,
+      filesPerPartition: Int = 1): Seq[DataFileMeta] = {
+    val spark = df.sparkSession
+    val spec = table.spec
+    val conf = new Configuration()
+    val loc = new Path(table.location)
+    val fs = loc.getFileSystem(conf)
+    val tmpDir = new Path(loc, s"_tmp-write-${UUID.randomUUID()}")
+
+    val withPart = df.withColumn("__part",
+      col(spec.column) - pmod(col(spec.column), lit(spec.widthMicros)))
+    val repartitioned =
+      if (filesPerPartition <= 1) withPart.repartition(col("__part"))
+      else withPart.repartition(filesPerPartition, col("__part"),
+        pmod(col("message_id"), lit(filesPerPartition)))
+    repartitioned.write.partitionBy("__part").parquet(tmpDir.toString)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+    for (partDir <- fs.listStatus(tmpDir) if partDir.isDirectory) {
+      val partVal = partDir.getPath.getName.stripPrefix("__part=").toLong
+      val destDir = new Path(new Path(loc, LakeFormat.DataDir), spec.dirName(partVal))
+      fs.mkdirs(destDir)
+      for (f <- fs.listStatus(partDir.getPath)
+           if f.getPath.getName.endsWith(".parquet")) {
+        val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(s"move failed: ${f.getPath} -> $dest")
+        out += footerMeta(conf, dest, partVal)
+      }
+    }
+    fs.delete(tmpDir, true)
+    out.toSeq
+  }
+
+  /** Parquet footer → DataFileMeta (A18): row count + min/max for INT64
+    * columns (message_id, timestamp, timeperiod_loadedBy), which drive
+    * manifest-level file skipping (SURVEY §4).
+    */
+  def footerMeta(conf: Configuration, path: Path, partitionValue: Long): DataFileMeta = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      val stats = scala.collection.mutable.Map.empty[String, ColStats]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              val name = c.getPath.toDotString
+              val prev = stats.get(name)
+              stats(name) = ColStats(
+                prev.fold(mn.longValue)(p => math.min(p.min, mn.longValue)),
+                prev.fold(mx.longValue)(p => math.max(p.max, mx.longValue)))
+            case _ =>
+          }
+        }
+      }
+      val size = path.getFileSystem(conf).getFileStatus(path).getLen
+      DataFileMeta(path.toUri.getPath, size, rowCount, partitionValue,
+        "parquet", stats.toMap)
+    } finally reader.close()
+  }
+}

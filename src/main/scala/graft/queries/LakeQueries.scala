@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.util.UUID
+
+import graft.Tables.t
+import graft.lake._
+import graft.sources.AvroIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 Part B rows B2–B6: LakeTable snapshot/time-travel/
+  * incremental scans and the sink/scan round-trips.
+  *
+  * B2/B3 build a scratch LakeTable from deterministic generated batches
+  * (engine-side semantics — no SQL oracle; the driver rows-only checks
+  * them and the ScalaTest suite asserts exact counts). B4–B6 round-trip
+  * driver testdata through parquet/avro/json/csv and aggregate — those DO
+  * have DuckDB oracles over the original tables.
+  */
+object LakeQueries {
+
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (5666666L + i) * Width
+
+  private def scratch(prefix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-${UUID.randomUUID()}"
+
+  /** Deterministic 3-snapshot scratch table shared by B2/B3. */
+  private def stagedTable(spark: SparkSession): (LakeTable, Seq[Long]) = {
+    val loc = scratch("laketable")
+    val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val snaps = Seq(100L, 50L, 25L).zipWithIndex.map { case (rows, i) =>
+      table.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, rows, bucket(i), seed = i + 1), table))
+    }
+    (table, snaps)
+  }
+
+  // B2 — snapshot scan / time travel: row count per committed snapshot.
+  def b02_snapshot_scan(s: SparkSession, dir: String): DataFrame = {
+    val (table, snaps) = stagedTable(s)
+    import s.implicits._
+    val rows = (0L +: snaps).map(id => (id, table.snapshotDF(s, id).count()))
+    val out = rows.toDF("snapshot_id", "cnt").orderBy("snapshot_id")
+    out.cache().count() // materialize before the scratch dir is abandoned
+    LakeTable.drop(table.location)
+    out
+  }
+
+  // B3 — incremental scan: added rows between consecutive snapshots.
+  def b03_incremental_scan(s: SparkSession, dir: String): DataFrame = {
+    val (table, snaps) = stagedTable(s)
+    import s.implicits._
+    val pairs = (0L +: snaps).sliding(2).toSeq.map {
+      case Seq(a, b) => (a, b, table.changesBetween(s, a, b).count())
+    }
+    val out = pairs.toDF("from_id", "to_id", "added").orderBy("from_id")
+    out.cache().count()
+    LakeTable.drop(table.location)
+    out
+  }
+
+  // B4 — parquet sink round-trip: write lineitem, re-read, aggregate.
+  def b04_parquet_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("pq")
+    t(s, dir, "lineitem").write.mode("overwrite").parquet(tmp)
+    val out = s.read.parquet(tmp).agg(
+      count(lit(1)).as("cnt"),
+      min("l_orderkey").as("min_ok"),
+      max("l_orderkey").as("max_ok"))
+    out.cache().count()
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    out
+  }
+
+  // B5 — avro sink/scan round-trip (A8): events subset through Avro
+  // container files and back.
+  def b05_avro_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("avro")
+    val src = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    AvroIO.write(src, tmp)
+    val out = AvroIO.read(s, tmp, src.schema).agg(
+      count(lit(1)).as("cnt"),
+      sum("user_id").as("sum_uid"),
+      countDistinct("event_type").as("n_types"))
+    out.cache().count()
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    out
+  }
+
+  // B6 — JSON + CSV scan round-trip.
+  def b06_json_csv(s: SparkSession, dir: String): DataFrame = {
+    val tmpJ = scratch("json"); val tmpC = scratch("csv")
+    val src = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    src.write.mode("overwrite").json(tmpJ)
+    src.write.mode("overwrite").option("header", "true").csv(tmpC)
+    val j = s.read.schema(src.schema).json(tmpJ)
+      .agg(count(lit(1)).as("json_cnt"), sum("user_id").as("json_sum"))
+    val c = s.read.schema(src.schema).option("header", "true").csv(tmpC)
+      .agg(count(lit(1)).as("csv_cnt"), sum("user_id").as("csv_sum"))
+    val out = j.crossJoin(c)
+    out.cache().count()
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmpJ))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmpC))
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b02_snapshot_scan" -> b02_snapshot_scan _,
+    "b03_incremental_scan" -> b03_incremental_scan _,
+    "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
+    "b05_avro_roundtrip" -> b05_avro_roundtrip _,
+    "b06_json_csv" -> b06_json_csv _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // b02/b03: engine-side (scratch LakeTable), rows-only checked.
+    "b04_parquet_roundtrip" ->
+      "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
+    "b05_avro_roundtrip" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        | COUNT(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+    "b06_json_csv" ->
+      """SELECT COUNT(*) AS json_cnt, CAST(SUM(user_id) AS BIGINT) AS json_sum,
+        | COUNT(*) AS csv_cnt, CAST(SUM(user_id) AS BIGINT) AS csv_sum FROM events""".stripMargin,
+  )
+}

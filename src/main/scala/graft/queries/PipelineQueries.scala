@@ -69,32 +69,39 @@ object PipelineQueries {
   // plan time. No SQL oracle (approximate); spec checks recall vs d02.
   def d02_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // 2 bands × 8 hyperplanes; plane weights from xxhash64(dim, plane).
+    // 4 bands × 4 hyperplanes (16 planes): a 4-bit band collides for
+    // moderately-similar vectors often enough for usable recall, and the
+    // equi-join on (band, signature) is a plain shuffle join — the scale
+    // path. Plane weights derived deterministically from xxhash64(dim, plane).
     def sig(band: Int) = expr(
       s"""aggregate(
-         |  transform(sequence(0, 7), p ->
+         |  transform(sequence(0, 3), p ->
          |    CASE WHEN aggregate(zip_with(embedding,
          |        transform(sequence(0, 63), d ->
-         |          cast(xxhash64(d * 16 + p + $band * 8) % 1000 as double) / 1000.0 - 0.5),
+         |          cast(xxhash64(d * 64 + p + $band * 4) % 1000 as double) / 1000.0 - 0.5),
          |        (x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v) > 0
          |    THEN cast(pow(2, p) as bigint) ELSE 0L END),
          |  0L, (acc, b) -> acc + b)""".stripMargin)
-    val sigs = e.select(col("vec_id"), col("embedding"),
-      sig(0).as("s0"), sig(1).as("s1"))
-    val a = sigs.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-      col("s0").as("as0"), col("s1").as("as1"))
-    val b = sigs.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-      col("s0").as("bs0"), col("s1").as("bs1"))
+    val sigs = e.select(col("vec_id") +: col("embedding") +:
+      (0 until 4).map(b => sig(b).as(s"s$b")): _*)
+    val bands = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until 4).map(b => col(s"s$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val a = bands.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("band"), col("sig"))
+    val b = bands.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("band"), col("sig"))
     val cos = expr(
       """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
         |          0D, (acc, v) -> acc + v)
         | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
         |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
         |""".stripMargin)
-    a.join(b, col("a_id") < col("b_id")
-        && (col("as0") === col("bs0") || col("as1") === col("bs1")))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ae", "be").dropDuplicates("a_id", "b_id")
       .withColumn("cos", cos)
-      .filter(col("cos") > 0.8)
+      .filter(col("cos") > 0.4)
       .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
       .orderBy("a_id", "b_id")
   }

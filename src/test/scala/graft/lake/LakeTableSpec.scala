@@ -1,0 +1,163 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Table-format semantics (SURVEY §5.2): commit atomicity, snapshot
+  * isolation/time travel, incremental reads, retention, expiry, idempotent
+  * replay.
+  */
+class LakeTableSpec extends SparkSpec {
+
+  private val Width = 300000000L // 5 minutes in µs
+  private def bucket(i: Int): Long = (5666666L + i) * Width // aligned by construction
+
+  private def newTable(): LakeTable = {
+    val loc = tmpDir("laketable")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+  }
+
+  private def appendBatch(t: LakeTable, rows: Long, micros: Long, seed: Long,
+      filesPer: Int = 1): Long = {
+    val df = LakeWriter.generateBatch(spark, rows, micros, seed)
+    t.append(LakeWriter.writeDataFiles(df, t, filesPer))
+  }
+
+  test("create + load round-trips schema, spec, and properties") {
+    val t = newTable()
+    val loaded = LakeTable.load(t.location)
+    assert(loaded.schema == t.schema)
+    assert(loaded.spec == TruncateSpec("timeperiod_loadedBy", Width))
+    assert(loaded.tableMeta.properties(LakeFormat.PropManifestMinMerge) == "200")
+    assert(loaded.currentSnapshotId == 0L)
+  }
+
+  test("append commits snapshots; toDF sees all rows; counts accumulate") {
+    val t = newTable()
+    val s1 = appendBatch(t, 100, bucket(0), seed = 1)
+    val s2 = appendBatch(t, 50, bucket(1), seed = 2)
+    assert(s1 == 1L && s2 == 2L)
+    assert(t.toDF(spark).count() == 150)
+    // fast append: snapshot 2 reuses snapshot 1's manifest untouched
+    val m1 = t.tableMeta.snapshot(s1).get.manifests
+    val m2 = t.tableMeta.snapshot(s2).get.manifests
+    assert(m2.startsWith(m1) && m2.size == m1.size + 1)
+  }
+
+  test("time travel: snapshotDF pins to a version") {
+    val t = newTable()
+    val s1 = appendBatch(t, 100, bucket(0), seed = 1)
+    appendBatch(t, 50, bucket(1), seed = 2)
+    assert(t.snapshotDF(spark, s1).count() == 100)
+    assert(t.snapshotDF(spark, 0L).count() == 0)
+  }
+
+  test("incremental read: changesBetween returns exactly the appended batch") {
+    val t = newTable()
+    val s1 = appendBatch(t, 100, bucket(0), seed = 1)
+    val s2 = appendBatch(t, 50, bucket(1), seed = 2)
+    val diff = t.changesBetween(spark, s1, s2)
+    assert(diff.count() == 50)
+    assert(diff.agg(min("timeperiod_loadedBy")).head.getLong(0) == bucket(1))
+  }
+
+  test("append is idempotent under moniker replay (path dedupe)") {
+    val t = newTable()
+    val df = LakeWriter.generateBatch(spark, 40, bucket(0), seed = 3)
+    val files = LakeWriter.writeDataFiles(df, t)
+    t.append(files)
+    t.append(files) // replay — must not duplicate rows
+    assert(t.toDF(spark).count() == 40)
+  }
+
+  test("retention delete drops exactly the aligned buckets, metadata-only") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), seed = 1)
+    appendBatch(t, 20, bucket(1), seed = 2)
+    appendBatch(t, 30, bucket(2), seed = 3)
+    val before = t.files().map(_.path).toSet
+    // cutoff inside bucket 1 → aligns down to bucket(1) → drops bucket 0 only
+    val snap = t.deleteOlderThan(bucket(1) + 12345L)
+    assert(snap > 0)
+    assert(t.toDF(spark).count() == 50)
+    // metadata-only: dropped file still physically present until expiry
+    val after = t.files().map(_.path).toSet
+    val dropped = (before -- after).head
+    assert(new java.io.File(dropped).exists())
+  }
+
+  test("general-predicate deleteWhere rewrites only partially-matching files") {
+    val t = newTable()
+    appendBatch(t, 100, bucket(0), seed = 1)
+    appendBatch(t, 50, bucket(1), seed = 2)
+    // message_id < 30 matches part of batch 1 only
+    val snap = t.deleteWhere(spark, col("message_id") < 30 && col("timeperiod_loadedBy") === bucket(0))
+    assert(snap > 0)
+    assert(t.toDF(spark).count() == 120)
+    // batch-2 file untouched (same path as before)
+    assert(t.files().exists(_.partitionValue == bucket(1)))
+  }
+
+  test("expireSnapshots retains retainLast and physically deletes orphans") {
+    val t = newTable()
+    val first = appendBatch(t, 10, bucket(0), seed = 1)
+    for (i <- 1 to 4) appendBatch(t, 10, bucket(i), seed = 10 + i)
+    // explicit retainLast overrides the min-snapshots-to-keep default floor.
+    // Note fast-append chains: any retained append snapshot still references
+    // the bucket-0 manifest, so GC of its file requires retaining only the
+    // post-delete snapshot (retainLast = 1).
+    val deadFile = t.files(first).head.path
+    t.deleteOlderThan(bucket(1)) // creates a delete snapshot dropping bucket 0
+    val snap = t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(snap > 0)
+    assert(t.snapshots.size == 2) // the delete snapshot + the expire snapshot
+    assert(t.toDF(spark).count() == 40) // 50 appended − 10 retention-deleted
+    assert(!new java.io.File(deadFile).exists()) // orphaned bucket-0 file GC'd
+  }
+
+  test("manifest compaction merges at the min-count-to-merge threshold") {
+    val loc = tmpDir("laketable-merge")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropManifestMinMerge -> "3"))
+    appendBatch(t, 5, bucket(0), seed = 1)
+    appendBatch(t, 5, bucket(1), seed = 2)
+    assert(t.tableMeta.current.get.manifests.size == 2)
+    appendBatch(t, 5, bucket(2), seed = 3) // 3rd manifest → merge
+    assert(t.tableMeta.current.get.manifests.size == 1)
+    assert(t.toDF(spark).count() == 15)
+  }
+
+  test("stats-pruned scan skips files outside the partition range") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), seed = 1)
+    appendBatch(t, 20, bucket(1), seed = 2)
+    appendBatch(t, 30, bucket(2), seed = 3)
+    val pruned = t.scan(spark,
+      partitionMin = Some(bucket(1)), partitionMax = Some(bucket(1)))
+    assert(pruned.count() == 20)
+    // column-stats pruning on message_id range
+    val statsPruned = t.scan(spark, colRanges = Map("message_id" -> (25L, 29L)))
+    assert(statsPruned.count() == 30) // only the 30-row batch has ids ≥ 25
+  }
+
+  test("concurrent committers: optimistic retry lands all appends") {
+    val t = newTable()
+    val batches = (0 until 4).map { i =>
+      LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(i), seed = 20 + i), t)
+    }
+    val threads = batches.map { files =>
+      new Thread(() => {
+        val local = LakeTable.load(t.location)
+        local.append(files)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    t.refresh()
+    assert(t.toDF(spark).count() == 40)
+    assert(t.currentSnapshotId == 4L)
+  }
+}
