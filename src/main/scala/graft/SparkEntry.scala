@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.FunctionQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
       graft.queries.FunctionQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.LakeQueries.oracle
+      graft.queries.LakeQueries.oracle ++
+      graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.UUID
+
+import graft.SparkSpec
+import graft.lake._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming semantics not expressible as batch-equivalence oracles
+  * (SURVEY C13/C14/C17): watermark late-data drop, stateful dedup, and the
+  * reference's core ingest loop as a Structured Streaming pipeline.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-${UUID.randomUUID()}"
+
+  private val evSchema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+
+  /** Replay fixed JSON batches through a file stream in file order. */
+  private def replay(files: Seq[Seq[String]], transform: org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.DataFrame, mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    val in = tmp("replay"); val ckpt = tmp("ckpt")
+    new java.io.File(in).mkdirs()
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val f = new java.io.File(in, f"b$i%03d.json")
+      java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+      f.setLastModified(1700000000000L + i * 60000) // deterministic batch order
+    }
+    val name = "m" + UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(evSchema))
+      .option("maxFilesPerTrigger", "1")
+      .json(in)
+    val q = transform(stream).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def ev(id: Long, ts: String, uid: Long = 1, v: Double = 1.0): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":$uid,"value":$v}"""
+
+  test("C13: watermark drops late data beyond the threshold") {
+    // batch 0 advances the watermark to 12:00 − 10min = 11:50. Spark's
+    // late-record filter uses the PREVIOUS batch's watermark (one-batch
+    // lag), so the late 11:30 event arrives two batches later → dropped;
+    // 11:55 (within delay at its batch's filter watermark) is kept.
+    val out = replay(
+      Seq(
+        Seq(ev(1, "2024-01-01 11:40:00"), ev(2, "2024-01-01 12:00:00")),
+        Seq(ev(4, "2024-01-01 11:55:00")),
+        Seq(ev(3, "2024-01-01 11:30:00")), // late beyond watermark → dropped
+        Seq(ev(5, "2024-01-01 13:00:00")),
+        Seq(ev(6, "2024-01-01 14:00:00"))), // flushes closed windows
+      df => df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n")),
+      OutputMode.Append())
+    val got = out.select(unix_micros(col("window.start")).as("w"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(got(us("2024-01-01T11:40:00Z")) == 1)
+    assert(got(us("2024-01-01T11:55:00Z")) == 1) // late-but-within kept
+    assert(!got.contains(us("2024-01-01T11:30:00Z"))) // beyond watermark dropped
+  }
+
+  test("C14: stateful dedup across micro-batches with watermark") {
+    val out = replay(
+      Seq(
+        Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00")),
+        Seq(ev(2, "2024-01-01 10:01:00"), ev(3, "2024-01-01 10:02:00"))),
+      df => df.withWatermark("ts", "1 hour").dropDuplicates("event_id"),
+      OutputMode.Append())
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
+    val Width = 300000000L
+    def bucket(i: Int): Long = (5666666L + i) * Width
+    val loc = tmp("ingest-table")
+    val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    // writers publish three batches (with one duplicate publish)
+    val published = (0 until 3).map { i =>
+      val files = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10 + i, bucket(i), seed = i), table)
+      Monikers.publish(loc, files)
+      files
+    }
+    Monikers.publish(loc, published.head) // duplicate moniker (at-least-once)
+    val ckpt = tmp("ingest-ckpt")
+    val pending = s"$loc/${LakeFormat.PendingCommitsDir}"
+    val stream = spark.readStream
+      .schema("files ARRAY<STRUCT<path: STRING, sizeBytes: BIGINT, rowCount: BIGINT, partitionValue: BIGINT, format: STRING>>")
+      .option("maxFilesPerTrigger", "2")
+      .option("multiLine", "true") // monikers are pretty-printed JSON
+      .json(pending)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val files = batch.selectExpr("explode(files) AS f").select("f.*")
+          .collect().map { r =>
+            DataFileMeta(r.getAs[String]("path"), r.getAs[Long]("sizeBytes"),
+              r.getAs[Long]("rowCount"), r.getAs[Long]("partitionValue"),
+              r.getAs[String]("format"))
+          }
+        if (files.nonEmpty) table.append(files.toSeq)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    table.refresh()
+    assert(table.toDF(spark).count() == 10 + 11 + 12) // dupe deduped
+  }
+}
