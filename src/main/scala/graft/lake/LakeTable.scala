@@ -328,12 +328,14 @@ object LakeTable {
     val metaDir = new Path(location, MetadataDir)
     val hint = new Path(metaDir, VersionHint)
     val version: Long = {
+      // The hint is rewritten (delete + create) by committers; a read racing
+      // that window must fall back to listing, not fail.
       val fromHint =
-        if (fs.exists(hint)) {
+        try {
           val in = fs.open(hint)
           try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
           finally in.close()
-        } else None
+        } catch { case _: java.io.IOException => None }
       // The hint is advisory (written after the CAS): recover by listing.
       val listed = fs.listStatus(metaDir).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
