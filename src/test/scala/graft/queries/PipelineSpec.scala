@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality gates for the approximate / oracle-less pipeline operators
+  * (SURVEY §2.D): MinHash-LSH recall vs exact shingle Jaccard, ANN-LSH
+  * recall vs brute-force cosine, HLL tolerance, language-ID accuracy.
+  * Everything is deterministic (fixed hashes, fixed corpus), so these are
+  * exact assertions, not flaky statistical ones.
+  */
+class PipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("D3: MinHash-LSH candidates contain every pair with shingle-Jaccard >= 0.9") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
+          |ELSE transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END)"""
+          .stripMargin).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("ni")))
+      .filter(col("j") >= 0.9)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain near-duplicates")
+    val candidates = PipelineQueries.d03_minhash_lsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- candidates
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
+  }
+
+  test("D2: ANN-LSH finds the most-similar pair and >= 30% of pairs above threshold") {
+    val truth = PipelineQueries.d02_cosine_topk(spark, dir) // brute force, qid < 20
+      .filter(col("rn") === 1).orderBy(col("cos").desc).limit(1)
+      .collect().head
+    val (qid, oid) = (truth.getLong(0), truth.getLong(2))
+    val best = if (qid < oid) (qid, oid) else (oid, qid)
+    val ann = PipelineQueries.d02_ann_lsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the globally most-similar pair must collide in some band
+    assert(ann.contains(best) || truth.getDecimal(3).doubleValue < 0.4,
+      s"ANN missed the top pair $best")
+    // recall floor vs the exact >0.4 set (measured 42% with these hashes)
+    val exact = {
+      val e = graft.Tables.t(spark, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+      val cos = expr(
+        """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+          |          0D, (acc, v) -> acc + v)
+          | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+          |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+          |""".stripMargin)
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cos).filter(col("cos") > 0.4)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(exact.nonEmpty)
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
+  }
+
+  test("B19: approx_count_distinct within 10% of exact") {
+    val exact = graft.Tables.t(spark, dir, "lineitem")
+      .agg(countDistinct("l_partkey")).head.getLong(0)
+    val approx = RelationalQueries.b19_approx_distinct(spark, dir)
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("D4: language-ID beats the majority-class baseline") {
+    val out = PipelineQueries.d04_langid(spark, dir)
+    val n = out.count().toDouble
+    val correct = out.filter(col("lang") === col("pred_lang")).count()
+    val majority = out.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0)
+    assert(correct / n > majority / n,
+      s"accuracy ${correct / n} not above majority baseline ${majority / n}")
+  }
+
+  test("D1: keep-first dedup output size equals number of distinct hashes") {
+    val nHashes = PipelineQueries.d01_dedup_exact(spark, dir).count()
+    val nKept = PipelineQueries.d01_dedup_keepfirst(spark, dir).count()
+    assert(nKept == nHashes)
+  }
+}
