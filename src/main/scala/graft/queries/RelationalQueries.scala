@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  // B1 — parquet scan with agg pushdown-friendly min/max/count.
-  def b01_scan(s: SparkSession, dir: String): DataFrame =
+  // B1 — parquet scan; COUNT/MIN/MAX answered from footer metadata alone
+  // (parquet aggregate pushdown — no row data read at any scale).
+  def b01_scan(s: SparkSession, dir: String): DataFrame = {
+    // aggregate pushdown exists only in the DSv2 parquet reader
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     t(s, dir, "lineitem").agg(
       count(lit(1)).as("cnt"),
       min("l_orderkey").as("min_ok"),
       max("l_orderkey").as("max_ok"))
+  }
 
   // B7 — projection with computed column.
   def b07_project(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions (the 100 TB posture, SURVEY D6/§4): these
+  * queries must not merely return correct rows — they must carry the plan
+  * shapes that survive a 1000-executor scale-up: filters pushed to the
+  * scan, dims broadcast, aggregates partial+final, top-K as
+  * TakeOrderedAndProject, scans answered from parquet metadata where legal.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // b01 switches the session to the V2 parquet reader; pin the default V1
+  // list here so each test sees the source it asserts against regardless
+  // of suite order.
+  private def useV1(): Unit = spark.conf.set(
+    "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("B1: count/min/max answered by parquet aggregate pushdown") {
+    val p = plan(RelationalQueries.b01_scan(spark, dir))
+    assert(p.contains("PushedAggregation"), p)
+  }
+
+  test("B8: all predicates pushed to the parquet scan") {
+    useV1()
+    val p = plan(RelationalQueries.b08_filter(spark, dir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("In(l_discount"), p)
+    assert(p.contains("StringStartsWith(l_returnflag,A)"), p)
+  }
+
+  test("B8: scan reads only the filter columns (column pruning)") {
+    useV1()
+    val p = plan(RelationalQueries.b08_filter(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("B10: both dims broadcast, no shuffle join on the fact side") {
+    val p = plan(RelationalQueries.b10_join_broadcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("B17: aggregate runs partial then final (map-side combine)") {
+    val p = plan(RelationalQueries.b17_q1(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial aggregate before the exchange
+  }
+
+  test("B25: top-K plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalQueries.b25_sort_topk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("B22: single shuffle for window + final order") {
+    val p = plan(RelationalQueries.b22_window_rank(spark, dir))
+    assert(p.contains("Window"), p)
+    // ranking filter applied before the final sort limits data movement
+    assert(p.contains("WindowGroupLimit") || p.contains("Filter"), p)
+  }
+
+  test("whole-stage codegen covers the Q1 aggregation path") {
+    // codegen stages ("*(n)") appear once AQE finalizes — execute first
+    val df = RelationalQueries.b17_q1(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+}
