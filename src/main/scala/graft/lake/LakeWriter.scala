@@ -64,6 +64,9 @@ object LakeWriter {
     val fs = loc.getFileSystem(conf)
     val tmpDir = new Path(loc, s"_tmp-write-${UUID.randomUUID()}")
 
+    // INT64 µs timestamps (not Spark's INT96 default): footer stats stay
+    // long-typed and the DSv2 Group reader consumes them directly
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val withPart = df.withColumn("__part",
       col(spec.column) - pmod(col(spec.column), lit(spec.widthMicros)))
     val repartitioned =

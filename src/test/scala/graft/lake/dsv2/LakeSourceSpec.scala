@@ -1,0 +1,95 @@
+package graft.lake.dsv2
+
+import graft.SparkSpec
+import graft.lake._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** DSv2 source semantics: format("laketable") batch reads match the API
+  * read path, pushed filters prune the file list, and the micro-batch
+  * stream consumes exactly the files added per commit (snapshot-id
+  * offsets, reference A25).
+  */
+class LakeSourceSpec extends SparkSpec {
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (5666666L + i) * Width
+
+  private def newTable(): LakeTable = {
+    val loc = tmpDir("dsv2")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+  }
+
+  private def appendBatch(t: LakeTable, rows: Long, micros: Long, seed: Long): Long =
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, rows, micros, seed), t))
+
+  test("batch read through format(laketable) equals the API read path") {
+    val t = newTable()
+    appendBatch(t, 100, bucket(0), 1)
+    appendBatch(t, 50, bucket(1), 2)
+    val viaSource = spark.read.format("laketable").load(t.location)
+    assert(viaSource.schema == t.schema)
+    assert(viaSource.count() == 150)
+    val apiSum = t.toDF(spark).agg(sum("message_id")).head.getLong(0)
+    assert(viaSource.agg(sum("message_id")).head.getLong(0) == apiSum)
+    // all column types round-trip (string, binary, timestamp µs)
+    val row = viaSource.orderBy("timeperiod_loadedBy", "message_id").head
+    assert(row.getAs[String]("data").nonEmpty)
+    assert(row.getAs[Array[Byte]]("message_body").length > 1000)
+    assert(row.getAs[java.sql.Timestamp]("timestamp") != null)
+  }
+
+  test("partition filters prune input partitions before the scan") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), 1)
+    appendBatch(t, 20, bucket(1), 2)
+    appendBatch(t, 30, bucket(2), 3)
+    val df = spark.read.format("laketable").load(t.location)
+      .filter(col("timeperiod_loadedBy") >= bucket(1)
+        && col("timeperiod_loadedBy") < bucket(2))
+    assert(df.count() == 20)
+    // physical pruning: only one of three files planned
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    val parts = df.rdd.getNumPartitions
+    assert(parts == 1, s"expected 1 pruned partition, got $parts ($scans)")
+  }
+
+  test("stats filters prune files by footer min/max") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), 1) // message_id 0..9
+    appendBatch(t, 40, bucket(1), 2) // message_id 0..39
+    val df = spark.read.format("laketable").load(t.location)
+      .filter(col("message_id") >= 20)
+    assert(df.count() == 20)
+    assert(df.rdd.getNumPartitions == 1) // only the 40-row file survives
+  }
+
+  test("micro-batch stream: snapshot-id offsets deliver added files per commit") {
+    val t = newTable()
+    val s1 = appendBatch(t, 10, bucket(0), 1)
+    val ckpt = tmpDir("dsv2-ckpt") + "/c"
+    val name = "lakestream" + System.nanoTime()
+    def runAvailable(): Unit = {
+      val q = spark.readStream.format("laketable")
+        .option("startSnapshotId", "0")
+        .load(t.location)
+        .groupBy().agg(count(lit(1)).as("n"), sum("message_id").as("s"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runAvailable()
+    assert(spark.table(name).head.getLong(0) == 10)
+    // two more commits land; resuming from the checkpoint consumes exactly
+    // the added files (offsets = snapshot ids)
+    appendBatch(t, 20, bucket(1), 2)
+    appendBatch(t, 5, bucket(2), 3)
+    runAvailable()
+    assert(spark.table(name).head.getLong(0) == 35)
+  }
+}
