@@ -247,7 +247,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D5 — multimodal binary columns: payload + typed metadata, pure-SQL
+  // feature extraction (size/hash/chunking), oracle-checked.
+  def d05_multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(
+      t(s, dir, "documents"), "text", "doc_id")
+    graft.operators.Multimodal.features(media)
+      .orderBy("media_id")
+  }
+
+  // D5b — distributed decode with the stubbed codec (deterministic fake):
+  // exercises the executor-side batch plumbing; rows-only checked.
+  def d05_decode_stub(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(
+      t(s, dir, "documents"), "text", "doc_id")
+    graft.operators.Multimodal.decode(media, frames = 8)
+      .select(col("media_id"), col("fmt"),
+        dec4(expr("aggregate(frame_features, 0D, (a, x) -> a + x)")).as("feat_sum"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d05_multimodal" -> d05_multimodal _,
+    "d05_decode_stub" -> d05_decode_stub _,
     "d01_dedup_exact" -> d01_dedup_exact _,
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
     "d02_cosine_topk" -> d02_cosine_topk _,
@@ -262,6 +284,13 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d05_multimodal" ->
+      """SELECT doc_id AS media_id, 'txt' AS fmt,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+        | sha256(text) AS h256,
+        | CAST(CEIL(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) AS n_chunks,
+        | base64(CAST(substr(text, 1, 32) AS BLOB)) AS head_b64
+        |FROM documents ORDER BY media_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
