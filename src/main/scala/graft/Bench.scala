@@ -44,8 +44,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** The reference's core workload (A4–A15): generate → write partitioned
+      * files → publish monikers → bookkeeper sweep → one fast-append commit.
+      * Reported as seconds for 100k rows × 4 writer batches.
+      */
+    def runIngest(): Double = {
+      import graft.lake._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ingest-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      val t0 = System.nanoTime()
+      for (i <- 0 until 4) {
+        val files = LakeWriter.writeDataFiles(
+          LakeWriter.generateBatch(spark, 25000, (5666666L + i) * 300000000L, seed = i),
+          table, filesPerPartition = 4)
+        Monikers.publish(loc, files)
+      }
+      new FileBookkeeper(table).sweep()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(table.toDF(spark).count() == 100000L)
+      LakeTable.drop(loc)
+      secs
+    }
+
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
-    val results = headline.map(n => n -> run(n))
+    val results = headline.map(n => n -> run(n)) :+ ("ingest_100k" -> runIngest())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
