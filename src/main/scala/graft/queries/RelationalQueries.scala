@@ -164,6 +164,18 @@ object RelationalQueries {
       .agg(dec4(stddev_samp(col("o_totalprice"))).as("sd"))
       .orderBy("o_orderpriority")
 
+  // B21b — statistical aggregates: exact interpolated percentiles,
+  // correlation, sample covariance (matches DuckDB quantile_cont/corr).
+  def b21_stats_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dec4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+        dec4(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+        dec4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        dec4(covar_samp(col("l_discount"), col("l_tax"))).as("cov_dt"))
+      .orderBy("l_returnflag")
+
   // B22 — ranking window: top-3 orders per customer.
   def b22_window_rank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -288,6 +300,7 @@ object RelationalQueries {
     "b19_approx_distinct" -> b19_approx_distinct _,
     "b20_rollup" -> b20_rollup _,
     "b21_stddev" -> b21_stddev _,
+    "b21_stats_agg" -> b21_stats_agg _,
     "b22_window_rank" -> b22_window_rank _,
     "b23_window_lag" -> b23_window_lag _,
     "b24_window_frame" -> b24_window_frame _,
@@ -369,6 +382,13 @@ object RelationalQueries {
     "b21_stddev" ->
       """SELECT o_orderpriority, CAST(round(STDDEV_SAMP(o_totalprice), 4) AS DECIMAL(28,4)) AS sd
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b21_stats_agg" ->
+      """SELECT l_returnflag,
+        | CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(28,4)) AS median_price,
+        | CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(28,4)) AS p95_price,
+        | CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(28,4)) AS corr_qp,
+        | CAST(round(covar_samp(l_discount, l_tax), 4) AS DECIMAL(28,4)) AS cov_dt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b22_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
