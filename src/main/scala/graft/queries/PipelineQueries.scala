@@ -173,6 +173,42 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // D3c — SimHash near-dup: 64-bit signature (per-bit majority vote over
+  // token hashes, single pass with an array-of-counters accumulator),
+  // candidates via the pigeonhole banding of 4 × 16-bit chunks (hamming
+  // distance ≤ 3 guarantees at least one identical chunk), then exact
+  // hamming filter with bit_count(xor). Deterministic; no SQL oracle
+  // (DuckDB's hash differs) — spec checks recall vs exact Jaccard.
+  def d03_simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ')), tk -> xxhash64(tk))")
+          .as("hashes"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  aggregate(hashes, array_repeat(0, 64),
+          |    (acc, h) -> zip_with(acc, sequence(0, 63),
+          |      (c, b) -> c + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)),
+          |  0L, (sig, c) -> (sig << 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END)"""
+          .stripMargin).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> (sig >> (i * 16)) & 65535)")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = chunks.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("chunk"))
+    val r = chunks.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sig ^ b_sig)").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   // D4 — corpus stats by language/source.
   def d04_text_stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -276,6 +312,7 @@ object PipelineQueries {
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
+    "d03_simhash" -> d03_simhash _,
     "d04_text_stats" -> d04_text_stats _,
     "d04_token_topn" -> d04_token_topn _,
     "d04_fingerprint" -> d04_fingerprint _,

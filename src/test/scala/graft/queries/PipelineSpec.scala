@@ -35,6 +35,47 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
+          |ELSE transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END)"""
+          .stripMargin).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("ni")))
+      .filter(col("j") >= 0.9)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val candidates = PipelineQueries.d03_simhash(spark, dir)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming <= 3 on 64-bit signatures is a STRICTER bar than shingle
+    // J >= 0.9 — assert a recall floor, not containment
+    val recall = truth.intersect(candidates).size.toDouble / truth.size
+    assert(recall >= 0.25, s"SimHash recall $recall below floor")
+    // hard guarantee: identical distinct-token sets → identical signature
+    // → same chunks → always candidates
+    val setEqual = {
+      val d = graft.Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), sort_array(array_distinct(
+          split(col("text"), " "))).as("ts"))
+      val x = d.select(col("doc_id").as("a_id"), col("ts").as("a_ts"))
+      val y = d.select(col("doc_id").as("b_id"), col("ts").as("b_ts"))
+      x.crossJoin(y)
+        .filter(col("a_id") < col("b_id") && col("a_ts") === col("b_ts"))
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val missedExact = setEqual -- candidates
+    assert(missedExact.isEmpty, s"SimHash missed token-set-equal pairs: $missedExact")
+  }
+
   test("D2: ANN-LSH finds the most-similar pair and >= 30% of pairs above threshold") {
     val truth = PipelineQueries.d02_cosine_topk(spark, dir) // brute force, qid < 20
       .filter(col("rn") === 1).orderBy(col("cos").desc).limit(1)
