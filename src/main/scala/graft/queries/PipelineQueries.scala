@@ -40,18 +40,16 @@ object PipelineQueries {
   }
 
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
-  // Native zip_with/aggregate expressions (codegen-friendly, no UDF);
-  // broadcast the probe side so the big side never shuffles.
+  // cosine_sim is our native codegen'd Catalyst expression
+  // (graft.functions.CosineSimilarity) — a tight primitive loop inside
+  // whole-stage codegen; broadcast the probe side so the big side never
+  // shuffles.
   def d02_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cos = expr(
-      """aggregate(zip_with(qe, oe, (x, y) -> cast(x as double) * cast(y as double)),
-        |          0D, (acc, v) -> acc + v)
-        | / (sqrt(aggregate(qe, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
-        |    * sqrt(aggregate(oe, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
-        |""".stripMargin)
+    val cos = expr("cosine_sim(qe, oe)")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
     e.select(col("vec_id").as("oid"), col("embedding").as("oe"))
       .crossJoin(broadcast(probes))
