@@ -119,6 +119,22 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  // B15b — the same as-of semantics via the scalable union + ordered-window
+  // algorithm (operators.AsOfJoin): one shuffle, no quadratic join blowup.
+  // Same oracle as b15 — the two implementations must agree exactly.
+  def b15_asof_scalable(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), us(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), us(col("ts")).as("p_us"))
+    graft.operators.AsOfJoin.latestAtOrBefore(
+        purchases, clicks, "user_id", "p_us", "c_us", "last_click_us")
+      .filter(col("last_click_us").isNotNull)
+      .select("event_id", "last_click_us")
+      .orderBy("event_id")
+  }
+
   // B16 — cross join.
   def b16_cross(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region").crossJoin(t(s, dir, "nation"))
@@ -294,6 +310,7 @@ object RelationalQueries {
     "b13_join_theta" -> b13_join_theta _,
     "b14_range_join" -> b14_range_join _,
     "b15_asof_join" -> b15_asof_join _,
+    "b15_asof_scalable" -> b15_asof_scalable _,
     "b16_cross" -> b16_cross _,
     "b17_q1" -> b17_q1 _,
     "b18_distinct_agg" -> b18_distinct_agg _,
@@ -355,6 +372,12 @@ object RelationalQueries {
         |JOIN (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.p_us > c.c_us AND p.p_us <= c.c_us + 3600000000""".stripMargin,
     "b15_asof_join" ->
+      """SELECT p.event_id AS event_id, MAX(epoch_us(c.ts)) AS last_click_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |GROUP BY p.event_id ORDER BY event_id""".stripMargin,
+    "b15_asof_scalable" ->
       """SELECT p.event_id AS event_id, MAX(epoch_us(c.ts)) AS last_click_us
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
