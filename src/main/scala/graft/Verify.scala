@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned from the start so every query sees the same source paths
+      // (b01 also sets these; without pinning, plan shape would depend on
+      // query execution order within the session)
+      .config("spark.sql.sources.useV1SourceList", "")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

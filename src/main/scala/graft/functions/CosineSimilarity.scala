@@ -21,14 +21,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-      left.dataType == ArrayType(FloatType, containsNull = true)) {
-      if (right.dataType.isInstanceOf[ArrayType])
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // both sides must be array<float>: eval/codegen read via getFloat, so
+    // any other element type would silently produce garbage values
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!isFloatArray(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"left side must be array<float>, got ${left.dataType}")
+    else if (!isFloatArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"right side must be array<float>, got ${right.dataType}")
-    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .TypeCheckFailure(s"left side must be array<float>, got ${left.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override def dataType: DataType = DoubleType

@@ -110,36 +110,52 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   private def maxRetries: Int =
     meta.properties.getOrElse(PropCommitRetries, "20").toInt
 
-  /** Optimistic CAS commit of the next metadata version. */
-  private def commit(op: String, nextManifests: Seq[Snapshot] => Seq[String],
-      pruneSnapshots: Seq[Snapshot] => Seq[Snapshot] = identity): Long = {
+  /** One CAS attempt: only the metadata write can signal a conflict;
+    * everything after the CAS lands is best-effort maintenance and must
+    * never be mistaken for contention (a retry after a landed commit would
+    * apply the operation twice).
+    */
+  private def commitAttempt(op: String, manifests: Seq[String],
+      keepSnapshots: Seq[Snapshot]): Long = {
+    val cur = meta
+    val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
+    val snap = Snapshot(nextVersion, cur.currentSnapshotId,
+      System.currentTimeMillis(), op, manifests)
+    val next = cur.copy(snapshots = keepSnapshots :+ snap,
+      currentSnapshotId = nextVersion)
+    writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
+    meta = next
+    // Pointer update is advisory (recovery lists metadata/ for max v).
+    try {
+      val hint = new Path(metaDir, VersionHint)
+      fs.delete(hint, false)
+      writeAtomic(hint, nextVersion.toString)
+    } catch { case _: java.io.IOException => }
+    try cleanupOldMetadata(next) catch { case _: java.io.IOException => }
+    nextVersion
+  }
+
+  /** Optimistic retry loop. `body` is re-evaluated against REFRESHED
+    * metadata on every attempt — commit content must never be computed
+    * from pre-conflict state (a stale manifest list would silently drop a
+    * concurrent committer's files: the lost-update hazard). Returning None
+    * from `body` means nothing to commit (-1).
+    */
+  private def retryCommit(op: String)(
+      body: () => Option[(Seq[String], Seq[Snapshot])]): Long = {
     var attempt = 0
     while (true) {
-      val cur = meta
-      val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
-      val parent = cur.currentSnapshotId
-      val snap = Snapshot(nextVersion, parent, System.currentTimeMillis(), op,
-        nextManifests(cur.snapshots))
-      val kept = pruneSnapshots(cur.snapshots)
-      val next = cur.copy(snapshots = kept :+ snap, currentSnapshotId = nextVersion)
-      try {
-        writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
-        // Pointer update is advisory (recovery lists metadata/ for max v),
-        // so hint races must never fail a commit that already landed.
-        try {
-          val hint = new Path(metaDir, VersionHint)
-          fs.delete(hint, false)
-          writeAtomic(hint, nextVersion.toString)
-        } catch { case _: java.io.IOException => }
-        meta = next
-        cleanupOldMetadata(next)
-        return nextVersion
-      } catch {
-        case _: java.io.IOException =>
-          attempt += 1
-          if (attempt >= maxRetries)
-            throw new IllegalStateException(s"commit failed after $attempt retries")
-          refresh()
+      body() match {
+        case None => return -1L
+        case Some((manifests, keepSnapshots)) =>
+          try return commitAttempt(op, manifests, keepSnapshots)
+          catch {
+            case _: java.io.IOException =>
+              attempt += 1
+              if (attempt >= maxRetries)
+                throw new IllegalStateException(s"commit failed after $attempt retries")
+              refresh()
+          }
       }
     }
     -1L // unreachable
@@ -159,22 +175,37 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  // Known-path cache for append dedupe, keyed by snapshot id so a refresh
+  // or commit naturally invalidates it — without it every append re-reads
+  // every manifest (O(table files) per commit, breaking fast-append O(1)).
+  @volatile private var knownPathsCache: (Long, Set[String]) = (-2L, Set.empty)
+
+  private def knownPaths(): Set[String] = {
+    val id = meta.currentSnapshotId
+    if (knownPathsCache._1 != id) {
+      val paths = meta.current.map(_.manifests).getOrElse(Nil)
+        .flatMap(readManifest).map(_.path).toSet
+      knownPathsCache = (id, paths)
+    }
+    knownPathsCache._2
+  }
+
   /** Fast append (A10) with path-dedupe for idempotent replay — the
     * crash-window fix for the reference's delete-before-commit /
     * at-least-once-redelivery bugs (A14, §3.3.6).
     */
   def append(newFiles: Seq[DataFileMeta]): Long = {
-    commit("append", { _ =>
+    retryCommit("append") { () =>
       val existing = meta.current.map(_.manifests).getOrElse(Nil)
-      val known = existing.flatMap(readManifest).map(_.path).toSet
       // dedupe within the batch too: one sweep can carry the same file
       // twice (at-least-once event redelivery)
+      val known = knownPaths()
       val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
       val withNew =
         if (fresh.isEmpty) existing
         else existing :+ writeManifest(fresh)
-      maybeMerge(withNew)
-    })
+      Some((maybeMerge(withNew), meta.snapshots))
+    }
   }
 
   /** Manifest compaction once the count crosses the merge threshold. */
@@ -193,10 +224,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def deleteOlderThan(cutoffMicros: Long): Long = {
     val aligned = spec(cutoffMicros)
-    val live = files()
-    val (dropped, kept) = live.partition(_.partitionValue < aligned)
-    if (dropped.isEmpty) -1L
-    else commit("delete", _ => if (kept.isEmpty) Nil else Seq(writeManifest(kept)))
+    retryCommit("delete") { () =>
+      // recomputed from fresh metadata on every attempt so a concurrent
+      // append's files survive the rewrite of the manifest list
+      val (dropped, kept) = files().partition(_.partitionValue < aligned)
+      if (dropped.isEmpty) None
+      else Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+    }
   }
 
   /** General-predicate delete via copy-on-write (§7.5.4): files whose rows
@@ -219,21 +253,26 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     def norm(p: String) = new Path(p).toUri.getPath
     val byPath = perFile.map { case (p, n, m) => (norm(p), (n, m)) }.toMap
     def lookup(f: DataFileMeta) = byPath.getOrElse(norm(f.path), (f.rowCount, 0L))
-    val untouched = live.filter(f => lookup(f)._2 == 0L)
     val partial = live.filter { f => val (n, m) = lookup(f); m > 0 && m < n }
     val fullyDropped = live.filter { f => val (n, m) = lookup(f); m > 0 && m == n }
     if (partial.isEmpty && fullyDropped.isEmpty) return -1L
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
+        // keep-filter must RETAIN rows where the predicate evaluates to
+        // NULL (they don't match the delete predicate); a bare !predicate
+        // would drop them — <=> true makes NULL explicit
         val keepRows = LakeTable.readFiles(spark, schema, partial.map(_.path))
-          .filter(!predicate)
+          .filter(!(predicate <=> org.apache.spark.sql.functions.lit(true)))
         LakeWriter.writeDataFiles(keepRows, this)
       }
-    commit("rewrite", { _ =>
-      val kept = untouched ++ rewritten
-      if (kept.isEmpty) Nil else Seq(writeManifest(kept))
-    })
+    val replaced = (partial ++ fullyDropped).map(_.path).toSet
+    retryCommit("rewrite") { () =>
+      // recompute survivors from fresh metadata: concurrent appends since
+      // the scan must not be dropped by this manifest rewrite
+      val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+    }
   }
 
   /** Snapshot expiry (A22, Reaper.java:17-27): expire snapshots older than
@@ -247,22 +286,31 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val keepCount =
       if (retainLast > 0) retainLast
       else meta.properties.getOrElse(PropMinSnapshotsToKeep, "100").toInt
-    val ordered = meta.snapshots.sortBy(_.id)
-    val byAge = ordered.filter(s =>
-      s.timestampMs >= olderThanMs || s.id == meta.currentSnapshotId)
-    val byCount = ordered.takeRight(keepCount)
-    val keep = (byAge ++ byCount).distinctBy(_.id).sortBy(_.id)
-    if (keep.size == meta.snapshots.size) return -1L
-    val keptManifests = keep.flatMap(_.manifests).toSet
-    val expired = ordered.filterNot(s => keep.exists(_.id == s.id))
-    val orphanManifests = expired.flatMap(_.manifests).toSet -- keptManifests
-    val keptPaths = keep.flatMap(s => s.manifests.flatMap(readManifest)).map(_.path).toSet
-    val orphanFiles = orphanManifests.flatMap(readManifest).map(_.path) -- keptPaths
-    val id = commit("expire",
-      _ => meta.current.map(_.manifests).getOrElse(Nil),
-      _ => keep)
-    orphanFiles.foreach(p => fs.delete(new Path(p), false))
-    orphanManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
+    // orphan sets captured from the attempt that actually lands, so the
+    // post-commit GC never deletes files referenced by a concurrent commit
+    var orphanFiles: Set[String] = Set.empty
+    var orphanManifests: Set[String] = Set.empty
+    val id = retryCommit("expire") { () =>
+      val ordered = meta.snapshots.sortBy(_.id)
+      val byAge = ordered.filter(s =>
+        s.timestampMs >= olderThanMs || s.id == meta.currentSnapshotId)
+      val byCount = ordered.takeRight(keepCount)
+      val keep = (byAge ++ byCount).distinctBy(_.id).sortBy(_.id)
+      if (keep.size == meta.snapshots.size) None
+      else {
+        val keptManifests = keep.flatMap(_.manifests).toSet
+        val expired = ordered.filterNot(s => keep.exists(_.id == s.id))
+        orphanManifests = expired.flatMap(_.manifests).toSet -- keptManifests
+        val keptPaths = keep.flatMap(s => s.manifests.flatMap(readManifest))
+          .map(_.path).toSet
+        orphanFiles = orphanManifests.flatMap(readManifest).map(_.path) -- keptPaths
+        Some((meta.current.map(_.manifests).getOrElse(Nil), keep))
+      }
+    }
+    if (id >= 0) {
+      orphanFiles.foreach(p => fs.delete(new Path(p), false))
+      orphanManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
+    }
     id
   }
 

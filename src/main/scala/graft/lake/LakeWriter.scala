@@ -65,15 +65,23 @@ object LakeWriter {
     val tmpDir = new Path(loc, s"_tmp-write-${UUID.randomUUID()}")
 
     // INT64 µs timestamps (not Spark's INT96 default): footer stats stay
-    // long-typed and the DSv2 Group reader consumes them directly
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // long-typed and the DSv2 Group reader consumes them directly. Scoped:
+    // restored after the (eager) write so user writes in the same session
+    // keep their configured format.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val withPart = df.withColumn("__part",
       col(spec.column) - pmod(col(spec.column), lit(spec.widthMicros)))
     val repartitioned =
       if (filesPerPartition <= 1) withPart.repartition(col("__part"))
       else withPart.repartition(filesPerPartition, col("__part"),
         pmod(col("message_id"), lit(filesPerPartition)))
-    repartitioned.write.partitionBy("__part").parquet(tmpDir.toString)
+    try repartitioned.write.partitionBy("__part").parquet(tmpDir.toString)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
     for (partDir <- fs.listStatus(tmpDir) if partDir.isDirectory) {

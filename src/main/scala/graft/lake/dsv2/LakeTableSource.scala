@@ -226,10 +226,21 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotOffset].id
-    val e = end.asInstanceOf[SnapshotOffset].id
-    if (s == e) Array.empty
-    else table.addedFilesBetween(s, e)
+    val t = table
+    // Checkpointed (or configured) offsets can reference snapshots the
+    // Reaper has since expired — clamp to the oldest retained snapshot so
+    // a restart resumes instead of crash-looping. Commits inside the
+    // expired gap are NOT replayed: snapshot expiry bounds replayable
+    // history, so operators must keep retainLast above the stream's
+    // maximum lag (same contract as Kafka retention vs consumer lag).
+    def clamp(id: Long): Long =
+      if (t.tableMeta.snapshot(id).isDefined) id
+      else t.snapshots.map(_.id).filter(_ >= id).minOption
+        .getOrElse(t.currentSnapshotId)
+    val s = clamp(start.asInstanceOf[SnapshotOffset].id)
+    val e = clamp(end.asInstanceOf[SnapshotOffset].id)
+    if (s >= e) Array.empty
+    else t.addedFilesBetween(s, e)
       .map(f => LakeInputPartition(f.path, schema.toDDL, f.rowCount): InputPartition)
       .toArray
   }

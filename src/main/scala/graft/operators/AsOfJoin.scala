@@ -35,9 +35,14 @@ object AsOfJoin {
     val l = left.select(
       col(key).as("__k"), col(leftTime).cast("long").as("__t"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__row"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTime).cast("long").as("__t"),
-      lit(0).as("__side"), lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val r = right
+      // SQL equi-join semantics: a NULL key never matches anything — drop
+      // NULL-key right rows so they can't pair with NULL-key left rows
+      // through the window partition (which groups NULLs together)
+      .filter(col(key).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).cast("long").as("__t"),
+        lit(0).as("__side"), lit(null).cast(l.schema("__row").dataType).as("__row"))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)

@@ -165,10 +165,15 @@ object PipelineQueries {
     val pruned = bands.join(small, Seq("band", "h0", "h1"))
     val l = pruned.select(col("doc_id").as("a_id"), col("band"), col("h0"), col("h1"))
     val r = pruned.select(col("doc_id").as("b_id"), col("band"), col("h0"), col("h1"))
-    l.join(r, Seq("band", "h0", "h1"))
+    val out = l.join(r, Seq("band", "h0", "h1"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
       .orderBy("a_id", "b_id")
+    // candidates are small: materialize them and release the banded
+    // signatures (a long-lived session would otherwise accumulate pins)
+    out.cache().count()
+    bands.unpersist()
+    out
   }
 
   // D3c — SimHash near-dup: 64-bit signature (per-bit majority vote over
@@ -198,13 +203,16 @@ object PipelineQueries {
       col("band"), col("chunk"))
     val r = chunks.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
       col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
+    val out = l.join(r, Seq("band", "chunk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("bit_count(a_sig ^ b_sig)").as("hamming"))
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+    out.cache().count()
+    chunks.unpersist()
+    out
   }
 
   // D4 — corpus stats by language/source.

@@ -61,9 +61,10 @@ object AvroIO {
             if (row.isNullAt(i)) null
             else f.dataType match {
               case TimestampType =>
+                val inst = row.getAs[java.sql.Timestamp](i).toInstant
+                // full µs precision — toEpochMilli would truncate sub-ms
                 java.lang.Long.valueOf(
-                  row.getAs[java.sql.Timestamp](i).toInstant
-                    .toEpochMilli * 1000L)
+                  inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
               case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
               case _ => row.get(i).asInstanceOf[AnyRef]
             }

@@ -99,6 +99,21 @@ class LakeTableSpec extends SparkSpec {
     assert(t.files().exists(_.partitionValue == bucket(1)))
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    val t = newTable()
+    // half the rows have data = NULL; the predicate is NULL for them and
+    // they must survive the copy-on-write rewrite
+    val df = LakeWriter.generateBatch(spark, 100, bucket(0), seed = 9)
+      .withColumn("data",
+        when(col("message_id") % 2 === 0, col("data")).otherwise(lit(null)))
+    t.append(LakeWriter.writeDataFiles(df, t))
+    val snap = t.deleteWhere(spark, length(col("data")) > 0 && col("message_id") < 50)
+    assert(snap > 0)
+    // deleted: even ids < 50 (25 rows); NULL-data rows all kept
+    assert(t.toDF(spark).count() == 75)
+    assert(t.toDF(spark).filter(col("data").isNull).count() == 50)
+  }
+
   test("expireSnapshots retains retainLast and physically deletes orphans") {
     val t = newTable()
     val first = appendBatch(t, 10, bucket(0), seed = 1)
