@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
+/** Typed row of the reference's single table schema (SURVEY §1.2: a
+  * `Dataset[Event]` is provided for the ingest generator; the query
+  * surface stays untyped `DataFrame`).
+  */
+final case class LakeEvent(
+    message_id: Long,
+    data: String,
+    timestamp: java.sql.Timestamp,
+    timeperiod_loadedBy: Long,
+    message_body: Array[Byte])
+
 /** Write path: synthetic event generation (A4), partitioned data-file
   * writes (A5–A9), and parquet footer-metrics harvesting (A18).
   */
@@ -47,6 +58,15 @@ object LakeWriter {
       timestamp_micros(lit(batchMicros) + col("message_id")).as("timestamp"),
       lit(batchMicros).as("timeperiod_loadedBy"),
       bodyCol.as("message_body"))
+  }
+
+  /** Typed view of the generator (case-class Encoder, compile-time field
+    * checks for callers that transform events in Scala).
+    */
+  def generateTypedBatch(spark: SparkSession, numRows: Long, batchMicros: Long,
+      seed: Long = -1L): org.apache.spark.sql.Dataset[LakeEvent] = {
+    import spark.implicits._
+    generateBatch(spark, numRows, batchMicros, seed).as[LakeEvent]
   }
 
   /** Write a DataFrame into the table's data layout (A5–A7): rows land in

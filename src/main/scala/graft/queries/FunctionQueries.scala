@@ -135,7 +135,22 @@ object FunctionQueries {
       .orderBy("vec_id")
   }
 
+  // C9b — the typed UDAF surface: per-label embedding centroid via
+  // Aggregator[IN, BUF, OUT] (graft.functions.VectorMean), exploded to
+  // (label, pos, value) for the oracle compare.
+  def c09_udaf_centroid(s: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(graft.functions.VectorMean)
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        dec4(col("col")).as("v"))
+      .orderBy("label", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_udaf_centroid" -> c09_udaf_centroid _,
     "c01_string" -> c01_string _,
     "c02_datetime" -> c02_datetime _,
     "c02_timebucket" -> c02_timebucket _,
@@ -149,6 +164,12 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c09_udaf_centroid" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        | CAST(round(AVG(CAST(x AS DOUBLE)), 4) AS DECIMAL(28,4)) AS v
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS x FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "c01_string" ->
       """SELECT doc_id, UPPER(SUBSTR(text, 1, 10)) AS head10,
         | CAST(LENGTH(text) AS BIGINT) AS len,

@@ -24,6 +24,15 @@ class LakeTableSpec extends SparkSpec {
     t.append(LakeWriter.writeDataFiles(df, t, filesPer))
   }
 
+  test("typed Dataset[LakeEvent] generator matches the untyped schema") {
+    val ds = LakeWriter.generateTypedBatch(spark, 10, bucket(0), seed = 5)
+    val events = ds.collect()
+    assert(events.length == 10)
+    assert(events.forall(_.timeperiod_loadedBy == bucket(0)))
+    assert(events.forall(_.message_body.length > 1000))
+    assert(events.map(_.message_id).sorted.toSeq == (0L until 10L))
+  }
+
   test("create + load round-trips schema, spec, and properties") {
     val t = newTable()
     val loaded = LakeTable.load(t.location)
