@@ -173,6 +173,16 @@ object RelationalQueries {
         grouping(col("l_returnflag")).cast("long").as("g_rf"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  // B20b — CUBE with grouping markers (all four grouping combinations).
+  def b20_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        col("g_rf"), col("g_ls"))
+
   // B21 — stddev aggregate.
   def b21_stddev(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -316,6 +326,7 @@ object RelationalQueries {
     "b18_distinct_agg" -> b18_distinct_agg _,
     "b19_approx_distinct" -> b19_approx_distinct _,
     "b20_rollup" -> b20_rollup _,
+    "b20_cube" -> b20_cube _,
     "b21_stddev" -> b21_stddev _,
     "b21_stats_agg" -> b21_stats_agg _,
     "b22_window_rank" -> b22_window_rank _,
@@ -402,6 +413,12 @@ object RelationalQueries {
         | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "b20_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
     "b21_stddev" ->
       """SELECT o_orderpriority, CAST(round(STDDEV_SAMP(o_totalprice), 4) AS DECIMAL(28,4)) AS sd
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

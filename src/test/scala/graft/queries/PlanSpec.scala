@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("B9: Catalyst auto-broadcasts the dims without a hint") {
+    val df = RelationalQueries.b09_join_inner(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("B10: both dims broadcast, no shuffle join on the fact side") {
     val p = plan(RelationalQueries.b10_join_broadcast(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
