@@ -78,6 +78,19 @@ object FunctionQueries {
       .orderBy("event_id")
       .limit(100)
 
+  // C5b — map functions: construction from entries, key lookup, keys/values.
+  def c05_map(s: SparkSession, dir: String): DataFrame = {
+    val m = map_from_entries(array(struct(
+      col("event_type").as("k"), col("value").as("v"))))
+    t(s, dir, "events")
+      .select(col("event_id"),
+        dec4(element_at(m, col("event_type"))).as("v"),
+        map_keys(m).getItem(0).as("k0"),
+        dec4(map_values(m).getItem(0)).as("v0"))
+      .orderBy("event_id")
+      .limit(300)
+  }
+
   // C6 — JSON extraction (reference parses queue-event JSON,
   // StorageQueueBasedBookkeeper.java:178-212).
   def c06_json(s: SparkSession, dir: String): DataFrame =
@@ -157,6 +170,7 @@ object FunctionQueries {
     "c03_math" -> c03_math _,
     "c04_array" -> c04_array _,
     "c05_struct" -> c05_struct _,
+    "c05_map" -> c05_map _,
     "c06_json" -> c06_json _,
     "c07_binary" -> c07_binary _,
     "c08_case" -> c08_case _,
@@ -206,6 +220,14 @@ object FunctionQueries {
       """SELECT event_id, struct_extract({'t': event_type, 'u': user_id}, 't') AS typ,
         | struct_extract({'t': event_type, 'u': user_id}, 'u') AS uid
         |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+    "c05_map" ->
+      """SELECT event_id,
+        | CAST(round(map_from_entries([{'k': event_type, 'v': value}])[event_type][1], 4)
+        |   AS DECIMAL(28,4)) AS v,
+        | map_keys(map_from_entries([{'k': event_type, 'v': value}]))[1] AS k0,
+        | CAST(round(map_values(map_from_entries([{'k': event_type, 'v': value}]))[1], 4)
+        |   AS DECIMAL(28,4)) AS v0
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
     "c06_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
