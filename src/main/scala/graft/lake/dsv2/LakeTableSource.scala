@@ -2,7 +2,7 @@ package graft.lake.dsv2
 
 import java.util
 
-import graft.lake.{DataFileMeta, LakeTable}
+import graft.lake.{ColStats, DataFileMeta, LakeTable}
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
@@ -66,10 +66,12 @@ final class LakeDsTable(location: String) extends Table with SupportsRead {
   */
 final class LakeScanBuilder(location: String, table: LakeTable,
     startSnapshot: Option[Long])
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
+  private var aggRows: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -79,6 +81,55 @@ final class LakeScanBuilder(location: String, table: LakeTable,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Manifest-aggregate pushdown (SURVEY §4): COUNT(*)/MIN/MAX over
+    * stats-covered long columns are answered from manifest metadata — no
+    * data file is ever opened. Partial pushdown: one row per data file,
+    * Spark runs the final combine. Declined whenever filters are present
+    * (they're evaluated row-level) or any file lacks the needed stat.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val files = table.files()
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+        case _ => None
+      }
+    def statOf(f: DataFileMeta, c: String): Option[ColStats] = f.stats.get(c)
+    def fieldType(c: String): Option[DataType] =
+      table.schema.fields.find(_.name == c).map(_.dataType)
+    val plans: Seq[Option[(StructField, DataFileMeta => Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            (f: DataFileMeta) => f.rowCount))
+        case m: Min => colName(m.column).flatMap { c =>
+          fieldType(c).collect { case t @ (LongType | TimestampType)
+              if files.forall(statOf(_, c).isDefined) =>
+            (StructField(s"min($c)", t), (f: DataFileMeta) => statOf(f, c).get.min)
+          }
+        }
+        case m: Max => colName(m.column).flatMap { c =>
+          fieldType(c).collect { case t @ (LongType | TimestampType)
+              if files.forall(statOf(_, c).isDefined) =>
+            (StructField(s"max($c)", t), (f: DataFileMeta) => statOf(f, c).get.max)
+          }
+        }
+        case _ => None
+      }
+    if (plans.exists(_.isEmpty) || plans.isEmpty) return false
+    val fields = plans.map(_.get._1)
+    val rows = files.map(f => plans.map(_.get._2(f)))
+    aggRows = Some((StructType(fields), rows))
+    true
+  }
 
   /** Keep a file iff no pushed filter proves it empty via stats. */
   private def survives(f: DataFileMeta): Boolean = {
@@ -116,20 +167,50 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     }
   }
 
-  override def build(): Scan = new Scan {
-    override def readSchema(): StructType = required
-
-    override def toBatch: Batch = new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
-        table.files().filter(survives)
-          .map(f => LakeInputPartition(f.path, required.toDDL, f.rowCount): InputPartition)
-          .toArray
-      override def createReaderFactory(): PartitionReaderFactory =
-        new LakeReaderFactory
+  override def build(): Scan = aggRows match {
+    case Some((aggSchema, rows)) => new Scan {
+      override def readSchema(): StructType = aggSchema
+      override def description(): String =
+        s"laketable manifest-aggregate scan: ${aggSchema.fieldNames.mkString(", ")}"
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(LakeAggPartition(rows.map(_.map(_.asInstanceOf[Long]))))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LakeAggReaderFactory
+      }
     }
+    case None => new Scan {
+      override def readSchema(): StructType = required
 
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L))
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          table.files().filter(survives)
+            .map(f => LakeInputPartition(f.path, required.toDDL, f.rowCount): InputPartition)
+            .toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LakeReaderFactory
+      }
+
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L))
+    }
+  }
+}
+
+/** One row of pre-aggregated manifest values per data file (all long-domain). */
+final case class LakeAggPartition(rows: Seq[Seq[Long]]) extends InputPartition
+
+final class LakeAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[LakeAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: Seq[Long] = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cur)
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -66,6 +66,28 @@ class LakeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1) // only the 40-row file survives
   }
 
+  test("manifest-aggregate pushdown: COUNT/MIN/MAX answered without opening data files") {
+    val t = newTable()
+    appendBatch(t, 100, bucket(0), 1)
+    appendBatch(t, 50, bucket(1), 2)
+    // the hard proof of metadata-only execution: physically destroy the
+    // data files — the pushed aggregate must still answer correctly
+    t.files().foreach(f => assert(new java.io.File(f.path).delete()))
+    val agg = spark.read.format("laketable").load(t.location)
+      .agg(count(lit(1)).as("cnt"),
+        min("message_id").as("mn"),
+        max("timeperiod_loadedBy").as("mx"))
+    val row = agg.head
+    assert(row.getLong(0) == 150)
+    assert(row.getLong(1) == 0)
+    assert(row.getLong(2) == bucket(1))
+    // and a non-pushable aggregate (avg) must NOT silently succeed
+    intercept[Exception] {
+      spark.read.format("laketable").load(t.location)
+        .agg(avg("message_id")).collect()
+    }
+  }
+
   test("micro-batch stream: snapshot-id offsets deliver added files per commit") {
     val t = newTable()
     val s1 = appendBatch(t, 10, bucket(0), 1)
