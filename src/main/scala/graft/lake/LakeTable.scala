@@ -275,6 +275,31 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  /** Bin-pack data-file compaction (the north-star "compaction" table op:
+    * many small ingest files per partition rewritten into few larger ones).
+    * Selects partitions holding ≥ `minInputFiles` files smaller than
+    * `smallFileBytes`, rewrites their rows through the normal write path,
+    * and swaps manifests copy-on-write — readers pinned to older snapshots
+    * still see the original files until expiry GCs them.
+    * Returns the new snapshot id, or -1 if nothing qualified.
+    */
+  def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
+      minInputFiles: Int = 2): Long = {
+    val candidates = files()
+      .filter(_.sizeBytes < smallFileBytes)
+      .groupBy(_.partitionValue)
+      .filter(_._2.size >= minInputFiles)
+      .values.flatten.toSeq
+    if (candidates.isEmpty) return -1L
+    val rows = LakeTable.readFiles(spark, schema, candidates.map(_.path))
+    val rewritten = LakeWriter.writeDataFiles(rows, this)
+    val replaced = candidates.map(_.path).toSet
+    retryCommit("compact") { () =>
+      val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+    }
+  }
+
   /** Snapshot expiry (A22, Reaper.java:17-27): expire snapshots older than
     * the timestamp, always retaining the last `retainLast` and the floor
     * from history.expire.min-snapshots-to-keep; physically deletes data

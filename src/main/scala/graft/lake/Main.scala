@@ -116,6 +116,12 @@ object Main {
           pace(sleepMs, System.currentTimeMillis() - t0)
         }
 
+      case "compact" => // our extension: bin-pack small data files
+        val s = spark()
+        val table = LakeTable.load(loc)
+        val snap = table.compactFiles(s)
+        println(if (snap >= 0) s"compacted into snapshot $snap" else "nothing to compact")
+
       case "reaper" =>
         val table = LakeTable.load(loc)
         val reaper = new Reaper(table)

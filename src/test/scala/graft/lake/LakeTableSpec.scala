@@ -140,6 +140,29 @@ class LakeTableSpec extends SparkSpec {
     assert(!new java.io.File(deadFile).exists()) // orphaned bucket-0 file GC'd
   }
 
+  test("compactFiles bin-packs small files per partition, copy-on-write") {
+    val t = newTable()
+    // 4 small files in bucket 0 (filesPer=2 × 2 appends), 1 in bucket 1
+    appendBatch(t, 40, bucket(0), seed = 1, filesPer = 2)
+    appendBatch(t, 40, bucket(0), seed = 2, filesPer = 2)
+    appendBatch(t, 20, bucket(1), seed = 3)
+    val before = t.files()
+    assert(before.count(_.partitionValue == bucket(0)) == 4)
+    val oldSnapshot = t.currentSnapshotId
+    val snap = t.compactFiles(spark, smallFileBytes = 64L << 20, minInputFiles = 2)
+    assert(snap > 0)
+    // rows unchanged, bucket-0 files merged into one
+    assert(t.toDF(spark).count() == 100)
+    assert(t.files().count(_.partitionValue == bucket(0)) == 1)
+    // bucket 1 had a single file → untouched (same path)
+    val b1 = before.filter(_.partitionValue == bucket(1)).map(_.path).toSet
+    assert(t.files().filter(_.partitionValue == bucket(1)).map(_.path).toSet == b1)
+    // time travel still sees the pre-compaction layout
+    assert(t.snapshotDF(spark, oldSnapshot).count() == 100)
+    // second run: nothing left to compact
+    assert(t.compactFiles(spark) == -1L)
+  }
+
   test("manifest compaction merges at the min-count-to-merge threshold") {
     val loc = tmpDir("laketable-merge")
     LakeTable.drop(loc)
