@@ -67,6 +67,27 @@ object FunctionQueries {
       .orderBy("vec_id")
       .limit(200)
 
+  // C1b — split / array_join round-trip + token slicing.
+  def c01_split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), "|").as("head5"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        element_at(split(col("text"), " "), -1).as("last_tok"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  // C4b — array predicates and ordering: contains, sort, distinct count.
+  def c04_array_ops(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_contains(split(col("text"), " "), "table").as("has_table"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+        element_at(sort_array(array_distinct(split(col("text"), " "))), 1)
+          .as("first_sorted"))
+      .orderBy("doc_id")
+      .limit(200)
+
   // C5 — struct construction + field access.
   def c05_struct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -165,6 +186,8 @@ object FunctionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c09_udaf_centroid" -> c09_udaf_centroid _,
     "c01_string" -> c01_string _,
+    "c01_split" -> c01_split _,
+    "c04_array_ops" -> c04_array_ops _,
     "c02_datetime" -> c02_datetime _,
     "c02_timebucket" -> c02_timebucket _,
     "c03_math" -> c03_math _,
@@ -191,6 +214,18 @@ object FunctionQueries {
         | lpad(source, 8, '_') AS src8,
         | CAST(instr(text, 'table') AS BIGINT) AS tbl_at,
         | translate(lang, 'aeiou', 'AEIOU') AS lang_tr
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "c01_split" ->
+      """SELECT doc_id,
+        | array_to_string(string_split(text, ' ')[1:5], '|') AS head5,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        | string_split(text, ' ')[-1] AS last_tok
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "c04_array_ops" ->
+      """SELECT doc_id,
+        | list_contains(string_split(text, ' '), 'table') AS has_table,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        | list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
     "c02_datetime" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS h_us, COUNT(*) AS n

@@ -77,6 +77,34 @@ class BookkeeperSpec extends SparkSpec {
       "/tmp/tbl/data/f2.parquet"))
   }
 
+  test("queue bookkeeper honors the per-commit file cap (ref: <=500/commit)") {
+    val t = newTable()
+    // three files, one per bucket (single-partition batches → exactly one
+    // file each; multi-file repartition can collapse under hash collisions)
+    val files = (0 until 3).flatMap { i =>
+      LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(i), seed = 11 + i), t)
+    }
+    assert(files.size == 3)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val evDir = new org.apache.hadoop.fs.Path(t.location, "_events")
+    val fs = evDir.getFileSystem(conf)
+    fs.mkdirs(evDir)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val body =
+        s"""{"eventType":"Microsoft.Storage.BlobCreated","data":{"api":"FlushWithClose","blobUrl":"file:${f.path}","contentLength":1}}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(evDir, f"e$i%03d.json"), true)
+      try out.write(java.util.Base64.getEncoder.encode(body.getBytes)) finally out.close()
+    }
+    // cap of 2: first sweep commits 2 files, second sweep the remaining 1
+    val bk = new QueueBookkeeper(t, evDir.toString, maxFilesPerCommit = 2)
+    assert(bk.sweep(spark) == 1L)
+    assert(fs.listStatus(evDir).length == 1) // only consumed events acked
+    assert(bk.sweep(spark) == 2L)
+    assert(t.toDF(spark).count() == 30)
+    assert(bk.sweep(spark) == -1L)
+  }
+
   test("queue bookkeeper: event files discovered, committed once, acked; dupes deduped") {
     val t = newTable()
     val files = LakeWriter.writeDataFiles(
