@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DecimalType
 /** Helpers shared by every declared query (SURVEY.md §2).
   *
   * Determinism rules (SURVEY §2 preamble): every query ends with an ORDER BY
-  * giving a total order; DOUBLE aggregates are rounded to 4 dp and cast to
-  * DECIMAL(28,4) before the driver hashes them; timestamps are compared as
+  * giving a total order; DOUBLE aggregates are rounded to 4 dp (via a
+  * DECIMAL(28,4) hop, emitted as DOUBLE — see dec4) before the driver
+  * hashes them; timestamps are compared as
   * epoch microseconds (BIGINT) because the testdata mixes ms/us/ns parquet
   * timestamp encodings that Spark and DuckDB widen differently.
   */
@@ -35,8 +36,14 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Round to 4 dp, cast DECIMAL(28,4) — the oracle hashing convention. */
-  def dec4(c: Column): Column = round(c, 4).cast(DecimalType(28, 4))
+  /** Round to 4 dp via DECIMAL(28,4), emit as DOUBLE — the oracle hashing
+    * convention. The decimal hop makes both engines agree on the rounded
+    * value exactly; the final double cast (decimal→nearest-double is exact
+    * and identical in Spark and DuckDB) serializes identically on both
+    * sides regardless of trailing zeros, which fixed-scale decimals don't.
+    */
+  def dec4(c: Column): Column =
+    round(c, 4).cast(DecimalType(28, 4)).cast("double")
 
   /** Timestamp column → epoch microseconds (matches DuckDB epoch_us). */
   def us(c: Column): Column = unix_micros(c)

@@ -203,7 +203,7 @@ object FunctionQueries {
   val oracle: Map[String, String] = Map(
     "c09_udaf_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-        | CAST(round(AVG(CAST(x AS DOUBLE)), 4) AS DECIMAL(28,4)) AS v
+        | CAST(CAST(round(AVG(CAST(x AS DOUBLE)), 4) AS DECIMAL(28,4)) AS DOUBLE) AS v
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
         |        unnest(embedding) AS x FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
@@ -237,9 +237,9 @@ object FunctionQueries {
         |FROM events ORDER BY bucket, y, m, d, h LIMIT 200""".stripMargin,
     "c03_math" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(round(SQRT(l_extendedprice), 4) AS DECIMAL(28,4)) AS sq,
-        | CAST(round(POW(l_discount, 2), 4) AS DECIMAL(28,4)) AS d2,
-        | CAST(round(LN(l_extendedprice + 1), 4) AS DECIMAL(28,4)) AS lg,
+        | CAST(CAST(round(SQRT(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sq,
+        | CAST(CAST(round(POW(l_discount, 2), 4) AS DECIMAL(28,4)) AS DOUBLE) AS d2,
+        | CAST(CAST(round(LN(l_extendedprice + 1), 4) AS DECIMAL(28,4)) AS DOUBLE) AS lg,
         | CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
         | CAST(CEIL(l_quantity) AS BIGINT) AS ce,
         | l_orderkey % 7 AS m7,
@@ -247,9 +247,9 @@ object FunctionQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
     "c04_array" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
-        | CAST(round(list_sum(list_transform(embedding,
-        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS DECIMAL(28,4)) AS sq,
-        | CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(28,4)) AS first_v
+        | CAST(CAST(round(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sq,
+        | CAST(CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS first_v
         |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin,
     "c05_struct" ->
       """SELECT event_id, struct_extract({'t': event_type, 'u': user_id}, 't') AS typ,
@@ -257,11 +257,11 @@ object FunctionQueries {
         |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
     "c05_map" ->
       """SELECT event_id,
-        | CAST(round(map_from_entries([{'k': event_type, 'v': value}])[event_type][1], 4)
-        |   AS DECIMAL(28,4)) AS v,
+        | CAST(CAST(round(map_from_entries([{'k': event_type, 'v': value}])[event_type][1], 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS v,
         | map_keys(map_from_entries([{'k': event_type, 'v': value}]))[1] AS k0,
-        | CAST(round(map_values(map_from_entries([{'k': event_type, 'v': value}]))[1], 4)
-        |   AS DECIMAL(28,4)) AS v0
+        | CAST(CAST(round(map_values(map_from_entries([{'k': event_type, 'v': value}]))[1], 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS v0
         |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
     "c06_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -292,7 +292,7 @@ object FunctionQueries {
         |  SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
         |  FROM terms GROUP BY vec_id)
         |SELECT vec_id,
-        | CAST(round(dot / (sqrt(na) * sqrt(nb)), 4) AS DECIMAL(28,4)) AS cos
+        | CAST(CAST(round(dot / (sqrt(na) * sqrt(nb)), 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
         |FROM sums ORDER BY vec_id""".stripMargin,
   )
 }

@@ -358,7 +358,7 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, oid) AS rn
         |  FROM pairs)
-        |SELECT qid, rn, oid, CAST(round(cos, 4) AS DECIMAL(28,4)) AS cos
+        |SELECT qid, rn, oid, CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
         |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "d03_jaccard_pairs" ->
       """WITH dtok AS (
@@ -370,7 +370,7 @@ object PipelineQueries {
         |  FROM dtok x JOIN dtok y ON x.tk = y.tk AND x.lang = y.lang
         |  WHERE x.doc_id < y.doc_id GROUP BY a_id, b_id)
         |SELECT a_id, b_id,
-        |  CAST(round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS DECIMAL(28,4)) AS j
+        |  CAST(CAST(round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS DECIMAL(28,4)) AS DOUBLE) AS j
         |FROM inter JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
         |WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
@@ -391,11 +391,11 @@ object PipelineQueries {
     "d04_quality" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        | CAST(round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
-        |   AS DECIMAL(28,4)) AS avg_tok_len,
-        | CAST(round(CAST(len(list_filter(string_split(text, ' '),
+        | CAST(CAST(round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS avg_tok_len,
+        | CAST(CAST(round(CAST(len(list_filter(string_split(text, ' '),
         |     tk -> tk IN ('value', 'table', 'row'))) AS DOUBLE)
-        |   / len(string_split(text, ' ')), 4) AS DECIMAL(28,4)) AS kw_ratio
+        |   / len(string_split(text, ' ')), 4) AS DECIMAL(28,4)) AS DOUBLE) AS kw_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -349,19 +349,19 @@ object RelationalQueries {
       "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
     "b07_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4)) AS net
+        | CAST(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4)) AS DOUBLE) AS net
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "b08_filter" ->
       """SELECT COUNT(*) AS cnt FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-12-31'
         |  AND l_discount IN (0.05, 0.06, 0.07) AND l_returnflag LIKE 'A%'""".stripMargin,
     "b09_join_inner" ->
-      """SELECT n_name, CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS total
+      """SELECT n_name, CAST(CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "b10_join_broadcast" ->
-      """SELECT n_name, CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS total
+      """SELECT n_name, CAST(CAST(round(SUM(o_totalprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -398,10 +398,10 @@ object RelationalQueries {
       "SELECT COUNT(*) AS cnt FROM region CROSS JOIN nation",
     "b17_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS sum_qty,
-        | CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS sum_base,
-        | CAST(round(AVG(l_extendedprice), 4) AS DECIMAL(28,4)) AS avg_price,
-        | CAST(round(AVG(l_discount), 4) AS DECIMAL(28,4)) AS avg_disc,
+        | CAST(CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_base,
+        | CAST(CAST(round(AVG(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS avg_price,
+        | CAST(CAST(round(AVG(l_discount), 4) AS DECIMAL(28,4)) AS DOUBLE) AS avg_disc,
         | COUNT(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -420,14 +420,14 @@ object RelationalQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
     "b21_stddev" ->
-      """SELECT o_orderpriority, CAST(round(STDDEV_SAMP(o_totalprice), 4) AS DECIMAL(28,4)) AS sd
+      """SELECT o_orderpriority, CAST(CAST(round(STDDEV_SAMP(o_totalprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sd
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b21_stats_agg" ->
       """SELECT l_returnflag,
-        | CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(28,4)) AS median_price,
-        | CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(28,4)) AS p95_price,
-        | CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(28,4)) AS corr_qp,
-        | CAST(round(covar_samp(l_discount, l_tax), 4) AS DECIMAL(28,4)) AS cov_dt
+        | CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(28,4)) AS DOUBLE) AS median_price,
+        | CAST(CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(28,4)) AS DOUBLE) AS p95_price,
+        | CAST(CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS corr_qp,
+        | CAST(CAST(round(covar_samp(l_discount, l_tax), 4) AS DECIMAL(28,4)) AS DOUBLE) AS cov_dt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b22_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -436,16 +436,16 @@ object RelationalQueries {
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "b23_window_lag" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        | CAST(round(value - LAG(value) OVER
-        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS DECIMAL(28,4)) AS d
+        | CAST(CAST(round(value - LAG(value) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS DECIMAL(28,4)) AS DOUBLE) AS d
         |FROM events ORDER BY user_id, ts_us, event_id LIMIT 500""".stripMargin,
     "b24_window_frame" ->
       """SELECT event_id,
-        | CAST(round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DECIMAL(28,4)) AS sl
+        | CAST(CAST(round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sl
         |FROM events ORDER BY event_id""".stripMargin,
     "b25_sort_topk" ->
-      """SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS DOUBLE) AS price
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
     "b27_union" ->
       """SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier
@@ -468,7 +468,7 @@ object RelationalQueries {
         |  FROM lineitem WHERE l_quantity > 10)
         |SELECT rf, ls, COUNT(*) AS n FROM flagged GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
     "b32_explode" ->
-      """SELECT vec_id, pos, CAST(round(CAST(v AS DOUBLE), 4) AS DECIMAL(28,4)) AS v
+      """SELECT vec_id, pos, CAST(CAST(round(CAST(v AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS v
         |FROM (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
         |        unnest(embedding) AS v
         |      FROM embeddings WHERE vec_id < 10)

@@ -8,24 +8,48 @@ full sorted value matrix. Not my library code — dev tooling only.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [name ...]
 """
-import sys, json, glob, math
+import sys, json, glob, math, decimal
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Strictly harsher than the driver (round-1 lesson: f"{v:.6g}" masked the
+# DECIMAL trailing-zero class — local 60/60 coexisted with driver 45/62):
+#   * floats compare by exact repr (full precision, bit-for-bit);
+#   * decimals are normalized ASYMMETRICALLY — oracle side coerced to float
+#     (repr), parquet side kept as fixed-scale str — simulating the driver's
+#     one-sided float coercion, so any DECIMAL output with a trailing zero
+#     fails locally exactly as it fails on the driver.
 
-def norm(v):
+
+def norm_float(v):
+    if math.isnan(v):
+        return "NaN"
+    return repr(v)
+
+
+def norm_exp(v):  # oracle (DuckDB) side
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+        return norm_float(v)
+    if isinstance(v, decimal.Decimal):
+        return norm_float(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def norm_got(v):  # Spark parquet result side
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return norm_float(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)  # Decimal stays fixed-scale ('0.5000') → mismatch by design
 
 
 def main():
@@ -62,8 +86,8 @@ def main():
         # reorder got columns to expected order
         idx = [got_cols.index(c) for c in exp_cols]
         got = [tuple(r[i] for i in idx) for r in got]
-        e_n = sorted(tuple(norm(v) for v in r) for r in exp)
-        g_n = sorted(tuple(norm(v) for v in r) for r in got)
+        e_n = sorted(tuple(norm_exp(v) for v in r) for r in exp)
+        g_n = sorted(tuple(norm_got(v) for v in r) for r in got)
         if len(e_n) != len(g_n):
             print(f"FAIL {name}: rows exp={len(e_n)} got={len(g_n)}")
             n_fail += 1
