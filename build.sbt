@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must NOT pass through sbt's logger: the logger
+// prefixes every stdout line with "[info] ", which breaks machine
+// parsing of Bench's single JSON result line (BENCH "parsed": null in
+// rounds 1-2). StdoutOutput pipes the child's stdout/stderr through
+// verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,10 +6,23 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
+  * Protocol: one throwaway session warmup, then each query runs once as
+  * per-query warmup and twice timed — the reported number is the best
+  * timed run. Rounds 1-2 showed ±30-40% run-to-run swings on untouched
+  * queries with a single-shot protocol; best-of-2 after warmup is the
+  * cheapest way to make a 30% regression distinguishable from noise.
+  * The cache is cleared between runs so a query that caches intermediates
+  * (d03_minhash_lsh) pays the same materialization cost every run instead
+  * of accidentally reusing a previous run's cache.
+  *
   * Queries execute into the noop sink — count() would let Catalyst prune
   * the very projections being measured. Streaming replays and the
   * scratch-LakeTable queries are exercised by Verify/tests, not timed here:
   * the headline set is the batch surface whose cost scales with data.
+  *
+  * The JSON line is printed bare on stdout (build.sbt forces
+  * OutputStrategy.StdoutOutput so sbt cannot prefix it) and also written
+  * to /tmp/graft_bench.json as a file fallback.
   */
 object Bench {
   // Representative scan/filter/join/agg/window/sort/dedup/pipeline mix.
@@ -35,15 +48,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally spark.sqlContext.clearCache()
       (System.nanoTime() - t0) / 1e9
+    }
+
+    /** Warmup run (discarded), then best of two timed runs. */
+    def run(name: String): Double = {
+      runOnce(name)
+      val a = runOnce(name); val b = runOnce(name)
+      if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
     }
 
     /** The reference's core workload (A4–A15): generate → write partitioned
@@ -68,13 +88,47 @@ object Bench {
       secs
     }
 
+    /** Table maintenance envelope: a table fragmented into many small
+      * ingest files is bin-pack compacted and re-scanned. Timed region =
+      * compactFiles + full re-scan (the operations an operator schedules);
+      * the fragmentation setup itself is untimed.
+      */
+    def runMaintenance(): Double = {
+      import graft.lake._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-maint-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      // 4 commits × (buckets × 4 files) of small files — the many-small-file
+      // state a streaming ingester leaves behind
+      for (i <- 0 until 4) {
+        table.append(LakeWriter.writeDataFiles(
+          LakeWriter.generateBatch(spark, 25000, (5666666L + i) * 300000000L, seed = 100 + i),
+          table, filesPerPartition = 4))
+      }
+      val before = table.files().size
+      val t0 = System.nanoTime()
+      table.compactFiles(spark)
+      val n = table.toDF(spark).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(n == 100000L, s"maintenance rescan saw $n rows")
+      assert(table.files().size < before, "compaction did not reduce file count")
+      LakeTable.drop(loc)
+      secs
+    }
+
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
-    val results = headline.map(n => n -> run(n)) :+ ("ingest_100k" -> runIngest())
+    val results = headline.map(n => n -> run(n)) ++
+      Seq("ingest_100k" -> runIngest(), "maintenance_compact" -> runMaintenance())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file fallback for machine parsing, then the bare stdout line
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
+      try w.println(json) finally w.close()
+    } catch { case _: java.io.IOException => }
+    println(json)
     spark.stop()
   }
 }

@@ -17,10 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingQueries {
 
-  /** Write the events table as parquet replay input; returns the dir. */
-  private def replayDir(s: SparkSession, dir: String, nFiles: Int): String = {
+  /** Write `input` as parquet replay input; returns the dir. */
+  private def replayDir(input: DataFrame, nFiles: Int): String = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-replay-${UUID.randomUUID()}"
-    t(s, dir, "events").repartition(nFiles).write.parquet(tmp)
+    input.repartition(nFiles).write.parquet(tmp)
     tmp
   }
 
@@ -28,8 +28,9 @@ object StreamingQueries {
     * return the memory-sink contents.
     */
   private def runStream(s: SparkSession, dir: String, mode: OutputMode,
-      nFiles: Int = 4)(transform: DataFrame => DataFrame): DataFrame = {
-    val in = replayDir(s, dir, nFiles)
+      nFiles: Int = 4, input: Option[DataFrame] = None)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val in = replayDir(input.getOrElse(t(s, dir, "events")), nFiles)
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
     val name = "m" + UUID.randomUUID().toString.replace("-", "")
     val stream = s.readStream
@@ -103,12 +104,132 @@ object StreamingQueries {
     }.orderBy("user_id")
   }
 
+  // C13 — watermark late-data drop. Event-order-dependent semantics that
+  // no batch SQL over the input tables can express, so the replay is a
+  // fixed synthetic sequence (same scenario as StreamingSpec "C13"):
+  // batch 0 advances the watermark to 12:00−10min; the 11:30 event arriving
+  // two batches later is beyond it → dropped; 11:55 is within delay → kept.
+  // Deterministic rows-only entry; exact kept/dropped set is asserted in
+  // StreamingSpec.scala.
+  def c13_watermark_latedrop(s: SparkSession, dir: String): DataFrame = {
+    val in = s"${System.getProperty("java.io.tmpdir")}/graft-c13-${UUID.randomUUID()}"
+    new java.io.File(in).mkdirs()
+    def ev(id: Long, ts: String) =
+      s"""{"event_id":$id,"ts":"$ts"}"""
+    val batches = Seq(
+      Seq(ev(1, "2024-01-01 11:40:00"), ev(2, "2024-01-01 12:00:00")),
+      Seq(ev(4, "2024-01-01 11:55:00")),
+      Seq(ev(3, "2024-01-01 11:30:00")), // late beyond watermark → dropped
+      Seq(ev(5, "2024-01-01 13:00:00")),
+      Seq(ev(6, "2024-01-01 14:00:00"))) // flushes closed windows
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = new java.io.File(in, f"b$i%03d.json")
+      java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+      f.setLastModified(1700000000000L + i * 60000) // deterministic batch order
+    }
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val name = "m" + UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .json(in)
+    val q = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .select(us(col("window.start")).as("w_us"), col("n"))
+      .orderBy("w_us").cache()
+    out.count()
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    out
+  }
+
+  // C14 — stateful dedup across micro-batches: the events table replayed
+  // TWICE (every row is a cross-batch duplicate); dropDuplicates keeps the
+  // first arrival per event_id, so the completed stream equals batch
+  // DISTINCT — which is exactly what the DuckDB oracle computes. (No
+  // watermark: the replay is finite and unordered, and state expiry would
+  // make kept-vs-dropped arrival-order-dependent; production bounds state
+  // with withWatermark + dropDuplicatesWithinWatermark.)
+  def c14_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    runStream(s, dir, OutputMode.Append(), nFiles = 4,
+      input = Some(ev.union(ev))) { in =>
+      in.dropDuplicates("event_id").select(col("event_id"))
+    }.orderBy("event_id")
+  }
+
+  // C17 — moniker-stream ingest: the reference's core loop (writers publish
+  // file-list monikers; a bookkeeper folds them into table commits,
+  // FileBasedBookkeeper.java:152-180) as a Structured Streaming pipeline —
+  // the pending-commits dir is the stream source and foreachBatch appends
+  // into the LakeTable, idempotent under at-least-once redelivery (A14
+  // path-dedupe in append). Scratch-table + generated data → rows-only;
+  // exact counts asserted in StreamingSpec "C17".
+  def c17_moniker_ingest(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val Width = 300000000L
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-c17-${UUID.randomUUID()}"
+    val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val published = (0 until 3).map { i =>
+      val files = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(s, 100 + i, (5666666L + i) * Width, seed = i), table)
+      Monikers.publish(loc, files)
+      files
+    }
+    Monikers.publish(loc, published.head) // duplicate moniker (at-least-once)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val pending = s"$loc/${LakeFormat.PendingCommitsDir}"
+    val stream = s.readStream
+      .schema("files ARRAY<STRUCT<path: STRING, sizeBytes: BIGINT, rowCount: BIGINT, partitionValue: BIGINT, format: STRING>>")
+      .option("maxFilesPerTrigger", "2")
+      .option("multiLine", "true") // monikers are pretty-printed JSON
+      .json(pending)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // driver-side collect is metadata-bounded: ≤500 file entries per
+        // moniker (queue-commit cap), never data rows
+        val files = batch.selectExpr("explode(files) AS f").select("f.*")
+          .collect().map { r =>
+            DataFileMeta(r.getAs[String]("path"), r.getAs[Long]("sizeBytes"),
+              r.getAs[Long]("rowCount"), r.getAs[Long]("partitionValue"),
+              r.getAs[String]("format"))
+          }
+        if (files.nonEmpty) table.append(files.toSeq)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    table.refresh()
+    import s.implicits._
+    // deterministic summary: per-partition-bucket row counts (dupe deduped)
+    val out = table.toDF(s).groupBy(col("timeperiod_loadedBy"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("message_id")).as("n_ids"))
+      .orderBy("timeperiod_loadedBy").cache()
+    out.count()
+    LakeTable.drop(loc)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
     "c12_stream_session" -> c12_stream_session _,
+    "c13_watermark_latedrop" -> c13_watermark_latedrop _,
+    "c14_stream_dedup" -> c14_stream_dedup _,
     "c15_stream_static_join" -> c15_stream_static_join _,
     "c16_stream_stateful" -> c16_stream_stateful _,
+    "c17_moniker_ingest" -> c17_moniker_ingest _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,6 +252,9 @@ object StreamingQueries {
         |      FROM b)
         |SELECT user_id, MIN(tu) AS session_start_us, COUNT(*) AS n
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // c13/c17: arrival-order/engine-side semantics — rows-only by design.
+    "c14_stream_dedup" ->
+      "SELECT DISTINCT event_id FROM events ORDER BY event_id",
     "c15_stream_static_join" ->
       """SELECT n_name, COUNT(*) AS n FROM events
         |JOIN nation ON user_id % 25 = n_nationkey
