@@ -115,9 +115,44 @@ object Bench {
       secs
     }
 
+    /** DSv2 scan parity: the same non-pushable aggregate over the same data
+      * files, once through format("laketable") (vectorized columnar reader +
+      * manifest planning) and once through raw spark.read.parquet. The two
+      * numbers belong within ~1.5× of each other — the laketable source must
+      * not tax the table it exists for.
+      */
+    def runLakeScanPair(): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-scan-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      for (i <- 0 until 4)
+        table.append(LakeWriter.writeDataFiles(
+          LakeWriter.generateBatch(spark, 100000, (5666666L + i) * 300000000L, seed = 200 + i),
+          table, filesPerPartition = 4))
+      val paths = table.files().map(_.path)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(avg(length(col("data"))).as("avg_len"),
+          avg(col("message_id")).as("avg_id"),
+          sum(length(col("message_body"))).as("body_bytes"))
+      def once(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        agg(df).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def best(df: => org.apache.spark.sql.DataFrame): Double = {
+        once(df); math.min(once(df), once(df))
+      }
+      val lake = best(spark.read.format("laketable").load(loc))
+      val raw = best(spark.read.schema(table.schema).parquet(paths: _*))
+      LakeTable.drop(loc)
+      Seq("lake_scan_400k" -> lake, "lake_scan_raw_parquet" -> raw)
+    }
+
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
     val results = headline.map(n => n -> run(n)) ++
-      Seq("ingest_100k" -> runIngest(), "maintenance_compact" -> runMaintenance())
+      Seq("ingest_100k" -> runIngest(), "maintenance_compact" -> runMaintenance()) ++
+      runLakeScanPair()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

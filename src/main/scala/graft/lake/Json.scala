@@ -24,7 +24,13 @@ object Json {
     n.put("format", f.format)
     val st = n.putObject("stats")
     f.stats.foreach { case (c, s) =>
-      val cs = st.putObject(c); cs.put("min", s.min); cs.put("max", s.max)
+      val cs = st.putObject(c)
+      s.longMin.foreach(cs.put("min", _))
+      s.longMax.foreach(cs.put("max", _))
+      s.strMin.foreach(cs.put("strMin", _))
+      s.strMax.foreach(cs.put("strMax", _))
+      s.nullCount.foreach(cs.put("nulls", _))
+      s.valueCount.foreach(cs.put("values", _))
     }
     n
   }
@@ -32,7 +38,11 @@ object Json {
   def nodeToFile(n: JsonNode): DataFileMeta = {
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
-        e.getKey -> ColStats(e.getValue.get("min").asLong, e.getValue.get("max").asLong)
+        val v = e.getValue
+        def optLong(k: String) = Option(v.get(k)).map(_.asLong)
+        def optStr(k: String) = Option(v.get(k)).map(_.asText)
+        e.getKey -> ColStats(optLong("min"), optLong("max"),
+          optStr("strMin"), optStr("strMax"), optLong("nulls"), optLong("values"))
       }.toMap
     }.getOrElse(Map.empty[String, ColStats])
     DataFileMeta(

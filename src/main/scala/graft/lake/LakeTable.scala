@@ -236,25 +236,36 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   /** General-predicate delete via copy-on-write (§7.5.4): files whose rows
     * all match are dropped metadata-only; files with partial matches are
     * rewritten without the matching rows.
+    *
+    * Scale shape: the scan filters to MATCHING rows before the per-file
+    * aggregate, so files with zero matches never produce a group; the
+    * classification joins those groups against the manifest DataFrame
+    * distributed; the only driver materialization is the decision set —
+    * bounded by files that contain matched rows, not by table size.
     */
   def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, count, lit, udf}
     val live = files()
     if (live.isEmpty) return -1L
-    val df = LakeTable.readFiles(spark, schema, live.map(_.path))
+    // input_file_name returns file:/// URIs; manifests store plain paths
+    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
+    val matchedPerFile = LakeTable.readFiles(spark, schema, live.map(_.path))
       .withColumn("__path", org.apache.spark.sql.functions.input_file_name())
-    val perFile = df.groupBy("__path")
-      .agg(count(lit(1)).as("n"),
-        sum(when(predicate, 1L).otherwise(0L)).as("matched"))
+      .filter(predicate <=> lit(true))
+      .groupBy("__path").agg(count(lit(1)).as("matched"))
+      .select(toPlain(col("__path")).as("path"), col("matched"))
+    val decisions = filesDF(spark).select(col("path"), col("row_count"))
+      .join(matchedPerFile, "path") // AQE broadcasts the matched side when small
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    // input_file_name returns file:/// URIs; manifests store plain paths —
-    // normalize both through Hadoop Path
-    def norm(p: String) = new Path(p).toUri.getPath
-    val byPath = perFile.map { case (p, n, m) => (norm(p), (n, m)) }.toMap
-    def lookup(f: DataFileMeta) = byPath.getOrElse(norm(f.path), (f.rowCount, 0L))
-    val partial = live.filter { f => val (n, m) = lookup(f); m > 0 && m < n }
-    val fullyDropped = live.filter { f => val (n, m) = lookup(f); m > 0 && m == n }
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val partialPaths = decisions.collect {
+      case (p, n, m) if m > 0 && m < n => p
+    }.toSet
+    val droppedPaths = decisions.collect {
+      case (p, n, m) if m > 0 && m == n => p
+    }.toSet
+    val partial = live.filter(f => partialPaths.contains(f.path))
+    val fullyDropped = live.filter(f => droppedPaths.contains(f.path))
     if (partial.isEmpty && fullyDropped.isEmpty) return -1L
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
@@ -341,6 +352,34 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
   // ---- read path ---------------------------------------------------------
 
+  /** Live file metadata as a DataFrame (SURVEY §2 D6, the 10⁶-file path):
+    * one row per data file, manifests parsed EXECUTOR-side — the driver
+    * holds only the manifest name list (one per fast-append commit, merged
+    * past the threshold), never the full file inventory. Maintenance
+    * queries (deleteWhere classification, size audits, partition skew)
+    * compose on this instead of collecting `files()`.
+    */
+  def filesDF(spark: SparkSession,
+      snapshotId: Long = meta.currentSnapshotId): DataFrame = {
+    import spark.implicits._
+    val snap = meta.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    val manifestPaths = snap.manifests.map(new Path(metaDir, _).toString)
+    if (manifestPaths.isEmpty)
+      return spark.emptyDataset[(String, Long, Long, Long)]
+        .toDF("path", "size_bytes", "row_count", "partition_value")
+    spark.createDataset(manifestPaths)
+      .repartition(math.min(manifestPaths.size, 32))
+      .flatMap { mp =>
+        val p = new Path(mp)
+        val in = p.getFileSystem(new Configuration()).open(p)
+        val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Json.manifestFromJson(content)
+          .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue))
+      }
+      .toDF("path", "size_bytes", "row_count", "partition_value")
+  }
+
   /** Current table as a DataFrame. */
   def toDF(spark: SparkSession): DataFrame = snapshotDF(spark, meta.currentSnapshotId)
 
@@ -362,7 +401,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       partitionMin.forall(lo => f.partitionValue + spec.widthMicros > lo) &&
         partitionMax.forall(hi => f.partitionValue <= hi) &&
         colRanges.forall { case (c, (lo, hi)) =>
-          f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+          f.stats.get(c).forall(s =>
+            s.longMax.forall(_ >= lo) && s.longMin.forall(_ <= hi))
         }
     }
     LakeTable.readFiles(spark, schema, pruned.map(_.path))

@@ -4,11 +4,44 @@ package graft.lake
   * of the reference's Iceberg table semantics (SURVEY §1.1).
   */
 
-/** Per-column long-domain stats harvested from parquet footers
+/** Per-column stats harvested from parquet footers
   * (reference readParquetMetrics, StorageQueueBasedBookkeeper.java:63-66);
   * drive stats-based file skipping at scan time (SURVEY §4).
+  *
+  * Three independent domains, each present only when the footer proves it
+  * for EVERY row group of the file:
+  *   - long min/max for integral/timestamp columns;
+  *   - string min/max for UTF8 columns, truncated to [[ColStats.TruncLen]]
+  *     chars so manifests stay small at 10⁶ files (lower bound truncated
+  *     down, upper bound truncated with the last kept char bumped UP so it
+  *     stays a true upper bound) and kept only for pure-ASCII bounds, where
+  *     parquet's unsigned-UTF-8-byte order agrees with String.compareTo;
+  *   - null/value counts for IS NULL / IS NOT NULL pruning.
   */
-final case class ColStats(min: Long, max: Long)
+final case class ColStats(
+    longMin: Option[Long] = None,
+    longMax: Option[Long] = None,
+    strMin: Option[String] = None,
+    strMax: Option[String] = None,
+    nullCount: Option[Long] = None,
+    valueCount: Option[Long] = None)
+
+object ColStats {
+  val TruncLen = 16
+
+  def truncateLower(s: String): String = s.take(TruncLen)
+
+  /** Truncated UPPER bound: bump the last bumpable kept char. None when the
+    * prefix is all ￿ (no finite bound exists at this length).
+    */
+  def truncateUpper(s: String): Option[String] =
+    if (s.length <= TruncLen) Some(s)
+    else {
+      val p = s.take(TruncLen)
+      val i = p.lastIndexWhere(_ < Char.MaxValue)
+      if (i < 0) None else Some(p.substring(0, i) + (p(i) + 1).toChar)
+    }
+}
 
 /** Immutable data-file metadata (reference Iceberg DataFile,
   * Writer.java:84-107): path, size, rows, the file's partition value, and

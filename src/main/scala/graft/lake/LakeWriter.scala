@@ -120,31 +120,78 @@ object LakeWriter {
     out.toSeq
   }
 
-  /** Parquet footer → DataFileMeta (A18): row count + min/max for INT64
-    * columns (message_id, timestamp, timeperiod_loadedBy), which drive
-    * manifest-level file skipping (SURVEY §4).
+  /** Parquet footer → DataFileMeta (A18): row count plus per-column stats
+    * (long min/max, truncated ASCII string min/max, null/value counts),
+    * which drive manifest-level file skipping (SURVEY §4). Each stat domain
+    * is emitted only when every row group of the file proves it — a single
+    * statless or non-conforming chunk invalidates that domain for the file
+    * (pruning must never rest on partial evidence).
     */
   def footerMeta(conf: Configuration, path: Path, partitionValue: Long): DataFileMeta = {
+    // per-column accumulator across row groups
+    final class Acc {
+      var longMin, longMax: Option[Long] = None
+      var strMin, strMax: Option[String] = None
+      var rangeValid = true
+      var nulls = 0L
+      var nullsValid = true
+      var values = 0L
+    }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
-      val stats = scala.collection.mutable.Map.empty[String, ColStats]
+      val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
       for (b <- blocks; c <- b.getColumns.asScala) {
+        val acc = accs.getOrElseUpdate(c.getPath.toDotString, new Acc)
+        acc.values += c.getValueCount
         val st = c.getStatistics
-        if (st != null && st.hasNonNullValue) {
-          (st.genericGetMin, st.genericGetMax) match {
-            case (mn: java.lang.Long, mx: java.lang.Long) =>
-              val name = c.getPath.toDotString
-              val prev = stats.get(name)
-              stats(name) = ColStats(
-                prev.fold(mn.longValue)(p => math.min(p.min, mn.longValue)),
-                prev.fold(mx.longValue)(p => math.max(p.max, mx.longValue)))
-            case _ =>
-          }
+        if (st == null) { acc.rangeValid = false; acc.nullsValid = false }
+        else {
+          if (st.isNumNullsSet) acc.nulls += st.getNumNulls
+          else acc.nullsValid = false
+          if (st.hasNonNullValue) {
+            val isString = c.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                acc.longMin = Some(acc.longMin.fold(mn.longValue)(math.min(_, mn.longValue)))
+                acc.longMax = Some(acc.longMax.fold(mx.longValue)(math.max(_, mx.longValue)))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                acc.longMin = Some(acc.longMin.fold(mn.longValue)(math.min(_, mn.longValue)))
+                acc.longMax = Some(acc.longMax.fold(mx.longValue)(math.max(_, mx.longValue)))
+              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                  if isString =>
+                val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                // ASCII-only bounds: the one regime where parquet's unsigned
+                // UTF-8 byte order and String.compareTo agree
+                if (lo.forall(_ < 0x80) && hi.forall(_ < 0x80)) {
+                  val tl = ColStats.truncateLower(lo)
+                  acc.strMin = Some(acc.strMin.fold(tl)(p => if (p <= tl) p else tl))
+                  ColStats.truncateUpper(hi) match {
+                    case Some(th) =>
+                      acc.strMax = Some(acc.strMax.fold(th)(p => if (p >= th) p else th))
+                    case None => acc.rangeValid = false
+                  }
+                } else acc.rangeValid = false
+              case _ => acc.rangeValid = false
+            }
+          } else if (!(st.isNumNullsSet && st.getNumNulls == c.getValueCount))
+            // no values AND not provably all-null: stats are absent, not empty
+            acc.rangeValid = false
         }
       }
+      val stats = accs.collect { case (name, a)
+          if a.rangeValid || a.nullsValid =>
+        name -> ColStats(
+          longMin = if (a.rangeValid) a.longMin else None,
+          longMax = if (a.rangeValid) a.longMax else None,
+          strMin = if (a.rangeValid) a.strMin else None,
+          strMax = if (a.rangeValid) a.strMax else None,
+          nullCount = if (a.nullsValid) Some(a.nulls) else None,
+          valueCount = Some(a.values))
+      }.toMap
       val size = path.getFileSystem(conf).getFileStatus(path).getLen
       DataFileMeta(path.toUri.getPath, size, rowCount, partitionValue,
         "parquet", stats.toMap)

@@ -108,6 +108,34 @@ class LakeTableSpec extends SparkSpec {
     assert(t.files().exists(_.partitionValue == bucket(1)))
   }
 
+  test("filesDF lists live file metadata without a driver-side collect") {
+    val t = newTable()
+    appendBatch(t, 40, bucket(0), seed = 11, filesPer = 4)
+    appendBatch(t, 20, bucket(1), seed = 12, filesPer = 2)
+    val viaDF = t.filesDF(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val viaSeq = t.files()
+      .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue)).sortBy(_._1)
+    assert(viaDF.toSeq == viaSeq)
+    assert(viaDF.map(_._3).sum == 60)
+  }
+
+  test("deleteWhere over a many-file table touches only files containing matches") {
+    val t = newTable()
+    // many files across 4 buckets; the predicate covers one whole bucket
+    for (i <- 0 until 4) appendBatch(t, 25, bucket(i), seed = 20 + i, filesPer = 4)
+    val before = t.files().map(f => f.path -> f.partitionValue).toMap
+    assert(before.size > 8)
+    val snap = t.deleteWhere(spark, col("timeperiod_loadedBy") === bucket(2))
+    assert(snap > 0)
+    assert(t.toDF(spark).count() == 75)
+    // exact set equality: bucket-2 files dropped metadata-only, every other
+    // file keeps its original path — zero rewrites anywhere
+    val expected = before.collect { case (p, pv) if pv != bucket(2) => p }.toSet
+    assert(t.files().map(_.path).toSet == expected)
+  }
+
   test("deleteWhere keeps rows where the predicate evaluates to NULL") {
     val t = newTable()
     // half the rows have data = NULL; the predicate is NULL for them and

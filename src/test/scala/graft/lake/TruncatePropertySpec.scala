@@ -39,6 +39,17 @@ class TruncatePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("string stat truncation preserves bound direction") {
+    // manifest string stats are harvested ASCII-only (LakeWriter.footerMeta)
+    val ascii: Gen[String] = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    check(forAll(ascii) { s =>
+      val lo = ColStats.truncateLower(s)
+      lo <= s && lo.length <= ColStats.TruncLen &&
+        ColStats.truncateUpper(s).forall(hi =>
+          hi >= s && hi.length <= ColStats.TruncLen)
+    })
+  }
+
   test("matches the reference transform for non-negative values") {
     // Constants.java:33-35 — value - (value % width) for positive µs
     check(forAll { (v: Long) =>

@@ -66,6 +66,57 @@ class LakeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1) // only the 40-row file survives
   }
 
+  test("IN, string, null, and OR predicates prune files from manifest stats") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), 1) // message_id 0..9
+    appendBatch(t, 20, bucket(1), 2) // message_id 0..19
+    appendBatch(t, 30, bucket(2), 3) // message_id 0..29
+    def df = spark.read.format("laketable").load(t.location)
+    // IN over the partition column: two of three buckets planned
+    val in2 = df.filter(col("timeperiod_loadedBy").isin(bucket(0), bucket(2)))
+    assert(in2.count() == 40)
+    assert(in2.rdd.getNumPartitions == 2)
+    // IN over a footer-stats column: ids 25,27 exist only in the 30-row file
+    val in1 = df.filter(col("message_id").isin(25L, 27L))
+    assert(in1.count() == 2)
+    assert(in1.rdd.getNumPartitions == 1)
+    // string equality above every file's max ('z' > any hex digit)
+    val none = df.filter(col("data") === "zzzz")
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+    // IS NULL on a column the footers prove never-null
+    val isnull = df.filter(col("data").isNull)
+    assert(isnull.rdd.getNumPartitions == 0 && isnull.count() == 0)
+    // OR of two disjoint partition predicates prunes the middle bucket
+    val or2 = df.filter(col("timeperiod_loadedBy") === bucket(0)
+      || col("timeperiod_loadedBy") === bucket(2))
+    assert(or2.count() == 40)
+    assert(or2.rdd.getNumPartitions == 2)
+    // prefix pushdown: md5 hex never starts with "zz"
+    val pre = df.filter(col("data").startsWith("zz"))
+    assert(pre.rdd.getNumPartitions == 0)
+  }
+
+  test("footer stats harvest: string truncation bounds and null/value counts") {
+    val t = newTable()
+    appendBatch(t, 50, bucket(0), 7)
+    val st = t.files().head.stats
+    val data = st("data")
+    assert(data.strMin.isDefined && data.strMax.isDefined)
+    assert(data.strMin.get.length <= ColStats.TruncLen)
+    assert(data.strMax.get.length <= ColStats.TruncLen)
+    assert(data.nullCount.contains(0L))
+    assert(data.valueCount.contains(50L))
+    // the truncated bounds actually bound every value
+    val vals = t.toDF(spark).select("data").collect().map(_.getString(0))
+    assert(vals.forall(v => v >= data.strMin.get && v <= data.strMax.get))
+    val id = st("message_id")
+    assert(id.longMin.contains(0L) && id.longMax.contains(49L))
+    // binary column (no UTF8 annotation): counts survive, no range
+    val body = st("message_body")
+    assert(body.strMin.isEmpty && body.longMin.isEmpty)
+    assert(body.nullCount.contains(0L))
+  }
+
   test("manifest-aggregate pushdown: COUNT/MIN/MAX answered without opening data files") {
     val t = newTable()
     appendBatch(t, 100, bucket(0), 1)
