@@ -149,10 +149,19 @@ object Bench {
       Seq("lake_scan_400k" -> lake, "lake_scan_raw_parquet" -> raw)
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
+    // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
+    // driver's full run leaves it unset.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(f) => val pats = f.split(","); n => pats.exists(n.contains)
+      case None => _ => true
+    }
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
-    val results = headline.map(n => n -> run(n)) ++
-      Seq("ingest_100k" -> runIngest(), "maintenance_compact" -> runMaintenance()) ++
-      runLakeScanPair()
+    val results = headline.filter(only).map(n => n -> run(n)) ++
+      (if (only("ingest_100k")) Seq("ingest_100k" -> runIngest()) else Nil) ++
+      (if (only("maintenance_compact"))
+        Seq("maintenance_compact" -> runMaintenance()) else Nil) ++
+      (if (only("lake_scan_400k")) runLakeScanPair() else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -224,9 +224,7 @@ final class LakeScanBuilder(location: String, table: LakeTable,
 
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
-          table.files().filter(survives)
-            .map(f => LakeInputPartition(f.path, f.rowCount): InputPartition)
-            .toArray
+          LakePartitionPacker.pack(table.files().filter(survives))
         override def createReaderFactory(): PartitionReaderFactory =
           new LakeReaderFactory(required.toDDL)
       }
@@ -254,8 +252,48 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-final case class LakeInputPartition(path: String, rowCount: Long)
+final case class LakeFileSlice(path: String, rowCount: Long)
+
+/** One scan task = one bin-packed run of data files (below). */
+final case class LakeInputPartition(files: Seq[LakeFileSlice])
   extends InputPartition
+
+/** Bin-packs data files into scan tasks with the built-in FileSourceScan
+  * formula: maxSplit = min(maxPartitionBytes, max(openCostInBytes,
+  * totalBytes / parallelism)). One task per file (the naive plan) made the
+  * laketable scan ~2.7× raw parquet on a 300-file table — pure task-launch
+  * overhead; packing restores parity while tiny-file tables (< openCost)
+  * still get one file per task, so manifest pruning remains observable as
+  * partition counts.
+  */
+object LakePartitionPacker {
+  def pack(files: Seq[DataFileMeta]): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val parallelism = math.max(1,
+      conf.filesMinPartitionNum.getOrElse(spark.sparkContext.defaultParallelism))
+    val totalBytes = files.map(_.sizeBytes + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / parallelism))
+    val parts = Array.newBuilder[InputPartition]
+    val cur = Seq.newBuilder[LakeFileSlice]
+    var curSize = 0L
+    var curEmpty = true
+    def close(): Unit = if (!curEmpty) {
+      parts += LakeInputPartition(cur.result())
+      cur.clear(); curSize = 0L; curEmpty = true
+    }
+    files.sortBy(-_.sizeBytes).foreach { f =>
+      if (curSize + f.sizeBytes > maxSplit) close()
+      cur += LakeFileSlice(f.path, f.rowCount)
+      curSize += f.sizeBytes + openCost
+      curEmpty = false
+    }
+    close()
+    parts.result()
+  }
+}
 
 /** Reader factory over the pruned file list. The projected schema lives
   * here (ONE serialized copy) rather than on every InputPartition — at 10⁶
@@ -295,14 +333,25 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[LakeInputPartition]
-    val reader = openVectorized(p.path)
-    reader.enableReturningBatches()
-    reader.resultBatch() // allocates the column vectors before the first nextBatch
+    val it = partition.asInstanceOf[LakeInputPartition].files.iterator
     new PartitionReader[ColumnarBatch] {
-      override def next(): Boolean = reader.nextBatch()
-      override def get(): ColumnarBatch = reader.resultBatch()
-      override def close(): Unit = reader.close()
+      private var cur: org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = openVectorized(it.next().path)
+            cur.enableReturningBatches()
+            cur.resultBatch() // allocate vectors before the first nextBatch
+          }
+          if (cur.nextBatch()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): ColumnarBatch = cur.resultBatch()
+      override def close(): Unit = { if (cur != null) cur.close(); cur = null }
     }
   }
 
@@ -310,9 +359,9 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
     val p = partition.asInstanceOf[LakeInputPartition]
     if (schema.isEmpty)
       // empty projection (e.g. COUNT(*)): the manifest already knows the
-      // row count — emit that many empty rows, never opening the file
+      // row counts — emit that many empty rows, never opening a file
       new PartitionReader[InternalRow] {
-        private var remaining = p.rowCount
+        private var remaining = p.files.map(_.rowCount).sum
         private val empty = new GenericInternalRow(0)
         override def next(): Boolean = { remaining -= 1; remaining >= 0 }
         override def get(): InternalRow = empty
@@ -321,12 +370,24 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
     else {
       // row mode of the same vectorized decoder (values still decoded
       // column-wise into vectors; rows are views over the batch)
-      val reader = openVectorized(p.path)
+      val it = p.files.iterator
       new PartitionReader[InternalRow] {
-        override def next(): Boolean = reader.nextKeyValue()
+        private var cur: org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = openVectorized(it.next().path)
+            }
+            if (cur.nextKeyValue()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
         override def get(): InternalRow =
-          reader.getCurrentValue.asInstanceOf[InternalRow]
-        override def close(): Unit = reader.close()
+          cur.getCurrentValue.asInstanceOf[InternalRow]
+        override def close(): Unit = { if (cur != null) cur.close(); cur = null }
       }
     }
   }
@@ -364,9 +425,7 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
     val s = clamp(start.asInstanceOf[SnapshotOffset].id)
     val e = clamp(end.asInstanceOf[SnapshotOffset].id)
     if (s >= e) Array.empty
-    else t.addedFilesBetween(s, e)
-      .map(f => LakeInputPartition(f.path, f.rowCount): InputPartition)
-      .toArray
+    else LakePartitionPacker.pack(t.addedFilesBetween(s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

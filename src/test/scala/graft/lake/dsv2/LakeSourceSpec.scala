@@ -96,6 +96,31 @@ class LakeSourceSpec extends SparkSpec {
     assert(pre.rdd.getNumPartitions == 0)
   }
 
+  test("scan tasks bin-pack multiple files; chained reader preserves every row") {
+    val t = newTable()
+    for (i <- 0 until 5) appendBatch(t, 40, bucket(i), 10 + i)
+    assert(t.files().size == 5)
+    // openCost=0 + minPartitionNum=1 force all five files into ONE task —
+    // the chained columnar reader must walk every file of the pack
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try {
+      val df = spark.read.format("laketable").load(t.location)
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 200)
+      val perBucket = df.groupBy("timeperiod_loadedBy").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perBucket.values.forall(_ == 40) && perBucket.size == 5)
+      // row-mode fallback (explode forces non-vectorizable shape downstream
+      // of the scan; scan itself stays columnar — so also check a projection
+      // that sums across all chained files)
+      assert(df.agg(sum(length(col("data")))).head.getLong(0) == 200 * 32)
+    } finally {
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+      spark.conf.unset("spark.sql.files.minPartitionNum")
+    }
+  }
+
   test("footer stats harvest: string truncation bounds and null/value counts") {
     val t = newTable()
     appendBatch(t, 50, bucket(0), 7)
