@@ -252,19 +252,29 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-final case class LakeFileSlice(path: String, rowCount: Long)
+/** One byte range of one data file. `start == 0 && length == fileSize` for
+  * unsplit files; larger files are carved into ranges and the parquet
+  * reader consumes exactly the row groups whose midpoint falls inside
+  * [start, start+length) — the same contract the built-in file source uses,
+  * so ranges never duplicate or drop a row group. `rowCount` is the whole
+  * file's count attributed to the FIRST range only (it feeds the
+  * no-columns-projected COUNT(*) path, which never opens files).
+  */
+final case class LakeFileSlice(
+    path: String, rowCount: Long, start: Long, length: Long)
 
-/** One scan task = one bin-packed run of data files (below). */
+/** One scan task = one bin-packed run of file ranges (below). */
 final case class LakeInputPartition(files: Seq[LakeFileSlice])
   extends InputPartition
 
-/** Bin-packs data files into scan tasks with the built-in FileSourceScan
+/** Carves data files into scan tasks with the built-in FileSourceScan
   * formula: maxSplit = min(maxPartitionBytes, max(openCostInBytes,
-  * totalBytes / parallelism)). One task per file (the naive plan) made the
-  * laketable scan ~2.7× raw parquet on a 300-file table — pure task-launch
-  * overhead; packing restores parity while tiny-file tables (< openCost)
-  * still get one file per task, so manifest pruning remains observable as
-  * partition counts.
+  * totalBytes / parallelism)); files larger than maxSplit split into byte
+  * ranges (no straggler task pinned to one huge file), smaller ones
+  * bin-pack together (no per-file task-launch tax — the naive
+  * one-task-per-file plan ran ~2.7× raw parquet on a 300-file table).
+  * Tiny-file tables still get one file per task (openCost floor), so
+  * manifest pruning remains observable as partition counts.
   */
 object LakePartitionPacker {
   def pack(files: Seq[DataFileMeta]): Array[InputPartition] = {
@@ -276,6 +286,14 @@ object LakePartitionPacker {
     val totalBytes = files.map(_.sizeBytes + openCost).sum
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, totalBytes / parallelism))
+    val slices = files.flatMap { f =>
+      if (f.sizeBytes <= maxSplit || maxSplit <= 0)
+        Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes))
+      else (0L until f.sizeBytes by maxSplit).map { off =>
+        LakeFileSlice(f.path, if (off == 0) f.rowCount else 0L,
+          off, math.min(maxSplit, f.sizeBytes - off))
+      }
+    }
     val parts = Array.newBuilder[InputPartition]
     val cur = Seq.newBuilder[LakeFileSlice]
     var curSize = 0L
@@ -284,10 +302,10 @@ object LakePartitionPacker {
       parts += LakeInputPartition(cur.result())
       cur.clear(); curSize = 0L; curEmpty = true
     }
-    files.sortBy(-_.sizeBytes).foreach { f =>
-      if (curSize + f.sizeBytes > maxSplit) close()
-      cur += LakeFileSlice(f.path, f.rowCount)
-      curSize += f.sizeBytes + openCost
+    slices.sortBy(-_.length).foreach { s =>
+      if (curSize + s.length > maxSplit) close()
+      cur += s
+      curSize += s.length + openCost
       curEmpty = false
     }
     close()
@@ -322,11 +340,37 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
 
   /** Spark-written files carry modern (proleptic-Gregorian) dates and µs
     * timestamps — CORRECTED rebase, no int96, on-heap 4K batches.
+    *
+    * Split-based initialize: the reader consumes exactly the row groups
+    * whose midpoint falls in the slice's byte range, and the manifest's
+    * size spares the per-file getFileStatus the path-based convenience
+    * initializer would issue. The conf carries the same flag values that
+    * convenience path hardcodes, plus the projected Spark schema.
     */
-  private def openVectorized(path: String) = {
+  private def openVectorized(s: LakeFileSlice) = {
+    import org.apache.spark.sql.internal.SQLConf
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    try r.initialize(path, java.util.Arrays.asList(schema.fieldNames: _*))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, false)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    // mapred.FileSplit (extends the mapreduce one): the reader base
+    // downcasts to the old-API class internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(s.path), s.start, s.length,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try r.initialize(split, ctx)
     catch { case e: Throwable => r.close(); throw e }
     r
   }
@@ -341,7 +385,7 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
         while (true) {
           if (cur == null) {
             if (!it.hasNext) return false
-            cur = openVectorized(it.next().path)
+            cur = openVectorized(it.next())
             cur.enableReturningBatches()
             cur.resultBatch() // allocate vectors before the first nextBatch
           }
@@ -378,7 +422,7 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return false
-              cur = openVectorized(it.next().path)
+              cur = openVectorized(it.next())
             }
             if (cur.nextKeyValue()) return true
             cur.close(); cur = null

@@ -121,6 +121,34 @@ class LakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("large files split into byte ranges; row groups neither lost nor duplicated") {
+    val t = newTable()
+    // tiny parquet row groups so one 5 MB file holds dozens of them
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try appendBatch(t, 2000, bucket(0), 42)
+    finally hconf.unset("parquet.block.size")
+    assert(t.files().size == 1)
+    val size = t.files().head.sizeBytes
+    // force range splitting: split budget far below the single file's size
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (size / 4).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = spark.read.format("laketable").load(t.location)
+      assert(df.rdd.getNumPartitions >= 4,
+        s"expected >=4 range partitions over one ${size}B file")
+      // every row group read exactly once across ranges (midpoint contract)
+      assert(df.select("message_id").distinct().count() == 2000)
+      assert(df.agg(sum("message_id")).head.getLong(0) == 1999L * 2000 / 2)
+      // timestamps decode identically through the split-based initializer
+      assert(df.agg(max("timestamp")).head
+        .getTimestamp(0).getTime > 0)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("footer stats harvest: string truncation bounds and null/value counts") {
     val t = newTable()
     appendBatch(t, 50, bucket(0), 7)
