@@ -38,9 +38,15 @@ object Tables {
 
   /** Round to 4 dp via DECIMAL(28,4), emit as DOUBLE — the oracle hashing
     * convention. The decimal hop makes both engines agree on the rounded
-    * value exactly; the final double cast (decimal→nearest-double is exact
-    * and identical in Spark and DuckDB) serializes identically on both
+    * value exactly; the final double cast serializes identically on both
     * sides regardless of trailing zeros, which fixed-scale decimals don't.
+    *
+    * Caveat: decimal→nearest-double is bit-identical across engines only
+    * while the 10^4-scaled unscaled value stays below 2^53 (|x| ≲ 9e11).
+    * Beyond that, DuckDB's int128→double→divide path can double-round and
+    * land 1 ULP away from Spark's correctly-rounded BigDecimal.doubleValue.
+    * Driver SFs keep every rounded aggregate far below the bound; if a new
+    * oracle query can SUM past ~9e11, divide or bucket the magnitude first.
     */
   def dec4(c: Column): Column =
     round(c, 4).cast(DecimalType(28, 4)).cast("double")

@@ -126,8 +126,26 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     true
   }
 
-  /** Keep a file iff no pushed filter proves it empty via stats. */
-  private def survives(f: DataFileMeta): Boolean = pushed.forall(accept(f, _))
+  override def build(): Scan = aggRows match {
+    case Some((aggSchema, rows)) => new Scan {
+      override def readSchema(): StructType = aggSchema
+      override def description(): String =
+        s"laketable manifest-aggregate scan: ${aggSchema.fieldNames.mkString(", ")}"
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(LakeAggPartition(rows.map(_.map(_.asInstanceOf[Long]))))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LakeAggReaderFactory
+      }
+    }
+    case None => new LakeBatchScan(location, table, required, pushed, startSnapshot)
+  }
+}
+
+/** Stats-based file acceptance shared by build-time pruning (pushed
+  * filters) and runtime pruning (join-derived filters, below).
+  */
+object LakeStatsPruning {
 
   /** Stats-based file acceptance for one filter: reject ONLY when the
     * manifest stats PROVE no row can match — any unknown (missing stat,
@@ -136,11 +154,13 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     * Long and string domains are both consulted; And/Or recurse so compound
     * predicates (e.g. a date OR over two ranges) still prune.
     */
-  private def accept(f: DataFileMeta, filter: Filter): Boolean = {
-    val part = table.spec.column
+  def accept(spec: graft.lake.TruncateSpec, f: DataFileMeta,
+      filter: Filter): Boolean = {
+    def rec(filter: Filter): Boolean = accept(spec, f, filter)
+    val part = spec.column
     def longRange(col: String): Option[(Long, Long)] =
       if (col == part)
-        Some((f.partitionValue, f.partitionValue + table.spec.widthMicros - 1))
+        Some((f.partitionValue, f.partitionValue + spec.widthMicros - 1))
       else f.stats.get(col)
         .flatMap(s => for { lo <- s.longMin; hi <- s.longMax } yield (lo, hi))
     def strRange(col: String): Option[(String, String)] =
@@ -172,14 +192,14 @@ final class LakeScanBuilder(location: String, table: LakeTable,
       case EqualTo(c, v) =>
         cmp(c, v, { case ((lo, hi), x) => x >= lo && x <= hi },
           { case ((lo, hi), x) => x >= lo && x <= hi })
-      case EqualNullSafe(c, null) => accept(f, IsNull(c))
-      case EqualNullSafe(c, v) => accept(f, EqualTo(c, v))
+      case EqualNullSafe(c, null) => rec(IsNull(c))
+      case EqualNullSafe(c, v) => rec(EqualTo(c, v))
       case In(c, values) =>
         // SQL IN: NULL elements never match; an all-NULL/empty list matches
         // no row regardless of stats
         values.filter(_ != null) match {
           case vs if vs.isEmpty => false
-          case vs => vs.exists(v => accept(f, EqualTo(c, v)))
+          case vs => vs.exists(v => rec(EqualTo(c, v)))
         }
       case IsNull(c) =>
         // prune only when the footer proved zero nulls
@@ -201,38 +221,99 @@ final class LakeScanBuilder(location: String, table: LakeTable,
         // x <= y implies x.take(n) <= y.take(n), lo.take(|p|) > p proves
         // every value's |p|-prefix exceeds p
         strRange(c).forall { case (lo, hi) => hi >= p && lo.take(p.length) <= p }
-      case And(l, r) => accept(f, l) && accept(f, r)
-      case Or(l, r) => accept(f, l) || accept(f, r)
+      case And(l, r) => rec(l) && rec(r)
+      case Or(l, r) => rec(l) || rec(r)
       case _ => true
     }
   }
+}
 
-  override def build(): Scan = aggRows match {
-    case Some((aggSchema, rows)) => new Scan {
-      override def readSchema(): StructType = aggSchema
-      override def description(): String =
-        s"laketable manifest-aggregate scan: ${aggSchema.fieldNames.mkString(", ")}"
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(LakeAggPartition(rows.map(_.map(_.asInstanceOf[Long]))))
-        override def createReaderFactory(): PartitionReaderFactory =
-          new LakeAggReaderFactory
-      }
+/** Test/diagnostic visibility into scan planning (the planned-file count is
+  * otherwise unobservable from the public plan once runtime filters apply).
+  */
+object LakeScanMetrics {
+  @volatile var lastPlannedFiles: Int = -1
+}
+
+/** The data scan. Three scale-relevant contracts beyond the basic Batch:
+  *
+  *  - [[SupportsRuntimeFiltering]]: join-derived runtime filters (dynamic
+  *    partition pruning) re-prune the file list before execution — a join
+  *    against a filtered dimension on the partition column (or any
+  *    stats-covered column) reads only matching files, the V2 analog of
+  *    Hive-style DPP.
+  *  - [[SupportsReportStatistics]]: sizeInBytes/rowCount from the manifest
+  *    (post-pruning), so Catalyst can auto-broadcast a small laketable —
+  *    without it a V2 relation defaults to "huge" and never broadcasts.
+  *  - micro-batch streaming with snapshot-id offsets.
+  */
+final class LakeBatchScan(location: String, table: LakeTable,
+    required: StructType, pushed: Array[Filter], startSnapshot: Option[Long])
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
+
+  private var runtime: Array[Filter] = Array.empty
+
+  private def prunedFiles: Seq[DataFileMeta] =
+    table.files().filter(f =>
+      (pushed.iterator ++ runtime.iterator)
+        .forall(LakeStatsPruning.accept(table.spec, f, _)))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"laketable scan ${table.location} [${required.fieldNames.mkString(", ")}]" +
+      s" pushed=${pushed.mkString(", ")}"
+
+  /** Columns whose stats can actually prune: the partition column always;
+    * others only when every current file carries a stats domain for them
+    * (a runtime filter on a statless column could never reject a file, so
+    * advertising it would buy a useless subquery). Restricted to the
+    * projected output — Spark resolves these refs against the pruned scan
+    * schema and errors on anything absent from it.
+    */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val files = table.files()
+    val statCovered = table.schema.fieldNames.filter { c =>
+      files.nonEmpty && files.forall(f => f.stats.get(c).exists(s =>
+        s.longMin.isDefined || s.strMin.isDefined))
     }
-    case None => new Scan {
-      override def readSchema(): StructType = required
+    (statCovered.toSet + table.spec.column)
+      .intersect(required.fieldNames.toSet).toArray.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
-          LakePartitionPacker.pack(table.files().filter(survives))
-        override def createReaderFactory(): PartitionReaderFactory =
-          new LakeReaderFactory(required.toDDL)
-      }
+  override def filter(filters: Array[Filter]): Unit = runtime = filters
 
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = prunedFiles
+    LakeScanMetrics.lastPlannedFiles = files.size
+    LakePartitionPacker.pack(files)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required.toDDL)
+
+  override def estimateStatistics(): Statistics = {
+    val files = prunedFiles
+    val rows = files.map(_.rowCount).sum
+    // scale the on-disk size by projection width so a narrow projection of
+    // a wide table can still broadcast (same spirit as the built-in file
+    // source's column-pruned sizing)
+    val width = math.max(1, required.fields.length)
+    val total = math.max(1, table.schema.fields.length)
+    val bytes = files.map(_.sizeBytes).sum * width / total
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
     }
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L))
 }
 
 /** One row of pre-aggregated manifest values per data file (all long-domain). */

@@ -149,6 +149,49 @@ class LakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("manifest statistics: small laketable reports true size and auto-broadcasts") {
+    val t = newTable()
+    appendBatch(t, 100, bucket(0), 1)
+    val small = spark.read.format("laketable").load(t.location)
+    // V2 relations without SupportsReportStatistics default to "huge" and
+    // can never auto-broadcast; ours must report manifest truth
+    val stats = small.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(100)), s"rowCount=${stats.rowCount}")
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024,
+      s"sizeInBytes=${stats.sizeInBytes}")
+    // a genuinely-large other side: the laketable side must be the one chosen
+    // for broadcast with no hint
+    val big = spark.range(3000000).select((col("id") % 100).as("message_id"))
+    val joined = big.join(small, "message_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(joined.count() == 3000000)
+  }
+
+  test("runtime join filters prune files at execution (dynamic file pruning)") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), 1)
+    appendBatch(t, 20, bucket(1), 2)
+    appendBatch(t, 30, bucket(2), 3)
+    import spark.implicits._
+    // dim must be a real (parquet) scan: a LocalRelation folds its filter
+    // away and DPP sees no selective predicate to derive a runtime filter
+    val dimPath = tmpDir("dsv2-dim") + "/dim"
+    Seq((bucket(0), "a"), (bucket(1), "b"), (bucket(2), "c"))
+      .toDF("bk", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.format("laketable").load(t.location)
+    LakeScanMetrics.lastPlannedFiles = -1
+    val joined = fact.join(dim.filter($"tag" === "b"),
+      fact("timeperiod_loadedBy") === dim("bk"))
+    assert(joined.count() == 20)
+    // the dimension filter reached the scan as a runtime filter: only the
+    // matching bucket's file was planned
+    assert(LakeScanMetrics.lastPlannedFiles == 1,
+      s"planned ${LakeScanMetrics.lastPlannedFiles} files, expected 1\n" +
+        joined.queryExecution.executedPlan.toString)
+  }
+
   test("footer stats harvest: string truncation bounds and null/value counts") {
     val t = newTable()
     appendBatch(t, 50, bucket(0), 7)
