@@ -292,10 +292,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * `smallFileBytes`, rewrites their rows through the normal write path,
     * and swaps manifests copy-on-write — readers pinned to older snapshots
     * still see the original files until expiry GCs them.
+    *
+    * `sortBy` + `maxRecordsPerFile` turn the rewrite into a CLUSTERING
+    * compaction: rows sort within each partition before the writer splits
+    * output files, so sibling files carry disjoint footer-stat ranges on
+    * the sort columns and a point/range predicate prunes to one of them —
+    * the manifest-level payoff that makes stats pruning effective after
+    * ingest has scattered every key range across every small file.
     * Returns the new snapshot id, or -1 if nothing qualified.
     */
   def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
-      minInputFiles: Int = 2): Long = {
+      minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Long = {
     val candidates = files()
       .filter(_.sizeBytes < smallFileBytes)
       .groupBy(_.partitionValue)
@@ -303,7 +311,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .values.flatten.toSeq
     if (candidates.isEmpty) return -1L
     val rows = LakeTable.readFiles(spark, schema, candidates.map(_.path))
-    val rewritten = LakeWriter.writeDataFiles(rows, this)
+    val rewritten = LakeWriter.writeDataFiles(rows, this,
+      sortBy = sortBy, maxRecordsPerFile = maxRecordsPerFile)
     val replaced = candidates.map(_.path).toSet
     retryCommit("compact") { () =>
       val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten

@@ -76,7 +76,8 @@ object LakeWriter {
     * (A9, Writer.java:126-137).
     */
   def writeDataFiles(df: DataFrame, table: LakeTable,
-      filesPerPartition: Int = 1): Seq[DataFileMeta] = {
+      filesPerPartition: Int = 1, sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Seq[DataFileMeta] = {
     val spark = df.sparkSession
     val spec = table.spec
     val conf = new Configuration()
@@ -97,7 +98,19 @@ object LakeWriter {
       if (filesPerPartition <= 1) withPart.repartition(col("__part"))
       else withPart.repartition(filesPerPartition, col("__part"),
         pmod(col("message_id"), lit(filesPerPartition)))
-    try repartitioned.write.partitionBy("__part").parquet(tmpDir.toString)
+    // clustering: sort inside each partition task so the writer's
+    // maxRecordsPerFile splits produce files with DISJOINT sort-column
+    // ranges (each file then prunes independently via footer stats)
+    val clustered =
+      if (sortBy.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(
+        (col("__part") +: sortBy.map(col)): _*)
+    val writer = clustered.write.partitionBy("__part")
+    val sized =
+      if (maxRecordsPerFile > 0)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer
+    try sized.parquet(tmpDir.toString)
     finally prevTsType match {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None => spark.conf.unset(tsTypeKey)

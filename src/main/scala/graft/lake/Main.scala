@@ -116,10 +116,18 @@ object Main {
           pace(sleepMs, System.currentTimeMillis() - t0)
         }
 
-      case "compact" => // our extension: bin-pack small data files
+      case "compact" => // our extension: bin-pack small data files;
+        // GRAFT_COMPACT_SORT=col1,col2 [+ GRAFT_COMPACT_MAX_RECORDS] turns
+        // it into a clustering rewrite (disjoint stat ranges per output file)
         val s = spark()
         val table = LakeTable.load(loc)
-        val snap = table.compactFiles(s)
+        val sortBy = sys.env.get("GRAFT_COMPACT_SORT")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val maxRecords = sys.env.get("GRAFT_COMPACT_MAX_RECORDS")
+          .map(_.toLong).getOrElse(0L)
+        val snap = table.compactFiles(s, sortBy = sortBy,
+          maxRecordsPerFile = maxRecords)
         println(if (snap >= 0) s"compacted into snapshot $snap" else "nothing to compact")
 
       case "reaper" =>

@@ -191,6 +191,32 @@ class LakeTableSpec extends SparkSpec {
     assert(t.compactFiles(spark) == -1L)
   }
 
+  test("clustering compaction yields disjoint sort ranges that prune point queries") {
+    val t = newTable()
+    // 3 small files, each covering the SAME message_id range 0..99 — the
+    // post-ingest state where every file overlaps every key range
+    for (s <- 1 to 3) appendBatch(t, 100, bucket(0), seed = s)
+    assert(t.files().size == 3)
+    val snap = t.compactFiles(spark, sortBy = Seq("message_id"),
+      maxRecordsPerFile = 100)
+    assert(snap > 0)
+    val after = t.files()
+    assert(after.size == 3) // 300 rows / 100 per file
+    // sorted id ranges across sibling files overlap at most at a boundary
+    // key whose duplicates straddle the split (clustering payoff)
+    val ranges = after.map(f => (f.stats("message_id").longMin.get,
+      f.stats("message_id").longMax.get)).sorted
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"interleaved ranges $ranges")
+    case _ => }
+    // a point query now prunes to exactly one file
+    val df = spark.read.format("laketable").load(t.location)
+      .filter(org.apache.spark.sql.functions.col("message_id") === 50L)
+    assert(df.count() == 3) // id 50 existed in each input file
+    assert(df.rdd.getNumPartitions == 1)
+    assert(t.toDF(spark).count() == 300)
+  }
+
   test("manifest compaction merges at the min-count-to-merge threshold") {
     val loc = tmpDir("laketable-merge")
     LakeTable.drop(loc)
