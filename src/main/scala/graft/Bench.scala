@@ -126,9 +126,14 @@ object Bench {
       import org.apache.spark.sql.functions._
       val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-scan-${java.util.UUID.randomUUID()}"
       val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      // SPARK_GRAFT_LAKE_SCAN_ROWS: per-commit row count (default 100k × 4
+      // commits = 400k) — raise it when measuring the reader tax at a scale
+      // where decode dominates fixed per-query overhead.
+      val rowsPer = sys.env.get("SPARK_GRAFT_LAKE_SCAN_ROWS")
+        .map(_.toInt).getOrElse(100000)
       for (i <- 0 until 4)
         table.append(LakeWriter.writeDataFiles(
-          LakeWriter.generateBatch(spark, 100000, (5666666L + i) * 300000000L, seed = 200 + i),
+          LakeWriter.generateBatch(spark, rowsPer, (5666666L + i) * 300000000L, seed = 200 + i),
           table, filesPerPartition = 4))
       val paths = table.files().map(_.path)
       def agg(df: org.apache.spark.sql.DataFrame) =
@@ -140,13 +145,17 @@ object Bench {
         agg(df).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      def best(df: => org.apache.spark.sql.DataFrame): Double = {
-        once(df); math.min(once(df), once(df))
-      }
-      val lake = best(spark.read.format("laketable").load(loc))
-      val raw = best(spark.read.schema(table.schema).parquet(paths: _*))
+      // alternate the two scans (warmup pair, then 3 timed pairs, best run
+      // each) so GC/page-cache drift lands on both sides equally — with
+      // lake always first, the fresh table's cold page cache taxed only the
+      // lake side and read as a reader gap (it wasn't: steady-state runs
+      // are at parity)
+      def lakeDf = spark.read.format("laketable").load(loc)
+      def rawDf = spark.read.schema(table.schema).parquet(paths: _*)
+      once(lakeDf); once(rawDf)
+      val (lakes, raws) = (1 to 3).map(_ => (once(lakeDf), once(rawDf))).unzip
       LakeTable.drop(loc)
-      Seq("lake_scan_400k" -> lake, "lake_scan_raw_parquet" -> raw)
+      Seq("lake_scan_400k" -> lakes.min, "lake_scan_raw_parquet" -> raws.min)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —

@@ -410,6 +410,14 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
 
+  // Hadoop Configuration construction loads the default XML resources —
+  // milliseconds per call. Paid once per (JVM, projection) instead of once
+  // per file: at many-small-file scale the per-file open cost must be I/O,
+  // not conf parsing. The cached conf is read-only after construction and
+  // shared across concurrent tasks (Configuration reads are thread-safe).
+  private lazy val cachedConf: org.apache.hadoop.conf.Configuration =
+    LakeReaderFactory.confFor(schemaDdl, schema)
+
   private def vectorizable: Boolean =
     schema.nonEmpty && schema.fields.forall(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => false
@@ -429,28 +437,15 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
     * convenience path hardcodes, plus the projected Spark schema.
     */
   private def openVectorized(s: LakeFileSlice) = {
-    import org.apache.spark.sql.internal.SQLConf
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
-    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, false)
-    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
-    conf.set(org.apache.spark.sql.execution.datasources.parquet
-      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
-    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[org.apache.spark.sql.execution.datasources.parquet
-        .ParquetReadSupport].getName)
     // mapred.FileSplit (extends the mapreduce one): the reader base
     // downcasts to the old-API class internally
     val split = new org.apache.hadoop.mapred.FileSplit(
       new org.apache.hadoop.fs.Path(s.path), s.start, s.length,
       Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      cachedConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     try r.initialize(split, ctx)
     catch { case e: Throwable => r.close(); throw e }
     r
@@ -516,6 +511,35 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
       }
     }
   }
+}
+
+object LakeReaderFactory {
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.hadoop.conf.Configuration]()
+
+  /** One immutable reader Configuration per (executor JVM, projection).
+    * Carries the same flag values VectorizedParquetRecordReader's
+    * convenience initializer hardcodes, plus the projected Spark schema.
+    */
+  private def confFor(ddl: String,
+      schema: StructType): org.apache.hadoop.conf.Configuration =
+    confCache.computeIfAbsent(ddl, _ => {
+      import org.apache.spark.sql.internal.SQLConf
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
+      conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, false)
+      conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+      conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+      conf.set(org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[org.apache.spark.sql.execution.datasources.parquet
+          .ParquetReadSupport].getName)
+      conf
+    })
 }
 
 /** Snapshot-id offsets: each micro-batch reads exactly the files added in
