@@ -116,12 +116,14 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * apply the operation twice).
     */
   private def commitAttempt(op: String, manifests: Seq[String],
-      keepSnapshots: Seq[Snapshot]): Long = {
+      keepSnapshots: Seq[Snapshot],
+      propsUpdate: Map[String, String] = Map.empty): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
     val snap = Snapshot(nextVersion, cur.currentSnapshotId,
       System.currentTimeMillis(), op, manifests)
-    val next = cur.copy(snapshots = keepSnapshots :+ snap,
+    val next = cur.copy(properties = cur.properties ++ propsUpdate,
+      snapshots = keepSnapshots :+ snap,
       currentSnapshotId = nextVersion)
     writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
     meta = next
@@ -142,13 +144,20 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * from `body` means nothing to commit (-1).
     */
   private def retryCommit(op: String)(
-      body: () => Option[(Seq[String], Seq[Snapshot])]): Long = {
+      body: () => Option[(Seq[String], Seq[Snapshot])]): Long =
+    retryCommitProps(op)(() => body().map { case (m, s) => (m, s, Map.empty[String, String]) })
+
+  /** retryCommit variant whose body can also update table properties
+    * atomically with the snapshot swap (streaming-epoch fencing below).
+    */
+  private def retryCommitProps(op: String)(
+      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String])]): Long = {
     var attempt = 0
     while (true) {
       body() match {
         case None => return -1L
-        case Some((manifests, keepSnapshots)) =>
-          try return commitAttempt(op, manifests, keepSnapshots)
+        case Some((manifests, keepSnapshots, props)) =>
+          try return commitAttempt(op, manifests, keepSnapshots, props)
           catch {
             case _: java.io.IOException =>
               attempt += 1
@@ -205,6 +214,32 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         if (fresh.isEmpty) existing
         else existing :+ writeManifest(fresh)
       Some((maybeMerge(withNew), meta.snapshots))
+    }
+  }
+
+  /** Epoch-fenced fast append for exactly-once streaming sinks: the epoch
+    * watermark for `queryId` is stored in table properties ATOMICALLY with
+    * the snapshot swap, so a replayed micro-batch (restart between sink
+    * commit and checkpoint write) sees `epoch <= watermark` and becomes a
+    * no-op — the V2 analog of the reference's idempotent moniker replay
+    * (A14; same transaction pattern as Iceberg's commit-during-retry
+    * fencing). Returns -1 when fenced; the caller owns deleting the
+    * duplicate data files it wrote for the fenced epoch.
+    */
+  def appendEpoch(newFiles: Seq[DataFileMeta], queryId: String,
+      epochId: Long): Long = {
+    val key = s"$PropStreamEpochPrefix$queryId"
+    retryCommitProps("append") { () =>
+      if (meta.properties.get(key).exists(_.toLong >= epochId)) None
+      else {
+        val existing = meta.current.map(_.manifests).getOrElse(Nil)
+        val known = knownPaths()
+        val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
+        val withNew =
+          if (fresh.isEmpty) existing
+          else existing :+ writeManifest(fresh)
+        Some((maybeMerge(withNew), meta.snapshots, Map(key -> epochId.toString)))
+      }
     }
   }
 

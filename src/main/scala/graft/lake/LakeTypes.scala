@@ -101,6 +101,8 @@ object LakeFormat {
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"
   val PropMinSnapshotsToKeep = "history.expire.min-snapshots-to-keep"
+  // per-query streaming-epoch watermark: "stream.epoch.<queryId>" -> epochId
+  val PropStreamEpochPrefix = "stream.epoch."
 
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "20",

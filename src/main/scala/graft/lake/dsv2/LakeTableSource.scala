@@ -40,17 +40,24 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
     new LakeDsTable(properties.get("path"))
 }
 
-final class LakeDsTable(location: String) extends Table with SupportsRead {
+final class LakeDsTable(location: String) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val table = LakeTable.load(location)
 
   override def name(): String = s"laketable.`$location`"
   override def schema(): StructType = table.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(location, table,
       Option(options.get("startSnapshotId")).map(_.toLong))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LakeWriteBuilder(location, info)
 }
 
 /** Filter pushdown = manifest pruning. Filters over the partition column

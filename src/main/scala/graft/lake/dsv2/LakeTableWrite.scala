@@ -1,0 +1,178 @@
+package graft.lake.dsv2
+
+import java.util.UUID
+
+import graft.lake.{DataFileMeta, LakeTable, LakeWriter, TruncateSpec}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 write path for the "laketable" source: `df.write
+  * .format("laketable").mode("append").save(loc)` and `df.writeStream
+  * .format("laketable")` both land parquet data files in the table layout
+  * and fast-append them in ONE driver-side commit — the reference's
+  * write-files-then-commit-once shape (Writer.java:126-150) expressed as a
+  * V2 BatchWrite/StreamingWrite pair.
+  *
+  * Scale shape: executors write files and ship back only DataFileMeta
+  * (path + footer stats — bytes per file, not rows); the driver's commit is
+  * O(files in this batch). Streaming commits are epoch-fenced through
+  * [[LakeTable.appendEpoch]] so micro-batch replays after a crash are
+  * exact-once no-ops; the fenced replay's duplicate files are deleted by
+  * the sink (they were never referenced by any manifest).
+  */
+final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
+  extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    private def spec = LakeTable.load(location).spec
+    override def toBatch: BatchWrite =
+      new LakeBatchWrite(location, info.schema(), spec)
+    override def toStreaming: StreamingWrite =
+      new LakeStreamingWrite(location, info.schema(), spec, info.queryId())
+  }
+}
+
+private object LakeWriteCommit {
+  def collect(messages: Array[WriterCommitMessage]): Seq[DataFileMeta] =
+    messages.toSeq.collect { case LakeCommitMessage(files) => files }.flatten
+
+  def deleteAll(files: Seq[DataFileMeta]): Unit =
+    files.foreach { f =>
+      val p = new Path(f.path)
+      try p.getFileSystem(new Configuration()).delete(p, false)
+      catch { case _: java.io.IOException => }
+    }
+}
+
+final case class LakeCommitMessage(files: Seq[DataFileMeta])
+  extends WriterCommitMessage
+
+final class LakeBatchWrite(location: String, schema: StructType,
+    spec: TruncateSpec) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = LakeWriteCommit.collect(messages)
+    if (files.nonEmpty) LakeTable.load(location).append(files)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    LakeWriteCommit.deleteAll(LakeWriteCommit.collect(messages))
+}
+
+final class LakeStreamingWrite(location: String, schema: StructType,
+    spec: TruncateSpec, queryId: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = LakeWriteCommit.collect(messages)
+    if (files.nonEmpty &&
+        LakeTable.load(location).appendEpoch(files, queryId, epochId) < 0)
+      // fenced: this epoch already committed before a restart — the files
+      // written for the replay are unreferenced duplicates
+      LakeWriteCommit.deleteAll(files)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    LakeWriteCommit.deleteAll(LakeWriteCommit.collect(messages))
+}
+
+/** Serialized once per write; shipped to executors for both batch and
+  * streaming tasks (epoch/task ids only disambiguate file names — the
+  * layout key is the partition transform of each ROW, same as the
+  * reference's bucketed writers, A5-A9).
+  */
+final class LakeWriterFactory(location: String, schemaDdl: String,
+    specColumn: String, specWidth: Long)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(location, StructType.fromDDL(schemaDdl),
+      TruncateSpec(specColumn, specWidth))
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
+}
+
+/** One executor task's writer: routes each row to a per-bucket parquet
+  * writer (`data/<col>_trunc=<bucket>/<uuid>.parquet`), encoding through
+  * Spark's own ParquetWriteSupport — the identical binary layout (INT64 µs
+  * timestamps, footer stats) the table's write path and vectorized reader
+  * already speak. Files are invisible until the driver's manifest commit,
+  * so direct-to-final-path writes are safe; abort deletes them.
+  */
+final class LakeDataWriter(location: String, schema: StructType,
+    spec: TruncateSpec) extends DataWriter[InternalRow] {
+
+  private val partIdx = schema.fieldIndex(spec.column)
+  private val conf: Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration()
+    org.apache.spark.sql.execution.datasources.parquet
+      .ParquetWriteSupport.setSchema(schema, c)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c
+  }
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, (Path, ParquetWriter[InternalRow])]
+
+  private final class Builder(path: Path)
+    extends ParquetWriter.Builder[InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+        .asInstanceOf[WriteSupport[InternalRow]]
+  }
+
+  private def writerFor(bucket: Long): ParquetWriter[InternalRow] =
+    writers.getOrElseUpdate(bucket, {
+      val dir = new Path(new Path(location, graft.lake.LakeFormat.DataDir),
+        spec.dirName(bucket))
+      dir.getFileSystem(conf).mkdirs(dir)
+      val path = new Path(dir, s"${UUID.randomUUID()}.parquet")
+      (path, new Builder(path)
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build())
+    })._2
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(partIdx))
+      throw new IllegalArgumentException(
+        s"laketable: partition column ${spec.column} must not be NULL")
+    writerFor(spec(row.getLong(partIdx))).write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val metas = writers.toSeq.map { case (bucket, (path, w)) =>
+      w.close()
+      LakeWriter.footerMeta(conf, path, bucket)
+    }
+    writers.clear()
+    LakeCommitMessage(metas)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (path, w) =>
+      try w.close() catch { case _: java.io.IOException => }
+      try path.getFileSystem(conf).delete(path, false)
+      catch { case _: java.io.IOException => }
+    }
+    writers.clear()
+  }
+
+  override def close(): Unit =
+    writers.values.foreach { case (_, w) =>
+      try w.close() catch { case _: java.io.IOException => }
+    }
+}

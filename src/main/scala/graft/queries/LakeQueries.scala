@@ -73,6 +73,28 @@ object LakeQueries {
     out
   }
 
+  // B4b — DSv2 sink round-trip: deterministic generated events through
+  // df.write.format("laketable") (executor-written files, one fast-append
+  // commit) and back through the vectorized laketable source. Engine-side
+  // scratch table — rows-only for the driver; LakeSinkSpec asserts the
+  // commit/layout/fencing semantics.
+  def b04b_lake_sink(s: SparkSession, dir: String): DataFrame = {
+    val loc = scratch("laketable-sink")
+    val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    LakeWriter.generateBatch(s, 100, bucket(0), seed = 11)
+      .union(LakeWriter.generateBatch(s, 50, bucket(1), seed = 12))
+      .write.format("laketable").mode("append").save(loc)
+    val out = s.read.format("laketable").load(loc)
+      .groupBy(col("timeperiod_loadedBy").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("message_id").as("sum_id"),
+        sum(length(col("message_body"))).as("body_bytes"))
+      .orderBy("bucket")
+    out.cache().count()
+    LakeTable.drop(loc)
+    out
+  }
+
   // B5 — avro sink/scan round-trip (A8): events subset through Avro
   // container files and back.
   def b05_avro_roundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -111,6 +133,7 @@ object LakeQueries {
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
+    "b04b_lake_sink" -> b04b_lake_sink _,
     "b05_avro_roundtrip" -> b05_avro_roundtrip _,
     "b06_json_csv" -> b06_json_csv _,
   )

@@ -1,0 +1,124 @@
+package graft.lake.dsv2
+
+import graft.SparkSpec
+import graft.lake._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** DSv2 write semantics: format("laketable") batch appends and the
+  * streaming sink land data files through the table's commit protocol —
+  * footer stats harvested, partition layout honored, epoch replays fenced
+  * (reference write path A5-A10 + idempotent replay A14 as a V2 sink).
+  */
+class LakeSinkSpec extends SparkSpec {
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (5666666L + i) * Width
+
+  private def newTable(): LakeTable = {
+    val loc = tmpDir("dsv2-sink")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+  }
+
+  test("batch append through format(laketable) commits one snapshot with stats") {
+    val t = newTable()
+    val df = LakeWriter.generateBatch(spark, 100, bucket(0), seed = 1)
+      .union(LakeWriter.generateBatch(spark, 50, bucket(1), seed = 2))
+    df.write.format("laketable").mode("append").save(t.location)
+    val t2 = t.refresh()
+    assert(t2.currentSnapshotId == 1) // exactly ONE commit for the whole job
+    assert(t2.toDF(spark).count() == 150)
+    // rows landed under their partition transform's directory
+    val byBucket = t2.files().groupBy(_.partitionValue)
+    assert(byBucket.keySet == Set(bucket(0), bucket(1)))
+    assert(byBucket(bucket(0)).map(_.rowCount).sum == 100)
+    assert(byBucket(bucket(1)).map(_.rowCount).sum == 50)
+    t2.files().foreach { f =>
+      assert(f.path.contains(s"timeperiod_loadedBy_trunc="))
+      // footer stats harvested -> manifest pruning works on sink output
+      val ids = f.stats("message_id")
+      assert(ids.longMin.isDefined && ids.longMax.isDefined)
+    }
+    // the written files read back through the vectorized source with equal
+    // content (string/binary/timestamp encode round-trip)
+    val viaSource = spark.read.format("laketable").load(t.location)
+    val expected = df.agg(sum(length(col("message_body")))).head.getLong(0)
+    assert(viaSource.agg(sum(length(col("message_body")))).head.getLong(0)
+      == expected)
+    assert(viaSource.filter(col("timestamp").isNull).count() == 0)
+  }
+
+  test("sink write then API write interleave; pruning sees both") {
+    val t = newTable()
+    LakeWriter.generateBatch(spark, 30, bucket(0), seed = 3)
+      .write.format("laketable").mode("append").save(t.location)
+    t.refresh()
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 20, bucket(1), seed = 4), t))
+    val df = spark.read.format("laketable").load(t.location)
+    assert(df.count() == 50)
+    assert(df.filter(col("timeperiod_loadedBy") === bucket(1)).count() == 20)
+  }
+
+  test("streaming sink: micro-batches commit append snapshots exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = newTable()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().select(
+      col("value").as("message_id"),
+      md5(col("value").cast("string")).as("data"),
+      timestamp_micros(lit(bucket(0)) + col("value")).as("timestamp"),
+      (lit(bucket(0)) + (col("value") % 2) * Width).as("timeperiod_loadedBy"),
+      col("value").cast("string").cast("binary").as("message_body"))
+    val q = events.writeStream.format("laketable")
+      .option("checkpointLocation", tmpDir("dsv2-sink-ckpt"))
+      .trigger(Trigger.AvailableNow())
+    mem.addData(0L until 40L: _*)
+    val running = q.start(t.location)
+    running.awaitTermination(60000)
+    val t2 = t.refresh()
+    assert(t2.toDF(spark).count() == 40)
+    // rows routed to two buckets by the partition transform of each ROW
+    assert(t2.files().map(_.partitionValue).toSet
+      == Set(bucket(0), bucket(1)))
+    // epoch watermark recorded for the query
+    assert(t2.tableMeta.properties.keys.exists(_.startsWith("stream.epoch.")))
+  }
+
+  test("appendEpoch fences replayed epochs and leaves no duplicate rows") {
+    val t = newTable()
+    val files1 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 10, bucket(0), seed = 5), t)
+    assert(t.appendEpoch(files1, "q1", 0L) >= 0)
+    // replay of epoch 0 (crash between sink commit and checkpoint write):
+    // a second set of physical files for the same data
+    val files2 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 10, bucket(0), seed = 5), t)
+    val snapBefore = t.currentSnapshotId
+    assert(t.appendEpoch(files2, "q1", 0L) == -1L)
+    assert(t.currentSnapshotId == snapBefore)
+    assert(t.toDF(spark).count() == 10)
+    // a later epoch still lands, and an unrelated query is not fenced
+    val files3 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(1), seed = 6), t)
+    assert(t.appendEpoch(files3, "q1", 1L) >= 0)
+    assert(t.toDF(spark).count() == 15)
+    val files4 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(2), seed = 7), t)
+    assert(t.appendEpoch(files4, "q2", 0L) >= 0)
+    assert(t.refresh().toDF(spark).count() == 20)
+  }
+
+  test("batch append rejects NULL partition values with a clear error") {
+    val t = newTable()
+    val bad = LakeWriter.generateBatch(spark, 3, bucket(0), seed = 8)
+      .withColumn("timeperiod_loadedBy", lit(null).cast("bigint"))
+    val e = intercept[Exception] {
+      bad.write.format("laketable").mode("append").save(t.location)
+    }
+    assert(e.getMessage != null)
+    assert(t.refresh().toDF(spark).count() == 0) // nothing committed
+  }
+}
