@@ -39,6 +39,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D1c — embedding-cosine near-dup: each vector is a duplicate of its
+  // highest-cosine lower-id "canon" vector (id < 400) above the threshold.
+  // The canon side broadcasts, so the corpus side never shuffles — the
+  // exact-refine primitive of semantic dedup (the candidate-generation
+  // scale path is d02_ann_lsh/d02_ann_ivf). Threshold 0.43 sits in a wide
+  // gap of the data's cosine distribution, so Spark's double accumulation
+  // and DuckDB's cannot disagree across the cut.
+  def d01_dedup_embed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    val canon = e.filter(col("vec_id") < 400)
+      .select(col("vec_id").as("keep_id"), col("embedding").as("be"))
+    val w = Window.partitionBy("dup_id").orderBy(col("cos").desc, col("keep_id"))
+    e.select(col("vec_id").as("dup_id"), col("embedding").as("ae"))
+      .crossJoin(broadcast(canon))
+      .filter(col("keep_id") < col("dup_id"))
+      .withColumn("cos", expr("cosine_sim(ae, be)"))
+      .filter(col("cos") > 0.43)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("keep_id"), dec4(col("cos")).as("cos"))
+      .orderBy("dup_id")
+  }
+
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
   // cosine_sim is our native codegen'd Catalyst expression
   // (graft.functions.CosineSimilarity) — a tight primitive loop inside
@@ -102,6 +126,46 @@ object PipelineQueries {
       .filter(col("cos") > 0.4)
       .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
       .orderBy("a_id", "b_id")
+  }
+
+  // D2-scale (IVF) — inverted-file ANN: a 16-centroid coarse quantizer
+  // (deterministic seed vectors) assigns every vector to its nearest cell
+  // MAP-SIDE (centroids are a bounded model constant inlined as literals —
+  // the same "ship the trained quantizer to executors" shape a real IVF
+  // index uses; no shuffle, no window). Probes scan their nprobe=4 nearest
+  // cells; candidates come from one broadcast equi-join on cell id, exact
+  // cosine refine inside. Cost: corpus × K map work + corpus-linear probe
+  // join — the classic IVF trade (recall bounded by nprobe/K). No SQL
+  // oracle (approximate); spec checks recall vs d02 brute force.
+  def d02_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    // deterministic coarse centroids: every 31st vector, first 16
+    val cents: Array[(Long, Seq[Float])] =
+      e.filter(pmod(col("vec_id"), lit(31)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cellScores(vec: org.apache.spark.sql.Column) = array(cents.map {
+      case (cid, cvec) => struct(
+        call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
+        lit(cid).as("c"))
+    }: _*)
+    // argmax over the struct array: max by (s, then c) — pure expression
+    val assigned = e.select(col("vec_id").as("oid"), col("embedding").as("oe"),
+      array_max(cellScores(col("embedding"))).getField("c").as("cell"))
+    // probes fan out to their 4 best cells
+    val probeCells = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 4)
+          .getField("c")).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("qid") =!= col("oid"))
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
   }
 
   // D3 — exact token-set Jaccard over a bounded candidate set (same lang,
@@ -314,8 +378,10 @@ object PipelineQueries {
     "d05_decode_stub" -> d05_decode_stub _,
     "d01_dedup_exact" -> d01_dedup_exact _,
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
+    "d01_dedup_embed" -> d01_dedup_embed _,
     "d02_cosine_topk" -> d02_cosine_topk _,
     "d02_ann_lsh" -> d02_ann_lsh _,
+    "d02_ann_ivf" -> d02_ann_ivf _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
     "d03_simhash" -> d03_simhash _,
@@ -342,6 +408,25 @@ object PipelineQueries {
         |  SELECT doc_id, ROW_NUMBER() OVER
         |    (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d01_dedup_embed" ->
+      """WITH elems AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS dup_id, b.vec_id AS keep_id,
+        |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |  WHERE b.vec_id < a.vec_id AND b.vec_id < 400
+        |  GROUP BY dup_id, keep_id),
+        |scored AS (
+        |  SELECT dup_id, keep_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY dup_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, keep_id) AS rn
+        |  FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) > 0.43)
+        |SELECT dup_id, keep_id,
+        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn = 1 ORDER BY dup_id""".stripMargin,
     "d02_cosine_topk" ->
       """WITH elems AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,

@@ -35,6 +35,32 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("D2: IVF ANN recall@5 vs brute-force top-5") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairs(PipelineQueries.d02_cosine_topk(spark, dir))
+    val ivf = pairs(PipelineQueries.d02_ann_ivf(spark, dir))
+    assert(truth.nonEmpty)
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    // nprobe=4 of K=16 cells on near-random vectors: modest recall by
+    // design; the floor guards the wiring (a broken cell join scores ~0)
+    assert(recall >= 0.3, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
+    // every reported neighbor must be a real vector with sane cosine
+    assert(PipelineQueries.d02_ann_ivf(spark, dir)
+      .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+  }
+
+  test("D1: embedding near-dup pairs agree with exact recompute") {
+    val out = PipelineQueries.d01_dedup_embed(spark, dir).collect()
+    assert(out.nonEmpty, "threshold should admit at least one near-dup pair")
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0)) // keep_id strictly lower
+      assert(r.getDouble(2) > 0.43)
+    }
+    // one dup verdict per dup_id (argmax uniqueness)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
   test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), expr(
