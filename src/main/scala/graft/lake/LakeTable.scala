@@ -217,6 +217,17 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  /** Full-table overwrite (CoW): ONE rewrite commit whose manifest lists
+    * only the new files. Prior snapshots keep referencing the replaced
+    * files (time travel intact) until expiry GCs them — same shape as
+    * compactFiles, driven by the DSv2 truncate-write path.
+    */
+  def overwrite(newFiles: Seq[DataFileMeta]): Long =
+    retryCommit("rewrite") { () =>
+      val fresh = newFiles.distinctBy(_.path)
+      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(fresh)), meta.snapshots))
+    }
+
   /** Epoch-fenced fast append for exactly-once streaming sinks: the epoch
     * watermark for `queryId` is stored in table properties ATOMICALLY with
     * the snapshot swap, so a replayed micro-batch (restart between sink

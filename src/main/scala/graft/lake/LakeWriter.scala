@@ -116,21 +116,41 @@ object LakeWriter {
       case None => spark.conf.unset(tsTypeKey)
     }
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
-    for (partDir <- fs.listStatus(tmpDir) if partDir.isDirectory) {
-      val partVal = partDir.getPath.getName.stripPrefix("__part=").toLong
-      val destDir = new Path(new Path(loc, LakeFormat.DataDir), spec.dirName(partVal))
-      fs.mkdirs(destDir)
-      for (f <- fs.listStatus(partDir.getPath)
-           if f.getPath.getName.endsWith(".parquet")) {
-        val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
-        if (!fs.rename(f.getPath, dest))
-          throw new java.io.IOException(s"move failed: ${f.getPath} -> $dest")
-        out += footerMeta(conf, dest, partVal)
-      }
+    // per-file move + footer harvest through a fixed I/O pool — the
+    // reference hides per-file storage latency behind 8-thread pools
+    // (FileBasedBookkeeper.java:28-29,130-150); on object stores each
+    // rename/footer round-trip is milliseconds, so serializing them makes
+    // the publish step O(files) in LATENCY, not just work
+    val moves = for {
+      partDir <- fs.listStatus(tmpDir).toSeq if partDir.isDirectory
+      partVal = partDir.getPath.getName.stripPrefix("__part=").toLong
+      f <- fs.listStatus(partDir.getPath).toSeq
+      if f.getPath.getName.endsWith(".parquet")
+    } yield (f.getPath, partVal)
+    moves.foreach { case (_, pv) =>
+      fs.mkdirs(new Path(new Path(loc, LakeFormat.DataDir), spec.dirName(pv)))
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, moves.size)))
+    val out =
+      try {
+        val futures = moves.map { case (src, partVal) =>
+          pool.submit(new java.util.concurrent.Callable[DataFileMeta] {
+            override def call(): DataFileMeta = {
+              val destDir = new Path(new Path(loc, LakeFormat.DataDir),
+                spec.dirName(partVal))
+              val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
+              // FileSystem instances are cached per-scheme and thread-safe
+              if (!fs.rename(src, dest))
+                throw new java.io.IOException(s"move failed: $src -> $dest")
+              footerMeta(conf, dest, partVal)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     fs.delete(tmpDir, true)
-    out.toSeq
+    out
   }
 
   /** Parquet footer → DataFileMeta (A18): row count plus per-column stats

@@ -1,0 +1,152 @@
+package graft.lake.dsv2
+
+import java.util
+
+import graft.lake.{LakeTable, TruncateSpec}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** V2 catalog exposing laketables to pure SQL — the consumer surface the
+  * reference assumes ("we then read these tables with Spark",
+  * reference README): DDL, DML, and time travel with no Scala API in sight.
+  *
+  * {{{
+  *   spark.sql.catalog.lake           = graft.lake.dsv2.LakeCatalog
+  *   spark.sql.catalog.lake.warehouse = /data/warehouse
+  *
+  *   CREATE TABLE lake.ns.events (message_id BIGINT, ...)
+  *     PARTITIONED BY (truncate(300000000, timeperiod_loadedBy))
+  *   INSERT INTO lake.ns.events SELECT ...
+  *   SELECT * FROM lake.ns.events VERSION AS OF 3
+  *   SELECT * FROM lake.ns.events TIMESTAMP AS OF '2026-01-01 00:00:00'
+  * }}}
+  *
+  * Identifier → location is `warehouse/ns.../name`; the table's own
+  * snapshot log (not the catalog) is the source of truth for schema and
+  * state, so a catalog is just a *name resolver* — exactly the coupling
+  * the reference has between its catalog and HadoopTables.
+  */
+class LakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  private def location(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && LakeTable.exists(s.getPath.toUri.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeTable.exists(location(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new LakeDsTable(location(ident))
+  }
+
+  /** SQL `VERSION AS OF <snapshot-id>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(location(ident))
+    val id = version.toLong
+    if (t.tableMeta.snapshot(id).isEmpty)
+      throw new NoSuchTableException(ident)
+    new LakeDsTable(location(ident), asOf = Some(id))
+  }
+
+  /** SQL `TIMESTAMP AS OF ...` (Spark hands micros since epoch): newest
+    * snapshot committed at or before the timestamp.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(location(ident))
+    val cutoffMs = timestampMicros / 1000L
+    val id = t.snapshots.filter(_.timestampMs <= cutoffMs)
+      .map(_.id).maxOption.getOrElse(throw new NoSuchTableException(ident))
+    new LakeDsTable(location(ident), asOf = Some(id))
+  }
+
+  /** PARTITIONED BY must carry exactly one `truncate(width, col)` (either
+    * argument order) over a BIGINT column — the reference's single
+    * partition transform (Constants.java:25,33-35).
+    */
+  private def specOf(partitions: Array[Transform]): TruncateSpec = {
+    def parse(t: Transform): Option[TruncateSpec] =
+      if (!t.name().equalsIgnoreCase("truncate")) None
+      else t.arguments() match {
+        case Array(l: Literal[_], f: NamedReference) =>
+          Some(TruncateSpec(f.fieldNames().mkString("."),
+            l.value().toString.toLong))
+        case Array(f: NamedReference, l: Literal[_]) =>
+          Some(TruncateSpec(f.fieldNames().mkString("."),
+            l.value().toString.toLong))
+        case _ => None
+      }
+    partitions.toSeq.flatMap(parse(_)) match {
+      case Seq(spec) => spec
+      case _ => throw new UnsupportedOperationException(
+        "laketable requires PARTITIONED BY (truncate(<widthMicros>, <bigintCol>)); got " +
+          partitions.map(_.describe()).mkString("[", ", ", "]"))
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val spec = specOf(partitions)
+    require(schema.fieldNames.contains(spec.column),
+      s"partition column ${spec.column} not in schema")
+    val loc = location(ident)
+    val props = properties.asScala.toMap -
+      (TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT)
+    LakeTable.create(loc, schema.toDDL, spec, props)
+    new LakeDsTable(loc)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "laketable schema is fixed at create time (reference Constants.java:26-31)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    LakeTable.drop(location(ident))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = new Path(location(oldIdent))
+    val dst = new Path(location(newIdent))
+    val fs = src.getFileSystem(new Configuration())
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename $src -> $dst failed")
+  }
+}

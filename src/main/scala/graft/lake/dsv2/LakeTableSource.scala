@@ -40,7 +40,8 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
     new LakeDsTable(properties.get("path"))
 }
 
-final class LakeDsTable(location: String) extends Table
+final class LakeDsTable(location: String, asOf: Option[Long] = None)
+  extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val table = LakeTable.load(location)
 
@@ -48,11 +49,12 @@ final class LakeDsTable(location: String) extends Table
   override def schema(): StructType = table.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(location, table,
-      Option(options.get("startSnapshotId")).map(_.toLong))
+      Option(options.get("startSnapshotId")).map(_.toLong), asOf)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -66,7 +68,7 @@ final class LakeDsTable(location: String) extends Table
   * optimization, never a correctness dependency).
   */
 final class LakeScanBuilder(location: String, table: LakeTable,
-    startSnapshot: Option[Long])
+    startSnapshot: Option[Long], asOf: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -97,7 +99,7 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
-    val files = table.files()
+    val files = asOf.map(table.files(_)).getOrElse(table.files())
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
@@ -145,7 +147,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
           new LakeAggReaderFactory
       }
     }
-    case None => new LakeBatchScan(location, table, required, pushed, startSnapshot)
+    case None =>
+      new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf)
   }
 }
 
@@ -255,14 +258,19 @@ object LakeScanMetrics {
   *  - micro-batch streaming with snapshot-id offsets.
   */
 final class LakeBatchScan(location: String, table: LakeTable,
-    required: StructType, pushed: Array[Filter], startSnapshot: Option[Long])
+    required: StructType, pushed: Array[Filter], startSnapshot: Option[Long],
+    asOf: Option[Long] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics {
 
   private var runtime: Array[Filter] = Array.empty
 
+  // time travel: a pinned snapshot reads that version's file list
+  private def liveFiles: Seq[DataFileMeta] =
+    asOf.map(table.files(_)).getOrElse(table.files())
+
   private def prunedFiles: Seq[DataFileMeta] =
-    table.files().filter(f =>
+    liveFiles.filter(f =>
       (pushed.iterator ++ runtime.iterator)
         .forall(LakeStatsPruning.accept(table.spec, f, _)))
 
@@ -281,7 +289,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
     */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val files = table.files()
+    val files = liveFiles
     val statCovered = table.schema.fieldNames.filter { c =>
       files.nonEmpty && files.forall(f => f.stats.get(c).exists(s =>
         s.longMin.isDefined || s.strMin.isDefined))

@@ -28,12 +28,19 @@ import org.apache.spark.sql.types.StructType
   * the sink (they were never referenced by any manifest).
   */
 final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
-  extends WriteBuilder {
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateRequested = false
+
+  /** mode("overwrite"): replace the table's contents in one CoW rewrite
+    * commit (prior snapshots keep time-traveling to the old files).
+    */
+  override def truncate(): WriteBuilder = { truncateRequested = true; this }
 
   override def build(): Write = new Write {
     private def spec = LakeTable.load(location).spec
     override def toBatch: BatchWrite =
-      new LakeBatchWrite(location, info.schema(), spec)
+      new LakeBatchWrite(location, info.schema(), spec, truncateRequested)
     override def toStreaming: StreamingWrite =
       new LakeStreamingWrite(location, info.schema(), spec, info.queryId())
   }
@@ -55,12 +62,13 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
 final class LakeBatchWrite(location: String, schema: StructType,
-    spec: TruncateSpec) extends BatchWrite {
+    spec: TruncateSpec, truncate: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.collect(messages)
-    if (files.nonEmpty) LakeTable.load(location).append(files)
+    if (truncate) LakeTable.load(location).overwrite(files)
+    else if (files.nonEmpty) LakeTable.load(location).append(files)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     LakeWriteCommit.deleteAll(LakeWriteCommit.collect(messages))

@@ -1,0 +1,91 @@
+package graft.lake.dsv2
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+/** Pure-SQL surface through the V2 catalog: DDL with the truncate
+  * partition transform, positional INSERT, time travel, overwrite, and
+  * namespace listing — no Scala API calls anywhere in the consumer path.
+  */
+class LakeCatalogSpec extends SparkSpec {
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (5666666L + i) * Width
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("lake-warehouse")
+    spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.warehouse", w)
+    w
+  }
+
+  test("SQL DDL + INSERT + SELECT + time travel round-trip") {
+    val w = warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.events (
+         |  message_id BIGINT, data STRING, timestamp TIMESTAMP,
+         |  timeperiod_loadedBy BIGINT, message_body BINARY)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    assert(LakeTable.exists(s"$w/ns/events"))
+
+    spark.sql(
+      s"""INSERT INTO lake.ns.events SELECT
+         |  id, md5(cast(id AS STRING)), timestamp_micros(${bucket(0)} + id),
+         |  ${bucket(0)}L, cast(md5(cast(id AS STRING)) AS BINARY)
+         |FROM range(0, 50)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO lake.ns.events SELECT
+         |  id, md5(cast(id AS STRING)), timestamp_micros(${bucket(1)} + id),
+         |  ${bucket(1)}L, cast(md5(cast(id AS STRING)) AS BINARY)
+         |FROM range(0, 30)""".stripMargin)
+
+    assert(spark.sql("SELECT count(*) FROM lake.ns.events").head.getLong(0) == 80)
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.ns.events WHERE timeperiod_loadedBy = ${bucket(1)}"
+    ).head.getLong(0) == 30)
+
+    // time travel to the first INSERT's snapshot
+    assert(spark.sql("SELECT count(*) FROM lake.ns.events VERSION AS OF 1")
+      .head.getLong(0) == 50)
+    // a future timestamp resolves to the current snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.ns.events TIMESTAMP AS OF '2030-01-01 00:00:00'"
+    ).head.getLong(0) == 80)
+
+    // INSERT OVERWRITE = one CoW rewrite commit
+    spark.sql(
+      s"""INSERT OVERWRITE lake.ns.events SELECT
+         |  id, md5(cast(id AS STRING)), timestamp_micros(${bucket(2)} + id),
+         |  ${bucket(2)}L, cast(md5(cast(id AS STRING)) AS BINARY)
+         |FROM range(0, 10)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lake.ns.events").head.getLong(0) == 10)
+    // prior version still readable
+    assert(spark.sql("SELECT count(*) FROM lake.ns.events VERSION AS OF 2")
+      .head.getLong(0) == 80)
+
+    assert(spark.sql("SHOW TABLES IN lake.ns").collect()
+      .map(_.getString(1)).contains("events"))
+    spark.sql("DROP TABLE lake.ns.events")
+    assert(!LakeTable.exists(s"$w/ns/events"))
+  }
+
+  test("CREATE TABLE without the truncate transform is rejected") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE lake.ns.bad (a BIGINT, b STRING)")
+    }
+    assert(e.getMessage.contains("truncate"))
+  }
+
+  test("catalog rename preserves table content") {
+    val w = warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.src (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO lake.ns.src SELECT id, ${bucket(0)}L FROM range(0, 7)")
+    spark.sql("ALTER TABLE lake.ns.src RENAME TO ns.dst")
+    assert(!LakeTable.exists(s"$w/ns/src"))
+    assert(spark.sql("SELECT count(*) FROM lake.ns.dst").head.getLong(0) == 7)
+    spark.sql("DROP TABLE lake.ns.dst")
+  }
+}

@@ -111,6 +111,21 @@ class LakeSinkSpec extends SparkSpec {
     assert(t.refresh().toDF(spark).count() == 20)
   }
 
+  test("mode(overwrite) replaces contents in one rewrite commit, keeps time travel") {
+    val t = newTable()
+    LakeWriter.generateBatch(spark, 40, bucket(0), seed = 9)
+      .write.format("laketable").mode("append").save(t.location)
+    val snapAfterAppend = t.refresh().currentSnapshotId
+    LakeWriter.generateBatch(spark, 15, bucket(1), seed = 10)
+      .write.format("laketable").mode("overwrite").save(t.location)
+    val t2 = t.refresh()
+    assert(t2.toDF(spark).count() == 15)
+    assert(t2.files().forall(_.partitionValue == bucket(1)))
+    // CoW: the pre-overwrite snapshot still reads the original 40 rows
+    assert(t2.snapshotDF(spark, snapAfterAppend).count() == 40)
+    assert(t2.tableMeta.snapshot(t2.currentSnapshotId).get.operation == "rewrite")
+  }
+
   test("batch append rejects NULL partition values with a clear error") {
     val t = newTable()
     val bad = LakeWriter.generateBatch(spark, 3, bucket(0), seed = 8)
