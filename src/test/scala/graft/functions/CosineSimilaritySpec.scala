@@ -55,4 +55,16 @@ class CosineSimilaritySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // inside a codegen stage
   }
+
+  test("GraftExtensions injects the identical builder without error") {
+    // the injection target a conf-driven session would use at build time
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must register cleanly
+    // arity guard matches the registry-path builder
+    CosineSimilarity.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(cast(1.0 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
