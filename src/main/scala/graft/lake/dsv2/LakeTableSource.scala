@@ -42,8 +42,27 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
 
 final class LakeDsTable(location: String, asOf: Option[Long] = None)
   extends Table
-  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private lazy val table = LakeTable.load(location)
+
+  /** SQL `DELETE FROM`: pushed filters become one predicate Column for the
+    * table's copy-on-write deleteWhere — metadata-only when whole files
+    * match (the reference's aligned retention delete, A21), row-rewrite
+    * otherwise. Unconvertible filters reject the pushdown so Spark errors
+    * instead of deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(LakeDsTable.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.foldLeft(lit(true)) { (acc, f) =>
+      acc && LakeDsTable.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"cannot delete by $f"))
+    }
+    table.deleteWhere(org.apache.spark.sql.SparkSession.active, pred)
+  }
 
   override def name(): String = s"laketable.`$location`"
   override def schema(): StructType = table.schema
@@ -60,6 +79,35 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     : org.apache.spark.sql.connector.write.WriteBuilder =
     new LakeWriteBuilder(location, info)
+}
+
+object LakeDsTable {
+  /** V2 Filter → Column, for the SQL DELETE path. Returns None for shapes
+    * deleteWhere cannot faithfully evaluate (delete must never guess).
+    */
+  private[dsv2] def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, p) => Some(col(c).startsWith(p))
+      case StringEndsWith(c, p) => Some(col(c).endsWith(p))
+      case StringContains(c, p) => Some(col(c).contains(p))
+      case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+      case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+      case Not(x) => toColumn(x).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 /** Filter pushdown = manifest pruning. Filters over the partition column

@@ -68,6 +68,27 @@ class LakeCatalogSpec extends SparkSpec {
     assert(!LakeTable.exists(s"$w/ns/events"))
   }
 
+  test("SQL DELETE FROM: row-level CoW delete with NULL-safe semantics") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.del (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO lake.ns.del SELECT id,
+         |  CASE WHEN id % 5 = 0 THEN NULL ELSE id END, ${bucket(0)}L
+         |FROM range(0, 20)""".stripMargin)
+    spark.sql("DELETE FROM lake.ns.del WHERE v >= 10")
+    // NULL v rows must SURVIVE (predicate not satisfied), ids 10..19 minus
+    // the null-v multiples of 5 are gone
+    val left = spark.sql("SELECT message_id FROM lake.ns.del ORDER BY 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == (0L to 9L) ++ Seq(10L, 15L))
+    // partition-aligned delete drops whole files without rewrite
+    spark.sql(s"DELETE FROM lake.ns.del WHERE timeperiod_loadedBy < ${bucket(1)}")
+    assert(spark.sql("SELECT count(*) FROM lake.ns.del").head.getLong(0) == 0)
+    spark.sql("DROP TABLE lake.ns.del")
+  }
+
   test("CREATE TABLE without the truncate transform is rejected") {
     warehouse
     val e = intercept[Exception] {
