@@ -64,6 +64,18 @@ class LakeCatalog extends TableCatalog {
     LakeTable.exists(location(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: SELECT * FROM lake.ns.t$files
+    ident.name().split('$') match {
+      case Array(base, suffix) =>
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
+        return suffix match {
+          case "files" => new LakeFilesMetaTable(location(baseIdent))
+          case "snapshots" => new LakeSnapshotsMetaTable(location(baseIdent))
+          case _ => throw new NoSuchTableException(ident)
+        }
+      case _ => ()
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new LakeDsTable(location(ident))
   }

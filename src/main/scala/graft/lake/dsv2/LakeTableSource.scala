@@ -36,8 +36,19 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
     LakeTable.load(location(options)).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new LakeDsTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    // properties preserves the caller's key case — match case-insensitively
+    new LakeDsTable(properties.get("path"), {
+      val it = properties.entrySet().iterator()
+      var found: Option[Long] = None
+      while (it.hasNext && found.isEmpty) {
+        val e = it.next()
+        if (e.getKey.equalsIgnoreCase("snapshotId"))
+          found = Some(e.getValue.toLong)
+      }
+      found
+    })
+  }
 }
 
 final class LakeDsTable(location: String, asOf: Option[Long] = None)

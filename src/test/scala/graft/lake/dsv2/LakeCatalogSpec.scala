@@ -97,6 +97,32 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("truncate"))
   }
 
+  test("metadata tables: $files and $snapshots over SQL; snapshotId read option") {
+    val w = warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.meta (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.meta SELECT id, ${bucket(0)}L FROM range(0, 8)")
+    spark.sql(s"INSERT INTO lake.ns.meta SELECT id, ${bucket(1)}L FROM range(0, 4)")
+
+    val files = spark.sql(
+      "SELECT partition_value, sum(row_count) rc FROM lake.ns.`meta$files` " +
+        "GROUP BY 1 ORDER BY 1").collect()
+    assert(files.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((bucket(0), 8L), (bucket(1), 4L)))
+
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM lake.ns.`meta$snapshots` ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq((0L, "create"), (1L, "append"), (2L, "append")))
+
+    // path-based snapshot pin matches VERSION AS OF
+    val pinned = spark.read.format("laketable")
+      .option("snapshotId", "1").load(s"$w/ns/meta").count()
+    assert(pinned == 8)
+    spark.sql("DROP TABLE lake.ns.meta")
+  }
+
   test("catalog rename preserves table content") {
     val w = warehouse
     spark.sql(
