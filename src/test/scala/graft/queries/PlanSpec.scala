@@ -76,6 +76,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Filter"), p)
   }
 
+  test("D1c: near-dup canon side broadcasts; corpus side never shuffles pre-join") {
+    val p = plan(PipelineQueries.d01_dedup_embed(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // exactly the window + final sort shuffles — no shuffle feeding the join
+    val joinIdx = p.indexOf("Join")
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(joinIdx >= 0)
+    assert(firstExchange < 0 || firstExchange > joinIdx,
+      s"corpus side shuffled before the broadcast join:\n$p")
+  }
+
+  test("D2-IVF: cell assignment is map-side; candidates come from a broadcast join") {
+    val p = plan(PipelineQueries.d02_ann_ivf(spark, dir))
+    assert(p.contains("BroadcastExchange"), p) // probe-cells side broadcast
+    // the corpus assignment path must carry no Window/shuffle of its own:
+    // only the probe-side explode + the final refine window may shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected at most the refine-window shuffle, got $shuffles:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
