@@ -317,6 +317,64 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D4f — training-mix curation: per-language top-5 documents by quality
+  // score (avg token length; IEEE division is bit-identical across
+  // engines, doc_id tie-break totalizes the order). The per-lang window is
+  // the canonical "curate a balanced mix" primitive — shuffle keyed on
+  // lang, no global sort of the corpus.
+  def d04_curation(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      (col("n_chars").cast("double") / size(toks)).as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_tok"),
+        dec4(col("score")).as("score"))
+      .orderBy("lang", "rnk")
+  }
+
+  // D4g — token-budget packing: walk each language's docs in quality order
+  // and keep them until the running token total crosses the budget — "fill
+  // N tokens per language from the best documents first". Integer running
+  // sum (exact in both engines) over one per-lang window shuffle.
+  def d04_budget_pack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 3000L
+    val toks = tokens(col("text"))
+    val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      (col("n_chars").cast("double") / size(toks)).as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
+      .orderBy("lang", "cum_tok", "doc_id")
+  }
+
+  // D3d — benchmark-contamination check: train docs (id >= 20) sharing at
+  // least two distinct 3-gram shingles with any eval doc (id < 20). The
+  // shingle equi-join is linear in shingle count — the standard
+  // decontamination pass, not an all-pairs scan.
+  def d03_contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      """CASE WHEN size(split(text, ' ')) < 3 THEN array()
+        |ELSE array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) END"""
+        .stripMargin)
+    val docs = t(s, dir, "documents").select(col("doc_id"), explode(grams).as("g"))
+    val evalSet = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val train = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("train_id"), col("g"))
+    train.join(evalSet, "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 2)
+      .orderBy("train_id", "eval_id")
+  }
+
   // D4e — n-gram language ID: score = fraction of a doc's bigrams that are
   // among its language's globally most-frequent bigrams. Engine-side
   // heuristic (argmax over per-lang profiles) → no SQL oracle; its spec
@@ -390,6 +448,9 @@ object PipelineQueries {
     "d04_fingerprint" -> d04_fingerprint _,
     "d04_quality" -> d04_quality _,
     "d04_langid" -> d04_langid _,
+    "d04_curation" -> d04_curation _,
+    "d04_budget_pack" -> d04_budget_pack _,
+    "d03_contamination" -> d03_contamination _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -473,6 +534,50 @@ object PipelineQueries {
         |         unnest(string_split(text, ' ')) AS tok
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d04_curation" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id, n_tok, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT lang, rnk, doc_id, n_tok,
+        |  CAST(CAST(round(score, 4) AS DECIMAL(28,4)) AS DOUBLE) AS score
+        |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "d04_budget_pack" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tok
+        |  FROM scored)
+        |SELECT lang, doc_id, n_tok, cum_tok FROM packed
+        |WHERE cum_tok <= 3000 ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    "d03_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, CAST(generate_subscripts(tk, 1) AS INT) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+        |  FROM idx WHERE i <= len(tk) - 2)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  CAST(COUNT(*) AS BIGINT) AS overlap
+        |FROM grams t JOIN grams e ON t.g = e.g
+        |WHERE t.doc_id >= 20 AND e.doc_id < 20
+        |GROUP BY train_id, eval_id HAVING COUNT(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
     "d04_quality" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
