@@ -123,6 +123,17 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.meta")
   }
 
+  test("CREATE TABLE AS SELECT lands query output through the sink") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.ctas
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))
+         |AS SELECT id AS message_id, ${bucket(0)}L AS timeperiod_loadedBy
+         |FROM range(0, 12)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lake.ns.ctas").head.getLong(0) == 12)
+    spark.sql("DROP TABLE lake.ns.ctas")
+  }
+
   test("catalog rename preserves table content") {
     val w = warehouse
     spark.sql(
