@@ -345,11 +345,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * the sort columns and a point/range predicate prunes to one of them —
     * the manifest-level payoff that makes stats pruning effective after
     * ingest has scattered every key range across every small file.
+    * `zorderBy` sorts by a Morton curve over the listed long columns
+    * instead ([[graft.functions.ZOrder]]): files then carry bounded stat
+    * ranges on EVERY listed dimension, so predicates on any of them prune
+    * — the multi-dimensional variant a single lexicographic sort cannot
+    * provide (its second column's range spans every file).
     * Returns the new snapshot id, or -1 if nothing qualified.
     */
   def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
       minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Long = {
+      maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
     val candidates = files()
       .filter(_.sizeBytes < smallFileBytes)
       .groupBy(_.partitionValue)
@@ -357,8 +362,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .values.flatten.toSeq
     if (candidates.isEmpty) return -1L
     val rows = LakeTable.readFiles(spark, schema, candidates.map(_.path))
+    // z-order: per-dimension min/max from manifest stats (no data pass);
+    // a column missing a stat on any candidate falls back to one tiny
+    // min/max aggregate over the rows being rewritten
+    val zKey: Seq[org.apache.spark.sql.Column] =
+      if (zorderBy.isEmpty) Nil
+      else Seq(graft.functions.ZOrder.zvalue(zorderBy.map { c =>
+        val los = candidates.map(_.stats.get(c).flatMap(_.longMin))
+        val his = candidates.map(_.stats.get(c).flatMap(_.longMax))
+        val (lo, hi) =
+          if (los.forall(_.isDefined) && his.forall(_.isDefined))
+            (los.flatten.min, his.flatten.max)
+          else {
+            val r = rows.agg(org.apache.spark.sql.functions.min(c),
+              org.apache.spark.sql.functions.max(c)).head
+            (r.getLong(0), r.getLong(1))
+          }
+        (org.apache.spark.sql.functions.col(c), lo, hi)
+      }))
     val rewritten = LakeWriter.writeDataFiles(rows, this,
-      sortBy = sortBy, maxRecordsPerFile = maxRecordsPerFile)
+      sortBy = sortBy, maxRecordsPerFile = maxRecordsPerFile,
+      sortExprs = zKey)
     val replaced = candidates.map(_.path).toSet
     retryCommit("compact") { () =>
       val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten

@@ -77,7 +77,8 @@ object LakeWriter {
     */
   def writeDataFiles(df: DataFrame, table: LakeTable,
       filesPerPartition: Int = 1, sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Seq[DataFileMeta] = {
+      maxRecordsPerFile: Long = 0L,
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[DataFileMeta] = {
     val spark = df.sparkSession
     val spec = table.spec
     val conf = new Configuration()
@@ -100,11 +101,13 @@ object LakeWriter {
         pmod(col("message_id"), lit(filesPerPartition)))
     // clustering: sort inside each partition task so the writer's
     // maxRecordsPerFile splits produce files with DISJOINT sort-column
-    // ranges (each file then prunes independently via footer stats)
+    // ranges (each file then prunes independently via footer stats);
+    // sortExprs carries computed keys (e.g. a z-order curve) that must
+    // order the rows without being written to the files
+    val keys = sortExprs ++ sortBy.map(col)
     val clustered =
-      if (sortBy.isEmpty) repartitioned
-      else repartitioned.sortWithinPartitions(
-        (col("__part") +: sortBy.map(col)): _*)
+      if (keys.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions((col("__part") +: keys): _*)
     val writer = clustered.write.partitionBy("__part")
     val sized =
       if (maxRecordsPerFile > 0)

@@ -118,16 +118,19 @@ object Main {
 
       case "compact" => // our extension: bin-pack small data files;
         // GRAFT_COMPACT_SORT=col1,col2 [+ GRAFT_COMPACT_MAX_RECORDS] turns
-        // it into a clustering rewrite (disjoint stat ranges per output file)
+        // it into a clustering rewrite (disjoint stat ranges per output
+        // file); GRAFT_COMPACT_ZORDER=colA,colB z-orders instead (range
+        // predicates prune on EVERY listed dimension)
         val s = spark()
         val table = LakeTable.load(loc)
-        val sortBy = sys.env.get("GRAFT_COMPACT_SORT")
+        def cols(k: String) = sys.env.get(k)
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
         val maxRecords = sys.env.get("GRAFT_COMPACT_MAX_RECORDS")
           .map(_.toLong).getOrElse(0L)
-        val snap = table.compactFiles(s, sortBy = sortBy,
-          maxRecordsPerFile = maxRecords)
+        val snap = table.compactFiles(s, sortBy = cols("GRAFT_COMPACT_SORT"),
+          maxRecordsPerFile = maxRecords,
+          zorderBy = cols("GRAFT_COMPACT_ZORDER"))
         println(if (snap >= 0) s"compacted into snapshot $snap" else "nothing to compact")
 
       case "reaper" =>

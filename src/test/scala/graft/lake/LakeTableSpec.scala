@@ -217,6 +217,47 @@ class LakeTableSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 300)
   }
 
+  test("z-order compaction prunes on BOTH dimensions; lexicographic only on the first") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def grid(loc: String): LakeTable = {
+      LakeTable.drop(loc)
+      val t = LakeTable.create(loc, "a BIGINT, b BIGINT, p BIGINT",
+        TruncateSpec("p", 1000L))
+      // 64x64 independent grid in ONE partition bucket, scattered over
+      // 4 ingest files so every file initially spans both full ranges
+      for (s <- 0 until 4)
+        t.append(LakeWriter.writeDataFiles(
+          spark.range(0, 4096).filter(col("id") % 4 === s).selectExpr(
+            "id % 64 AS a", "CAST(id / 64 AS BIGINT) AS b", "0L AS p"), t))
+      t
+    }
+    def plannedFiles(t: LakeTable, pred: org.apache.spark.sql.Column): Int = {
+      val c = spark.read.format("laketable").load(t.location)
+        .filter(pred).count() // executes the scan -> metrics updated
+      assert(c > 0)
+      graft.lake.dsv2.LakeScanMetrics.lastPlannedFiles
+    }
+    // z-order: quadrant files -> both dims prune to half the files
+    val tz = grid(tmpDir("laketable-zorder"))
+    val rowsDf = tz.toDF(spark)
+    assert(rowsDf.count() == 4096)
+    assert(tz.compactFiles(spark, zorderBy = Seq("a", "b"),
+      maxRecordsPerFile = 1024) > 0)
+    assert(tz.toDF(spark).count() == 4096)
+    val zA = plannedFiles(tz, col("a") < 16)
+    val zB = plannedFiles(tz, col("b") < 16)
+    assert(zA <= 2, s"z-order a-pruning planned $zA files")
+    assert(zB <= 2, s"z-order b-pruning planned $zB files")
+    // lexicographic (a, b): a prunes, b cannot (every file spans all b)
+    val tl = grid(tmpDir("laketable-lexsort"))
+    assert(tl.compactFiles(spark, sortBy = Seq("a", "b"),
+      maxRecordsPerFile = 1024) > 0)
+    val lA = plannedFiles(tl, col("a") < 16)
+    val lB = plannedFiles(tl, col("b") < 16)
+    assert(lA <= 2, s"lex a-pruning planned $lA files")
+    assert(lB == 4, s"lex b-pruning should NOT prune, planned $lB files")
+  }
+
   test("manifest compaction merges at the min-count-to-merge threshold") {
     val loc = tmpDir("laketable-merge")
     LakeTable.drop(loc)
