@@ -84,7 +84,8 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(location, table,
-      Option(options.get("startSnapshotId")).map(_.toLong), asOf)
+      Option(options.get("startSnapshotId")).map(_.toLong), asOf,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -127,7 +128,8 @@ object LakeDsTable {
   * optimization, never a correctness dependency).
   */
 final class LakeScanBuilder(location: String, table: LakeTable,
-    startSnapshot: Option[Long], asOf: Option[Long] = None)
+    startSnapshot: Option[Long], asOf: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -147,8 +149,12 @@ final class LakeScanBuilder(location: String, table: LakeTable,
   /** Manifest-aggregate pushdown (SURVEY §4): COUNT(*)/MIN/MAX over
     * stats-covered long columns are answered from manifest metadata — no
     * data file is ever opened. Partial pushdown: one row per data file,
-    * Spark runs the final combine. Declined whenever filters are present
-    * (they're evaluated row-level) or any file lacks the needed stat.
+    * Spark runs the final combine. GROUP BY the partition column is also
+    * supported (each data file belongs to exactly one bucket, so per-file
+    * rows keyed by partition value re-aggregate correctly) — "rows per
+    * 5-minute bucket", the reference's operational query, becomes
+    * metadata-only. Declined whenever filters are present (they're
+    * evaluated row-level) or any file lacks the needed stat.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
@@ -157,7 +163,13 @@ final class LakeScanBuilder(location: String, table: LakeTable,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
+    val groupByPart = agg.groupByExpressions.toSeq match {
+      case Nil => false
+      case Seq(n: NamedReference)
+        if n.fieldNames.sameElements(Array(table.spec.column)) => true
+      case _ => return false // any other grouping: full row-level path
+    }
     val files = asOf.map(table.files(_)).getOrElse(table.files())
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -188,9 +200,15 @@ final class LakeScanBuilder(location: String, table: LakeTable,
         case _ => None
       }
     if (plans.exists(_.isEmpty) || plans.isEmpty) return false
-    val fields = plans.map(_.get._1)
-    val rows = files.map(f => plans.map(_.get._2(f)))
-    aggRows = Some((StructType(fields), rows))
+    // group-by pushdown contract: grouping columns lead the output row
+    val groupFields =
+      if (!groupByPart) Nil
+      else Seq(StructField(table.spec.column,
+        fieldType(table.spec.column).getOrElse(LongType), nullable = false))
+    val fields = groupFields ++ plans.map(_.get._1)
+    val rows = files.map(f =>
+      (if (groupByPart) Seq(f.partitionValue) else Nil) ++ plans.map(_.get._2(f)))
+    aggRows = Some((StructType(fields.toArray), rows))
     true
   }
 
@@ -207,7 +225,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
       }
     }
     case None =>
-      new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf)
+      new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf,
+        maxFilesPerTrigger)
   }
 }
 
@@ -318,7 +337,7 @@ object LakeScanMetrics {
   */
 final class LakeBatchScan(location: String, table: LakeTable,
     required: StructType, pushed: Array[Filter], startSnapshot: Option[Long],
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics {
 
@@ -387,7 +406,8 @@ final class LakeBatchScan(location: String, table: LakeTable,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L))
+    new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L),
+      maxFilesPerTrigger)
 }
 
 /** One row of pre-aggregated manifest values per data file (all long-domain). */
@@ -625,13 +645,64 @@ final case class SnapshotOffset(id: Long) extends Offset {
 }
 
 final class LakeMicroBatchStream(location: String, schema: StructType,
-    startSnapshotId: Long) extends MicroBatchStream {
+    startSnapshotId: Long, maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def table: LakeTable = LakeTable.load(location)
+
+  // Trigger.AvailableNow: the engine's generic wrapper DISCARDS read
+  // limits for sources that don't implement SupportsTriggerAvailableNow
+  // (it logs a warning and reads allAvailable), so we implement it
+  // natively — capture the catch-up target here and drain to it in
+  // bounded batches.
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(table.currentSnapshotId)
 
   override def initialOffset(): Offset = SnapshotOffset(startSnapshotId)
   override def latestOffset(): Offset = SnapshotOffset(table.currentSnapshotId)
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
+
+  /** Admission control: cap a micro-batch at maxFilesPerTrigger data files
+    * so a backlog restart (or a bursty committer) drains as bounded
+    * batches instead of one giant catch-up batch — snapshot granularity,
+    * always advancing at least one snapshot so the stream can't stall on
+    * a single oversized commit.
+    */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxFiles(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val t = table
+    val from = start.asInstanceOf[SnapshotOffset].id
+    val target = availableNowBound.getOrElse(t.currentSnapshotId)
+    limit match {
+      case m: ReadMaxFiles =>
+        val pending =
+          t.snapshots.map(_.id).filter(id => id > from && id <= target).sorted
+        var end = from
+        var files = 0
+        var stopped = false
+        for (id <- pending if !stopped) {
+          val added = t.addedFilesBetween(end, id).size
+          if (end == from || files + added <= m.maxFiles()) {
+            end = id
+            files += added
+          } else stopped = true
+        }
+        SnapshotOffset(end)
+      case _ => SnapshotOffset(target)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val t = table

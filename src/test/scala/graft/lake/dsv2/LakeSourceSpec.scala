@@ -235,6 +235,29 @@ class LakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("manifest-aggregate pushdown: GROUP BY the partition column is metadata-only") {
+    val t = newTable()
+    appendBatch(t, 100, bucket(0), 1)
+    appendBatch(t, 50, bucket(1), 2)
+    appendBatch(t, 25, bucket(1), 3) // second file in the same bucket
+    t.files().foreach(f => assert(new java.io.File(f.path).delete()))
+    // "rows per 5-minute bucket" — the reference's operational query —
+    // answered with every data file physically gone
+    val rows = spark.read.format("laketable").load(t.location)
+      .groupBy("timeperiod_loadedBy")
+      .agg(count(lit(1)).as("cnt"), max("message_id").as("mx"))
+      .orderBy("timeperiod_loadedBy")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((bucket(0), 100L, 99L), (bucket(1), 75L, 49L)))
+    // grouping by a NON-partition column must fall back (and thus fail on
+    // the destroyed files instead of fabricating an answer)
+    intercept[Exception] {
+      spark.read.format("laketable").load(t.location)
+        .groupBy("data").agg(count(lit(1))).collect()
+    }
+  }
+
   test("micro-batch stream: snapshot-id offsets deliver added files per commit") {
     val t = newTable()
     val s1 = appendBatch(t, 10, bucket(0), 1)
@@ -260,5 +283,29 @@ class LakeSourceSpec extends SparkSpec {
     appendBatch(t, 5, bucket(2), 3)
     runAvailable()
     assert(spark.table(name).head.getLong(0) == 35)
+  }
+
+  test("admission control: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val t = newTable()
+    // 4-commit backlog, one file each, BEFORE the stream starts
+    val totals = Seq(10L, 20L, 5L, 8L)
+    totals.zipWithIndex.foreach { case (n, i) => appendBatch(t, n, bucket(i), i + 1) }
+    var batches = Vector.empty[Long]
+    val q = spark.readStream.format("laketable")
+      .option("startSnapshotId", "0")
+      .option("maxFilesPerTrigger", "1")
+      .load(t.location)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches = batches :+ df.count()
+        ()
+      }
+      .option("checkpointLocation", tmpDir("dsv2-admctl") + "/c")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // one snapshot (= one file) per micro-batch, nothing lost
+    assert(batches.filter(_ > 0) == totals.toVector,
+      s"expected one bounded batch per commit, got $batches")
   }
 }
