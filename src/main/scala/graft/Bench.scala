@@ -30,8 +30,9 @@ object Bench {
     "b01_scan", "b08_filter", "b09_join_inner", "b10_join_broadcast",
     "b11_join_left", "b14_range_join", "b17_q1", "b18_distinct_agg",
     "b20_rollup", "b22_window_rank", "b25_sort_topk", "b29_dedup",
-    "b33_pivot", "c04_array", "d01_dedup_exact", "d02_cosine_topk",
-    "d03_minhash_lsh", "d04_token_topn", "d04_fingerprint")
+    "b33_pivot", "c04_array", "d01_dedup_exact", "d01_dedup_embed",
+    "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
+    "d04_token_topn", "d04_fingerprint", "d04_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,6 +123,26 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.meta")
   }
 
+  test("readStream.table streams from a catalog-resolved laketable") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.srcstream (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO lake.ns.srcstream SELECT id, ${bucket(0)}L FROM range(0, 9)")
+    val name = "catstream" + System.nanoTime()
+    val q = spark.readStream.table("lake.ns.srcstream")
+      .groupBy().count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("cat-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table(name).head.getLong(0) == 9)
+    spark.sql("DROP TABLE lake.ns.srcstream")
+  }
+
   test("CREATE TABLE AS SELECT lands query output through the sink") {
     warehouse
     spark.sql(
