@@ -37,8 +37,31 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
     */
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with RequiresDistributionAndOrdering {
     private def spec = LakeTable.load(location).spec
+
+    /** Cluster incoming rows by the partition column and sort within each
+      * task, so each bucket's rows land in ONE writer instead of every
+      * task opening a file per bucket it happens to see — without this an
+      * N-task insert over K buckets writes N×K small files; with it, K.
+      * (Identity clustering: the transform groups ranges of the column, so
+      * same-value co-location implies same-bucket co-location.)
+      */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(spec.column)))
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(spec.column),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+    override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
+
     override def toBatch: BatchWrite =
       new LakeBatchWrite(location, info.schema(), spec, truncateRequested)
     override def toStreaming: StreamingWrite =

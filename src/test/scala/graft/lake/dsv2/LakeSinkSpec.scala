@@ -161,6 +161,27 @@ class LakeSinkSpec extends SparkSpec {
     assert(d2.toDF(spark).filter(col("data") =!= upper(col("data"))).count() == 0)
   }
 
+  test("write distribution: K buckets from many tasks produce K files, not tasks x K") {
+    val t = newTable()
+    // rows for 3 buckets spread across every input task — without the
+    // required distribution each task would write its own file per bucket
+    spark.range(0, 3000)
+      .repartition(8) // deliberately scatter
+      .selectExpr(
+        "id AS message_id", "md5(cast(id AS STRING)) AS data",
+        s"timestamp_micros(${bucket(0)} + id) AS timestamp",
+        s"${bucket(0)}L + (id % 3) * ${Width}L AS timeperiod_loadedBy",
+        "cast(md5(cast(id AS STRING)) AS BINARY) AS message_body")
+      .write.format("laketable").mode("append").save(t.location)
+    val t2 = t.refresh()
+    assert(t2.toDF(spark).count() == 3000)
+    val byBucket = t2.files().groupBy(_.partitionValue)
+    assert(byBucket.size == 3)
+    byBucket.foreach { case (b, fs) =>
+      assert(fs.size == 1, s"bucket $b written as ${fs.size} files")
+    }
+  }
+
   test("batch append rejects NULL partition values with a clear error") {
     val t = newTable()
     val bad = LakeWriter.generateBatch(spark, 3, bucket(0), seed = 8)
