@@ -66,14 +66,32 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * manifests, so added files = manifests in s2 not in s1.
     */
   def addedFilesBetween(fromId: Long, toId: Long): Seq[DataFileMeta] = {
-    val fromM = meta.snapshot(fromId)
+    meta.snapshot(fromId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromId"))
-      .manifests.toSet
-    val toS = meta.snapshot(toId)
+    meta.snapshot(toId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId"))
-    val fromPaths = files(fromId).map(_.path).toSet
-    toS.manifests.filterNot(fromM.contains).flatMap(readManifest)
-      .filterNot(f => fromPaths.contains(f.path))
+    // Walk the chain and take net-new files from APPEND snapshots only.
+    // Rewrite (compaction / deleteWhere) and expire snapshots add no new
+    // ROWS — a naive from/to file-set diff would hand their rewritten
+    // files to incremental readers and re-deliver old data (the A25
+    // contract is appended data only, reference Writer.java:141-145).
+    val ids = meta.snapshots.map(_.id)
+      .filter(id => id > fromId && id <= toId).sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+    var prev = fromId
+    for (id <- ids) {
+      val s = meta.snapshot(id).get
+      if (s.operation == "append") {
+        val prevManifests =
+          meta.snapshot(prev).map(_.manifests.toSet).getOrElse(Set.empty)
+        val prevPaths = files(prev).map(_.path).toSet
+        out ++= s.manifests.filterNot(prevManifests.contains)
+          .flatMap(readManifest)
+          .filterNot(f => prevPaths.contains(f.path))
+      }
+      prev = id
+    }
+    out.distinctBy(_.path).toSeq
   }
 
   // ---- commit ------------------------------------------------------------

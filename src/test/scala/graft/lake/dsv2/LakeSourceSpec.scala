@@ -285,6 +285,31 @@ class LakeSourceSpec extends SparkSpec {
     assert(spark.table(name).head.getLong(0) == 35)
   }
 
+  test("incremental read skips rewrite snapshots (no re-delivery after compaction)") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), 1)
+    appendBatch(t, 20, bucket(0), 2)
+    val afterAppends = t.currentSnapshotId
+    // compaction rewrites both files into one NEW path — rows are the same
+    assert(t.compactFiles(spark, minInputFiles = 2) > 0)
+    appendBatch(t, 5, bucket(1), 3)
+    // batch incremental: only the 5 genuinely-new rows appear
+    assert(t.changesBetween(spark, afterAppends, t.currentSnapshotId).count() == 5)
+    // streaming: a reader that started before the compaction sees 35 rows
+    // total, never 65 (the rewritten 30 not re-delivered)
+    val name = "lakenodup" + System.nanoTime()
+    val q = spark.readStream.format("laketable")
+      .option("startSnapshotId", "0").load(t.location)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmpDir("dsv2-nodup") + "/c")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table(name).head.getLong(0) == 35)
+  }
+
   test("admission control: maxFilesPerTrigger drains a backlog in bounded batches") {
     val t = newTable()
     // 4-commit backlog, one file each, BEFORE the stream starts
