@@ -74,4 +74,56 @@ class ScenarioSpec extends SparkSpec {
     assert(onDisk == liveFiles(), "orphan files left after expiry")
     assert(table.toDF(spark).count() == expected - 5 * rowsPerBatch)
   }
+
+  test("writers || compactor || streaming reader: exactly-once through rewrites") {
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmpDir("scenario-stream")
+    LakeTable.drop(loc)
+    val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val rowsPerBatch = 100
+    // interleave appends and compactions: after this loop the live file
+    // set bears little resemblance to the appended one — only the SNAPSHOT
+    // LOG knows which rows are genuinely new
+    for (i <- 0 until 6) {
+      table.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, rowsPerBatch, bucket(i % 2),
+          seed = 500 + i), table, filesPerPartition = 2))
+      if (i % 2 == 1) table.compactFiles(spark, minInputFiles = 2)
+    }
+    val expected = 6L * rowsPerBatch
+    val ckpt = tmpDir("scenario-stream-ckpt")
+    val delivered =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[(Long, Long, String)]())
+    def drain(): Unit = {
+      val q = spark.readStream.format("laketable")
+        .option("startSnapshotId", "0")
+        .option("maxFilesPerTrigger", "2") // bounded catch-up while rewrites land
+        .load(loc)
+        .select("timeperiod_loadedBy", "message_id", "data")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            delivered.add((r.getLong(0), r.getLong(1), r.getString(2))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(delivered.size == expected,
+      s"stream delivered ${delivered.size} rows")
+    assert(delivered.asScala.toSet.size == expected,
+      "duplicate rows in streamed output")
+    // more appends + a final compaction; the checkpointed stream resumes
+    // and delivers exactly the new rows
+    table.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 50, bucket(3), seed = 600), table))
+    table.compactFiles(spark, minInputFiles = 2)
+    drain()
+    assert(delivered.size == expected + 50)
+    assert(delivered.asScala.toSet.size == expected + 50)
+  }
 }
