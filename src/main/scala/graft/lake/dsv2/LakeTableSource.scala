@@ -683,7 +683,13 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
     val t = table
-    val from = start.asInstanceOf[SnapshotOffset].id
+    // same expired-offset clamp as planInputPartitions: a checkpointed
+    // offset the Reaper has expired must resume, not crash-loop
+    def clamp(id: Long): Long =
+      if (t.tableMeta.snapshot(id).isDefined) id
+      else t.snapshots.map(_.id).filter(_ >= id).minOption
+        .getOrElse(t.currentSnapshotId)
+    val from = clamp(start.asInstanceOf[SnapshotOffset].id)
     val target = availableNowBound.getOrElse(t.currentSnapshotId)
     limit match {
       case m: ReadMaxFiles =>
