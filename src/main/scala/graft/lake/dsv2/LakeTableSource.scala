@@ -386,7 +386,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required.toDDL)
+    new LakeReaderFactory(required.toDDL, pushed ++ runtime)
 
   override def estimateStatistics(): Statistics = {
     val files = prunedFiles
@@ -500,7 +500,8 @@ object LakePartitionPacker {
   * row-at-a-time parquet-hadoop Group reader, which was a 10-50× scan
   * handicap for exactly the table the engine is about.
   */
-final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory {
+final class LakeReaderFactory(schemaDdl: String,
+    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
 
@@ -509,8 +510,43 @@ final class LakeReaderFactory(schemaDdl: String) extends PartitionReaderFactory 
   // per file: at many-small-file scale the per-file open cost must be I/O,
   // not conf parsing. The cached conf is read-only after construction and
   // shared across concurrent tasks (Configuration reads are thread-safe).
-  private lazy val cachedConf: org.apache.hadoop.conf.Configuration =
+  private lazy val baseConf: org.apache.hadoop.conf.Configuration =
     LakeReaderFactory.confFor(schemaDdl, schema)
+
+  /** Row-group predicate pushdown: pushed (and runtime) filters convert to
+    * a parquet FilterPredicate via Spark's own ParquetFilters, so the
+    * reader's footer pass skips row groups whose stats preclude a match —
+    * the intra-file analog of manifest pruning, and the payoff of
+    * clustering/z-order INSIDE surviving files. Safe by construction:
+    * pushFilters returns every filter for Spark-side re-evaluation, so
+    * this can only skip data parquet PROVES cannot match.
+    */
+  private lazy val cachedConf: org.apache.hadoop.conf.Configuration = {
+    if (filters.isEmpty || schema.isEmpty) baseConf
+    else {
+      val messageType = new org.apache.spark.sql.execution.datasources.parquet
+        .SparkToParquetSchemaConverter(
+          false, // writeLegacyParquetFormat
+          org.apache.spark.sql.internal.SQLConf.ParquetOutputTimestampType
+            .TIMESTAMP_MICROS,
+          false, // useFieldId
+          false  // variant annotation
+        ).convert(schema)
+      val pf = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFilters(messageType,
+          true, true, true, true, 10, false,
+          org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+            org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED, None))
+      val preds = filters.toSeq.flatMap(pf.createFilter(_))
+      if (preds.isEmpty) baseConf
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(baseConf)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf,
+          preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))
+        conf
+      }
+    }
+  }
 
   private def vectorizable: Boolean =
     schema.nonEmpty && schema.fields.forall(f => f.dataType match {

@@ -149,6 +149,39 @@ class LakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("row-group predicate pushdown skips non-matching row groups inside a file") {
+    val t = newTable()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("parquet.block.size", 64 * 1024) // many small row groups
+    try appendBatch(t, 2000, bucket(0), 77)
+    finally hconf.unset("parquet.block.size")
+    val f = t.files().head
+    val slice = LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes)
+    def rowsEmitted(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val factory = new LakeReaderFactory(t.schema.toDDL, filters)
+      val r = factory.createColumnarReader(LakeInputPartition(Seq(slice)))
+      var n = 0L
+      try while (r.next()) n += r.get().numRows() finally r.close()
+      n
+    }
+    val all = rowsEmitted(Array.empty)
+    assert(all == 2000)
+    // a point predicate: the reader itself must emit only the row group(s)
+    // whose footer stats admit id 100 — the rest never decode
+    val pruned = rowsEmitted(Array(
+      org.apache.spark.sql.sources.EqualTo("message_id", 100L)))
+    assert(pruned < all / 2, s"expected row-group skipping, reader emitted $pruned of $all")
+    assert(pruned >= 1)
+    // end-to-end correctness through the full scan
+    val df = spark.read.format("laketable").load(t.location)
+      .filter(col("message_id") === 100L)
+    assert(df.count() == 1)
+    // a filter over a bucket-constant column with equality that misses
+    val none = spark.read.format("laketable").load(t.location)
+      .filter(col("message_id") === -5L)
+    assert(none.count() == 0)
+  }
+
   test("manifest statistics: small laketable reports true size and auto-broadcasts") {
     val t = newTable()
     appendBatch(t, 100, bucket(0), 1)
