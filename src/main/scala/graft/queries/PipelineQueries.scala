@@ -368,7 +368,10 @@ object PipelineQueries {
       .select(col("doc_id").as("eval_id"), col("g"))
     val train = docs.filter(col("doc_id") >= 20)
       .select(col("doc_id").as("train_id"), col("g"))
-    train.join(evalSet, "g")
+    // eval side is the bounded benchmark set — broadcast it explicitly
+    // (post-explode size estimates are unreliable, and at corpus scale the
+    // train side must never shuffle)
+    train.join(broadcast(evalSet), "g")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= 2)
