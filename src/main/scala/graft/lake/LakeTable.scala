@@ -48,9 +48,24 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
   private def readManifest(name: String): Seq[DataFileMeta] = {
     val p = new Path(metaDir, name)
-    val in = fs.open(p)
-    try Json.manifestFromJson(new String(in.readAllBytes(), "UTF-8"))
-    finally in.close()
+    // Manifests are immutable by construction (every write mints a new
+    // UUID name), so parsed contents cache safely across queries — without
+    // this, EVERY planning pass re-parses the full inventory JSON on the
+    // driver, which at 10⁶ files is hundreds of MB per query. Bounded LRU:
+    // memory tops out near the live-inventory size (what one files() call
+    // transiently allocates anyway); expired manifests age out.
+    val key = p.toString
+    val cached = LakeTable.manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val in = fs.open(p)
+      val parsed =
+        try Json.manifestFromJson(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      LakeTable.manifestParses.incrementAndGet()
+      LakeTable.manifestCache.put(key, parsed)
+      parsed
+    }
   }
 
   /** All live data files at a snapshot (current by default). */
@@ -508,6 +523,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
 object LakeTable {
   import LakeFormat._
+
+  /** JVM-wide immutable-manifest cache (see readManifest) + a parse
+    * counter for test observability.
+    */
+  private[lake] val manifestCache: java.util.Map[String, Seq[DataFileMeta]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[DataFileMeta]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[DataFileMeta]]): Boolean =
+          size() > 128
+      })
+  private[lake] val manifestParses = new java.util.concurrent.atomic.AtomicLong
 
   private def fsFor(location: String) =
     new Path(location).getFileSystem(new Configuration())

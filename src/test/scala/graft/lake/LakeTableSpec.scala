@@ -258,6 +258,20 @@ class LakeTableSpec extends SparkSpec {
     assert(lB == 4, s"lex b-pruning should NOT prune, planned $lB files")
   }
 
+  test("immutable manifests parse once; repeat planning hits the cache") {
+    val t = newTable()
+    for (s <- 1 to 3) appendBatch(t, 10, bucket(s), seed = 40 + s)
+    t.files() // warm every manifest
+    val before = LakeTable.manifestParses.get()
+    t.files(); t.files(1); t.filesDF(spark) // filesDF parses executor-side
+    assert(LakeTable.manifestParses.get() == before,
+      "repeat planning re-parsed cached manifests")
+    // a new commit's manifest is a NEW name -> exactly one more parse
+    appendBatch(t, 5, bucket(9), seed = 44)
+    t.files()
+    assert(LakeTable.manifestParses.get() == before + 1)
+  }
+
   test("manifest compaction merges at the min-count-to-merge threshold") {
     val loc = tmpDir("laketable-merge")
     LakeTable.drop(loc)
