@@ -33,12 +33,63 @@ import scala.jdk.CollectionConverters._
   * state, so a catalog is just a *name resolver* — exactly the coupling
   * the reference has between its catalog and HadoopTables.
   */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
 
   override def name(): String = catalogName
+
+  // ---- namespaces: plain warehouse directories ---------------------------
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new Path(warehouse)
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !LakeTable.exists(s.getPath.toUri.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      Array.empty // single-level namespaces
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    p.getFileSystem(new Configuration()).exists(p)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    p.getFileSystem(new Configuration()).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("laketable namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+    val p = nsPath(namespace)
+    p.getFileSystem(new Configuration()).delete(p, true)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

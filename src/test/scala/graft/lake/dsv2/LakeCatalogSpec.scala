@@ -154,6 +154,23 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.ctas")
   }
 
+  test("namespace DDL: create, list, drop") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nstest")
+    assert(spark.sql("SHOW NAMESPACES IN lake").collect()
+      .map(_.getString(0)).contains("nstest"))
+    spark.sql(
+      s"""CREATE TABLE lake.nstest.t1 (a BIGINT, p BIGINT)
+         |PARTITIONED BY (truncate(1000, p))""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN lake.nstest").collect()
+      .map(_.getString(1)).contains("t1"))
+    intercept[Exception] { spark.sql("DROP NAMESPACE lake.nstest") } // non-empty
+    spark.sql("DROP TABLE lake.nstest.t1")
+    spark.sql("DROP NAMESPACE lake.nstest")
+    assert(!spark.sql("SHOW NAMESPACES IN lake").collect()
+      .map(_.getString(0)).contains("nstest"))
+  }
+
   test("catalog rename preserves table content") {
     val w = warehouse
     spark.sql(
