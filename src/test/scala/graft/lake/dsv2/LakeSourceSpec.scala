@@ -180,6 +180,21 @@ class LakeSourceSpec extends SparkSpec {
     val none = spark.read.format("laketable").load(t.location)
       .filter(col("message_id") === -5L)
     assert(none.count() == 0)
+    // byte-range splits + predicate compose: every row group is owned by
+    // exactly one range and the predicate skips within each independently
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (f.sizeBytes / 4).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val split = spark.read.format("laketable").load(t.location)
+        .filter(col("message_id") >= 500L && col("message_id") < 700L)
+      assert(split.rdd.getNumPartitions >= 4)
+      assert(split.count() == 200)
+      assert(split.agg(org.apache.spark.sql.functions.sum("message_id"))
+        .head.getLong(0) == (500L until 700L).sum)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 
   test("manifest statistics: small laketable reports true size and auto-broadcasts") {
