@@ -154,6 +154,28 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.ctas")
   }
 
+  test("writeStream.toTable lands micro-batches in a catalog table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.sink (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(0L until 25L: _*)
+    val q = mem.toDF()
+      .select(org.apache.spark.sql.functions.col("value").as("message_id"),
+        org.apache.spark.sql.functions.lit(bucket(0)).as("timeperiod_loadedBy"))
+      .writeStream
+      .option("checkpointLocation", tmpDir("cat-sink-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("lake.ns.sink")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM lake.ns.sink").head.getLong(0) == 25)
+    spark.sql("DROP TABLE lake.ns.sink")
+  }
+
   test("namespace DDL: create, list, drop") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.nstest")
