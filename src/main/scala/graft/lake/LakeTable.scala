@@ -80,33 +80,50 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * Writer.java:141-145). Manifest-level diff: fast appends never rewrite
     * manifests, so added files = manifests in s2 not in s1.
     */
-  def addedFilesBetween(fromId: Long, toId: Long): Seq[DataFileMeta] = {
-    meta.snapshot(fromId)
+  def addedFilesBetween(fromId: Long, toId: Long): Seq[DataFileMeta] =
+    addedFilesBySnapshot(fromId, toId).flatMap(_._2)
+
+  /** Forward walk over (fromId, toId]: the files each snapshot newly added,
+    * keyed by snapshot id — APPEND snapshots only (rewrite/compact/expire
+    * add no new ROWS; handing their rewritten files to incremental readers
+    * would re-deliver old data). The streaming admission-control planner
+    * consumes this directly so per-snapshot sizing is one walk, not one
+    * chain re-walk per candidate end offset.
+    *
+    * Cost contract (the 100 TB posture): the known-path set is seeded ONCE
+    * from `fromId` and then folded forward with each step's own new
+    * manifests — O(inventory at fromId + files touched by the walk) total,
+    * NOT O(snapshots × inventory). Deep catch-up over a 10⁶-file table's
+    * backlog parses each manifest at most once (path names are fresh UUIDs,
+    * so the monotone seen-set never over-filters).
+    */
+  def addedFilesBySnapshot(fromId: Long, toId: Long): Seq[(Long, Seq[DataFileMeta])] = {
+    val fromSnap = meta.snapshot(fromId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromId"))
     meta.snapshot(toId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId"))
-    // Walk the chain and take net-new files from APPEND snapshots only.
-    // Rewrite (compaction / deleteWhere) and expire snapshots add no new
-    // ROWS — a naive from/to file-set diff would hand their rewritten
-    // files to incremental readers and re-deliver old data (the A25
-    // contract is appended data only, reference Writer.java:141-145).
     val ids = meta.snapshots.map(_.id)
       .filter(id => id > fromId && id <= toId).sorted
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
-    var prev = fromId
+    if (ids.isEmpty) return Nil
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    fromSnap.manifests.flatMap(readManifest).foreach(seen += _.path)
+    var prevManifests = fromSnap.manifests.toSet
+    val out = Seq.newBuilder[(Long, Seq[DataFileMeta])]
     for (id <- ids) {
       val s = meta.snapshot(id).get
-      if (s.operation == "append") {
-        val prevManifests =
-          meta.snapshot(prev).map(_.manifests.toSet).getOrElse(Set.empty)
-        val prevPaths = files(prev).map(_.path).toSet
-        out ++= s.manifests.filterNot(prevManifests.contains)
-          .flatMap(readManifest)
-          .filterNot(f => prevPaths.contains(f.path))
-      }
-      prev = id
+      // manifests carried over from the previous snapshot were fully folded
+      // into `seen` already; only genuinely-new manifests need parsing (a
+      // merge commit's combined manifest re-lists old files — the seen-set
+      // drops them)
+      val newFiles = s.manifests.filterNot(prevManifests.contains)
+        .flatMap(readManifest)
+        .filterNot(f => seen.contains(f.path))
+        .distinctBy(_.path)
+      newFiles.foreach(seen += _.path)
+      if (s.operation == "append" && newFiles.nonEmpty) out += ((id, newFiles))
+      prevManifests = s.manifests.toSet
     }
-    out.distinctBy(_.path).toSeq
+    out.result()
   }
 
   // ---- commit ------------------------------------------------------------

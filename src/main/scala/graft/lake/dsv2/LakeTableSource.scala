@@ -171,6 +171,19 @@ final class LakeScanBuilder(location: String, table: LakeTable,
       case _ => return false // any other grouping: full row-level path
     }
     val files = asOf.map(table.files(_)).getOrElse(table.files())
+    // Truncate partitioning (widthMicros > 1) admits in-bucket variation:
+    // rows keep raw values while a file only records its bucket start, so
+    // answering GROUP BY <part col> from manifests would collapse every
+    // distinct in-bucket value into one group keyed by the bucket start.
+    // Push down only when per-file footer stats PROVE the column constant
+    // and equal to the bucket start (longMin == longMax == partitionValue
+    // for every file) or the transform is identity (width 1); otherwise
+    // fall back to the row-level path.
+    if (groupByPart && table.spec.widthMicros != 1L && !files.forall { f =>
+        f.stats.get(table.spec.column).exists(s =>
+          s.longMin.contains(f.partitionValue) &&
+            s.longMax.contains(f.partitionValue))
+      }) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
@@ -728,19 +741,28 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
     val from = clamp(start.asInstanceOf[SnapshotOffset].id)
     val target = availableNowBound.getOrElse(t.currentSnapshotId)
     limit match {
-      case m: ReadMaxFiles =>
-        val pending =
-          t.snapshots.map(_.id).filter(id => id > from && id <= target).sorted
+      case m: ReadMaxFiles if target > from =>
+        // ONE forward walk sizes every pending snapshot (the old shape —
+        // addedFilesBetween per candidate end — re-walked the chain per
+        // snapshot: O(pending² × inventory) manifest work per trigger
+        // during exactly the backlog drain maxFilesPerTrigger exists for)
+        val perSnapshot = t.addedFilesBySnapshot(from, target)
+          .map { case (id, fs) => (id, fs.size) }
+        // snapshots that added nothing (rewrites, empty appends) cost no
+        // budget; always admit at least one snapshot so one oversized
+        // commit can't stall the stream
         var end = from
         var files = 0
+        var admitted = false
         var stopped = false
-        for (id <- pending if !stopped) {
-          val added = t.addedFilesBetween(end, id).size
-          if (end == from || files + added <= m.maxFiles()) {
+        for ((id, added) <- perSnapshot if !stopped) {
+          if (!admitted || files + added <= m.maxFiles()) {
             end = id
             files += added
+            admitted = true
           } else stopped = true
         }
+        if (!stopped) end = target // trailing no-op snapshots ride along
         SnapshotOffset(end)
       case _ => SnapshotOffset(target)
     }

@@ -24,6 +24,32 @@ class LakeTableSpec extends SparkSpec {
     t.append(LakeWriter.writeDataFiles(df, t, filesPer))
   }
 
+  test("deep-backlog catch-up parses each manifest once, not once per snapshot") {
+    // 160-snapshot backlog with metadata-only appends (no Spark writes —
+    // this tests PLANNING cost, and 160 > the 128-entry manifest cache so
+    // an O(snapshots × inventory) walk would thrash the LRU and re-parse
+    // quadratically)
+    val loc = tmpDir("laketable-deep")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      properties = Map(LakeFormat.PropManifestMinMerge -> "1000"))
+    val n = 160
+    for (i <- 1 to n)
+      t.append(Seq(DataFileMeta(s"$loc/data/fake-$i.parquet", 100L, 10L,
+        bucket(0), "parquet", Map.empty)))
+    LakeTable.manifestCache.clear()
+    val before = LakeTable.manifestParses.get()
+    val bySnap = t.addedFilesBySnapshot(0L, t.currentSnapshotId)
+    val parses = LakeTable.manifestParses.get() - before
+    assert(bySnap.size == n && bySnap.flatMap(_._2).size == n)
+    // per-snapshot grouping is ordered and one-file-per-commit here
+    assert(bySnap.map(_._1) == (1L to n.toLong))
+    assert(parses <= n + 1, s"expected O(manifests)=$n parses, got $parses")
+    // flat variant agrees
+    assert(t.addedFilesBetween(0L, t.currentSnapshotId).map(_.path)
+      == bySnap.flatMap(_._2).map(_.path))
+  }
+
   test("typed Dataset[LakeEvent] generator matches the untyped schema") {
     val ds = LakeWriter.generateTypedBatch(spark, 10, bucket(0), seed = 5)
     val events = ds.collect()

@@ -306,6 +306,34 @@ class LakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY partition column declines pushdown when values vary inside a bucket") {
+    val t = newTable()
+    // in-bucket variation: 30 rows spread over 3 DISTINCT raw values that
+    // share one truncate bucket — file stats show longMin != longMax, so
+    // the manifest answer (one group keyed by the bucket start) would be
+    // wrong and the source must fall back to the row-level path
+    val varied = LakeWriter.generateBatch(spark, 30, bucket(0), 5)
+      .withColumn("timeperiod_loadedBy",
+        col("timeperiod_loadedBy") + (col("message_id") % 3) * 1000000L)
+    t.append(LakeWriter.writeDataFiles(varied, t))
+    // a second, genuinely bucket-constant file: ONE unsafe file must veto
+    // the pushdown for the whole scan
+    appendBatch(t, 50, bucket(1), 6)
+    val rows = spark.read.format("laketable").load(t.location)
+      .groupBy("timeperiod_loadedBy").agg(count(lit(1)).as("cnt"))
+      .orderBy("timeperiod_loadedBy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq(
+      (bucket(0), 10L), (bucket(0) + 1000000L, 10L), (bucket(0) + 2000000L, 10L),
+      (bucket(1), 50L)),
+      s"in-bucket values must not collapse to the bucket start: $rows")
+    // and the plan really is the row-level scan, not the manifest aggregate
+    val df = spark.read.format("laketable").load(t.location)
+      .groupBy("timeperiod_loadedBy").agg(count(lit(1)))
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!leaves.contains("manifest-aggregate"), leaves.take(500))
+  }
+
   test("micro-batch stream: snapshot-id offsets deliver added files per commit") {
     val t = newTable()
     val s1 = appendBatch(t, 10, bucket(0), 1)
