@@ -166,17 +166,48 @@ object Bench {
       case Some(f) => val pats = f.split(","); n => pats.exists(n.contains)
       case None => _ => true
     }
+    // same warmup+best-of-2 protocol as queries for the envelope entries —
+    // each invocation builds and drops its own scratch table, so repeats
+    // are independent (single-shot runs read ±35% noise as regressions
+    // across rounds 1-3)
+    def best2(f: () => Double): Double = { f(); math.min(f(), f()) }
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
     val results = headline.filter(only).map(n => n -> run(n)) ++
-      (if (only("ingest_100k")) Seq("ingest_100k" -> runIngest()) else Nil) ++
+      (if (only("ingest_100k")) Seq("ingest_100k" -> best2(() => runIngest())) else Nil) ++
       (if (only("maintenance_compact"))
-        Seq("maintenance_compact" -> runMaintenance()) else Nil) ++
+        Seq("maintenance_compact" -> best2(() => runMaintenance())) else Nil) ++
       (if (only("lake_scan_400k")) runLakeScanPair() else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // DuckDB side-by-side: time each headline query's oracle SQL on the
+    // same parquet at the same sf (dev measurement via tools/bench_duckdb
+    // .py — duckdb is driver-side tooling, not a library dependency). The
+    // artifact then carries both engines so the round ratio needs no
+    // re-measurement. Null/absent when python3+duckdb is unavailable.
+    val duckdbJson: String = try {
+      val measured = results.map(_._1).toSet
+      val sqls = SparkEntry.oracleSql.filter { case (k, _) => measured(k) }
+      if (sqls.isEmpty) "null"
+      else {
+        val node = graft.lake.Json.obj()
+        sqls.foreach { case (k, v) => node.put(k, v) }
+        val f = java.io.File.createTempFile("graft-bench-sql", ".json")
+        f.deleteOnExit()
+        java.nio.file.Files.write(f.toPath,
+          graft.lake.Json.write(node).getBytes("UTF-8"))
+        val sb = new StringBuilder
+        val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+          sfDir, f.getAbsolutePath).redirectErrorStream(false).start()
+        val src = scala.io.Source.fromInputStream(proc.getInputStream)
+        try sb.append(src.mkString) finally src.close()
+        val line = sb.toString.trim
+        if (proc.waitFor() == 0 && line.startsWith("{")) line else "null"
+      }
+    } catch { case _: Throwable => "null" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""duckdb_seconds":$duckdbJson,"sf":"$sfDir"}"""
     // file fallback for machine parsing, then the bare stdout line
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")

@@ -25,6 +25,16 @@ object LakeQueries {
   private def scratch(prefix: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-${UUID.randomUUID()}"
 
+  /** Materialize a SMALL result (these are all few-row aggregates) to the
+    * driver and re-wrap it as a local DataFrame. The scratch inputs these
+    * queries derive from are dropped before returning, and the former
+    * `out.cache().count()` pattern pinned executor blocks for the session
+    * lifetime — a localized result holds no executor state at all.
+    */
+  private def localize(out: DataFrame): DataFrame =
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+
   /** Deterministic 3-snapshot scratch table shared by B2/B3. */
   private def stagedTable(spark: SparkSession): (LakeTable, Seq[Long]) = {
     val loc = scratch("laketable")
@@ -41,8 +51,7 @@ object LakeQueries {
     val (table, snaps) = stagedTable(s)
     import s.implicits._
     val rows = (0L +: snaps).map(id => (id, table.snapshotDF(s, id).count()))
-    val out = rows.toDF("snapshot_id", "cnt").orderBy("snapshot_id")
-    out.cache().count() // materialize before the scratch dir is abandoned
+    val out = localize(rows.toDF("snapshot_id", "cnt").orderBy("snapshot_id"))
     LakeTable.drop(table.location)
     out
   }
@@ -54,8 +63,7 @@ object LakeQueries {
     val pairs = (0L +: snaps).sliding(2).toSeq.map {
       case Seq(a, b) => (a, b, table.changesBetween(s, a, b).count())
     }
-    val out = pairs.toDF("from_id", "to_id", "added").orderBy("from_id")
-    out.cache().count()
+    val out = localize(pairs.toDF("from_id", "to_id", "added").orderBy("from_id"))
     LakeTable.drop(table.location)
     out
   }
@@ -68,9 +76,9 @@ object LakeQueries {
       count(lit(1)).as("cnt"),
       min("l_orderkey").as("min_ok"),
       max("l_orderkey").as("max_ok"))
-    out.cache().count()
+    val local = localize(out)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    out
+    local
   }
 
   // B4b — DSv2 sink round-trip: deterministic generated events through
@@ -90,9 +98,9 @@ object LakeQueries {
         sum("message_id").as("sum_id"),
         sum(length(col("message_body"))).as("body_bytes"))
       .orderBy("bucket")
-    out.cache().count()
+    val local = localize(out)
     LakeTable.drop(loc)
-    out
+    local
   }
 
   // B5 — avro sink/scan round-trip (A8): events subset through Avro
@@ -106,9 +114,9 @@ object LakeQueries {
       count(lit(1)).as("cnt"),
       sum("user_id").as("sum_uid"),
       countDistinct("event_type").as("n_types"))
-    out.cache().count()
+    val local = localize(out)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    out
+    local
   }
 
   // B6 — JSON + CSV scan round-trip.
@@ -122,8 +130,7 @@ object LakeQueries {
       .agg(count(lit(1)).as("json_cnt"), sum("user_id").as("json_sum"))
     val c = s.read.schema(src.schema).option("header", "true").csv(tmpC)
       .agg(count(lit(1)).as("csv_cnt"), sum("user_id").as("csv_sum"))
-    val out = j.crossJoin(c)
-    out.cache().count()
+    val out = localize(j.crossJoin(c))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmpJ))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmpC))
     out

@@ -17,6 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingQueries {
 
+  /** Materialize a completed stream's (small) result to the driver and
+    * re-wrap as a local DataFrame — the replay/checkpoint scratch dirs are
+    * deleted before returning, and cache() would pin executor blocks for
+    * the session lifetime.
+    */
+  private def localize(out: DataFrame): DataFrame =
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+
   /** Write `input` as parquet replay input; returns the dir. */
   private def replayDir(input: DataFrame, nFiles: Int): String = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-replay-${UUID.randomUUID()}"
@@ -45,8 +54,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = s.table(name).cache()
-    out.count()
+    val out = localize(s.table(name))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
     out
@@ -141,10 +149,9 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = s.table(name)
+    val out = localize(s.table(name)
       .select(us(col("window.start")).as("w_us"), col("n"))
-      .orderBy("w_us").cache()
-    out.count()
+      .orderBy("w_us"))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
     out
@@ -212,10 +219,9 @@ object StreamingQueries {
     table.refresh()
     import s.implicits._
     // deterministic summary: per-partition-bucket row counts (dupe deduped)
-    val out = table.toDF(s).groupBy(col("timeperiod_loadedBy"))
+    val out = localize(table.toDF(s).groupBy(col("timeperiod_loadedBy"))
       .agg(count(lit(1)).as("n"), countDistinct(col("message_id")).as("n_ids"))
-      .orderBy("timeperiod_loadedBy").cache()
-    out.count()
+      .orderBy("timeperiod_loadedBy"))
     LakeTable.drop(loc)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
     out

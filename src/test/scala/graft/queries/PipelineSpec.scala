@@ -35,6 +35,27 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("D3 contamination tokenizes once per scan branch (split hoisted)") {
+    val plan = PipelineQueries.d03_contamination(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val n = "split\\(".r.findAllIn(plan).size
+    // two scan branches (eval side, train side), ONE split each — the gram
+    // CASE reads the hoisted toks column instead of re-splitting 3×
+    assert(n <= 2, s"expected <=2 split() in optimized plan, got $n")
+  }
+
+  test("entries leave no cached blocks pinned after evaluation") {
+    // the former cache().count() pattern pinned executor blocks for the
+    // session lifetime; every entry must now evaluate to a clean session
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PipelineQueries.d03_minhash_lsh(spark, dir).collect()
+    PipelineQueries.d03_simhash(spark, dir).collect()
+    LakeQueries.b02_snapshot_scan(spark, dir).collect()
+    graft.streaming.StreamingQueries.c13_watermark_latedrop(spark, dir).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned RDD blocks leaked: $leaked")
+  }
+
   test("D2: IVF ANN recall@5 vs brute-force top-5") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet

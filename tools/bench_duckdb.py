@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""DuckDB side-by-side for the bench artifact (driver-side dev tooling,
+not library code — graft.Bench shells out to this and embeds the result
+as "duckdb_seconds" so every round's BENCH json carries both engines on
+the same data at the same scale).
+
+Usage: bench_duckdb.py <sfDir> <sql_json>
+  <sql_json>: path to a JSON object {query_name: oracle_sql}
+Prints ONE JSON line {query_name: best_seconds} (null for queries that
+error). Protocol mirrors the Spark side: one warmup run, then best of
+two timed runs.
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, sql_path = sys.argv[1], sys.argv[2]
+    with open(sql_path) as f:
+        sqls = json.load(f)
+    con = duckdb.connect()
+    threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    con.execute(f"SET threads TO {int(threads)}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = {}
+    for name in sorted(sqls):
+        try:
+            con.execute(sqls[name]).fetchall()  # warmup
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sqls[name]).fetchall()
+                times.append(time.perf_counter() - t0)
+            out[name] = round(min(times), 6)
+        except Exception:
+            out[name] = None
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
