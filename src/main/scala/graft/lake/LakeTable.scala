@@ -382,6 +382,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  /** Copy-on-write group replacement (the commit half of SQL MERGE/UPDATE
+    * via SupportsRowLevelOperations): atomically swap the files a row-level
+    * scan read for the files its write produced. Same shape as deleteWhere's
+    * rewrite commit — survivors recomputed from FRESH metadata per attempt
+    * so concurrent appends are never dropped; prior snapshots keep
+    * time-traveling to the replaced files until expiry GCs them.
+    * Returns the new snapshot id, or -1 when there is nothing to change.
+    */
+  def replaceFiles(replacedPaths: Set[String], newFiles: Seq[DataFileMeta]): Long = {
+    val fresh = newFiles.distinctBy(_.path)
+    if (replacedPaths.isEmpty && fresh.isEmpty) return -1L
+    retryCommit("rewrite") { () =>
+      val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++ fresh
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+    }
+  }
+
   /** Bin-pack data-file compaction (the north-star "compaction" table op:
     * many small ingest files per partition rewritten into few larger ones).
     * Selects partitions holding ≥ `minInputFiles` files smaller than

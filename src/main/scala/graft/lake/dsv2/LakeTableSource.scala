@@ -54,8 +54,25 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
 final class LakeDsTable(location: String, asOf: Option[Long] = None)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private lazy val table = LakeTable.load(location)
+
+  /** `_file` — the per-row data-file path ([[LakeMetaColumns]]). */
+  override def metadataColumns()
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    LakeMetaColumns.columns
+
+  /** SQL MERGE/UPDATE (group-based copy-on-write; [[LakeRowLevelOperation]]).
+    * DELETE also analyzes through here, then Spark's
+    * OptimizeMetadataOnlyDeleteFromTable hands filter-expressible deletes
+    * back to [[deleteWhere]] — whole-file deletes stay metadata-only.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new LakeRowLevelOperation(location, info.command())
 
   /** SQL `DELETE FROM`: pushed filters become one predicate Column for the
     * table's copy-on-write deleteWhere — metadata-only when whole files
@@ -336,6 +353,38 @@ object LakeScanMetrics {
   @volatile var lastPlannedFiles: Int = -1
 }
 
+/** Metadata columns (SupportsMetadataColumns): `_file` is the data-file
+  * path of each row — the audit column (`SELECT _file, count(*) ...`) and,
+  * more importantly, the GROUP IDENTITY for copy-on-write row-level
+  * operations: runtime group filtering aggregates `_file` over matching
+  * rows and the scan prunes to exactly those files (the same design the
+  * public Iceberg connector uses).
+  */
+object LakeMetaColumns {
+  val FileColumn = "_file"
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "path of the data file holding the row"
+    })
+
+  /** Does this V1 filter accept the file, interpreting `_file` against the
+    * file's own path? Non-`_file` legs fall back to stats pruning (which
+    * keeps any file it cannot disprove, so unknown shapes stay safe).
+    */
+  def accept(spec: graft.lake.TruncateSpec, f: DataFileMeta,
+      filter: Filter): Boolean = filter match {
+    case In(FileColumn, vs) => vs.exists(v => v != null && v.toString == f.path)
+    case EqualTo(FileColumn, v) => v != null && v.toString == f.path
+    case And(l, r) => accept(spec, f, l) && accept(spec, f, r)
+    case Or(l, r) => accept(spec, f, l) || accept(spec, f, r)
+    case other => LakeStatsPruning.accept(spec, f, other)
+  }
+}
+
 /** The data scan. Three scale-relevant contracts beyond the basic Batch:
   *
   *  - [[SupportsRuntimeFiltering]]: join-derived runtime filters (dynamic
@@ -350,7 +399,8 @@ object LakeScanMetrics {
   */
 final class LakeBatchScan(location: String, table: LakeTable,
     required: StructType, pushed: Array[Filter], startSnapshot: Option[Long],
-    asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None)
+    asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
+    planListener: Option[Seq[DataFileMeta] => Unit] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics {
 
@@ -363,7 +413,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
   private def prunedFiles: Seq[DataFileMeta] =
     liveFiles.filter(f =>
       (pushed.iterator ++ runtime.iterator)
-        .forall(LakeStatsPruning.accept(table.spec, f, _)))
+        .forall(LakeMetaColumns.accept(table.spec, f, _)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -380,6 +430,14 @@ final class LakeBatchScan(location: String, table: LakeTable,
     */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // Row-level (CoW) scans advertise ONLY `_file`: runtime group filtering
+    // builds ONE dynamic predicate over ALL advertised attributes (a
+    // struct-IN when there are several, which no V1 filter can express and
+    // so would prune nothing) — a single `_file IN (matching files)` is
+    // both convertible and the exact group identity the rewrite needs.
+    if (planListener.isDefined)
+      return Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeMetaColumns.FileColumn))
     val files = liveFiles
     val statCovered = table.schema.fieldNames.filter { c =>
       files.nonEmpty && files.forall(f => f.stats.get(c).exists(s =>
@@ -395,6 +453,9 @@ final class LakeBatchScan(location: String, table: LakeTable,
   override def planInputPartitions(): Array[InputPartition] = {
     val files = prunedFiles
     LakeScanMetrics.lastPlannedFiles = files.size
+    // row-level (CoW) operations record the planned group here — the set
+    // their ReplaceData commit swaps out (post-runtime-filter truth)
+    planListener.foreach(_(files))
     LakePartitionPacker.pack(files)
   }
 
@@ -518,13 +579,23 @@ final class LakeReaderFactory(schemaDdl: String,
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
 
+  // `_file` metadata column: parquet never sees it — the reader decodes
+  // dataSchema and injects the slice's path as a constant (a
+  // ConstantColumnVector in the columnar path, a projected join in the row
+  // path), so metadata-requesting scans stay vectorized.
+  private lazy val fileIdx: Int =
+    schema.fieldNames.indexOf(LakeMetaColumns.FileColumn)
+  private lazy val dataSchema: StructType =
+    if (fileIdx < 0) schema
+    else StructType(schema.fields.patch(fileIdx, Nil, 1))
+
   // Hadoop Configuration construction loads the default XML resources —
   // milliseconds per call. Paid once per (JVM, projection) instead of once
   // per file: at many-small-file scale the per-file open cost must be I/O,
   // not conf parsing. The cached conf is read-only after construction and
   // shared across concurrent tasks (Configuration reads are thread-safe).
   private lazy val baseConf: org.apache.hadoop.conf.Configuration =
-    LakeReaderFactory.confFor(schemaDdl, schema)
+    LakeReaderFactory.confFor(dataSchema.toDDL, dataSchema)
 
   /** Row-group predicate pushdown: pushed (and runtime) filters convert to
     * a parquet FilterPredicate via Spark's own ParquetFilters, so the
@@ -535,7 +606,11 @@ final class LakeReaderFactory(schemaDdl: String,
     * this can only skip data parquet PROVES cannot match.
     */
   private lazy val cachedConf: org.apache.hadoop.conf.Configuration = {
-    if (filters.isEmpty || schema.isEmpty) baseConf
+    // `_file` predicates are file-level (handled at planning); only
+    // data-column filters can become parquet row-group predicates
+    val dataFilters = filters.filter(
+      _.references.forall(_ != LakeMetaColumns.FileColumn))
+    if (dataFilters.isEmpty || dataSchema.isEmpty) baseConf
     else {
       val messageType = new org.apache.spark.sql.execution.datasources.parquet
         .SparkToParquetSchemaConverter(
@@ -544,13 +619,13 @@ final class LakeReaderFactory(schemaDdl: String,
             .TIMESTAMP_MICROS,
           false, // useFieldId
           false  // variant annotation
-        ).convert(schema)
+        ).convert(dataSchema)
       val pf = new org.apache.spark.sql.execution.datasources.parquet
         .ParquetFilters(messageType,
           true, true, true, true, 10, false,
           org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
             org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED, None))
-      val preds = filters.toSeq.flatMap(pf.createFilter(_))
+      val preds = dataFilters.toSeq.flatMap(pf.createFilter(_))
       if (preds.isEmpty) baseConf
       else {
         val conf = new org.apache.hadoop.conf.Configuration(baseConf)
@@ -562,7 +637,7 @@ final class LakeReaderFactory(schemaDdl: String,
   }
 
   private def vectorizable: Boolean =
-    schema.nonEmpty && schema.fields.forall(f => f.dataType match {
+    dataSchema.nonEmpty && dataSchema.fields.forall(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => false
       case _ => true
     })
@@ -600,20 +675,39 @@ final class LakeReaderFactory(schemaDdl: String,
     new PartitionReader[ColumnarBatch] {
       private var cur: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
+      // `_file`-requesting scans: the inner batch's vectors plus one
+      // constant path vector, re-wrapped once per slice
+      private var wrapped: ColumnarBatch = _
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
             if (!it.hasNext) return false
-            cur = openVectorized(it.next())
+            val slice = it.next()
+            cur = openVectorized(slice)
             cur.enableReturningBatches()
-            cur.resultBatch() // allocate vectors before the first nextBatch
+            val inner = cur.resultBatch() // allocate vectors before the first nextBatch
+            if (fileIdx >= 0) {
+              val const = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(4096, StringType)
+              const.setUtf8String(
+                org.apache.spark.unsafe.types.UTF8String.fromString(slice.path))
+              val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+                schema.length)(i =>
+                  if (i == fileIdx) const
+                  else inner.column(if (i < fileIdx) i else i - 1))
+              wrapped = new ColumnarBatch(cols)
+            }
           }
           if (cur.nextBatch()) return true
-          cur.close(); cur = null
+          cur.close(); cur = null; wrapped = null
         }
         false
       }
-      override def get(): ColumnarBatch = cur.resultBatch()
+      override def get(): ColumnarBatch = {
+        val b = cur.resultBatch()
+        if (fileIdx < 0) b
+        else { wrapped.setNumRows(b.numRows()); wrapped }
+      }
       override def close(): Unit = { if (cur != null) cur.close(); cur = null }
     }
   }
@@ -630,26 +724,67 @@ final class LakeReaderFactory(schemaDdl: String,
         override def get(): InternalRow = empty
         override def close(): Unit = ()
       }
-    else {
+    else if (dataSchema.isEmpty) {
+      // only `_file` projected: per-slice constant rows, counts from the
+      // manifest — still no file opened
+      val it = p.files.iterator
+      new PartitionReader[InternalRow] {
+        private var remaining = 0L
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          while (remaining <= 0) {
+            if (!it.hasNext) return false
+            val s = it.next()
+            remaining = s.rowCount
+            row = new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
+          }
+          remaining -= 1
+          true
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    } else {
       // row mode of the same vectorized decoder (values still decoded
-      // column-wise into vectors; rows are views over the batch)
+      // column-wise into vectors; rows are views over the batch);
+      // `_file` injected by projecting [data row ++ constant path row]
+      // back into the requested column order
       val it = p.files.iterator
       new PartitionReader[InternalRow] {
         private var cur: org.apache.spark.sql.execution.datasources.parquet
           .VectorizedParquetRecordReader = _
+        private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        private var constRow: InternalRow = _
+        private val proj =
+          if (fileIdx < 0) null
+          else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+            schema.indices.map(i =>
+              if (i == fileIdx) dataSchema.length
+              else if (i < fileIdx) i else i - 1).toIndexedSeq)
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return false
-              cur = openVectorized(it.next())
+              val s = it.next()
+              cur = openVectorized(s)
+              if (fileIdx >= 0)
+                constRow = new GenericInternalRow(Array[Any](
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
             }
             if (cur.nextKeyValue()) return true
             cur.close(); cur = null
           }
           false
         }
-        override def get(): InternalRow =
-          cur.getCurrentValue.asInstanceOf[InternalRow]
+        override def get(): InternalRow = {
+          val data = cur.getCurrentValue.asInstanceOf[InternalRow]
+          if (fileIdx < 0) data
+          else {
+            proj.project(joined(data, constRow))
+            proj
+          }
+        }
         override def close(): Unit = { if (cur != null) cur.close(); cur = null }
       }
     }

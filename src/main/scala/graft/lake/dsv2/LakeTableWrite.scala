@@ -69,7 +69,7 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
   }
 }
 
-private object LakeWriteCommit {
+private[dsv2] object LakeWriteCommit {
   def collect(messages: Array[WriterCommitMessage]): Seq[DataFileMeta] =
     messages.toSeq.collect { case LakeCommitMessage(files) => files }.flatten
 

@@ -136,6 +136,68 @@ object LakeQueries {
     out
   }
 
+  /** Session-stable V2 catalog for the SQL-DML entries (MERGE/UPDATE need
+    * a catalog-resolvable target). One warehouse per session; each entry
+    * uses a UUID table name so repeated bench runs never collide.
+    */
+  private def dmlCatalog(s: SparkSession): String = {
+    val cat = "graftlake"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.lake.dsv2.LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch("dml-wh"))
+    }
+    cat
+  }
+
+  // B34 — SQL MERGE INTO (SupportsRowLevelOperations, group-based CoW):
+  // upsert a shifted slice of orders into a laketable seeded with the low
+  // keys — matched rows double their price, unmatched insert. The final
+  // table is pure-SQL reconstructable over `orders`, so this one IS
+  // hash-oracled despite being an engine-side table op.
+  def b34_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.m${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 800")
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey, o_totalprice, o_orderstatus
+         |       FROM graft_orders_src
+         |       WHERE o_orderkey >= 400 AND o_orderkey < 1200) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B35 — SQL UPDATE (group-based CoW): bump one segment's balances.
+  // Runtime group filtering bounds the rewrite to files holding matched
+  // rows; +100.0 on DOUBLE is exact in both engines → hash-oracled.
+  def b35_update(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.u${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+         |PARTITIONED BY (truncate(50, c_custkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT c_custkey, c_acctbal, c_mktsegment " +
+      "FROM graft_customer_src")
+    s.sql(s"UPDATE $tbl SET c_acctbal = c_acctbal + 100.0 " +
+      "WHERE c_mktsegment = 'BUILDING'")
+    val out = localize(s.sql(
+      s"SELECT c_custkey, c_acctbal, c_mktsegment FROM $tbl ORDER BY c_custkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
@@ -143,6 +205,8 @@ object LakeQueries {
     "b04b_lake_sink" -> b04b_lake_sink _,
     "b05_avro_roundtrip" -> b05_avro_roundtrip _,
     "b06_json_csv" -> b06_json_csv _,
+    "b34_merge_upsert" -> b34_merge_upsert _,
+    "b35_update" -> b35_update _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,5 +219,19 @@ object LakeQueries {
     "b06_json_csv" ->
       """SELECT COUNT(*) AS json_cnt, CAST(SUM(user_id) AS BIGINT) AS json_sum,
         | COUNT(*) AS csv_cnt, CAST(SUM(user_id) AS BIGINT) AS csv_sum FROM events""".stripMargin,
+    // the merged table reconstructed in pure SQL: source price = the same
+    // row's price, so matched keys [400, 800) double, inserts are [800, 1200)
+    "b34_merge_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 400 AND o_orderkey < 800
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
+    "b35_update" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING'
+        |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -89,6 +89,135 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.del")
   }
 
+  test("SQL UPDATE: CoW rewrites matched files only; unmatched files untouched") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.upd (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.upd SELECT id, id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(s"INSERT INTO lake.ns.upd SELECT id, id, ${bucket(1)}L FROM range(100, 110)")
+    def paths() = spark.sql("SELECT path FROM lake.ns.`upd$files` ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    val before = paths()
+    assert(before.size == 2)
+    val versionBefore = spark.sql(
+      "SELECT max(snapshot_id) FROM lake.ns.`upd$snapshots`").head.getLong(0)
+    spark.sql("UPDATE lake.ns.upd SET v = v + 1000 WHERE message_id >= 105")
+    val rows = spark.sql("SELECT message_id, v FROM lake.ns.upd ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == ((0L to 9L).map(i => (i, i)) ++
+      (100L to 104L).map(i => (i, i)) ++ (105L to 109L).map(i => (i, i + 1000))))
+    // runtime group filtering: the bucket-0 file holds no matched rows and
+    // must survive the rewrite UNTOUCHED (same physical path)
+    val after = paths()
+    assert(after.size == 2)
+    assert(after.intersect(before).size == 1,
+      s"expected exactly the unmatched file to survive: before=$before after=$after")
+    // time travel still sees pre-update values
+    assert(spark.sql(
+      s"SELECT sum(v) FROM lake.ns.upd VERSION AS OF $versionBefore")
+      .head.getLong(0) == (0L to 9L).sum + (100L to 109L).sum)
+    spark.sql("DROP TABLE lake.ns.upd")
+  }
+
+  test("SQL UPDATE touching every row of a file (the full-file hazard)") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.updall (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.updall SELECT id, id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(s"INSERT INTO lake.ns.updall SELECT id, id, ${bucket(1)}L FROM range(100, 110)")
+    // every row of the bucket-0 file matches: a scan that let the residual
+    // NOT(cond) filter prune files would drop this file from the rewrite
+    // and its rows would silently keep their old values
+    spark.sql(s"UPDATE lake.ns.updall SET v = -1 WHERE timeperiod_loadedBy = ${bucket(0)}")
+    val rows = spark.sql("SELECT message_id, v FROM lake.ns.updall ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == ((0L to 9L).map(i => (i, -1L)) ++ (100L to 109L).map(i => (i, i))))
+    assert(spark.sql("SELECT count(*) FROM lake.ns.updall").head.getLong(0) == 20)
+    spark.sql("DROP TABLE lake.ns.updall")
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses in one upsert") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.mrg (k BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.mrg SELECT id, id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(
+      s"""MERGE INTO lake.ns.mrg t
+         |USING (SELECT id AS k, id * 10 AS v, ${bucket(1)}L AS timeperiod_loadedBy
+         |       FROM range(5, 15)) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.k = 7 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT k, v, timeperiod_loadedBy FROM lake.ns.mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected =
+      (0L to 4L).map(i => (i, i, bucket(0))) ++          // untouched
+        Seq(5L, 6L, 8L, 9L).map(i => (i, i * 10, bucket(0))) ++ // updated in place
+        (10L to 14L).map(i => (i, i * 10, bucket(1)))    // inserted (source bucket)
+    assert(rows == expected, s"merge result mismatch: $rows")
+    // a second identical merge is a pure re-update (idempotent content)
+    spark.sql(
+      s"""MERGE INTO lake.ns.mrg t
+         |USING (SELECT id AS k, id * 10 AS v, ${bucket(1)}L AS timeperiod_loadedBy
+         |       FROM range(5, 15)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lake.ns.mrg").head.getLong(0) == 15)
+    // k=7 re-inserted by NOT MATCHED with v = 70 — same value the matched
+    // formula gives, so the total is simply sum(0..4) + sum(5..14)*10
+    assert(spark.sql("SELECT sum(v) FROM lake.ns.mrg").head.getLong(0)
+      == (0L to 4L).sum + (5L to 14L).map(_ * 10).sum)
+    spark.sql("DROP TABLE lake.ns.mrg")
+  }
+
+  test("DELETE on a row-level-capable table stays metadata-only when aligned") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.delmeta (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.delmeta SELECT id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(s"INSERT INTO lake.ns.delmeta SELECT id, ${bucket(1)}L FROM range(0, 5)")
+    val dataPaths = spark.sql("SELECT path FROM lake.ns.`delmeta$files`")
+      .collect().map(_.getString(0)).toSeq
+    // whole-bucket delete: OptimizeMetadataOnlyDeleteFromTable must hand
+    // this back to SupportsDelete (manifest-only — the surviving file keeps
+    // its physical path and no new file appears)
+    spark.sql(s"DELETE FROM lake.ns.delmeta WHERE timeperiod_loadedBy = ${bucket(0)}")
+    val after = spark.sql("SELECT path FROM lake.ns.`delmeta$files`")
+      .collect().map(_.getString(0)).toSeq
+    assert(after.size == 1 && dataPaths.contains(after.head),
+      s"aligned delete must be metadata-only: before=$dataPaths after=$after")
+    assert(spark.sql("SELECT count(*) FROM lake.ns.delmeta").head.getLong(0) == 5)
+    spark.sql("DROP TABLE lake.ns.delmeta")
+  }
+
+  test("_file metadata column gives per-row file lineage (columnar + row paths)") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.fcol (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.fcol SELECT id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(s"INSERT INTO lake.ns.fcol SELECT id, ${bucket(1)}L FROM range(0, 5)")
+    val manifest = spark.sql("SELECT path, row_count FROM lake.ns.`fcol$files`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // vectorized path: _file + data columns per row
+    val audit = spark.sql(
+      "SELECT _file, count(*) AS n, sum(message_id) AS s FROM lake.ns.fcol " +
+        "GROUP BY _file ORDER BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit == manifest, s"audit=$audit manifest=$manifest")
+    // _file-only projection answers from the manifest without opening files
+    val only = spark.sql("SELECT _file FROM lake.ns.fcol")
+      .collect().map(_.getString(0))
+    assert(only.length == 15 && only.toSet == manifest.keySet)
+    spark.sql("DROP TABLE lake.ns.fcol")
+  }
+
   test("CREATE TABLE without the truncate transform is rejected") {
     warehouse
     val e = intercept[Exception] {
