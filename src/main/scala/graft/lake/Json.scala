@@ -81,6 +81,7 @@ object Json {
       n.put("parentId", s.parentId)
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
+      s.schemaDdl.foreach(n.put("schemaDdl", _))
       val ma = n.putArray("manifests")
       s.manifests.foreach(ma.add)
     }
@@ -96,7 +97,8 @@ object Json {
         parentId = sn.get("parentId").asLong,
         timestampMs = sn.get("timestampMs").asLong,
         operation = sn.get("operation").asText,
-        manifests = sn.get("manifests").elements().asScala.map(_.asText).toSeq)
+        manifests = sn.get("manifests").elements().asScala.map(_.asText).toSeq,
+        schemaDdl = Option(sn.get("schemaDdl")).map(_.asText))
     }.toSeq
     TableMeta(
       formatVersion = n.get("formatVersion").asInt,

@@ -36,6 +36,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   def tableMeta: TableMeta = meta
   def spec: TruncateSpec = meta.spec
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+
+  /** Schema as of a snapshot (schema evolution): snapshots committed before
+    * evolution support existed fall back to the table-level schema.
+    */
+  def schemaAt(snapshotId: Long): StructType = {
+    val s = meta.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    StructType.fromDDL(s.schemaDdl.getOrElse(meta.schemaDdl))
+  }
   def currentSnapshotId: Long = meta.currentSnapshotId
   def snapshots: Seq[Snapshot] = meta.snapshots
 
@@ -167,12 +176,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   private def commitAttempt(op: String, manifests: Seq[String],
       keepSnapshots: Seq[Snapshot],
-      propsUpdate: Map[String, String] = Map.empty): Long = {
+      propsUpdate: Map[String, String] = Map.empty,
+      schemaUpdate: Option[String] = None,
+      propsRemove: Set[String] = Set.empty): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
+    val newSchemaDdl = schemaUpdate.getOrElse(cur.schemaDdl)
+    // every snapshot pins the schema current as of its commit, so time
+    // travel reads old vintages with their own column set
     val snap = Snapshot(nextVersion, cur.currentSnapshotId,
-      System.currentTimeMillis(), op, manifests)
-    val next = cur.copy(properties = cur.properties ++ propsUpdate,
+      System.currentTimeMillis(), op, manifests, Some(newSchemaDdl))
+    val next = cur.copy(schemaDdl = newSchemaDdl,
+      properties = (cur.properties -- propsRemove) ++ propsUpdate,
       snapshots = keepSnapshots :+ snap,
       currentSnapshotId = nextVersion)
     writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
@@ -201,13 +216,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * atomically with the snapshot swap (streaming-epoch fencing below).
     */
   private def retryCommitProps(op: String)(
-      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String])]): Long = {
+      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String])]): Long =
+    retryCommitPropsRemove(op)(() =>
+      body().map { case (m, s, p) => (m, s, p, Set.empty[String]) })
+
+  /** retryCommitProps variant whose body can also DELETE property keys
+    * (streaming-epoch watermark GC below — a plain merge can never shrink
+    * the map).
+    */
+  private def retryCommitPropsRemove(op: String)(
+      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String], Set[String])]): Long = {
     var attempt = 0
     while (true) {
       body() match {
         case None => return -1L
-        case Some((manifests, keepSnapshots, props)) =>
-          try return commitAttempt(op, manifests, keepSnapshots, props)
+        case Some((manifests, keepSnapshots, props, remove)) =>
+          try return commitAttempt(op, manifests, keepSnapshots, props,
+            propsRemove = remove)
           catch {
             case _: java.io.IOException =>
               attempt += 1
@@ -290,8 +315,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   def appendEpoch(newFiles: Seq[DataFileMeta], queryId: String,
       epochId: Long): Long = {
     val key = s"$PropStreamEpochPrefix$queryId"
-    retryCommitProps("append") { () =>
-      if (meta.properties.get(key).exists(_.toLong >= epochId)) None
+    retryCommitPropsRemove("append") { () =>
+      if (meta.properties.get(key)
+          .exists(v => LakeTable.parseEpochValue(v)._1 >= epochId)) None
       else {
         val existing = meta.current.map(_.manifests).getOrElse(Nil)
         val known = knownPaths()
@@ -299,9 +325,63 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val withNew =
           if (fresh.isEmpty) existing
           else existing :+ writeManifest(fresh)
-        Some((maybeMerge(withNew), meta.snapshots, Map(key -> epochId.toString)))
+        // Watermark GC: epoch entries are stamped with their commit time;
+        // entries idle past stream.epoch.ttl-ms (default 30 days) belong to
+        // dead queries and are dropped here — without this, table metadata
+        // (rewritten every commit) grows one property per streaming query
+        // FOREVER. A query that resumes after a TTL-exceeding silence loses
+        // its fence (documented: keep checkpoint lag under the TTL, the
+        // same class of contract as snapshot retention vs stream lag).
+        val now = System.currentTimeMillis()
+        val ttl = meta.properties.getOrElse(PropStreamEpochTtlMs,
+          DefaultStreamEpochTtlMs).toLong
+        val stale = meta.properties.keysIterator
+          .filter(k => k.startsWith(PropStreamEpochPrefix) && k != key)
+          .filter(k => now - LakeTable.parseEpochValue(meta.properties(k))._2 >= ttl)
+          .toSet
+        Some((maybeMerge(withNew), meta.snapshots,
+          Map(key -> s"$epochId:$now"), stale))
       }
     }
+  }
+
+  /** Table-property update as one metadata commit (SQL SET TBLPROPERTIES). */
+  def setProperty(key: String, value: String): Long =
+    retryCommitProps("alter") { () =>
+      Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        Map(key -> value)))
+    }
+
+  /** Schema evolution: ADD COLUMN (nullable, appended last). One metadata
+    * commit bumping schemaDdl — no data file is touched; files written
+    * before the change lack the column and the read path null-fills it
+    * (the vectorized reader projects by requested schema, treating absent
+    * parquet columns as all-null). Dropping/renaming/retyping is
+    * deliberately unsupported: those need per-file field-id mapping to stay
+    * sound, and null-fill ADD covers the case a 100 TB table actually
+    * outliving its schema hits first.
+    */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    var attempt = 0
+    while (true) {
+      if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+        throw new IllegalArgumentException(s"column $name already exists")
+      val newDdl = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)).toDDL
+      try
+        return commitAttempt("alter",
+          meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+          schemaUpdate = Some(newDdl))
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(s"alter failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
   }
 
   /** Manifest compaction once the count crosses the merge threshold. */
@@ -526,12 +606,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .toDF("path", "size_bytes", "row_count", "partition_value")
   }
 
+  /** Per-partition rollup (the skew audit) as a distributed groupBy over
+    * the executor-parsed file inventory — the scale path behind the
+    * `$partitions` metadata table.
+    */
+  def partitionsDF(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    filesDF(spark).groupBy("partition_value").agg(
+      count(lit(1)).as("file_count"),
+      sum("row_count").as("row_count"),
+      sum("size_bytes").as("size_bytes"),
+      min("size_bytes").as("min_file_bytes"),
+      max("size_bytes").as("max_file_bytes"))
+      .orderBy("partition_value")
+  }
+
   /** Current table as a DataFrame. */
   def toDF(spark: SparkSession): DataFrame = snapshotDF(spark, meta.currentSnapshotId)
 
-  /** Time travel (B2). */
+  /** Time travel (B2) — reads with the schema as of that snapshot. */
   def snapshotDF(spark: SparkSession, snapshotId: Long): DataFrame =
-    LakeTable.readFiles(spark, schema, files(snapshotId).map(_.path))
+    LakeTable.readFiles(spark, schemaAt(snapshotId), files(snapshotId).map(_.path))
 
   /** Incremental read (B3): rows added in (fromId, toId]. */
   def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
@@ -557,6 +652,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
 object LakeTable {
   import LakeFormat._
+
+  /** Epoch watermark value: "epochId:commitTimestampMs". Bare-long values
+    * (pre-GC metadata) parse with timestamp 0 — immediately GC-eligible,
+    * which only affects queries already idle across the format change.
+    */
+  private[lake] def parseEpochValue(v: String): (Long, Long) =
+    v.split(':') match {
+      case Array(e, t) => (e.toLong, t.toLong)
+      case _ => (v.toLong, 0L)
+    }
 
   /** JVM-wide immutable-manifest cache (see readManifest) + a parse
     * counter for test observability.

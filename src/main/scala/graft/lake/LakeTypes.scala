@@ -74,8 +74,11 @@ final case class Snapshot(
     id: Long,
     parentId: Long, // -1 for the first snapshot
     timestampMs: Long,
-    operation: String, // create | append | delete | rewrite | expire
-    manifests: Seq[String])
+    operation: String, // create | append | delete | rewrite | expire | alter
+    manifests: Seq[String],
+    // schema current AS OF this snapshot (schema evolution): None in
+    // pre-evolution metadata → fall back to the table-level schemaDdl
+    schemaDdl: Option[String] = None)
 
 /** Full table metadata as persisted in metadata/v<N>.json. */
 final case class TableMeta(
@@ -101,8 +104,14 @@ object LakeFormat {
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"
   val PropMinSnapshotsToKeep = "history.expire.min-snapshots-to-keep"
-  // per-query streaming-epoch watermark: "stream.epoch.<queryId>" -> epochId
+  // per-query streaming-epoch watermark:
+  // "stream.epoch.<queryId>" -> "<epochId>:<commitTimestampMs>"
   val PropStreamEpochPrefix = "stream.epoch."
+  // idle epoch watermarks older than this are GC'd at the next epoch
+  // commit. NOT under the "stream.epoch." prefix — every key under that
+  // prefix IS a watermark and is itself GC-eligible.
+  val PropStreamEpochTtlMs = "stream.epoch-ttl-ms"
+  val DefaultStreamEpochTtlMs: String = (30L * 24 * 3600 * 1000).toString
 
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "20",

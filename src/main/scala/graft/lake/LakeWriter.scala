@@ -135,25 +135,48 @@ object LakeWriter {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, moves.size)))
-    val out =
-      try {
-        val futures = moves.map { case (src, partVal) =>
-          pool.submit(new java.util.concurrent.Callable[DataFileMeta] {
-            override def call(): DataFileMeta = {
-              val destDir = new Path(new Path(loc, LakeFormat.DataDir),
-                spec.dirName(partVal))
-              val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
-              // FileSystem instances are cached per-scheme and thread-safe
-              if (!fs.rename(src, dest))
-                throw new java.io.IOException(s"move failed: $src -> $dest")
-              footerMeta(conf, dest, partVal)
-            }
-          })
+    try {
+      val futures = moves.map { case (src, partVal) =>
+        pool.submit(new java.util.concurrent.Callable[DataFileMeta] {
+          override def call(): DataFileMeta = {
+            val destDir = new Path(new Path(loc, LakeFormat.DataDir),
+              spec.dirName(partVal))
+            val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
+            // FileSystem instances are cached per-scheme and thread-safe
+            if (!fs.rename(src, dest))
+              throw new java.io.IOException(s"move failed: $src -> $dest")
+            footerMeta(conf, dest, partVal)
+          }
+        })
+      }
+      // await EVERY future before inspecting outcomes, so a failure never
+      // leaves in-flight moves racing the cleanup below
+      val results: Seq[Either[Throwable, DataFileMeta]] = futures.map { f =>
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+          case e: InterruptedException => Left(e)
         }
-        futures.map(_.get())
-      } finally pool.shutdown()
-    fs.delete(tmpDir, true)
-    out
+      }
+      results.collectFirst { case Left(e) => e }.foreach { e =>
+        // abort: files already moved to final paths are referenced by no
+        // manifest (the commit only happens after this method returns) —
+        // delete them so a failed publish leaves nothing behind
+        results.foreach {
+          case Right(m) =>
+            try fs.delete(new Path(m.path), false)
+            catch { case _: java.io.IOException => }
+          case _ => ()
+        }
+        throw new java.io.IOException("data-file publish failed; staged files removed", e)
+      }
+      results.collect { case Right(m) => m }
+    } finally {
+      pool.shutdown()
+      // staging dir cleanup must run on BOTH paths — a failed future
+      // otherwise leaks the whole temp write
+      try fs.delete(tmpDir, true) catch { case _: java.io.IOException => }
+    }
   }
 
   /** Parquet footer → DataFileMeta (A18): row count plus per-column stats

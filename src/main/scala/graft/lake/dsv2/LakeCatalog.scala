@@ -123,6 +123,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         return suffix match {
           case "files" => new LakeFilesMetaTable(location(baseIdent))
           case "snapshots" => new LakeSnapshotsMetaTable(location(baseIdent))
+          case "partitions" => new LakePartitionsMetaTable(location(baseIdent))
           case _ => throw new NoSuchTableException(ident)
         }
       case _ => ()
@@ -192,9 +193,33 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     new LakeDsTable(loc)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "laketable schema is fixed at create time (reference Constants.java:26-31)")
+  /** Schema evolution: ADD COLUMN only ([[graft.lake.LakeTable.addColumn]]
+    * — metadata-only commit, old files null-fill). Anything else (drop,
+    * rename, retype) would need per-file field-id mapping to stay sound and
+    * is rejected. The reference itself fixes its schema at create time
+    * (Constants.java:26-31); this is the one extension a long-lived table
+    * needs first.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(location(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "laketable ADD COLUMN supports top-level columns only")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "added columns must be nullable: pre-existing files null-fill them")
+        t.addColumn(add.fieldNames().head, add.dataType())
+      case sp: TableChange.SetProperty =>
+        t.setProperty(sp.property(), sp.value())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"laketable ALTER supports ADD COLUMN / SET TBLPROPERTIES only; got $other")
+    }
+    new LakeDsTable(location(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -26,6 +26,9 @@ object LakeMetaTables {
   val SnapshotsSchema: StructType = StructType.fromDDL(
     "snapshot_id BIGINT, parent_id BIGINT, committed_at_ms BIGINT, " +
       "operation STRING, manifest_count INT")
+  val PartitionsSchema: StructType = StructType.fromDDL(
+    "partition_value BIGINT, file_count BIGINT, row_count BIGINT, " +
+      "size_bytes BIGINT, min_file_bytes BIGINT, max_file_bytes BIGINT")
 }
 
 /** One manifest file to parse on an executor. */
@@ -63,6 +66,69 @@ final class LakeFilesMetaTable(location: String) extends Table with SupportsRead
             val f = it.next()
             cur = InternalRow(UTF8String.fromString(f.path), f.sizeBytes,
               f.rowCount, f.partitionValue, UTF8String.fromString(f.format))
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** `$partitions` — the skew audit (SURVEY D6): one row per partition bucket
+  * with file/row/byte rollups and the min/max file size (small-file and
+  * straggler hot spots jump out as min≪max or file_count≫siblings). The
+  * rollup runs as ONE executor task over the manifest list: per-file rows
+  * never touch the driver, manifest count is bounded by the merge
+  * threshold, and the output is one row per bucket. For truly enormous
+  * inventories [[graft.lake.LakeTable.partitionsDF]] is the same rollup as
+  * a distributed groupBy over the executor-parsed files DataFrame.
+  */
+final case class ManifestListPartition(paths: Seq[String]) extends InputPartition
+
+final class LakePartitionsMetaTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"laketable.`$location`$$partitions"
+  override def schema(): StructType = LakeMetaTables.PartitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = LakeMetaTables.PartitionsSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val t = LakeTable.load(location)
+        val metaDir = new Path(location, graft.lake.LakeFormat.MetadataDir)
+        Array(ManifestListPartition(
+          t.tableMeta.current.map(_.manifests).getOrElse(Nil)
+            .map(m => new Path(metaDir, m).toString)))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => new PartitionReader[InternalRow] {
+          private val it = {
+            final class Acc {
+              var files = 0L; var rows = 0L; var bytes = 0L
+              var minB = Long.MaxValue; var maxB = Long.MinValue
+            }
+            val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Acc]
+            for (mp <- partition.asInstanceOf[ManifestListPartition].paths) {
+              val p = new Path(mp)
+              val in = p.getFileSystem(new Configuration()).open(p)
+              val content =
+                try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              for (f <- Json.manifestFromJson(content)) {
+                val a = acc.getOrElseUpdate(f.partitionValue, new Acc)
+                a.files += 1; a.rows += f.rowCount; a.bytes += f.sizeBytes
+                a.minB = math.min(a.minB, f.sizeBytes)
+                a.maxB = math.max(a.maxB, f.sizeBytes)
+              }
+            }
+            acc.toSeq.sortBy(_._1).iterator
+          }
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val (pv, a) = it.next()
+            cur = InternalRow(pv, a.files, a.rows, a.bytes, a.minB, a.maxB)
             true
           }
           override def get(): InternalRow = cur

@@ -93,7 +93,9 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
   }
 
   override def name(): String = s"laketable.`$location`"
-  override def schema(): StructType = table.schema
+  // a pinned snapshot reads with the schema as of that snapshot
+  override def schema(): StructType =
+    asOf.map(table.schemaAt).getOrElse(table.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -151,7 +153,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = table.schema
+  private var required: StructType =
+    asOf.map(table.schemaAt).getOrElse(table.schema)
   private var aggRows: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

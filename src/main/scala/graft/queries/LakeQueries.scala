@@ -198,7 +198,30 @@ object LakeQueries {
     out
   }
 
+  // B36 — `$partitions` skew audit over a deliberately skewed scratch
+  // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
+  // rollup that tells an operator where compaction/salting is needed.
+  // Engine-side scratch table → rows-only; exact values spec-checked in
+  // LakeCatalogSpec.
+  def b36_partitions_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"p${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    for (i <- 0 until 4)
+      s.sql(s"INSERT INTO $tbl SELECT id + ${i * 100}, ${bucket(0)}L FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 50)")
+    val out = localize(s.sql(
+      s"SELECT partition_value, file_count, row_count " +
+        s"FROM $cat.ns.`$name$$partitions` ORDER BY partition_value"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b36_partitions_meta" -> b36_partitions_meta _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,

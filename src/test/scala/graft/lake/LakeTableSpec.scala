@@ -50,6 +50,24 @@ class LakeTableSpec extends SparkSpec {
       == bySnap.flatMap(_._2).map(_.path))
   }
 
+  test("addColumn: metadata-only commit, snapshotDF pins per-vintage schema") {
+    val t = newTable()
+    val s1 = appendBatch(t, 20, bucket(0), seed = 1)
+    val filesBefore = t.files().map(_.path).toSet
+    t.addColumn("score", org.apache.spark.sql.types.LongType)
+    // metadata-only: no data file touched, one new snapshot
+    assert(t.files().map(_.path).toSet == filesBefore)
+    assert(t.tableMeta.current.get.operation == "alter")
+    assert(t.schema.fieldNames.last == "score")
+    assert(t.schemaAt(s1).fieldNames.toSeq == t.schema.fieldNames.dropRight(1).toSeq)
+    // current read null-fills; time travel reads the old shape
+    assert(t.toDF(spark).filter(col("score").isNull).count() == 20)
+    assert(!t.snapshotDF(spark, s1).schema.fieldNames.contains("score"))
+    intercept[IllegalArgumentException] {
+      t.addColumn("SCORE", org.apache.spark.sql.types.LongType) // case-insensitive dupe
+    }
+  }
+
   test("typed Dataset[LakeEvent] generator matches the untyped schema") {
     val ds = LakeWriter.generateTypedBatch(spark, 10, bucket(0), seed = 5)
     val events = ds.collect()

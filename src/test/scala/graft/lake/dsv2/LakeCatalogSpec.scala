@@ -218,6 +218,67 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.fcol")
   }
 
+  test("schema evolution: ADD COLUMN null-fills old files; time travel keeps old schema") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.evo (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.evo SELECT id, ${bucket(0)}L FROM range(0, 10)")
+    val preAlter = spark.sql(
+      "SELECT max(snapshot_id) FROM lake.ns.`evo$snapshots`").head.getLong(0)
+    spark.sql("ALTER TABLE lake.ns.evo ADD COLUMN score BIGINT")
+    spark.sql(
+      s"INSERT INTO lake.ns.evo SELECT id, ${bucket(1)}L, id * 7 FROM range(100, 105)")
+    // both vintages in one scan: old files null-fill the new column
+    assert(spark.table("lake.ns.evo").schema.fieldNames.toSeq
+      == Seq("message_id", "timeperiod_loadedBy", "score"))
+    assert(spark.sql("SELECT count(*) FROM lake.ns.evo").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) FROM lake.ns.evo WHERE score IS NULL")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(score) FROM lake.ns.evo").head.getLong(0)
+      == (100L to 104L).map(_ * 7).sum)
+    // time travel to the pre-alter snapshot: OLD schema, old rows
+    val old = spark.sql(s"SELECT * FROM lake.ns.evo VERSION AS OF $preAlter")
+    assert(old.schema.fieldNames.toSeq == Seq("message_id", "timeperiod_loadedBy"))
+    assert(old.count() == 10)
+    // the evolved column works through CoW DML too
+    spark.sql("UPDATE lake.ns.evo SET score = -1 WHERE score IS NULL")
+    assert(spark.sql("SELECT count(*) FROM lake.ns.evo WHERE score = -1")
+      .head.getLong(0) == 10)
+    // duplicate / non-addable changes are rejected
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ns.evo ADD COLUMN score BIGINT") }
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ns.evo DROP COLUMN score") }
+    spark.sql("DROP TABLE lake.ns.evo")
+  }
+
+  test("$partitions metadata table: per-bucket rollup surfaces skew") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.skew (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    // bucket 0: fragmented into 3 commits; bucket 1: one commit
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO lake.ns.skew SELECT id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(s"INSERT INTO lake.ns.skew SELECT id, ${bucket(1)}L FROM range(0, 40)")
+    val rows = spark.sql(
+      "SELECT partition_value, file_count, row_count, size_bytes, " +
+        "min_file_bytes, max_file_bytes FROM lake.ns.`skew$partitions` " +
+        "ORDER BY partition_value").collect()
+    assert(rows.length == 2)
+    val b0 = rows(0); val b1 = rows(1)
+    assert(b0.getLong(0) == bucket(0) && b0.getLong(1) == 3 && b0.getLong(2) == 30)
+    assert(b1.getLong(0) == bucket(1) && b1.getLong(1) == 1 && b1.getLong(2) == 40)
+    assert(b0.getLong(3) > 0 && b0.getLong(4) > 0 && b0.getLong(5) >= b0.getLong(4))
+    // agrees with the distributed API rollup
+    val loc = spark.sql("SELECT path FROM lake.ns.`skew$files` LIMIT 1")
+      .head.getString(0)
+    val t = LakeTable.load(loc.substring(0, loc.indexOf("/data/")))
+    val api = t.partitionsDF(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(api == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    spark.sql("DROP TABLE lake.ns.skew")
+  }
+
   test("CREATE TABLE without the truncate transform is rejected") {
     warehouse
     val e = intercept[Exception] {

@@ -87,6 +87,40 @@ class LakeSinkSpec extends SparkSpec {
     assert(t2.tableMeta.properties.keys.exists(_.startsWith("stream.epoch.")))
   }
 
+  test("epoch watermarks GC after TTL; active query's own fence survives") {
+    val loc = tmpDir("dsv2-sink-gc")
+    LakeTable.drop(loc)
+    // ttl = 0: every OTHER query's watermark is stale at the next commit
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      properties = Map(LakeFormat.PropStreamEpochTtlMs -> "0"))
+    def epochKeys = t.tableMeta.properties.keySet
+      .filter(_.startsWith(LakeFormat.PropStreamEpochPrefix))
+    val f1 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(0), seed = 41), t)
+    assert(t.appendEpoch(f1, "q1", 0L) >= 0)
+    assert(epochKeys == Set(s"${LakeFormat.PropStreamEpochPrefix}q1"))
+    val f2 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(1), seed = 42), t)
+    assert(t.appendEpoch(f2, "q2", 0L) >= 0)
+    // q1's dead watermark dropped, q2's own fence written
+    assert(epochKeys == Set(s"${LakeFormat.PropStreamEpochPrefix}q2"))
+    // q2 replay still fenced (its key was exempt from its own GC pass)
+    val f3 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(1), seed = 43), t)
+    assert(t.appendEpoch(f3, "q2", 0L) == -1L)
+    // default TTL keeps everything
+    val t2 = LakeTable.create(tmpDir("dsv2-sink-gc2") + "-t",
+      LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val g1 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(0), seed = 44), t2)
+    assert(t2.appendEpoch(g1, "qa", 0L) >= 0)
+    val g2 = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(1), seed = 45), t2)
+    assert(t2.appendEpoch(g2, "qb", 0L) >= 0)
+    assert(t2.tableMeta.properties.keySet
+      .count(_.startsWith(LakeFormat.PropStreamEpochPrefix)) == 2)
+  }
+
   test("appendEpoch fences replayed epochs and leaves no duplicate rows") {
     val t = newTable()
     val files1 = LakeWriter.writeDataFiles(
