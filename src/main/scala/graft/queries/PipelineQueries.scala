@@ -379,6 +379,108 @@ object PipelineQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  // D4h — within-doc repetition ratio (the Gopher/RefinedWeb repetition
+  // rule): 1 − distinct_bigrams/total_bigrams per document. Repetitive
+  // machine-generated text scores high and gets filtered before training.
+  // Map-side only (per-row array math, no shuffle until the final sort).
+  def d04_repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, dir, "documents")
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        expr("""cast(size(array_distinct(transform(sequence(0, size(toks) - 2),
+               |  i -> concat(toks[i], ' ', toks[i + 1])))) as long)""".stripMargin)
+          .as("n_distinct"))
+      .withColumn("rep_ratio",
+        dec4(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")))
+      .orderBy("doc_id")
+  }
+
+  // D4i — composite Gopher-style quality rules: token-count bounds, mean
+  // word length bounds, and a max-single-token-frequency cap. Documents
+  // failing any rule are dropped from a training mix; emitting the
+  // per-rule booleans keeps the audit explainable. Per-row array math.
+  def d04_gopher_rules(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, dir, "documents")
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        dec4(expr("aggregate(toks, 0D, (a, x) -> a + length(x)) / size(toks)"))
+          .as("mean_len"),
+        expr("""cast(array_max(transform(array_distinct(toks),
+               |  u -> size(filter(toks, x -> x = u)))) as long)""".stripMargin)
+          .as("max_freq"))
+      .withColumn("ok_count", col("n_tok") >= 20 && col("n_tok") <= 5000)
+      .withColumn("ok_meanlen", col("mean_len") >= 3.0 && col("mean_len") <= 12.0)
+      .withColumn("ok_maxfreq",
+        col("max_freq").cast("double") / col("n_tok") <= 0.2)
+      .withColumn("keep", col("ok_count") && col("ok_meanlen") && col("ok_maxfreq"))
+      .orderBy("doc_id")
+  }
+
+  // D3e — cross-document boilerplate: 4-grams appearing in >= 3 distinct
+  // documents (headers, templates, license blobs at corpus scale) and each
+  // document's boilerplate fraction. Gram-keyed shuffle for the document
+  // frequencies, broadcast of the (small) boilerplate set back onto the
+  // per-doc gram stream — the C4-style boilerplate pass, linear in grams.
+  def d03_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
+          .stripMargin)).as("gram"))
+    val boiler = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("gram"), lit(1).as("is_boiler"))
+    grams.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        dec4(col("n_boiler").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  // D1d — fuzzy-dedup clustering: connected components over the MinHash-LSH
+  // candidate graph (iterative min-label propagation — the standard
+  // distributed CC), then keep-first per cluster. THE production semantic
+  // dedup shape: candidates → components → one survivor per component.
+  // Bounded iterations: near-dup components are chains of a few docs, and
+  // each round halves the label diameter; 6 rounds covers diameter 64.
+  // Engine-side iterative op → rows-only; PipelineSpec asserts the
+  // partitioning equals a driver-side union-find over the same edges.
+  def d01_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d03_minhash_lsh(s, dir).select("a_id", "b_id")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache() // reused every iteration; unpersisted below
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    for (_ <- 0 until 6) {
+      val neighborMin = edges
+        .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src")).agg(min("ncomp").as("nmin"))
+      comp = comp.join(neighborMin.select(col("src").as("id"), col("nmin")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+    }
+    val out = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .withColumn("keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+    val local = out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    edges.unpersist()
+    local
+  }
+
   // D4e — n-gram language ID: score = fraction of a doc's bigrams that are
   // among its language's globally most-frequent bigrams. Engine-side
   // heuristic (argmax over per-lang profiles) → no SQL oracle; its spec
@@ -455,6 +557,10 @@ object PipelineQueries {
     "d04_curation" -> d04_curation _,
     "d04_budget_pack" -> d04_budget_pack _,
     "d03_contamination" -> d03_contamination _,
+    "d04_repetition" -> d04_repetition _,
+    "d04_gopher_rules" -> d04_gopher_rules _,
+    "d03_boilerplate" -> d03_boilerplate _,
+    "d01_dedup_cluster" -> d01_dedup_cluster _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -582,6 +688,55 @@ object PipelineQueries {
         |WHERE t.doc_id >= 20 AND e.doc_id < 20
         |GROUP BY train_id, eval_id HAVING COUNT(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    "d04_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+        |  FROM (SELECT doc_id, t, CAST(generate_subscripts(t, 1) AS INT) AS i
+        |        FROM tk WHERE len(t) >= 2)
+        |  WHERE i <= len(t) - 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(DISTINCT b) AS BIGINT) AS n_distinct,
+        |  CAST(CAST(round(1.0 - CAST(COUNT(DISTINCT b) AS DOUBLE) / COUNT(*), 4)
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS rep_ratio
+        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d04_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk)
+        |SELECT doc_id, n_tok, mean_len, max_freq,
+        |  n_tok >= 20 AND n_tok <= 5000 AS ok_count,
+        |  mean_len >= 3.0 AND mean_len <= 12.0 AS ok_meanlen,
+        |  CAST(max_freq AS DOUBLE) / n_tok <= 0.2 AS ok_maxfreq,
+        |  (n_tok >= 20 AND n_tok <= 5000) AND (mean_len >= 3.0 AND mean_len <= 12.0)
+        |    AND (CAST(max_freq AS DOUBLE) / n_tok <= 0.2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "d03_boilerplate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 4),
+        |gr AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram
+        |  FROM (SELECT doc_id, t, CAST(generate_subscripts(t, 1) AS INT) AS i FROM tk)
+        |  WHERE i <= len(t) - 3),
+        |boiler AS (
+        |  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+        |                    FROM gr GROUP BY gram) WHERE df >= 3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN gram IN (SELECT gram FROM boiler) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_boiler,
+        |  CAST(CAST(round(CAST(SUM(CASE WHEN gram IN (SELECT gram FROM boiler)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        |    AS boiler_ratio
+        |FROM gr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d04_quality" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -56,6 +56,32 @@ class PipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"pinned RDD blocks leaked: $leaked")
   }
 
+  test("D1: dedup clustering equals union-find over the candidate graph") {
+    val pairs = PipelineQueries.d03_minhash_lsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find ground truth over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val got = PipelineQueries.d01_dedup_cluster(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == truth.keySet)
+    // identical partitioning AND canonical labels (min doc_id per component)
+    assert(got == truth, s"cluster mismatch: ${got.toSeq.diff(truth.toSeq).take(5)}")
+    // exactly one keeper per cluster, and it is the cluster id
+    val keepers = PipelineQueries.d01_dedup_cluster(spark, dir)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(keepers == truth.values.toSet)
+  }
+
   test("D2: IVF ANN recall@5 vs brute-force top-5") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
