@@ -124,6 +124,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
           case "files" => new LakeFilesMetaTable(location(baseIdent))
           case "snapshots" => new LakeSnapshotsMetaTable(location(baseIdent))
           case "partitions" => new LakePartitionsMetaTable(location(baseIdent))
+          case "manifests" => new LakeManifestsMetaTable(location(baseIdent))
           case _ => throw new NoSuchTableException(ident)
         }
       case _ => ()

@@ -29,6 +29,8 @@ object LakeMetaTables {
   val PartitionsSchema: StructType = StructType.fromDDL(
     "partition_value BIGINT, file_count BIGINT, row_count BIGINT, " +
       "size_bytes BIGINT, min_file_bytes BIGINT, max_file_bytes BIGINT")
+  val ManifestsSchema: StructType = StructType.fromDDL(
+    "manifest STRING, file_count BIGINT, row_count BIGINT, size_bytes BIGINT")
 }
 
 /** One manifest file to parse on an executor. */
@@ -129,6 +131,50 @@ final class LakePartitionsMetaTable(location: String) extends Table with Support
             if (!it.hasNext) return false
             val (pv, a) = it.next()
             cur = InternalRow(pv, a.files, a.rows, a.bytes, a.minB, a.maxB)
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** `$manifests` — one row per current manifest with its file/row/byte
+  * totals (manifest-merge health: many small manifests = commit-heavy
+  * table approaching its merge threshold). One executor task per manifest.
+  */
+final class LakeManifestsMetaTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"laketable.`$location`$$manifests"
+  override def schema(): StructType = LakeMetaTables.ManifestsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = LakeMetaTables.ManifestsSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val t = LakeTable.load(location)
+        val metaDir = new Path(location, graft.lake.LakeFormat.MetadataDir)
+        t.tableMeta.current.map(_.manifests).getOrElse(Nil)
+          .map(m => ManifestPartition(new Path(metaDir, m).toString): InputPartition)
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => new PartitionReader[InternalRow] {
+          private var done = false
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (done) return false
+            val p = new Path(partition.asInstanceOf[ManifestPartition].path)
+            val in = p.getFileSystem(new Configuration()).open(p)
+            val content =
+              try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            val files = Json.manifestFromJson(content)
+            cur = InternalRow(UTF8String.fromString(p.getName),
+              files.size.toLong, files.map(_.rowCount).sum,
+              files.map(_.sizeBytes).sum)
+            done = true
             true
           }
           override def get(): InternalRow = cur

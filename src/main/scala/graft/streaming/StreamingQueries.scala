@@ -172,6 +172,44 @@ object StreamingQueries {
     }.orderBy("event_id")
   }
 
+  // C18 — stream-stream inner join: clicks joined to the same user's views
+  // within 6 hours, both sides watermarked (the delay covers the replay's
+  // full disorder, so the finite replay is deterministic and equals the
+  // batch join — which is exactly what the DuckDB oracle computes). The
+  // state-store shape is the production one: user-keyed state on both
+  // sides, bounded by the watermark + the time-range condition.
+  def c18_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val in = replayDir(t(s, dir, "events"), 4)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val name = "m" + UUID.randomUUID().toString.replace("-", "")
+    def src = s.readStream
+      .schema(t(s, dir, "events").schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(in)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "45 days")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "45 days")
+    val q = clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("vts") >= col("cts") &&
+          col("vts") <= col("cts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_id"), col("view_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = localize(s.table(name).orderBy("click_id", "view_id"))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    out
+  }
+
   // C17 — moniker-stream ingest: the reference's core loop (writers publish
   // file-list monikers; a bookkeeper folds them into table commits,
   // FileBasedBookkeeper.java:152-180) as a Structured Streaming pipeline —
@@ -236,6 +274,7 @@ object StreamingQueries {
     "c15_stream_static_join" -> c15_stream_static_join _,
     "c16_stream_stateful" -> c16_stream_stateful _,
     "c17_moniker_ingest" -> c17_moniker_ingest _,
+    "c18_stream_stream_join" -> c18_stream_stream_join _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,5 +306,12 @@ object StreamingQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "c16_stream_stateful" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "c18_stream_stream_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS view_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'view'
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000
+        |ORDER BY click_id, view_id""".stripMargin,
   )
 }

@@ -306,6 +306,14 @@ class LakeCatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(snaps == Seq((0L, "create"), (1L, "append"), (2L, "append")))
 
+    // $manifests: two fast-append commits = two manifests, totals add up
+    val mans = spark.sql(
+      "SELECT manifest, file_count, row_count FROM lake.ns.`meta$manifests` " +
+        "ORDER BY row_count DESC").collect()
+    assert(mans.length == 2)
+    assert(mans.map(_.getLong(2)).toSeq == Seq(8L, 4L))
+    assert(mans.forall(_.getString(0).startsWith("manifest-")))
+
     // path-based snapshot pin matches VERSION AS OF
     val pinned = spark.read.format("laketable")
       .option("snapshotId", "1").load(s"$w/ns/meta").count()
