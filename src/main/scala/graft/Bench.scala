@@ -32,7 +32,8 @@ object Bench {
     "b20_rollup", "b22_window_rank", "b25_sort_topk", "b29_dedup",
     "b33_pivot", "c04_array", "d01_dedup_exact", "d01_dedup_embed",
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
-    "d04_token_topn", "d04_fingerprint", "d04_curation")
+    "d04_token_topn", "d04_fingerprint", "d04_curation",
+    "d03_boilerplate", "d04_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

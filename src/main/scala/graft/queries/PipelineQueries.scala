@@ -168,6 +168,69 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  // D2-scale (PQ) — product-quantization ANN: normalized 64-dim vectors
+  // split into 4 subspaces of 16 dims; each subspace quantizes to one of
+  // 16 deterministic codewords (the same every-31st sample the IVF coarse
+  // quantizer uses), so a vector stores as 4 small codes — 64× smaller
+  // than the float vector, THE memory/bandwidth lever of billion-vector
+  // search. Probes precompute a 64-entry lookup table (dot of their
+  // subvector with every codeword); the ADC scan scores a candidate with
+  // 4 table adds instead of 64 multiplies, takes the top-100, and an exact
+  // cosine refine re-ranks to top-5. Encode and LUT are map-side pure
+  // expressions; codes ride a broadcast join (compose with d02_ann_ivf's
+  // cells to also bound the scan). Approximate → rows-only; recall spec.
+  // (The refine carries the original vectors for simplicity; a production
+  // pipeline re-fetches the shortlist by id to keep the scan code-only.)
+  def d02_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    val sample: Array[Seq[Float]] = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().map(_.getSeq[Float](1))
+    def normalize(v: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(_.toDouble / n)
+    }
+    // codebook: cents(sb)(j) = subspace-sb slice of normalized sample j —
+    // a bounded model constant shipped to executors as literals
+    val cents: Array[Array[Seq[Double]]] = Array.tabulate(4)(sb =>
+      sample.map(v => normalize(v).slice(sb * 16, sb * 16 + 16)))
+    val nv = expr(
+      """transform(embedding, x -> cast(x as double) /
+        |  sqrt(aggregate(embedding, 0D,
+        |    (a, y) -> a + cast(y as double) * cast(y as double))))""".stripMargin)
+    def dotCol(vec: org.apache.spark.sql.Column, w: Seq[Double]) =
+      aggregate(zip_with(vec, typedlit(w), (x, y) => x * y),
+        lit(0.0), (a, v) => a + v)
+    def codeCol(sb: Int) =
+      array_max(array((0 until 16).map(j =>
+        struct(dotCol(slice(col("nv"), sb * 16 + 1, 16), cents(sb)(j)).as("s"),
+          lit(j).as("c"))): _*)).getField("c")
+    val corpus = e.withColumn("nv", nv)
+      .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
+        (0 until 4).map(sb => codeCol(sb).as(s"c$sb")): _*)
+    val probes = e.filter(col("vec_id") < 20).withColumn("nv", nv)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        array((for { sb <- 0 until 4; j <- 0 until 16 } yield
+          dotCol(slice(col("nv"), sb * 16 + 1, 16), cents(sb)(j))): _*).as("lut"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("oid"))
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("oid"))
+      .withColumn("adc",
+        element_at(col("lut"), col("c0") + 1) +
+          element_at(col("lut"), col("c1") + 17) +
+          element_at(col("lut"), col("c2") + 33) +
+          element_at(col("lut"), col("c3") + 49))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= 100)
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   // D3 — exact token-set Jaccard over a bounded candidate set (same lang,
   // doc_id < 100). Integer-ratio math → bit-identical across engines.
   def d03_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
@@ -546,6 +609,7 @@ object PipelineQueries {
     "d02_cosine_topk" -> d02_cosine_topk _,
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d02_ann_ivf" -> d02_ann_ivf _,
+    "d02_ann_pq" -> d02_ann_pq _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
     "d03_simhash" -> d03_simhash _,

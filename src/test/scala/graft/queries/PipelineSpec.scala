@@ -97,6 +97,20 @@ class PipelineSpec extends SparkSpec {
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
 
+  test("D2: PQ ANN recall@5 vs brute-force top-5") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairs(PipelineQueries.d02_cosine_topk(spark, dir))
+    val pq = pairs(PipelineQueries.d02_ann_pq(spark, dir))
+    assert(truth.nonEmpty)
+    val recall = pq.intersect(truth).size.toDouble / truth.size
+    // 4x16 codebook + top-100 ADC shortlist + exact refine: the shortlist
+    // covers 20% of this corpus, so recall well above the IVF floor
+    assert(recall >= 0.5, s"PQ recall $recall below floor (|pq|=${pq.size})")
+    assert(PipelineQueries.d02_ann_pq(spark, dir)
+      .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+  }
+
   test("D1: embedding near-dup pairs agree with exact recompute") {
     val out = PipelineQueries.d01_dedup_embed(spark, dir).collect()
     assert(out.nonEmpty, "threshold should admit at least one near-dup pair")

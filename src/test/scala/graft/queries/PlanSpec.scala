@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected at most the refine-window shuffle, got $shuffles:\n$p")
   }
 
+  test("D3: boilerplate set broadcasts back onto the gram stream") {
+    val p = plan(PipelineQueries.d03_boilerplate(spark, dir))
+    // the (small) boilerplate gram set must broadcast — the corpus-sized
+    // gram stream never shuffles for the enrichment join, only for the
+    // doc-frequency groupBy and the final per-doc rollup
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
