@@ -384,6 +384,72 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     -1L // unreachable
   }
 
+  // ---- snapshot refs: tags + rollback ------------------------------------
+
+  /** Named snapshot refs ("tags"): `ref.tag.<name>` -> snapshot id. */
+  def tags: Map[String, Long] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith(PropTagPrefix) =>
+        k.stripPrefix(PropTagPrefix) -> v.toLong
+    }
+
+  /** Tag `snapshotId` with `name` — a property update committed through
+    * the CAS loop (atomic vs concurrent committers), recorded as a
+    * lightweight "tag" snapshot so the metadata-version == snapshot-id
+    * invariant the CAS rename relies on holds. Tagged snapshots are
+    * pinned through [[expireSnapshots]] (and, transitively, so are their
+    * files): durable audit / reproducibility points — "the exact corpus
+    * run X trained on" — that survive retention on a table whose history
+    * is otherwise GC'd.
+    */
+  def createTag(name: String, snapshotId: Long): Long = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid tag name: $name (must start with a letter)")
+    retryCommitProps("tag") { () =>
+      if (meta.snapshot(snapshotId).isEmpty)
+        throw new IllegalArgumentException(s"no snapshot $snapshotId to tag")
+      Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        Map(s"$PropTagPrefix$name" -> snapshotId.toString)))
+    }
+  }
+
+  /** Drop a tag; its snapshot becomes expiry-eligible again. No-op (-1)
+    * when the tag doesn't exist.
+    */
+  def dropTag(name: String): Long =
+    retryCommitPropsRemove("untag") { () =>
+      if (!meta.properties.contains(s"$PropTagPrefix$name")) None
+      else Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        Map.empty[String, String], Set(s"$PropTagPrefix$name")))
+    }
+
+  /** Roll the table back to `snapshotId`: ONE new "rollback" snapshot
+    * whose manifests (and pinned schema) are the target's. History is
+    * preserved — the rolled-past commits stay time-travelable until
+    * expiry — and a concurrent append conflicts-and-retries instead of
+    * being silently dropped. Incremental readers see no new files
+    * (rollback is not an "append" snapshot), so a stream crossing a
+    * rollback never re-delivers.
+    */
+  def rollbackTo(snapshotId: Long): Long = {
+    var attempt = 0
+    while (true) {
+      val target = meta.snapshot(snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $snapshotId to roll back to"))
+      try
+        return commitAttempt("rollback", target.manifests, meta.snapshots,
+          schemaUpdate = Some(target.schemaDdl.getOrElse(meta.schemaDdl)))
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(s"rollback failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Manifest compaction once the count crosses the merge threshold. */
   private def maybeMerge(manifests: Seq[String]): Seq[String] = {
     val threshold = meta.properties.getOrElse(PropManifestMinMerge, "200").toInt
@@ -557,7 +623,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val byAge = ordered.filter(s =>
         s.timestampMs >= olderThanMs || s.id == meta.currentSnapshotId)
       val byCount = ordered.takeRight(keepCount)
-      val keep = (byAge ++ byCount).distinctBy(_.id).sortBy(_.id)
+      // tagged snapshots are pinned regardless of age/count — a tag is a
+      // promise the snapshot (and its files) stay readable
+      val tagged = tags.values.toSet
+      val byTag = ordered.filter(s => tagged.contains(s.id))
+      val keep = (byAge ++ byCount ++ byTag).distinctBy(_.id).sortBy(_.id)
       if (keep.size == meta.snapshots.size) None
       else {
         val keptManifests = keep.flatMap(_.manifests).toSet

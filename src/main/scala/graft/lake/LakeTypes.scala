@@ -74,7 +74,7 @@ final case class Snapshot(
     id: Long,
     parentId: Long, // -1 for the first snapshot
     timestampMs: Long,
-    operation: String, // create | append | delete | rewrite | expire | alter
+    operation: String, // create | append | delete | rewrite | expire | alter | tag | untag | rollback
     manifests: Seq[String],
     // schema current AS OF this snapshot (schema evolution): None in
     // pre-evolution metadata → fall back to the table-level schemaDdl
@@ -112,6 +112,9 @@ object LakeFormat {
   // prefix IS a watermark and is itself GC-eligible.
   val PropStreamEpochTtlMs = "stream.epoch-ttl-ms"
   val DefaultStreamEpochTtlMs: String = (30L * 24 * 3600 * 1000).toString
+  // named snapshot ref: "ref.tag.<name>" -> "<snapshotId>"; tagged
+  // snapshots are pinned through expiry (audit / reproducibility points)
+  val PropTagPrefix = "ref.tag."
 
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "20",

@@ -133,11 +133,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     new LakeDsTable(location(ident))
   }
 
-  /** SQL `VERSION AS OF <snapshot-id>`. */
+  /** SQL `VERSION AS OF <snapshot-id | 'tag-name'>`: a numeric version is
+    * a snapshot id; any other string resolves through the table's named
+    * refs (`ref.tag.<name>`), so `VERSION AS OF 'train-v1'` reads the
+    * exact pinned corpus.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = LakeTable.load(location(ident))
-    val id = version.toLong
+    val id = version.toLongOption.orElse(t.tags.get(version))
+      .getOrElse(throw new NoSuchTableException(ident))
     if (t.tableMeta.snapshot(id).isEmpty)
       throw new NoSuchTableException(ident)
     new LakeDsTable(location(ident), asOf = Some(id))

@@ -50,6 +50,36 @@ class LakeTableSpec extends SparkSpec {
       == bySnap.flatMap(_._2).map(_.path))
   }
 
+  test("tags pin snapshots through expiry; rollback restores prior content") {
+    val t = newTable()
+    val s1 = appendBatch(t, 20, bucket(0), seed = 1)
+    t.createTag("train-v1", s1)
+    assert(t.tags == Map("train-v1" -> s1))
+    val s2 = appendBatch(t, 30, bucket(1), seed = 2)
+    assert(t.toDF(spark).count() == 50)
+
+    // rollback: current content == the tagged vintage; history preserved
+    t.rollbackTo(s1)
+    assert(t.tableMeta.current.get.operation == "rollback")
+    assert(t.toDF(spark).count() == 20)
+    assert(t.snapshotDF(spark, s2).count() == 50) // time travel past the rollback
+
+    // expiry pressure that keeps only the current snapshot by age/count:
+    // the tagged snapshot (and transitively its files) must survive
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000,
+      retainLast = 1)
+    assert(t.snapshots.exists(_.id == s1))
+    assert(t.snapshotDF(spark, s1).count() == 20)
+    assert(!t.snapshots.exists(_.id == s2)) // un-tagged vintage expired
+
+    // dropTag → expiry-eligible again; bad inputs rejected
+    t.dropTag("train-v1")
+    assert(t.tags.isEmpty)
+    assert(t.dropTag("missing") == -1L)
+    intercept[IllegalArgumentException](t.createTag("orphan", 999L))
+    intercept[IllegalArgumentException](t.rollbackTo(999L))
+  }
+
   test("addColumn: metadata-only commit, snapshotDF pins per-vintage schema") {
     val t = newTable()
     val s1 = appendBatch(t, 20, bucket(0), seed = 1)

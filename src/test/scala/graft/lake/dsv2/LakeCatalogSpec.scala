@@ -279,6 +279,27 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.skew")
   }
 
+  test("VERSION AS OF resolves tag names; rollback is SQL-visible") {
+    val w = warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.tagged (
+         |  message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.tagged SELECT id, id, ${bucket(0)}L FROM range(0, 10)")
+    val t = LakeTable.load(s"$w/ns/tagged")
+    t.createTag("train-v1", t.currentSnapshotId)
+    spark.sql(s"INSERT INTO lake.ns.tagged SELECT id, id, ${bucket(1)}L FROM range(100, 105)")
+    assert(spark.sql("SELECT count(*) FROM lake.ns.tagged").head.getLong(0) == 15)
+    // a quoted non-numeric version string resolves through the named refs
+    assert(spark.sql("SELECT count(*) FROM lake.ns.tagged VERSION AS OF 'train-v1'")
+      .head.getLong(0) == 10)
+    intercept[Exception](
+      spark.sql("SELECT * FROM lake.ns.tagged VERSION AS OF 'no-such-tag'").collect())
+    // rollback through the Scala API is immediately visible to SQL readers
+    t.refresh().rollbackTo(t.tags("train-v1"))
+    assert(spark.sql("SELECT count(*) FROM lake.ns.tagged").head.getLong(0) == 10)
+  }
+
   test("CREATE TABLE without the truncate transform is rejected") {
     warehouse
     val e = intercept[Exception] {
