@@ -140,7 +140,7 @@ object LakeQueries {
     * a catalog-resolvable target). One warehouse per session; each entry
     * uses a UUID table name so repeated bench runs never collide.
     */
-  private def dmlCatalog(s: SparkSession): String = {
+  private[graft] def dmlCatalog(s: SparkSession): String = {
     val cat = "graftlake"
     if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
       s.conf.set(s"spark.sql.catalog.$cat",

@@ -265,6 +265,63 @@ object StreamingQueries {
     out
   }
 
+  // C19 — streaming upsert (the CDC-apply shape): each micro-batch MERGEs
+  // into a laketable keyed by user_id, keeping the LATEST event per user
+  // plus a running event count. Within-batch keep-last precedes the MERGE
+  // (MERGE requires unique source keys); the newer-than guard on the first
+  // MATCHED clause makes the final state the global argmax per key
+  // REGARDLESS of micro-batch arrival order, and the count clause fires
+  // either way — so the completed stream equals the batch keep-last +
+  // count, which is exactly what the DuckDB oracle computes. (This replay
+  // path is at-least-once; the DSv2 append sink's epoch fencing is the
+  // exactly-once variant — MERGE-per-batch trades that for upsert power.)
+  def c19_stream_upsert(s: SparkSession, dir: String): DataFrame = {
+    val cat = graft.queries.LakeQueries.dmlCatalog(s)
+    val name = s"s${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (user_id BIGINT, last_event_id BIGINT,
+         |  last_ts_us BIGINT, n_events BIGINT)
+         |PARTITIONED BY (truncate(1000, user_id))""".stripMargin)
+    val in = replayDir(t(s, dir, "events"), 4)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val view = s"c19_src_$name"
+    val q = s.readStream
+      .schema(t(s, dir, "events").schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(in)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            max(struct(us(col("ts")).as("tsu"), col("event_id").as("eid"))).as("m"))
+          .select(col("user_id"), col("cnt"),
+            col("m.tsu").as("tsu"), col("m.eid").as("eid"))
+          .createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO $tbl t USING $view s ON t.user_id = s.user_id
+             |WHEN MATCHED AND (s.tsu > t.last_ts_us
+             |    OR (s.tsu = t.last_ts_us AND s.eid > t.last_event_id))
+             |  THEN UPDATE SET last_event_id = s.eid, last_ts_us = s.tsu,
+             |    n_events = t.n_events + s.cnt
+             |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.cnt
+             |WHEN NOT MATCHED THEN INSERT (user_id, last_event_id, last_ts_us, n_events)
+             |  VALUES (s.user_id, s.eid, s.tsu, s.cnt)""".stripMargin)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = localize(s.sql(
+      s"SELECT user_id, last_event_id, last_ts_us, n_events FROM $tbl ORDER BY user_id"))
+    s.sql(s"DROP TABLE $tbl")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
@@ -275,6 +332,7 @@ object StreamingQueries {
     "c16_stream_stateful" -> c16_stream_stateful _,
     "c17_moniker_ingest" -> c17_moniker_ingest _,
     "c18_stream_stream_join" -> c18_stream_stream_join _,
+    "c19_stream_upsert" -> c19_stream_upsert _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +364,16 @@ object StreamingQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "c16_stream_stateful" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "c19_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, tsu AS last_ts_us,
+        |       n AS n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "c18_stream_stream_join" ->
       """SELECT l.event_id AS click_id, r.event_id AS view_id
         |FROM events l JOIN events r ON l.user_id = r.user_id

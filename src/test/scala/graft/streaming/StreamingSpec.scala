@@ -79,6 +79,24 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("C19: streaming MERGE upsert equals batch keep-last + count per key") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingQueries.c19_stream_upsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.t(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), graft.Tables.us(col("ts")), col("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.toSeq == expected.toSeq)
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
