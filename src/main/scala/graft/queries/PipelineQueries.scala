@@ -412,6 +412,63 @@ object PipelineQueries {
       .orderBy("lang", "cum_tok", "doc_id")
   }
 
+  // D4h — PII detection + redaction: regex-scrub emails, IPv4s, and phone
+  // numbers to typed placeholders, with per-doc match counts — the
+  // mandatory scrubbing pass of a training pipeline. The synthetic corpus
+  // carries no PII, so the query plants a deterministic doc_id-derived
+  // PII suffix first (same derivation in the oracle) — the operator under
+  // test is the redaction chain, which is pure map-side (no shuffle;
+  // patterns are Java-regex ∩ RE2 so both engines agree). Replacement
+  // order matters and is fixed: emails first (their local part contains
+  // digits an IP/phone pattern could nibble), then IPs, then phones.
+  def d04_pii(s: SparkSession, dir: String): DataFrame = {
+    val emailP = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipP = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phoneP = """\b555-\d{4}\b"""
+    def nMatches(p: String) =
+      size(regexp_extract_all(col("raw"), lit(p), lit(0))).cast("long")
+    t(s, dir, "documents")
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), lit(emailP), lit("<EMAIL>")),
+            lit(ipP), lit("<IP>")),
+          lit(phoneP), lit("<PHONE>")))
+      .select(col("doc_id"),
+        nMatches(emailP).as("n_email"),
+        nMatches(ipP).as("n_ip"),
+        nMatches(phoneP).as("n_phone"),
+        sha2(col("redacted"), 256).as("redacted_sha"),
+        expr("right(redacted, 40)").as("red_tail"))
+      .orderBy("doc_id")
+  }
+
+  // D4i — domain-mixture sampling with fractional epochs: each language
+  // gets a target weight (zh 2.0 = every doc twice; en 1.5 = once plus a
+  // reproducible half; fr 0.3 = 30% sample), materialized as (doc, copy)
+  // rows. Inclusion uses a multiplicative doc_id hash in exact integer
+  // arithmetic — seeded, engine-agnostic reproducibility (Spark's
+  // hash()/rand() would diverge from DuckDB) — so re-running the pipeline
+  // regenerates the byte-identical mix. Pure map-side: no shuffle, scales
+  // linearly; the weights table would broadcast at 100 TB.
+  def d04_mixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w10", expr(
+        """CASE lang WHEN 'zh' THEN 20 WHEN 'en' THEN 15 WHEN 'de' THEN 10
+          |WHEN 'es' THEN 7 WHEN 'fr' THEN 3 ELSE 10 END""".stripMargin))
+      .withColumn("u", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("copies", expr(
+        "w10 div 10 + CASE WHEN u * 10 < (w10 % 10) * 4294967296 THEN 1 ELSE 0 END"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies").cast("long"))).as("copy"))
+      .orderBy("doc_id", "copy")
+
   // D3d — benchmark-contamination check: train docs (id >= 20) sharing at
   // least two distinct 3-gram shingles with any eval doc (id < 20). The
   // shingle equi-join is linear in shingle count — the standard
@@ -620,6 +677,8 @@ object PipelineQueries {
     "d04_langid" -> d04_langid _,
     "d04_curation" -> d04_curation _,
     "d04_budget_pack" -> d04_budget_pack _,
+    "d04_pii" -> d04_pii _,
+    "d04_mixture" -> d04_mixture _,
     "d03_contamination" -> d03_contamination _,
     "d04_repetition" -> d04_repetition _,
     "d04_gopher_rules" -> d04_gopher_rules _,
@@ -736,6 +795,47 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT lang, doc_id, n_tok, cum_tok FROM packed
         |WHERE cum_tok <= 3000 ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    "d04_pii" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    AS raw
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\b555-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  sha256(redacted) AS redacted_sha,
+        |  right(redacted, 40) AS red_tail
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "d04_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'zh' THEN 20 WHEN 'en' THEN 15 WHEN 'de' THEN 10
+        |      WHEN 'es' THEN 7 WHEN 'fr' THEN 3 ELSE 10 END AS w10,
+        |    (doc_id * 2654435761) % 4294967296 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    w10 // 10 + CASE WHEN u * 10 < (w10 % 10) * 4294967296
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM (
+        |  SELECT doc_id, lang, 1 AS copy FROM c WHERE copies >= 1
+        |  UNION ALL SELECT doc_id, lang, 2 FROM c WHERE copies >= 2
+        |  UNION ALL SELECT doc_id, lang, 3 FROM c WHERE copies >= 3)
+        |ORDER BY doc_id, copy""".stripMargin,
     "d03_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -97,6 +97,41 @@ class PipelineSpec extends SparkSpec {
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
 
+  test("D4: PII redaction scrubs every planted email/IP/phone") {
+    val out = PipelineQueries.d04_pii(spark, dir).collect()
+    assert(out.length == 500)
+    // every doc got exactly one planted instance of each PII kind
+    assert(out.forall(r => r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 1))
+    // the 40-char tail covers the planted suffix: all three placeholders
+    // present, no raw PII survives in it
+    assert(out.forall { r =>
+      val tail = r.getString(5)
+      tail.contains("<EMAIL>") && tail.contains("<IP>") && tail.contains("<PHONE>") &&
+        !tail.contains("@example.com") && !tail.contains("10.0.")
+    })
+  }
+
+  test("D4: mixture sampling materializes fractional epochs per language") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mix = PipelineQueries.d04_mixture(spark, dir)
+      .groupBy("lang").agg(countDistinct("doc_id").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // zh 2.0: every doc exactly twice; de 1.0: every doc exactly once
+    assert(mix("zh") == ((docs("zh"), docs("zh") * 2)))
+    assert(mix("de") == ((docs("de"), docs("de"))))
+    // fr 0.3: a strict subset, one copy each
+    assert(mix("fr")._1 > 0 && mix("fr")._1 < docs("fr") &&
+      mix("fr")._2 == mix("fr")._1)
+    // en 1.5: all docs once, a strict subset twice
+    assert(mix("en")._1 == docs("en") &&
+      mix("en")._2 > docs("en") && mix("en")._2 < docs("en") * 2)
+    // deterministic: a second run is byte-identical
+    assert(PipelineQueries.d04_mixture(spark, dir).collect().toSeq ==
+      PipelineQueries.d04_mixture(spark, dir).collect().toSeq)
+  }
+
   test("D2: PQ ANN recall@5 vs brute-force top-5") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
