@@ -5,8 +5,9 @@ import java.util
 import graft.lake.{LakeTable, TruncateSpec}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,12 +34,29 @@ import scala.jdk.CollectionConverters._
   * state, so a catalog is just a *name resolver* — exactly the coupling
   * the reference has between its catalog and HadoopTables.
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
 
   override def name(): String = catalogName
+
+  // ---- functions: the partition transform, resolvable by the analyzer ----
+  // Storage-partitioned joins resolve a scan's reported
+  // KeyGroupedPartitioning(truncate_<w>(col)) against THIS catalog
+  // (V2ExpressionUtils looks the transform name up in the empty namespace
+  // of the table's own catalog). Width lives in the name — see
+  // [[TruncateFunction]] for why it can't be a literal argument.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    TruncateFunction.widthOf(ident.name())
+      .map(new TruncateFunction.Unbound(_))
+      .getOrElse(throw new NoSuchFunctionException(ident))
 
   // ---- namespaces: plain warehouse directories ---------------------------
 

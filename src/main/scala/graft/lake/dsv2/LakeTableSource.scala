@@ -405,7 +405,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
     asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
     planListener: Option[Seq[DataFileMeta] => Unit] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics with SupportsReportPartitioning {
 
   private var runtime: Array[Filter] = Array.empty
 
@@ -452,6 +452,29 @@ final class LakeBatchScan(location: String, table: LakeTable,
   }
 
   override def filter(filters: Array[Filter]): Unit = runtime = filters
+
+  /** Storage-partitioned-join contract: rows are clustered by
+    * truncate_<width>(partitionCol), one partition value per scan task (the
+    * packer never mixes buckets). Catalyst resolves the named transform
+    * through the table's catalog ([[TruncateFunction]]); two laketable
+    * scans with the same width are then co-partitioned and a join on the
+    * partition column needs NO shuffle on either side — with
+    * `spark.sql.sources.v2.bucketing.pushPartValues.enabled`, bucket sets
+    * that don't line up zip with empty slots instead of falling back.
+    * Runtime file pruning composes: dropped buckets are a subset of the
+    * reported partition values, which BatchScanExec backfills as empty
+    * partitions. Path-based (non-catalog) reads can't resolve the
+    * transform name and ignore this — reporting is free there.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val key = Expressions.apply(
+      TruncateFunction.nameFor(table.spec.widthMicros),
+      Expressions.column(table.spec.column))
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(key), prunedFiles.map(_.partitionValue).distinct.size)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = prunedFiles
@@ -515,9 +538,18 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
 final case class LakeFileSlice(
     path: String, rowCount: Long, start: Long, length: Long)
 
-/** One scan task = one bin-packed run of file ranges (below). */
-final case class LakeInputPartition(files: Seq[LakeFileSlice])
-  extends InputPartition
+/** One scan task = one bin-packed run of file ranges (below), all from one
+  * partition bucket. `bucket` doubles as the task's partition key
+  * (HasPartitionKey): when `spark.sql.sources.v2.bucketing.enabled` is on,
+  * Spark groups tasks by key and key-grouped joins/aggregations skip their
+  * shuffle entirely (storage-partitioned join). With the conf off the key
+  * is inert and tasks behave exactly as before.
+  */
+final case class LakeInputPartition(files: Seq[LakeFileSlice], bucket: Long = 0L)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Carves data files into scan tasks with the built-in FileSourceScan
   * formula: maxSplit = min(maxPartitionBytes, max(openCostInBytes,
@@ -527,6 +559,12 @@ final case class LakeInputPartition(files: Seq[LakeFileSlice])
   * one-task-per-file plan ran ~2.7× raw parquet on a 300-file table).
   * Tiny-file tables still get one file per task (openCost floor), so
   * manifest pruning remains observable as partition counts.
+  *
+  * Packing never mixes partition buckets inside one task: each task's
+  * rows share one partition value, making the task key-addressable for
+  * storage-partitioned joins. Task SIZING stays global (maxSplit computed
+  * over the whole file set), so per-bucket packing costs at most one
+  * underfull task per bucket.
   */
 object LakePartitionPacker {
   def pack(files: Seq[DataFileMeta]): Array[InputPartition] = {
@@ -538,29 +576,32 @@ object LakePartitionPacker {
     val totalBytes = files.map(_.sizeBytes + openCost).sum
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, totalBytes / parallelism))
-    val slices = files.flatMap { f =>
-      if (f.sizeBytes <= maxSplit || maxSplit <= 0)
-        Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes))
-      else (0L until f.sizeBytes by maxSplit).map { off =>
-        LakeFileSlice(f.path, if (off == 0) f.rowCount else 0L,
-          off, math.min(maxSplit, f.sizeBytes - off))
-      }
-    }
     val parts = Array.newBuilder[InputPartition]
-    val cur = Seq.newBuilder[LakeFileSlice]
-    var curSize = 0L
-    var curEmpty = true
-    def close(): Unit = if (!curEmpty) {
-      parts += LakeInputPartition(cur.result())
-      cur.clear(); curSize = 0L; curEmpty = true
+    files.groupBy(_.partitionValue).toSeq.sortBy(_._1).foreach {
+      case (bucket, group) =>
+        val slices = group.flatMap { f =>
+          if (f.sizeBytes <= maxSplit || maxSplit <= 0)
+            Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes))
+          else (0L until f.sizeBytes by maxSplit).map { off =>
+            LakeFileSlice(f.path, if (off == 0) f.rowCount else 0L,
+              off, math.min(maxSplit, f.sizeBytes - off))
+          }
+        }
+        val cur = Seq.newBuilder[LakeFileSlice]
+        var curSize = 0L
+        var curEmpty = true
+        def close(): Unit = if (!curEmpty) {
+          parts += LakeInputPartition(cur.result(), bucket)
+          cur.clear(); curSize = 0L; curEmpty = true
+        }
+        slices.sortBy(-_.length).foreach { s =>
+          if (curSize + s.length > maxSplit) close()
+          cur += s
+          curSize += s.length + openCost
+          curEmpty = false
+        }
+        close()
     }
-    slices.sortBy(-_.length).foreach { s =>
-      if (curSize + s.length > maxSplit) close()
-      cur += s
-      curSize += s.length + openCost
-      curEmpty = false
-    }
-    close()
     parts.result()
   }
 }

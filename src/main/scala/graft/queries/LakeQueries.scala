@@ -198,6 +198,47 @@ object LakeQueries {
     out
   }
 
+  // B37 — storage-partitioned join: two laketables co-partitioned by
+  // truncate(10, user_id) join WITHOUT shuffling either side — the scans
+  // report KeyGroupedPartitioning(truncate_10(user_id)) and Catalyst zips
+  // matching buckets task-to-task (SpjSpec asserts the zero-shuffle plan;
+  // this entry proves the result is right). At 100 TB this removes the
+  // dominant cost of a lake-lake join. Pure-SQL reconstructable over
+  // `events` → hash-oracled.
+  def b37_spj_join(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val ta = s"$cat.ns.ja$sfx"
+    val tb = s"$cat.ns.jb$sfx"
+    t(s, dir, "events").createOrReplaceTempView("graft_events_src")
+    Seq(ta -> 0, tb -> 1).foreach { case (tbl, parity) =>
+      s.sql(
+        s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (truncate(10, user_id))""".stripMargin)
+      s.sql(s"INSERT INTO $tbl SELECT event_id, user_id, value " +
+        s"FROM graft_events_src WHERE event_id % 2 = $parity")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val out =
+      try localize(s.sql(
+        s"""SELECT a.user_id AS user_id, count(*) AS pairs,
+           |  sum(a.event_id + b.event_id) AS id_sum
+           |FROM $ta a JOIN $tb b ON a.user_id = b.user_id
+           |GROUP BY a.user_id ORDER BY user_id""".stripMargin))
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    s.sql(s"DROP TABLE $ta")
+    s.sql(s"DROP TABLE $tb")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -230,6 +271,7 @@ object LakeQueries {
     "b06_json_csv" -> b06_json_csv _,
     "b34_merge_upsert" -> b34_merge_upsert _,
     "b35_update" -> b35_update _,
+    "b37_spj_join" -> b37_spj_join _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,5 +298,12 @@ object LakeQueries {
         |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "b37_spj_join" ->
+      """SELECT a.user_id AS user_id, COUNT(*) AS pairs,
+        |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum
+        |FROM (SELECT event_id, user_id FROM events WHERE event_id % 2 = 0) a
+        |JOIN (SELECT event_id, user_id FROM events WHERE event_id % 2 = 1) b
+        |  ON a.user_id = b.user_id
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
   )
 }

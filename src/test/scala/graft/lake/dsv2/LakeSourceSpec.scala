@@ -98,7 +98,10 @@ class LakeSourceSpec extends SparkSpec {
 
   test("scan tasks bin-pack multiple files; chained reader preserves every row") {
     val t = newTable()
-    for (i <- 0 until 5) appendBatch(t, 40, bucket(i), 10 + i)
+    // five files in ONE bucket: packing is per-bucket (tasks stay
+    // key-addressable for storage-partitioned joins), so only same-bucket
+    // files may share a task
+    for (i <- 0 until 5) appendBatch(t, 40, bucket(0), 10 + i)
     assert(t.files().size == 5)
     // openCost=0 + minPartitionNum=1 force all five files into ONE task —
     // the chained columnar reader must walk every file of the pack
@@ -110,11 +113,19 @@ class LakeSourceSpec extends SparkSpec {
       assert(df.count() == 200)
       val perBucket = df.groupBy("timeperiod_loadedBy").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(perBucket.values.forall(_ == 40) && perBucket.size == 5)
+      assert(perBucket == Map(bucket(0) -> 200L))
       // row-mode fallback (explode forces non-vectorizable shape downstream
       // of the scan; scan itself stays columnar — so also check a projection
       // that sums across all chained files)
       assert(df.agg(sum(length(col("data")))).head.getLong(0) == 200 * 32)
+
+      // cross-bucket isolation: files in distinct buckets never co-pack,
+      // even with zero open cost
+      val t2 = newTable()
+      for (i <- 0 until 3) appendBatch(t2, 10, bucket(i), 20 + i)
+      val df2 = spark.read.format("laketable").load(t2.location)
+      assert(df2.rdd.getNumPartitions == 3)
+      assert(df2.count() == 30)
     } finally {
       spark.conf.unset("spark.sql.files.openCostInBytes")
       spark.conf.unset("spark.sql.files.minPartitionNum")
