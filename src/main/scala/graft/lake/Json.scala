@@ -64,6 +64,36 @@ object Json {
   def manifestFromJson(s: String): Seq[DataFileMeta] =
     parse(s).get("files").elements().asScala.map(nodeToFile).toSeq
 
+  def deleteManifestToJson(files: Seq[DeleteFileMeta]): String = {
+    val root = obj()
+    val a = root.putArray("deleteFiles")
+    files.foreach { f =>
+      val n = a.addObject()
+      n.put("path", f.path)
+      n.put("sizeBytes", f.sizeBytes)
+      n.put("rowCount", f.rowCount)
+      n.put("minDataPath", f.minDataPath)
+      n.put("maxDataPath", f.maxDataPath)
+      if (f.dataPaths.nonEmpty) {
+        val dp = n.putArray("dataPaths")
+        f.dataPaths.foreach(dp.add)
+      }
+    }
+    write(root)
+  }
+
+  def deleteManifestFromJson(s: String): Seq[DeleteFileMeta] =
+    parse(s).get("deleteFiles").elements().asScala.map { n =>
+      DeleteFileMeta(
+        path = n.get("path").asText,
+        sizeBytes = n.get("sizeBytes").asLong,
+        rowCount = n.get("rowCount").asLong,
+        minDataPath = n.get("minDataPath").asText,
+        maxDataPath = n.get("maxDataPath").asText,
+        dataPaths = Option(n.get("dataPaths"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+    }.toSeq
+
   def metaToJson(m: TableMeta): String = {
     val root = obj()
     root.put("formatVersion", m.formatVersion)
@@ -84,6 +114,10 @@ object Json {
       s.schemaDdl.foreach(n.put("schemaDdl", _))
       val ma = n.putArray("manifests")
       s.manifests.foreach(ma.add)
+      if (s.deleteManifests.nonEmpty) {
+        val dm = n.putArray("deleteManifests")
+        s.deleteManifests.foreach(dm.add)
+      }
     }
     root.put("currentSnapshotId", m.currentSnapshotId)
     write(root)
@@ -98,7 +132,9 @@ object Json {
         timestampMs = sn.get("timestampMs").asLong,
         operation = sn.get("operation").asText,
         manifests = sn.get("manifests").elements().asScala.map(_.asText).toSeq,
-        schemaDdl = Option(sn.get("schemaDdl")).map(_.asText))
+        schemaDdl = Option(sn.get("schemaDdl")).map(_.asText),
+        deleteManifests = Option(sn.get("deleteManifests"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
     }.toSeq
     TableMeta(
       formatVersion = n.get("formatVersion").asInt,

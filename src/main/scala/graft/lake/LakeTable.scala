@@ -84,6 +84,38 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       case Some(s) => s.manifests.flatMap(readManifest)
     }
 
+  private def readDeleteManifest(name: String): Seq[DeleteFileMeta] = {
+    val p = new Path(metaDir, name)
+    val key = p.toString
+    val cached = LakeTable.deleteManifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val in = fs.open(p)
+      val parsed =
+        try Json.deleteManifestFromJson(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      LakeTable.deleteManifestCache.put(key, parsed)
+      parsed
+    }
+  }
+
+  /** Live position-delete files at a snapshot (merge-on-read deletes). */
+  def deleteFilesMeta(
+      snapshotId: Long = meta.currentSnapshotId): Seq[DeleteFileMeta] =
+    meta.snapshot(snapshotId) match {
+      case None => throw new IllegalArgumentException(s"no snapshot $snapshotId")
+      case Some(s) => s.deleteManifests.flatMap(readDeleteManifest)
+    }
+
+  /** The delete files that can reference `dataPath` — exact membership when
+    * the entry inlines its referenced paths, else the [min, max] data-path
+    * range (delete writes range-partition positions by data path, so ranges
+    * stay narrow and most data files map to zero or one delete file).
+    */
+  private[lake] def deletesFor(dels: Seq[DeleteFileMeta],
+      dataPath: String): Seq[DeleteFileMeta] =
+    dels.filter(_.references(dataPath))
+
   /** Files added between two snapshots (exclusive, inclusive) — the
     * incremental-read contract the reference is designed around (A25,
     * Writer.java:141-145). Manifest-level diff: fast appends never rewrite
@@ -143,6 +175,41 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     name
   }
 
+  private def writeDeleteManifest(fm: Seq[DeleteFileMeta]): String = {
+    val name = s"delete-manifest-${UUID.randomUUID()}.json"
+    writeAtomic(new Path(metaDir, name), Json.deleteManifestToJson(fm))
+    name
+  }
+
+  /** Delete manifests a REWRITE commit should carry: entries whose data-path
+    * range overlaps no surviving file are dead (their targets were replaced
+    * with files that already had the deletes applied) and are pruned, so the
+    * delete-file inventory shrinks as compaction/CoW churns instead of
+    * growing forever. Orphaned delete parquets stay on disk for older
+    * snapshots until expiry GCs them.
+    */
+  private def carryDeleteManifests(kept: Seq[DataFileMeta]): Seq[String] = {
+    val curManifests = meta.current.map(_.deleteManifests).getOrElse(Nil)
+    if (curManifests.isEmpty) return Nil
+    val dels = curManifests.flatMap(readDeleteManifest)
+    val keptPaths = kept.map(_.path).sorted.toArray
+    val keptSet = keptPaths.toSet
+    def overlaps(d: DeleteFileMeta): Boolean = {
+      if (d.dataPaths.nonEmpty) return d.dataPaths.exists(keptSet)
+      // first kept path >= minDataPath; overlap iff it also <= maxDataPath
+      var lo = 0; var hi = keptPaths.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keptPaths(mid) < d.minDataPath) lo = mid + 1 else hi = mid
+      }
+      lo < keptPaths.length && keptPaths(lo) <= d.maxDataPath
+    }
+    val live = dels.filter(overlaps)
+    if (live.size == dels.size) curManifests
+    else if (live.isEmpty) Nil
+    else Seq(writeDeleteManifest(live))
+  }
+
   private def writeAtomic(dest: Path, content: String): Unit = {
     val tmp = new Path(dest.getParent, s".${dest.getName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -178,14 +245,17 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       keepSnapshots: Seq[Snapshot],
       propsUpdate: Map[String, String] = Map.empty,
       schemaUpdate: Option[String] = None,
-      propsRemove: Set[String] = Set.empty): Long = {
+      propsRemove: Set[String] = Set.empty,
+      // None = carry the current snapshot's delete manifests forward
+      deleteManifests: Option[Seq[String]] = None): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
     val newSchemaDdl = schemaUpdate.getOrElse(cur.schemaDdl)
     // every snapshot pins the schema current as of its commit, so time
     // travel reads old vintages with their own column set
     val snap = Snapshot(nextVersion, cur.currentSnapshotId,
-      System.currentTimeMillis(), op, manifests, Some(newSchemaDdl))
+      System.currentTimeMillis(), op, manifests, Some(newSchemaDdl),
+      deleteManifests.getOrElse(cur.current.map(_.deleteManifests).getOrElse(Nil)))
     val next = cur.copy(schemaDdl = newSchemaDdl,
       properties = (cur.properties -- propsRemove) ++ propsUpdate,
       snapshots = keepSnapshots :+ snap,
@@ -225,14 +295,24 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * the map).
     */
   private def retryCommitPropsRemove(op: String)(
-      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String], Set[String])]): Long = {
+      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String], Set[String])]): Long =
+    retryCommitFull(op)(() =>
+      body().map { case (m, s, p, r) => (m, s, p, r, None) })
+
+  /** Bottom of the retry-helper ladder: bodies can additionally REPLACE the
+    * delete-manifest list (merge-on-read deletes and the rewrite commits
+    * that prune them); None carries the current snapshot's list forward.
+    */
+  private def retryCommitFull(op: String)(
+      body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String],
+        Set[String], Option[Seq[String]])]): Long = {
     var attempt = 0
     while (true) {
       body() match {
         case None => return -1L
-        case Some((manifests, keepSnapshots, props, remove)) =>
+        case Some((manifests, keepSnapshots, props, remove, deletes)) =>
           try return commitAttempt(op, manifests, keepSnapshots, props,
-            propsRemove = remove)
+            propsRemove = remove, deleteManifests = deletes)
           catch {
             case _: java.io.IOException =>
               attempt += 1
@@ -244,6 +324,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
     -1L // unreachable
   }
+
+  /** retryCommit variant for commits that set the delete-manifest list. */
+  private def retryCommitDeletes(op: String)(
+      body: () => Option[(Seq[String], Seq[Snapshot], Seq[String])]): Long =
+    retryCommitFull(op)(() =>
+      body().map { case (m, s, d) => (m, s, Map.empty[String, String],
+        Set.empty[String], Some(d)) })
 
   /** Honors write.metadata.delete-after-commit.enabled +
     * previous-versions-max (§1.3): drop superseded v*.json beyond the limit.
@@ -298,9 +385,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * compactFiles, driven by the DSv2 truncate-write path.
     */
   def overwrite(newFiles: Seq[DataFileMeta]): Long =
-    retryCommit("rewrite") { () =>
+    retryCommitDeletes("rewrite") { () =>
       val fresh = newFiles.distinctBy(_.path)
-      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(fresh)), meta.snapshots))
+      // full replacement: no pre-existing file survives, so no pending
+      // delete can reference a live file
+      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(fresh)),
+        meta.snapshots, Nil))
     }
 
   /** Epoch-fenced fast append for exactly-once streaming sinks: the epoch
@@ -438,7 +528,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         throw new IllegalArgumentException(s"no snapshot $snapshotId to roll back to"))
       try
         return commitAttempt("rollback", target.manifests, meta.snapshots,
-          schemaUpdate = Some(target.schemaDdl.getOrElse(meta.schemaDdl)))
+          schemaUpdate = Some(target.schemaDdl.getOrElse(meta.schemaDdl)),
+          deleteManifests = Some(target.deleteManifests))
       catch {
         case _: java.io.IOException =>
           attempt += 1
@@ -466,18 +557,29 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def deleteOlderThan(cutoffMicros: Long): Long = {
     val aligned = spec(cutoffMicros)
-    retryCommit("delete") { () =>
+    retryCommitDeletes("delete") { () =>
       // recomputed from fresh metadata on every attempt so a concurrent
       // append's files survive the rewrite of the manifest list
       val (dropped, kept) = files().partition(_.partitionValue < aligned)
       if (dropped.isEmpty) None
-      else Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+      else Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+        meta.snapshots, carryDeleteManifests(kept)))
     }
   }
 
-  /** General-predicate delete via copy-on-write (§7.5.4): files whose rows
-    * all match are dropped metadata-only; files with partial matches are
-    * rewritten without the matching rows.
+  /** General-predicate delete. Routed by the `write.delete.mode` table
+    * property (Iceberg's knob): `copy-on-write` (default) rewrites files,
+    * `merge-on-read` writes position-delete files ([[deleteWhereMoR]]).
+    */
+  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
+    if (meta.properties.get(LakeFormat.PropDeleteMode)
+        .contains(LakeFormat.DeleteModeMergeOnRead))
+      deleteWhereMoR(spark, predicate)
+    else deleteWhereCoW(spark, predicate)
+
+  /** Copy-on-write delete (§7.5.4): files whose rows all match are dropped
+    * metadata-only; files with partial matches are rewritten without the
+    * matching rows.
     *
     * Scale shape: the scan filters to MATCHING rows before the per-file
     * aggregate, so files with zero matches never produce a group; the
@@ -485,21 +587,35 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * distributed; the only driver materialization is the decision set —
     * bounded by files that contain matched rows, not by table size.
     */
-  def deleteWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit, udf}
+  def deleteWhereCoW(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val live = files()
     if (live.isEmpty) return -1L
-    // input_file_name returns file:/// URIs; manifests store plain paths
-    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
-    val matchedPerFile = LakeTable.readFiles(spark, schema, live.map(_.path))
-      .withColumn("__path", org.apache.spark.sql.functions.input_file_name())
+    // Pending MoR deletes must be honored throughout: a deleted row that
+    // matched the scan would mis-classify its file; one that survived a
+    // rewrite unfiltered would RESURRECT.
+    val matchedPerFile = readWithDeletes(spark, schema, live,
+        keepPathCol = Some("__path"))
       .filter(predicate <=> lit(true))
       .groupBy("__path").agg(count(lit(1)).as("matched"))
-      .select(toPlain(col("__path")).as("path"), col("matched"))
+      .select(col("__path").as("path"), col("matched"))
+    // row_count is PHYSICAL rows; live rows = row_count - pending deletes,
+    // so whole-file classification compares against the deleted count too
+    val dels = deleteFilesMeta()
+    val deletedPerFile: Map[String, Long] =
+      if (dels.isEmpty) Map.empty
+      else {
+        val delDF = spark.read.parquet(dels.map(_.path): _*)
+        delDF.groupBy("file_path").agg(count(lit(1)).as("dels"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val decisions = filesDF(spark).select(col("path"), col("row_count"))
       .join(matchedPerFile, "path") // AQE broadcasts the matched side when small
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0),
+        r.getLong(1) - deletedPerFile.getOrElse(r.getString(0), 0L),
+        r.getLong(2)))
     val partialPaths = decisions.collect {
       case (p, n, m) if m > 0 && m < n => p
     }.toSet
@@ -515,16 +631,129 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         // keep-filter must RETAIN rows where the predicate evaluates to
         // NULL (they don't match the delete predicate); a bare !predicate
         // would drop them — <=> true makes NULL explicit
-        val keepRows = LakeTable.readFiles(spark, schema, partial.map(_.path))
+        val keepRows = readWithDeletes(spark, schema, partial)
           .filter(!(predicate <=> org.apache.spark.sql.functions.lit(true)))
         LakeWriter.writeDataFiles(keepRows, this)
       }
     val replaced = (partial ++ fullyDropped).map(_.path).toSet
-    retryCommit("rewrite") { () =>
+    retryCommitDeletes("rewrite") { () =>
       // recompute survivors from fresh metadata: concurrent appends since
       // the scan must not be dropped by this manifest rewrite
       val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+        meta.snapshots, carryDeleteManifests(kept)))
+    }
+  }
+
+  /** Merge-on-read delete: write position-delete files instead of
+    * rewriting data (SURVEY §2 extension; the Iceberg v2 position-delete
+    * shape). One distributed scan finds matching (file, row-index) pairs
+    * via the file source's metadata columns, range-partitioned by data
+    * path so each delete parquet covers a narrow path range; readers apply
+    * them as skip masks ([[dsv2.LakeReaderFactory]]). At 100 TB a
+    * predicate delete costs kilobytes of positions, not a terabyte
+    * rewrite — compaction ([[compactFiles]]) or CoW churn later
+    * materializes the deletes away and prunes dead entries.
+    *
+    * Duplicate positions (re-deleting an already-deleted row) are
+    * harmless: readers apply positions as a SET.
+    */
+  def deleteWhereMoR(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    val live = files()
+    if (live.isEmpty) return -1L
+    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
+    val matches = spark.read.schema(schema).parquet(live.map(_.path): _*)
+      .filter(predicate <=> lit(true))
+      .select(toPlain(col("_metadata.file_path")).as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val matchCount = matches.count()
+    if (matchCount == 0L) return -1L
+    // ~4M positions (~tens of MB) per delete file
+    val nFiles = math.max(1, math.min(64, (matchCount / 4000000L).toInt + 1))
+    val tmp = new Path(location, s"_tmp-del-${UUID.randomUUID()}")
+    val written =
+      try {
+        matches.repartitionByRange(nFiles, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(tmp.toString)
+        val delDir = new Path(location, LakeFormat.DeleteDir)
+        fs.mkdirs(delDir)
+        val moved = fs.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dest = new Path(delDir, s"${UUID.randomUUID()}.parquet")
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(s"move failed: ${st.getPath} -> $dest")
+            dest
+          }
+        // one distributed pass harvests each delete file's row count,
+        // covered data-path range, and (when few) exact referenced paths —
+        // the exact list is what makes later prune/candidate checks
+        // precise among UUID-named siblings
+        import org.apache.spark.sql.functions.{collect_set, count, max, min,
+          size => asize, sort_array, typedlit, when}
+        val cap = LakeTable.DeletePathListCap
+        spark.read.parquet(moved.map(_.toString): _*)
+          .groupBy(toPlain(col("_metadata.file_path")).as("del_path"))
+          .agg(count(lit(1)).as("cnt"),
+            min("file_path").as("lo"), max("file_path").as("hi"),
+            when(asize(collect_set("file_path")) <= cap,
+              sort_array(collect_set("file_path")))
+              .otherwise(typedlit(Seq.empty[String]))
+              .as("paths"))
+          .collect()
+          .map { r =>
+            val p = r.getString(0)
+            DeleteFileMeta(p, fs.getFileStatus(new Path(p)).getLen,
+              r.getLong(1), r.getString(2), r.getString(3),
+              dataPaths = r.getSeq[String](4))
+          }.toSeq
+      } finally {
+        try fs.delete(tmp, true) catch { case _: java.io.IOException => }
+      }
+    retryCommitDeletes("delete") { () =>
+      val cur = meta.current.map(_.deleteManifests).getOrElse(Nil)
+      Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        cur :+ writeDeleteManifest(written)))
+    }
+  }
+
+  /** Data rows of `fileMetas` with pending position deletes subtracted —
+    * the read every REWRITE must use (a raw read would resurrect deleted
+    * rows into the rewritten files). Distributed left-anti join on
+    * (path, row index); the delete side broadcasts when small.
+    */
+  private[lake] def readWithDeletes(spark: SparkSession, schema: StructType,
+      fileMetas: Seq[DataFileMeta],
+      snapshotId: Long = meta.currentSnapshotId,
+      keepPathCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, udf}
+    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
+    val dels = deleteFilesMeta(snapshotId)
+    val paths = fileMetas.map(_.path)
+    val relevant = dels.filter(d => paths.exists(d.references))
+    if (relevant.isEmpty) {
+      val base = LakeTable.readFiles(spark, schema, paths)
+      return keepPathCol match {
+        case Some(n) if paths.nonEmpty =>
+          base.withColumn(n, toPlain(col("_metadata.file_path")))
+        case _ => base
+      }
+    }
+    val delDF0 = spark.read.parquet(relevant.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+    val delDF =
+      if (relevant.map(_.rowCount).sum < 4000000L) broadcast(delDF0) else delDF0
+    val joined = spark.read.schema(schema).parquet(paths: _*)
+      .withColumn("__fp", toPlain(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(delDF, col("__fp") === col("file_path") && col("__pos") === col("pos"),
+        "left_anti")
+    keepPathCol match {
+      case Some(n) => joined.withColumnRenamed("__fp", n).drop("__pos")
+      case None => joined.drop("__fp", "__pos")
     }
   }
 
@@ -539,9 +768,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   def replaceFiles(replacedPaths: Set[String], newFiles: Seq[DataFileMeta]): Long = {
     val fresh = newFiles.distinctBy(_.path)
     if (replacedPaths.isEmpty && fresh.isEmpty) return -1L
-    retryCommit("rewrite") { () =>
+    retryCommitDeletes("rewrite") { () =>
       val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++ fresh
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+        meta.snapshots, carryDeleteManifests(kept)))
     }
   }
 
@@ -574,7 +804,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .filter(_._2.size >= minInputFiles)
       .values.flatten.toSeq
     if (candidates.isEmpty) return -1L
-    val rows = LakeTable.readFiles(spark, schema, candidates.map(_.path))
+    // pending MoR deletes are MATERIALIZED by compaction: the rewrite reads
+    // live rows only, and the commit prunes delete entries whose targets
+    // were replaced — compaction is how a merge-on-read table pays down its
+    // delete debt
+    val rows = readWithDeletes(spark, schema, candidates)
     // z-order: per-dimension min/max from manifest stats (no data pass);
     // a column missing a stat on any candidate falls back to one tiny
     // min/max aggregate over the rows being rewritten
@@ -597,9 +831,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       sortBy = sortBy, maxRecordsPerFile = maxRecordsPerFile,
       sortExprs = zKey)
     val replaced = candidates.map(_.path).toSet
-    retryCommit("compact") { () =>
+    retryCommitDeletes("compact") { () =>
       val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)), meta.snapshots))
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+        meta.snapshots, carryDeleteManifests(kept)))
     }
   }
 
@@ -618,6 +853,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     // post-commit GC never deletes files referenced by a concurrent commit
     var orphanFiles: Set[String] = Set.empty
     var orphanManifests: Set[String] = Set.empty
+    var orphanDeleteFiles: Set[String] = Set.empty
+    var orphanDeleteManifests: Set[String] = Set.empty
     val id = retryCommit("expire") { () =>
       val ordered = meta.snapshots.sortBy(_.id)
       val byAge = ordered.filter(s =>
@@ -636,12 +873,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val keptPaths = keep.flatMap(s => s.manifests.flatMap(readManifest))
           .map(_.path).toSet
         orphanFiles = orphanManifests.flatMap(readManifest).map(_.path) -- keptPaths
+        // same GC for merge-on-read delete manifests/parquets: those
+        // referenced only by expired snapshots go with them
+        val keptDelManifests = keep.flatMap(_.deleteManifests).toSet
+        orphanDeleteManifests =
+          expired.flatMap(_.deleteManifests).toSet -- keptDelManifests
+        val keptDelPaths = keptDelManifests.toSeq
+          .flatMap(readDeleteManifest).map(_.path).toSet
+        orphanDeleteFiles =
+          orphanDeleteManifests.flatMap(readDeleteManifest).map(_.path) -- keptDelPaths
         Some((meta.current.map(_.manifests).getOrElse(Nil), keep))
       }
     }
     if (id >= 0) {
       orphanFiles.foreach(p => fs.delete(new Path(p), false))
       orphanManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
+      orphanDeleteFiles.foreach(p => fs.delete(new Path(p), false))
+      orphanDeleteManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
     }
     id
   }
@@ -694,11 +942,17 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   /** Current table as a DataFrame. */
   def toDF(spark: SparkSession): DataFrame = snapshotDF(spark, meta.currentSnapshotId)
 
-  /** Time travel (B2) — reads with the schema as of that snapshot. */
+  /** Time travel (B2) — reads with the schema AND pending merge-on-read
+    * deletes as of that snapshot.
+    */
   def snapshotDF(spark: SparkSession, snapshotId: Long): DataFrame =
-    LakeTable.readFiles(spark, schemaAt(snapshotId), files(snapshotId).map(_.path))
+    readWithDeletes(spark, schemaAt(snapshotId), files(snapshotId), snapshotId)
 
-  /** Incremental read (B3): rows added in (fromId, toId]. */
+  /** Incremental read (B3): rows added in (fromId, toId]. Append-only CDC
+    * contract: rows are delivered AS APPENDED — merge-on-read deletes
+    * committed later are not retro-applied (a replay must equal what a
+    * live consumer saw; downstream compacts with the CDC-apply pattern).
+    */
   def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
     LakeTable.readFiles(spark, schema, addedFilesBetween(fromId, toId).map(_.path))
 
@@ -716,7 +970,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
             s.longMax.forall(_ >= lo) && s.longMin.forall(_ <= hi))
         }
     }
-    LakeTable.readFiles(spark, schema, pruned.map(_.path))
+    readWithDeletes(spark, schema, pruned)
   }
 }
 
@@ -744,6 +998,20 @@ object LakeTable {
           size() > 128
       })
   private[lake] val manifestParses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Max referenced data paths inlined per delete-file entry; beyond this
+    * the manifest stores only the [min, max] range (conservative checks).
+    */
+  private[lake] val DeletePathListCap = 2000
+
+  /** Delete manifests are immutable too (UUID names) — same LRU shape. */
+  private[lake] val deleteManifestCache: java.util.Map[String, Seq[DeleteFileMeta]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[DeleteFileMeta]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[DeleteFileMeta]]): Boolean =
+          size() > 128
+      })
 
   private def fsFor(location: String) =
     new Path(location).getFileSystem(new Configuration())

@@ -55,6 +55,34 @@ final case class DataFileMeta(
     format: String = "parquet",
     stats: Map[String, ColStats] = Map.empty)
 
+/** Position-delete file metadata (merge-on-read deletes): a parquet of
+  * (file_path STRING, pos BIGINT) rows marking individual rows of data
+  * files as deleted WITHOUT rewriting them — at 100 TB a predicate delete
+  * writes kilobytes of positions instead of re-copying terabytes of
+  * survivors. [minDataPath, maxDataPath] is the (untruncated) range of data
+  * files the delete file references, so readers load only delete files
+  * that can affect their slice. Data-file paths are never reused (UUID
+  * names), so a delete file can never affect files added after it.
+  */
+final case class DeleteFileMeta(
+    path: String,
+    sizeBytes: Long,
+    rowCount: Long,
+    minDataPath: String,
+    maxDataPath: String,
+    // exact referenced data paths when few enough to inline in the
+    // manifest (empty = unknown/too many → fall back to the range).
+    // Data files are UUID-named, so [min,max] alone overlaps almost any
+    // sibling path — the exact list is what lets rewrites prune dead
+    // delete entries and readers skip irrelevant delete parquets.
+    dataPaths: Seq[String] = Nil) {
+  @transient private lazy val pathSet: Set[String] = dataPaths.toSet
+  /** Can this delete file mark rows of `dataPath` as deleted? */
+  def references(dataPath: String): Boolean =
+    if (dataPaths.nonEmpty) pathSet.contains(dataPath)
+    else minDataPath <= dataPath && dataPath <= maxDataPath
+}
+
 /** The reference's single partition transform (Constants.java:25,33-35):
   * truncate a long µs column to fixed-width buckets. Floor semantics so
   * negative values bucket monotonically.
@@ -78,7 +106,10 @@ final case class Snapshot(
     manifests: Seq[String],
     // schema current AS OF this snapshot (schema evolution): None in
     // pre-evolution metadata → fall back to the table-level schemaDdl
-    schemaDdl: Option[String] = None)
+    schemaDdl: Option[String] = None,
+    // merge-on-read position-delete manifests ([[DeleteFileMeta]] lists);
+    // absent in pre-MoR metadata → no deletes
+    deleteManifests: Seq[String] = Nil)
 
 /** Full table metadata as persisted in metadata/v<N>.json. */
 final case class TableMeta(
@@ -96,6 +127,12 @@ final case class TableMeta(
 object LakeFormat {
   val MetadataDir = "metadata"
   val DataDir = "data"
+  val DeleteDir = "deletes"
+  // delete strategy for predicate deletes (Iceberg's knob):
+  // copy-on-write (default) rewrites files; merge-on-read writes
+  // position-delete files readers apply as skip masks
+  val PropDeleteMode = "write.delete.mode"
+  val DeleteModeMergeOnRead = "merge-on-read"
   val PendingCommitsDir = "_commits/pending"
   val TmpCommitsDir = "_commits/tmp"
   val VersionHint = "version-hint.text"

@@ -184,6 +184,11 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty) return false
+    // pending merge-on-read deletes: manifest row counts/stats include
+    // deleted rows — answers must come from the row-level path (which
+    // applies the delete masks)
+    if (table.deleteFilesMeta(
+        asOf.getOrElse(table.currentSnapshotId)).nonEmpty) return false
     val groupByPart = agg.groupByExpressions.toSeq match {
       case Nil => false
       case Seq(n: NamedReference)
@@ -482,15 +487,32 @@ final class LakeBatchScan(location: String, table: LakeTable,
     // row-level (CoW) operations record the planned group here — the set
     // their ReplaceData commit swaps out (post-runtime-filter truth)
     planListener.foreach(_(files))
-    LakePartitionPacker.pack(files)
+    // merge-on-read: attach each file's candidate position-delete files
+    // (range-pruned); readers apply them as skip masks
+    val dels = table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
+    val deletesFor: DataFileMeta => Seq[DeleteSliceRef] =
+      if (dels.isEmpty) _ => Nil
+      else f => table.deletesFor(dels, f.path)
+        .map(d => DeleteSliceRef(d.path, d.sizeBytes))
+    LakePartitionPacker.pack(files, deletesFor)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required.toDDL, pushed ++ runtime)
+    new LakeReaderFactory(required.toDDL, pushed ++ runtime,
+      // Spark rejects mixed columnar/row partition sets, so ANY pending
+      // delete sends the whole scan down the row path; delete-free scans
+      // (the overwhelming majority) stay columnar
+      hasDeletes = table
+        .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).nonEmpty)
 
   override def estimateStatistics(): Statistics = {
     val files = prunedFiles
-    val rows = files.map(_.rowCount).sum
+    // pending MoR deletes shrink the row estimate (position counts may
+    // double-mark a row — estimates, not answers; clamped at 0)
+    val pendingDeletes = table
+      .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
+      .map(_.rowCount).sum
+    val rows = math.max(0L, files.map(_.rowCount).sum - pendingDeletes)
     // scale the on-disk size by projection width so a narrow projection of
     // a wide table can still broadcast (same spirit as the built-in file
     // source's column-pruned sizing)
@@ -527,6 +549,12 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** A position-delete parquet that may mark rows of a slice's data file as
+  * deleted (merge-on-read): readers load its (file_path, pos) rows for
+  * their file into a skip mask.
+  */
+final case class DeleteSliceRef(path: String, sizeBytes: Long)
+
 /** One byte range of one data file. `start == 0 && length == fileSize` for
   * unsplit files; larger files are carved into ranges and the parquet
   * reader consumes exactly the row groups whose midpoint falls inside
@@ -534,9 +562,12 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
   * so ranges never duplicate or drop a row group. `rowCount` is the whole
   * file's count attributed to the FIRST range only (it feeds the
   * no-columns-projected COUNT(*) path, which never opens files).
+  * `deletes` lists the position-delete files that can reference this data
+  * file (pruned by data-path range at planning).
   */
 final case class LakeFileSlice(
-    path: String, rowCount: Long, start: Long, length: Long)
+    path: String, rowCount: Long, start: Long, length: Long,
+    deletes: Seq[DeleteSliceRef] = Nil)
 
 /** One scan task = one bin-packed run of file ranges (below), all from one
   * partition bucket. `bucket` doubles as the task's partition key
@@ -567,7 +598,9 @@ final case class LakeInputPartition(files: Seq[LakeFileSlice], bucket: Long = 0L
   * underfull task per bucket.
   */
 object LakePartitionPacker {
-  def pack(files: Seq[DataFileMeta]): Array[InputPartition] = {
+  def pack(files: Seq[DataFileMeta],
+      deletesFor: DataFileMeta => Seq[DeleteSliceRef] = _ => Nil)
+      : Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -580,11 +613,12 @@ object LakePartitionPacker {
     files.groupBy(_.partitionValue).toSeq.sortBy(_._1).foreach {
       case (bucket, group) =>
         val slices = group.flatMap { f =>
+          val dels = deletesFor(f)
           if (f.sizeBytes <= maxSplit || maxSplit <= 0)
-            Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes))
+            Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes, dels))
           else (0L until f.sizeBytes by maxSplit).map { off =>
             LakeFileSlice(f.path, if (off == 0) f.rowCount else 0L,
-              off, math.min(maxSplit, f.sizeBytes - off))
+              off, math.min(maxSplit, f.sizeBytes - off), dels)
           }
         }
         val cur = Seq.newBuilder[LakeFileSlice]
@@ -619,7 +653,8 @@ object LakePartitionPacker {
   * handicap for exactly the table the engine is about.
   */
 final class LakeReaderFactory(schemaDdl: String,
-    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+    filters: Array[Filter] = Array.empty,
+    hasDeletes: Boolean = false) extends PartitionReaderFactory {
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
 
@@ -686,8 +721,74 @@ final class LakeReaderFactory(schemaDdl: String,
       case _ => true
     })
 
+  /** Scans over a snapshot with pending merge-on-read deletes take the row
+    * path (per-row skip against the delete mask, and Spark requires the
+    * partition set to be uniformly columnar or row); delete-free snapshots
+    * — the overwhelming majority of reads, since compaction materializes
+    * deletes away — keep the columnar fast path.
+    */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorizable
+    vectorizable && !hasDeletes
+
+  /** Requested schema + Spark's temporary row-index column: the vectorized
+    * reader populates GLOBAL row positions for every produced row, correct
+    * under byte-range splits AND row-group predicate skipping — exactly
+    * the coordinate system position-delete files are written in.
+    */
+  private lazy val dataWithIdxSchema: StructType = StructType(
+    dataSchema.fields :+ StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        // nullable: the column is "missing" from the file by design — the
+        // reader's RowIndexGenerator fills it (a REQUIRED missing column
+        // would fail the reader's schema check instead)
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+
+  private lazy val idxConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(cachedConf)
+    c.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataWithIdxSchema.json)
+    c
+  }
+
+  /** Positions of `slice.path` rows marked deleted, as a bitmap. Loaded
+    * per (task, slice) from the slice's candidate delete files — delete
+    * parquets are small and range-pruned, so this is a bounded scan, not
+    * a broadcast of global delete state.
+    */
+  private def deletedBits(slice: LakeFileSlice): java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    val target = org.apache.spark.unsafe.types.UTF8String.fromString(slice.path)
+    slice.deletes.foreach { d =>
+      val r = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new org.apache.hadoop.fs.Path(d.path), 0, d.sizeBytes, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        LakeReaderFactory.deleteFileConf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+      try {
+        r.initialize(split, ctx)
+        while (r.nextKeyValue()) {
+          val row = r.getCurrentValue.asInstanceOf[InternalRow]
+          if (row.getUTF8String(0).equals(target)) {
+            val pos = row.getLong(1)
+            // per-file positions fit an int by construction (a single
+            // parquet file never holds 2^31 rows)
+            bits.set(pos.toInt)
+          }
+        }
+      } finally r.close()
+    }
+    bits
+  }
+
+  /** Live rows of a slice for the count-only paths: manifest count minus
+    * the file's deleted positions (whole-file counts ride on the FIRST
+    * slice, so the subtraction lands exactly once per file).
+    */
+  private def liveRowCount(s: LakeFileSlice): Long =
+    if (s.rowCount <= 0 || s.deletes.isEmpty) s.rowCount
+    else s.rowCount - deletedBits(s).cardinality()
 
   /** Spark-written files carry modern (proleptic-Gregorian) dates and µs
     * timestamps — CORRECTED rebase, no int96, on-heap 4K batches.
@@ -698,7 +799,8 @@ final class LakeReaderFactory(schemaDdl: String,
     * initializer would issue. The conf carries the same flag values that
     * convenience path hardcodes, plus the projected Spark schema.
     */
-  private def openVectorized(s: LakeFileSlice) = {
+  private def openVectorized(s: LakeFileSlice,
+      conf: org.apache.hadoop.conf.Configuration = null) = {
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
     // mapred.FileSplit (extends the mapreduce one): the reader base
@@ -707,7 +809,8 @@ final class LakeReaderFactory(schemaDdl: String,
       new org.apache.hadoop.fs.Path(s.path), s.start, s.length,
       Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      cachedConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      if (conf == null) cachedConf else conf,
+      new org.apache.hadoop.mapreduce.TaskAttemptID())
     try r.initialize(split, ctx)
     catch { case e: Throwable => r.close(); throw e }
     r
@@ -762,7 +865,7 @@ final class LakeReaderFactory(schemaDdl: String,
       // empty projection (e.g. COUNT(*)): the manifest already knows the
       // row counts — emit that many empty rows, never opening a file
       new PartitionReader[InternalRow] {
-        private var remaining = p.files.map(_.rowCount).sum
+        private var remaining = p.files.map(liveRowCount).sum
         private val empty = new GenericInternalRow(0)
         override def next(): Boolean = { remaining -= 1; remaining >= 0 }
         override def get(): InternalRow = empty
@@ -779,7 +882,7 @@ final class LakeReaderFactory(schemaDdl: String,
           while (remaining <= 0) {
             if (!it.hasNext) return false
             val s = it.next()
-            remaining = s.rowCount
+            remaining = liveRowCount(s)
             row = new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
           }
@@ -793,39 +896,56 @@ final class LakeReaderFactory(schemaDdl: String,
       // row mode of the same vectorized decoder (values still decoded
       // column-wise into vectors; rows are views over the batch);
       // `_file` injected by projecting [data row ++ constant path row]
-      // back into the requested column order
+      // back into the requested column order. Slices with pending
+      // merge-on-read deletes additionally request Spark's row-index
+      // column, skip rows whose global position is in the delete bitmap,
+      // and project the index column away before handing rows up.
       val it = p.files.iterator
       new PartitionReader[InternalRow] {
         private var cur: org.apache.spark.sql.execution.datasources.parquet
           .VectorizedParquetRecordReader = _
         private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
         private var constRow: InternalRow = _
-        private val proj =
-          if (fileIdx < 0) null
-          else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
-            schema.indices.map(i =>
-              if (i == fileIdx) dataSchema.length
-              else if (i < fileIdx) i else i - 1).toIndexedSeq)
+        private var bits: java.util.BitSet = _ // null = slice has no deletes
+        private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+        private def openSlice(s: LakeFileSlice): Unit = {
+          val hasIdx = s.deletes.nonEmpty
+          bits = if (hasIdx) deletedBits(s) else null
+          cur = openVectorized(s, if (hasIdx) idxConf else null)
+          if (fileIdx >= 0)
+            constRow = new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
+          // physical row width = data cols (+ row-index when masking)
+          val width = dataSchema.length + (if (hasIdx) 1 else 0)
+          proj =
+            if (fileIdx < 0 && !hasIdx) null
+            else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+              schema.indices.map(i =>
+                if (fileIdx >= 0 && i == fileIdx) width // const path in JoinedRow
+                else if (fileIdx >= 0 && i > fileIdx) i - 1
+                else i).toIndexedSeq)
+        }
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return false
-              val s = it.next()
-              cur = openVectorized(s)
-              if (fileIdx >= 0)
-                constRow = new GenericInternalRow(Array[Any](
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
+              openSlice(it.next())
             }
-            if (cur.nextKeyValue()) return true
+            var advanced = cur.nextKeyValue()
+            while (advanced && bits != null &&
+                bits.get(cur.getCurrentValue.asInstanceOf[InternalRow]
+                  .getLong(dataSchema.length).toInt))
+              advanced = cur.nextKeyValue()
+            if (advanced) return true
             cur.close(); cur = null
           }
           false
         }
         override def get(): InternalRow = {
           val data = cur.getCurrentValue.asInstanceOf[InternalRow]
-          if (fileIdx < 0) data
+          if (proj == null) data
           else {
-            proj.project(joined(data, constRow))
+            proj.project(if (fileIdx >= 0) joined(data, constRow) else data)
             proj
           }
         }
@@ -836,6 +956,14 @@ final class LakeReaderFactory(schemaDdl: String,
 }
 
 object LakeReaderFactory {
+  /** Position-delete parquets are (file_path STRING, pos BIGINT) — one
+    * shared reader Configuration, same cache as data projections.
+    */
+  private[dsv2] lazy val deleteFileConf: org.apache.hadoop.conf.Configuration =
+    confFor("__lake_position_deletes__", StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType))))
+
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.hadoop.conf.Configuration]()

@@ -239,6 +239,32 @@ object LakeQueries {
     out
   }
 
+  // B38 — merge-on-read DELETE: `write.delete.mode=merge-on-read` routes
+  // SQL DELETE to position-delete files (kilobytes of (file, pos) pairs)
+  // instead of a copy-on-write rewrite — at 100 TB the difference between
+  // a metadata-sized commit and re-copying terabytes of survivors. Data
+  // files provably untouched (asserted engine-side in MergeOnReadSpec);
+  // scans subtract the masks. Final content is pure-SQL reconstructable
+  // over `orders` → hash-oracled.
+  def b38_mor_delete(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.d${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |TBLPROPERTIES ('${LakeFormat.PropDeleteMode}'='${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 2000")
+    // partial-file matches everywhere: no bucket is dropped whole, so a
+    // CoW engine would rewrite every touched file — MoR writes positions
+    s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F' AND o_orderkey % 5 < 2")
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -272,6 +298,7 @@ object LakeQueries {
     "b34_merge_upsert" -> b34_merge_upsert _,
     "b35_update" -> b35_update _,
     "b37_spj_join" -> b37_spj_join _,
+    "b38_mor_delete" -> b38_mor_delete _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,6 +325,12 @@ object LakeQueries {
         |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "b38_mor_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 < 2)
+        |ORDER BY o_orderkey""".stripMargin,
     "b37_spj_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS pairs,
         |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum
