@@ -160,6 +160,43 @@ object Bench {
       Seq("lake_scan_400k" -> lakes.min, "lake_scan_raw_parquet" -> raws.min)
     }
 
+    /** Row-level DML pair: the SAME sparse MERGE (update 1% of rows, keys
+      * scattered so every data file holds matches) against the same 100k-row
+      * table, once copy-on-write (rewrites every touched file) and once
+      * merge-on-read (writes positions + new versions). The gap between the
+      * two numbers is the write amplification MoR exists to remove; at
+      * 100 TB it is the difference between a delta-sized commit and
+      * re-copying every touched file. Timed region = the MERGE only.
+      */
+    def runMergeOnce(mor: Boolean): Double = {
+      val cat = graft.queries.LakeQueries.dmlCatalog(spark)
+      val tbl = s"$cat.ns.bm${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val props =
+        if (mor) s"TBLPROPERTIES ('${graft.lake.LakeFormat.PropMergeMode}'='" +
+          s"${graft.lake.LakeFormat.DeleteModeMergeOnRead}')"
+        else ""
+      spark.sql(
+        s"""CREATE TABLE $tbl (k BIGINT, v DOUBLE, tag STRING)
+           |PARTITIONED BY (truncate(12500, k)) $props""".stripMargin)
+      // 4 commits × 8 buckets → 32 files, matches in every one
+      for (i <- 0 until 4)
+        spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE), 'x' " +
+          s"FROM range(${i * 25000}, ${(i + 1) * 25000})")
+      val t0 = System.nanoTime()
+      spark.sql(
+        s"""MERGE INTO $tbl t
+           |USING (SELECT id * 100 AS k, CAST(id AS DOUBLE) AS v, 'm' AS tag
+           |       FROM range(0, 1000)) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v * 2, tag = s.tag
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      assert(n == 100000L, s"merge bench saw $n rows")
+      spark.sql(s"DROP TABLE $tbl")
+      secs
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -177,6 +214,10 @@ object Bench {
       (if (only("ingest_100k")) Seq("ingest_100k" -> best2(() => runIngest())) else Nil) ++
       (if (only("maintenance_compact"))
         Seq("maintenance_compact" -> best2(() => runMaintenance())) else Nil) ++
+      (if (only("dml_merge_cow"))
+        Seq("dml_merge_cow" -> best2(() => runMergeOnce(mor = false))) else Nil) ++
+      (if (only("dml_merge_mor"))
+        Seq("dml_merge_mor" -> best2(() => runMergeOnce(mor = true))) else Nil) ++
       (if (only("lake_scan_400k")) runLakeScanPair() else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -655,8 +655,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * rewrite — compaction ([[compactFiles]]) or CoW churn later
     * materializes the deletes away and prunes dead entries.
     *
-    * Duplicate positions (re-deleting an already-deleted row) are
-    * harmless: readers apply positions as a SET.
+    * Duplicate positions (re-deleting an already-deleted row) cannot occur:
+    * matches are found through the table's own source, which already
+    * subtracts pending masks — and readers apply positions as a SET anyway.
     */
   def deleteWhereMoR(spark: SparkSession,
       predicate: org.apache.spark.sql.Column): Long = {
@@ -664,10 +665,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val live = files()
     if (live.isEmpty) return -1L
     val toPlain = udf((s: String) => new Path(s).toUri.getPath)
-    val matches = spark.read.schema(schema).parquet(live.map(_.path): _*)
+    // (file, position) row identity from the table's own scan — V1/V2
+    // parquet-source agnostic (see readWithDeletes) and mask-aware
+    val matches = spark.read.format("laketable").load(location)
       .filter(predicate <=> lit(true))
-      .select(toPlain(col("_metadata.file_path")).as("file_path"),
-        col("_metadata.row_index").as("pos"))
+      .select(col(dsv2.LakeMetaColumns.FileColumn).as("file_path"),
+        col(dsv2.LakeMetaColumns.PosColumn).as("pos"))
     val matchCount = matches.count()
     if (matchCount == 0L) return -1L
     // ~4M positions (~tens of MB) per delete file
@@ -692,11 +695,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         // covered data-path range, and (when few) exact referenced paths —
         // the exact list is what makes later prune/candidate checks
         // precise among UUID-named siblings
-        import org.apache.spark.sql.functions.{collect_set, count, max, min,
-          size => asize, sort_array, typedlit, when}
+        import org.apache.spark.sql.functions.{collect_set, count,
+          input_file_name, max, min, size => asize, sort_array, typedlit, when}
         val cap = LakeTable.DeletePathListCap
+        // input_file_name (set by both V1 and V2 file readers) rather than
+        // _metadata — the V2 parquet relation has no metadata struct
         spark.read.parquet(moved.map(_.toString): _*)
-          .groupBy(toPlain(col("_metadata.file_path")).as("del_path"))
+          .groupBy(toPlain(input_file_name()).as("del_path"))
           .agg(count(lit(1)).as("cnt"),
             min("file_path").as("lo"), max("file_path").as("hi"),
             when(asize(collect_set("file_path")) <= cap,
@@ -720,40 +725,199 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  /** Delta commit (merge-on-read MERGE/UPDATE via SupportsDelta): append
+    * executor-written data files (the inserted/updated row versions) AND
+    * position-delete files (the replaced row versions) in ONE snapshot —
+    * readers see the swap atomically. Commit cost is O(files in this
+    * delta), never O(table): nothing is rewritten.
+    *
+    * Conflict validation: a concurrent compaction/CoW rewrite may have
+    * replaced a data file whose positions this delta deletes — its entries
+    * would dangle (never match a live path) and the deletes would be
+    * silently LOST, resurrecting the old row versions next to the new ones.
+    * Every delete entry that inlines its referenced paths is validated
+    * against the LIVE file set per attempt (the retry body re-reads fresh
+    * metadata); a miss aborts the commit so the caller re-runs the DML
+    * against current data. Entries past the inline cap
+    * ([[LakeTable.DeletePathListCap]] paths from one task) fall back to
+    * unvalidated — documented trade: exact validation for every
+    * realistically-sized merge, bounded manifest size always.
+    */
+  def commitDelta(newData: Seq[DataFileMeta],
+      newDeletes: Seq[DeleteFileMeta]): Long = {
+    if (newData.isEmpty && newDeletes.isEmpty) return -1L
+    val fresh = newData.distinctBy(_.path)
+    retryCommitDeletes(if (fresh.nonEmpty) "append" else "delete") { () =>
+      val live = files().map(_.path).toSet
+      val dangling = newDeletes.iterator.flatMap(_.dataPaths)
+        .filterNot(live).toSeq
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"delta commit invalidated by concurrent rewrite: " +
+            s"${dangling.size} referenced data file(s) no longer live " +
+            s"(first: ${dangling.head})")
+      val curM = meta.current.map(_.manifests).getOrElse(Nil)
+      val curD = meta.current.map(_.deleteManifests).getOrElse(Nil)
+      Some((if (fresh.isEmpty) curM else curM :+ writeManifest(fresh),
+        meta.snapshots,
+        if (newDeletes.isEmpty) curD else curD :+ writeDeleteManifest(newDeletes)))
+    }
+  }
+
   /** Data rows of `fileMetas` with pending position deletes subtracted —
     * the read every REWRITE must use (a raw read would resurrect deleted
-    * rows into the rewritten files). Distributed left-anti join on
-    * (path, row index); the delete side broadcasts when small.
+    * rows into the rewritten files). Reads through the table's OWN DSv2
+    * source: the reader applies the snapshot's delete masks as per-file
+    * bitmaps (no anti-join), and the `_file`/`_pos` metadata columns
+    * supply the row identity the callers key on. Deliberately not
+    * `_metadata.*`: Spark's V2 parquet relation (active whenever
+    * `spark.sql.sources.useV1SourceList` drops "parquet" — the bench and
+    * verify sessions) does not expose the file-metadata struct, and this
+    * path must work in BOTH source regimes.
+    *
+    * Columns requested but absent at `snapshotId` (a changelog rendering
+    * old snapshots in an evolved schema) null-fill.
     */
   private[lake] def readWithDeletes(spark: SparkSession, schema: StructType,
       fileMetas: Seq[DataFileMeta],
       snapshotId: Long = meta.currentSnapshotId,
-      keepPathCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, udf}
+      keepPathCol: Option[String] = None,
+      keepPosCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (fileMetas.isEmpty) {
+      val full = StructType(schema.fields
+        ++ keepPathCol.map(n => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.StringType))
+        ++ keepPosCol.map(n => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    var df = spark.read.format("laketable")
+      .option("snapshotId", snapshotId.toString).load(location)
+    val wanted = fileMetas.map(_.path)
+    if (wanted.toSet != files(snapshotId).map(_.path).toSet)
+      df = df.filter(col(dsv2.LakeMetaColumns.FileColumn)
+        .isin(wanted.toIndexedSeq: _*))
+    val present = df.columns.toSet
+    val projected = schema.fields.map(f =>
+      if (present.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name))
+    val kept =
+      keepPathCol.map(n => col(dsv2.LakeMetaColumns.FileColumn).as(n)).toSeq ++
+        keepPosCol.map(n => col(dsv2.LakeMetaColumns.PosColumn).as(n)).toSeq
+    df.select((projected.toIndexedSeq ++ kept): _*)
+  }
+
+  /** CDC changelog over (fromId, toId]: every row-level change those
+    * commits made, as the table's current-at-`toId` schema plus
+    * `_change_type` ("insert" | "delete"; an update is its delete + its
+    * insert) and `_commit_snapshot_id`. The incremental-read contract
+    * (A25) completed for tables that mutate: downstream consumers replay
+    * appends AND retirements instead of re-diffing full snapshots.
+    *
+    * Per snapshot, derived from the manifest diff against its parent —
+    * never from the operation label alone, so every commit shape resolves:
+    *
+    *  - pure append (new data files only) → their rows as inserts;
+    *  - merge-on-read delete/delta commits (new position-delete files,
+    *    possibly alongside new data files) → deleted rows resolved by
+    *    joining the new positions back to the PARENT's rows (prior masks
+    *    already subtracted — re-deleting a dead row emits nothing), plus
+    *    any new files' rows as inserts;
+    *  - copy-on-write delete/rewrite/overwrite/rollback (files removed) →
+    *    multiset row diff: removed-file rows (masked as of the parent)
+    *    `exceptAll` added-file rows are the deletes, the reverse are the
+    *    inserts — carried-over rows cancel exactly;
+    *  - compaction/expiry (physically different, logically identical) and
+    *    metadata-only commits (alter/tag/untag) → no changes.
+    *
+    * At 100 TB: append/MoR snapshots — the overwhelming majority — cost
+    * one scan of exactly the changed files (+ a semi-join against the new
+    * positions); only genuine CoW rewrites pay the two-sided `exceptAll`
+    * shuffle, which is the honest minimum for a row diff the commit did
+    * not record.
+    */
+  def changelogBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, udf}
+    meta.snapshot(fromId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromId"))
+    meta.snapshot(toId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId"))
+    val outSchema = schemaAt(toId)
     val toPlain = udf((s: String) => new Path(s).toUri.getPath)
-    val dels = deleteFilesMeta(snapshotId)
-    val paths = fileMetas.map(_.path)
-    val relevant = dels.filter(d => paths.exists(d.references))
-    if (relevant.isEmpty) {
-      val base = LakeTable.readFiles(spark, schema, paths)
-      return keepPathCol match {
-        case Some(n) if paths.nonEmpty =>
-          base.withColumn(n, toPlain(col("_metadata.file_path")))
-        case _ => base
+    def withMeta(df: DataFrame, tpe: String, snap: Long): DataFrame =
+      df.select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(snap))
+    val ids = meta.snapshots.map(_.id)
+      .filter(id => id > fromId && id <= toId).sorted
+    val parts: Seq[DataFrame] = ids.flatMap { id =>
+      val s = meta.snapshot(id).get
+      if (s.operation == "compact" || s.operation == "expire") Nil
+      else {
+        val parent = meta.snapshot(s.parentId)
+        val pFiles = parent.map(_.manifests.flatMap(readManifest))
+          .getOrElse(Nil).distinctBy(_.path)
+        val sFiles = s.manifests.flatMap(readManifest).distinctBy(_.path)
+        val pPaths = pFiles.map(_.path).toSet
+        val sPaths = sFiles.map(_.path).toSet
+        val added = sFiles.filterNot(f => pPaths.contains(f.path))
+        val removed = pFiles.filterNot(f => sPaths.contains(f.path))
+        if (removed.nonEmpty) {
+          // copy-on-write shape: row-level multiset diff, carryovers cancel
+          val oldRows = readWithDeletes(spark, outSchema, removed,
+            snapshotId = s.parentId)
+          val newRows = LakeTable.readFiles(spark, outSchema, added.map(_.path))
+          Seq(withMeta(oldRows.exceptAll(newRows), "delete", id),
+            withMeta(newRows.exceptAll(oldRows), "insert", id))
+        } else {
+          val inserts =
+            if (added.isEmpty) Nil
+            else Seq(withMeta(
+              LakeTable.readFiles(spark, outSchema, added.map(_.path)),
+              "insert", id))
+          // new position-delete files (diffed by delete-file path — rewrite
+          // commits re-list carried entries under fresh manifest names)
+          val pDelPaths = parent.map(_.deleteManifests.flatMap(readDeleteManifest))
+            .getOrElse(Nil).map(_.path).toSet
+          val newDels = s.deleteManifests.flatMap(readDeleteManifest)
+            .distinctBy(_.path).filterNot(d => pDelPaths.contains(d.path))
+          val deletes =
+            if (newDels.isEmpty) Nil
+            else {
+              val referenced = pFiles
+                .filter(f => newDels.exists(_.references(f.path)))
+              if (referenced.isEmpty) Nil
+              else {
+                // parent rows of the referenced files with PRIOR masks
+                // subtracted, semi-joined to the new positions
+                val base = readWithDeletes(spark, outSchema, referenced,
+                  snapshotId = s.parentId, keepPathCol = Some("__cdc_fp"),
+                  keepPosCol = Some("__cdc_pos"))
+                val delDF0 = spark.read.parquet(newDels.map(_.path): _*)
+                  .select(toPlain(col("file_path")).as("__del_fp"),
+                    col("pos").as("__del_pos"))
+                val delDF = if (newDels.map(_.rowCount).sum < 4000000L)
+                  broadcast(delDF0) else delDF0
+                Seq(withMeta(base.join(delDF,
+                  col("__cdc_fp") === col("__del_fp") &&
+                    col("__cdc_pos") === col("__del_pos"), "left_semi")
+                  .drop("__cdc_fp", "__cdc_pos"), "delete", id))
+              }
+            }
+          deletes ++ inserts
+        }
       }
     }
-    val delDF0 = spark.read.parquet(relevant.map(_.path): _*)
-      .select(col("file_path"), col("pos"))
-    val delDF =
-      if (relevant.map(_.rowCount).sum < 4000000L) broadcast(delDF0) else delDF0
-    val joined = spark.read.schema(schema).parquet(paths: _*)
-      .withColumn("__fp", toPlain(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(delDF, col("__fp") === col("file_path") && col("__pos") === col("pos"),
-        "left_anti")
-    keepPathCol match {
-      case Some(n) => joined.withColumnRenamed("__fp", n).drop("__pos")
-      case None => joined.drop("__fp", "__pos")
+    parts.reduceOption(_.union(_)).getOrElse {
+      val empty = StructType(outSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
     }
   }
 
@@ -952,6 +1116,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * contract: rows are delivered AS APPENDED — merge-on-read deletes
     * committed later are not retro-applied (a replay must equal what a
     * live consumer saw; downstream compacts with the CDC-apply pattern).
+    * For the full insert+delete changelog, see [[changelogBetween]].
     */
   def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
     LakeTable.readFiles(spark, schema, addedFilesBetween(fromId, toId).map(_.path))

@@ -132,6 +132,12 @@ object LakeFormat {
   // copy-on-write (default) rewrites files; merge-on-read writes
   // position-delete files readers apply as skip masks
   val PropDeleteMode = "write.delete.mode"
+  // per-command row-level strategy (Iceberg's write.update.mode /
+  // write.merge.mode): merge-on-read routes SQL UPDATE/MERGE through the
+  // delta write path (position deletes + appended rows) instead of the
+  // group-based copy-on-write rewrite
+  val PropUpdateMode = "write.update.mode"
+  val PropMergeMode = "write.merge.mode"
   val DeleteModeMergeOnRead = "merge-on-read"
   val PendingCommitsDir = "_commits/pending"
   val TmpCommitsDir = "_commits/tmp"

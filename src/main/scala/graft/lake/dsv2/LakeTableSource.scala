@@ -64,7 +64,11 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
     : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     LakeMetaColumns.columns
 
-  /** SQL MERGE/UPDATE (group-based copy-on-write; [[LakeRowLevelOperation]]).
+  /** SQL MERGE/UPDATE/DELETE: group-based copy-on-write by default
+    * ([[LakeRowLevelOperation]]); the per-command table property
+    * (`write.merge.mode` / `write.update.mode` / `write.delete.mode` =
+    * `merge-on-read`) selects the delta path instead
+    * ([[LakeDeltaOperation]] — position deletes + appends, no rewrite).
     * DELETE also analyzes through here, then Spark's
     * OptimizeMetadataOnlyDeleteFromTable hands filter-expressible deletes
     * back to [[deleteWhere]] — whole-file deletes stay metadata-only.
@@ -72,7 +76,18 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new LakeRowLevelOperation(location, info.command())
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val modeKey = info.command() match {
+        case Command.DELETE => graft.lake.LakeFormat.PropDeleteMode
+        case Command.UPDATE => graft.lake.LakeFormat.PropUpdateMode
+        case Command.MERGE => graft.lake.LakeFormat.PropMergeMode
+      }
+      val mor = LakeTable.load(location).tableMeta.properties
+        .get(modeKey).contains(graft.lake.LakeFormat.DeleteModeMergeOnRead)
+      if (mor) new LakeDeltaOperation(location, info.command())
+      else new LakeRowLevelOperation(location, info.command())
+    }
 
   /** SQL `DELETE FROM`: pushed filters become one predicate Column for the
     * table's copy-on-write deleteWhere — metadata-only when whole files
@@ -366,18 +381,30 @@ object LakeScanMetrics {
   * more importantly, the GROUP IDENTITY for copy-on-write row-level
   * operations: runtime group filtering aggregates `_file` over matching
   * rows and the scan prunes to exactly those files (the same design the
-  * public Iceberg connector uses).
+  * public Iceberg connector uses). `_pos` is the row's global position
+  * within its data file (the position-delete coordinate system);
+  * `(_file, _pos)` together are the ROW IDENTITY delta-based (merge-on-
+  * read) row-level operations delete by.
   */
 object LakeMetaColumns {
   val FileColumn = "_file"
+  val PosColumn = "_pos"
 
   val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = FileColumn
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "path of the data file holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FileColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "path of the data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = PosColumn
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row position within the data file (position-delete coordinates)"
+      })
 
   /** Does this V1 filter accept the file, interpreting `_file` against the
     * file's own path? Non-`_file` legs fall back to stats pruning (which
@@ -661,12 +688,20 @@ final class LakeReaderFactory(schemaDdl: String,
   // `_file` metadata column: parquet never sees it — the reader decodes
   // dataSchema and injects the slice's path as a constant (a
   // ConstantColumnVector in the columnar path, a projected join in the row
-  // path), so metadata-requesting scans stay vectorized.
+  // path), so metadata-requesting scans stay vectorized. `_pos` rides
+  // Spark's row-index generator (row path only — delta row-level scans are
+  // the consumer, never the hot analytical path).
   private lazy val fileIdx: Int =
     schema.fieldNames.indexOf(LakeMetaColumns.FileColumn)
+  private lazy val posIdx: Int =
+    schema.fieldNames.indexOf(LakeMetaColumns.PosColumn)
   private lazy val dataSchema: StructType =
-    if (fileIdx < 0) schema
-    else StructType(schema.fields.patch(fileIdx, Nil, 1))
+    StructType(schema.fields.filterNot(f =>
+      f.name == LakeMetaColumns.FileColumn || f.name == LakeMetaColumns.PosColumn))
+  // physical slots among [data cols..., rowIdx?, constFile?] for schema idx i
+  private def metaBefore(i: Int): Int =
+    (if (fileIdx >= 0 && fileIdx < i) 1 else 0) +
+      (if (posIdx >= 0 && posIdx < i) 1 else 0)
 
   // Hadoop Configuration construction loads the default XML resources —
   // milliseconds per call. Paid once per (JVM, projection) instead of once
@@ -728,7 +763,7 @@ final class LakeReaderFactory(schemaDdl: String,
     * deletes away — keep the columnar fast path.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorizable && !hasDeletes
+    vectorizable && !hasDeletes && posIdx < 0
 
   /** Requested schema + Spark's temporary row-index column: the vectorized
     * reader populates GLOBAL row positions for every produced row, correct
@@ -871,9 +906,10 @@ final class LakeReaderFactory(schemaDdl: String,
         override def get(): InternalRow = empty
         override def close(): Unit = ()
       }
-    else if (dataSchema.isEmpty) {
+    else if (dataSchema.isEmpty && posIdx < 0) {
       // only `_file` projected: per-slice constant rows, counts from the
-      // manifest — still no file opened
+      // manifest — still no file opened (`_pos` scans can't shortcut:
+      // positions must come from the reader, so they fall through)
       val it = p.files.iterator
       new PartitionReader[InternalRow] {
         private var remaining = 0L
@@ -909,21 +945,24 @@ final class LakeReaderFactory(schemaDdl: String,
         private var bits: java.util.BitSet = _ // null = slice has no deletes
         private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
         private def openSlice(s: LakeFileSlice): Unit = {
-          val hasIdx = s.deletes.nonEmpty
-          bits = if (hasIdx) deletedBits(s) else null
+          // the row-index column serves two masters: delete-mask skipping
+          // and the `_pos` metadata projection (delta row-level scans)
+          val hasIdx = s.deletes.nonEmpty || posIdx >= 0
+          bits = if (s.deletes.nonEmpty) deletedBits(s) else null
           cur = openVectorized(s, if (hasIdx) idxConf else null)
           if (fileIdx >= 0)
             constRow = new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
-          // physical row width = data cols (+ row-index when masking)
-          val width = dataSchema.length + (if (hasIdx) 1 else 0)
+          // physical row layout: [data cols..., rowIdx?, constFile?]
+          val idxSlot = dataSchema.length
+          val fileSlot = dataSchema.length + (if (hasIdx) 1 else 0)
           proj =
             if (fileIdx < 0 && !hasIdx) null
             else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
               schema.indices.map(i =>
-                if (fileIdx >= 0 && i == fileIdx) width // const path in JoinedRow
-                else if (fileIdx >= 0 && i > fileIdx) i - 1
-                else i).toIndexedSeq)
+                if (i == fileIdx) fileSlot // const path in JoinedRow
+                else if (i == posIdx) idxSlot
+                else i - metaBefore(i)).toIndexedSeq)
         }
         override def next(): Boolean = {
           while (true) {

@@ -265,6 +265,68 @@ object LakeQueries {
     out
   }
 
+  // B39 — merge-on-read MERGE INTO (SupportsDelta): `write.merge.mode=
+  // merge-on-read` turns the upsert into position deletes (retiring the
+  // matched row versions) + appended files (the new versions) — no data
+  // file is rewritten. Same shape as b34's upsert so the same pure-SQL
+  // reconstruction oracles it; DeltaMergeSpec asserts engine-side that the
+  // pre-merge files survive untouched. At 100 TB this is the difference
+  // between a MERGE that writes ~its delta and one that re-copies every
+  // touched file.
+  def b39_mor_merge(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.g${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |TBLPROPERTIES ('${LakeFormat.PropMergeMode}'='${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 800")
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey, o_totalprice, o_orderstatus
+         |       FROM graft_orders_src
+         |       WHERE o_orderkey >= 400 AND o_orderkey < 1200) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B40 — CDC changelog read (`changelogBetween`): the full insert+delete
+  // row history of a snapshot range, including merge-on-read retirements
+  // resolved back to whole rows — what a downstream sync consumes instead
+  // of re-diffing snapshots. Scripted ops over `orders` make the changelog
+  // pure-SQL reconstructable → hash-oracled.
+  def b40_changelog(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"c${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |TBLPROPERTIES ('${LakeFormat.PropDeleteMode}'='${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 1500")
+    val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val table = LakeTable.load(s"$warehouse/ns/$name")
+    val s1 = table.currentSnapshotId
+    s.sql(s"DELETE FROM $tbl WHERE o_orderkey < 300") // MoR: position deletes
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey >= 1500 AND o_orderkey < 2000")
+    val s3 = table.refresh().currentSnapshotId
+    val out = localize(table.changelogBetween(s, s1, s3)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "_change_type")
+      .orderBy("_change_type", "o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -299,6 +361,8 @@ object LakeQueries {
     "b35_update" -> b35_update _,
     "b37_spj_join" -> b37_spj_join _,
     "b38_mor_delete" -> b38_mor_delete _,
+    "b39_mor_merge" -> b39_mor_merge _,
+    "b40_changelog" -> b40_changelog _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,6 +395,23 @@ object LakeQueries {
         |WHERE o_orderkey < 2000
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 < 2)
         |ORDER BY o_orderkey""".stripMargin,
+    // same upsert as b34 — the oracle is mode-independent; only the write
+    // mechanics (position deletes vs rewrite) differ
+    "b39_mor_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 400 AND o_orderkey < 800
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
+    "b40_changelog" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  'delete' AS _change_type
+        |FROM orders WHERE o_orderkey < 300
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  'insert' AS _change_type
+        |FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 2000
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
     "b37_spj_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS pairs,
         |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum
