@@ -22,6 +22,7 @@ object Json {
     n.put("rowCount", f.rowCount)
     n.put("partitionValue", f.partitionValue)
     n.put("format", f.format)
+    if (f.seq != 0L) n.put("seq", f.seq)
     val st = n.putObject("stats")
     f.stats.foreach { case (c, s) =>
       val cs = st.putObject(c)
@@ -51,7 +52,8 @@ object Json {
       rowCount = n.get("rowCount").asLong,
       partitionValue = n.get("partitionValue").asLong,
       format = Option(n.get("format")).map(_.asText).getOrElse("parquet"),
-      stats = stats)
+      stats = stats,
+      seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L))
   }
 
   def manifestToJson(files: Seq[DataFileMeta]): String = {
@@ -78,6 +80,12 @@ object Json {
         val dp = n.putArray("dataPaths")
         f.dataPaths.foreach(dp.add)
       }
+      if (f.kind != DeleteFileMeta.KindPos) n.put("kind", f.kind)
+      if (f.eqColumns.nonEmpty) {
+        val ec = n.putArray("eqColumns")
+        f.eqColumns.foreach(ec.add)
+      }
+      if (f.seq != 0L) n.put("seq", f.seq)
     }
     write(root)
   }
@@ -91,7 +99,12 @@ object Json {
         minDataPath = n.get("minDataPath").asText,
         maxDataPath = n.get("maxDataPath").asText,
         dataPaths = Option(n.get("dataPaths"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        kind = Option(n.get("kind")).map(_.asText)
+          .getOrElse(DeleteFileMeta.KindPos),
+        eqColumns = Option(n.get("eqColumns"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L))
     }.toSeq
 
   def metaToJson(m: TableMeta): String = {

@@ -107,14 +107,14 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       case Some(s) => s.deleteManifests.flatMap(readDeleteManifest)
     }
 
-  /** The delete files that can reference `dataPath` — exact membership when
-    * the entry inlines its referenced paths, else the [min, max] data-path
-    * range (delete writes range-partition positions by data path, so ranges
-    * stay narrow and most data files map to zero or one delete file).
+  /** The delete files that can mark rows of data file `f` — position
+    * deletes by exact path membership (or the [min, max] data-path range
+    * when the inline list overflowed), equality deletes by commit
+    * sequence (they retire every strictly-older row version).
     */
   private[lake] def deletesFor(dels: Seq[DeleteFileMeta],
-      dataPath: String): Seq[DeleteFileMeta] =
-    dels.filter(_.references(dataPath))
+      f: DataFileMeta): Seq[DeleteFileMeta] =
+    dels.filter(_.applies(f))
 
   /** Files added between two snapshots (exclusive, inclusive) — the
     * incremental-read contract the reference is designed around (A25,
@@ -175,6 +175,19 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     name
   }
 
+  /** The sequence the NEXT commit will land as (commitAttempt computes the
+    * same value from the same refreshed metadata a retry body sees) —
+    * stamped onto new data files and equality-delete entries inside commit
+    * bodies so "older than" comparisons are exact across retries.
+    */
+  private def nextSeq: Long =
+    meta.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
+
+  private def stamp(fm: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    val s = nextSeq
+    fm.map(_.copy(seq = s))
+  }
+
   private def writeDeleteManifest(fm: Seq[DeleteFileMeta]): String = {
     val name = s"delete-manifest-${UUID.randomUUID()}.json"
     writeAtomic(new Path(metaDir, name), Json.deleteManifestToJson(fm))
@@ -194,7 +207,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val dels = curManifests.flatMap(readDeleteManifest)
     val keptPaths = kept.map(_.path).sorted.toArray
     val keptSet = keptPaths.toSet
+    val oldestKeptSeq = kept.map(_.seq).minOption.getOrElse(Long.MaxValue)
     def overlaps(d: DeleteFileMeta): Boolean = {
+      // equality entries live while ANY kept file predates them (rewritten
+      // files get a fresh seq, so full churn retires the entry)
+      if (d.kind == DeleteFileMeta.KindEq) return oldestKeptSeq < d.seq
       if (d.dataPaths.nonEmpty) return d.dataPaths.exists(keptSet)
       // first kept path >= minDataPath; overlap iff it also <= maxDataPath
       var lo = 0; var hi = keptPaths.length
@@ -374,7 +391,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
       val withNew =
         if (fresh.isEmpty) existing
-        else existing :+ writeManifest(fresh)
+        else existing :+ writeManifest(stamp(fresh))
       Some((maybeMerge(withNew), meta.snapshots))
     }
   }
@@ -389,7 +406,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val fresh = newFiles.distinctBy(_.path)
       // full replacement: no pre-existing file survives, so no pending
       // delete can reference a live file
-      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(fresh)),
+      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(stamp(fresh))),
         meta.snapshots, Nil))
     }
 
@@ -401,11 +418,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * (A14; same transaction pattern as Iceberg's commit-during-retry
     * fencing). Returns -1 when fenced; the caller owns deleting the
     * duplicate data files it wrote for the fenced epoch.
+    *
+    * `newDeletes` lands delete entries (the streaming CDC-upsert sink's
+    * per-batch equality deletes) in the SAME fenced commit: new row
+    * versions and the retirement of the old ones appear atomically, and a
+    * fenced replay drops both together.
     */
   def appendEpoch(newFiles: Seq[DataFileMeta], queryId: String,
-      epochId: Long): Long = {
+      epochId: Long, newDeletes: Seq[DeleteFileMeta] = Nil): Long = {
     val key = s"$PropStreamEpochPrefix$queryId"
-    retryCommitPropsRemove("append") { () =>
+    retryCommitFull("append") { () =>
       if (meta.properties.get(key)
           .exists(v => LakeTable.parseEpochValue(v)._1 >= epochId)) None
       else {
@@ -414,7 +436,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
         val withNew =
           if (fresh.isEmpty) existing
-          else existing :+ writeManifest(fresh)
+          else existing :+ writeManifest(stamp(fresh))
+        val curD = meta.current.map(_.deleteManifests).getOrElse(Nil)
+        val withDels =
+          if (newDeletes.isEmpty) curD
+          else {
+            val s = nextSeq
+            curD :+ writeDeleteManifest(newDeletes.map(d =>
+              if (d.kind == DeleteFileMeta.KindEq) d.copy(seq = s) else d))
+          }
         // Watermark GC: epoch entries are stamped with their commit time;
         // entries idle past stream.epoch.ttl-ms (default 30 days) belong to
         // dead queries and are dropped here — without this, table metadata
@@ -430,7 +460,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           .filter(k => now - LakeTable.parseEpochValue(meta.properties(k))._2 >= ttl)
           .toSet
         Some((maybeMerge(withNew), meta.snapshots,
-          Map(key -> s"$epochId:$now"), stale))
+          Map(key -> s"$epochId:$now"), stale,
+          if (newDeletes.isEmpty) None else Some(withDels)))
       }
     }
   }
@@ -639,7 +670,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     retryCommitDeletes("rewrite") { () =>
       // recompute survivors from fresh metadata: concurrent appends since
       // the scan must not be dropped by this manifest rewrite
-      val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
+      val kept = files().filterNot(f => replaced.contains(f.path)) ++
+        stamp(rewritten)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
         meta.snapshots, carryDeleteManifests(kept)))
     }
@@ -758,9 +790,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
             s"(first: ${dangling.head})")
       val curM = meta.current.map(_.manifests).getOrElse(Nil)
       val curD = meta.current.map(_.deleteManifests).getOrElse(Nil)
-      Some((if (fresh.isEmpty) curM else curM :+ writeManifest(fresh),
+      val s = nextSeq
+      Some((if (fresh.isEmpty) curM else curM :+ writeManifest(stamp(fresh)),
         meta.snapshots,
-        if (newDeletes.isEmpty) curD else curD :+ writeDeleteManifest(newDeletes)))
+        if (newDeletes.isEmpty) curD
+        else curD :+ writeDeleteManifest(newDeletes.map(d =>
+          if (d.kind == DeleteFileMeta.KindEq) d.copy(seq = s) else d))))
     }
   }
 
@@ -877,17 +912,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
             else Seq(withMeta(
               LakeTable.readFiles(spark, outSchema, added.map(_.path)),
               "insert", id))
-          // new position-delete files (diffed by delete-file path — rewrite
-          // commits re-list carried entries under fresh manifest names)
+          // new delete files (diffed by delete-file path — rewrite commits
+          // re-list carried entries under fresh manifest names)
           val pDelPaths = parent.map(_.deleteManifests.flatMap(readDeleteManifest))
             .getOrElse(Nil).map(_.path).toSet
           val newDels = s.deleteManifests.flatMap(readDeleteManifest)
             .distinctBy(_.path).filterNot(d => pDelPaths.contains(d.path))
-          val deletes =
-            if (newDels.isEmpty) Nil
+          val (newPos, newEq) = newDels.partition(_.kind == DeleteFileMeta.KindPos)
+          val posDeletes =
+            if (newPos.isEmpty) Nil
             else {
               val referenced = pFiles
-                .filter(f => newDels.exists(_.references(f.path)))
+                .filter(f => newPos.exists(_.references(f.path)))
               if (referenced.isEmpty) Nil
               else {
                 // parent rows of the referenced files with PRIOR masks
@@ -895,10 +931,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
                 val base = readWithDeletes(spark, outSchema, referenced,
                   snapshotId = s.parentId, keepPathCol = Some("__cdc_fp"),
                   keepPosCol = Some("__cdc_pos"))
-                val delDF0 = spark.read.parquet(newDels.map(_.path): _*)
+                val delDF0 = spark.read.parquet(newPos.map(_.path): _*)
                   .select(toPlain(col("file_path")).as("__del_fp"),
                     col("pos").as("__del_pos"))
-                val delDF = if (newDels.map(_.rowCount).sum < 4000000L)
+                val delDF = if (newPos.map(_.rowCount).sum < 4000000L)
                   broadcast(delDF0) else delDF0
                 Seq(withMeta(base.join(delDF,
                   col("__cdc_fp") === col("__del_fp") &&
@@ -906,7 +942,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
                   .drop("__cdc_fp", "__cdc_pos"), "delete", id))
               }
             }
-          deletes ++ inserts
+          // equality deletes (CDC upsert): retired rows = parent rows of
+          // strictly-older files whose key appears in the new key files
+          val eqDeletes = newEq.groupBy(_.eqColumns).toSeq.flatMap {
+            case (cols, dels) =>
+              val affected = pFiles.filter(f => dels.exists(_.applies(f)))
+              if (affected.isEmpty) Nil
+              else {
+                val base = readWithDeletes(spark, outSchema, affected,
+                  snapshotId = s.parentId)
+                val keys0 = spark.read.parquet(dels.map(_.path): _*).distinct()
+                val keys = if (dels.map(_.rowCount).sum < 4000000L)
+                  broadcast(keys0) else keys0
+                Seq(withMeta(base.join(keys,
+                  cols.toIndexedSeq, "left_semi"), "delete", id))
+              }
+          }
+          posDeletes ++ eqDeletes ++ inserts
         }
       }
     }
@@ -933,7 +985,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val fresh = newFiles.distinctBy(_.path)
     if (replacedPaths.isEmpty && fresh.isEmpty) return -1L
     retryCommitDeletes("rewrite") { () =>
-      val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++ fresh
+      val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++
+        stamp(fresh)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
         meta.snapshots, carryDeleteManifests(kept)))
     }
@@ -996,7 +1049,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       sortExprs = zKey)
     val replaced = candidates.map(_.path).toSet
     retryCommitDeletes("compact") { () =>
-      val kept = files().filterNot(f => replaced.contains(f.path)) ++ rewritten
+      val kept = files().filterNot(f => replaced.contains(f.path)) ++
+        stamp(rewritten)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
         meta.snapshots, carryDeleteManifests(kept)))
     }

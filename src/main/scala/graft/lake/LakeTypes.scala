@@ -53,7 +53,13 @@ final case class DataFileMeta(
     rowCount: Long,
     partitionValue: Long,
     format: String = "parquet",
-    stats: Map[String, ColStats] = Map.empty)
+    stats: Map[String, ColStats] = Map.empty,
+    // commit sequence (the snapshot id that added the file; stamped at
+    // commit time, 0 in pre-sequence metadata): equality deletes apply to
+    // a file iff the file's seq is OLDER than the delete's — the ordering
+    // that lets an upsert land new row versions and retire old ones in
+    // one commit without the delete swallowing its own batch
+    seq: Long = 0L)
 
 /** Position-delete file metadata (merge-on-read deletes): a parquet of
   * (file_path STRING, pos BIGINT) rows marking individual rows of data
@@ -75,12 +81,34 @@ final case class DeleteFileMeta(
     // Data files are UUID-named, so [min,max] alone overlaps almost any
     // sibling path — the exact list is what lets rewrites prune dead
     // delete entries and readers skip irrelevant delete parquets.
-    dataPaths: Seq[String] = Nil) {
+    dataPaths: Seq[String] = Nil,
+    // "pos" = position delete (file_path, pos rows; path-addressed);
+    // "eq" = equality delete (key-column rows; sequence-addressed — it
+    // retires every OLDER row version with a matching key, the streaming
+    // CDC-upsert shape that needs no read-modify-write)
+    kind: String = DeleteFileMeta.KindPos,
+    // equality-delete key columns, in table-schema order (= the delete
+    // parquet's column layout); empty for position deletes
+    eqColumns: Seq[String] = Nil,
+    // commit sequence of the delete itself (only meaningful for "eq":
+    // applies to data files with seq strictly below it)
+    seq: Long = 0L) {
   @transient private lazy val pathSet: Set[String] = dataPaths.toSet
-  /** Can this delete file mark rows of `dataPath` as deleted? */
+  /** Can this delete file mark rows of `dataPath` as deleted?
+    * (Position deletes only — equality deletes address by sequence.)
+    */
   def references(dataPath: String): Boolean =
-    if (dataPaths.nonEmpty) pathSet.contains(dataPath)
-    else minDataPath <= dataPath && dataPath <= maxDataPath
+    kind == DeleteFileMeta.KindPos &&
+      (if (dataPaths.nonEmpty) pathSet.contains(dataPath)
+       else minDataPath <= dataPath && dataPath <= maxDataPath)
+  /** Can this delete file mark rows of data file `f` as deleted? */
+  def applies(f: DataFileMeta): Boolean =
+    if (kind == DeleteFileMeta.KindEq) f.seq < seq else references(f.path)
+}
+
+object DeleteFileMeta {
+  val KindPos = "pos"
+  val KindEq = "eq"
 }
 
 /** The reference's single partition transform (Constants.java:25,33-35):

@@ -143,6 +143,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           case "snapshots" => new LakeSnapshotsMetaTable(location(baseIdent))
           case "partitions" => new LakePartitionsMetaTable(location(baseIdent))
           case "manifests" => new LakeManifestsMetaTable(location(baseIdent))
+          case "deletes" => new LakeDeletesMetaTable(location(baseIdent))
           case _ => throw new NoSuchTableException(ident)
         }
       case _ => ()

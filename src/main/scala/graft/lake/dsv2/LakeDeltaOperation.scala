@@ -257,3 +257,97 @@ object LakeDeletePositionsWriter {
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 }
+
+/** Executor-side EQUALITY-delete parquet writer: one key-column row per
+  * upserted record (`keys` in table-schema order = the file's layout),
+  * landing in `deletes/<uuid>.parquet`. Sequence-addressed at commit time:
+  * the entry retires every matching key in data files strictly OLDER than
+  * its commit ([[graft.lake.DeleteFileMeta.applies]]), which is what lets
+  * a streaming CDC upsert write new row versions and their retirement in
+  * one commit with NO read-modify-write — the write path stays O(batch)
+  * at any table size. An in-task seen-set skips duplicate keys (bounded;
+  * overflow writes through — readers apply keys as a set anyway).
+  */
+final class LakeEqualityDeleteWriter(location: String,
+    tableSchema: StructType, keys: Seq[String]) {
+
+  private val keySchema = StructType(
+    keys.map(k => tableSchema(tableSchema.fieldIndex(k)).copy(nullable = false)))
+  private val keyOrdinals = keys.map(tableSchema.fieldIndex)
+  private val keyTypes = keySchema.fields.map(_.dataType)
+
+  private val path = new Path(new Path(location, LakeFormat.DeleteDir),
+    s"${UUID.randomUUID()}.parquet")
+  private val conf: Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration()
+    org.apache.spark.sql.execution.datasources.parquet
+      .ParquetWriteSupport.setSchema(keySchema, c)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c
+  }
+
+  private final class Builder(p: Path)
+    extends ParquetWriter.Builder[InternalRow, Builder](p) {
+    override def self(): Builder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+        .asInstanceOf[WriteSupport[InternalRow]]
+  }
+
+  private val writer: ParquetWriter[InternalRow] = {
+    path.getFileSystem(conf).mkdirs(path.getParent)
+    new Builder(path).withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+  }
+
+  private val toUnsafe = org.apache.spark.sql.catalyst.expressions
+    .UnsafeProjection.create(keyOrdinals.zipWithIndex.map { case (ord, i) =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        ord, keyTypes(i), nullable = true)
+    })
+  private var seen = new java.util.HashSet[InternalRow]()
+  private val keyRow = new GenericInternalRow(keys.length)
+  private var count = 0L
+
+  /** Record the key of one upserted data row (duplicates skipped while the
+    * seen-set stays bounded).
+    */
+  def write(dataRow: InternalRow): Unit = {
+    val key = toUnsafe(dataRow)
+    if (seen != null) {
+      if (seen.contains(key)) return
+      seen.add(key.copy())
+      if (seen.size > (1 << 20)) seen = null // cap ~1M keys/task, write through
+    }
+    var i = 0
+    while (i < keyOrdinals.length) {
+      keyRow.update(i, dataRow.get(keyOrdinals(i), keyTypes(i)))
+      i += 1
+    }
+    writer.write(keyRow)
+    count += 1
+  }
+
+  def hasRows: Boolean = count > 0
+
+  /** Close and describe; `seq` is stamped by the landing commit. */
+  def finish(): DeleteFileMeta = {
+    writer.close()
+    val size = path.getFileSystem(conf).getFileStatus(path).getLen
+    DeleteFileMeta(path.toString, size, count, "", "",
+      kind = DeleteFileMeta.KindEq, eqColumns = keys)
+  }
+
+  def abortAndDelete(): Unit = {
+    try writer.close() catch { case _: java.io.IOException => }
+    try path.getFileSystem(conf).delete(path, false)
+    catch { case _: java.io.IOException => }
+  }
+
+  def close(): Unit =
+    try writer.close() catch { case _: java.io.IOException => }
+}

@@ -31,6 +31,9 @@ object LakeMetaTables {
       "size_bytes BIGINT, min_file_bytes BIGINT, max_file_bytes BIGINT")
   val ManifestsSchema: StructType = StructType.fromDDL(
     "manifest STRING, file_count BIGINT, row_count BIGINT, size_bytes BIGINT")
+  val DeletesSchema: StructType = StructType.fromDDL(
+    "path STRING, kind STRING, row_count BIGINT, size_bytes BIGINT, " +
+      "eq_columns STRING, seq BIGINT, referenced_files INT")
 }
 
 /** One manifest file to parse on an executor. */
@@ -175,6 +178,53 @@ final class LakeManifestsMetaTable(location: String) extends Table with Supports
               files.size.toLong, files.map(_.rowCount).sum,
               files.map(_.sizeBytes).sum)
             done = true
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** `$deletes` — one row per PENDING delete file: the merge-on-read debt an
+  * operator schedules compaction against. `kind` = "pos" | "eq";
+  * `referenced_files` = inlined data-path count for position entries
+  * (-1 = overflowed to the range check). Pending-delete metadata is tiny
+  * by design (compaction retires it), so this ships as one task.
+  */
+final case class DeleteRows(rows: Seq[(String, String, Long, Long, String, Long, Int)])
+  extends InputPartition
+
+final class LakeDeletesMetaTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"laketable.`$location`$$deletes"
+  override def schema(): StructType = LakeMetaTables.DeletesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = LakeMetaTables.DeletesSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val rows = LakeTable.load(location).deleteFilesMeta().map { d =>
+          (d.path, d.kind, d.rowCount, d.sizeBytes,
+            d.eqColumns.mkString(","), d.seq,
+            if (d.kind == graft.lake.DeleteFileMeta.KindPos)
+              (if (d.dataPaths.nonEmpty) d.dataPaths.size else -1)
+            else 0)
+        }
+        Array(DeleteRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => new PartitionReader[InternalRow] {
+          private val it = partition.asInstanceOf[DeleteRows].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val (p, kind, rows, bytes, eqCols, seq, refs) = it.next()
+            cur = InternalRow(UTF8String.fromString(p),
+              UTF8String.fromString(kind), rows, bytes,
+              UTF8String.fromString(eqCols), seq, refs)
             true
           }
           override def get(): InternalRow = cur

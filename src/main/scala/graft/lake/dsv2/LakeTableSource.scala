@@ -514,13 +514,14 @@ final class LakeBatchScan(location: String, table: LakeTable,
     // row-level (CoW) operations record the planned group here — the set
     // their ReplaceData commit swaps out (post-runtime-filter truth)
     planListener.foreach(_(files))
-    // merge-on-read: attach each file's candidate position-delete files
-    // (range-pruned); readers apply them as skip masks
+    // merge-on-read: attach each file's candidate delete files (position
+    // entries range-pruned by data path, equality entries sequence-pruned);
+    // readers apply them as skip masks / key sets
     val dels = table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
     val deletesFor: DataFileMeta => Seq[DeleteSliceRef] =
       if (dels.isEmpty) _ => Nil
-      else f => table.deletesFor(dels, f.path)
-        .map(d => DeleteSliceRef(d.path, d.sizeBytes))
+      else f => table.deletesFor(dels, f)
+        .map(d => DeleteSliceRef(d.path, d.sizeBytes, d.eqColumns))
     LakePartitionPacker.pack(files, deletesFor)
   }
 
@@ -530,7 +531,10 @@ final class LakeBatchScan(location: String, table: LakeTable,
       // delete sends the whole scan down the row path; delete-free scans
       // (the overwhelming majority) stay columnar
       hasDeletes = table
-        .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).nonEmpty)
+        .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).nonEmpty,
+      // full table schema: equality-delete key columns may lie outside the
+      // projection and need their types for the injected read
+      tableSchemaDdl = asOf.map(table.schemaAt).getOrElse(table.schema).toDDL)
 
   override def estimateStatistics(): Statistics = {
     val files = prunedFiles
@@ -576,11 +580,14 @@ final class LakeAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** A position-delete parquet that may mark rows of a slice's data file as
-  * deleted (merge-on-read): readers load its (file_path, pos) rows for
-  * their file into a skip mask.
+/** A delete parquet that may mark rows of a slice's data file as deleted
+  * (merge-on-read). `eqCols` empty = position delete — readers load its
+  * (file_path, pos) rows for their file into a skip bitmap. `eqCols`
+  * non-empty = equality delete — readers load its key rows into a hash
+  * set and drop matching rows (the CDC-upsert retirement path).
   */
-final case class DeleteSliceRef(path: String, sizeBytes: Long)
+final case class DeleteSliceRef(path: String, sizeBytes: Long,
+    eqCols: Seq[String] = Nil)
 
 /** One byte range of one data file. `start == 0 && length == fileSize` for
   * unsplit files; larger files are carved into ranges and the parquet
@@ -681,9 +688,12 @@ object LakePartitionPacker {
   */
 final class LakeReaderFactory(schemaDdl: String,
     filters: Array[Filter] = Array.empty,
-    hasDeletes: Boolean = false) extends PartitionReaderFactory {
+    hasDeletes: Boolean = false,
+    tableSchemaDdl: String = "") extends PartitionReaderFactory {
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
+  private lazy val tableSchema: StructType =
+    if (tableSchemaDdl.isEmpty) schema else StructType.fromDDL(tableSchemaDdl)
 
   // `_file` metadata column: parquet never sees it — the reader decodes
   // dataSchema and injects the slice's path as a constant (a
@@ -765,35 +775,48 @@ final class LakeReaderFactory(schemaDdl: String,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     vectorizable && !hasDeletes && posIdx < 0
 
-  /** Requested schema + Spark's temporary row-index column: the vectorized
-    * reader populates GLOBAL row positions for every produced row, correct
-    * under byte-range splits AND row-group predicate skipping — exactly
-    * the coordinate system position-delete files are written in.
+  /** Read schema for a slice that needs columns beyond the projection
+    * (equality-delete keys) and/or Spark's temporary row-index column —
+    * the vectorized reader populates GLOBAL row positions for every
+    * produced row, correct under byte-range splits AND row-group predicate
+    * skipping, exactly the coordinate system position-delete files are
+    * written in. One Configuration per (extras, withIdx) variant, cached:
+    * Configuration construction costs milliseconds and a scan sees at most
+    * a handful of variants.
     */
-  private lazy val dataWithIdxSchema: StructType = StructType(
-    dataSchema.fields :+ StructField(
-      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-        // nullable: the column is "missing" from the file by design — the
-        // reader's RowIndexGenerator fills it (a REQUIRED missing column
-        // would fail the reader's schema check instead)
-        .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+  private val readConfCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.hadoop.conf.Configuration]()
 
-  private lazy val idxConf: org.apache.hadoop.conf.Configuration = {
-    val c = new org.apache.hadoop.conf.Configuration(cachedConf)
-    c.set(org.apache.spark.sql.execution.datasources.parquet
-      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataWithIdxSchema.json)
-    c
+  private def readConfFor(extras: Seq[StructField],
+      withIdx: Boolean): org.apache.hadoop.conf.Configuration = {
+    if (extras.isEmpty && !withIdx) return cachedConf
+    val fields = dataSchema.fields ++ extras ++
+      (if (withIdx) Seq(StructField(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          // nullable: the column is "missing" from the file by design — the
+          // reader's RowIndexGenerator fills it (a REQUIRED missing column
+          // would fail the reader's schema check instead)
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+      else Nil)
+    val s = StructType(fields)
+    readConfCache.computeIfAbsent(s.toDDL + withIdx, _ => {
+      val c = new org.apache.hadoop.conf.Configuration(cachedConf)
+      c.set(org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, s.json)
+      c
+    })
   }
 
   /** Positions of `slice.path` rows marked deleted, as a bitmap. Loaded
-    * per (task, slice) from the slice's candidate delete files — delete
-    * parquets are small and range-pruned, so this is a bounded scan, not
-    * a broadcast of global delete state.
+    * per (task, slice) from the slice's candidate POSITION-delete files —
+    * delete parquets are small and range-pruned, so this is a bounded
+    * scan, not a broadcast of global delete state.
     */
   private def deletedBits(slice: LakeFileSlice): java.util.BitSet = {
     val bits = new java.util.BitSet()
     val target = org.apache.spark.unsafe.types.UTF8String.fromString(slice.path)
-    slice.deletes.foreach { d =>
+    slice.deletes.filter(_.eqCols.isEmpty).foreach { d =>
       val r = new org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
       val split = new org.apache.hadoop.mapred.FileSplit(
@@ -819,11 +842,36 @@ final class LakeReaderFactory(schemaDdl: String,
 
   /** Live rows of a slice for the count-only paths: manifest count minus
     * the file's deleted positions (whole-file counts ride on the FIRST
-    * slice, so the subtraction lands exactly once per file).
+    * slice, so the subtraction lands exactly once per file). Only sound
+    * when the slice has no equality deletes — those require reading keys,
+    * so callers guard with [[LakeReaderFactory.posOnly]].
     */
   private def liveRowCount(s: LakeFileSlice): Long =
     if (s.rowCount <= 0 || s.deletes.isEmpty) s.rowCount
     else s.rowCount - deletedBits(s).cardinality()
+
+  /** One equality-delete check: drop the row when its key tuple (projected
+    * from the slice's physical read row) is in the delete file's key set.
+    * UnsafeRow byte-equality is the tuple comparison — both sides project
+    * through the same column types, so equal values produce equal bytes.
+    */
+  private def eqChecks(s: LakeFileSlice, readSchema: StructType)
+      : Seq[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+             java.util.HashSet[InternalRow])] =
+    s.deletes.filter(_.eqCols.nonEmpty).groupBy(_.eqCols).toSeq.map {
+      case (cols, dels) =>
+        val fields = cols.map(c => tableSchema(tableSchema.fieldIndex(c)))
+        val keySchema = StructType(fields)
+        val set = new java.util.HashSet[InternalRow]()
+        dels.foreach(d => LakeReaderFactory
+          .eqKeySet(d.path, d.sizeBytes, keySchema).forEach(k => set.add(k)))
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(fields.zipWithIndex.map { case (f, _) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              readSchema.fieldIndex(f.name), f.dataType, nullable = true)
+          }.toSeq)
+        (proj, set)
+    }
 
   /** Spark-written files carry modern (proleptic-Gregorian) dates and µs
     * timestamps — CORRECTED rebase, no int96, on-heap 4K batches.
@@ -896,7 +944,10 @@ final class LakeReaderFactory(schemaDdl: String,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
-    if (schema.isEmpty)
+    // equality deletes void the manifest-count shortcuts: live counts are
+    // only knowable by reading keys
+    val posOnly = p.files.forall(_.deletes.forall(_.eqCols.isEmpty))
+    if (schema.isEmpty && posOnly)
       // empty projection (e.g. COUNT(*)): the manifest already knows the
       // row counts — emit that many empty rows, never opening a file
       new PartitionReader[InternalRow] {
@@ -906,7 +957,7 @@ final class LakeReaderFactory(schemaDdl: String,
         override def get(): InternalRow = empty
         override def close(): Unit = ()
       }
-    else if (dataSchema.isEmpty && posIdx < 0) {
+    else if (dataSchema.isEmpty && posIdx < 0 && posOnly) {
       // only `_file` projected: per-slice constant rows, counts from the
       // manifest — still no file opened (`_pos` scans can't shortcut:
       // positions must come from the reader, so they fall through)
@@ -933,37 +984,54 @@ final class LakeReaderFactory(schemaDdl: String,
       // column-wise into vectors; rows are views over the batch);
       // `_file` injected by projecting [data row ++ constant path row]
       // back into the requested column order. Slices with pending
-      // merge-on-read deletes additionally request Spark's row-index
-      // column, skip rows whose global position is in the delete bitmap,
-      // and project the index column away before handing rows up.
+      // position deletes additionally request Spark's row-index column
+      // and skip rows whose global position is in the delete bitmap;
+      // slices with pending equality deletes additionally read the key
+      // columns (even outside the projection) and skip rows whose key is
+      // in a delete key set. Both extras project away before rows hand up.
       val it = p.files.iterator
       new PartitionReader[InternalRow] {
         private var cur: org.apache.spark.sql.execution.datasources.parquet
           .VectorizedParquetRecordReader = _
         private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
         private var constRow: InternalRow = _
-        private var bits: java.util.BitSet = _ // null = slice has no deletes
+        private var bits: java.util.BitSet = _ // null = slice has no pos deletes
+        private var eqs: Seq[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+          java.util.HashSet[InternalRow])] = Nil
+        private var idxSlot: Int = -1
         private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
         private def openSlice(s: LakeFileSlice): Unit = {
+          val posDels = s.deletes.filter(_.eqCols.isEmpty)
+          val eqColNames = s.deletes.flatMap(_.eqCols).distinct
+          // equality keys outside the projection ride along as extra
+          // trailing read columns (same trick as the row index)
+          val extras = eqColNames
+            .filterNot(n => dataSchema.fieldNames.contains(n))
+            .map(n => tableSchema(tableSchema.fieldIndex(n)))
           // the row-index column serves two masters: delete-mask skipping
           // and the `_pos` metadata projection (delta row-level scans)
-          val hasIdx = s.deletes.nonEmpty || posIdx >= 0
-          bits = if (s.deletes.nonEmpty) deletedBits(s) else null
-          cur = openVectorized(s, if (hasIdx) idxConf else null)
+          val hasIdx = posDels.nonEmpty || posIdx >= 0
+          bits = if (posDels.nonEmpty) deletedBits(s) else null
+          val readSchema = StructType(dataSchema.fields ++ extras)
+          eqs = if (eqColNames.isEmpty) Nil else eqChecks(s, readSchema)
+          cur = openVectorized(s, readConfFor(extras, hasIdx))
           if (fileIdx >= 0)
             constRow = new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
-          // physical row layout: [data cols..., rowIdx?, constFile?]
-          val idxSlot = dataSchema.length
-          val fileSlot = dataSchema.length + (if (hasIdx) 1 else 0)
+          // physical row layout: [data cols..., eq extras..., rowIdx?, constFile?]
+          idxSlot = readSchema.length
+          val fileSlot = readSchema.length + (if (hasIdx) 1 else 0)
           proj =
-            if (fileIdx < 0 && !hasIdx) null
+            if (fileIdx < 0 && !hasIdx && extras.isEmpty) null
             else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
               schema.indices.map(i =>
                 if (i == fileIdx) fileSlot // const path in JoinedRow
                 else if (i == posIdx) idxSlot
                 else i - metaBefore(i)).toIndexedSeq)
         }
+        private def deleted(row: InternalRow): Boolean =
+          (bits != null && bits.get(row.getLong(idxSlot).toInt)) ||
+            eqs.exists { case (kp, set) => set.contains(kp(row)) }
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
@@ -971,9 +1039,8 @@ final class LakeReaderFactory(schemaDdl: String,
               openSlice(it.next())
             }
             var advanced = cur.nextKeyValue()
-            while (advanced && bits != null &&
-                bits.get(cur.getCurrentValue.asInstanceOf[InternalRow]
-                  .getLong(dataSchema.length).toInt))
+            while (advanced &&
+                deleted(cur.getCurrentValue.asInstanceOf[InternalRow]))
               advanced = cur.nextKeyValue()
             if (advanced) return true
             cur.close(); cur = null
@@ -1029,6 +1096,45 @@ object LakeReaderFactory {
           .ParquetReadSupport].getName)
       conf
     })
+
+  /** Equality-delete key sets, cached per (executor JVM, delete file):
+    * every slice older than the delete consults the same small key file,
+    * so a scan over K slices must not re-read it K times. Keys are
+    * canonical UnsafeRows (copied), compared byte-wise. Bounded LRU —
+    * a delete file is kilobytes of keys, and compaction retires entries.
+    */
+  private val eqSetCache: java.util.Map[String, java.util.HashSet[InternalRow]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.util.HashSet[InternalRow]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.HashSet[InternalRow]]): Boolean =
+          size() > 64
+      })
+
+  private[dsv2] def eqKeySet(path: String, sizeBytes: Long,
+      keySchema: StructType): java.util.HashSet[InternalRow] = {
+    val cacheKey = path + "#" + keySchema.toDDL
+    val cached = eqSetCache.get(cacheKey)
+    if (cached != null) return cached
+    val set = new java.util.HashSet[InternalRow]()
+    val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(keySchema)
+    val r = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(path), 0, sizeBytes, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      confFor("__lake_eq_deletes__#" + keySchema.toDDL, keySchema),
+      new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try {
+      r.initialize(split, ctx)
+      while (r.nextKeyValue())
+        set.add(toUnsafe(r.getCurrentValue.asInstanceOf[InternalRow]).copy())
+    } finally r.close()
+    eqSetCache.put(cacheKey, set)
+    set
+  }
 }
 
 /** Snapshot-id offsets: each micro-batch reads exactly the files added in

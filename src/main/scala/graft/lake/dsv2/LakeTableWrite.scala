@@ -64,18 +64,44 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
 
     override def toBatch: BatchWrite =
       new LakeBatchWrite(location, info.schema(), spec, truncateRequested)
-    override def toStreaming: StreamingWrite =
-      new LakeStreamingWrite(location, info.schema(), spec, info.queryId())
+    override def toStreaming: StreamingWrite = {
+      // CDC upsert mode: .option("upsertKeys", "k1[,k2...]") — each batch
+      // appends its rows AND an equality-delete on their keys, atomically
+      // retiring every older version of each key (merge-on-read; no
+      // read-modify-write at any table size). In-batch duplicates are NOT
+      // collapsed — dedupe upstream (dropDuplicates / keep-last) when the
+      // source can repeat a key within one trigger.
+      val upsertKeys = Option(info.options.get("upsertKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      upsertKeys.foreach(k => require(info.schema().fieldNames.contains(k),
+        s"upsertKeys column '$k' is not in the write schema"))
+      new LakeStreamingWrite(location, info.schema(), spec, info.queryId(),
+        upsertKeys)
+    }
   }
 }
 
 private[dsv2] object LakeWriteCommit {
   def collect(messages: Array[WriterCommitMessage]): Seq[DataFileMeta] =
-    messages.toSeq.collect { case LakeCommitMessage(files) => files }.flatten
+    messages.toSeq.collect {
+      case LakeCommitMessage(files) => files
+      case LakeDeltaCommitMessage(files, _) => files
+    }.flatten
+
+  def collectDeletes(messages: Array[WriterCommitMessage]): Seq[graft.lake.DeleteFileMeta] =
+    messages.toSeq.collect { case LakeDeltaCommitMessage(_, dels) => dels }.flatten
 
   def deleteAll(files: Seq[DataFileMeta]): Unit =
     files.foreach { f =>
       val p = new Path(f.path)
+      try p.getFileSystem(new Configuration()).delete(p, false)
+      catch { case _: java.io.IOException => }
+    }
+
+  def deleteDeleteFiles(dels: Seq[graft.lake.DeleteFileMeta]): Unit =
+    dels.foreach { d =>
+      val p = new Path(d.path)
       try p.getFileSystem(new Configuration()).delete(p, false)
       catch { case _: java.io.IOException => }
     }
@@ -98,20 +124,71 @@ final class LakeBatchWrite(location: String, schema: StructType,
 }
 
 final class LakeStreamingWrite(location: String, schema: StructType,
-    spec: TruncateSpec, queryId: String) extends StreamingWrite {
+    spec: TruncateSpec, queryId: String,
+    upsertKeys: Seq[String] = Nil) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+    if (upsertKeys.isEmpty)
+      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+    else
+      new LakeUpsertWriterFactory(location, schema.toDDL, spec.column,
+        spec.widthMicros, upsertKeys)
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.collect(messages)
-    if (files.nonEmpty &&
-        LakeTable.load(location).appendEpoch(files, queryId, epochId) < 0)
+    val dels = LakeWriteCommit.collectDeletes(messages)
+    if ((files.nonEmpty || dels.nonEmpty) &&
+        LakeTable.load(location)
+          .appendEpoch(files, queryId, epochId, dels) < 0) {
       // fenced: this epoch already committed before a restart — the files
       // written for the replay are unreferenced duplicates
       LakeWriteCommit.deleteAll(files)
+      LakeWriteCommit.deleteDeleteFiles(dels)
+    }
   }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     LakeWriteCommit.deleteAll(LakeWriteCommit.collect(messages))
+    LakeWriteCommit.deleteDeleteFiles(LakeWriteCommit.collectDeletes(messages))
+  }
+}
+
+/** Upsert-mode task writer: every row goes to the ordinary bucket-routing
+  * data writer AND records its key in the task's equality-delete file.
+  */
+final class LakeUpsertWriterFactory(location: String, schemaDdl: String,
+    specColumn: String, specWidth: Long, keys: Seq[String])
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val data = new LakeDataWriter(location, schema, TruncateSpec(specColumn, specWidth))
+    new DataWriter[InternalRow] {
+      private var eq: LakeEqualityDeleteWriter = _
+      override def write(row: InternalRow): Unit = {
+        if (eq == null) eq = new LakeEqualityDeleteWriter(location, schema, keys)
+        eq.write(row)
+        data.write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        val files = data.commit() match {
+          case LakeCommitMessage(f) => f
+          case _ => Nil
+        }
+        LakeDeltaCommitMessage(files,
+          if (eq != null && eq.hasRows) Seq(eq.finish())
+          else { if (eq != null) eq.abortAndDelete(); Nil })
+      }
+      override def abort(): Unit = {
+        data.abort()
+        if (eq != null) eq.abortAndDelete()
+      }
+      override def close(): Unit = {
+        data.close()
+        if (eq != null) eq.close()
+      }
+    }
+  }
 }
 
 /** Serialized once per write; shipped to executors for both batch and

@@ -322,6 +322,48 @@ object StreamingQueries {
     out
   }
 
+  // C20 — NATIVE streaming CDC upsert: the laketable sink's
+  // `upsertKeys` mode. Each micro-batch appends its rows plus an
+  // equality-delete on their keys in ONE epoch-fenced commit — new
+  // versions land and every older version of the key retires atomically,
+  // with NO read-modify-write (contrast c19's foreachBatch MERGE, which
+  // rewrites matched groups per batch). Two sequential replays with
+  // overlapping key ranges; keys are unique within each replay, so the
+  // final table is keep-last per key regardless of micro-batch splits —
+  // pure-SQL reconstructable → hash-oracled.
+  def c20_stream_eq_upsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-c20-${UUID.randomUUID()}"
+    val table = LakeTable.create(loc,
+      "o_orderkey BIGINT,o_totalprice DOUBLE,o_orderstatus STRING",
+      TruncateSpec("o_orderkey", 400L))
+    def drain(src: DataFrame): Unit = {
+      val in = replayDir(src, 2)
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.format("laketable")
+        .option("checkpointLocation", ckpt)
+        .option("upsertKeys", "o_orderkey")
+        .trigger(Trigger.AvailableNow())
+        .start(loc)
+      q.awaitTermination()
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    drain(orders.filter(col("o_orderkey") < 1000))
+    drain(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .withColumn("o_orderstatus", lit("U")))
+    val out = localize(s.read.format("laketable").load(loc)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey"))
+    LakeTable.drop(loc)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
@@ -333,6 +375,7 @@ object StreamingQueries {
     "c17_moniker_ingest" -> c17_moniker_ingest _,
     "c18_stream_stream_join" -> c18_stream_stream_join _,
     "c19_stream_upsert" -> c19_stream_upsert _,
+    "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -381,5 +424,14 @@ object StreamingQueries {
         |  AND epoch_us(r.ts) >= epoch_us(l.ts)
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000
         |ORDER BY click_id, view_id""".stripMargin,
+    // replay 1: keys < 1000 as-is; replay 2 overrides [500, 1500) with
+    // price*3 / status 'U' — keep-last per key
+    "c20_stream_eq_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 500 THEN o_totalprice * 3
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey >= 500 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -156,6 +156,26 @@ class DeltaMergeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 800)
   }
 
+  test("$deletes metadata table reports pending delete debt") {
+    val (tbl, loc) = newOrdersTable(MorProps)
+    val name = tbl.split('.').last
+    assert(spark.sql(s"SELECT * FROM deltacat.ns.`$name$$deletes`").count() == 0)
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id AS o_orderkey FROM range(0, 100)) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val rows = spark.sql(
+      s"SELECT kind, row_count, seq FROM deltacat.ns.`$name$$deletes`").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0) == "pos"))
+    assert(rows.map(_.getLong(1)).sum == 100)
+    // compaction pays the debt down to zero
+    LakeTable.load(loc).compactFiles(spark,
+      smallFileBytes = 64L << 20, minInputFiles = 1)
+    assert(spark.sql(s"SELECT * FROM deltacat.ns.`$name$$deletes`").count() == 0)
+  }
+
   test("commitDelta rejects deletes referencing replaced data files") {
     val loc = tmpDir("laketable-conflict")
     LakeTable.drop(loc)
