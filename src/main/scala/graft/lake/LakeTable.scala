@@ -152,17 +152,22 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val out = Seq.newBuilder[(Long, Seq[DataFileMeta])]
     for (id <- ids) {
       val s = meta.snapshot(id).get
-      // manifests carried over from the previous snapshot were fully folded
-      // into `seen` already; only genuinely-new manifests need parsing (a
-      // merge commit's combined manifest re-lists old files — the seen-set
-      // drops them)
-      val newFiles = s.manifests.filterNot(prevManifests.contains)
-        .flatMap(readManifest)
-        .filterNot(f => seen.contains(f.path))
-        .distinctBy(_.path)
-      newFiles.foreach(seen += _.path)
-      if (s.operation == "append" && newFiles.nonEmpty) out += ((id, newFiles))
-      prevManifests = s.manifests.toSet
+      // "stage" snapshots fork OFF the main lineage (WAP branches): their
+      // files must not enter the seen-set, or the publish commit that
+      // folds them into main would deliver nothing to incremental readers
+      if (s.operation != "stage") {
+        // manifests carried over from the previous snapshot were fully
+        // folded into `seen` already; only genuinely-new manifests need
+        // parsing (a merge commit's combined manifest re-lists old files —
+        // the seen-set drops them)
+        val newFiles = s.manifests.filterNot(prevManifests.contains)
+          .flatMap(readManifest)
+          .filterNot(f => seen.contains(f.path))
+          .distinctBy(_.path)
+        newFiles.foreach(seen += _.path)
+        if (s.operation == "append" && newFiles.nonEmpty) out += ((id, newFiles))
+        prevManifests = s.manifests.toSet
+      }
     }
     out.result()
   }
@@ -264,19 +269,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       schemaUpdate: Option[String] = None,
       propsRemove: Set[String] = Set.empty,
       // None = carry the current snapshot's delete manifests forward
-      deleteManifests: Option[Seq[String]] = None): Long = {
+      deleteManifests: Option[Seq[String]] = None,
+      // WAP staging: a "stage" snapshot forks from its branch head and
+      // leaves what main readers see untouched
+      parentOverride: Option[Long] = None,
+      advanceCurrent: Boolean = true): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
     val newSchemaDdl = schemaUpdate.getOrElse(cur.schemaDdl)
     // every snapshot pins the schema current as of its commit, so time
     // travel reads old vintages with their own column set
-    val snap = Snapshot(nextVersion, cur.currentSnapshotId,
+    val snap = Snapshot(nextVersion, parentOverride.getOrElse(cur.currentSnapshotId),
       System.currentTimeMillis(), op, manifests, Some(newSchemaDdl),
       deleteManifests.getOrElse(cur.current.map(_.deleteManifests).getOrElse(Nil)))
     val next = cur.copy(schemaDdl = newSchemaDdl,
       properties = (cur.properties -- propsRemove) ++ propsUpdate,
       snapshots = keepSnapshots :+ snap,
-      currentSnapshotId = nextVersion)
+      currentSnapshotId = if (advanceCurrent) nextVersion else cur.currentSnapshotId)
     writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
     meta = next
     // Pointer update is advisory (recovery lists metadata/ for max v).
@@ -543,6 +552,102 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       else Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
         Map.empty[String, String], Set(s"$PropTagPrefix$name")))
     }
+
+  // ---- WAP branches: stage → audit → publish -----------------------------
+
+  /** Branch refs: `ref.branch.<name>` -> head snapshot id. */
+  def branches: Map[String, Long] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith(PropBranchPrefix) =>
+        k.stripPrefix(PropBranchPrefix) -> v.toLong
+    }
+
+  def branchHead(name: String): Option[Long] = branches.get(name)
+
+  /** Write-audit-publish, stage half: append `newFiles` as a "stage"
+    * snapshot on `branch` — fully committed (files referenced, GC-safe,
+    * readable via `snapshotDF`/`VERSION AS OF '<branch>'` for the audit)
+    * but INVISIBLE to main readers: `currentSnapshotId` does not move.
+    * Stages stack: each forks from the branch's previous head. Returns
+    * the staged snapshot id.
+    */
+  def stageAppend(newFiles: Seq[DataFileMeta], branch: String): Long = {
+    require(branch.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid branch name: $branch (must start with a letter)")
+    var attempt = 0
+    while (true) {
+      val base = branchHead(branch)
+        .map(id => meta.snapshot(id).getOrElse(throw new IllegalStateException(
+          s"branch $branch points at missing snapshot $id")))
+        .orElse(meta.current)
+        .getOrElse(throw new IllegalStateException("cannot stage on an empty table"))
+      val known = base.manifests.flatMap(readManifest).map(_.path).toSet
+      val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
+      val manifests =
+        if (fresh.isEmpty) base.manifests
+        else base.manifests :+ writeManifest(stamp(fresh))
+      val stagedId = nextSeq
+      try return commitAttempt("stage", manifests, meta.snapshots,
+        propsUpdate = Map(s"$PropBranchPrefix$branch" -> stagedId.toString),
+        deleteManifests = Some(base.deleteManifests),
+        parentOverride = Some(base.id), advanceCurrent = false)
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(s"stage failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Publish half: fold the branch's staged manifests into MAIN as one
+    * fast-append commit and drop the branch ref — consumers see every
+    * audited batch at once, atomically, even if main advanced since
+    * staging (concurrent appends merge; staged manifests are disjoint by
+    * construction). Returns the publish snapshot id, -1 if the branch
+    * doesn't exist or staged nothing.
+    */
+  def publishBranch(branch: String): Long = {
+    val key = s"$PropBranchPrefix$branch"
+    retryCommitPropsRemove("append") { () =>
+      branchHead(branch) match {
+        case None => None
+        case Some(headId) =>
+          val head = meta.snapshot(headId).getOrElse(
+            throw new IllegalStateException(
+              s"branch $branch points at missing snapshot $headId"))
+          // the stage chain's base = first non-"stage" ancestor
+          var baseSnap = head
+          while (baseSnap.operation == "stage")
+            baseSnap = meta.snapshot(baseSnap.parentId).getOrElse(
+              throw new IllegalStateException(
+                s"stage chain of $branch broken at ${baseSnap.parentId}"))
+          val baseManifests = baseSnap.manifests.toSet
+          val staged = head.manifests.filterNot(baseManifests.contains)
+          if (staged.isEmpty) None
+          else {
+            val cur = meta.current.map(_.manifests).getOrElse(Nil)
+            val curSet = cur.toSet
+            Some((maybeMerge(cur ++ staged.filterNot(curSet.contains)),
+              meta.snapshots, Map.empty[String, String], Set(key)))
+          }
+      }
+    }
+  }
+
+  /** Abandon a branch: drop the ref; its stage snapshots become
+    * expiry-eligible (audit failed — the staged files never surface).
+    */
+  def dropBranch(branch: String): Long = {
+    val key = s"$PropBranchPrefix$branch"
+    retryCommitPropsRemove("unbranch") { () =>
+      if (!meta.properties.contains(key)) None
+      else Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        Map.empty[String, String], Set(key)))
+    }
+  }
 
   /** Roll the table back to `snapshotId`: ONE new "rollback" snapshot
     * whose manifests (and pinned schema) are the target's. History is
@@ -889,7 +994,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .filter(id => id > fromId && id <= toId).sorted
     val parts: Seq[DataFrame] = ids.flatMap { id =>
       val s = meta.snapshot(id).get
-      if (s.operation == "compact" || s.operation == "expire") Nil
+      // compaction/expiry are physical no-ops; "stage" snapshots are off
+      // the main lineage — their rows surface at publish
+      if (s.operation == "compact" || s.operation == "expire" ||
+          s.operation == "stage") Nil
       else {
         val parent = meta.snapshot(s.parentId)
         val pFiles = parent.map(_.manifests.flatMap(readManifest))
@@ -1082,7 +1190,20 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // promise the snapshot (and its files) stay readable
       val tagged = tags.values.toSet
       val byTag = ordered.filter(s => tagged.contains(s.id))
-      val keep = (byAge ++ byCount ++ byTag).distinctBy(_.id).sortBy(_.id)
+      // live WAP branches pin their whole stage chain (unpublished work
+      // must survive retention until published or dropped)
+      val branchPinned = scala.collection.mutable.HashSet.empty[Long]
+      branches.values.foreach { headId =>
+        var cur = meta.snapshot(headId)
+        while (cur.exists(_.operation == "stage") &&
+            !branchPinned.contains(cur.get.id)) {
+          branchPinned += cur.get.id
+          cur = meta.snapshot(cur.get.parentId)
+        }
+      }
+      val byBranch = ordered.filter(s => branchPinned.contains(s.id))
+      val keep = (byAge ++ byCount ++ byTag ++ byBranch)
+        .distinctBy(_.id).sortBy(_.id)
       if (keep.size == meta.snapshots.size) None
       else {
         val keptManifests = keep.flatMap(_.manifests).toSet

@@ -130,7 +130,7 @@ final case class Snapshot(
     id: Long,
     parentId: Long, // -1 for the first snapshot
     timestampMs: Long,
-    operation: String, // create | append | delete | rewrite | expire | alter | tag | untag | rollback
+    operation: String, // create | append | delete | rewrite | compact | expire | alter | tag | untag | rollback | stage | unbranch
     manifests: Seq[String],
     // schema current AS OF this snapshot (schema evolution): None in
     // pre-evolution metadata → fall back to the table-level schemaDdl
@@ -171,6 +171,10 @@ object LakeFormat {
   val TmpCommitsDir = "_commits/tmp"
   val VersionHint = "version-hint.text"
 
+  // DSv2 writer file rolling: close a data file once it crosses this many
+  // bytes and open a fresh one for the bucket (default 512 MB)
+  val PropTargetFileSize = "write.target-file-size-bytes"
+
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"
@@ -186,6 +190,9 @@ object LakeFormat {
   // named snapshot ref: "ref.tag.<name>" -> "<snapshotId>"; tagged
   // snapshots are pinned through expiry (audit / reproducibility points)
   val PropTagPrefix = "ref.tag."
+  // WAP branch ref: "ref.branch.<name>" -> "<head snapshotId>" — a chain
+  // of "stage" snapshots invisible to main readers until published
+  val PropBranchPrefix = "ref.branch."
 
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "20",

@@ -152,15 +152,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeDsTable(location(ident))
   }
 
-  /** SQL `VERSION AS OF <snapshot-id | 'tag-name'>`: a numeric version is
-    * a snapshot id; any other string resolves through the table's named
-    * refs (`ref.tag.<name>`), so `VERSION AS OF 'train-v1'` reads the
-    * exact pinned corpus.
+  /** SQL `VERSION AS OF <snapshot-id | 'tag-name' | 'branch-name'>`: a
+    * numeric version is a snapshot id; any other string resolves through
+    * the table's named refs (`ref.tag.<name>`, then `ref.branch.<name>`),
+    * so `VERSION AS OF 'train-v1'` reads the exact pinned corpus and
+    * `VERSION AS OF 'audit'` is how a WAP audit query reads staged data.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = LakeTable.load(location(ident))
     val id = version.toLongOption.orElse(t.tags.get(version))
+      .orElse(t.branchHead(version))
       .getOrElse(throw new NoSuchTableException(ident))
     if (t.tableMeta.snapshot(id).isEmpty)
       throw new NoSuchTableException(ident)

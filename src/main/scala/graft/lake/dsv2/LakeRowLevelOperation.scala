@@ -122,7 +122,8 @@ final class LakeReplaceDataWrite(location: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spec = LakeTable.load(location).spec
     new LakeCoWWriterFactory(
-      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros),
+      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
+        LakeDataWriter.targetFor(LakeTable.load(location))),
       schema)
   }
 

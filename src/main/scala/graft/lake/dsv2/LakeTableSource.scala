@@ -165,18 +165,31 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     startSnapshot: Option[Long], asOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType =
     asOf.map(table.schemaAt).getOrElse(table.schema)
   private var aggRows: Option[(StructType, Seq[Seq[Any]])] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
     filters // all filters still evaluated by Spark post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT n directly over the scan: plan only enough files (by manifest
+    * row count) to cover n rows — `SELECT * FROM t LIMIT 10` on a 10⁶-file
+    * table plans one file instead of a million. Partial pushdown: Spark
+    * keeps its limit operator for the exact cut; the scan only promises AT
+    * LEAST n rows, which manifest counts guarantee — except under pending
+    * deletes (masked rows shrink live counts below the manifest number),
+    * where the cut is skipped ([[LakeBatchScan.planInputPartitions]]).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -279,7 +292,7 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     }
     case None =>
       new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, pushedLimit = limit)
   }
 }
 
@@ -435,7 +448,8 @@ object LakeMetaColumns {
 final class LakeBatchScan(location: String, table: LakeTable,
     required: StructType, pushed: Array[Filter], startSnapshot: Option[Long],
     asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
-    planListener: Option[Seq[DataFileMeta] => Unit] = None)
+    planListener: Option[Seq[DataFileMeta] => Unit] = None,
+    pushedLimit: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -509,7 +523,18 @@ final class LakeBatchScan(location: String, table: LakeTable,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = prunedFiles
+    val files0 = prunedFiles
+    // pushed LIMIT: plan just enough files (by manifest count) to cover it.
+    // Sound ONLY when nothing below Spark's limit drops rows: no filters
+    // of either kind (they re-evaluate post-scan) and no pending deletes
+    // (masked rows shrink a file below its manifest count).
+    val files = pushedLimit match {
+      case Some(n) if pushed.isEmpty && runtime.isEmpty &&
+          table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).isEmpty =>
+        var acc = 0L
+        files0.takeWhile { f => val need = acc < n; acc += f.rowCount; need }
+      case _ => files0
+    }
     LakeScanMetrics.lastPlannedFiles = files.size
     // row-level (CoW) operations record the planned group here — the set
     // their ReplaceData commit swaps out (post-runtime-filter truth)

@@ -113,7 +113,8 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
 final class LakeBatchWrite(location: String, schema: StructType,
     spec: TruncateSpec, truncate: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
+      LakeDataWriter.targetFor(LakeTable.load(location)))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.collect(messages)
     if (truncate) LakeTable.load(location).overwrite(files)
@@ -129,7 +130,8 @@ final class LakeStreamingWrite(location: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     if (upsertKeys.isEmpty)
-      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros)
+      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
+        LakeDataWriter.targetFor(LakeTable.load(location)))
     else
       new LakeUpsertWriterFactory(location, schema.toDDL, spec.column,
         spec.widthMicros, upsertKeys)
@@ -197,16 +199,32 @@ final class LakeUpsertWriterFactory(location: String, schemaDdl: String,
   * reference's bucketed writers, A5-A9).
   */
 final class LakeWriterFactory(location: String, schemaDdl: String,
-    specColumn: String, specWidth: Long)
+    specColumn: String, specWidth: Long,
+    targetBytes: Long = LakeDataWriter.DefaultTargetBytes)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(location, StructType.fromDDL(schemaDdl),
-      TruncateSpec(specColumn, specWidth))
+      TruncateSpec(specColumn, specWidth), targetBytes)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
+}
+
+object LakeDataWriter {
+  /** Default rolling threshold (Iceberg's write.target-file-size default). */
+  val DefaultTargetBytes: Long = 512L << 20
+
+  /** Size-poll cadence: at most this many rows of overshoot per check. */
+  val RollCheckRows: Int = 1000
+
+  /** Per-table override: `write.target-file-size-bytes`. Resolved driver-
+    * side at factory construction and shipped with the factory.
+    */
+  def targetFor(table: LakeTable): Long =
+    table.tableMeta.properties.get(graft.lake.LakeFormat.PropTargetFileSize)
+      .map(_.toLong).getOrElse(DefaultTargetBytes)
 }
 
 /** One executor task's writer: routes each row to a per-bucket parquet
@@ -215,9 +233,19 @@ final class LakeWriterFactory(location: String, schemaDdl: String,
   * timestamps, footer stats) the table's write path and vectorized reader
   * already speak. Files are invisible until the driver's manifest commit,
   * so direct-to-final-path writes are safe; abort deletes them.
+  *
+  * Rolling: once a file's in-flight size crosses `targetBytes`
+  * (write.target-file-size-bytes, default 512 MB) it closes and a fresh
+  * one opens for the bucket — without this, one task sinking a hot bucket
+  * writes ONE multi-GB file that no byte-range split can decode in
+  * parallel row groups fairly, and compaction bin-packing has nothing to
+  * work with. Size is polled every [[LakeDataWriter.RollCheckRows]] rows
+  * (getDataSize walks column buffers — too hot for per-row).
   */
 final class LakeDataWriter(location: String, schema: StructType,
-    spec: TruncateSpec) extends DataWriter[InternalRow] {
+    spec: TruncateSpec,
+    targetBytes: Long = LakeDataWriter.DefaultTargetBytes)
+  extends DataWriter[InternalRow] {
 
   private val partIdx = schema.fieldIndex(spec.column)
   private val conf: Configuration = {
@@ -233,6 +261,10 @@ final class LakeDataWriter(location: String, schema: StructType,
   }
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[Long, (Path, ParquetWriter[InternalRow])]
+  // files already rolled closed this task, in commit-message order
+  private val rolled = Seq.newBuilder[DataFileMeta]
+  private val rowsSinceCheck =
+    scala.collection.mutable.LinkedHashMap.empty[Long, Int]
 
   private final class Builder(path: Path)
     extends ParquetWriter.Builder[InternalRow, Builder](path) {
@@ -258,7 +290,18 @@ final class LakeDataWriter(location: String, schema: StructType,
     if (row.isNullAt(partIdx))
       throw new IllegalArgumentException(
         s"laketable: partition column ${spec.column} must not be NULL")
-    writerFor(spec(row.getLong(partIdx))).write(row)
+    val bucket = spec(row.getLong(partIdx))
+    writerFor(bucket).write(row)
+    val n = rowsSinceCheck.getOrElse(bucket, 0) + 1
+    if (n >= LakeDataWriter.RollCheckRows) {
+      rowsSinceCheck(bucket) = 0
+      val (path, w) = writers(bucket)
+      if (w.getDataSize >= targetBytes) {
+        w.close()
+        rolled += LakeWriter.footerMeta(conf, path, bucket)
+        writers.remove(bucket)
+      }
+    } else rowsSinceCheck(bucket) = n
   }
 
   override def commit(): WriterCommitMessage = {
@@ -267,7 +310,7 @@ final class LakeDataWriter(location: String, schema: StructType,
       LakeWriter.footerMeta(conf, path, bucket)
     }
     writers.clear()
-    LakeCommitMessage(metas)
+    LakeCommitMessage(rolled.result() ++ metas)
   }
 
   override def abort(): Unit = {
@@ -277,6 +320,11 @@ final class LakeDataWriter(location: String, schema: StructType,
       catch { case _: java.io.IOException => }
     }
     writers.clear()
+    rolled.result().foreach { f =>
+      try new Path(f.path).getFileSystem(conf).delete(new Path(f.path), false)
+      catch { case _: java.io.IOException => }
+    }
+    rolled.clear()
   }
 
   override def close(): Unit =

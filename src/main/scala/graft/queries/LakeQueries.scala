@@ -327,6 +327,37 @@ object LakeQueries {
     out
   }
 
+  // B41 — write-audit-publish: stage a batch on a branch (main readers see
+  // NOTHING — asserted here via the mid-flight count and engine-side in
+  // BranchSpec), audit it via the branch read, publish atomically. The
+  // emitted rows interleave the phase counts with the final content, all
+  // pure-SQL reconstructable over `orders` → hash-oracled.
+  def b41_wap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loc = scratch("wap")
+    val table = LakeTable.create(loc,
+      "o_orderkey BIGINT,o_totalprice DOUBLE,o_orderstatus STRING",
+      TruncateSpec("o_orderkey", 400L))
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    table.append(LakeWriter.writeDataFiles(
+      orders.filter(col("o_orderkey") < 500), table))
+    val stagedId = table.stageAppend(LakeWriter.writeDataFiles(
+      orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+      table), "audit")
+    val mainDuringAudit = table.toDF(s).count() // staged rows invisible
+    val auditSees = table.snapshotDF(s, stagedId).count()
+    table.publishBranch("audit")
+    val afterPublish = table.toDF(s).count()
+    val counts = Seq(
+      ("main_during_audit", mainDuringAudit),
+      ("audit_sees", auditSees),
+      ("after_publish", afterPublish)).toDF("phase", "cnt")
+    val out = localize(counts.orderBy("phase"))
+    LakeTable.drop(loc)
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -363,6 +394,7 @@ object LakeQueries {
     "b38_mor_delete" -> b38_mor_delete _,
     "b39_mor_merge" -> b39_mor_merge _,
     "b40_changelog" -> b40_changelog _,
+    "b41_wap" -> b41_wap _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -412,6 +444,17 @@ object LakeQueries {
         |  'insert' AS _change_type
         |FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 2000
         |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // phases: main during audit = keys<500; the audit (branch read) sees
+    // <1000; after publish main sees <1000
+    "b41_wap" ->
+      """SELECT phase, cnt FROM (
+        |  SELECT 'main_during_audit' AS phase,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey < 500) AS cnt
+        |  UNION ALL SELECT 'audit_sees',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000)
+        |  UNION ALL SELECT 'after_publish',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000))
+        |ORDER BY phase""".stripMargin,
     "b37_spj_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS pairs,
         |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum

@@ -555,8 +555,11 @@ object PipelineQueries {
         """array_distinct(transform(sequence(0, size(toks) - 4),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
           .stripMargin)).as("gram"))
+    // grams are DISTINCT per (doc, gram) by construction (array_distinct
+    // before the explode), so document frequency is a plain count — no
+    // distinct-aggregate expand
     val boiler = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3)
       .select(col("gram"), lit(1).as("is_boiler"))
     grams.join(broadcast(boiler), Seq("gram"), "left")

@@ -60,6 +60,48 @@ class LakeSinkSpec extends SparkSpec {
     assert(df.filter(col("timeperiod_loadedBy") === bucket(1)).count() == 20)
   }
 
+  test("writer rolls data files at write.target-file-size-bytes") {
+    val loc = tmpDir("dsv2-sink-roll")
+    LakeTable.drop(loc)
+    // rows are ~1.6 KB; 20k rows ≈ 33 MB into one bucket from one task —
+    // without rolling this is ONE 33 MB file
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropTargetFileSize -> (4 << 20).toString))
+    LakeWriter.generateBatch(spark, 20000, bucket(0), seed = 7)
+      .coalesce(1)
+      .write.format("laketable").mode("append").save(loc)
+    val t2 = t.refresh()
+    val files = t2.files()
+    assert(files.size >= 6, s"expected rolled files, got ${files.size}")
+    assert(files.map(_.rowCount).sum == 20000)
+    // bounded overshoot: target + RollCheckRows rows of slack
+    files.foreach(f => assert(f.sizeBytes < (8 << 20).toLong, s"${f.sizeBytes}"))
+    assert(t2.toDF(spark).count() == 20000)
+    // every rolled file carries footer stats (manifest pruning intact)
+    files.foreach(f => assert(f.stats("message_id").longMin.isDefined))
+  }
+
+  test("LIMIT plans only enough files to cover it") {
+    val t = newTable()
+    for (i <- 0 until 5)
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 100, bucket(0), seed = 10 + i), t))
+    val df = spark.read.format("laketable").load(t.location)
+    assert(df.limit(150).collect().length == 150)
+    assert(LakeScanMetrics.lastPlannedFiles == 2, // 100 + 100 covers 150
+      s"planned ${LakeScanMetrics.lastPlannedFiles}")
+    // a filter disables the cut (rows drop post-scan): all files planned
+    assert(df.filter(col("message_id") >= 99).limit(3).collect().length == 3)
+    assert(LakeScanMetrics.lastPlannedFiles == 5)
+    // pending deletes disable the cut too (each file keeps 50 live rows —
+    // a manifest-count cut would underdeliver)
+    t.setProperty(LakeFormat.PropDeleteMode, LakeFormat.DeleteModeMergeOnRead)
+    t.deleteWhere(spark, col("message_id") < 50)
+    val df2 = spark.read.format("laketable").load(t.location)
+    assert(df2.limit(200).collect().length == 200)
+    assert(LakeScanMetrics.lastPlannedFiles == 5)
+  }
+
   test("streaming sink: micro-batches commit append snapshots exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
