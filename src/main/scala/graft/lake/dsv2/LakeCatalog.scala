@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
   * the reference has between its catalog and HadoopTables.
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -118,6 +118,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   private def location(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  // ---- maintenance procedures: CALL <cat>.system.<proc>(...) -------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(ident.name(),
+        tbl => (warehouse +: tbl.split('.').toSeq).mkString("/"))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))

@@ -1,0 +1,111 @@
+package graft.lake.dsv2
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable maintenance procedures (Spark 4 ProcedureCatalog — the
+  * Iceberg `CALL cat.system.<proc>(...)` surface), so an operator runs the
+  * table's lifecycle with no Scala in sight:
+  *
+  * {{{
+  *   CALL lake.system.compact(`table` => 'ns.events')
+  *   CALL lake.system.expire_snapshots(`table` => 'ns.events', retain_last => 20)
+  *   CALL lake.system.rollback(`table` => 'ns.events', snapshot_id => 7)
+  *   CALL lake.system.create_tag(`table` => 'ns.events', tag => 'train-v1')
+  *   CALL lake.system.publish_branch(`table` => 'ns.events', branch => 'audit')
+  *   CALL lake.system.drop_branch(`table` => 'ns.events', branch => 'audit')
+  * }}}
+  *
+  * Each returns one row `(snapshot_id BIGINT)` — the commit it landed, or
+  * -1 when there was nothing to do. Execution is the same driver-side
+  * table op the Scala API runs; the procedure layer is pure name
+  * resolution + argument plumbing.
+  */
+object LakeProcedures {
+
+  val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
+    "create_tag", "publish_branch", "drop_branch")
+
+  private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
+
+  private def param(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+
+  private def paramD(n: String, t: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(dflt).build()
+
+  /** One-row (snapshot_id) result. */
+  private final class ResultScan(id: Long) extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(InternalRow(id))
+    override def readSchema(): StructType = OutSchema
+  }
+
+  private def bound(procName: String, params: Array[ProcedureParameter])(
+      body: InternalRow => Long): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"laketable $procName"
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new ResultScan(body(input))).iterator()
+  }
+
+  /** Procedure factory: `resolve` maps the `table` argument ("ns.name" in
+    * the calling catalog) to the table location.
+    */
+  def load(procName: String, resolve: String => String): Option[UnboundProcedure] = {
+    def table(input: InternalRow): LakeTable =
+      LakeTable.load(resolve(input.getUTF8String(0).toString))
+    val b: Option[BoundProcedure] = procName match {
+      case "compact" => Some(bound(procName, Array(
+        param("table", StringType),
+        paramD("small_file_bytes", LongType, (64L << 20).toString),
+        paramD("min_input_files", IntegerType, "2"))) { in =>
+        table(in).compactFiles(SparkSession.active,
+          smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2))
+      })
+      case "expire_snapshots" => Some(bound(procName, Array(
+        param("table", StringType),
+        paramD("older_than_ms", LongType, "-1"),
+        paramD("retain_last", IntegerType, "-1"))) { in =>
+        val cutoff = if (in.getLong(1) > 0) in.getLong(1)
+          else System.currentTimeMillis()
+        table(in).expireSnapshots(cutoff, retainLast = in.getInt(2))
+      })
+      case "rollback" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("snapshot_id", LongType))) { in =>
+        table(in).rollbackTo(in.getLong(1))
+      })
+      case "create_tag" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("tag", StringType),
+        paramD("snapshot_id", LongType, "-1"))) { in =>
+        val t = table(in)
+        val id = if (in.getLong(2) >= 0) in.getLong(2) else t.currentSnapshotId
+        t.createTag(in.getUTF8String(1).toString, id)
+      })
+      case "publish_branch" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("branch", StringType))) { in =>
+        table(in).publishBranch(in.getUTF8String(1).toString)
+      })
+      case "drop_branch" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("branch", StringType))) { in =>
+        table(in).dropBranch(in.getUTF8String(1).toString)
+      })
+      case _ => None
+    }
+    b.map(bp => new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"laketable $procName"
+      override def bind(inputType: StructType): BoundProcedure = bp
+    })
+  }
+}

@@ -1,0 +1,87 @@
+package graft.lake.dsv2
+
+import graft.SparkSpec
+import graft.lake._
+
+/** SQL maintenance procedures (`CALL cat.system.<proc>`): the operator
+  * lifecycle — compact, expire, rollback, tag, WAP publish — reachable
+  * with zero Scala.
+  */
+class ProcedureSpec extends SparkSpec {
+
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (7500000L + i) * Width
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("proc-wh")
+    spark.conf.set("spark.sql.catalog.proccat",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.proccat.warehouse", w)
+    w
+  }
+
+  private def newTable(): (String, LakeTable) = {
+    val wh = warehouse
+    val name = s"p${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(
+      s"""CREATE TABLE proccat.ns.$name (message_id BIGINT, data STRING,
+         |  timestamp TIMESTAMP, timeperiod_loadedBy BIGINT, message_body BINARY)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    (s"ns.$name", LakeTable.load(s"$wh/ns/$name"))
+  }
+
+  private def append(t: LakeTable, rows: Long, seed: Long, files: Int = 1): Long =
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, rows, bucket(0), seed), t, files))
+
+  test("CALL compact bin-packs and returns the commit id") {
+    val (tbl, t) = newTable()
+    append(t, 100, seed = 1, files = 3)
+    append(t, 100, seed = 2, files = 3)
+    val before = t.refresh().files().size
+    val row = spark.sql(
+      s"CALL proccat.system.compact(`table` => '$tbl')").head
+    assert(row.getLong(0) > 0)
+    assert(t.refresh().files().size < before)
+    assert(t.toDF(spark).count() == 200)
+  }
+
+  test("CALL expire_snapshots, rollback, create_tag round-trip") {
+    val (tbl, t) = newTable()
+    val s1 = append(t, 50, seed = 3)
+    append(t, 25, seed = 4)
+    // tag the current snapshot by default
+    assert(spark.sql(
+      s"CALL proccat.system.create_tag(`table` => '$tbl', tag => 'v1')")
+      .head.getLong(0) > 0)
+    assert(t.refresh().tags.contains("v1"))
+    // rollback to the first append
+    assert(spark.sql(
+      s"CALL proccat.system.rollback(`table` => '$tbl', snapshot_id => $s1)")
+      .head.getLong(0) > 0)
+    assert(t.refresh().toDF(spark).count() == 50)
+    // expire everything but the floor; tagged snapshot survives
+    assert(spark.sql(
+      s"""CALL proccat.system.expire_snapshots(`table` => '$tbl',
+         |  older_than_ms => ${System.currentTimeMillis() + 60000},
+         |  retain_last => 1)""".stripMargin).head.getLong(0) > 0)
+    val keptIds = t.refresh().snapshots.map(_.id).toSet
+    assert(keptIds.contains(t.tags("v1")))
+  }
+
+  test("CALL publish_branch / drop_branch complete the WAP flow in SQL") {
+    val (tbl, t) = newTable()
+    append(t, 30, seed = 5)
+    t.stageAppend(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 10, bucket(1), seed = 6), t), "audit")
+    assert(spark.sql(s"SELECT count(*) FROM proccat.$tbl").head.getLong(0) == 30)
+    assert(spark.sql(
+      s"CALL proccat.system.publish_branch(`table` => '$tbl', branch => 'audit')")
+      .head.getLong(0) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM proccat.$tbl").head.getLong(0) == 40)
+    // drop of a missing branch is a -1 no-op
+    assert(spark.sql(
+      s"CALL proccat.system.drop_branch(`table` => '$tbl', branch => 'audit')")
+      .head.getLong(0) == -1L)
+  }
+}
