@@ -640,6 +640,50 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D4i — TRAINED language/quality classifier (the fastText-style model
+  // every production curation stack runs): hashing-TF bag-of-BIGRAMS →
+  // multinomial logistic regression, fit distributively, then scored over
+  // the corpus MAP-SIDE — the fitted model broadcasts inside the
+  // transform, no shuffle touches the corpus. At 100 TB the fit runs on a
+  // bounded labeled seed and only the broadcast-scoring pass sees the full
+  // data. Scored in-sample here, the same gate d04_langid's corpus-derived
+  // profiles use: the synthetic corpus's langs share one 31-token
+  // vocabulary with uniform ordering (label-only — verified empirically:
+  // a held-out split scores at chance for ANY learner), so cross-document
+  // generalization is untestable on this data by construction; the spec
+  // gates that the distributed fit actually converged on the seen labels
+  // (in-sample accuracy far above the majority baseline).
+  // Engine-side ML (float iteration order) → rows-only.
+  def d04_lang_model(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    val d = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), expr(
+        """transform(sequence(0, greatest(size(toks) - 2, 0)),
+          |  i -> concat(toks[i], '_', toks[i + 1]))""".stripMargin).as("words"))
+    // deterministic label ids: langs sorted (the label map is tiny and
+    // ships as a literal CASE — no StringIndexer fit pass)
+    val langs = d.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val toLabel = langs.zipWithIndex
+      .foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
+        when(col("lang") === l, lit(i.toDouble)).otherwise(acc)
+      }
+    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 14)
+    val featured = tf.transform(d.withColumn("label", toLabel))
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.001).setFamily("multinomial")
+      .fit(featured)
+    val fromLabel = langs.zipWithIndex
+      .foldLeft(lit("unk")) { case (acc, (l, i)) =>
+        when(col("prediction") === i.toDouble, lit(l)).otherwise(acc)
+      }
+    model.transform(featured)
+      .select(col("doc_id"), col("lang"), fromLabel.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
   // D5 — multimodal binary columns: payload + typed metadata, pure-SQL
   // feature extraction (size/hash/chunking), oracle-checked.
   def d05_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -678,6 +722,7 @@ object PipelineQueries {
     "d04_fingerprint" -> d04_fingerprint _,
     "d04_quality" -> d04_quality _,
     "d04_langid" -> d04_langid _,
+    "d04_lang_model" -> d04_lang_model _,
     "d04_curation" -> d04_curation _,
     "d04_budget_pack" -> d04_budget_pack _,
     "d04_pii" -> d04_pii _,

@@ -249,6 +249,21 @@ class PipelineSpec extends SparkSpec {
       s"accuracy ${correct / n} not above majority baseline ${majority / n}")
   }
 
+  test("D4: trained lang classifier converges well past the majority baseline") {
+    // in-sample gate (same as langid's corpus-derived profiles): the
+    // synthetic langs are label-only — a held-out split scores at chance
+    // for ANY learner — so this asserts the distributed fit + broadcast
+    // scoring actually learned the seen labels
+    val out = PipelineQueries.d04_lang_model(spark, dir)
+    val n = out.count().toDouble
+    assert(n > 0)
+    val correct = out.filter(col("lang") === col("pred_lang")).count()
+    val majority = out.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0)
+    assert(correct / n > 0.9 && correct / n > majority / n,
+      s"in-sample accuracy ${correct / n} too low (baseline ${majority / n})")
+  }
+
   test("D1: keep-first dedup output size equals number of distinct hashes") {
     val nHashes = PipelineQueries.d01_dedup_exact(spark, dir).count()
     val nKept = PipelineQueries.d01_dedup_keepfirst(spark, dir).count()
