@@ -65,9 +65,20 @@ object LakeProcedures {
       case "compact" => Some(bound(procName, Array(
         param("table", StringType),
         paramD("small_file_bytes", LongType, (64L << 20).toString),
-        paramD("min_input_files", IntegerType, "2"))) { in =>
+        paramD("min_input_files", IntegerType, "2"),
+        // comma-separated column lists: sort_by = lexicographic
+        // clustering, zorder_by = Morton-curve multi-dimension clustering
+        paramD("sort_by", StringType, "''"),
+        paramD("zorder_by", StringType, "''"),
+        paramD("max_records_per_file", LongType, "0"))) { in =>
+        def cols(i: Int): Seq[String] =
+          Option(in.getUTF8String(i)).map(_.toString.trim).filter(_.nonEmpty)
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
         table(in).compactFiles(SparkSession.active,
-          smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2))
+          smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2),
+          sortBy = cols(3), zorderBy = cols(4),
+          maxRecordsPerFile = in.getLong(5))
       })
       case "expire_snapshots" => Some(bound(procName, Array(
         param("table", StringType),

@@ -322,6 +322,61 @@ object StreamingQueries {
     out
   }
 
+  // C21 — transformWithState (Spark 4's arbitrary-state operator, the
+  // successor to flatMapGroupsWithState): per-user ValueState carrying
+  // (count, running max) across micro-batches on the RocksDB state store.
+  // Each batch emits the key's RUNNING totals; both are monotone, so the
+  // max-per-key over all emissions equals the batch aggregate — which is
+  // exactly the DuckDB oracle. State stays executor-local (RocksDB),
+  // keyed shuffle only on user_id: the 100 TB posture for billions of
+  // keys is per-key state ops, never a global collection.
+  def c21_stream_tws(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import s.implicits._
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(s, dir, OutputMode.Append(), nFiles = 4) { ev =>
+        ev.selectExpr("user_id", "value").as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+              @transient private var cnt: ValueState[Long] = _
+              @transient private var mx: ValueState[Double] = _
+              override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+                cnt = getHandle.getValueState[Long]("cnt",
+                  Encoders.scalaLong, TTLConfig.NONE)
+                mx = getHandle.getValueState[Double]("mx",
+                  Encoders.scalaDouble, TTLConfig.NONE)
+              }
+              override def handleInputRows(key: Long,
+                  rows: Iterator[(Long, Double)],
+                  timers: TimerValues): Iterator[(Long, Long, Double)] = {
+                var c = if (cnt.exists()) cnt.get() else 0L
+                var m = if (mx.exists()) mx.get() else Double.MinValue
+                rows.foreach { case (_, v) => c += 1; if (v > m) m = v }
+                cnt.update(c)
+                mx.update(m)
+                Iterator.single((key, c, m))
+              }
+            },
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[Encoder[(Long, Long, Double)]])
+          .toDF("user_id", "n", "vmax")
+      }
+      localize(out.groupBy("user_id")
+        .agg(max("n").as("n"), max("vmax").as("vmax"))
+        .orderBy("user_id"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+    }
+  }
+
   // C20 — NATIVE streaming CDC upsert: the laketable sink's
   // `upsertKeys` mode. Each micro-batch appends its rows plus an
   // equality-delete on their keys in ONE epoch-fenced commit — new
@@ -376,6 +431,7 @@ object StreamingQueries {
     "c18_stream_stream_join" -> c18_stream_stream_join _,
     "c19_stream_upsert" -> c19_stream_upsert _,
     "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
+    "c21_stream_tws" -> c21_stream_tws _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -424,6 +480,9 @@ object StreamingQueries {
         |  AND epoch_us(r.ts) >= epoch_us(l.ts)
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000
         |ORDER BY click_id, view_id""".stripMargin,
+    "c21_stream_tws" ->
+      """SELECT user_id, COUNT(*) AS n, MAX("value") AS vmax
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // replay 1: keys < 1000 as-is; replay 2 overrides [500, 1500) with
     // price*3 / status 'U' — keep-last per key
     "c20_stream_eq_upsert" ->

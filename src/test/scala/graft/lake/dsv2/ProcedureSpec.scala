@@ -46,6 +46,25 @@ class ProcedureSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 200)
   }
 
+  test("CALL compact with sort_by clusters output files disjointly") {
+    val (tbl, t) = newTable()
+    append(t, 200, seed = 6, files = 4) // 4 files, each spanning ids 0..199
+    spark.sql(
+      s"""CALL proccat.system.compact(`table` => '$tbl',
+         |  sort_by => 'message_id', max_records_per_file => 50)""".stripMargin)
+    val files = t.refresh().files()
+    assert(files.size >= 4)
+    // clustered: per-file message_id ranges are disjoint
+    val ranges = files.map(f =>
+      (f.stats("message_id").longMin.get, f.stats("message_id").longMax.get))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    assert(t.toDF(spark).count() == 200)
+  }
+
   test("CALL expire_snapshots, rollback, create_tag round-trip") {
     val (tbl, t) = newTable()
     val s1 = append(t, 50, seed = 3)
