@@ -119,7 +119,8 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(location, table,
       Option(options.get("startSnapshotId")).map(_.toLong), asOf,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -163,7 +164,8 @@ object LakeDsTable {
   */
 final class LakeScanBuilder(location: String, table: LakeTable,
     startSnapshot: Option[Long], asOf: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with SupportsPushDownLimit {
@@ -292,7 +294,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     }
     case None =>
       new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf,
-        maxFilesPerTrigger, pushedLimit = limit)
+        maxFilesPerTrigger, pushedLimit = limit,
+        maxBytesPerTrigger = maxBytesPerTrigger)
   }
 }
 
@@ -449,7 +452,8 @@ final class LakeBatchScan(location: String, table: LakeTable,
     required: StructType, pushed: Array[Filter], startSnapshot: Option[Long],
     asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
     planListener: Option[Seq[DataFileMeta] => Unit] = None,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -463,6 +467,23 @@ final class LakeBatchScan(location: String, table: LakeTable,
     liveFiles.filter(f =>
       (pushed.iterator ++ runtime.iterator)
         .forall(LakeMetaColumns.accept(table.spec, f, _)))
+
+  /** Files the scan actually plans: pruned, then cut to a pushed LIMIT
+    * when that is sound (no filters of either kind — they drop rows
+    * post-scan — and no pending deletes, whose masks shrink live counts
+    * below the manifest numbers). Shared by partition planning, the
+    * reported partitioning, and statistics so they can never disagree.
+    */
+  private def plannedFiles: Seq[DataFileMeta] = {
+    val files = prunedFiles
+    pushedLimit match {
+      case Some(n) if pushed.isEmpty && runtime.isEmpty &&
+          table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).isEmpty =>
+        var acc = 0L
+        files.takeWhile { f => val need = acc < n; acc += f.rowCount; need }
+      case _ => files
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -519,22 +540,11 @@ final class LakeBatchScan(location: String, table: LakeTable,
       TruncateFunction.nameFor(table.spec.widthMicros),
       Expressions.column(table.spec.column))
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(key), prunedFiles.map(_.partitionValue).distinct.size)
+      Array(key), plannedFiles.map(_.partitionValue).distinct.size)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files0 = prunedFiles
-    // pushed LIMIT: plan just enough files (by manifest count) to cover it.
-    // Sound ONLY when nothing below Spark's limit drops rows: no filters
-    // of either kind (they re-evaluate post-scan) and no pending deletes
-    // (masked rows shrink a file below its manifest count).
-    val files = pushedLimit match {
-      case Some(n) if pushed.isEmpty && runtime.isEmpty &&
-          table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).isEmpty =>
-        var acc = 0L
-        files0.takeWhile { f => val need = acc < n; acc += f.rowCount; need }
-      case _ => files0
-    }
+    val files = plannedFiles
     LakeScanMetrics.lastPlannedFiles = files.size
     // row-level (CoW) operations record the planned group here — the set
     // their ReplaceData commit swaps out (post-runtime-filter truth)
@@ -562,7 +572,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
       tableSchemaDdl = asOf.map(table.schemaAt).getOrElse(table.schema).toDDL)
 
   override def estimateStatistics(): Statistics = {
-    val files = prunedFiles
+    val files = plannedFiles
     // pending MoR deletes shrink the row estimate (position counts may
     // double-mark a row — estimates, not answers; clamped at 0)
     val pendingDeletes = table
@@ -585,7 +595,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(location, required, startSnapshot.getOrElse(0L),
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** One row of pre-aggregated manifest values per data file (all long-domain). */
@@ -1171,7 +1181,8 @@ final case class SnapshotOffset(id: Long) extends Offset {
 }
 
 final class LakeMicroBatchStream(location: String, schema: StructType,
-    startSnapshotId: Long, maxFilesPerTrigger: Option[Int] = None)
+    startSnapshotId: Long, maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1191,23 +1202,30 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
   override def latestOffset(): Offset = SnapshotOffset(table.currentSnapshotId)
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
 
-  /** Admission control: cap a micro-batch at maxFilesPerTrigger data files
-    * so a backlog restart (or a bursty committer) drains as bounded
-    * batches instead of one giant catch-up batch — snapshot granularity,
-    * always advancing at least one snapshot so the stream can't stall on
-    * a single oversized commit.
+  /** Admission control: cap a micro-batch at maxFilesPerTrigger data
+    * files and/or maxBytesPerTrigger bytes, so a backlog restart (or a
+    * bursty committer) drains as bounded batches instead of one giant
+    * catch-up batch — snapshot granularity, always advancing at least one
+    * snapshot so the stream can't stall on a single oversized commit.
+    * Bytes are the budget that actually tracks executor work when file
+    * sizes vary (a file-count cap admits 10 GB as readily as 10 KB).
     */
   override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxFilesPerTrigger
-      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit
-        .maxFiles(n))
-      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
-        .allAvailable())
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limits =
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+        maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case more => ReadLimit.compositeLimit(more.toArray)
+    }
+  }
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
     val t = table
     // same expired-offset clamp as planInputPartitions: a checkpointed
     // offset the Reaper has expired must resume, not crash-loop
@@ -1217,32 +1235,45 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
         .getOrElse(t.currentSnapshotId)
     val from = clamp(start.asInstanceOf[SnapshotOffset].id)
     val target = availableNowBound.getOrElse(t.currentSnapshotId)
-    limit match {
-      case m: ReadMaxFiles if target > from =>
-        // ONE forward walk sizes every pending snapshot (the old shape —
-        // addedFilesBetween per candidate end — re-walked the chain per
-        // snapshot: O(pending² × inventory) manifest work per trigger
-        // during exactly the backlog drain maxFilesPerTrigger exists for)
-        val perSnapshot = t.addedFilesBySnapshot(from, target)
-          .map { case (id, fs) => (id, fs.size) }
-        // snapshots that added nothing (rewrites, empty appends) cost no
-        // budget; always admit at least one snapshot so one oversized
-        // commit can't stall the stream
-        var end = from
-        var files = 0
-        var admitted = false
-        var stopped = false
-        for ((id, added) <- perSnapshot if !stopped) {
-          if (!admitted || files + added <= m.maxFiles()) {
-            end = id
-            files += added
-            admitted = true
-          } else stopped = true
+    // (file budget, byte budget) — composite limits apply both
+    def budgets(l: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : (Option[Long], Option[Long]) = l match {
+      case m: ReadMaxFiles => (Some(m.maxFiles().toLong), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budgets).foldLeft(
+          (Option.empty[Long], Option.empty[Long])) { case ((f1, b1), (f2, b2)) =>
+          (Seq(f1, f2).flatten.minOption, Seq(b1, b2).flatten.minOption)
         }
-        if (!stopped) end = target // trailing no-op snapshots ride along
-        SnapshotOffset(end)
-      case _ => SnapshotOffset(target)
+      case _ => (None, None)
     }
+    val (fileBudget, byteBudget) = budgets(limit)
+    if (target <= from || (fileBudget.isEmpty && byteBudget.isEmpty))
+      return SnapshotOffset(target)
+    // ONE forward walk sizes every pending snapshot (the old shape —
+    // addedFilesBetween per candidate end — re-walked the chain per
+    // snapshot: O(pending² × inventory) manifest work per trigger during
+    // exactly the backlog drain these limits exist for)
+    val perSnapshot = t.addedFilesBySnapshot(from, target)
+      .map { case (id, fs) => (id, fs.size.toLong, fs.map(_.sizeBytes).sum) }
+    // snapshots that added nothing (rewrites, empty appends) cost no
+    // budget; always admit at least one snapshot
+    var end = from
+    var files = 0L
+    var bytes = 0L
+    var admitted = false
+    var stopped = false
+    for ((id, af, ab) <- perSnapshot if !stopped) {
+      if (!admitted || (fileBudget.forall(files + af <= _) &&
+          byteBudget.forall(bytes + ab <= _))) {
+        end = id
+        files += af
+        bytes += ab
+        admitted = true
+      } else stopped = true
+    }
+    if (!stopped) end = target // trailing no-op snapshots ride along
+    SnapshotOffset(end)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

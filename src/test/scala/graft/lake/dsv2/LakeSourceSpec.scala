@@ -420,4 +420,46 @@ class LakeSourceSpec extends SparkSpec {
     assert(batches.filter(_ > 0) == totals.toVector,
       s"expected one bounded batch per commit, got $batches")
   }
+
+  test("admission control: maxBytesPerTrigger bounds catch-up by bytes") {
+    val t = newTable()
+    val totals = Seq(10L, 20L, 5L, 8L)
+    totals.zipWithIndex.foreach { case (n, i) => appendBatch(t, n, bucket(i), i + 1) }
+    // budget of one byte: every snapshot exceeds it → exactly one
+    // snapshot admitted per batch (the can't-stall floor), same drain
+    // shape as maxFilesPerTrigger=1
+    var batches = Vector.empty[Long]
+    val q = spark.readStream.format("laketable")
+      .option("startSnapshotId", "0")
+      .option("maxBytesPerTrigger", "1")
+      .load(t.location)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches = batches :+ df.count()
+        ()
+      }
+      .option("checkpointLocation", tmpDir("dsv2-admbytes") + "/c")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batches.filter(_ > 0) == totals.toVector,
+      s"expected one bounded batch per commit, got $batches")
+    // a generous byte budget drains everything in one batch
+    var batches2 = Vector.empty[Long]
+    val q2 = spark.readStream.format("laketable")
+      .option("startSnapshotId", "0")
+      .option("maxBytesPerTrigger", (1L << 30).toString)
+      .load(t.location)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2 = batches2 :+ df.count()
+        ()
+      }
+      .option("checkpointLocation", tmpDir("dsv2-admbytes2") + "/c")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(batches2.filter(_ > 0) == Vector(totals.sum),
+      s"expected one catch-up batch, got $batches2")
+  }
 }
