@@ -155,6 +155,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           case "partitions" => new LakePartitionsMetaTable(location(baseIdent))
           case "manifests" => new LakeManifestsMetaTable(location(baseIdent))
           case "deletes" => new LakeDeletesMetaTable(location(baseIdent))
+          case "refs" => new LakeRefsMetaTable(location(baseIdent))
           case _ => throw new NoSuchTableException(ident)
         }
       case _ => ()

@@ -34,6 +34,8 @@ object LakeMetaTables {
   val DeletesSchema: StructType = StructType.fromDDL(
     "path STRING, kind STRING, row_count BIGINT, size_bytes BIGINT, " +
       "eq_columns STRING, seq BIGINT, referenced_files INT")
+  val RefsSchema: StructType = StructType.fromDDL(
+    "name STRING, type STRING, snapshot_id BIGINT")
 }
 
 /** One manifest file to parse on an executor. */
@@ -225,6 +227,46 @@ final class LakeDeletesMetaTable(location: String) extends Table with SupportsRe
             cur = InternalRow(UTF8String.fromString(p),
               UTF8String.fromString(kind), rows, bytes,
               UTF8String.fromString(eqCols), seq, refs)
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** `$refs` — named refs: tags (expiry-pinned audit points) and WAP
+  * branches (unpublished stage-chain heads). Tiny by construction —
+  * single task.
+  */
+final case class RefRows(rows: Seq[(String, String, Long)]) extends InputPartition
+
+final class LakeRefsMetaTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"laketable.`$location`$$refs"
+  override def schema(): StructType = LakeMetaTables.RefsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = LakeMetaTables.RefsSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val t = LakeTable.load(location)
+        val rows =
+          t.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, "tag", id) } ++
+            t.branches.toSeq.sortBy(_._1).map { case (n, id) => (n, "branch", id) }
+        Array(RefRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => new PartitionReader[InternalRow] {
+          private val it = partition.asInstanceOf[RefRows].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val (n, tpe, id) = it.next()
+            cur = InternalRow(UTF8String.fromString(n),
+              UTF8String.fromString(tpe), id)
             true
           }
           override def get(): InternalRow = cur

@@ -88,6 +88,21 @@ class ProcedureSpec extends SparkSpec {
     assert(keptIds.contains(t.tags("v1")))
   }
 
+  test("$refs lists tags and branches with their snapshot ids") {
+    val (tbl, t) = newTable()
+    append(t, 10, seed = 9)
+    spark.sql(s"CALL proccat.system.create_tag(`table` => '$tbl', tag => 'gold')")
+    t.refresh()
+    val staged = t.stageAppend(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 5, bucket(1), seed = 10), t), "wip")
+    val name = tbl.split('.').last
+    val refs = spark.sql(
+      s"SELECT name, type, snapshot_id FROM proccat.ns.`$name$$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(
+      ("gold", "tag", t.tags("gold")), ("wip", "branch", staged)))
+  }
+
   test("CALL publish_branch / drop_branch complete the WAP flow in SQL") {
     val (tbl, t) = newTable()
     append(t, 30, seed = 5)
