@@ -197,6 +197,42 @@ object Bench {
       secs
     }
 
+    /** Merge-on-read READ tax: the same aggregate scan over the same table
+      * with 1% of rows position-deleted — once with the masks pending
+      * (whole scan on the row path, per-slice bitmap application) and once
+      * after compaction materialized them (columnar fast path). The gap is
+      * what un-paid delete debt costs every reader, i.e. the number that
+      * sets the compaction cadence at 100 TB.
+      */
+    def runMorScanPair(): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-mor-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+        Map(LakeFormat.PropDeleteMode -> LakeFormat.DeleteModeMergeOnRead))
+      for (i <- 0 until 4)
+        table.append(LakeWriter.writeDataFiles(
+          LakeWriter.generateBatch(spark, 100000, (5666666L + i) * 300000000L, seed = 300 + i),
+          table, filesPerPartition = 4))
+      table.deleteWhere(spark, col("message_id") % 100 === 0) // 1% scattered
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(avg(length(col("data"))).as("avg_len"), avg(col("message_id")).as("avg_id"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        agg(spark.read.format("laketable").load(loc))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val pending = math.min(once(), once())
+      table.compactFiles(spark)
+      once()
+      val compacted = math.min(once(), once())
+      LakeTable.drop(loc)
+      Seq("lake_scan_mor_pending" -> pending,
+        "lake_scan_mor_compacted" -> compacted)
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -218,7 +254,8 @@ object Bench {
         Seq("dml_merge_cow" -> best2(() => runMergeOnce(mor = false))) else Nil) ++
       (if (only("dml_merge_mor"))
         Seq("dml_merge_mor" -> best2(() => runMergeOnce(mor = true))) else Nil) ++
-      (if (only("lake_scan_400k")) runLakeScanPair() else Nil)
+      (if (only("lake_scan_400k")) runLakeScanPair() else Nil) ++
+      (if (only("lake_scan_mor")) runMorScanPair() else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
