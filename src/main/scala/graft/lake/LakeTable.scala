@@ -199,6 +199,47 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     name
   }
 
+  /** Rewrite-vs-delete conflict validation (the Iceberg
+    * validateNoNewDeleteFiles shape): a copy-on-write rewrite reads its
+    * input rows AS OF its scan; a delete (position or equality) landing
+    * between that scan and the rewrite's commit is NOT reflected in the
+    * rewritten files — and since those files carry a NEWER sequence and
+    * the old ones leave the manifest, committing would silently resurrect
+    * the deleted rows. Called inside the rewrite's retry body (fresh
+    * metadata every attempt): any delete file added since `sinceSnapshot`
+    * that can apply to a file being replaced aborts the commit; the
+    * caller re-runs against current state. An expired `sinceSnapshot`
+    * degrades conservatively (every current delete counts as new).
+    */
+  private def assertNoNewDeletes(sinceSnapshot: Long,
+      replaced: Seq[DataFileMeta], op: String): Unit = {
+    val before = meta.snapshot(sinceSnapshot)
+      .map(_.deleteManifests.flatMap(readDeleteManifest).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = meta.current.map(_.deleteManifests).getOrElse(Nil)
+      .flatMap(readDeleteManifest).filterNot(d => before.contains(d.path))
+    val hit = fresh.filter(d => replaced.exists(d.applies))
+    if (hit.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op aborted: ${hit.size} delete file(s) landed after the rewrite's " +
+          s"scan (snapshot $sinceSnapshot) and apply to files being replaced " +
+          s"— committing would resurrect deleted rows; re-run the $op")
+  }
+
+  /** Rewrite-vs-rewrite conflict: every file this rewrite replaces must
+    * still be live — if a concurrent rewrite already swapped one out,
+    * committing would ADD this rewrite's copies next to the other's
+    * (duplicated rows). Called inside the retry body (fresh metadata).
+    */
+  private def assertReplacedLive(replaced: Set[String], op: String): Unit = {
+    val live = files().map(_.path).toSet
+    val missing = replaced.diff(live)
+    if (missing.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op aborted: ${missing.size} input file(s) were replaced by a " +
+          s"concurrent rewrite (first: ${missing.head}); re-run the $op")
+  }
+
   /** Delete manifests a REWRITE commit should carry: entries whose data-path
     * range overlaps no surviving file are dead (their targets were replaced
     * with files that already had the deletes applied) and are pruned, so the
@@ -726,6 +767,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   def deleteWhereCoW(spark: SparkSession,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    val scanSnapshot = meta.currentSnapshotId
     val live = files()
     if (live.isEmpty) return -1L
     // Pending MoR deletes must be honored throughout: a deleted row that
@@ -773,6 +815,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
     val replaced = (partial ++ fullyDropped).map(_.path).toSet
     retryCommitDeletes("rewrite") { () =>
+      assertNoNewDeletes(scanSnapshot, partial ++ fullyDropped, "delete")
+      assertReplacedLive(replaced, "delete")
       // recompute survivors from fresh metadata: concurrent appends since
       // the scan must not be dropped by this manifest rewrite
       val kept = files().filterNot(f => replaced.contains(f.path)) ++
@@ -1087,12 +1131,20 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * rewrite commit — survivors recomputed from FRESH metadata per attempt
     * so concurrent appends are never dropped; prior snapshots keep
     * time-traveling to the replaced files until expiry GCs them.
+    * `scanSnapshot` (the snapshot the operation's scan planned against)
+    * gates the rewrite-vs-delete race ([[assertNoNewDeletes]]).
     * Returns the new snapshot id, or -1 when there is nothing to change.
     */
-  def replaceFiles(replacedPaths: Set[String], newFiles: Seq[DataFileMeta]): Long = {
+  def replaceFiles(replacedPaths: Set[String], newFiles: Seq[DataFileMeta],
+      scanSnapshot: Option[Long] = None): Long = {
     val fresh = newFiles.distinctBy(_.path)
     if (replacedPaths.isEmpty && fresh.isEmpty) return -1L
     retryCommitDeletes("rewrite") { () =>
+      scanSnapshot.foreach { s =>
+        assertReplacedLive(replacedPaths, "rewrite")
+        val replacedMetas = files().filter(f => replacedPaths.contains(f.path))
+        assertNoNewDeletes(s, replacedMetas, "rewrite")
+      }
       val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++
         stamp(fresh)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
@@ -1123,6 +1175,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
       minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
+    val scanSnapshot = meta.currentSnapshotId
     val candidates = files()
       .filter(_.sizeBytes < smallFileBytes)
       .groupBy(_.partitionValue)
@@ -1157,6 +1210,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       sortExprs = zKey)
     val replaced = candidates.map(_.path).toSet
     retryCommitDeletes("compact") { () =>
+      assertNoNewDeletes(scanSnapshot, candidates, "compaction")
+      assertReplacedLive(replaced, "compaction")
       val kept = files().filterNot(f => replaced.contains(f.path)) ++
         stamp(rewritten)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),

@@ -48,8 +48,11 @@ final class LakeRowLevelOperation(location: String,
   /** Files planned by this operation's scan (set at planInputPartitions
     * time, after runtime group filtering) — the groups the write replaces.
     * Driver-only state: scan planning and commit both run on the driver.
+    * The snapshot the scan planned against rides along so the commit can
+    * detect deletes that landed mid-rewrite (resurrection race).
     */
   @volatile private[dsv2] var scannedPaths: Set[String] = Set.empty
+  @volatile private[dsv2] var scanSnapshot: Option[Long] = None
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -79,7 +82,10 @@ final class LakeRowLevelOperation(location: String,
       override def build(): Scan =
         new LakeBatchScan(location, table, readSchema, Array.empty,
           None, None, None,
-          planListener = Some(fs => scannedPaths = fs.map(_.path).toSet))
+          planListener = Some { fs =>
+            scannedPaths = fs.map(_.path).toSet
+            scanSnapshot = Some(table.currentSnapshotId)
+          })
     }
   }
 
@@ -129,7 +135,8 @@ final class LakeReplaceDataWrite(location: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles: Seq[DataFileMeta] = LakeWriteCommit.collect(messages)
-    LakeTable.load(location).replaceFiles(op.scannedPaths, newFiles)
+    LakeTable.load(location)
+      .replaceFiles(op.scannedPaths, newFiles, op.scanSnapshot)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -176,6 +176,45 @@ class DeltaMergeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM deltacat.ns.`$name$$deletes`").count() == 0)
   }
 
+  test("rewrite aborts when a delete lands between its scan and its commit") {
+    val loc = tmpDir("laketable-rewrite-race")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropDeleteMode -> LakeFormat.DeleteModeMergeOnRead))
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 100, bucket(2), seed = 3), t))
+    val target = t.files().head
+    // a rewrite scans HERE (reads all 100 rows, writes replacement files)
+    val scanSnapshot = t.currentSnapshotId
+    val replacement = LakeWriter.writeDataFiles(
+      t.snapshotDF(spark, scanSnapshot), t)
+    // ... then a MoR delete lands mid-flight
+    t.deleteWhere(spark, org.apache.spark.sql.functions.col("message_id") < 10)
+    // committing the stale rewrite would resurrect the 10 deleted rows
+    intercept[java.util.ConcurrentModificationException] {
+      t.replaceFiles(Set(target.path), replacement, Some(scanSnapshot))
+    }
+    assert(t.toDF(spark).count() == 90) // table unchanged by the abort
+  }
+
+  test("rewrite aborts when a concurrent rewrite already replaced its input") {
+    val loc = tmpDir("laketable-rewrite-dup")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 60, bucket(3), seed = 4), t, 2))
+    val scanSnapshot = t.currentSnapshotId
+    val input = t.files()
+    val mine = LakeWriter.writeDataFiles(t.snapshotDF(spark, scanSnapshot), t)
+    // a concurrent compaction swaps the same input files first
+    assert(t.compactFiles(spark, smallFileBytes = 64L << 20, minInputFiles = 1) > 0)
+    // committing would ADD `mine` next to the compaction's copies — abort
+    intercept[java.util.ConcurrentModificationException] {
+      t.replaceFiles(input.map(_.path).toSet, mine, Some(scanSnapshot))
+    }
+    assert(t.toDF(spark).count() == 60) // no duplicated rows
+  }
+
   test("commitDelta rejects deletes referencing replaced data files") {
     val loc = tmpDir("laketable-conflict")
     LakeTable.drop(loc)
