@@ -779,27 +779,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .groupBy("__path").agg(count(lit(1)).as("matched"))
       .select(col("__path").as("path"), col("matched"))
     // row_count is PHYSICAL rows; live rows = row_count - pending deletes,
-    // so whole-file classification compares against the deleted count too
-    val dels = deleteFilesMeta()
-    val deletedPerFile: Map[String, Long] =
-      if (dels.isEmpty) Map.empty
-      else {
-        val delDF = spark.read.parquet(dels.map(_.path): _*)
-        delDF.groupBy("file_path").agg(count(lit(1)).as("dels"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    val decisions = filesDF(spark).select(col("path"), col("row_count"))
-      .join(matchedPerFile, "path") // AQE broadcasts the matched side when small
-      .collect()
-      .map(r => (r.getString(0),
-        r.getLong(1) - deletedPerFile.getOrElse(r.getString(0), 0L),
-        r.getLong(2)))
-    val partialPaths = decisions.collect {
-      case (p, n, m) if m > 0 && m < n => p
-    }.toSet
-    val droppedPaths = decisions.collect {
-      case (p, n, m) if m > 0 && m == n => p
-    }.toSet
+    // so whole-file classification compares against the deleted count too.
+    // Position deletes ONLY: equality-delete parquets carry the key-column
+    // schema (no file_path/pos) and would poison the union read. Rows
+    // masked by pending equality deletes merely make a whole-file drop
+    // classify conservatively as a partial rewrite, which stays correct —
+    // the rewrite reads through readWithDeletes and re-applies all masks.
+    val dels = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
+    val delCounts: Option[DataFrame] =
+      if (dels.isEmpty) None
+      else Some(spark.read.parquet(dels.map(_.path): _*)
+        .groupBy(col("file_path").as("path")).agg(count(lit(1)).as("dels")))
+    // Classification stays a DATAFLOW end-to-end: files-meta (manifests
+    // parsed executor-side via filesDF) ⋈ matched counts ⋈ pending-delete
+    // counts; the driver materializes ONLY (path, whole?) for files that
+    // contain matched rows — never per-file counts, never rows for
+    // untouched files. O(matched files) strings is the floor: the commit
+    // needs the replaced-path set to rewrite the manifest list.
+    val decisions = LakeTable.classifyDeleteDecisions(
+      filesDF(spark).select(col("path"), col("row_count")),
+      matchedPerFile, delCounts).collect()
+    val partialPaths =
+      decisions.collect { case r if !r.getBoolean(1) => r.getString(0) }.toSet
+    val droppedPaths =
+      decisions.collect { case r if r.getBoolean(1) => r.getString(0) }.toSet
     val partial = live.filter(f => partialPaths.contains(f.path))
     val fullyDropped = live.filter(f => droppedPaths.contains(f.path))
     if (partial.isEmpty && fullyDropped.isEmpty) return -1L
@@ -842,9 +845,19 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def deleteWhereMoR(spark: SparkSession,
       predicate: org.apache.spark.sql.Column): Long = {
+    val written = writePositionDeletes(spark, predicate)
+    if (written.isEmpty) -1L else commitPositionDeletes(written)
+  }
+
+  /** Scan half of [[deleteWhereMoR]]: find matching (file, position) pairs
+    * and write them as position-delete parquets. Returns their metadata
+    * (empty = nothing matched); nothing is committed yet.
+    */
+  private[lake] def writePositionDeletes(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): Seq[DeleteFileMeta] = {
     import org.apache.spark.sql.functions.{col, lit, udf}
     val live = files()
-    if (live.isEmpty) return -1L
+    if (live.isEmpty) return Nil
     val toPlain = udf((s: String) => new Path(s).toUri.getPath)
     // (file, position) row identity from the table's own scan — V1/V2
     // parquet-source agnostic (see readWithDeletes) and mask-aware
@@ -853,12 +866,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .select(col(dsv2.LakeMetaColumns.FileColumn).as("file_path"),
         col(dsv2.LakeMetaColumns.PosColumn).as("pos"))
     val matchCount = matches.count()
-    if (matchCount == 0L) return -1L
+    if (matchCount == 0L) return Nil
     // ~4M positions (~tens of MB) per delete file
     val nFiles = math.max(1, math.min(64, (matchCount / 4000000L).toInt + 1))
     val tmp = new Path(location, s"_tmp-del-${UUID.randomUUID()}")
-    val written =
-      try {
+    try {
         matches.repartitionByRange(nFiles, col("file_path"), col("pos"))
           .sortWithinPartitions("file_path", "pos")
           .write.parquet(tmp.toString)
@@ -896,15 +908,38 @@ final class LakeTable private (val location: String, private var meta: TableMeta
               r.getLong(1), r.getString(2), r.getString(3),
               dataPaths = r.getSeq[String](4))
           }.toSeq
-      } finally {
-        try fs.delete(tmp, true) catch { case _: java.io.IOException => }
-      }
+    } finally {
+      try fs.delete(tmp, true) catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** Commit half of [[deleteWhereMoR]]: append the position-delete files'
+    * manifest as one snapshot.
+    *
+    * Conflict validation, mirroring [[commitDelta]]: a compaction/CoW
+    * rewrite landing between the scan and this commit replaces data files
+    * these positions reference — the entries would dangle forever and the
+    * DELETE would silently no-op (rows resurrect). Validate per attempt
+    * against FRESH metadata; entries past the inline-path cap fall back to
+    * a conservative [lo,hi] range overlap check against the live path set.
+    */
+  private[lake] def commitPositionDeletes(written: Seq[DeleteFileMeta]): Long =
     retryCommitDeletes("delete") { () =>
+      val live = files().map(_.path).toSet
+      val dangling = written.iterator.flatMap { d =>
+        if (d.dataPaths.nonEmpty) d.dataPaths.filterNot(live)
+        else if (live.exists(p => p >= d.minDataPath && p <= d.maxDataPath)) Nil
+        else Seq(s"[${d.minDataPath}, ${d.maxDataPath}] (range, no live overlap)")
+      }.toSeq
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"MoR delete invalidated by concurrent rewrite: " +
+            s"${dangling.size} referenced data file(s) no longer live " +
+            s"(first: ${dangling.head})")
       val cur = meta.current.map(_.deleteManifests).getOrElse(Nil)
       Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
         cur :+ writeDeleteManifest(written)))
     }
-  }
 
   /** Delta commit (merge-on-read MERGE/UPDATE via SupportsDelta): append
     * executor-written data files (the inserted/updated row versions) AND
@@ -1255,6 +1290,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           branchPinned += cur.get.id
           cur = meta.snapshot(cur.get.parentId)
         }
+        // pin the first non-stage ancestor too: publishBranch's chain walk
+        // terminates AT the base — if the base expired while the branch was
+        // staged, the walk would hit a missing parent and the branch would
+        // become permanently unpublishable
+        cur.foreach(s => branchPinned += s.id)
       }
       val byBranch = ordered.filter(s => branchPinned.contains(s.id))
       val keep = (byAge ++ byCount ++ byTag ++ byBranch)
@@ -1398,6 +1438,25 @@ object LakeTable {
     * the manifest stores only the [min, max] range (conservative checks).
     */
   private[lake] val DeletePathListCap = 2000
+
+  /** CoW-delete classification as a pure dataflow (SURVEY D6, the 10⁶-file
+    * path): files-meta ⋈ matched-row counts ⋈ pending position-delete
+    * counts → one row per file CONTAINING matched rows, with `whole` =
+    * every live row matched (file dropped metadata-only) vs partial
+    * (file rewritten). Inner join on the matched side keeps untouched
+    * files out of the result entirely; nothing here is driver-sided, so
+    * the caller decides how much to materialize.
+    */
+  private[lake] def classifyDeleteDecisions(filesMeta: DataFrame,
+      matchedPerFile: DataFrame, delCounts: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val matched = filesMeta.join(matchedPerFile, "path")
+    val withDels = delCounts.fold(matched.withColumn("dels", lit(0L)))(dc =>
+      matched.join(dc, Seq("path"), "left")
+        .withColumn("dels", coalesce(col("dels"), lit(0L))))
+    withDels.select(col("path"),
+      (col("matched") === col("row_count") - col("dels")).as("whole"))
+  }
 
   /** Delete manifests are immutable too (UUID names) — same LRU shape. */
   private[lake] val deleteManifestCache: java.util.Map[String, Seq[DeleteFileMeta]] =

@@ -361,7 +361,11 @@ object LakeQueries {
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
-  // Engine-side scratch table → rows-only; exact values spec-checked in
+  // Hash-oracled: the scratch layout is fully declared here (4 clustered
+  // INSERTs × 100 rows into bucket 0, 1 × 50 into bucket 1; the DSv2 write
+  // requires a clustered distribution, so each INSERT lands exactly one
+  // file per bucket), so the oracle reconstructs the expected rollup from
+  // the same declaration. Exact values also spec-checked in
   // LakeCatalogSpec.
   def b36_partitions_meta(s: SparkSession, dir: String): DataFrame = {
     val cat = dmlCatalog(s)
@@ -455,6 +459,16 @@ object LakeQueries {
         |  UNION ALL SELECT 'after_publish',
         |    (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000))
         |ORDER BY phase""".stripMargin,
+    // the scratch layout is fully declared by the query (clustered DSv2
+    // write → one file per INSERT per bucket); the oracle reconstructs the
+    // rollup from that declaration. bucket(i) = (5666666 + i) * Width.
+    "b36_partitions_meta" ->
+      """SELECT CAST(pv AS BIGINT) AS partition_value,
+        |  CAST(fc AS BIGINT) AS file_count, CAST(rc AS BIGINT) AS row_count
+        |FROM (VALUES
+        |  (CAST(5666666 AS BIGINT) * 300000000, 4, 4 * 100),
+        |  (CAST(5666667 AS BIGINT) * 300000000, 1, 50)) AS v(pv, fc, rc)
+        |ORDER BY partition_value""".stripMargin,
     "b37_spj_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS pairs,
         |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum

@@ -397,16 +397,43 @@ object PipelineQueries {
   // D4g — token-budget packing: walk each language's docs in quality order
   // and keep them until the running token total crosses the budget — "fill
   // N tokens per language from the best documents first". Integer running
-  // sum (exact in both engines) over one per-lang window shuffle.
+  // sum (exact in both engines).
+  //
+  // TWO-PHASE cumulative sum, not one per-lang window: a window partitioned
+  // only by lang puts the dominant language's ENTIRE corpus on one task at
+  // 100 TB. Instead (the classic distributed prefix-sum):
+  //   1. range-partition by the pack order (lang, score desc, doc_id) so
+  //      each of the P partitions holds a contiguous, BOUNDED slice —
+  //      the big language spans many partitions instead of owning one;
+  //   2. local running sums per (lang, slice);
+  //   3. per-slice totals → tiny (≤ P × langs rows) prefix-offset table;
+  //   4. broadcast the offsets back: cum = local + offset of earlier slices.
+  // Costs one extra exchange vs the single-window plan but no task ever
+  // sorts more than one range slice. Same oracle SQL, identical output.
   def d04_budget_pack(s: SparkSession, dir: String): DataFrame = {
     val budget = 3000L
+    val slices = 32 // ≈ shuffle parallelism; bounds every per-task sort
     val toks = tokens(col("text"))
     val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
       size(toks).cast("long").as("n_tok"),
       (col("n_chars").cast("double") / size(toks)).as("score"))
-    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val ranged = scored
+      .repartitionByRange(slices, col("lang"), col("score").desc, col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val wLocal = Window.partitionBy("lang", "slice")
+      .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum_tok", sum("n_tok").over(w))
+    val local = ranged.withColumn("local_cum", sum("n_tok").over(wLocal))
+    // range partitions are ordered: slice i holds pack-order keys before
+    // slice i+1's, so the offset for (lang, slice) is the sum of the same
+    // language's totals in earlier slices — a window over ≤ P×langs rows
+    val wOff = Window.partitionBy("lang").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("lang", "slice").agg(sum("n_tok").as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select(col("lang"), col("slice"), col("off"))
+    local.join(broadcast(offsets), Seq("lang", "slice"))
+      .withColumn("cum_tok", col("local_cum") + col("off"))
       .filter(col("cum_tok") <= budget)
       .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
       .orderBy("lang", "cum_tok", "doc_id")
@@ -545,8 +572,15 @@ object PipelineQueries {
   // D3e — cross-document boilerplate: 4-grams appearing in >= 3 distinct
   // documents (headers, templates, license blobs at corpus scale) and each
   // document's boilerplate fraction. Gram-keyed shuffle for the document
-  // frequencies, broadcast of the (small) boilerplate set back onto the
-  // per-doc gram stream — the C4-style boilerplate pass, linear in grams.
+  // frequencies, then a plain gram-keyed join back onto the per-doc gram
+  // stream — the C4-style boilerplate pass, linear in grams. NO broadcast
+  // hint on the boilerplate side: that set is corpus-proportional (every
+  // df>=3 gram), so a forced broadcast — which bypasses the planner's size
+  // guard — would OOM the driver at 100 TB. Both join inputs are already
+  // gram-keyed (the df aggregate shuffles on gram), so the shuffle join
+  // reuses that partitioning; if stats ever show the set is genuinely
+  // small, AQE's own size check may still elect a broadcast — the point is
+  // the plan degrades gracefully instead of being pinned to one.
   def d03_boilerplate(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
@@ -562,7 +596,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3)
       .select(col("gram"), lit(1).as("is_boiler"))
-    grams.join(broadcast(boiler), Seq("gram"), "left")
+    grams.join(boiler, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
@@ -572,34 +606,81 @@ object PipelineQueries {
   }
 
   // D1d — fuzzy-dedup clustering: connected components over the MinHash-LSH
-  // candidate graph (iterative min-label propagation — the standard
-  // distributed CC), then keep-first per cluster. THE production semantic
+  // candidate graph, then keep-first per cluster. THE production semantic
   // dedup shape: candidates → components → one survivor per component.
-  // Bounded iterations: near-dup components are chains of a few docs, and
-  // each round halves the label diameter; 6 rounds covers diameter 64.
   // Engine-side iterative op → rows-only; PipelineSpec asserts the
   // partitioning equals a driver-side union-find over the same edges.
   def d01_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = d03_minhash_lsh(s, dir).select("a_id", "b_id")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .withColumn("keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components by min-label propagation WITH pointer
+    * jumping (label ← label-of-label each round), iterated TO FIXPOINT —
+    * a round whose changed-label count is 0 — never a fixed iteration
+    * budget: a fixed budget silently mislabels any component whose diameter
+    * exceeds it (wrong survivor set, no error). Jumping makes convergence
+    * O(log diameter), so `maxRounds` = 64 is an astronomically safe guard
+    * that throws instead of returning wrong labels. Per-round cost: one
+    * edge join + one label self-join + one cheap changed-count agg; each
+    * round persists its labels and unpersists the previous round's, so at
+    * most one label snapshot is pinned at a time. The result localizes to
+    * the driver (size = candidate-graph node count — the dedup verdict set
+    * itself, orders of magnitude below corpus size) so no cached block
+    * outlives the call.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val session = pairs.sparkSession
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache() // reused every iteration; unpersisted below
+      .cache() // reused every round; unpersisted below
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    for (_ <- 0 until 6) {
+    var pinned: Option[DataFrame] = None
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds) {
+        pinned.foreach(_.unpersist())
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxRounds rounds")
+      }
       val neighborMin = edges
         .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src")).agg(min("ncomp").as("nmin"))
-      comp = comp.join(neighborMin.select(col("src").as("id"), col("nmin")),
-          Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val propagated = comp
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"))
+      // pointer jump: follow the label one hop (labels are node ids, so
+      // every label has a row) — this is what turns O(diameter) plain
+      // propagation into O(log diameter)
+      val jt = propagated.select(col("id").as("jid"), col("mid").as("jmid"))
+      val jumped = propagated.join(jt, propagated("mid") === jt("jid"), "left")
+        .select(propagated("id"), col("prev"),
+          coalesce(col("jmid"), col("mid")).as("comp"))
+        .persist()
+      changed = jumped.filter(col("comp") =!= col("prev")).count()
+      pinned.foreach(_.unpersist())
+      pinned = Some(jumped)
+      // truncate the plan: the self-join references its input TWICE, so
+      // carrying the raw Dataset forward doubles the Catalyst tree every
+      // round (exponential analysis/explain cost). Re-rooting the labels
+      // as a LogicalRDD over the just-persisted blocks keeps every round's
+      // plan constant-size; if a cached block is evicted the lineage
+      // recomputes through the previous rounds — slower, never wrong.
+      val labels = jumped.select(col("id"), col("comp"))
+      comp = session.createDataFrame(labels.rdd, labels.schema)
+      rounds += 1
     }
-    val out = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
-      .withColumn("keeper", col("doc_id") === col("cluster"))
-      .orderBy("doc_id")
-    val local = out.sparkSession.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    val local = session.createDataFrame(
+      java.util.Arrays.asList(comp.collect(): _*), comp.schema)
+    pinned.foreach(_.unpersist())
     edges.unpersist()
     local
   }

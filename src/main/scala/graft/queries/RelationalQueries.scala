@@ -159,11 +159,19 @@ object RelationalQueries {
       countDistinct(col("l_partkey")).as("cd_part"),
       countDistinct(col("l_suppkey")).as("cd_supp"))
 
-  // B19 — approximate distinct (HLL++). No SQL oracle: tolerance-checked in
-  // tests against the exact count; driver records a rows-only check.
+  // B19 — approximate distinct (HLL++). Spark's sketch value can't be
+  // reproduced in another engine, so the HASHED output is (exact count,
+  // within-tolerance boolean): the oracle recomputes the exact count and
+  // expects `true` — the approximation quality itself rides the hash
+  // compare. HLL++ is deterministic (hash-based, merge-commutative), so
+  // the boolean can't flap across runs or partitionings.
   def b19_approx_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_part"),
       approx_count_distinct(col("l_partkey")).as("approx_part"))
+      .select(col("exact_part"),
+        (abs(col("approx_part") - col("exact_part")).cast("double") /
+          col("exact_part") <= 0.05).as("within_tol"))
 
   // B20 — ROLLUP with GROUPING marker.
   def b20_rollup(s: SparkSession, dir: String): DataFrame =
@@ -407,6 +415,9 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "b18_distinct_agg" ->
       """SELECT COUNT(DISTINCT l_partkey) AS cd_part, COUNT(DISTINCT l_suppkey) AS cd_supp
+        |FROM lineitem""".stripMargin,
+    "b19_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_part, true AS within_tol
         |FROM lineitem""".stripMargin,
     "b20_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

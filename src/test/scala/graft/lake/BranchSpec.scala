@@ -74,6 +74,23 @@ class BranchSpec extends SparkSpec {
     assert(stagedFiles.forall(p => !new java.io.File(p).exists()))
   }
 
+  test("publish survives aggressive expiry: the branch BASE snapshot is pinned") {
+    val t = newTable("wap-base-pin")
+    t.append(batch(t, 20, 0, seed = 8)) // the base the stage chain ends at
+    t.stageAppend(batch(t, 5, 1, seed = 9), "b2")
+    // main advances well past the base
+    t.append(batch(t, 5, 2, seed = 10))
+    t.append(batch(t, 5, 3, seed = 11))
+    // aggressive expiry: only the newest main snapshot is kept by count.
+    // The stage snapshots were already pinned; the BASE must be pinned too
+    // — otherwise publishBranch's chain walk hits a missing parent and the
+    // branch becomes permanently unpublishable
+    t.expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+    val pub = t.publishBranch("b2")
+    assert(pub > 0)
+    assert(t.toDF(spark).count() == 35) // 20 base + 10 main + 5 staged
+  }
+
   test("SQL: VERSION AS OF branch name reads staged data") {
     val w = tmpDir("wap-wh")
     spark.conf.set("spark.sql.catalog.wapcat",

@@ -85,6 +85,26 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(df.filter(col("data") === "nv").count() == 20)
   }
 
+  test("CoW DELETE classifies files correctly with pending equality deletes") {
+    // regression: deleteWhereCoW used to read ALL pending delete parquets
+    // as position deletes — an equality-delete file (key-column schema, no
+    // file_path/pos) either failed the union read outright or produced
+    // null-keyed garbage counts, breaking SQL DELETE in copy-on-write mode
+    val t = newTable("eq-cow-delete")
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 100, bucket(0), seed = 9), t)) // 0..99
+    assert(upsert(t, 0L until 10L, "nv", epoch = 0) > 0) // eq-retire 0..9
+    assert(t.toDF(spark).count() == 100)
+    val snap = t.deleteWhereCoW(spark, col("message_id") >= 90)
+    assert(snap > 0)
+    val df = t.toDF(spark)
+    assert(df.count() == 90)
+    // the upserted versions survive; the eq-retired originals stay dead
+    assert(df.filter(col("data") === "nv").count() == 10)
+    assert(df.filter(col("message_id") < 10 && col("data") =!= "nv").count() == 0)
+    assert(df.filter(col("message_id") >= 90).count() == 0)
+  }
+
   test("changelog resolves equality retirements to whole deleted rows") {
     val t = newTable("eq-cdc")
     t.append(LakeWriter.writeDataFiles(

@@ -210,6 +210,29 @@ class LakeTableSpec extends SparkSpec {
     assert(t.files().map(_.path).toSet == expected)
   }
 
+  test("delete classification is a bounded dataflow over 10⁶ synthetic files") {
+    import spark.implicits._
+    // a million-file inventory never reaches the driver: the decision join
+    // returns one (path, whole) row per file CONTAINING matches, nothing
+    // else — here 3 rows out of 1,000,000
+    val filesMeta = spark.range(1000000L).select(
+      concat(lit("/data/f"), col("id")).as("path"), lit(100L).as("row_count"))
+    val matched = Seq(("/data/f10", 100L), ("/data/f20", 60L), ("/data/f30", 40L))
+      .toDF("path", "matched")
+    // f30 has 60 rows already position-deleted → its 40 live rows all
+    // matched → whole-file drop despite matched < row_count
+    val delCounts = Seq(("/data/f30", 60L)).toDF("path", "dels")
+    val out = LakeTable.classifyDeleteDecisions(filesMeta, matched, Some(delCounts))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("/data/f10" -> true, "/data/f20" -> false,
+      "/data/f30" -> true))
+    // and without pending deletes the comparison is against physical rows
+    val out2 = LakeTable.classifyDeleteDecisions(filesMeta, matched, None)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out2 == Map("/data/f10" -> true, "/data/f20" -> false,
+      "/data/f30" -> false))
+  }
+
   test("deleteWhere keeps rows where the predicate evaluates to NULL") {
     val t = newTable()
     // half the rows have data = NULL; the predicate is NULL for them and

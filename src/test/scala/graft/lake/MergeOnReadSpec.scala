@@ -113,6 +113,24 @@ class MergeOnReadSpec extends SparkSpec {
     assert(t.snapshotDF(spark, preCompact).count() == 80)
   }
 
+  test("MoR delete aborts when a compaction lands between its scan and commit") {
+    val t = newMoRTable()
+    appendBatch(t, 100, bucket(10), seed = 20, filesPer = 2)
+    // the delete scans HERE (positions reference the two original files)
+    val written = t.writePositionDeletes(spark, col("message_id") < 10)
+    assert(written.nonEmpty)
+    // ... then a concurrent compaction replaces every data file mid-flight
+    assert(t.compactFiles(spark, smallFileBytes = 64L << 20, minInputFiles = 1) > 0)
+    // committing the stale positions would dangle them forever — the DELETE
+    // would silently no-op and the rows resurrect
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitPositionDeletes(written)
+    }
+    // nothing landed: table unchanged, no delete entries
+    assert(t.deleteFilesMeta().isEmpty)
+    assert(t.toDF(spark).count() == 100)
+  }
+
   test("CoW deleteWhere after MoR deletes never resurrects deleted rows") {
     val loc = tmpDir("laketable-mor-cow")
     LakeTable.drop(loc)

@@ -82,6 +82,34 @@ class PipelineSpec extends SparkSpec {
     assert(keepers == truth.values.toSet)
   }
 
+  test("D1: connected components converge on a 300-node chain (diameter >> 64)") {
+    // the round-4 implementation ran a FIXED 6 propagation rounds — a
+    // chain longer than its reach silently mislabeled (wrong survivor
+    // set, no error). The fixpoint loop with pointer jumping must label
+    // the whole chain with its minimum id in O(log diameter) rounds.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = 300L
+    val pairs = spark.range(1, n)
+      .select((col("id") + 1000L).as("a_id"), (col("id") + 1001L).as("b_id"))
+    val comp = PipelineQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == n.toInt, s"expected $n nodes, got ${comp.size}")
+    assert(comp.values.forall(_ == 1001L),
+      s"chain not fully labeled: ${comp.filter(_._2 != 1001L).take(5)}")
+    // and two disjoint chains stay disjoint (no label bleed through jumps)
+    val two = spark.range(1, 100)
+      .select((col("id") + 1000L).as("a_id"), (col("id") + 1001L).as("b_id"))
+      .union(spark.range(1, 100)
+        .select((col("id") + 5000L).as("a_id"), (col("id") + 5001L).as("b_id")))
+    val comp2 = PipelineQueries.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp2.filter(_._1 <= 1100L).values.toSet == Set(1001L))
+    assert(comp2.filter(_._1 >= 5000L).values.toSet == Set(5001L))
+    // nothing stays pinned after the calls
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned RDD blocks leaked: $leaked")
+  }
+
   test("D2: IVF ANN recall@5 vs brute-force top-5") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -230,13 +258,12 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
   }
 
-  test("B19: approx_count_distinct within 10% of exact") {
+  test("B19: exact count matches and approx lands within the hashed tolerance") {
     val exact = graft.Tables.t(spark, dir, "lineitem")
       .agg(countDistinct("l_partkey")).head.getLong(0)
-    val approx = RelationalQueries.b19_approx_distinct(spark, dir)
-      .head.getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
-      s"approx=$approx exact=$exact")
+    val row = RelationalQueries.b19_approx_distinct(spark, dir).head
+    assert(row.getLong(0) == exact)
+    assert(row.getBoolean(1), "approx_count_distinct beyond 5% of exact")
   }
 
   test("D4: language-ID beats the majority-class baseline") {

@@ -96,13 +96,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected at most the refine-window shuffle, got $shuffles:\n$p")
   }
 
-  test("D3: boilerplate set broadcasts back onto the gram stream") {
-    val p = plan(PipelineQueries.d03_boilerplate(spark, dir))
-    // the (small) boilerplate gram set must broadcast — the corpus-sized
-    // gram stream never shuffles for the enrichment join, only for the
-    // doc-frequency groupBy and the final per-doc rollup
-    assert(p.contains("BroadcastExchange"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("D3: boilerplate carries no forced broadcast of the corpus-derived gram set") {
+    // the df>=3 boilerplate set grows with the corpus — an explicit
+    // broadcast() hint would bypass the planner's size guard and OOM the
+    // driver at 100 TB. With the auto-broadcast thresholds disabled, ONLY
+    // a hint could still produce a broadcast exchange; the plan must
+    // instead join on the gram key (both sides are already gram-keyed).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val p = plan(PipelineQueries.d03_boilerplate(spark, dir))
+      assert(!p.contains("BroadcastExchange"),
+        s"boilerplate side is hint-broadcast (survives threshold=-1):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("D4: budget pack runs the two-phase prefix sum, not a bare per-lang window") {
+    val p = plan(PipelineQueries.d04_budget_pack(spark, dir))
+    // phase 1: the corpus range-partitions on the pack order, so the
+    // dominant language spans many slices instead of owning one task
+    assert(p.contains("rangepartitioning("), p)
+    // the corpus-sized running sum windows on (lang, slice) — a window
+    // specced on bare lang over the doc stream is the single-task shape
+    assert("windowspecdefinition\\(lang[^,]*, slice".r.findFirstIn(p).nonEmpty,
+      s"no (lang, slice) window spec found:\n$p")
   }
 
   test("whole-stage codegen covers the Q1 aggregation path") {
