@@ -33,7 +33,7 @@ object Bench {
     "b33_pivot", "c04_array", "d01_dedup_exact", "d01_dedup_embed",
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
     "d04_token_topn", "d04_fingerprint", "d04_curation",
-    "d03_boilerplate", "d04_repetition")
+    "d03_boilerplate", "d04_repetition", "d04_budget_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -233,6 +233,49 @@ object Bench {
         "lake_scan_mor_compacted" -> compacted)
     }
 
+    /** Streaming catch-up under a deep snapshot backlog (the A25
+      * contract): 32 fast-append commits land BEFORE the stream starts;
+      * the reader must plan each micro-batch in O(files admitted) — the
+      * round-3 O(snapshots × inventory) walk made exactly this shape
+      * quadratic — and byte-based admission must chunk the backlog into
+      * bounded triggers (what keeps a 1000-executor restart from
+      * swallowing a week of commits in one batch). Timed region = stream
+      * start → processAllAvailable; per-trigger admitted row counts go to
+      * stderr so the round artifact records the admission shape.
+      */
+    def runStreamCatchup(): Double = {
+      import graft.lake._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-stream-${java.util.UUID.randomUUID()}"
+      val ckpt = s"$loc-ckpt"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      for (i <- 0 until 32)
+        table.append(LakeWriter.writeDataFiles(
+          LakeWriter.generateBatch(spark, 3125, (5666666L + i % 4) * 300000000L,
+            seed = 400 + i), table))
+      val totalBytes = table.files().map(_.sizeBytes).sum
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("laketable")
+        .option("maxBytesPerTrigger", (totalBytes / 8).max(1L).toString)
+        .load(loc)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val admitted = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      q.stop()
+      assert(admitted.sum == 100000L, s"catch-up saw ${admitted.sum} rows")
+      assert(admitted.length >= 4,
+        s"admission did not chunk the backlog (${admitted.length} trigger(s))")
+      System.err.println(
+        s"[bench] stream_catchup admissions (rows/trigger): ${admitted.mkString(",")}")
+      LakeTable.drop(loc)
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      secs
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -255,7 +298,9 @@ object Bench {
       (if (only("dml_merge_mor"))
         Seq("dml_merge_mor" -> best2(() => runMergeOnce(mor = true))) else Nil) ++
       (if (only("lake_scan_400k")) runLakeScanPair() else Nil) ++
-      (if (only("lake_scan_mor")) runMorScanPair() else Nil)
+      (if (only("lake_scan_mor")) runMorScanPair() else Nil) ++
+      (if (only("stream_catchup"))
+        Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -47,20 +47,26 @@ object LakeQueries {
   }
 
   // B2 — snapshot scan / time travel: row count per committed snapshot.
+  // Hash-oracled: snapshot ids are sequential (creation commits id 0, so
+  // the appends are 1, 2, 3) and the batch sizes are declared in
+  // [[stagedTable]] (100, +50, +25) — the oracle reconstructs
+  // (id, cumulative count) as constants.
   def b02_snapshot_scan(s: SparkSession, dir: String): DataFrame = {
     val (table, snaps) = stagedTable(s)
     import s.implicits._
-    val rows = (0L +: snaps).map(id => (id, table.snapshotDF(s, id).count()))
+    val rows = snaps.map(id => (id, table.snapshotDF(s, id).count()))
     val out = localize(rows.toDF("snapshot_id", "cnt").orderBy("snapshot_id"))
     LakeTable.drop(table.location)
     out
   }
 
   // B3 — incremental scan: added rows between consecutive snapshots.
+  // Hash-oracled like B2: the (from, to] diff counts are the declared
+  // second and third batch sizes.
   def b03_incremental_scan(s: SparkSession, dir: String): DataFrame = {
     val (table, snaps) = stagedTable(s)
     import s.implicits._
-    val pairs = (0L +: snaps).sliding(2).toSeq.map {
+    val pairs = snaps.sliding(2).toSeq.map {
       case Seq(a, b) => (a, b, table.changesBetween(s, a, b).count())
     }
     val out = localize(pairs.toDF("from_id", "to_id", "added").orderBy("from_id"))
@@ -83,8 +89,10 @@ object LakeQueries {
 
   // B4b — DSv2 sink round-trip: deterministic generated events through
   // df.write.format("laketable") (executor-written files, one fast-append
-  // commit) and back through the vectorized laketable source. Engine-side
-  // scratch table — rows-only for the driver; LakeSinkSpec asserts the
+  // commit) and back through the vectorized laketable source.
+  // Hash-oracled: the seeded generator is fully declared (ids 0..n-1,
+  // md5 bodies of exactly 50 × 32 = 1600 bytes), so the per-bucket rollup
+  // reconstructs from range() arithmetic. LakeSinkSpec asserts the
   // commit/layout/fencing semantics.
   def b04b_lake_sink(s: SparkSession, dir: String): DataFrame = {
     val loc = scratch("laketable-sink")
@@ -402,7 +410,28 @@ object LakeQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // b02/b03: engine-side (scratch LakeTable), rows-only checked.
+    // b02/b03/b04b run on scratch LakeTables whose content is fully
+    // declared in the query (sequential snapshot ids, seeded batches), so
+    // their oracles reconstruct the expected outputs from the same
+    // declaration. bucket(i) = (5666666 + i) * 300000000.
+    "b02_snapshot_scan" ->
+      """SELECT CAST(id AS BIGINT) AS snapshot_id, CAST(cnt AS BIGINT) AS cnt
+        |FROM (VALUES (1, 100), (2, 150), (3, 175)) AS v(id, cnt)
+        |ORDER BY snapshot_id""".stripMargin,
+    "b03_incremental_scan" ->
+      """SELECT CAST(f AS BIGINT) AS from_id, CAST(t AS BIGINT) AS to_id,
+        |  CAST(a AS BIGINT) AS added
+        |FROM (VALUES (1, 2, 50), (2, 3, 25)) AS v(f, t, a)
+        |ORDER BY from_id""".stripMargin,
+    "b04b_lake_sink" ->
+      """SELECT CAST(5666666 AS BIGINT) * 300000000 AS bucket,
+        |  COUNT(*) AS cnt, CAST(SUM(range) AS BIGINT) AS sum_id,
+        |  CAST(COUNT(*) * 1600 AS BIGINT) AS body_bytes FROM range(0, 100)
+        |UNION ALL
+        |SELECT CAST(5666667 AS BIGINT) * 300000000,
+        |  COUNT(*), CAST(SUM(range) AS BIGINT),
+        |  CAST(COUNT(*) * 1600 AS BIGINT) FROM range(0, 50)
+        |ORDER BY bucket""".stripMargin,
     "b04_parquet_roundtrip" ->
       "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
     "b05_avro_roundtrip" ->

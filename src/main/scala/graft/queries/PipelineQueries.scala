@@ -128,23 +128,55 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Train the IVF coarse quantizer: deterministic every-31st seeds
+    * refined by `iters` distributed Lloyd rounds (spherical k-means:
+    * cosine assignment map-side against centroid literals, per-cell mean
+    * via the [[graft.functions.VectorMean]] UDAF — partial+final, one
+    * shuffle of K×dim partial sums per round). The driver holds only K
+    * centroid rows per round — the bounded "train the quantizer, ship it
+    * to executors" shape a real IVF index build uses. Empty cells keep
+    * their previous centroid. (Double-sum order across partitions can
+    * jitter the last ulp of a mean — harmless for a quantizer: the recall
+    * floor, not a hash, gates these entries.)
+    */
+  private[graft] def trainIvfCentroids(e: DataFrame, k: Int = 16,
+      iters: Int = 2): Array[(Long, Seq[Float])] = {
+    var cents: Array[(Long, Seq[Float])] =
+      e.filter(pmod(col("vec_id"), lit(31)) === 0)
+        .orderBy("vec_id").limit(k)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mean = udaf(graft.functions.VectorMean)
+    for (_ <- 0 until iters) {
+      val scores = array(cents.map { case (cid, cvec) =>
+        struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
+          lit(cid).as("c"))
+      }: _*)
+      val byCell = e
+        .select(col("embedding"), array_max(scores).getField("c").as("cell"))
+        .groupBy("cell").agg(mean(col("embedding")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, byCell.get(cid).filter(_.nonEmpty)
+          .map(_.map(_.toFloat)).getOrElse(old))
+      }
+    }
+    cents
+  }
+
   // D2-scale (IVF) — inverted-file ANN: a 16-centroid coarse quantizer
-  // (deterministic seed vectors) assigns every vector to its nearest cell
-  // MAP-SIDE (centroids are a bounded model constant inlined as literals —
-  // the same "ship the trained quantizer to executors" shape a real IVF
-  // index uses; no shuffle, no window). Probes scan their nprobe=4 nearest
-  // cells; candidates come from one broadcast equi-join on cell id, exact
+  // (k-means-trained from deterministic seeds, [[trainIvfCentroids]])
+  // assigns every vector to its nearest cell MAP-SIDE (centroids are a
+  // bounded model constant inlined as literals — the same "ship the
+  // trained quantizer to executors" shape a real IVF index uses; no
+  // shuffle, no window). Probes scan their nprobe=4 nearest cells;
+  // candidates come from one broadcast equi-join on cell id, exact
   // cosine refine inside. Cost: corpus × K map work + corpus-linear probe
   // join — the classic IVF trade (recall bounded by nprobe/K). No SQL
   // oracle (approximate); spec checks recall vs d02 brute force.
   def d02_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
-    // deterministic coarse centroids: every 31st vector, first 16
-    val cents: Array[(Long, Seq[Float])] =
-      e.filter(pmod(col("vec_id"), lit(31)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cents = trainIvfCentroids(e)
     def cellScores(vec: org.apache.spark.sql.Column) = array(cents.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
@@ -181,38 +213,80 @@ object PipelineQueries {
   // cells to also bound the scan). Approximate → rows-only; recall spec.
   // (The refine carries the original vectors for simplicity; a production
   // pipeline re-fetches the shortlist by id to keep the scan code-only.)
-  def d02_ann_pq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
-    val e = t(s, dir, "embeddings")
+  private def pqNormalize(v: Seq[Float]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    v.map(_.toDouble / n)
+  }
+
+  // normalized vector as array<double> (unit cosine domain for PQ)
+  private val pqNv = expr(
+    """transform(embedding, x -> cast(x as double) /
+      |  sqrt(aggregate(embedding, 0D,
+      |    (a, y) -> a + cast(y as double) * cast(y as double))))""".stripMargin)
+
+  private def pqDot(vec: org.apache.spark.sql.Column, w: Seq[Double]) =
+    aggregate(zip_with(vec, typedlit(w), (x, y) => x * y),
+      lit(0.0), (a, v) => a + v)
+
+  /** L2-argmin PQ encoder for subspace `sb`:
+    * argmin_j ‖x − c_j‖² = argmax_j (x·c_j − ‖c_j‖²/2) — a pure
+    * expression over the codebook literals, ties to the lowest code id.
+    */
+  private def pqCode(cents: Array[Array[Seq[Double]]], sb: Int) =
+    array_max(array((0 until 16).map { j =>
+      val c = cents(sb)(j)
+      val bias = c.map(x => x * x).sum / 2
+      struct((pqDot(slice(col("nv"), sb * 16 + 1, 16), c) - lit(bias)).as("s"),
+        lit(j).as("c"))
+    }: _*)).getField("c")
+
+  /** Train the PQ codebooks: the deterministic every-31st normalized
+    * sample slices seed 4 × 16 codewords, refined by `iters` distributed
+    * Lloyd rounds — L2 assignment ([[pqCode]]) map-side, per-(subspace,
+    * code) mean via [[graft.functions.VectorMean]], all four subspaces in
+    * ONE shuffle per round (posexplode to (sb, code, subvec) rows). The
+    * driver holds 64 codeword rows per round — bounded model training,
+    * exactly how a production PQ index fits its codebooks. Empty codes
+    * keep their previous codeword.
+    */
+  private[graft] def trainPqCodebooks(e: DataFrame,
+      iters: Int = 2): Array[Array[Seq[Double]]] = {
     val sample: Array[Seq[Float]] = e.filter(pmod(col("vec_id"), lit(31)) === 0)
       .orderBy("vec_id").limit(16)
       .collect().map(_.getSeq[Float](1))
-    def normalize(v: Seq[Float]): Seq[Double] = {
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      v.map(_.toDouble / n)
+    var cents: Array[Array[Seq[Double]]] = Array.tabulate(4)(sb =>
+      sample.map(v => pqNormalize(v).slice(sb * 16, sb * 16 + 16)))
+    val mean = udaf(graft.functions.VectorMean)
+    for (_ <- 0 until iters) {
+      val byCode = e.withColumn("nv", pqNv)
+        .select(posexplode(array((0 until 4).map { sb =>
+          struct(lit(sb).as("sb"), pqCode(cents, sb).as("code"),
+            slice(col("nv"), sb * 16 + 1, 16).cast("array<float>").as("sub"))
+        }: _*)))
+        .select(col("col.sb").as("sb"), col("col.code").as("code"),
+          col("col.sub").as("sub"))
+        .groupBy("sb", "code").agg(mean(col("sub")).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cents = Array.tabulate(4)(sb => Array.tabulate(16)(j =>
+        byCode.get((sb, j)).filter(_.nonEmpty).getOrElse(cents(sb)(j))))
     }
-    // codebook: cents(sb)(j) = subspace-sb slice of normalized sample j —
-    // a bounded model constant shipped to executors as literals
-    val cents: Array[Array[Seq[Double]]] = Array.tabulate(4)(sb =>
-      sample.map(v => normalize(v).slice(sb * 16, sb * 16 + 16)))
-    val nv = expr(
-      """transform(embedding, x -> cast(x as double) /
-        |  sqrt(aggregate(embedding, 0D,
-        |    (a, y) -> a + cast(y as double) * cast(y as double))))""".stripMargin)
-    def dotCol(vec: org.apache.spark.sql.Column, w: Seq[Double]) =
-      aggregate(zip_with(vec, typedlit(w), (x, y) => x * y),
-        lit(0.0), (a, v) => a + v)
-    def codeCol(sb: Int) =
-      array_max(array((0 until 16).map(j =>
-        struct(dotCol(slice(col("nv"), sb * 16 + 1, 16), cents(sb)(j)).as("s"),
-          lit(j).as("c"))): _*)).getField("c")
-    val corpus = e.withColumn("nv", nv)
+    cents
+  }
+
+  def d02_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    // codebook: 4 × 16 trained codewords ([[trainPqCodebooks]]) — a
+    // bounded model constant shipped to executors as literals
+    val cents = trainPqCodebooks(e)
+    val corpus = e.withColumn("nv", pqNv)
       .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
-        (0 until 4).map(sb => codeCol(sb).as(s"c$sb")): _*)
-    val probes = e.filter(col("vec_id") < 20).withColumn("nv", nv)
+        (0 until 4).map(sb => pqCode(cents, sb).as(s"c$sb")): _*)
+    val probes = e.filter(col("vec_id") < 20).withColumn("nv", pqNv)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         array((for { sb <- 0 until 4; j <- 0 until 16 } yield
-          dotCol(slice(col("nv"), sb * 16 + 1, 16), cents(sb)(j))): _*).as("lut"))
+          pqDot(slice(col("nv"), sb * 16 + 1, 16), cents(sb)(j))): _*).as("lut"))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("oid"))
     val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
     corpus.crossJoin(broadcast(probes))

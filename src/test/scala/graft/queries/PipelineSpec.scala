@@ -117,9 +117,11 @@ class PipelineSpec extends SparkSpec {
     val ivf = pairs(PipelineQueries.d02_ann_ivf(spark, dir))
     assert(truth.nonEmpty)
     val recall = ivf.intersect(truth).size.toDouble / truth.size
-    // nprobe=4 of K=16 cells on near-random vectors: modest recall by
-    // design; the floor guards the wiring (a broken cell join scores ~0)
-    assert(recall >= 0.3, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
+    // k-means-trained centroids (2 Lloyd rounds) measure 0.57 here vs
+    // 0.51 with raw sampled seeds (iters=0); the floor sits between the
+    // two so a regression to untrained seeding fails while the float-sum
+    // jitter of distributed means (≤ a pair or two) keeps clearing it
+    assert(recall >= 0.52, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
     // every reported neighbor must be a real vector with sane cosine
     assert(PipelineQueries.d02_ann_ivf(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
@@ -167,9 +169,11 @@ class PipelineSpec extends SparkSpec {
     val pq = pairs(PipelineQueries.d02_ann_pq(spark, dir))
     assert(truth.nonEmpty)
     val recall = pq.intersect(truth).size.toDouble / truth.size
-    // 4x16 codebook + top-100 ADC shortlist + exact refine: the shortlist
-    // covers 20% of this corpus, so recall well above the IVF floor
-    assert(recall >= 0.5, s"PQ recall $recall below floor (|pq|=${pq.size})")
+    // trained 4x16 codebooks (2 Lloyd rounds, L2-argmin encode) + top-100
+    // ADC shortlist + exact refine measure 0.72 here vs 0.50 with raw
+    // sampled codewords (iters=0); floor keeps jitter margin while
+    // catching a regression to untrained codebooks
+    assert(recall >= 0.6, s"PQ recall $recall below floor (|pq|=${pq.size})")
     assert(PipelineQueries.d02_ann_pq(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
