@@ -5,28 +5,35 @@ import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property fuzz of the commit-time conflict validation (SURVEY §7.5):
-  * random interleavings of append / position-delete / rewrite, each op
-  * scanning at a possibly-STALE snapshot, driven through the REAL commit
-  * protocol (`append` / `commitPositionDeletes` / `replaceFiles`). The
-  * deterministic race specs in DeltaMergeSpec pin the known interleavings;
-  * this spec searches the schedule space: across ≥500 generated schedules,
-  * whatever subset of ops the validation admits must satisfy
-  *   - NO RESURRECTION: a row whose delete committed never reappears;
+  * random interleavings of append / position-delete / equality-upsert /
+  * rewrite, each op scanning at a possibly-STALE snapshot, driven through
+  * the REAL commit protocol (`append` / `commitPositionDeletes` /
+  * `appendEpoch` / `replaceFiles`). The deterministic race specs in
+  * DeltaMergeSpec pin the known interleavings; this spec searches the
+  * schedule space: across ≥500 generated schedules, whatever subset of
+  * ops the validation admits must satisfy
+  *   - NO RESURRECTION: a row whose delete/retirement committed never
+  *     reappears (the eq case is the subtle one: a rewrite re-stamps
+  *     files with a FRESH seq, which would defeat a sequence-addressed
+  *     delete unless the rewrite aborts);
   *   - NO DUPLICATION: a row id is live in at most one file;
   *   - NO LOSS: every appended, never-deleted row stays live;
-  *   - NO DANGLING: every surviving delete entry still references at
-  *     least one live data file (dead entries are pruned by rewrites).
+  *   - NO DANGLING: every surviving position-delete entry still
+  *     references at least one live data file.
   * Ops the validation aborts (ConcurrentModificationException) must leave
   * the table byte-identical. Metadata-level (fake file paths, real
-  * manifests/commits), so no Spark session is needed and schedules run in
-  * milliseconds.
+  * manifests/commits/seq stamping), so no Spark session is needed and
+  * schedules run in milliseconds.
   */
 class ConcurrencyPropertySpec extends AnyFunSuite {
 
   private sealed trait Op
   private case class Append(nFiles: Int, rowsPer: Int) extends Op
   private case class Del(lag: Int, seed: Long) extends Op
+  private case class Upsert(seed: Long) extends Op
   private case class Rewrite(lag: Int, seed: Long) extends Op
+
+  private val KeyDomain = 8L // small on purpose: upsert keys collide often
 
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> (for {
@@ -35,6 +42,7 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     3 -> (for {
       lag <- Gen.choose(0, 3); s <- Gen.long
     } yield Del(lag, s)),
+    2 -> Gen.long.map(Upsert(_)),
     3 -> (for {
       lag <- Gen.choose(0, 3); s <- Gen.long
     } yield Rewrite(lag, s)))
@@ -43,10 +51,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, genOp))
 
   /** Model state as of one committed snapshot: live data paths and the
-    * already-committed delete positions per path.
+    * set of row ids dead (position-deleted or eq-retired) at that point.
     */
-  private case class Snap(sid: Long, live: Set[String],
-      delPos: Map[String, Set[Int]])
+  private case class Snap(sid: Long, live: Set[String], dead: Set[Long])
 
   private def runSchedule(schedule: List[Op]): Unit = {
     val loc = java.nio.file.Files.createTempDirectory("lake-fuzz").toString
@@ -56,31 +63,42 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       var nextRow = 0L
       var nextFile = 0
       var nextDel = 0
+      var nextEpoch = 0L
       // content of every fake file ever created: position index -> row id
       val fileRows = scala.collection.mutable.Map.empty[String, Vector[Long]]
-      // positions carried by each fake delete parquet, per data path
-      val delContent =
+      // row id -> upsert key (collision-rich small domain)
+      val rowKey = scala.collection.mutable.Map.empty[Long, Long]
+      // positions carried by each fake position-delete parquet, per path
+      val posContent =
         scala.collection.mutable.Map.empty[String, Map[String, Set[Int]]]
+      // key set carried by each fake equality-delete parquet
+      val eqContent = scala.collection.mutable.Map.empty[String, Set[Long]]
       var deletedRows = Set.empty[Long]
       val history = scala.collection.mutable.ArrayBuffer.empty[Snap]
-      var cur = Snap(-1L, Set.empty, Map.empty)
+      var cur = Snap(-1L, Set.empty, Set.empty)
 
-      def newDataFile(rowsPer: Int): DataFileMeta = {
+      def newRows(n: Int): Vector[Long] = Vector.fill(n) {
+        nextRow += 1
+        rowKey(nextRow) = nextRow % KeyDomain
+        nextRow
+      }
+      def newDataFile(rows: Vector[Long]): DataFileMeta = {
         nextFile += 1
         val path = f"$loc/data/f$nextFile%05d.parquet"
-        val rows = Vector.fill(rowsPer) { nextRow += 1; nextRow }
         fileRows(path) = rows
         DataFileMeta(path, 1024L, rows.size.toLong, 0L)
       }
       def scanAt(lag: Int): Option[Snap] =
         if (history.isEmpty) None
         else Some(history(math.max(0, history.size - 1 - lag)))
+      def liveRowsOf(s: Snap): Vector[Long] =
+        s.live.toVector.sorted.flatMap(p => fileRows(p)).filterNot(s.dead)
 
       schedule.foreach {
         case Append(n, rowsPer) =>
-          val metas = Seq.fill(n)(newDataFile(rowsPer))
+          val metas = Seq.fill(n)(newDataFile(newRows(rowsPer)))
           val sid = t.append(metas)
-          cur = Snap(sid, cur.live ++ metas.map(_.path), cur.delPos)
+          cur = Snap(sid, cur.live ++ metas.map(_.path), cur.dead)
           history += cur
 
         case Del(lag, seed) =>
@@ -91,14 +109,14 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             val chosen = if (chosen0.nonEmpty) chosen0 else cands.take(1)
             // delete a random subset of positions LIVE AT THE SCAN
             val posMap = chosen.map { p =>
-              val liveAtScan = fileRows(p).indices
-                .filterNot(scan.delPos.getOrElse(p, Set.empty))
+              val liveAtScan = fileRows(p).zipWithIndex
+                .collect { case (r, i) if !scan.dead(r) => i }
               p -> liveAtScan.filter(_ => rnd.nextInt(3) == 0).toSet
             }.filter(_._2.nonEmpty).toMap
             if (posMap.nonEmpty) {
               nextDel += 1
               val dp = f"$loc/deletes/d$nextDel%05d.parquet"
-              delContent(dp) = posMap
+              posContent(dp) = posMap
               val refs = posMap.keys.toSeq.sorted
               val meta = DeleteFileMeta(dp, 128L,
                 posMap.valuesIterator.map(_.size.toLong).sum,
@@ -107,13 +125,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
                 t.deleteFilesMeta().map(_.path).toSet)
               try {
                 val sid = t.commitPositionDeletes(Seq(meta))
-                deletedRows ++= posMap.flatMap { case (p, ps) =>
-                  ps.map(fileRows(p))
-                }
-                cur = Snap(sid, cur.live,
-                  posMap.foldLeft(cur.delPos) { case (m, (p, ps)) =>
-                    m.updated(p, m.getOrElse(p, Set.empty) ++ ps)
-                  })
+                val rows = posMap.flatMap { case (p, ps) => ps.map(fileRows(p)) }
+                deletedRows ++= rows
+                cur = Snap(sid, cur.live, cur.dead ++ rows)
                 history += cur
               } catch {
                 case _: java.util.ConcurrentModificationException =>
@@ -124,6 +138,32 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             }
           }
 
+        case Upsert(seed) =>
+          val rnd = new scala.util.Random(seed)
+          val keys = (0 until 1 + rnd.nextInt(3))
+            .map(_ => rnd.nextLong(KeyDomain)).toSet
+          // new row versions for the chosen keys + an equality delete that
+          // retires every OLDER version of those keys — one atomic commit,
+          // the streaming CDC-upsert shape. Scans nothing, so it cannot race.
+          val rows = keys.toVector.sorted.map { k =>
+            nextRow += 1; rowKey(nextRow) = k; nextRow
+          }
+          val dataMeta = newDataFile(rows)
+          nextDel += 1
+          val dp = f"$loc/deletes/e$nextDel%05d.parquet"
+          eqContent(dp) = keys
+          val eqMeta = DeleteFileMeta(dp, 64L, keys.size.toLong, "", "",
+            kind = DeleteFileMeta.KindEq, eqColumns = Seq("message_id"))
+          nextEpoch += 1
+          val sid = t.appendEpoch(Seq(dataMeta), "fuzz", nextEpoch, Seq(eqMeta))
+          assert(sid >= 0, "upsert unexpectedly fenced")
+          // every version of the chosen keys live BEFORE this commit dies
+          // (all live files carry seq < this commit's seq)
+          val retired = liveRowsOf(cur).filter(r => keys(rowKey(r))).toSet
+          deletedRows ++= retired
+          cur = Snap(sid, cur.live + dataMeta.path, cur.dead ++ retired)
+          history += cur
+
         case Rewrite(lag, seed) =>
           scanAt(lag).foreach { scan =>
             val rnd = new scala.util.Random(seed)
@@ -131,28 +171,20 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             val chosen0 = cands.filter(_ => rnd.nextInt(3) > 0)
             val chosen = if (chosen0.nonEmpty) chosen0 else cands.take(1)
             if (chosen.nonEmpty) {
-              // the rewrite reads rows LIVE AT ITS SCAN and packs them
-              // into one replacement file — exactly what compaction does
+              // the rewrite reads rows LIVE AT ITS SCAN (all masks applied)
+              // and packs them into one replacement file — what compaction
+              // does; a delete/upsert landing after the scan must abort it
               val surviving = chosen.flatMap(p =>
-                fileRows(p).zipWithIndex.collect {
-                  case (r, i)
-                      if !scan.delPos.getOrElse(p, Set.empty).contains(i) => r
-                }).toVector
+                fileRows(p).filterNot(scan.dead)).toVector
               val newMetas =
                 if (surviving.isEmpty) Nil
-                else {
-                  nextFile += 1
-                  val np = f"$loc/data/f$nextFile%05d.parquet"
-                  fileRows(np) = surviving
-                  Seq(DataFileMeta(np, 1024L, surviving.size.toLong, 0L))
-                }
+                else Seq(newDataFile(surviving))
               val before = (t.files().map(_.path).toSet,
                 t.deleteFilesMeta().map(_.path).toSet)
               try {
                 val sid = t.replaceFiles(chosen.toSet, newMetas, Some(scan.sid))
                 cur = Snap(sid,
-                  cur.live -- chosen ++ newMetas.map(_.path),
-                  cur.delPos -- chosen)
+                  cur.live -- chosen ++ newMetas.map(_.path), cur.dead)
                 history += cur
               } catch {
                 case _: java.util.ConcurrentModificationException =>
@@ -164,20 +196,30 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       }
 
       // ---- invariants over the final table ------------------------------
-      val livePaths = t.files().map(_.path)
+      val liveFiles = t.files()
+      val livePaths = liveFiles.map(_.path)
       assert(livePaths.distinct.size == livePaths.size, "duplicate live path")
       assert(livePaths.toSet == cur.live, "model/table live-set divergence")
       val liveDels = t.deleteFilesMeta()
-      liveDels.foreach { d =>
+      liveDels.filter(_.kind == DeleteFileMeta.KindPos).foreach { d =>
         assert(d.dataPaths.exists(cur.live),
           s"dangling delete entry ${d.path}: no live reference")
       }
-      val masked: Map[String, Set[Int]] = liveDels
-        .flatMap(d => delContent(d.path).toSeq)
+      // reconstruct the live row set from REAL metadata (file seqs, delete
+      // kinds/seqs) + the modeled file/delete contents
+      val posMask: Map[String, Set[Int]] = liveDels
+        .filter(_.kind == DeleteFileMeta.KindPos)
+        .flatMap(d => posContent(d.path).toSeq)
         .groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
-      val liveRows = livePaths.flatMap(p =>
-        fileRows(p).zipWithIndex.collect {
-          case (r, i) if !masked.getOrElse(p, Set.empty).contains(i) => r
+      val eqLive: Seq[(Set[Long], Long)] = liveDels
+        .filter(_.kind == DeleteFileMeta.KindEq)
+        .map(d => (eqContent(d.path), d.seq))
+      val liveRows = liveFiles.flatMap(f =>
+        fileRows(f.path).zipWithIndex.collect {
+          case (r, i)
+              if !posMask.getOrElse(f.path, Set.empty).contains(i) &&
+                !eqLive.exists { case (ks, s) => f.seq < s && ks(rowKey(r)) } =>
+            r
         })
       assert(liveRows.distinct.size == liveRows.size, "row duplicated")
       assert(liveRows.toSet.intersect(deletedRows).isEmpty, "row resurrected")
@@ -186,7 +228,7 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     } finally LakeTable.drop(loc)
   }
 
-  test("500 random append/delete/rewrite schedules: no resurrection, " +
+  test("500 random append/delete/upsert/rewrite schedules: no resurrection, " +
       "no duplication, no loss, no dangling deletes") {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
