@@ -29,8 +29,7 @@ import org.apache.spark.sql.types.StructType
 final class LakeTable private (val location: String, private var meta: TableMeta) {
   import LakeFormat._
 
-  private def conf = new Configuration()
-  private def fs: FileSystem = new Path(location).getFileSystem(conf)
+  private def fs: FileSystem = new Path(location).getFileSystem(LakeTable.hadoopConf)
   private def metaDir = new Path(location, MetadataDir)
 
   def tableMeta: TableMeta = meta
@@ -67,10 +66,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val cached = LakeTable.manifestCache.get(key)
     if (cached != null) cached
     else {
-      val in = fs.open(p)
-      val parsed =
-        try Json.manifestFromJson(new String(in.readAllBytes(), "UTF-8"))
-        finally in.close()
+      val parsed = Json.manifestFromJson(LakeTable.readSmall(fs, p))
       LakeTable.manifestParses.incrementAndGet()
       LakeTable.manifestCache.put(key, parsed)
       parsed
@@ -90,10 +86,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val cached = LakeTable.deleteManifestCache.get(key)
     if (cached != null) cached
     else {
-      val in = fs.open(p)
-      val parsed =
-        try Json.deleteManifestFromJson(new String(in.readAllBytes(), "UTF-8"))
-        finally in.close()
+      val parsed = Json.deleteManifestFromJson(LakeTable.readSmall(fs, p))
       LakeTable.deleteManifestCache.put(key, parsed)
       parsed
     }
@@ -274,25 +267,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   }
 
   private def writeAtomic(dest: Path, content: String): Unit = {
-    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
     if (fs.getScheme == "file") {
-      // Local FS: Hadoop's rename overwrites (and checksum sidecars go
-      // stale under races) — hard-link creation is the POSIX
-      // create-if-absent CAS.
-      try
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dest.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
+      // Local FS: full NIO. Hadoop's local create() costs ~10 ms per file
+      // when native IO is absent (it FORKS a chmod per file, plus checksum
+      // sidecars) — two of those per commit put a floor under commit
+      // latency that NIO (~0.1 ms) removes. Hadoop's rename also
+      // overwrites, so hard-link creation is the POSIX create-if-absent
+      // CAS (sidecar-free and race-exact).
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val tmp = destNio.resolveSibling(s".${dest.getName}.tmp-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(destNio, tmp)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           throw new java.io.IOException(s"concurrent commit: $dest exists", e)
-      } finally fs.delete(tmp, false)
-    } else if (!fs.rename(tmp, dest)) {
-      // HDFS-semantics rename refuses existing destinations — that IS the CAS.
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"concurrent commit: $dest exists")
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(dest.getParent, s".${dest.getName}.tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, dest)) {
+        // HDFS-semantics rename refuses existing destinations — that IS the CAS.
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"concurrent commit: $dest exists")
+      }
     }
   }
 
@@ -1350,7 +1348,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .repartition(math.min(manifestPaths.size, 32))
       .flatMap { mp =>
         val p = new Path(mp)
-        val in = p.getFileSystem(new Configuration()).open(p)
+        val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
         val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         Json.manifestFromJson(content)
           .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue))
@@ -1412,6 +1410,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 object LakeTable {
   import LakeFormat._
 
+  /** One JVM-wide default Hadoop Configuration: constructing one parses
+    * core-default.xml out of the jar every time (~40 ms of XML + classpath
+    * scanning) — done per commit it was 95% of commit latency. The default
+    * config is never mutated; FileSystem.get caches instances against it
+    * as usual. Executor-side code referencing this re-initializes it once
+    * per JVM (it is a static, not serialized state).
+    */
+  private[lake] lazy val hadoopConf = new Configuration()
+
   /** Epoch watermark value: "epochId:commitTimestampMs". Bare-long values
     * (pre-GC metadata) parse with timestamp 0 — immediately GC-eligible,
     * which only affects queries already idle across the format change.
@@ -1468,7 +1475,7 @@ object LakeTable {
       })
 
   private def fsFor(location: String) =
-    new Path(location).getFileSystem(new Configuration())
+    new Path(location).getFileSystem(LakeTable.hadoopConf)
 
   def create(location: String, schemaDdl: String, spec: TruncateSpec,
       properties: Map[String, String] = Map.empty): LakeTable = {
@@ -1476,20 +1483,58 @@ object LakeTable {
     val metaDir = new Path(location, MetadataDir)
     if (fs.exists(new Path(metaDir, "v0.json")))
       throw new IllegalStateException(s"table exists at $location")
-    fs.mkdirs(metaDir)
-    fs.mkdirs(new Path(location, DataDir))
-    fs.mkdirs(new Path(location, PendingCommitsDir))
-    fs.mkdirs(new Path(location, TmpCommitsDir))
+    // NIO fast path for the same chmod-fork reason as writeSmall
+    if (fs.getScheme == "file") {
+      Seq(MetadataDir, DataDir, PendingCommitsDir, TmpCommitsDir).foreach(d =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(new Path(location, d).toUri.getPath)))
+    } else {
+      fs.mkdirs(metaDir)
+      fs.mkdirs(new Path(location, DataDir))
+      fs.mkdirs(new Path(location, PendingCommitsDir))
+      fs.mkdirs(new Path(location, TmpCommitsDir))
+    }
     val meta = TableMeta(1, location, schemaDdl, spec,
       DefaultProperties ++ properties,
       Seq(Snapshot(0L, -1L, System.currentTimeMillis(), "create", Nil)), 0L)
     val t = new LakeTable(location, meta)
-    val out = fs.create(new Path(metaDir, "v0.json"), false)
-    try out.write(Json.metaToJson(meta).getBytes("UTF-8")) finally out.close()
-    val hintOut = fs.create(new Path(metaDir, VersionHint), true)
-    try hintOut.write("0".getBytes("UTF-8")) finally hintOut.close()
+    writeSmall(fs, new Path(metaDir, "v0.json"), Json.metaToJson(meta),
+      overwrite = false)
+    writeSmall(fs, new Path(metaDir, VersionHint), "0", overwrite = true)
     t
   }
+
+  /** Small-file write with a local-scheme NIO fast path (Hadoop's local
+    * create() forks a chmod per file when native IO is absent — ~10 ms for
+    * a sub-KB metadata file; NIO is ~0.1 ms). Object stores keep the
+    * Hadoop stream.
+    */
+  /** Small-file read with the same local-scheme NIO fast path as
+    * [[writeSmall]] (Hadoop's local open stats the file and its checksum
+    * sidecar first). NoSuchFileException is an IOException, so callers'
+    * recovery paths see the same failure type.
+    */
+  private[lake] def readSmall(fs: FileSystem, p: Path): String =
+    if (fs.getScheme == "file")
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toUri.getPath)), "UTF-8")
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
+  private[lake] def writeSmall(fs: FileSystem, p: Path, content: String,
+      overwrite: Boolean): Unit =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      if (overwrite) java.nio.file.Files.write(nio, content.getBytes("UTF-8"))
+      else java.nio.file.Files.write(nio, content.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      val out = fs.create(p, overwrite)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
 
   private[lake] def readMeta(location: String): TableMeta = {
     val fs = fsFor(location)
@@ -1499,11 +1544,8 @@ object LakeTable {
       // The hint is rewritten (delete + create) by committers; a read racing
       // that window must fall back to listing, not fail.
       val fromHint =
-        try {
-          val in = fs.open(hint)
-          try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
+        try readSmall(fs, hint).trim.toLongOption
+        catch { case _: java.io.IOException => None }
       // The hint is advisory (written after the CAS): recover by listing.
       val listed = fs.listStatus(metaDir).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
@@ -1512,9 +1554,7 @@ object LakeTable {
         .getOrElse(throw new IllegalStateException(s"no table at $location"))
       math.max(fromHint.getOrElse(-1L), maxListed)
     }
-    val in = fs.open(new Path(metaDir, s"v$version.json"))
-    try Json.metaFromJson(new String(in.readAllBytes(), "UTF-8"))
-    finally in.close()
+    Json.metaFromJson(readSmall(fs, new Path(metaDir, s"v$version.json")))
   }
 
   def load(location: String): LakeTable =

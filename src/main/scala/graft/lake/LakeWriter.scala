@@ -81,7 +81,7 @@ object LakeWriter {
       sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[DataFileMeta] = {
     val spark = df.sparkSession
     val spec = table.spec
-    val conf = new Configuration()
+    val conf = LakeTable.hadoopConf
     val loc = new Path(table.location)
     val fs = loc.getFileSystem(conf)
     val tmpDir = new Path(loc, s"_tmp-write-${UUID.randomUUID()}")

@@ -20,7 +20,9 @@ import scala.collection.parallel.CollectionConverters._
   * monikers are harmless because append() path-dedupes.
   */
 object Monikers {
-  private def conf = new Configuration()
+  // shared default (a fresh Configuration re-parses core-default.xml — see
+  // LakeTable.hadoopConf)
+  private def conf = LakeTable.hadoopConf
 
   private def pendingDir(tableLocation: String) =
     new Path(tableLocation, LakeFormat.PendingCommitsDir)
@@ -34,10 +36,19 @@ object Monikers {
     fs.mkdirs(pendingDir(tableLocation))
     val id = UUID.randomUUID().toString
     val tmp = new Path(tmpDir(tableLocation), s"$id.json")
-    val out = fs.create(tmp, false)
-    try out.write(Json.manifestToJson(files).getBytes("UTF-8")) finally out.close()
+    // local-scheme NIO fast path (LakeTable.writeSmall): Hadoop's local
+    // create() forks a chmod per file — a publish-heavy writer pays ~10 ms
+    // per moniker for a sub-KB JSON otherwise
+    LakeTable.writeSmall(fs, tmp, Json.manifestToJson(files), overwrite = false)
     val dest = new Path(pendingDir(tableLocation), s"tc_$id.json")
-    if (!fs.rename(tmp, dest))
+    if (fs.getScheme == "file") {
+      // dest names are UUID-unique; ATOMIC_MOVE keeps the publish
+      // all-or-nothing without Hadoop's overwrite-on-rename semantics
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"moniker publish failed: $dest")
     dest.toString
   }
@@ -66,11 +77,8 @@ object Monikers {
   def read(monikers: Seq[FileStatus]): Seq[DataFileMeta] = {
     val fs = monikers.headOption.map(_.getPath.getFileSystem(conf))
     fs.fold(Seq.empty[DataFileMeta]) { f =>
-      monikers.par.flatMap { m =>
-        val in = f.open(m.getPath)
-        try Json.manifestFromJson(new String(in.readAllBytes(), "UTF-8"))
-        finally in.close()
-      }.seq.toSeq
+      monikers.par.flatMap(m =>
+        Json.manifestFromJson(LakeTable.readSmall(f, m.getPath))).seq.toSeq
     }
   }
 

@@ -65,7 +65,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(): Array[Array[String]] = {
     val dir = new Path(warehouse)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(LakeTable.hadoopConf)
     if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && !LakeTable.exists(s.getPath.toUri.getPath))
@@ -81,7 +81,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val p = nsPath(namespace)
-    p.getFileSystem(new Configuration()).exists(p)
+    p.getFileSystem(LakeTable.hadoopConf).exists(p)
   }
 
   override def loadNamespaceMetadata(
@@ -93,7 +93,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     val p = nsPath(namespace)
-    p.getFileSystem(new Configuration()).mkdirs(p)
+    p.getFileSystem(LakeTable.hadoopConf).mkdirs(p)
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -106,7 +106,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
     val p = nsPath(namespace)
-    p.getFileSystem(new Configuration()).delete(p, true)
+    p.getFileSystem(LakeTable.hadoopConf).delete(p, true)
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -132,7 +132,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(LakeTable.hadoopConf)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && LakeTable.exists(s.getPath.toUri.getPath))
@@ -271,7 +271,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val src = new Path(location(oldIdent))
     val dst = new Path(location(newIdent))
-    val fs = src.getFileSystem(new Configuration())
+    val fs = src.getFileSystem(LakeTable.hadoopConf)
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"rename $src -> $dst failed")

@@ -107,7 +107,7 @@ final class LakeDeltaBatchWrite(location: String) extends DeltaBatchWrite {
         LakeWriteCommit.deleteAll(data)
         dels.foreach { d =>
           val p = new Path(d.path)
-          try p.getFileSystem(new Configuration()).delete(p, false)
+          try p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
           catch { case _: java.io.IOException => }
         }
       case _ =>
@@ -187,7 +187,7 @@ final class LakeDeletePositionsWriter(location: String) {
     s"${UUID.randomUUID()}.parquet")
   private val conf: Configuration = {
     import org.apache.spark.sql.internal.SQLConf
-    val c = new Configuration()
+    val c = new Configuration(LakeTable.hadoopConf)
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetWriteSupport.setSchema(DeleteSchema, c)
     c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
@@ -280,7 +280,7 @@ final class LakeEqualityDeleteWriter(location: String,
     s"${UUID.randomUUID()}.parquet")
   private val conf: Configuration = {
     import org.apache.spark.sql.internal.SQLConf
-    val c = new Configuration()
+    val c = new Configuration(LakeTable.hadoopConf)
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetWriteSupport.setSchema(keySchema, c)
     c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")

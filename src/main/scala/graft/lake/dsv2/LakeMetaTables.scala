@@ -62,7 +62,7 @@ final class LakeFilesMetaTable(location: String) extends Table with SupportsRead
         (partition: InputPartition) => new PartitionReader[InternalRow] {
           private val it = {
             val p = new Path(partition.asInstanceOf[ManifestPartition].path)
-            val in = p.getFileSystem(new Configuration()).open(p)
+            val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
             val content =
               try new String(in.readAllBytes(), "UTF-8") finally in.close()
             Json.manifestFromJson(content).iterator
@@ -119,7 +119,7 @@ final class LakePartitionsMetaTable(location: String) extends Table with Support
             val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Acc]
             for (mp <- partition.asInstanceOf[ManifestListPartition].paths) {
               val p = new Path(mp)
-              val in = p.getFileSystem(new Configuration()).open(p)
+              val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
               val content =
                 try new String(in.readAllBytes(), "UTF-8") finally in.close()
               for (f <- Json.manifestFromJson(content)) {
@@ -172,7 +172,7 @@ final class LakeManifestsMetaTable(location: String) extends Table with Supports
           override def next(): Boolean = {
             if (done) return false
             val p = new Path(partition.asInstanceOf[ManifestPartition].path)
-            val in = p.getFileSystem(new Configuration()).open(p)
+            val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
             val content =
               try new String(in.readAllBytes(), "UTF-8") finally in.close()
             val files = Json.manifestFromJson(content)

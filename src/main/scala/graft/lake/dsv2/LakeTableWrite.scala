@@ -95,14 +95,14 @@ private[dsv2] object LakeWriteCommit {
   def deleteAll(files: Seq[DataFileMeta]): Unit =
     files.foreach { f =>
       val p = new Path(f.path)
-      try p.getFileSystem(new Configuration()).delete(p, false)
+      try p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
       catch { case _: java.io.IOException => }
     }
 
   def deleteDeleteFiles(dels: Seq[graft.lake.DeleteFileMeta]): Unit =
     dels.foreach { d =>
       val p = new Path(d.path)
-      try p.getFileSystem(new Configuration()).delete(p, false)
+      try p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
       catch { case _: java.io.IOException => }
     }
 }
@@ -250,7 +250,7 @@ final class LakeDataWriter(location: String, schema: StructType,
   private val partIdx = schema.fieldIndex(spec.column)
   private val conf: Configuration = {
     import org.apache.spark.sql.internal.SQLConf
-    val c = new Configuration()
+    val c = new Configuration(LakeTable.hadoopConf)
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetWriteSupport.setSchema(schema, c)
     c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")

@@ -452,16 +452,30 @@ object PipelineQueries {
 
   // D4f — training-mix curation: per-language top-5 documents by quality
   // score (avg token length; IEEE division is bit-identical across
-  // engines, doc_id tie-break totalizes the order). The per-lang window is
-  // the canonical "curate a balanced mix" primitive — shuffle keyed on
-  // lang, no global sort of the corpus.
+  // engines, doc_id tie-break totalizes the order).
+  //
+  // TWO-PHASE top-K, not one bare per-lang window: a window partitioned
+  // only by lang sorts the dominant language's ENTIRE corpus on one task
+  // at 100 TB (the d04_budget_pack shape). Instead:
+  //   1. candidate cut per (lang, scan slice): each of the global per-lang
+  //      top-5 rows is by definition in its own slice's top-5, so keeping
+  //      5 per (lang, slice) preserves them — and bounds every task's sort
+  //      to one slice;
+  //   2. final per-lang window over ≤ 5 × slices rows per language — tiny.
+  // Any slicing gives a correct superset; spark_partition_id() reuses the
+  // scan's own splits so phase 1 adds no extra exchange of the full rows.
   def d04_curation(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
       size(toks).cast("long").as("n_tok"),
       (col("n_chars").cast("double") / size(toks)).as("score"))
+    val wSlice = Window.partitionBy("lang", "slice")
+      .orderBy(col("score").desc, col("doc_id"))
+    val cands = scored.withColumn("slice", spark_partition_id())
+      .withColumn("crnk", row_number().over(wSlice))
+      .filter(col("crnk") <= 5).drop("slice", "crnk")
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("doc_id"), col("n_tok"),
         dec4(col("score")).as("score"))
@@ -510,6 +524,83 @@ object PipelineQueries {
       .withColumn("cum_tok", col("local_cum") + col("off"))
       .filter(col("cum_tok") <= budget)
       .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
+      .orderBy("lang", "cum_tok", "doc_id")
+  }
+
+  // D6 — the END-TO-END training-data pipeline: the cleaning passes
+  // composed as ONE dataflow, the shape a real 100 TB curation run takes —
+  //   1. Gopher-style quality gate        (map-side; d04_gopher_rules)
+  //   2. exact dedup, keep-first          (content-hash window; d01b)
+  //   3. PII redaction                    (map-side regex chain; d04_pii)
+  //   4. per-lang token-budget packing    (two-phase prefix sum; d04g)
+  // Composing matters beyond the sum of parts: Catalyst pipelines stages
+  // 1→3 into the same codegen'd scan-side stage (one pass over text before
+  // the first shuffle), and the only exchanges are the dedup hash and the
+  // pack's range partitioning. Every stage is deterministic, so the whole
+  // pipeline is hash-oracled end to end against DuckDB.
+  def d06_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
+    val budget = 3000L
+    val slices = 32
+    // stage 1 — quality gate (same rules + rounding as d04_gopher_rules)
+    val gated = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mean_len",
+        dec4(expr("aggregate(toks, 0D, (a, x) -> a + length(x)) / size(toks)")))
+      .withColumn("max_freq",
+        expr("""cast(array_max(transform(array_distinct(toks),
+               |  u -> size(filter(toks, x -> x = u)))) as long)""".stripMargin))
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 5000 &&
+        col("mean_len") >= 3.0 && col("mean_len") <= 12.0 &&
+        col("max_freq").cast("double") / col("n_tok") <= 0.2)
+      .drop("toks")
+    // stage 2 — exact dedup keep-first: shuffle keyed on the content hash;
+    // a group is one duplicate set, never corpus-proportional
+    val wDup = Window.partitionBy("h").orderBy("doc_id")
+    val deduped = gated
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1).drop("h", "rn")
+    // stage 3 — PII redaction (planted doc_id-derived suffix as in d04_pii
+    // so the scrubber has real matches on the synthetic corpus)
+    val emailP = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipP = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phoneP = """\b555-\d{4}\b"""
+    val redacted = deduped
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("redacted_sha", sha2(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), lit(emailP), lit("<EMAIL>")),
+            lit(ipP), lit("<IP>")),
+          lit(phoneP), lit("<PHONE>")), 256))
+    // stage 4 — two-phase budget pack (the d04_budget_pack shape) over the
+    // surviving, redacted docs
+    val scored = redacted.select(col("lang"), col("doc_id"), col("n_tok"),
+      col("redacted_sha"),
+      (col("n_chars").cast("double") / col("n_tok")).as("score"))
+    val ranged = scored
+      .repartitionByRange(slices, col("lang"), col("score").desc, col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val wLocal = Window.partitionBy("lang", "slice")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("local_cum", sum("n_tok").over(wLocal))
+    val wOff = Window.partitionBy("lang").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("lang", "slice").agg(sum("n_tok").as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select(col("lang"), col("slice"), col("off"))
+    local.join(broadcast(offsets), Seq("lang", "slice"))
+      .withColumn("cum_tok", col("local_cum") + col("off"))
+      .filter(col("cum_tok") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"),
+        col("redacted_sha"))
       .orderBy("lang", "cum_tok", "doc_id")
   }
 
@@ -887,9 +978,51 @@ object PipelineQueries {
     "d04_gopher_rules" -> d04_gopher_rules _,
     "d03_boilerplate" -> d03_boilerplate _,
     "d01_dedup_cluster" -> d01_dedup_cluster _,
+    "d06_pipeline_e2e" -> d06_pipeline_e2e _,
   )
 
   val oracle: Map[String, String] = Map(
+    "d06_pipeline_e2e" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk),
+        |kept AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
+        |  WHERE n_tok >= 20 AND n_tok <= 5000
+        |    AND mean_len >= 3.0 AND mean_len <= 12.0
+        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
+        |deduped AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
+        |    SELECT *, ROW_NUMBER() OVER
+        |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |red AS (
+        |  SELECT doc_id, lang, n_chars, n_tok,
+        |    sha256(regexp_replace(regexp_replace(regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
+        |  FROM deduped),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok, redacted_sha,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM red)
+        |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
+        |FROM packed WHERE cum_tok <= 3000
+        |ORDER BY lang, cum_tok, doc_id""".stripMargin,
     "d05_multimodal" ->
       """SELECT doc_id AS media_id, 'txt' AS fmt,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,

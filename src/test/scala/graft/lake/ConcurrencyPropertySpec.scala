@@ -55,8 +55,19 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     */
   private case class Snap(sid: Long, live: Set[String], dead: Set[Long])
 
+  // 500 schedules × ~10 commits each is manifest-IO bound; a ramdisk base
+  // (when present) keeps the suite's wall time in check without touching
+  // what the property exercises
+  private val tmpBase: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
   private def runSchedule(schedule: List[Op]): Unit = {
-    val loc = java.nio.file.Files.createTempDirectory("lake-fuzz").toString
+    val loc = tmpBase
+      .map(b => java.nio.file.Files.createTempDirectory(b, "lake-fuzz"))
+      .getOrElse(java.nio.file.Files.createTempDirectory("lake-fuzz"))
+      .toString
     LakeTable.drop(loc)
     val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
     try {

@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
       s"no (lang, slice) window spec found:\n$p")
   }
 
+  test("D4: curation cuts candidates per (lang, slice) before the per-lang window") {
+    val p = plan(PipelineQueries.d04_curation(spark, dir))
+    // phase 1 must window on (lang, slice) — a bare per-lang window alone
+    // over the doc stream is the single-task top-K shape. The plan prints
+    // root-first, so assert the slice-keyed spec EXISTS (the candidate
+    // cut) and exactly one bare-lang spec remains (the bounded final).
+    val specs = "windowspecdefinition\\(lang[^,)]*(, slice[^,)]*)?,"
+      .r.findAllIn(p).toList
+    assert(specs.exists(_.contains("slice")),
+      s"no (lang, slice) candidate-cut window found:\n$p")
+    assert(specs.count(!_.contains("slice")) == 1,
+      s"expected exactly one bare-lang window (the bounded final):\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
