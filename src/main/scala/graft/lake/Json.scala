@@ -107,6 +107,50 @@ object Json {
         seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L))
     }.toSeq
 
+  /** Delta-encode one snapshot list against its parent's. Emitted only
+    * when replaying (parent minus removed, plus added) reproduces the
+    * child EXACTLY and the delta is strictly smaller than the full list —
+    * anything else (reorders, missing parent, full rewrites) falls back
+    * to the inline form, so correctness never depends on the encoding.
+    */
+  private def putListDelta(n: ObjectNode, cur: Seq[String],
+      parent: Option[(Long, Seq[String])], fullKey: String, baseKey: String,
+      addKey: String, remKey: String): Unit = {
+    val asDelta = parent.flatMap { case (pid, p) =>
+      val pSet = p.toSet
+      val cSet = cur.toSet
+      val added = cur.filterNot(pSet)
+      val removed = p.filterNot(cSet)
+      val replay = p.filterNot(removed.toSet) ++ added
+      if (replay == cur && added.size + removed.size < cur.size)
+        Some((pid, added, removed))
+      else None
+    }
+    asDelta match {
+      case Some((pid, added, removed)) =>
+        n.put(baseKey, pid)
+        if (added.nonEmpty) { val a = n.putArray(addKey); added.foreach(a.add) }
+        if (removed.nonEmpty) { val r = n.putArray(remKey); removed.foreach(r.add) }
+      case None =>
+        if (cur.nonEmpty || fullKey == "manifests") {
+          val a = n.putArray(fullKey); cur.foreach(a.add)
+        }
+    }
+  }
+
+  /** Table metadata. Snapshot manifest lists are DELTA-encoded against the
+    * parent snapshot (added/removed names) whenever that is smaller: a
+    * snapshot log keeps near-identical lists per commit, so inline lists
+    * make the metadata file O(snapshots × manifests) — at 100-some retained
+    * snapshots times manifest-merge's ~200-manifest ceiling that is tens of
+    * thousands of re-serialized names PER COMMIT, the dominant commit cost
+    * once fixed overheads are gone. Deltas bring the file (and every
+    * commit's write + every refresh's parse) to O(snapshots + changes),
+    * the same scaling Iceberg gets from per-snapshot manifest-list files,
+    * without a second metadata file kind to GC. Old inline metadata parses
+    * unchanged; expiry naturally re-inlines a delta whose parent was
+    * expired (the writer sees no parent and emits the full list).
+    */
   def metaToJson(m: TableMeta): String = {
     val root = obj()
     root.put("formatVersion", m.formatVersion)
@@ -117,6 +161,7 @@ object Json {
     sp.put("widthMicros", m.spec.widthMicros)
     val pr = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    val byId = m.snapshots.map(s => s.id -> s).toMap
     val sn = root.putArray("snapshots")
     m.snapshots.foreach { s =>
       val n = sn.addObject()
@@ -125,12 +170,13 @@ object Json {
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
       s.schemaDdl.foreach(n.put("schemaDdl", _))
-      val ma = n.putArray("manifests")
-      s.manifests.foreach(ma.add)
-      if (s.deleteManifests.nonEmpty) {
-        val dm = n.putArray("deleteManifests")
-        s.deleteManifests.foreach(dm.add)
-      }
+      val parent = byId.get(s.parentId).filter(_.id < s.id)
+      putListDelta(n, s.manifests, parent.map(p => (p.id, p.manifests)),
+        "manifests", "baseManifests", "addedManifests", "removedManifests")
+      putListDelta(n, s.deleteManifests,
+        parent.map(p => (p.id, p.deleteManifests)),
+        "deleteManifests", "baseDeleteManifests",
+        "addedDeleteManifests", "removedDeleteManifests")
     }
     root.put("currentSnapshotId", m.currentSnapshotId)
     write(root)
@@ -138,17 +184,54 @@ object Json {
 
   def metaFromJson(s: String): TableMeta = {
     val n = parse(s)
-    val snaps = n.get("snapshots").elements().asScala.map { sn =>
-      Snapshot(
-        id = sn.get("id").asLong,
-        parentId = sn.get("parentId").asLong,
-        timestampMs = sn.get("timestampMs").asLong,
-        operation = sn.get("operation").asText,
-        manifests = sn.get("manifests").elements().asScala.map(_.asText).toSeq,
-        schemaDdl = Option(sn.get("schemaDdl")).map(_.asText),
-        deleteManifests = Option(sn.get("deleteManifests"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+    // raw pass, then resolve deltas ascending by id (parents always carry
+    // smaller ids: version numbers are max+1 even for rollback commits)
+    case class Raw(id: Long, parentId: Long, ts: Long, op: String,
+        schemaDdl: Option[String], node: JsonNode)
+    val raws = n.get("snapshots").elements().asScala.map { sn =>
+      Raw(sn.get("id").asLong, sn.get("parentId").asLong,
+        sn.get("timestampMs").asLong, sn.get("operation").asText,
+        Option(sn.get("schemaDdl")).map(_.asText), sn)
     }.toSeq
+    def strArr(node: JsonNode, k: String): Option[Seq[String]] =
+      Option(node.get(k)).map(_.elements().asScala.map(_.asText).toSeq)
+    val manifests = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val delManifests = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    def resolve(raw: Raw, memo: scala.collection.mutable.Map[Long, Seq[String]],
+        fullKey: String, baseKey: String, addKey: String,
+        remKey: String): Seq[String] = {
+      val v = strArr(raw.node, fullKey) match {
+        case Some(full) => full
+        case None => Option(raw.node.get(baseKey)) match {
+          case Some(base) =>
+            val p = memo.getOrElse(base.asLong, throw new IllegalStateException(
+              s"snapshot ${raw.id}: $baseKey ${base.asLong} not resolved"))
+            val removed = strArr(raw.node, remKey).getOrElse(Nil).toSet
+            p.filterNot(removed) ++ strArr(raw.node, addKey).getOrElse(Nil)
+          case None => Nil
+        }
+      }
+      memo(raw.id) = v
+      v
+    }
+    raws.sortBy(_.id).foreach { raw =>
+      resolve(raw, manifests, "manifests",
+        "baseManifests", "addedManifests", "removedManifests")
+      resolve(raw, delManifests, "deleteManifests",
+        "baseDeleteManifests", "addedDeleteManifests",
+        "removedDeleteManifests")
+    }
+    // emit in file order (resolution above ran in id order)
+    val snaps = raws.map { raw =>
+      Snapshot(
+        id = raw.id,
+        parentId = raw.parentId,
+        timestampMs = raw.ts,
+        operation = raw.op,
+        manifests = manifests(raw.id),
+        schemaDdl = raw.schemaDdl,
+        deleteManifests = delManifests(raw.id))
+    }
     TableMeta(
       formatVersion = n.get("formatVersion").asInt,
       location = n.get("location").asText,
