@@ -6,20 +6,26 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Property fuzz of the commit-time conflict validation (SURVEY §7.5):
   * random interleavings of append / position-delete / equality-upsert /
-  * rewrite, each op scanning at a possibly-STALE snapshot, driven through
-  * the REAL commit protocol (`append` / `commitPositionDeletes` /
-  * `appendEpoch` / `replaceFiles`). The deterministic race specs in
+  * rewrite / snapshot-expiry / rollback, each op scanning at a
+  * possibly-STALE snapshot, driven through the REAL commit protocol
+  * (`append` / `commitPositionDeletes` / `appendEpoch` / `replaceFiles` /
+  * `expireSnapshots` / `rollbackTo`). The deterministic race specs in
   * DeltaMergeSpec pin the known interleavings; this spec searches the
-  * schedule space: across ≥500 generated schedules, whatever subset of
+  * schedule space: across ≥1500 generated schedules, whatever subset of
   * ops the validation admits must satisfy
   *   - NO RESURRECTION: a row whose delete/retirement committed never
   *     reappears (the eq case is the subtle one: a rewrite re-stamps
   *     files with a FRESH seq, which would defeat a sequence-addressed
-  *     delete unless the rewrite aborts);
+  *     delete unless the rewrite aborts) — except through an explicit
+  *     rollback, whose POINT is restoring the target's row set;
   *   - NO DUPLICATION: a row id is live in at most one file;
   *   - NO LOSS: every appended, never-deleted row stays live;
   *   - NO DANGLING: every surviving position-delete entry still
-  *     references at least one live data file.
+  *     references at least one live data file;
+  *   - MODEL AGREEMENT: the live row set reconstructed from REAL metadata
+  *     (file seqs, delete kinds, surviving manifests) equals the model's,
+  *     including across expiry holes and rollbacks (which also exercise
+  *     the delta-encoded metadata codec against real histories).
   * Ops the validation aborts (ConcurrentModificationException) must leave
   * the table byte-identical. Metadata-level (fake file paths, real
   * manifests/commits/seq stamping), so no Spark session is needed and
@@ -32,6 +38,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
   private case class Del(lag: Int, seed: Long) extends Op
   private case class Upsert(seed: Long) extends Op
   private case class Rewrite(lag: Int, seed: Long) extends Op
+  private case class Expire(keep: Int) extends Op
+  private case class Rollback(lag: Int) extends Op
 
   private val KeyDomain = 8L // small on purpose: upsert keys collide often
 
@@ -45,7 +53,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     2 -> Gen.long.map(Upsert(_)),
     3 -> (for {
       lag <- Gen.choose(0, 3); s <- Gen.long
-    } yield Rewrite(lag, s)))
+    } yield Rewrite(lag, s)),
+    1 -> Gen.choose(2, 5).map(Expire(_)),
+    1 -> Gen.choose(1, 3).map(Rollback(_)))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, genOp))
@@ -85,6 +95,10 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       // key set carried by each fake equality-delete parquet
       val eqContent = scala.collection.mutable.Map.empty[String, Set[Long]]
       var deletedRows = Set.empty[Long]
+      // a rollback DELIBERATELY resurrects (that is its contract), so the
+      // global no-resurrection/no-loss asserts only apply to schedules
+      // without one; model agreement applies always
+      var rolledBack = false
       val history = scala.collection.mutable.ArrayBuffer.empty[Snap]
       var cur = Snap(-1L, Set.empty, Set.empty)
 
@@ -204,6 +218,31 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
               }
             }
           }
+
+        case Expire(keep) =>
+          // aggressive retention: only the floor + current survive; the
+          // commit walks the delta-encoded history and GCs orphan
+          // manifests — later stale-scan ops then hit expiry holes
+          val sid = t.expireSnapshots(Long.MaxValue, retainLast = keep)
+          if (sid >= 0) {
+            cur = Snap(sid, cur.live, cur.dead)
+            history += cur
+          }
+
+        case Rollback(lag) =>
+          val liveIds = t.snapshots.map(_.id).toSet
+          // roll back to a still-present historical snapshot (expiry may
+          // have GC'd the lagged one — walk back to one that survives)
+          val target = history.reverseIterator
+            .filter(s => liveIds.contains(s.sid)).drop(lag)
+            .nextOption()
+          target.foreach { tgt =>
+            val sid = t.rollbackTo(tgt.sid)
+            rolledBack = true
+            deletedRows = tgt.dead
+            cur = Snap(sid, tgt.live, tgt.dead)
+            history += cur
+          }
       }
 
       // ---- invariants over the final table ------------------------------
@@ -233,19 +272,25 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             r
         })
       assert(liveRows.distinct.size == liveRows.size, "row duplicated")
-      assert(liveRows.toSet.intersect(deletedRows).isEmpty, "row resurrected")
-      val expected = (1L to nextRow).toSet -- deletedRows
-      assert(liveRows.toSet == expected, "row lost")
+      // model agreement holds regardless of rollbacks/expiry
+      assert(liveRows.toSet == liveRowsOf(cur).toSet,
+        "metadata reconstruction diverges from model head")
+      if (!rolledBack) {
+        assert(liveRows.toSet.intersect(deletedRows).isEmpty, "row resurrected")
+        val expected = (1L to nextRow).toSet -- deletedRows
+        assert(liveRows.toSet == expected, "row lost")
+      }
     } finally LakeTable.drop(loc)
   }
 
-  test("500 random append/delete/upsert/rewrite schedules: no resurrection, " +
-      "no duplication, no loss, no dangling deletes") {
+  test("1500 random append/delete/upsert/rewrite/expire/rollback schedules: " +
+      "no resurrection, no duplication, no loss, no dangling deletes, " +
+      "model agreement") {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(1500), prop)
     assert(res.passed, res.status.toString)
   }
 }
