@@ -1326,6 +1326,91 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     id
   }
 
+  /** Orphan-file GC (`CALL lake.system.remove_orphan_files`): physically
+    * delete files under the table location that NO metadata references —
+    * crash-abandoned writer output (data/delete parquets written but never
+    * committed, stale `_tmp-write-*` staging dirs) that snapshot expiry
+    * can never reclaim because no snapshot ever referenced them. At a
+    * streaming-ingest table every writer crash strands a batch of files;
+    * without this op they accumulate forever.
+    *
+    * Reference set = every data/delete file of every RETAINED snapshot
+    * plus every pending moniker's files (a dead bookkeeper's backlog is
+    * still committed by the next sweep — not orphaned). `olderThanMs`
+    * guards in-flight writers: only files modified strictly before the
+    * cutoff qualify.
+    *
+    * Scale shape: the reference set is manifest-scale (driver metadata
+    * budget), but the data tree at 100 TB holds 10⁷+ files — so listing
+    * runs DISTRIBUTED (one task per partition-bucket directory) and
+    * deletion runs where the listing ran. Paths are compared scheme-less
+    * (manifests may record `/x` while listings return `file:/x`), and
+    * only paths under the table location are ever deleted.
+    *
+    * Returns the deleted paths, sorted.
+    */
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): Seq[String] = {
+    refresh()
+    def plain(s: String): String = new Path(s).toUri.getPath
+    val committed = meta.snapshots.flatMap(_.manifests).distinct
+      .flatMap(readManifest).map(f => plain(f.path)) ++
+      meta.snapshots.flatMap(_.deleteManifests).distinct
+        .flatMap(readDeleteManifest).map(f => plain(f.path))
+    val pendingRefs = Monikers.read(Monikers.listPending(location))
+      .map(f => plain(f.path))
+    val known = (committed ++ pendingRefs).toSet
+    val locPrefix = plain(new Path(location).toString) + "/"
+    import org.apache.spark.sql.functions.col
+
+    // stale writer staging dirs at the table root (all-or-nothing trees no
+    // manifest can reference): bounded by crashed-writer count, driver-side
+    val staleTmp = fs.listStatus(new Path(location)).toSeq
+      .filter(st => st.getPath.getName.startsWith("_tmp-write-") &&
+        st.getModificationTime < olderThanMs)
+      .map(_.getPath)
+    staleTmp.foreach(p => fs.delete(p, true))
+
+    // distributed candidate listing over data/ and deletes/
+    val roots = Seq(LakeFormat.DataDir, LakeFormat.DeleteDir)
+      .map(d => new Path(location, d)).filter(fs.exists)
+    val entries = roots.flatMap(r => fs.listStatus(r).toSeq)
+    val (dirs, rootFiles) = entries.partition(_.isDirectory)
+    import spark.implicits._
+    val fromRoot = rootFiles.map(st =>
+      (plain(st.getPath.toString), st.getModificationTime))
+    val listed = spark.createDataset(dirs.map(_.getPath.toString))
+      .repartition(math.max(1, math.min(dirs.size, 64)))
+      .flatMap { d =>
+        val p = new Path(d)
+        val f = p.getFileSystem(LakeTable.hadoopConf)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          out += ((new Path(st.getPath.toString).toUri.getPath,
+            st.getModificationTime))
+        }
+        out
+      }
+      .union(spark.createDataset(fromRoot))
+      .toDF("path", "mtime")
+    val knownDf = spark.createDataset(known.toSeq).toDF("path")
+    val deleted = listed
+      .filter(col("mtime") < olderThanMs)
+      .join(knownDf, Seq("path"), "left_anti")
+      .select("path").as[String]
+      .filter(_.startsWith(locPrefix)) // defense in depth
+      .mapPartitions { it =>
+        it.map { s =>
+          val p = new Path(s)
+          p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
+          s
+        }
+      }
+      .collect().toSeq.sorted
+    deleted ++ staleTmp.map(p => plain(p.toString)).sorted
+  }
+
   // ---- read path ---------------------------------------------------------
 
   /** Live file metadata as a DataFrame (SURVEY §2 D6, the 10⁶-file path):

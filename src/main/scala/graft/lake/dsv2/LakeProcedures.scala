@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL lake.system.create_tag(`table` => 'ns.events', tag => 'train-v1')
   *   CALL lake.system.publish_branch(`table` => 'ns.events', branch => 'audit')
   *   CALL lake.system.drop_branch(`table` => 'ns.events', branch => 'audit')
+  *   CALL lake.system.remove_orphan_files(`table` => 'ns.events')
   * }}}
   *
   * Each returns one row `(snapshot_id BIGINT)` — the commit it landed, or
@@ -29,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
-    "create_tag", "publish_branch", "drop_branch")
+    "create_tag", "publish_branch", "drop_branch", "remove_orphan_files")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -110,6 +111,16 @@ object LakeProcedures {
         param("table", StringType),
         param("branch", StringType))) { in =>
         table(in).dropBranch(in.getUTF8String(1).toString)
+      })
+      // returns the DELETED-FILE COUNT in the snapshot_id column (the op
+      // commits no snapshot). Default cutoff: 24 h ago, the Iceberg
+      // convention that keeps in-flight writers safe.
+      case "remove_orphan_files" => Some(bound(procName, Array(
+        param("table", StringType),
+        paramD("older_than_ms", LongType, "-1"))) { in =>
+        val cutoff = if (in.getLong(1) > 0) in.getLong(1)
+          else System.currentTimeMillis() - 24L * 3600 * 1000
+        table(in).removeOrphanFiles(SparkSession.active, cutoff).size.toLong
       })
       case _ => None
     }

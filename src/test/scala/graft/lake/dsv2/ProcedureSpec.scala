@@ -118,4 +118,45 @@ class ProcedureSpec extends SparkSpec {
       s"CALL proccat.system.drop_branch(`table` => '$tbl', branch => 'audit')")
       .head.getLong(0) == -1L)
   }
+
+  test("CALL remove_orphan_files deletes only unreferenced, old-enough files") {
+    import org.apache.hadoop.fs.Path
+    val (tbl, t) = newTable()
+    append(t, 100, seed = 9, files = 2)
+    val committed = t.refresh().files().map(_.path)
+    val fs = new Path(t.location).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def plant(p: Path): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+        "junk".getBytes)
+    // an orphan parquet inside a live bucket dir (a crashed writer's file)
+    val bucketDir = new Path(committed.head).getParent
+    val orphan = new Path(bucketDir, "orphan-plant.parquet")
+    plant(orphan)
+    // an uncommitted file REFERENCED by a pending moniker: a dead
+    // bookkeeper's backlog, NOT an orphan — the next sweep commits it
+    val pendingRef = new Path(bucketDir, "pending-plant.parquet")
+    plant(pendingRef)
+    Monikers.publish(t.location,
+      Seq(DataFileMeta(pendingRef.toString, 4L, 1L, bucket(0))))
+    // a stale writer staging tree at the table root
+    val staleTmp = new Path(t.location, "_tmp-write-stale")
+    fs.mkdirs(staleTmp)
+    plant(new Path(staleTmp, "part-0.parquet"))
+    // past cutoff: the mtime guard protects everything
+    assert(t.removeOrphanFiles(spark, 1000L).isEmpty)
+    assert(fs.exists(orphan) && fs.exists(staleTmp))
+    // future cutoff via SQL: exactly the orphan + the staging tree go
+    val n = spark.sql(
+      s"""CALL proccat.system.remove_orphan_files(`table` => '$tbl',
+         |  older_than_ms => ${System.currentTimeMillis() + 60000})"""
+        .stripMargin).head.getLong(0)
+    assert(n == 2L, s"deleted $n entries")
+    assert(!fs.exists(orphan) && !fs.exists(staleTmp))
+    assert(fs.exists(pendingRef), "moniker-referenced file was deleted")
+    assert(t.toDF(spark).count() == 100) // committed data intact
+    // the surviving backlog still commits
+    new FileBookkeeper(t.refresh()).sweep()
+    assert(t.refresh().files().map(_.path).contains(pendingRef.toString))
+  }
 }
