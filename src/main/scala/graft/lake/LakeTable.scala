@@ -843,8 +843,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def deleteWhereMoR(spark: SparkSession,
       predicate: org.apache.spark.sql.Column): Long = {
+    val scanSnapshot = meta.currentSnapshotId
     val written = writePositionDeletes(spark, predicate)
-    if (written.isEmpty) -1L else commitPositionDeletes(written)
+    if (written.isEmpty) -1L
+    else commitPositionDeletes(written, Some(scanSnapshot))
   }
 
   /** Scan half of [[deleteWhereMoR]]: find matching (file, position) pairs
@@ -918,16 +920,37 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * rewrite landing between the scan and this commit replaces data files
     * these positions reference — the entries would dangle forever and the
     * DELETE would silently no-op (rows resurrect). Validate per attempt
-    * against FRESH metadata; entries past the inline-path cap fall back to
-    * a conservative [lo,hi] range overlap check against the live path set.
+    * against FRESH metadata. Entries past the inline-path cap carry no
+    * exact path list, so they validate via the SCAN SNAPSHOT instead:
+    * abort if any file removed since the scan lies in the entry's
+    * [lo,hi] path range (a mere live-overlap check would pass trivially —
+    * a rewrite's replacement files land in the same bucket dirs and sort
+    * inside the range). An expired scan snapshot degrades to abort:
+    * the caller re-runs the DELETE against current data.
     */
-  private[lake] def commitPositionDeletes(written: Seq[DeleteFileMeta]): Long =
+  private[lake] def commitPositionDeletes(written: Seq[DeleteFileMeta],
+      scanSnapshot: Option[Long] = None): Long =
     retryCommitDeletes("delete") { () =>
       val live = files().map(_.path).toSet
+      // outer None = no scan info (legacy callers); inner None = scan
+      // snapshot expired; inner Some = paths live at the scan but gone now
+      // (replaced by a rewrite since)
+      lazy val removedSince: Option[Option[Set[String]]] = scanSnapshot.map(
+        s => meta.snapshot(s).map(_ => files(s).map(_.path).toSet -- live))
       val dangling = written.iterator.flatMap { d =>
         if (d.dataPaths.nonEmpty) d.dataPaths.filterNot(live)
-        else if (live.exists(p => p >= d.minDataPath && p <= d.maxDataPath)) Nil
-        else Seq(s"[${d.minDataPath}, ${d.maxDataPath}] (range, no live overlap)")
+        else removedSince match {
+          case Some(None) =>
+            Seq(s"[${d.minDataPath}, ${d.maxDataPath}] " +
+              "(capped entry, scan snapshot expired — cannot validate)")
+          case Some(Some(removed)) =>
+            removed.filter(p => p >= d.minDataPath && p <= d.maxDataPath)
+              .take(1).toSeq
+              .map(p => s"$p (removed since scan, in capped entry's range)")
+          case None =>
+            if (live.exists(p => p >= d.minDataPath && p <= d.maxDataPath)) Nil
+            else Seq(s"[${d.minDataPath}, ${d.maxDataPath}] (range, no live overlap)")
+        }
       }.toSeq
       if (dangling.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -1329,16 +1352,19 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   /** Orphan-file GC (`CALL lake.system.remove_orphan_files`): physically
     * delete files under the table location that NO metadata references —
     * crash-abandoned writer output (data/delete parquets written but never
-    * committed, stale `_tmp-write-*` staging dirs) that snapshot expiry
-    * can never reclaim because no snapshot ever referenced them. At a
-    * streaming-ingest table every writer crash strands a batch of files;
-    * without this op they accumulate forever.
+    * committed, stale `_tmp-write-*` / `_tmp-del-*` staging trees) that
+    * snapshot expiry can never reclaim because no snapshot ever referenced
+    * them. At a streaming-ingest table every writer crash strands a batch
+    * of files; without this op they accumulate forever.
     *
     * Reference set = every data/delete file of every RETAINED snapshot
     * plus every pending moniker's files (a dead bookkeeper's backlog is
-    * still committed by the next sweep — not orphaned). `olderThanMs`
-    * guards in-flight writers: only files modified strictly before the
-    * cutoff qualify.
+    * still committed by the next sweep — not orphaned; monikers are read
+    * BEFORE metadata so a racing sweep's files land in at least one set).
+    * `olderThanMs` guards in-flight writers: only files modified strictly
+    * before the cutoff qualify, and a staging tree's staleness is its
+    * NEWEST nested mtime (the root dir's mtime stops advancing once its
+    * direct children exist).
     *
     * Scale shape: the reference set is manifest-scale (driver metadata
     * budget), but the data tree at 100 TB holds 10⁷+ files — so listing
@@ -1350,23 +1376,37 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * Returns the deleted paths, sorted.
     */
   def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): Seq[String] = {
-    refresh()
     def plain(s: String): String = new Path(s).toUri.getPath
+    // pending monikers BEFORE metadata: a bookkeeper sweep racing this GC
+    // commits the backlog then deletes the monikers — reading metadata
+    // first would see neither (files in no reference set = data loss);
+    // this order sees such files in at least one set either way
+    val pendingRefs = Monikers.read(Monikers.listPending(location))
+      .map(f => plain(f.path))
+    refresh()
     val committed = meta.snapshots.flatMap(_.manifests).distinct
       .flatMap(readManifest).map(f => plain(f.path)) ++
       meta.snapshots.flatMap(_.deleteManifests).distinct
         .flatMap(readDeleteManifest).map(f => plain(f.path))
-    val pendingRefs = Monikers.read(Monikers.listPending(location))
-      .map(f => plain(f.path))
     val known = (committed ++ pendingRefs).toSet
     val locPrefix = plain(new Path(location).toString) + "/"
     import org.apache.spark.sql.functions.col
 
-    // stale writer staging dirs at the table root (all-or-nothing trees no
-    // manifest can reference): bounded by crashed-writer count, driver-side
+    // stale writer/delete staging dirs at the table root (all-or-nothing
+    // trees no manifest can reference): bounded by crashed-writer count,
+    // driver-side. Staleness = the NEWEST mtime in the tree (the root
+    // dir's own mtime stops advancing once its direct children exist, so
+    // it would call a long-running in-flight job stale mid-write)
+    def newestMtime(p: Path): Long = {
+      var newest = fs.getFileStatus(p).getModificationTime
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     val staleTmp = fs.listStatus(new Path(location)).toSeq
-      .filter(st => st.getPath.getName.startsWith("_tmp-write-") &&
-        st.getModificationTime < olderThanMs)
+      .filter(st => (st.getPath.getName.startsWith("_tmp-write-") ||
+          st.getPath.getName.startsWith("_tmp-del-")) &&
+        newestMtime(st.getPath) < olderThanMs)
       .map(_.getPath)
     staleTmp.foreach(p => fs.delete(p, true))
 
@@ -1407,8 +1447,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           s
         }
       }
-      .collect().toSeq.sorted
-    deleted ++ staleTmp.map(p => plain(p.toString)).sorted
+      .collect().toSeq
+    (deleted ++ staleTmp.map(p => plain(p.toString))).sorted
   }
 
   // ---- read path ---------------------------------------------------------
@@ -1589,11 +1629,6 @@ object LakeTable {
     t
   }
 
-  /** Small-file write with a local-scheme NIO fast path (Hadoop's local
-    * create() forks a chmod per file when native IO is absent — ~10 ms for
-    * a sub-KB metadata file; NIO is ~0.1 ms). Object stores keep the
-    * Hadoop stream.
-    */
   /** Small-file read with the same local-scheme NIO fast path as
     * [[writeSmall]] (Hadoop's local open stats the file and its checksum
     * sidecar first). NoSuchFileException is an IOException, so callers'
@@ -1608,6 +1643,11 @@ object LakeTable {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
 
+  /** Small-file write with a local-scheme NIO fast path (Hadoop's local
+    * create() forks a chmod per file when native IO is absent — ~10 ms for
+    * a sub-KB metadata file; NIO is ~0.1 ms). Object stores keep the
+    * Hadoop stream.
+    */
   private[lake] def writeSmall(fs: FileSystem, p: Path, content: String,
       overwrite: Boolean): Unit =
     if (fs.getScheme == "file") {

@@ -34,6 +34,17 @@ object LakeProcedures {
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
+  /** `older_than_ms` cutoff: -1 → now minus `defaultAgeMs`; values below
+    * ~2001 in epoch terms (1e12) read as an AGE ("older than 7 days" =
+    * 604800000) — an operator passing a duration would otherwise get a
+    * cutoff in 1970 and a silent no-op; larger values are absolute
+    * epoch-millis timestamps.
+    */
+  private def cutoffMs(v: Long, defaultAgeMs: Long): Long =
+    if (v <= 0) System.currentTimeMillis() - defaultAgeMs
+    else if (v < 1_000_000_000_000L) System.currentTimeMillis() - v
+    else v
+
   private def param(n: String, t: DataType): ProcedureParameter =
     ProcedureParameter.in(n, t).build()
 
@@ -85,9 +96,8 @@ object LakeProcedures {
         param("table", StringType),
         paramD("older_than_ms", LongType, "-1"),
         paramD("retain_last", IntegerType, "-1"))) { in =>
-        val cutoff = if (in.getLong(1) > 0) in.getLong(1)
-          else System.currentTimeMillis()
-        table(in).expireSnapshots(cutoff, retainLast = in.getInt(2))
+        table(in).expireSnapshots(cutoffMs(in.getLong(1), 0L),
+          retainLast = in.getInt(2))
       })
       case "rollback" => Some(bound(procName, Array(
         param("table", StringType),
@@ -118,9 +128,8 @@ object LakeProcedures {
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),
         paramD("older_than_ms", LongType, "-1"))) { in =>
-        val cutoff = if (in.getLong(1) > 0) in.getLong(1)
-          else System.currentTimeMillis() - 24L * 3600 * 1000
-        table(in).removeOrphanFiles(SparkSession.active, cutoff).size.toLong
+        table(in).removeOrphanFiles(SparkSession.active,
+          cutoffMs(in.getLong(1), 24L * 3600 * 1000)).size.toLong
       })
       case _ => None
     }

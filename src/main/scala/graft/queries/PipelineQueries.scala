@@ -490,14 +490,39 @@ object PipelineQueries {
   // TWO-PHASE cumulative sum, not one per-lang window: a window partitioned
   // only by lang puts the dominant language's ENTIRE corpus on one task at
   // 100 TB. Instead (the classic distributed prefix-sum):
-  //   1. range-partition by the pack order (lang, score desc, doc_id) so
-  //      each of the P partitions holds a contiguous, BOUNDED slice —
-  //      the big language spans many partitions instead of owning one;
-  //   2. local running sums per (lang, slice);
-  //   3. per-slice totals → tiny (≤ P × langs rows) prefix-offset table;
+  //   1. slice the score domain at sampled quantile cuts — the cuts are
+  //      computed ONCE and embedded as LITERALS, so `slice` is a pure
+  //      function of the row (repartitionByRange + spark_partition_id
+  //      would re-sample per exchange instance — RangePartitioner seeds
+  //      by RDD id — and the two plan branches below could label the same
+  //      row differently whenever exchange reuse breaks);
+  //   2. local running sums per (lang, slice) — each window group is a
+  //      bounded quantile slice, the big language spans many of them;
+  //   3. per-slice totals → tiny (≤ slices × langs rows) offset table;
   //   4. broadcast the offsets back: cum = local + offset of earlier slices.
   // Costs one extra exchange vs the single-window plan but no task ever
-  // sorts more than one range slice. Same oracle SQL, identical output.
+  // sorts more than one slice. Same oracle SQL, identical output.
+  /** Quantile-sliced local prefix sums (shared by d04_budget_pack and
+    * d06_pipeline_e2e): adds `slice` — the count of sampled score cuts
+    * strictly above this row's score, a PURE row function over literal
+    * cut points, descending in score so slice order equals pack order —
+    * and `local_cum`, the running n_tok sum within (lang, slice). ANY cut
+    * set is correct (slices only bound per-task sort size), so the
+    * one-time sample job's exact output never affects results.
+    */
+  private def withScoreSlices(scored: DataFrame, slices: Int): DataFrame = {
+    val cuts = scored.stat.approxQuantile("score",
+      (1 until slices).map(_.toDouble / slices).toArray, 0.01)
+      .toSeq.distinct.sorted.reverse // descending = pack order
+    val wLocal = Window.partitionBy("lang", "slice")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("slice",
+        if (cuts.isEmpty) lit(0)
+        else size(filter(array(cuts.map(lit): _*), c => c > col("score"))))
+      .withColumn("local_cum", sum("n_tok").over(wLocal))
+  }
+
   def d04_budget_pack(s: SparkSession, dir: String): DataFrame = {
     val budget = 3000L
     val slices = 32 // ≈ shuffle parallelism; bounds every per-task sort
@@ -505,15 +530,9 @@ object PipelineQueries {
     val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
       size(toks).cast("long").as("n_tok"),
       (col("n_chars").cast("double") / size(toks)).as("score"))
-    val ranged = scored
-      .repartitionByRange(slices, col("lang"), col("score").desc, col("doc_id"))
-      .withColumn("slice", spark_partition_id())
-    val wLocal = Window.partitionBy("lang", "slice")
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("local_cum", sum("n_tok").over(wLocal))
-    // range partitions are ordered: slice i holds pack-order keys before
-    // slice i+1's, so the offset for (lang, slice) is the sum of the same
+    val local = withScoreSlices(scored, slices)
+    // slices are ordered: slice i holds pack-order keys before slice
+    // i+1's, so the offset for (lang, slice) is the sum of the same
     // language's totals in earlier slices — a window over ≤ P×langs rows
     val wOff = Window.partitionBy("lang").orderBy("slice")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -536,8 +555,8 @@ object PipelineQueries {
   // Composing matters beyond the sum of parts: Catalyst pipelines stages
   // 1→3 into the same codegen'd scan-side stage (one pass over text before
   // the first shuffle), and the only exchanges are the dedup hash and the
-  // pack's range partitioning. Every stage is deterministic, so the whole
-  // pipeline is hash-oracled end to end against DuckDB.
+  // pack's (lang, slice) window shuffle. Every stage is deterministic, so
+  // the whole pipeline is hash-oracled end to end against DuckDB.
   def d06_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
     val budget = 3000L
     val slices = 32
@@ -584,13 +603,7 @@ object PipelineQueries {
     val scored = redacted.select(col("lang"), col("doc_id"), col("n_tok"),
       col("redacted_sha"),
       (col("n_chars").cast("double") / col("n_tok")).as("score"))
-    val ranged = scored
-      .repartitionByRange(slices, col("lang"), col("score").desc, col("doc_id"))
-      .withColumn("slice", spark_partition_id())
-    val wLocal = Window.partitionBy("lang", "slice")
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("local_cum", sum("n_tok").over(wLocal))
+    val local = withScoreSlices(scored, slices)
     val wOff = Window.partitionBy("lang").orderBy("slice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("lang", "slice").agg(sum("n_tok").as("ptot"))

@@ -117,13 +117,17 @@ class PlanSpec extends SparkSpec {
 
   test("D4: budget pack runs the two-phase prefix sum, not a bare per-lang window") {
     val p = plan(PipelineQueries.d04_budget_pack(spark, dir))
-    // phase 1: the corpus range-partitions on the pack order, so the
-    // dominant language spans many slices instead of owning one task
-    assert(p.contains("rangepartitioning("), p)
     // the corpus-sized running sum windows on (lang, slice) — a window
-    // specced on bare lang over the doc stream is the single-task shape
-    assert("windowspecdefinition\\(lang[^,]*, slice".r.findFirstIn(p).nonEmpty,
+    // specced on bare lang over the doc stream is the single-task shape.
+    // slice comes from LITERAL quantile cuts (pure row function), so the
+    // offsets branch and the join branch can never label rows differently
+    val specs = "windowspecdefinition\\(lang[^,)]*(, slice[^,)]*)?,"
+      .r.findAllIn(p).toList
+    assert(specs.exists(_.contains("slice")),
       s"no (lang, slice) window spec found:\n$p")
+    // at most one bare-lang window: the ≤ slices×langs offsets table
+    assert(specs.count(!_.contains("slice")) <= 1,
+      s"corpus-sized bare-lang window present:\n$p")
   }
 
   test("D4: curation cuts candidates per (lang, slice) before the per-lang window") {
