@@ -131,6 +131,32 @@ class MergeOnReadSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 100)
   }
 
+  test("capped delete entries (no inline path list) still abort on the " +
+      "compaction race via the scan snapshot") {
+    val t = newMoRTable()
+    appendBatch(t, 100, bucket(11), seed = 21, filesPer = 2)
+    val scanSnapshot = t.currentSnapshotId
+    val written = t.writePositionDeletes(spark, col("message_id") < 10)
+    assert(written.nonEmpty)
+    // simulate the >DeletePathListCap overflow: the manifest entry keeps
+    // only the [lo,hi] path range. A live-overlap check would pass
+    // trivially after compaction (replacement files land in the same
+    // bucket dirs and sort inside the range) — the scan-snapshot check
+    // must abort instead
+    val capped = written.map(_.copy(dataPaths = Nil))
+    assert(t.compactFiles(spark, smallFileBytes = 64L << 20, minInputFiles = 1) > 0)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitPositionDeletes(capped, Some(scanSnapshot))
+    }
+    assert(t.deleteFilesMeta().isEmpty)
+    // no race: the same capped commit goes through and masks rows
+    val written2 = t.writePositionDeletes(spark, col("message_id") < 10)
+    val scan2 = t.currentSnapshotId
+    assert(t.commitPositionDeletes(
+      written2.map(_.copy(dataPaths = Nil)), Some(scan2)) > 0)
+    assert(t.toDF(spark).count() == 90)
+  }
+
   test("CoW deleteWhere after MoR deletes never resurrects deleted rows") {
     val loc = tmpDir("laketable-mor-cow")
     LakeTable.drop(loc)
