@@ -928,30 +928,43 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * inside the range). An expired scan snapshot degrades to abort:
     * the caller re-runs the DELETE against current data.
     */
+  /** Dangling-reference detection shared by the delete/delta commits:
+    * entries inlining their referenced paths check them against the live
+    * set exactly; CAPPED entries (range only) check that no file removed
+    * since the scan lies in their range (a mere live-overlap test passes
+    * trivially after the very rewrite being raced — replacement files
+    * land in the same bucket dirs and sort inside the range). An expired
+    * scan snapshot, or a capped entry with no scan info, cannot be proven
+    * safe and reports dangling (the caller re-runs against current data).
+    */
+  private def danglingDeleteRefs(written: Seq[DeleteFileMeta],
+      live: Set[String], scanSnapshot: Option[Long]): Seq[String] = {
+    // outer None = no scan info; inner None = scan snapshot expired;
+    // inner Some = paths live at the scan but gone now (replaced since)
+    lazy val removedSince: Option[Option[Set[String]]] = scanSnapshot.map(
+      s => meta.snapshot(s).map(_ => files(s).map(_.path).toSet -- live))
+    written.iterator.filter(_.kind == DeleteFileMeta.KindPos).flatMap { d =>
+      if (d.dataPaths.nonEmpty) d.dataPaths.filterNot(live)
+      else removedSince match {
+        case Some(None) =>
+          Seq(s"[${d.minDataPath}, ${d.maxDataPath}] " +
+            "(capped entry, scan snapshot expired — cannot validate)")
+        case Some(Some(removed)) =>
+          removed.filter(p => p >= d.minDataPath && p <= d.maxDataPath)
+            .take(1).toSeq
+            .map(p => s"$p (removed since scan, in capped entry's range)")
+        case None =>
+          if (live.exists(p => p >= d.minDataPath && p <= d.maxDataPath)) Nil
+          else Seq(s"[${d.minDataPath}, ${d.maxDataPath}] (range, no live overlap)")
+      }
+    }.toSeq
+  }
+
   private[lake] def commitPositionDeletes(written: Seq[DeleteFileMeta],
       scanSnapshot: Option[Long] = None): Long =
     retryCommitDeletes("delete") { () =>
-      val live = files().map(_.path).toSet
-      // outer None = no scan info (legacy callers); inner None = scan
-      // snapshot expired; inner Some = paths live at the scan but gone now
-      // (replaced by a rewrite since)
-      lazy val removedSince: Option[Option[Set[String]]] = scanSnapshot.map(
-        s => meta.snapshot(s).map(_ => files(s).map(_.path).toSet -- live))
-      val dangling = written.iterator.flatMap { d =>
-        if (d.dataPaths.nonEmpty) d.dataPaths.filterNot(live)
-        else removedSince match {
-          case Some(None) =>
-            Seq(s"[${d.minDataPath}, ${d.maxDataPath}] " +
-              "(capped entry, scan snapshot expired — cannot validate)")
-          case Some(Some(removed)) =>
-            removed.filter(p => p >= d.minDataPath && p <= d.maxDataPath)
-              .take(1).toSeq
-              .map(p => s"$p (removed since scan, in capped entry's range)")
-          case None =>
-            if (live.exists(p => p >= d.minDataPath && p <= d.maxDataPath)) Nil
-            else Seq(s"[${d.minDataPath}, ${d.maxDataPath}] (range, no live overlap)")
-        }
-      }.toSeq
+      val dangling = danglingDeleteRefs(written,
+        files().map(_.path).toSet, scanSnapshot)
       if (dangling.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"MoR delete invalidated by concurrent rewrite: " +
@@ -976,18 +989,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * against the LIVE file set per attempt (the retry body re-reads fresh
     * metadata); a miss aborts the commit so the caller re-runs the DML
     * against current data. Entries past the inline cap
-    * ([[LakeTable.DeletePathListCap]] paths from one task) fall back to
-    * unvalidated — documented trade: exact validation for every
-    * realistically-sized merge, bounded manifest size always.
+    * ([[LakeTable.DeletePathListCap]] paths from one task) validate via
+    * `scanSnapshot` ([[danglingDeleteRefs]]): abort when any file removed
+    * since the scan lies in the entry's path range.
     */
   def commitDelta(newData: Seq[DataFileMeta],
-      newDeletes: Seq[DeleteFileMeta]): Long = {
+      newDeletes: Seq[DeleteFileMeta],
+      scanSnapshot: Option[Long] = None): Long = {
     if (newData.isEmpty && newDeletes.isEmpty) return -1L
     val fresh = newData.distinctBy(_.path)
     retryCommitDeletes(if (fresh.nonEmpty) "append" else "delete") { () =>
-      val live = files().map(_.path).toSet
-      val dangling = newDeletes.iterator.flatMap(_.dataPaths)
-        .filterNot(live).toSeq
+      val dangling = danglingDeleteRefs(newDeletes,
+        files().map(_.path).toSet, scanSnapshot)
       if (dangling.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"delta commit invalidated by concurrent rewrite: " +

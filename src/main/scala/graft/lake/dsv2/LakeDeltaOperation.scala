@@ -47,6 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class LakeDeltaOperation(location: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
+  // snapshot current when the operation was PLANNED — at or before the
+  // scan's, so the commit's capped-entry validation (files removed since
+  // the scan, LakeTable.danglingDeleteRefs) is conservative
+  private val scanSnapshot: Long = LakeTable.load(location).currentSnapshotId
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"laketable $cmd (merge-on-read)"
@@ -72,7 +77,8 @@ final class LakeDeltaOperation(location: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new LakeDeltaBatchWrite(location)
+        override def toBatch: DeltaBatchWrite =
+          new LakeDeltaBatchWrite(location, Some(scanSnapshot))
       }
     }
 }
@@ -83,7 +89,8 @@ final class LakeDeltaOperation(location: String,
 final case class LakeDeltaCommitMessage(dataFiles: Seq[DataFileMeta],
     deleteFiles: Seq[DeleteFileMeta]) extends WriterCommitMessage
 
-final class LakeDeltaBatchWrite(location: String) extends DeltaBatchWrite {
+final class LakeDeltaBatchWrite(location: String,
+    scanSnapshot: Option[Long] = None) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -98,7 +105,7 @@ final class LakeDeltaBatchWrite(location: String) extends DeltaBatchWrite {
       case ((d, x), LakeDeltaCommitMessage(df, xf)) => (d ++ df, x ++ xf)
       case (acc, _) => acc
     }
-    LakeTable.load(location).commitDelta(data, dels)
+    LakeTable.load(location).commitDelta(data, dels, scanSnapshot)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
