@@ -704,6 +704,101 @@ object PipelineQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  // D3f — contamination with a bloom-filter prefilter: IDENTICAL result to
+  // d03_contamination (same oracle — bloom false positives die in the exact
+  // join), but the 100 TB shape: the eval set's grams aggregate into ONE
+  // fixed-size bitmap (bloom_filter_agg — Spark's own runtime-filtering
+  // sketch, partial+final agg of OR-merged bitmaps), the corpus prefilters
+  // MAP-SIDE against the broadcast bytes inside whole-stage codegen
+  // (might_contain), and only the surviving sliver reaches the exact
+  // gram join. At corpus scale the bitmap broadcast is KBs where the
+  // gram-set broadcast is GBs, and the exact join's shuffle input drops by
+  // the corpus's non-contaminated fraction — the decontamination pass every
+  // production run executes.
+  def d03_contamination_bloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val grams = expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+        |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) END"""
+        .stripMargin)
+    val docs = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(grams).as("g"))
+    docs.createOrReplaceTempView("d03f_grams")
+    // might_contain requires its bloom side to be a constant or a SCALAR
+    // SUBQUERY — the one-row aggregate plans as an independent subquery
+    // stage whose result (the bitmap bytes) broadcasts into the main
+    // scan's codegen'd filter. 8192 expected items / 64 Kbit ≈ 1% FP —
+    // sized to the benchmark set, independent of corpus size.
+    s.sql(
+      """WITH eval_set AS (
+        |  SELECT doc_id AS eval_id, g FROM d03f_grams WHERE doc_id < 20),
+        |train AS (
+        |  SELECT doc_id AS train_id, g FROM d03f_grams WHERE doc_id >= 20),
+        |hits AS (
+        |  SELECT train_id, g FROM train
+        |  WHERE might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(g), 8192L, 65536L) FROM eval_set),
+        |    xxhash64(g)))
+        |SELECT /*+ BROADCAST(e) */ train_id, eval_id, count(*) AS overlap
+        |FROM hits JOIN eval_set e USING (g)
+        |GROUP BY train_id, eval_id HAVING count(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin)
+  }
+
+  // D1e — passage-granularity dedup (the substring-dedup pass of Lee et
+  // al.'s "Deduplicating Training Data" at fixed stride): docs chunk into
+  // non-overlapping 8-token passages, each passage keeps only its FIRST
+  // occurrence corpus-wide (order = doc_id, then position), and every doc
+  // reports its duplicated-passage fraction — the granularity that catches
+  // template pages sharing paragraphs that whole-doc hashing misses.
+  // Shuffle keyed on passage text (a group = one duplicate set, never
+  // corpus-proportional); everything before it is map-side chunking.
+  def d01_dedup_passage(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1),
+          |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
+    val w = Window.partitionBy("passage").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        dec4(col("n_dup").cast("double") / col("n_passages")))
+      .orderBy("doc_id")
+  }
+
+  // D4j — BPE-style pre-tokenization counting: GPT-2-family tokenizers
+  // first split text on a regex (letter runs / digit runs / punctuation
+  // runs, each absorbing one leading space) before byte-pair merging, so
+  // `len(pre_tokens)` upper-bounds and tracks the real token count far
+  // better than whitespace splitting — the budget arithmetic every
+  // training mix uses. Branches are disjoint on their first non-space
+  // char, so Java and RE2 agree on every match. The corpus is bare
+  // lowercase words, so a doc_id-derived suffix with digits and
+  // punctuation (same derivation in the oracle) exercises the non-letter
+  // branches. Pure map-side; fertility = BPE-ish tokens per whitespace
+  // token.
+  def d04_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    t(s, dir, "documents")
+      .withColumn("raw", concat(col("text"),
+        lit(" v"), col("doc_id").cast("string"),
+        lit(".2, id="), col("doc_id").cast("string"),
+        lit("; cost $9.99!")))
+      .select(col("doc_id"),
+        size(split(col("raw"), " ")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("raw"), lit(pat), lit(0)))
+          .cast("long").as("n_bpe"))
+      .withColumn("fertility", dec4(col("n_bpe").cast("double") / col("n_ws")))
+      .orderBy("doc_id")
+  }
+
   // D4h — within-doc repetition ratio (the Gopher/RefinedWeb repetition
   // rule): 1 − distinct_bigrams/total_bigrams per document. Repetitive
   // machine-generated text scores high and gets filtered before training.
@@ -987,6 +1082,9 @@ object PipelineQueries {
     "d04_pii" -> d04_pii _,
     "d04_mixture" -> d04_mixture _,
     "d03_contamination" -> d03_contamination _,
+    "d03_contamination_bloom" -> d03_contamination_bloom _,
+    "d01_dedup_passage" -> d01_dedup_passage _,
+    "d04_bpe_tokens" -> d04_bpe_tokens _,
     "d04_repetition" -> d04_repetition _,
     "d04_gopher_rules" -> d04_gopher_rules _,
     "d03_boilerplate" -> d03_boilerplate _,
@@ -1201,6 +1299,57 @@ object PipelineQueries {
         |WHERE t.doc_id >= 20 AND e.doc_id < 20
         |GROUP BY train_id, eval_id HAVING COUNT(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    // identical result to d03_contamination: the bloom is a prefilter whose
+    // false positives the exact join removes
+    "d03_contamination_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, CAST(generate_subscripts(tk, 1) AS INT) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+        |  FROM idx WHERE i <= len(tk) - 2)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  CAST(COUNT(*) AS BIGINT) AS overlap
+        |FROM grams t JOIN grams e ON t.g = e.g
+        |WHERE t.doc_id >= 20 AND e.doc_id < 20
+        |GROUP BY train_id, eval_id HAVING COUNT(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "d01_dedup_passage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |ch AS (
+        |  SELECT doc_id, ci AS chunk_idx,
+        |    array_to_string(t[(ci * 8 + 1):(ci * 8 + 8)], ' ') AS passage
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(CAST(ceil(len(t) / 8.0) AS INT))) AS ci
+        |        FROM tk)),
+        |rn AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY passage
+        |    ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(CAST(round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS DECIMAL(28,4)) AS DOUBLE) AS dup_ratio
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d04_bpe_tokens" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' v' || CAST(doc_id AS VARCHAR) || '.2, id='
+        |    || CAST(doc_id AS VARCHAR) || '; cost $9.99!' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(raw, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(raw,
+        |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe,
+        |  CAST(CAST(round(CAST(len(regexp_extract_all(raw,
+        |      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+        |    / len(string_split(raw, ' ')), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        |    AS fertility
+        |FROM r ORDER BY doc_id""".stripMargin,
     "d04_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (

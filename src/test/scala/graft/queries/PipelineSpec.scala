@@ -300,4 +300,67 @@ class PipelineSpec extends SparkSpec {
     val nKept = PipelineQueries.d01_dedup_keepfirst(spark, dir).count()
     assert(nKept == nHashes)
   }
+
+  test("D3: bloom-prefiltered contamination equals the exact pass, " +
+    "and the plan actually carries the prefilter") {
+    val exact = PipelineQueries.d03_contamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomDf = PipelineQueries.d03_contamination_bloom(spark, dir)
+    val bloomed = bloomDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed == exact,
+      s"bloom path diverged: only-exact=${exact -- bloomed} " +
+        s"only-bloom=${bloomed -- exact}")
+    // the equality above would also hold if the optimizer dropped the
+    // prefilter entirely — assert the might_contain probe survives in the
+    // executed plan
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom prefilter missing from the physical plan")
+  }
+
+  test("D1: passage dedup counts duplicated 8-token chunks exactly") {
+    import spark.implicits._
+    // doc 1 and doc 2 share their first 8 tokens; doc 2's second chunk is
+    // unique; doc 3 repeats doc 1's chunk internally twice
+    val base = (1 to 8).map(i => s"w$i").mkString(" ")
+    val uniq = (9 to 16).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, s"$base $uniq", "en", "s", 1L),
+      (3L, s"$base $base", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("passage_fixture")
+    val fixture = spark.table("passage_fixture")
+    val chunks = fixture
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1),
+          |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("passage").orderBy("doc_id", "chunk_idx")
+    val out = chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 wins the shared chunk (lowest doc_id); docs 2 and 3 lose it;
+    // doc 3's second copy is also a duplicate
+    assert(out(1L) == (1L, 0L))
+    assert(out(2L) == (2L, 1L))
+    assert(out(3L) == (2L, 2L))
+  }
+
+  test("D4: BPE-ish pre-tokenization counts letter/digit/punct runs") {
+    import spark.implicits._
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    val out = Seq("hello world v1.2, id=42; cost $9.99!")
+      .toDF("raw")
+      .select(size(regexp_extract_all(col("raw"), lit(pat), lit(0))).as("n"))
+      .head.getInt(0)
+    // hello|world|v|1|.|2|,|id|=|42|;|cost|$|9|.|99|! = 17 pre-tokens
+    assert(out == 17, s"expected 17 pre-tokens, got $out")
+  }
 }
