@@ -72,7 +72,12 @@ final class QueueBookkeeper(table: LakeTable, eventsDir: String,
       eventFiles.foreach(f => fs.delete(f.getPath, false))
       return -1L
     }
+    // externally-written files carry no schema id — the ingestion contract
+    // is that external writers target the table's CURRENT schema, so stamp
+    // the current def (pre-evolution tables: 0, a no-op)
+    val sid = table.currentSchemaId
     val metas = QueueEvents.resolveMetrics(spark, paths.toSeq, table.spec)
+      .map(m => if (sid == 0) m else m.copy(schemaId = sid))
     val snap = table.append(metas)
     eventFiles.foreach(f => fs.delete(f.getPath, false)) // ack after commit
     snap

@@ -23,6 +23,7 @@ object Json {
     n.put("partitionValue", f.partitionValue)
     n.put("format", f.format)
     if (f.seq != 0L) n.put("seq", f.seq)
+    if (f.schemaId != 0) n.put("schemaId", f.schemaId)
     val st = n.putObject("stats")
     f.stats.foreach { case (c, s) =>
       val cs = st.putObject(c)
@@ -53,7 +54,8 @@ object Json {
       partitionValue = n.get("partitionValue").asLong,
       format = Option(n.get("format")).map(_.asText).getOrElse("parquet"),
       stats = stats,
-      seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L))
+      seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L),
+      schemaId = Option(n.get("schemaId")).map(_.asInt).getOrElse(0))
   }
 
   def manifestToJson(files: Seq[DataFileMeta]): String = {
@@ -170,6 +172,7 @@ object Json {
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
       s.schemaDdl.foreach(n.put("schemaDdl", _))
+      s.schemaId.foreach(n.put("schemaId", _))
       val parent = byId.get(s.parentId).filter(_.id < s.id)
       putListDelta(n, s.manifests, parent.map(p => (p.id, p.manifests)),
         "manifests", "baseManifests", "addedManifests", "removedManifests")
@@ -179,6 +182,17 @@ object Json {
         "addedDeleteManifests", "removedDeleteManifests")
     }
     root.put("currentSnapshotId", m.currentSnapshotId)
+    if (m.schemas.nonEmpty) {
+      val sc = root.putArray("schemas")
+      m.schemas.foreach { d =>
+        val n = sc.addObject()
+        n.put("id", d.id)
+        n.put("ddl", d.ddl)
+        val ids = n.putArray("fieldIds")
+        d.ids.foreach(ids.add)
+      }
+      root.put("currentSchemaId", m.currentSchemaId)
+    }
     write(root)
   }
 
@@ -187,11 +201,12 @@ object Json {
     // raw pass, then resolve deltas ascending by id (parents always carry
     // smaller ids: version numbers are max+1 even for rollback commits)
     case class Raw(id: Long, parentId: Long, ts: Long, op: String,
-        schemaDdl: Option[String], node: JsonNode)
+        schemaDdl: Option[String], schemaId: Option[Int], node: JsonNode)
     val raws = n.get("snapshots").elements().asScala.map { sn =>
       Raw(sn.get("id").asLong, sn.get("parentId").asLong,
         sn.get("timestampMs").asLong, sn.get("operation").asText,
-        Option(sn.get("schemaDdl")).map(_.asText), sn)
+        Option(sn.get("schemaDdl")).map(_.asText),
+        Option(sn.get("schemaId")).map(_.asInt), sn)
     }.toSeq
     def strArr(node: JsonNode, k: String): Option[Seq[String]] =
       Option(node.get(k)).map(_.elements().asScala.map(_.asText).toSeq)
@@ -230,8 +245,14 @@ object Json {
         operation = raw.op,
         manifests = manifests(raw.id),
         schemaDdl = raw.schemaDdl,
-        deleteManifests = delManifests(raw.id))
+        deleteManifests = delManifests(raw.id),
+        schemaId = raw.schemaId)
     }
+    val schemas = Option(n.get("schemas")).map(_.elements().asScala.map { d =>
+      SchemaDef(d.get("id").asInt, d.get("ddl").asText,
+        Option(d.get("fieldIds"))
+          .map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil))
+    }.toSeq).getOrElse(Nil)
     TableMeta(
       formatVersion = n.get("formatVersion").asInt,
       location = n.get("location").asText,
@@ -242,6 +263,9 @@ object Json {
       properties = n.get("properties").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap,
       snapshots = snaps,
-      currentSnapshotId = n.get("currentSnapshotId").asLong)
+      currentSnapshotId = n.get("currentSnapshotId").asLong,
+      schemas = schemas,
+      currentSchemaId =
+        Option(n.get("currentSchemaId")).map(_.asInt).getOrElse(0))
   }
 }

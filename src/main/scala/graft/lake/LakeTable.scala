@@ -46,6 +46,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   }
   def currentSnapshotId: Long = meta.currentSnapshotId
   def snapshots: Seq[Snapshot] = meta.snapshots
+  /** Id of the [[SchemaDef]] writers stamp on new files. */
+  def currentSchemaId: Int = meta.currentSchemaId
+
+  /** Schema def (names + field ids) AS OF a snapshot — the name space scan
+    * planning resolves file columns against. Pre-evolution snapshots (no
+    * pinned id, or id 0 before the registry existed) use their own pinned
+    * DDL with positional ids: sound because until the first rename/drop
+    * the DDL history is append-only, so a column's position — hence id —
+    * never changed.
+    */
+  def schemaDefAt(snapshotId: Long): SchemaDef = {
+    val s = meta.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    s.schemaId match {
+      case Some(id) if meta.schemas.exists(_.id == id) => meta.schemaDef(id)
+      case _ => SchemaDef(0, s.schemaDdl.getOrElse(meta.schemaDdl), Nil)
+    }
+  }
+  def currentSchemaDef: SchemaDef =
+    if (meta.snapshots.isEmpty) meta.currentSchemaDef
+    else schemaDefAt(meta.currentSnapshotId)
 
   def refresh(): LakeTable = {
     meta = LakeTable.readMeta(location)
@@ -312,19 +333,26 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // WAP staging: a "stage" snapshot forks from its branch head and
       // leaves what main readers see untouched
       parentOverride: Option[Long] = None,
-      advanceCurrent: Boolean = true): Long = {
+      advanceCurrent: Boolean = true,
+      // rename/drop evolution: new registry entries + the id to make
+      // current (entries are append-only; ids never reused)
+      schemasUpdate: Option[(Seq[SchemaDef], Int)] = None): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
     val newSchemaDdl = schemaUpdate.getOrElse(cur.schemaDdl)
+    val newSchemaId = schemasUpdate.map(_._2).getOrElse(cur.currentSchemaId)
     // every snapshot pins the schema current as of its commit, so time
     // travel reads old vintages with their own column set
     val snap = Snapshot(nextVersion, parentOverride.getOrElse(cur.currentSnapshotId),
       System.currentTimeMillis(), op, manifests, Some(newSchemaDdl),
-      deleteManifests.getOrElse(cur.current.map(_.deleteManifests).getOrElse(Nil)))
+      deleteManifests.getOrElse(cur.current.map(_.deleteManifests).getOrElse(Nil)),
+      schemaId = Some(newSchemaId))
     val next = cur.copy(schemaDdl = newSchemaDdl,
       properties = (cur.properties -- propsRemove) ++ propsUpdate,
       snapshots = keepSnapshots :+ snap,
-      currentSnapshotId = if (advanceCurrent) nextVersion else cur.currentSnapshotId)
+      currentSnapshotId = if (advanceCurrent) nextVersion else cur.currentSnapshotId,
+      schemas = cur.schemas ++ schemasUpdate.map(_._1).getOrElse(Nil),
+      currentSchemaId = newSchemaId)
     writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
     meta = next
     // Pointer update is advisory (recovery lists metadata/ for max v).
@@ -525,23 +553,111 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * commit bumping schemaDdl — no data file is touched; files written
     * before the change lack the column and the read path null-fills it
     * (the vectorized reader projects by requested schema, treating absent
-    * parquet columns as all-null). Dropping/renaming/retyping is
-    * deliberately unsupported: those need per-file field-id mapping to stay
-    * sound, and null-fill ADD covers the case a 100 TB table actually
-    * outliving its schema hits first.
+    * parquet columns as all-null). While the table has never been renamed/
+    * dropped (empty schema registry) this stays a pure DDL bump — name
+    * resolution is sufficient. Once the registry exists, ADD also mints a
+    * [[SchemaDef]] assigning the column a NEVER-REUSED field id, so a
+    * column dropped and later re-added under the same name cannot
+    * resurrect old files' data.
     */
   def addColumn(name: String,
-      dataType: org.apache.spark.sql.types.DataType): Long = {
-    var attempt = 0
-    while (true) {
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    alterSchemaRetry { () =>
       if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
         throw new IllegalArgumentException(s"column $name already exists")
       val newDdl = StructType(schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true)).toDDL
+      val schemasUpd =
+        if (meta.schemas.isEmpty) None
+        else {
+          val cur = meta.currentSchemaDef
+          val nextId = meta.schemas.map(_.id).max + 1
+          Some((Seq(SchemaDef(nextId, newDdl,
+            cur.ids :+ (meta.lastFieldId + 1))), nextId))
+        }
+      (newDdl, schemasUpd)
+    }
+
+  /** Schema evolution: RENAME COLUMN. Mints a new [[SchemaDef]] carrying
+    * the SAME field ids under the new name — no data file is touched; the
+    * read path maps each file's physical column names to the current names
+    * through the ids ([[DataFileMeta.schemaId]]). The first rename/drop
+    * also materializes schema 0 (the pre-evolution positional schema) into
+    * the registry, freezing the name set every schemaId-0 file was written
+    * under before the top-level DDL diverges from it.
+    */
+  def renameColumn(oldName: String, newName: String): Long =
+    alterSchemaRetry { () =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
+      if (idx < 0) throw new IllegalArgumentException(s"no column $oldName")
+      if (schema.fieldNames.exists(_.equalsIgnoreCase(newName)))
+        throw new IllegalArgumentException(s"column $newName already exists")
+      if (meta.spec.column.equalsIgnoreCase(oldName))
+        throw new UnsupportedOperationException(
+          s"cannot rename partition column ${meta.spec.column}")
+      assertNoEqDeletesOn(oldName, "rename")
+      val (base, nextId) = mintBase()
+      val fields = schema.fields.clone()
+      fields(idx) = fields(idx).copy(name = newName)
+      val newDdl = StructType(fields).toDDL
+      (newDdl, Some((base :+ SchemaDef(nextId, newDdl,
+        meta.currentSchemaDef.ids), nextId)))
+    }
+
+  /** Schema evolution: DROP COLUMN. Metadata-only — the column's field id
+    * leaves the current schema (and is never reused), so every file's copy
+    * of the data goes dead without a rewrite; time travel to pre-drop
+    * snapshots still reads it through their pinned schema.
+    */
+  def dropColumn(name: String): Long =
+    alterSchemaRetry { () =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (idx < 0) throw new IllegalArgumentException(s"no column $name")
+      if (schema.fields.length == 1)
+        throw new UnsupportedOperationException("cannot drop the only column")
+      if (meta.spec.column.equalsIgnoreCase(name))
+        throw new UnsupportedOperationException(
+          s"cannot drop partition column ${meta.spec.column}")
+      assertNoEqDeletesOn(name, "drop")
+      val (base, nextId) = mintBase()
+      val newDdl = StructType(
+        schema.fields.patch(idx, Nil, 1)).toDDL
+      (newDdl, Some((base :+ SchemaDef(nextId, newDdl,
+        meta.currentSchemaDef.ids.patch(idx, Nil, 1)), nextId)))
+    }
+
+  /** Pending equality-delete files key rows BY NAME; renaming/dropping a
+    * key column out from under them would silently stop retiring the rows
+    * they target. Compaction materializes them away — require that first.
+    */
+  private def assertNoEqDeletesOn(col: String, op: String): Unit = {
+    val eq = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindEq)
+    if (eq.exists(_.eqColumns.exists(_.equalsIgnoreCase(col))))
+      throw new IllegalStateException(
+        s"cannot $op column $col: pending equality-delete files key on it " +
+          "(compact the table first)")
+  }
+
+  /** Registry entries to append BEFORE the new def: on the first rename/
+    * drop, schema 0 itself (current DDL, explicit positional ids). Returns
+    * (entries, next def id).
+    */
+  private def mintBase(): (Seq[SchemaDef], Int) =
+    if (meta.schemas.isEmpty) {
+      val names = schema.fieldNames
+      (Seq(SchemaDef(0, meta.schemaDdl, names.indices.map(_ + 1).toSeq)),
+        meta.schemas.map(_.id).maxOption.getOrElse(0) + 1)
+    } else (Nil, meta.schemas.map(_.id).max + 1)
+
+  private def alterSchemaRetry(
+      body: () => (String, Option[(Seq[SchemaDef], Int)])): Long = {
+    var attempt = 0
+    while (true) {
+      val (newDdl, schemasUpd) = body()
       try
         return commitAttempt("alter",
           meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
-          schemaUpdate = Some(newDdl))
+          schemaUpdate = Some(newDdl), schemasUpdate = schemasUpd)
       catch {
         case _: java.io.IOException =>
           attempt += 1
@@ -704,7 +820,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       try
         return commitAttempt("rollback", target.manifests, meta.snapshots,
           schemaUpdate = Some(target.schemaDdl.getOrElse(meta.schemaDdl)),
-          deleteManifests = Some(target.deleteManifests))
+          deleteManifests = Some(target.deleteManifests),
+          // restore the target's schema ID too, so post-rollback writes
+          // stamp (and reads resolve) the restored name space
+          schemasUpdate = Some((Nil, target.schemaId.getOrElse(0))))
       catch {
         case _: java.io.IOException =>
           attempt += 1

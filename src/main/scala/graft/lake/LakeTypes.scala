@@ -59,7 +59,12 @@ final case class DataFileMeta(
     // a file iff the file's seq is OLDER than the delete's — the ordering
     // that lets an upsert land new row versions and retire old ones in
     // one commit without the delete swallowing its own batch
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // id of the [[SchemaDef]] the file was WRITTEN under (stamped at write
+    // time, so a concurrent rename committed between write and commit
+    // still resolves the file's physical column names correctly); 0 =
+    // the base schema (also every pre-evolution file)
+    schemaId: Int = 0)
 
 /** Position-delete file metadata (merge-on-read deletes): a parquet of
   * (file_path STRING, pos BIGINT) rows marking individual rows of data
@@ -111,6 +116,29 @@ object DeleteFileMeta {
   val KindEq = "eq"
 }
 
+/** One registered table schema (schema evolution). `fieldIds` aligns
+  * positionally with the DDL's columns. Ids are assigned once and NEVER
+  * reused: a dropped-then-re-added column name gets a fresh id, so old
+  * files' same-named parquet column stays dead (no data resurrection) —
+  * the Iceberg field-id contract, carried in table metadata instead of
+  * parquet annotations because every file records the SchemaDef it was
+  * written under ([[DataFileMeta.schemaId]]).
+  */
+final case class SchemaDef(id: Int, ddl: String, fieldIds: Seq[Int]) {
+  @transient lazy val names: Seq[String] =
+    org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSeq
+  require(fieldIds.size == names.size || fieldIds.isEmpty,
+    s"fieldIds/${fieldIds.size} misaligned with schema columns/${names.size}")
+  /** Positional ids for legacy defs written without explicit ids. */
+  def ids: Seq[Int] = if (fieldIds.nonEmpty) fieldIds else names.indices.map(_ + 1)
+  /** Column name for a field id, if the field exists in this schema. */
+  def nameOf(fieldId: Int): Option[String] =
+    ids.indexOf(fieldId) match {
+      case -1 => None
+      case i => Some(names(i))
+    }
+}
+
 /** The reference's single partition transform (Constants.java:25,33-35):
   * truncate a long µs column to fixed-width buckets. Floor semantics so
   * negative values bucket monotonically.
@@ -137,7 +165,11 @@ final case class Snapshot(
     schemaDdl: Option[String] = None,
     // merge-on-read position-delete manifests ([[DeleteFileMeta]] lists);
     // absent in pre-MoR metadata → no deletes
-    deleteManifests: Seq[String] = Nil)
+    deleteManifests: Seq[String] = Nil,
+    // [[SchemaDef]] id current AS OF this snapshot; None (pre-rename/drop
+    // metadata) = the base schema 0, whose ids are positional — sound for
+    // append-only evolution, which is all that era supported
+    schemaId: Option[Int] = None)
 
 /** Full table metadata as persisted in metadata/v<N>.json. */
 final case class TableMeta(
@@ -147,9 +179,28 @@ final case class TableMeta(
     spec: TruncateSpec,
     properties: Map[String, String],
     snapshots: Seq[Snapshot],
-    currentSnapshotId: Long) {
+    currentSnapshotId: Long,
+    // schema registry (rename/drop evolution). Empty = pre-evolution
+    // metadata: the base schema 0 is synthesized from schemaDdl with
+    // positional ids. Entries are immutable and never removed — files
+    // outlive the snapshots that added them, and resolution must too.
+    schemas: Seq[SchemaDef] = Nil,
+    currentSchemaId: Int = 0) {
   def current: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  /** Resolve a schema id; 0 always resolves (synthesized for legacy
+    * metadata from the CURRENT ddl — sound because until the first
+    * rename/drop mints def 1, names never changed and ids are positional).
+    */
+  def schemaDef(id: Int): SchemaDef =
+    schemas.find(_.id == id).getOrElse {
+      if (id == 0) SchemaDef(0, schemaDdl, Nil)
+      else throw new IllegalArgumentException(s"no schema def $id")
+    }
+  def currentSchemaDef: SchemaDef = schemaDef(currentSchemaId)
+  /** Highest field id ever assigned (drop never frees an id). */
+  def lastFieldId: Int =
+    (schemas.flatMap(_.ids) ++ schemaDef(0).ids).max
 }
 
 object LakeFormat {

@@ -79,6 +79,14 @@ object LakeWriter {
       filesPerPartition: Int = 1, sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[DataFileMeta] = {
+    // the files are stamped with the table's CURRENT schema id — rows that
+    // arrive under stale (e.g. pre-rename) column names would then resolve
+    // to null at read time; fail the write instead of corrupting silently
+    val expected = table.schema.fieldNames.toSet
+    val got = df.columns.toSet
+    require(got == expected,
+      s"write columns ${got.mkString(",")} != table schema " +
+        s"${expected.mkString(",")} — align names to the current schema")
     val spark = df.sparkSession
     val spec = table.spec
     val conf = LakeTable.hadoopConf
@@ -170,7 +178,12 @@ object LakeWriter {
         }
         throw new java.io.IOException("data-file publish failed; staged files removed", e)
       }
-      results.collect { case Right(m) => m }
+      // stamp the schema the rows were WRITTEN under (the table's current
+      // def at write time): a rename committed between this write and its
+      // commit still resolves these files' physical names correctly
+      val sid = table.currentSchemaId
+      results.collect { case Right(m) =>
+        if (sid == 0) m else m.copy(schemaId = sid) }
     } finally {
       pool.shutdown()
       // staging dir cleanup must run on BOTH paths — a failed future

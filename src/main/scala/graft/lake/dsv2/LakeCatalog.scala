@@ -232,12 +232,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeDsTable(loc)
   }
 
-  /** Schema evolution: ADD COLUMN only ([[graft.lake.LakeTable.addColumn]]
-    * — metadata-only commit, old files null-fill). Anything else (drop,
-    * rename, retype) would need per-file field-id mapping to stay sound and
-    * is rejected. The reference itself fixes its schema at create time
-    * (Constants.java:26-31); this is the one extension a long-lived table
-    * needs first.
+  /** Schema evolution: ADD / RENAME / DROP COLUMN (all metadata-only, no
+    * data files touched). ADD null-fills pre-existing files; RENAME and
+    * DROP are sound across existing files because every file records the
+    * schema it was written under and reads resolve column names through
+    * never-reused field ids ([[graft.lake.SchemaDef]]) — a dropped-then-
+    * re-added name cannot resurrect old data. Retype remains rejected
+    * (value conversion, not name resolution). The reference itself fixes
+    * its schema at create time (Constants.java:26-31).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -251,11 +253,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(
             "added columns must be nullable: pre-existing files null-fill them")
         t.addColumn(add.fieldNames().head, add.dataType())
+      case rn: TableChange.RenameColumn =>
+        if (rn.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "laketable RENAME COLUMN supports top-level columns only")
+        t.renameColumn(rn.fieldNames().head, rn.newName())
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "laketable DROP COLUMN supports top-level columns only")
+        t.dropColumn(del.fieldNames().head)
       case sp: TableChange.SetProperty =>
         t.setProperty(sp.property(), sp.value())
       case other =>
         throw new UnsupportedOperationException(
-          s"laketable ALTER supports ADD COLUMN / SET TBLPROPERTIES only; got $other")
+          "laketable ALTER supports ADD/RENAME/DROP COLUMN / " +
+            s"SET TBLPROPERTIES only; got $other")
     }
     new LakeDsTable(location(ident))
   }

@@ -91,6 +91,7 @@ final case class LakeDeltaCommitMessage(dataFiles: Seq[DataFileMeta],
 
 final class LakeDeltaBatchWrite(location: String,
     scanSnapshot: Option[Long] = None) extends DeltaBatchWrite {
+  private val writeSchemaId = LakeTable.load(location).currentSchemaId
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -105,7 +106,8 @@ final class LakeDeltaBatchWrite(location: String,
       case ((d, x), LakeDeltaCommitMessage(df, xf)) => (d ++ df, x ++ xf)
       case (acc, _) => acc
     }
-    LakeTable.load(location).commitDelta(data, dels, scanSnapshot)
+    LakeTable.load(location).commitDelta(
+      LakeWriteCommit.stamp(data, writeSchemaId), dels, scanSnapshot)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -124,6 +124,7 @@ final class LakeRowLevelOperation(location: String,
 final class LakeReplaceDataWrite(location: String,
     schema: org.apache.spark.sql.types.StructType,
     op: LakeRowLevelOperation) extends BatchWrite {
+  private val writeSchemaId = LakeTable.load(location).currentSchemaId
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spec = LakeTable.load(location).spec
@@ -134,7 +135,8 @@ final class LakeReplaceDataWrite(location: String,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles: Seq[DataFileMeta] = LakeWriteCommit.collect(messages)
+    val newFiles: Seq[DataFileMeta] = LakeWriteCommit.stamp(
+      LakeWriteCommit.collect(messages), writeSchemaId)
     LakeTable.load(location)
       .replaceFiles(op.scannedPaths, newFiles, op.scanSnapshot)
   }

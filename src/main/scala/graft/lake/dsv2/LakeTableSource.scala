@@ -463,10 +463,37 @@ final class LakeBatchScan(location: String, table: LakeTable,
   private def liveFiles: Seq[DataFileMeta] =
     asOf.map(table.files(_)).getOrElse(table.files())
 
+  /** Schema def the scan's column names resolve against (rename/drop
+    * evolution): current, or the pinned def of a time-travel snapshot.
+    */
+  private lazy val readDef: graft.lake.SchemaDef =
+    table.schemaDefAt(asOf.getOrElse(table.currentSnapshotId))
+
+  /** Stats/filter pruning sees CURRENT column names; a file written under
+    * an older schema keys its footer stats by its PHYSICAL names. Translate
+    * through field ids before pruning — a field the file predates (or that
+    * was dropped and re-added) simply has no stats, which pruning treats
+    * as "cannot disprove" and keeps the file. Identity (and free) for
+    * never-evolved tables.
+    */
+  private def statsAligned(f: DataFileMeta): DataFileMeta = {
+    val metaSchemas = table.tableMeta.schemas
+    if (metaSchemas.isEmpty || f.schemaId == readDef.id) f
+    else metaSchemas.find(_.id == f.schemaId) match {
+      case None => f
+      case Some(fd) =>
+        val translated = readDef.names.iterator.zip(readDef.ids.iterator)
+          .flatMap { case (n, fid) =>
+            fd.nameOf(fid).flatMap(f.stats.get).map(n -> _)
+          }.toMap
+        f.copy(stats = translated)
+    }
+  }
+
   private def prunedFiles: Seq[DataFileMeta] =
     liveFiles.filter(f =>
       (pushed.iterator ++ runtime.iterator)
-        .forall(LakeMetaColumns.accept(table.spec, f, _)))
+        .forall(LakeMetaColumns.accept(table.spec, statsAligned(f), _)))
 
   /** Files the scan actually plans: pruned, then cut to a pushed LIMIT
     * when that is sound (no filters of either kind — they drop rows
@@ -569,7 +596,9 @@ final class LakeBatchScan(location: String, table: LakeTable,
         .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).nonEmpty,
       // full table schema: equality-delete key columns may lie outside the
       // projection and need their types for the injected read
-      tableSchemaDdl = asOf.map(table.schemaAt).getOrElse(table.schema).toDDL)
+      tableSchemaDdl = asOf.map(table.schemaAt).getOrElse(table.schema).toDDL,
+      readSchemaId = readDef.id,
+      schemaDefs = table.tableMeta.schemas)
 
   override def estimateStatistics(): Statistics = {
     val files = plannedFiles
@@ -636,7 +665,11 @@ final case class DeleteSliceRef(path: String, sizeBytes: Long,
   */
 final case class LakeFileSlice(
     path: String, rowCount: Long, start: Long, length: Long,
-    deletes: Seq[DeleteSliceRef] = Nil)
+    deletes: Seq[DeleteSliceRef] = Nil,
+    // [[graft.lake.SchemaDef]] id the file was written under: readers with
+    // a DIFFERENT read schema id request the file's physical column names
+    // (resolved through field ids) instead of the current ones
+    schemaId: Int = 0)
 
 /** One scan task = one bin-packed run of file ranges (below), all from one
   * partition bucket. `bucket` doubles as the task's partition key
@@ -684,10 +717,11 @@ object LakePartitionPacker {
         val slices = group.flatMap { f =>
           val dels = deletesFor(f)
           if (f.sizeBytes <= maxSplit || maxSplit <= 0)
-            Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes, dels))
+            Seq(LakeFileSlice(f.path, f.rowCount, 0L, f.sizeBytes, dels,
+              f.schemaId))
           else (0L until f.sizeBytes by maxSplit).map { off =>
             LakeFileSlice(f.path, if (off == 0) f.rowCount else 0L,
-              off, math.min(maxSplit, f.sizeBytes - off), dels)
+              off, math.min(maxSplit, f.sizeBytes - off), dels, f.schemaId)
           }
         }
         val cur = Seq.newBuilder[LakeFileSlice]
@@ -724,11 +758,46 @@ object LakePartitionPacker {
 final class LakeReaderFactory(schemaDdl: String,
     filters: Array[Filter] = Array.empty,
     hasDeletes: Boolean = false,
-    tableSchemaDdl: String = "") extends PartitionReaderFactory {
+    tableSchemaDdl: String = "",
+    // rename/drop evolution: the read snapshot's schema def id plus the
+    // table's (bounded — one entry per DDL change) registry. Empty
+    // registry = never evolved = every file's physical names are the
+    // current names, all mapping short-circuits to identity.
+    readSchemaId: Int = 0,
+    schemaDefs: Seq[graft.lake.SchemaDef] = Nil) extends PartitionReaderFactory {
   private lazy val schema: StructType =
     if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   private lazy val tableSchema: StructType =
     if (tableSchemaDdl.isEmpty) schema else StructType.fromDDL(tableSchemaDdl)
+
+  private lazy val defsById: Map[Int, graft.lake.SchemaDef] =
+    schemaDefs.map(d => d.id -> d).toMap
+  /** Requested-schema fields with each column's name translated to the
+    * FILE's physical name (same positions, same types — downstream is
+    * positional). A field id absent from the file's def (column added, or
+    * dropped-then-re-added, after the file was written) maps to a sentinel
+    * name no parquet file contains, so the reader null-fills it — the same
+    * mechanism as plain missing columns, but keyed by id: a re-added
+    * column's STALE same-named parquet data stays dead.
+    */
+  private def mappedFields(fields: Array[StructField],
+      fileSid: Int): Array[StructField] = {
+    val rd = defsById.get(readSchemaId).orNull
+    val fd = defsById.get(fileSid).orNull
+    if (rd == null || fd == null) return fields // unknown → identity
+    fields.map { f =>
+      val i = rd.names.indexWhere(_.equalsIgnoreCase(f.name))
+      if (i < 0) f // not a table column (e.g. row-index temp): keep as-is
+      else {
+        val fid = rd.ids(i)
+        fd.nameOf(fid) match {
+          case Some(phys) if phys == f.name => f
+          case Some(phys) => f.copy(name = phys)
+          case None => f.copy(name = s"__graft_absent_$fid", nullable = true)
+        }
+      }
+    }
+  }
 
   // `_file` metadata column: parquet never sees it — the reader decodes
   // dataSchema and injects the slice's path as a constant (a
@@ -823,10 +892,18 @@ final class LakeReaderFactory(schemaDdl: String,
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.hadoop.conf.Configuration]()
 
-  private def readConfFor(extras: Seq[StructField],
-      withIdx: Boolean): org.apache.hadoop.conf.Configuration = {
-    if (extras.isEmpty && !withIdx) return cachedConf
-    val fields = dataSchema.fields ++ extras ++
+  private def readConfFor(extras: Seq[StructField], withIdx: Boolean,
+      sid: Int = 0): org.apache.hadoop.conf.Configuration = {
+    // identity = the file's physical names ARE the requested names: same
+    // schema id, no registry, or a mapping that touches no projected column
+    val logical = dataSchema.fields ++ extras
+    val phys =
+      if (sid == readSchemaId || defsById.isEmpty) logical
+      else mappedFields(logical, sid)
+    val identity = (phys eq logical) ||
+      phys.iterator.zip(logical.iterator).forall { case (a, b) => a.name == b.name }
+    if (identity && extras.isEmpty && !withIdx) return cachedConf
+    val fields = (if (identity) logical else phys) ++
       (if (withIdx) Seq(StructField(
         org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
           // nullable: the column is "missing" from the file by design — the
@@ -835,8 +912,13 @@ final class LakeReaderFactory(schemaDdl: String,
           .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
       else Nil)
     val s = StructType(fields)
-    readConfCache.computeIfAbsent(s.toDDL + withIdx, _ => {
-      val c = new org.apache.hadoop.conf.Configuration(cachedConf)
+    readConfCache.computeIfAbsent(s.toDDL + withIdx + identity, _ => {
+      // mapped (non-identity) slices build on baseConf, NOT cachedConf:
+      // the parquet row-group predicate references CURRENT column names,
+      // which the file doesn't have. Spark re-evaluates every filter
+      // post-scan, so dropping the predicate loses skipping, not rows.
+      val c = new org.apache.hadoop.conf.Configuration(
+        if (identity) cachedConf else baseConf)
       c.set(org.apache.spark.sql.execution.datasources.parquet
         .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, s.json)
       c
@@ -948,7 +1030,8 @@ final class LakeReaderFactory(schemaDdl: String,
           if (cur == null) {
             if (!it.hasNext) return false
             val slice = it.next()
-            cur = openVectorized(slice)
+            cur = openVectorized(slice,
+              readConfFor(Nil, withIdx = false, slice.schemaId))
             cur.enableReturningBatches()
             val inner = cur.resultBatch() // allocate vectors before the first nextBatch
             if (fileIdx >= 0) {
@@ -1049,7 +1132,7 @@ final class LakeReaderFactory(schemaDdl: String,
           bits = if (posDels.nonEmpty) deletedBits(s) else null
           val readSchema = StructType(dataSchema.fields ++ extras)
           eqs = if (eqColNames.isEmpty) Nil else eqChecks(s, readSchema)
-          cur = openVectorized(s, readConfFor(extras, hasIdx))
+          cur = openVectorized(s, readConfFor(extras, hasIdx, s.schemaId))
           if (fileIdx >= 0)
             constRow = new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(s.path)))
@@ -1294,8 +1377,15 @@ final class LakeMicroBatchStream(location: String, schema: StructType,
     else LakePartitionPacker.pack(t.addedFilesBetween(s, e))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(schema.toDDL)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the stream's fixed output schema is the CURRENT name space; files
+    // from pre-rename snapshots resolve their physical names via the
+    // registry like any batch scan
+    val t = table
+    new LakeReaderFactory(schema.toDDL,
+      readSchemaId = t.currentSchemaId,
+      schemaDefs = t.tableMeta.schemas)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -92,6 +92,13 @@ private[dsv2] object LakeWriteCommit {
   def collectDeletes(messages: Array[WriterCommitMessage]): Seq[graft.lake.DeleteFileMeta] =
     messages.toSeq.collect { case LakeDeltaCommitMessage(_, dels) => dels }.flatten
 
+  /** Stamp committed files with the schema id the write planned under —
+    * the id travels with the file so reads resolve its PHYSICAL column
+    * names even when renames commit between this write's plan and commit.
+    */
+  def stamp(files: Seq[DataFileMeta], schemaId: Int): Seq[DataFileMeta] =
+    if (schemaId == 0) files else files.map(_.copy(schemaId = schemaId))
+
   def deleteAll(files: Seq[DataFileMeta]): Unit =
     files.foreach { f =>
       val p = new Path(f.path)
@@ -112,11 +119,13 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
 
 final class LakeBatchWrite(location: String, schema: StructType,
     spec: TruncateSpec, truncate: Boolean = false) extends BatchWrite {
+  private val writeSchemaId = LakeTable.load(location).currentSchemaId
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
       LakeDataWriter.targetFor(LakeTable.load(location)))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = LakeWriteCommit.collect(messages)
+    val files = LakeWriteCommit.stamp(
+      LakeWriteCommit.collect(messages), writeSchemaId)
     if (truncate) LakeTable.load(location).overwrite(files)
     else if (files.nonEmpty) LakeTable.load(location).append(files)
   }
@@ -127,6 +136,7 @@ final class LakeBatchWrite(location: String, schema: StructType,
 final class LakeStreamingWrite(location: String, schema: StructType,
     spec: TruncateSpec, queryId: String,
     upsertKeys: Seq[String] = Nil) extends StreamingWrite {
+  private val writeSchemaId = LakeTable.load(location).currentSchemaId
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     if (upsertKeys.isEmpty)
@@ -137,7 +147,8 @@ final class LakeStreamingWrite(location: String, schema: StructType,
         spec.widthMicros, upsertKeys)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = LakeWriteCommit.collect(messages)
+    val files = LakeWriteCommit.stamp(
+      LakeWriteCommit.collect(messages), writeSchemaId)
     val dels = LakeWriteCommit.collectDeletes(messages)
     if ((files.nonEmpty || dels.nonEmpty) &&
         LakeTable.load(location)

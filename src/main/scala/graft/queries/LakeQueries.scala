@@ -366,6 +366,36 @@ object LakeQueries {
     out
   }
 
+  // B42 — rename/drop schema evolution (field-id resolution, metadata-only
+  // ALTERs): batch 1 lands under the original column names, the price
+  // column renames, batch 2 lands under the new name — the scan resolves
+  // each file's PHYSICAL names through never-reused field ids, so both
+  // vintages consolidate. A DROP + re-ADD of o_orderstatus then proves old
+  // data stays dead: the re-added name carries a FRESH id, so every
+  // pre-drop row reads NULL while batch 3 (inserted after) keeps its
+  // values. Fully reconstructable over `orders` → hash-oracled.
+  def b42_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.e${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 500")
+    s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey >= 500 AND o_orderkey < 1000")
+    s.sql(s"ALTER TABLE $tbl DROP COLUMN o_orderstatus")
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN o_orderstatus STRING")
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey >= 1000 AND o_orderkey < 1500")
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, price, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -407,6 +437,7 @@ object LakeQueries {
     "b39_mor_merge" -> b39_mor_merge _,
     "b40_changelog" -> b40_changelog _,
     "b41_wap" -> b41_wap _,
+    "b42_schema_evolution" -> b42_schema_evolution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -488,6 +519,14 @@ object LakeQueries {
         |  UNION ALL SELECT 'after_publish',
         |    (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000))
         |ORDER BY phase""".stripMargin,
+    // rename is value-preserving (price = o_totalprice); the drop+re-add
+    // nulls o_orderstatus for every row inserted BEFORE the re-add
+    // (keys < 1000), while batch 3 keeps its values
+    "b42_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice AS price,
+        |  CASE WHEN o_orderkey < 1000 THEN CAST(NULL AS VARCHAR)
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
     // the scratch layout is fully declared by the query (clustered DSv2
     // write → one file per INSERT per bucket); the oracle reconstructs the
     // rollup from that declaration. bucket(i) = (5666666 + i) * Width.

@@ -1,0 +1,222 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Rename/drop schema evolution (SURVEY §2 extension; the Iceberg field-id
+  * contract carried in table metadata): every file records the SchemaDef it
+  * was written under, ids are never reused, and reads resolve each file's
+  * PHYSICAL column names through the ids — so renames are free, drops
+  * can't resurrect, and time travel sees each snapshot's own names.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (8100000L + i) * Width
+
+  private def newTable(props: Map[String, String] = Map.empty): LakeTable = {
+    val loc = tmpDir("laketable-evo")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec, props)
+  }
+
+  /** Writers supply CURRENT-name DataFrames; the generator's fixed names
+    * align positionally to whatever the table's schema evolved to.
+    */
+  private def appendBatch(t: LakeTable, rows: Long, micros: Long,
+      seed: Long): Long = {
+    val df = LakeWriter.generateBatch(spark, rows, micros, seed)
+      .toDF(t.schema.fieldNames.toIndexedSeq: _*)
+    t.append(LakeWriter.writeDataFiles(df, t))
+  }
+
+  test("rename: old files read under the new name, no data rewrite") {
+    val t = newTable()
+    appendBatch(t, 50, bucket(0), seed = 1)
+    val filesBefore = t.files().map(_.path).toSet
+    val before = t.toDF(spark).select(sum(length(col("data"))))
+      .head.getLong(0)
+
+    t.renameColumn("data", "payload")
+    assert(t.files().map(_.path).toSet == filesBefore) // metadata-only
+    val df = t.toDF(spark)
+    assert(df.columns.contains("payload") && !df.columns.contains("data"))
+    assert(df.select(sum(length(col("payload")))).head.getLong(0) == before)
+    assert(df.filter(col("payload").isNull).count() == 0)
+  }
+
+  test("mixed vintages: files written before AND after a rename consolidate") {
+    val t = newTable()
+    appendBatch(t, 40, bucket(0), seed = 2) // written as `data`, schemaId 0
+    t.renameColumn("data", "payload")
+    appendBatch(t, 30, bucket(1), seed = 3) // written as `payload`
+    assert(t.files().map(_.schemaId).toSet == Set(0, t.currentSchemaId))
+    val df = t.toDF(spark)
+    assert(df.count() == 70)
+    assert(df.filter(col("payload").isNull).count() == 0)
+    // projection narrower than the file schema still maps per file
+    assert(df.select("payload").distinct().count() > 1)
+  }
+
+  test("drop then re-add the same name: old column data stays dead") {
+    val t = newTable()
+    appendBatch(t, 25, bucket(0), seed = 4)
+    assert(t.toDF(spark).filter(col("data").isNull).count() == 0)
+    t.dropColumn("data")
+    assert(!t.toDF(spark).columns.contains("data"))
+    t.addColumn("data", StringType)
+    // same name, FRESH field id: pre-drop parquet values must not surface
+    val df = t.toDF(spark)
+    assert(df.columns.contains("data"))
+    assert(df.filter(col("data").isNotNull).count() == 0)
+    assert(df.count() == 25)
+  }
+
+  test("time travel reads each snapshot's own column names") {
+    val t = newTable()
+    appendBatch(t, 20, bucket(0), seed = 5)
+    val preRename = t.currentSnapshotId
+    t.renameColumn("data", "payload")
+    appendBatch(t, 10, bucket(1), seed = 6)
+    val old = t.snapshotDF(spark, preRename)
+    assert(old.columns.contains("data") && !old.columns.contains("payload"))
+    assert(old.count() == 20)
+    assert(old.filter(col("data").isNull).count() == 0)
+    assert(t.toDF(spark).columns.contains("payload"))
+  }
+
+  test("rollback across a rename restores the old name space for writes") {
+    val t = newTable()
+    appendBatch(t, 15, bucket(0), seed = 7)
+    val preRename = t.currentSnapshotId
+    t.renameColumn("data", "payload")
+    t.rollbackTo(preRename)
+    assert(t.schema.fieldNames.contains("data"))
+    assert(t.currentSchemaId == 0)
+    appendBatch(t, 5, bucket(1), seed = 8) // writes as `data`, stamps id 0
+    assert(t.toDF(spark).filter(col("data").isNull).count() == 0)
+    assert(t.toDF(spark).count() == 20)
+  }
+
+  test("filters and stats pruning stay correct across a rename") {
+    val t = newTable()
+    appendBatch(t, 50, bucket(0), seed = 9)  // message_id 0..49
+    t.renameColumn("data", "payload")
+    t.renameColumn("message_id", "mid")
+    appendBatch(t, 50, bucket(1), seed = 10)
+    val df = spark.read.format("laketable").load(t.location)
+    // predicate on a renamed column evaluates against BOTH vintages
+    assert(df.filter(col("mid") < 10).count() == 20)
+    // stats pruning on the renamed column: a disjoint range planned no
+    // extra files vs the matching bucket (old file's stats keyed by the
+    // old name translate through the field id)
+    df.filter(col("mid") < 10).collect()
+    val planned = dsv2.LakeScanMetrics.lastPlannedFiles
+    assert(planned == 2) // both files hold mid<10 rows
+    df.filter(col("mid") > 1000).collect()
+    assert(dsv2.LakeScanMetrics.lastPlannedFiles == 0)
+  }
+
+  test("write racing a rename: files stamped pre-rename still resolve") {
+    val t = newTable()
+    // stage the write (stamps schemaId at WRITE time) ...
+    val staged = LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 30, bucket(0), seed = 11), t)
+    // ... a rename commits before the append lands
+    val t2 = LakeTable.load(t.location)
+    t2.renameColumn("data", "payload")
+    t.refresh()
+    t.append(staged)
+    val df = t.toDF(spark)
+    assert(df.count() == 30)
+    assert(df.filter(col("payload").isNull).count() == 0)
+  }
+
+  test("metadata JSON round-trips the schema registry") {
+    val t = newTable()
+    appendBatch(t, 10, bucket(0), seed = 12)
+    t.renameColumn("data", "payload")
+    t.dropColumn("message_body")
+    t.addColumn("score", LongType)
+    val re = LakeTable.load(t.location)
+    assert(re.tableMeta.schemas.map(_.id) == t.tableMeta.schemas.map(_.id))
+    assert(re.currentSchemaId == t.currentSchemaId)
+    assert(re.currentSchemaDef.names == t.currentSchemaDef.names)
+    assert(re.currentSchemaDef.ids == t.currentSchemaDef.ids)
+    // ids are never reused: the re-added era's max id strictly grows
+    assert(re.tableMeta.lastFieldId == 6) // 5 base + 1 minted for `score`
+    assert(re.files().forall(_.schemaId == 0)) // file written pre-evolution
+  }
+
+  test("guards: partition column, last column, pending equality deletes") {
+    val t = newTable(Map(LakeFormat.PropDeleteMode ->
+      LakeFormat.DeleteModeMergeOnRead))
+    appendBatch(t, 20, bucket(0), seed = 13)
+    intercept[UnsupportedOperationException] {
+      t.renameColumn("timeperiod_loadedBy", "tp")
+    }
+    intercept[UnsupportedOperationException] {
+      t.dropColumn("timeperiod_loadedBy")
+    }
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+    intercept[IllegalArgumentException] { t.renameColumn("data", "message_id") }
+    // pending equality delete keyed on message_id blocks rename/drop of it
+    val keyDdl = "message_id BIGINT"
+    val delPath = new org.apache.hadoop.fs.Path(t.location,
+      "data/eq-delete-test.parquet")
+    spark.range(3).selectExpr("id AS message_id").coalesce(1)
+      .write.mode("overwrite").parquet(delPath.toString + ".dir")
+    val fs = delPath.getFileSystem(LakeTable.hadoopConf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(
+      delPath.toString + ".dir")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, delPath)
+    t.commitDelta(Nil, Seq(DeleteFileMeta(delPath.toUri.getPath,
+      fs.getFileStatus(delPath).getLen, 3, "", "￿",
+      kind = DeleteFileMeta.KindEq, eqColumns = Seq("message_id"))))
+    intercept[IllegalStateException] { t.renameColumn("message_id", "mid") }
+    intercept[IllegalStateException] { t.dropColumn("message_id") }
+    // unrelated columns still evolve
+    t.renameColumn("data", "payload")
+    assert(t.schema.fieldNames.contains("payload"))
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN through the catalog") {
+    spark.conf.set("spark.sql.catalog.lake",
+      classOf[dsv2.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.warehouse", tmpDir("evo-warehouse"))
+    try {
+      spark.sql("CREATE TABLE lake.db.evo (message_id BIGINT, data STRING, " +
+        "timeperiod_loadedBy BIGINT) PARTITIONED BY " +
+        s"(truncate($Width, timeperiod_loadedBy))")
+      spark.sql(s"INSERT INTO lake.db.evo VALUES (1, 'a', ${bucket(0)}L), " +
+        s"(2, 'b', ${bucket(0)}L)")
+      spark.sql("ALTER TABLE lake.db.evo RENAME COLUMN data TO payload")
+      val rows = spark.sql(
+        "SELECT payload FROM lake.db.evo ORDER BY message_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("a", "b"))
+      spark.sql("ALTER TABLE lake.db.evo DROP COLUMN payload")
+      assert(!spark.table("lake.db.evo").columns.contains("payload"))
+      assert(spark.table("lake.db.evo").count() == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lake.db.evo")
+    }
+  }
+
+  test("compaction migrates mixed-vintage files to the current schema") {
+    val t = newTable()
+    appendBatch(t, 30, bucket(0), seed = 14)
+    t.renameColumn("data", "payload")
+    appendBatch(t, 30, bucket(0), seed = 15)
+    assert(t.files().map(_.schemaId).toSet.size == 2)
+    t.compactFiles(spark, smallFileBytes = 64L << 20, minInputFiles = 2)
+    // rewrite wrote CURRENT-schema files: one vintage again
+    assert(t.files().map(_.schemaId).toSet == Set(t.currentSchemaId))
+    val df = t.toDF(spark)
+    assert(df.count() == 60)
+    assert(df.filter(col("payload").isNull).count() == 0)
+  }
+}

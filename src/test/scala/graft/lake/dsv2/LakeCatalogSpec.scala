@@ -245,9 +245,13 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("UPDATE lake.ns.evo SET score = -1 WHERE score IS NULL")
     assert(spark.sql("SELECT count(*) FROM lake.ns.evo WHERE score = -1")
       .head.getLong(0) == 10)
-    // duplicate / non-addable changes are rejected
+    // duplicate adds are rejected; DROP COLUMN is now supported (field-id
+    // evolution, SchemaEvolutionSpec) and removes the column without
+    // touching data files
     intercept[Exception] { spark.sql("ALTER TABLE lake.ns.evo ADD COLUMN score BIGINT") }
-    intercept[Exception] { spark.sql("ALTER TABLE lake.ns.evo DROP COLUMN score") }
+    spark.sql("ALTER TABLE lake.ns.evo DROP COLUMN score")
+    assert(!spark.table("lake.ns.evo").columns.contains("score"))
+    assert(spark.sql("SELECT count(*) FROM lake.ns.evo").head.getLong(0) == 15)
     spark.sql("DROP TABLE lake.ns.evo")
   }
 
