@@ -24,6 +24,7 @@ object Json {
     n.put("format", f.format)
     if (f.seq != 0L) n.put("seq", f.seq)
     if (f.schemaId != 0) n.put("schemaId", f.schemaId)
+    if (f.specId != 0) n.put("specId", f.specId)
     val st = n.putObject("stats")
     f.stats.foreach { case (c, s) =>
       val cs = st.putObject(c)
@@ -55,7 +56,8 @@ object Json {
       format = Option(n.get("format")).map(_.asText).getOrElse("parquet"),
       stats = stats,
       seq = Option(n.get("seq")).map(_.asLong).getOrElse(0L),
-      schemaId = Option(n.get("schemaId")).map(_.asInt).getOrElse(0))
+      schemaId = Option(n.get("schemaId")).map(_.asInt).getOrElse(0),
+      specId = Option(n.get("specId")).map(_.asInt).getOrElse(0))
   }
 
   def manifestToJson(files: Seq[DataFileMeta]): String = {
@@ -193,6 +195,15 @@ object Json {
       }
       root.put("currentSchemaId", m.currentSchemaId)
     }
+    if (m.specs.nonEmpty) {
+      val sp2 = root.putArray("specs")
+      m.specs.foreach { d =>
+        val n = sp2.addObject()
+        n.put("id", d.id)
+        n.put("widthMicros", d.widthMicros)
+      }
+      root.put("currentSpecId", m.currentSpecId)
+    }
     write(root)
   }
 
@@ -266,6 +277,11 @@ object Json {
       currentSnapshotId = n.get("currentSnapshotId").asLong,
       schemas = schemas,
       currentSchemaId =
-        Option(n.get("currentSchemaId")).map(_.asInt).getOrElse(0))
+        Option(n.get("currentSchemaId")).map(_.asInt).getOrElse(0),
+      specs = Option(n.get("specs")).map(_.elements().asScala.map { d =>
+        SpecDef(d.get("id").asInt, d.get("widthMicros").asLong)
+      }.toSeq).getOrElse(Nil),
+      currentSpecId =
+        Option(n.get("currentSpecId")).map(_.asInt).getOrElse(0))
   }
 }

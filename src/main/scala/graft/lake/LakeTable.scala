@@ -33,7 +33,17 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   private def metaDir = new Path(location, MetadataDir)
 
   def tableMeta: TableMeta = meta
-  def spec: TruncateSpec = meta.spec
+  /** The spec NEW writes bucket under (partition evolution: current width,
+    * invariant column). Per-FILE semantics — pruning, retention — must go
+    * through [[specFor]] instead: a file's partitionValue is a bucket start
+    * under the width it was WRITTEN with, not the current one.
+    */
+  def spec: TruncateSpec = meta.currentSpec
+  /** The partition-spec vintage `f` was written under. */
+  def specFor(f: DataFileMeta): TruncateSpec =
+    TruncateSpec(meta.spec.column, meta.specWidth(f.specId))
+  /** Id of the [[SpecDef]] writers stamp on new files. */
+  def currentSpecId: Int = meta.currentSpecId
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
 
   /** Schema as of a snapshot (schema evolution): snapshots committed before
@@ -336,7 +346,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       advanceCurrent: Boolean = true,
       // rename/drop evolution: new registry entries + the id to make
       // current (entries are append-only; ids never reused)
-      schemasUpdate: Option[(Seq[SchemaDef], Int)] = None): Long = {
+      schemasUpdate: Option[(Seq[SchemaDef], Int)] = None,
+      // partition-width evolution: same append-only contract
+      specsUpdate: Option[(Seq[SpecDef], Int)] = None): Long = {
     val cur = meta
     val nextVersion = cur.snapshots.map(_.id).maxOption.getOrElse(-1L) + 1
     val newSchemaDdl = schemaUpdate.getOrElse(cur.schemaDdl)
@@ -352,7 +364,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       snapshots = keepSnapshots :+ snap,
       currentSnapshotId = if (advanceCurrent) nextVersion else cur.currentSnapshotId,
       schemas = cur.schemas ++ schemasUpdate.map(_._1).getOrElse(Nil),
-      currentSchemaId = newSchemaId)
+      currentSchemaId = newSchemaId,
+      specs = cur.specs ++ specsUpdate.map(_._1).getOrElse(Nil),
+      currentSpecId = specsUpdate.map(_._2).getOrElse(cur.currentSpecId))
     writeAtomic(new Path(metaDir, s"v$nextVersion.json"), Json.metaToJson(next))
     meta = next
     // Pointer update is advisory (recovery lists metadata/ for max v).
@@ -669,6 +683,43 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     -1L // unreachable
   }
 
+  /** Partition evolution: change the truncate WIDTH new writes bucket
+    * under — "the 5-minute buckets grew too many files, move to hourly",
+    * the repartitioning every long-lived ingest table eventually makes.
+    * Metadata-only: no file moves. Existing files keep their bucket values
+    * under their own vintage ([[DataFileMeta.specId]]); pruning, retention
+    * and SPJ reporting resolve each file's width through that id, and
+    * compaction naturally migrates rewritten rows to the current layout.
+    * The column itself is invariant (it is the physical layout key — a
+    * different column would make old files' partition values meaningless).
+    */
+  def setPartitionWidth(newWidthMicros: Long): Long = {
+    require(newWidthMicros > 0, "truncate width must be positive")
+    var attempt = 0
+    while (true) {
+      if (newWidthMicros == spec.widthMicros)
+        throw new IllegalArgumentException(
+          s"partition width is already $newWidthMicros")
+      // first evolution materializes spec 0 (the creation width) so every
+      // pre-evolution file's id resolves through the registry too
+      val (base, nextId) =
+        if (meta.specs.isEmpty) (Seq(SpecDef(0, meta.spec.widthMicros)), 1)
+        else (Nil, meta.specs.map(_.id).max + 1)
+      try
+        return commitAttempt("alter",
+          meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+          specsUpdate = Some((base :+ SpecDef(nextId, newWidthMicros), nextId)))
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(s"alter failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
   // ---- snapshot refs: tags + rollback ------------------------------------
 
   /** Named snapshot refs ("tags"): `ref.tag.<name>` -> snapshot id. */
@@ -850,11 +901,14 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * Returns the new snapshot id, or -1 if nothing matched.
     */
   def deleteOlderThan(cutoffMicros: Long): Long = {
-    val aligned = spec(cutoffMicros)
     retryCommitDeletes("delete") { () =>
       // recomputed from fresh metadata on every attempt so a concurrent
-      // append's files survive the rewrite of the manifest list
-      val (dropped, kept) = files().partition(_.partitionValue < aligned)
+      // append's files survive the rewrite of the manifest list. A file is
+      // droppable iff its WHOLE bucket sits below the cutoff — judged per
+      // file under the width of its own spec vintage (equivalent to the
+      // reference's aligned-cutoff comparison when widths are uniform)
+      val (dropped, kept) = files().partition(f =>
+        f.partitionValue + meta.specWidth(f.specId) <= cutoffMicros)
       if (dropped.isEmpty) None
       else Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
         meta.snapshots, carryDeleteManifests(kept)))
@@ -1364,9 +1418,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
     val scanSnapshot = meta.currentSnapshotId
+    // candidate selection groups by (spec vintage, bucket) so files that
+    // merely share a bucket START across widths don't inflate the count;
+    // the rewrite itself re-buckets rows under the CURRENT spec — compaction
+    // is the migration path that pays down an old layout
     val candidates = files()
       .filter(_.sizeBytes < smallFileBytes)
-      .groupBy(_.partitionValue)
+      .groupBy(f => (f.specId, f.partitionValue))
       .filter(_._2.size >= minInputFiles)
       .values.flatten.toSeq
     if (candidates.isEmpty) return -1L
@@ -1599,8 +1657,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     val manifestPaths = snap.manifests.map(new Path(metaDir, _).toString)
     if (manifestPaths.isEmpty)
-      return spark.emptyDataset[(String, Long, Long, Long)]
-        .toDF("path", "size_bytes", "row_count", "partition_value")
+      return spark.emptyDataset[(String, Long, Long, Long, Int)]
+        .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id")
     spark.createDataset(manifestPaths)
       .repartition(math.min(manifestPaths.size, 32))
       .flatMap { mp =>
@@ -1608,9 +1666,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
         val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         Json.manifestFromJson(content)
-          .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue))
+          .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue, f.specId))
       }
-      .toDF("path", "size_bytes", "row_count", "partition_value")
+      .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id")
   }
 
   /** Per-partition rollup (the skew audit) as a distributed groupBy over
@@ -1619,13 +1677,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def partitionsDF(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
-    filesDF(spark).groupBy("partition_value").agg(
+    // keyed by (bucket, spec vintage): after partition evolution two
+    // vintages can share a bucket START with different widths — conflating
+    // them would misstate both buckets' skew
+    filesDF(spark).groupBy("partition_value", "spec_id").agg(
       count(lit(1)).as("file_count"),
       sum("row_count").as("row_count"),
       sum("size_bytes").as("size_bytes"),
       min("size_bytes").as("min_file_bytes"),
       max("size_bytes").as("max_file_bytes"))
-      .orderBy("partition_value")
+      .select("partition_value", "file_count", "row_count", "size_bytes",
+        "min_file_bytes", "max_file_bytes", "spec_id")
+      .orderBy("partition_value", "spec_id")
   }
 
   /** Current table as a DataFrame. */
@@ -1653,7 +1716,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       partitionMin: Option[Long] = None, partitionMax: Option[Long] = None,
       colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val pruned = files().filter { f =>
-      partitionMin.forall(lo => f.partitionValue + spec.widthMicros > lo) &&
+      partitionMin.forall(lo =>
+        f.partitionValue + meta.specWidth(f.specId) > lo) &&
         partitionMax.forall(hi => f.partitionValue <= hi) &&
         colRanges.forall { case (c, (lo, hi)) =>
           f.stats.get(c).forall(s =>

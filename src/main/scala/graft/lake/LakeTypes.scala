@@ -64,7 +64,13 @@ final case class DataFileMeta(
     // time, so a concurrent rename committed between write and commit
     // still resolves the file's physical column names correctly); 0 =
     // the base schema (also every pre-evolution file)
-    schemaId: Int = 0)
+    schemaId: Int = 0,
+    // id of the [[SpecDef]] (partition-spec vintage) the file was written
+    // under; 0 = the creation spec (also every pre-evolution file). The
+    // file's partitionValue is a bucket START under ITS OWN spec's width —
+    // pruning and retention must resolve the width through this id, never
+    // assume the table's current one
+    specId: Int = 0)
 
 /** Position-delete file metadata (merge-on-read deletes): a parquet of
   * (file_path STRING, pos BIGINT) rows marking individual rows of data
@@ -149,6 +155,18 @@ final case class TruncateSpec(column: String, widthMicros: Long) {
   def dirName(v: Long): String = s"${column}_trunc=${apply(v)}"
 }
 
+/** One registered partition-spec vintage (partition evolution): the
+  * truncate WIDTH current while a file generation was written. The column
+  * is invariant (it is the table's physical layout key); only granularity
+  * evolves — the "5-minute buckets grew too many files, move to hourly"
+  * migration every long-lived ingest table eventually makes. Ids are
+  * assigned once and never reused; files outlive the spec that wrote them,
+  * so entries are immutable and never removed.
+  */
+final case class SpecDef(id: Int, widthMicros: Long) {
+  require(widthMicros > 0, "truncate width must be positive")
+}
+
 /** One committed table version (reference snapshot, Writer.java:146-150).
   * Fast-append semantics: `manifests` = parent's manifests + one new — the
   * commit never rewrites existing manifests (Writer.java:141-146), so commit
@@ -185,7 +203,12 @@ final case class TableMeta(
     // positional ids. Entries are immutable and never removed — files
     // outlive the snapshots that added them, and resolution must too.
     schemas: Seq[SchemaDef] = Nil,
-    currentSchemaId: Int = 0) {
+    currentSchemaId: Int = 0,
+    // partition-spec registry (width evolution). Empty = never evolved:
+    // spec 0 is the creation spec. Same append-only/never-reused contract
+    // as `schemas`.
+    specs: Seq[SpecDef] = Nil,
+    currentSpecId: Int = 0) {
   def current: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   /** Resolve a schema id; 0 always resolves (synthesized for legacy
@@ -201,6 +224,17 @@ final case class TableMeta(
   /** Highest field id ever assigned (drop never frees an id). */
   def lastFieldId: Int =
     (schemas.flatMap(_.ids) ++ schemaDef(0).ids).max
+  /** Truncate width of a partition-spec vintage; 0 always resolves to the
+    * creation spec (also covers pre-evolution metadata).
+    */
+  def specWidth(id: Int): Long =
+    if (id == 0) spec.widthMicros
+    else specs.find(_.id == id).map(_.widthMicros).getOrElse(
+      throw new IllegalArgumentException(s"no partition spec $id"))
+  /** The spec NEW writes bucket under (current width, invariant column). */
+  def currentSpec: TruncateSpec =
+    if (currentSpecId == 0) spec
+    else TruncateSpec(spec.column, specWidth(currentSpecId))
 }
 
 object LakeFormat {

@@ -178,12 +178,15 @@ object LakeWriter {
         }
         throw new java.io.IOException("data-file publish failed; staged files removed", e)
       }
-      // stamp the schema the rows were WRITTEN under (the table's current
-      // def at write time): a rename committed between this write and its
-      // commit still resolves these files' physical names correctly
+      // stamp the schema AND partition-spec vintages the rows were WRITTEN
+      // under (the table's current defs at write time): a rename or width
+      // change committed between this write and its commit still resolves
+      // these files' physical names / bucket widths correctly
       val sid = table.currentSchemaId
+      val pid = table.currentSpecId
       results.collect { case Right(m) =>
-        if (sid == 0) m else m.copy(schemaId = sid) }
+        if (sid == 0 && pid == 0) m
+        else m.copy(schemaId = sid, specId = pid) }
     } finally {
       pool.shutdown()
       // staging dir cleanup must run on BOTH paths — a failed future

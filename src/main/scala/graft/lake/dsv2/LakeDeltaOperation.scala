@@ -91,14 +91,17 @@ final case class LakeDeltaCommitMessage(dataFiles: Seq[DataFileMeta],
 
 final class LakeDeltaBatchWrite(location: String,
     scanSnapshot: Option[Long] = None) extends DeltaBatchWrite {
-  private val writeSchemaId = LakeTable.load(location).currentSchemaId
+  // one load for spec id + width: a width change racing this write must
+  // not split them (see LakeBatchWrite)
+  private val (writeSchemaId, writeSpecId, writeSchemaDdl, writeSpec) = {
+    val t = LakeTable.load(location)
+    (t.currentSchemaId, t.currentSpecId, t.schema.toDDL, t.spec)
+  }
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val t = LakeTable.load(location)
-    new LakeDeltaWriterFactory(location, t.schema.toDDL,
-      t.spec.column, t.spec.widthMicros)
-  }
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new LakeDeltaWriterFactory(location, writeSchemaDdl,
+      writeSpec.column, writeSpec.widthMicros)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (data, dels) = messages.foldLeft(
@@ -107,7 +110,8 @@ final class LakeDeltaBatchWrite(location: String,
       case (acc, _) => acc
     }
     LakeTable.load(location).commitDelta(
-      LakeWriteCommit.stamp(data, writeSchemaId), dels, scanSnapshot)
+      LakeWriteCommit.stamp(data, writeSchemaId, writeSpecId), dels,
+      scanSnapshot)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

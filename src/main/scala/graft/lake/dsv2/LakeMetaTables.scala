@@ -22,13 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeMetaTables {
   val FilesSchema: StructType = StructType.fromDDL(
     "path STRING, size_bytes BIGINT, row_count BIGINT, " +
-      "partition_value BIGINT, format STRING")
+      "partition_value BIGINT, format STRING, spec_id INT")
   val SnapshotsSchema: StructType = StructType.fromDDL(
     "snapshot_id BIGINT, parent_id BIGINT, committed_at_ms BIGINT, " +
       "operation STRING, manifest_count INT")
   val PartitionsSchema: StructType = StructType.fromDDL(
     "partition_value BIGINT, file_count BIGINT, row_count BIGINT, " +
-      "size_bytes BIGINT, min_file_bytes BIGINT, max_file_bytes BIGINT")
+      "size_bytes BIGINT, min_file_bytes BIGINT, max_file_bytes BIGINT, " +
+      "spec_id INT")
   val ManifestsSchema: StructType = StructType.fromDDL(
     "manifest STRING, file_count BIGINT, row_count BIGINT, size_bytes BIGINT")
   val DeletesSchema: StructType = StructType.fromDDL(
@@ -72,7 +73,8 @@ final class LakeFilesMetaTable(location: String) extends Table with SupportsRead
             if (!it.hasNext) return false
             val f = it.next()
             cur = InternalRow(UTF8String.fromString(f.path), f.sizeBytes,
-              f.rowCount, f.partitionValue, UTF8String.fromString(f.format))
+              f.rowCount, f.partitionValue, UTF8String.fromString(f.format),
+              f.specId)
             true
           }
           override def get(): InternalRow = cur
@@ -116,14 +118,16 @@ final class LakePartitionsMetaTable(location: String) extends Table with Support
               var files = 0L; var rows = 0L; var bytes = 0L
               var minB = Long.MaxValue; var maxB = Long.MinValue
             }
-            val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Acc]
+            // keyed by (bucket, spec vintage): after partition evolution
+            // two vintages can share a bucket START with different widths
+            val acc = scala.collection.mutable.LinkedHashMap.empty[(Long, Int), Acc]
             for (mp <- partition.asInstanceOf[ManifestListPartition].paths) {
               val p = new Path(mp)
               val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
               val content =
                 try new String(in.readAllBytes(), "UTF-8") finally in.close()
               for (f <- Json.manifestFromJson(content)) {
-                val a = acc.getOrElseUpdate(f.partitionValue, new Acc)
+                val a = acc.getOrElseUpdate((f.partitionValue, f.specId), new Acc)
                 a.files += 1; a.rows += f.rowCount; a.bytes += f.sizeBytes
                 a.minB = math.min(a.minB, f.sizeBytes)
                 a.maxB = math.max(a.maxB, f.sizeBytes)
@@ -134,8 +138,8 @@ final class LakePartitionsMetaTable(location: String) extends Table with Support
           private var cur: InternalRow = _
           override def next(): Boolean = {
             if (!it.hasNext) return false
-            val (pv, a) = it.next()
-            cur = InternalRow(pv, a.files, a.rows, a.bytes, a.minB, a.maxB)
+            val ((pv, sid), a) = it.next()
+            cur = InternalRow(pv, a.files, a.rows, a.bytes, a.minB, a.maxB, sid)
             true
           }
           override def get(): InternalRow = cur

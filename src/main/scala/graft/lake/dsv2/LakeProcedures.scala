@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
-    "create_tag", "publish_branch", "drop_branch", "remove_orphan_files")
+    "create_tag", "publish_branch", "drop_branch", "remove_orphan_files",
+    "set_partition_width")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -125,6 +126,14 @@ object LakeProcedures {
       // returns the DELETED-FILE COUNT in the snapshot_id column (the op
       // commits no snapshot). Default cutoff: 24 h ago, the Iceberg
       // convention that keeps in-flight writers safe.
+      // partition evolution: change the truncate width NEW writes bucket
+      // under (metadata-only; existing files keep their vintage and
+      // compaction migrates them)
+      case "set_partition_width" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("width_micros", LongType))) { in =>
+        table(in).setPartitionWidth(in.getLong(1))
+      })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),
         paramD("older_than_ms", LongType, "-1"))) { in =>

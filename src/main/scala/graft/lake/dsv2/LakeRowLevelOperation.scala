@@ -124,19 +124,21 @@ final class LakeRowLevelOperation(location: String,
 final class LakeReplaceDataWrite(location: String,
     schema: org.apache.spark.sql.types.StructType,
     op: LakeRowLevelOperation) extends BatchWrite {
-  private val writeSchemaId = LakeTable.load(location).currentSchemaId
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val spec = LakeTable.load(location).spec
-    new LakeCoWWriterFactory(
-      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
-        LakeDataWriter.targetFor(LakeTable.load(location))),
-      schema)
+  // one load for spec id + width: see LakeBatchWrite
+  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes) = {
+    val t = LakeTable.load(location)
+    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t))
   }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeCoWWriterFactory(
+      new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
+        writeSpec.widthMicros, targetBytes),
+      schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles: Seq[DataFileMeta] = LakeWriteCommit.stamp(
-      LakeWriteCommit.collect(messages), writeSchemaId)
+      LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
     LakeTable.load(location)
       .replaceFiles(op.scannedPaths, newFiles, op.scanSnapshot)
   }

@@ -234,10 +234,11 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     // and equal to the bucket start (longMin == longMax == partitionValue
     // for every file) or the transform is identity (width 1); otherwise
     // fall back to the row-level path.
-    if (groupByPart && table.spec.widthMicros != 1L && !files.forall { f =>
-        f.stats.get(table.spec.column).exists(s =>
-          s.longMin.contains(f.partitionValue) &&
-            s.longMax.contains(f.partitionValue))
+    if (groupByPart && !files.forall { f =>
+        table.specFor(f).widthMicros == 1L ||
+          f.stats.get(table.spec.column).exists(s =>
+            s.longMin.contains(f.partitionValue) &&
+              s.longMax.contains(f.partitionValue))
       }) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -492,8 +493,9 @@ final class LakeBatchScan(location: String, table: LakeTable,
 
   private def prunedFiles: Seq[DataFileMeta] =
     liveFiles.filter(f =>
+      // per-file spec: partitionValue covers [start, start + OWN width)
       (pushed.iterator ++ runtime.iterator)
-        .forall(LakeMetaColumns.accept(table.spec, statsAligned(f), _)))
+        .forall(LakeMetaColumns.accept(table.specFor(f), statsAligned(f), _)))
 
   /** Files the scan actually plans: pruned, then cut to a pushed LIMIT
     * when that is sound (no filters of either kind — they drop rows
@@ -563,11 +565,21 @@ final class LakeBatchScan(location: String, table: LakeTable,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
+    val files = plannedFiles
+    // Partition evolution: the key-grouped claim holds only under ONE
+    // width. Mixed spec vintages in the planned set (mid-migration, before
+    // compaction re-buckets the old files) report no partitioning — a
+    // wrong co-partitioning claim would silently mis-join; a missing one
+    // merely costs a shuffle.
+    val widths = files.map(f => table.specFor(f).widthMicros).distinct
+    if (widths.size > 1)
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(files.map(_.partitionValue).distinct.size)
     val key = Expressions.apply(
-      TruncateFunction.nameFor(table.spec.widthMicros),
+      TruncateFunction.nameFor(widths.headOption.getOrElse(table.spec.widthMicros)),
       Expressions.column(table.spec.column))
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(key), plannedFiles.map(_.partitionValue).distinct.size)
+      Array(key), files.map(_.partitionValue).distinct.size)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -96,8 +96,10 @@ private[dsv2] object LakeWriteCommit {
     * the id travels with the file so reads resolve its PHYSICAL column
     * names even when renames commit between this write's plan and commit.
     */
-  def stamp(files: Seq[DataFileMeta], schemaId: Int): Seq[DataFileMeta] =
-    if (schemaId == 0) files else files.map(_.copy(schemaId = schemaId))
+  def stamp(files: Seq[DataFileMeta], schemaId: Int,
+      specId: Int = 0): Seq[DataFileMeta] =
+    if (schemaId == 0 && specId == 0) files
+    else files.map(_.copy(schemaId = schemaId, specId = specId))
 
   def deleteAll(files: Seq[DataFileMeta]): Unit =
     files.foreach { f =>
@@ -119,13 +121,19 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
 
 final class LakeBatchWrite(location: String, schema: StructType,
     spec: TruncateSpec, truncate: Boolean = false) extends BatchWrite {
-  private val writeSchemaId = LakeTable.load(location).currentSchemaId
+  // spec id, WIDTH and target size captured from ONE metadata load: a
+  // width change racing this write must not split them (files bucketed
+  // under one width but stamped with another vintage would mis-prune)
+  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes) = {
+    val t = LakeTable.load(location)
+    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t))
+  }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
-      LakeDataWriter.targetFor(LakeTable.load(location)))
+    new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
+      writeSpec.widthMicros, targetBytes)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.stamp(
-      LakeWriteCommit.collect(messages), writeSchemaId)
+      LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
     if (truncate) LakeTable.load(location).overwrite(files)
     else if (files.nonEmpty) LakeTable.load(location).append(files)
   }
@@ -136,19 +144,23 @@ final class LakeBatchWrite(location: String, schema: StructType,
 final class LakeStreamingWrite(location: String, schema: StructType,
     spec: TruncateSpec, queryId: String,
     upsertKeys: Seq[String] = Nil) extends StreamingWrite {
-  private val writeSchemaId = LakeTable.load(location).currentSchemaId
+  // one load for id + width + target: see LakeBatchWrite
+  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes) = {
+    val t = LakeTable.load(location)
+    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t))
+  }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     if (upsertKeys.isEmpty)
-      new LakeWriterFactory(location, schema.toDDL, spec.column, spec.widthMicros,
-        LakeDataWriter.targetFor(LakeTable.load(location)))
+      new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
+        writeSpec.widthMicros, targetBytes)
     else
-      new LakeUpsertWriterFactory(location, schema.toDDL, spec.column,
-        spec.widthMicros, upsertKeys)
+      new LakeUpsertWriterFactory(location, schema.toDDL, writeSpec.column,
+        writeSpec.widthMicros, upsertKeys)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.stamp(
-      LakeWriteCommit.collect(messages), writeSchemaId)
+      LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
     val dels = LakeWriteCommit.collectDeletes(messages)
     if ((files.nonEmpty || dels.nonEmpty) &&
         LakeTable.load(location)

@@ -422,8 +422,40 @@ object LakeQueries {
     out
   }
 
+  // B43 — partition-spec evolution (width change with per-file vintages):
+  // batch 1 lands under 400-wide buckets, the width evolves to 2000
+  // (metadata-only, CALL set_partition_width), batch 2 lands under the
+  // new width; the scan consolidates both vintages and predicate pruning
+  // resolves each file's bucket range under its OWN width. The final
+  // content is pure-SQL reconstructable over `orders` → hash-oracled.
+  def b43_partition_evolution(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"v${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_pevo_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_pevo_src WHERE o_orderkey < 800")
+    s.sql(s"CALL $cat.system.set_partition_width(`table` => 'ns.$name', " +
+      "width_micros => 2000)")
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_pevo_src WHERE o_orderkey >= 800 AND o_orderkey < 1600")
+    // the filter crosses both vintages (narrow buckets [400,800), wide
+    // bucket [0,2000)) — per-file width pruning must keep exactly the
+    // files that can hold matches
+    val out = localize(s.sql(
+      s"""SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl
+         |WHERE o_orderkey >= 600 AND o_orderkey < 1200
+         |ORDER BY o_orderkey""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b36_partitions_meta" -> b36_partitions_meta _,
+    "b43_partition_evolution" -> b43_partition_evolution _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -527,6 +559,12 @@ object LakeQueries {
         |  CASE WHEN o_orderkey < 1000 THEN CAST(NULL AS VARCHAR)
         |       ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
+    // the width change is metadata-only, so the final content is simply
+    // both inserted batches filtered to the probe range
+    "b43_partition_evolution" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+        |ORDER BY o_orderkey""".stripMargin,
     // the scratch layout is fully declared by the query (clustered DSv2
     // write → one file per INSERT per bucket); the oracle reconstructs the
     // rollup from that declaration. bucket(i) = (5666666 + i) * Width.
