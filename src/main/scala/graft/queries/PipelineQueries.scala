@@ -1047,6 +1047,45 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // D4 — CCNet-style LM cross-entropy scoring: train a bigram language
+  // model on the English slice, score EVERY document by its mean negative
+  // log-likelihood under add-one smoothing — the perplexity filter every
+  // large-scale pipeline runs (CCNet buckets a corpus into head/middle/
+  // tail by exactly this score; outliers in either direction are
+  // boilerplate or garbage).
+  //
+  // Scale shape: the model IS a distributed table (bigram/context counts),
+  // never a broadcast — the d03_boilerplate lesson: a corpus-derived set
+  // grows with the corpus, so scoring joins on the gram key (two shuffle
+  // joins) and re-aggregates per doc. The only driver value is the scalar
+  // vocabulary size. Everything is exact integer counting + IEEE doubles
+  // rounded to 4 decimals → DuckDB hash-oracled.
+  def d04_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+      .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val train = bi.filter(col("lang") === "en")
+    val bigramCounts = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val contextCounts = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // vocabulary size: ONE bounded scalar to the driver (the smoothing
+    // denominator), not the model
+    val v = train.agg(countDistinct(col("w2"))).head.getLong(0)
+    bi.join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(contextCounts, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        dec4(avg(-log(
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double"))))
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   // D5b — distributed decode with the stubbed codec (deterministic fake):
   // exercises the executor-side batch plumbing; rows-only checked.
   def d05_decode_stub(s: SparkSession, dir: String): DataFrame = {
@@ -1086,6 +1125,7 @@ object PipelineQueries {
     "d01_dedup_passage" -> d01_dedup_passage _,
     "d04_bpe_tokens" -> d04_bpe_tokens _,
     "d04_repetition" -> d04_repetition _,
+    "d04_perplexity" -> d04_perplexity _,
     "d04_gopher_rules" -> d04_gopher_rules _,
     "d03_boilerplate" -> d03_boilerplate _,
     "d01_dedup_cluster" -> d01_dedup_cluster _,
@@ -1214,6 +1254,33 @@ object PipelineQueries {
         |         unnest(string_split(text, ' ')) AS tok
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram LM with add-one smoothing, trained on the en slice, scoring
+    // every doc: pure integer counts + one rounded double — the joins and
+    // grouping reproduce exactly in DuckDB
+    "d04_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, lang, tk[CAST(i AS INT)] AS w1,
+        |    tk[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, lang, tk, generate_subscripts(tk, 1) AS i
+        |        FROM tok)
+        |  WHERE i < len(tk)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi WHERE lang = 'en'
+        |       GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi WHERE lang = 'en'
+        |       GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS v FROM bi WHERE lang = 'en')
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(CAST(round(AVG(-ln((COALESCE(c2.c2, 0) + 1.0) /
+        |    (COALESCE(c1.c1, 0) + v.v))), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        |    AS cross_entropy
+        |FROM bi b
+        |LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |LEFT JOIN c1 ON b.w1 = c1.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "d04_curation" ->
       """WITH scored AS (
         |  SELECT lang, doc_id,
