@@ -20,6 +20,22 @@ object PipelineQueries {
 
   private def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
 
+  /** Max single-token frequency over a `toks` array column: longest equal
+    * run of the SORTED tokens — O(n log n) per document vs the naive
+    * array_distinct × filter scan, which is O(n²) and dominates the gate
+    * stage on long documents. Values identical (both count the modal
+    * token), so DuckDB oracles keep the simple quadratic form.
+    */
+  private def maxTokenFreq: org.apache.spark.sql.Column = expr(
+    """(aggregate(array_sort(toks),
+      |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+      |  (acc, x) -> named_struct(
+      |    'prev', x,
+      |    'run', CASE WHEN acc.prev <=> x THEN acc.run + 1 ELSE 1L END,
+      |    'best', greatest(acc.best,
+      |      CASE WHEN acc.prev <=> x THEN acc.run + 1 ELSE 1L END)))).best
+      |""".stripMargin)
+
   // D1 — exact dedup by content hash: keep lowest doc_id per sha256(text).
   def d01_dedup_exact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -510,10 +526,20 @@ object PipelineQueries {
     * set is correct (slices only bound per-task sort size), so the
     * one-time sample job's exact output never affects results.
     */
-  private def withScoreSlices(scored: DataFrame, slices: Int): DataFrame = {
-    val cuts = scored.stat.approxQuantile("score",
+  private def withScoreSlices(scored: DataFrame, slices: Int): DataFrame =
+    applyScoreSlices(scored, scoreCuts(scored, slices))
+
+  /** Sampled quantile cut points over `df.score`, descending. The cuts job
+    * executes `df`'s whole upstream plan — callers with an expensive
+    * pipeline behind `scored` should sample a CHEAP proxy distribution
+    * instead (any cut set is correct; cuts only bound per-task sort size).
+    */
+  private def scoreCuts(df: DataFrame, slices: Int): Seq[Double] =
+    df.stat.approxQuantile("score",
       (1 until slices).map(_.toDouble / slices).toArray, 0.01)
       .toSeq.distinct.sorted.reverse // descending = pack order
+
+  private def applyScoreSlices(scored: DataFrame, cuts: Seq[Double]): DataFrame = {
     val wLocal = Window.partitionBy("lang", "slice")
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -567,9 +593,7 @@ object PipelineQueries {
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("mean_len",
         dec4(expr("aggregate(toks, 0D, (a, x) -> a + length(x)) / size(toks)")))
-      .withColumn("max_freq",
-        expr("""cast(array_max(transform(array_distinct(toks),
-               |  u -> size(filter(toks, x -> x = u)))) as long)""".stripMargin))
+      .withColumn("max_freq", maxTokenFreq)
       .filter(col("n_tok") >= 20 && col("n_tok") <= 5000 &&
         col("mean_len") >= 3.0 && col("mean_len") <= 12.0 &&
         col("max_freq").cast("double") / col("n_tok") <= 0.2)
@@ -603,7 +627,16 @@ object PipelineQueries {
     val scored = redacted.select(col("lang"), col("doc_id"), col("n_tok"),
       col("redacted_sha"),
       (col("n_chars").cast("double") / col("n_tok")).as("score"))
-    val local = withScoreSlices(scored, slices)
+    // cut points sampled from the RAW corpus score distribution — one
+    // cheap scan-side job — NOT from `scored`, whose upstream plan (gate,
+    // dedup shuffle, regex chain) would otherwise execute twice. The gated
+    // subset's distribution differs slightly; slices only bound per-task
+    // sort size, so correctness and near-uniformity both survive.
+    val rawScored = t(s, dir, "documents")
+      .filter(size(tokens(col("text"))) >= 1)
+      .select((col("n_chars").cast("double") /
+        size(tokens(col("text")))).as("score"))
+    val local = applyScoreSlices(scored, scoreCuts(rawScored, slices))
     val wOff = Window.partitionBy("lang").orderBy("slice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("lang", "slice").agg(sum("n_tok").as("ptot"))
@@ -831,9 +864,7 @@ object PipelineQueries {
         size(col("toks")).cast("long").as("n_tok"),
         dec4(expr("aggregate(toks, 0D, (a, x) -> a + length(x)) / size(toks)"))
           .as("mean_len"),
-        expr("""cast(array_max(transform(array_distinct(toks),
-               |  u -> size(filter(toks, x -> x = u)))) as long)""".stripMargin)
-          .as("max_freq"))
+        maxTokenFreq.as("max_freq"))
       .withColumn("ok_count", col("n_tok") >= 20 && col("n_tok") <= 5000)
       .withColumn("ok_meanlen", col("mean_len") >= 3.0 && col("mean_len") <= 12.0)
       .withColumn("ok_maxfreq",
