@@ -40,6 +40,10 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
   private case class Rewrite(lag: Int, seed: Long) extends Op
   private case class Expire(keep: Int) extends Op
   private case class Rollback(lag: Int) extends Op
+  // partition evolution: change the truncate width mid-schedule — the
+  // registry commit rides the same CAS loop as everything else, and every
+  // file appended afterwards carries the new vintage id
+  private case class SetWidth(mult: Int) extends Op
 
   private val KeyDomain = 8L // small on purpose: upsert keys collide often
 
@@ -55,7 +59,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       lag <- Gen.choose(0, 3); s <- Gen.long
     } yield Rewrite(lag, s)),
     1 -> Gen.choose(2, 5).map(Expire(_)),
-    1 -> Gen.choose(1, 3).map(Rollback(_)))
+    1 -> Gen.choose(1, 3).map(Rollback(_)),
+    1 -> Gen.choose(1, 6).map(SetWidth(_)))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, genOp))
@@ -111,7 +116,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
         nextFile += 1
         val path = f"$loc/data/f$nextFile%05d.parquet"
         fileRows(path) = rows
-        DataFileMeta(path, 1024L, rows.size.toLong, 0L)
+        // stamped with the current spec vintage, as the real writers do
+        DataFileMeta(path, 1024L, rows.size.toLong, 0L,
+          specId = t.currentSpecId)
       }
       def scanAt(lag: Int): Option[Snap] =
         if (history.isEmpty) None
@@ -236,6 +243,15 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             history += cur
           }
 
+        case SetWidth(mult) =>
+          val w = LakeWriter.EventSpec.widthMicros * mult
+          if (w != t.spec.widthMicros) {
+            val sid = t.setPartitionWidth(w)
+            // metadata-only: the live set is untouched
+            cur = Snap(sid, cur.live, cur.dead)
+            history += cur
+          }
+
         case Rollback(lag) =>
           val liveIds = t.snapshots.map(_.id).toSet
           // roll back to a still-present historical snapshot (expiry may
@@ -257,6 +273,13 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       val livePaths = liveFiles.map(_.path)
       assert(livePaths.distinct.size == livePaths.size, "duplicate live path")
       assert(livePaths.toSet == cur.live, "model/table live-set divergence")
+      // every live file's spec vintage must resolve through the registry
+      // (expiry/rollback/codec round-trips must never drop a SpecDef a
+      // surviving file still points at)
+      val reloaded = LakeTable.load(loc)
+      liveFiles.foreach(f =>
+        assert(reloaded.tableMeta.specWidth(f.specId) > 0,
+          s"unresolvable spec vintage ${f.specId} for ${f.path}"))
       val liveDels = t.deleteFilesMeta()
       liveDels.filter(_.kind == DeleteFileMeta.KindPos).foreach { d =>
         // capped entries (no inline list) are retained by conservative
@@ -295,9 +318,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     } finally LakeTable.drop(loc)
   }
 
-  test("1500 random append/delete/upsert/rewrite/expire/rollback schedules: " +
-      "no resurrection, no duplication, no loss, no dangling deletes, " +
-      "model agreement") {
+  test("1500 random append/delete/upsert/rewrite/expire/rollback/set-width " +
+      "schedules: no resurrection, no duplication, no loss, no dangling " +
+      "deletes, model agreement, resolvable spec vintages") {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
     }
