@@ -936,11 +936,37 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * bounded by files that contain matched rows, not by table size.
     */
   def deleteWhereCoW(spark: SparkSession,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column): Long =
+    cowRewriteWhere(spark, predicate, Nil)
+
+  /** Filter overwrite (SQL `INSERT OVERWRITE` in static mode with a
+    * condition, `DataFrameWriterV2.overwrite(cond)`): delete every row
+    * matching `predicate` AND land `newFiles` in ONE atomic rewrite
+    * commit — the idempotent range-backfill primitive ("replace March's
+    * partition with this recomputed data"). Reuses the CoW delete
+    * classification (whole-file drops stay metadata-only; straddling
+    * files rewrite their survivors); prior snapshots time-travel to the
+    * pre-overwrite data until expiry. Commits even when nothing matches
+    * (the overwrite of an empty range is the backfill's first run).
+    */
+  def overwriteWhere(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      newFiles: Seq[DataFileMeta]): Long =
+    cowRewriteWhere(spark, predicate, newFiles.distinctBy(_.path))
+
+  private def cowRewriteWhere(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      extra: Seq[DataFileMeta]): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val scanSnapshot = meta.currentSnapshotId
     val live = files()
-    if (live.isEmpty) return -1L
+    if (live.isEmpty && extra.isEmpty) return -1L
+    if (live.isEmpty) // overwrite into an empty table = plain append
+      return retryCommitDeletes("rewrite") { () =>
+        val kept = files() ++ stamp(extra)
+        Some((Seq(writeManifest(kept)), meta.snapshots,
+          carryDeleteManifests(kept)))
+      }
     // Pending MoR deletes must be honored throughout: a deleted row that
     // matched the scan would mis-classify its file; one that survived a
     // rewrite unfiltered would RESURRECT.
@@ -976,7 +1002,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       decisions.collect { case r if r.getBoolean(1) => r.getString(0) }.toSet
     val partial = live.filter(f => partialPaths.contains(f.path))
     val fullyDropped = live.filter(f => droppedPaths.contains(f.path))
-    if (partial.isEmpty && fullyDropped.isEmpty) return -1L
+    if (partial.isEmpty && fullyDropped.isEmpty && extra.isEmpty) return -1L
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
@@ -994,7 +1020,79 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // recompute survivors from fresh metadata: concurrent appends since
       // the scan must not be dropped by this manifest rewrite
       val kept = files().filterNot(f => replaced.contains(f.path)) ++
-        stamp(rewritten)
+        stamp(rewritten) ++ stamp(extra)
+      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+        meta.snapshots, carryDeleteManifests(kept)))
+    }
+  }
+
+  /** Dynamic partition overwrite (SQL `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`,
+    * `DataFrameWriterV2.overwritePartitions()`): atomically replace
+    * EXACTLY the buckets the new data landed in — the restatement shape
+    * ("recompute these hours and swap them in") that stays METADATA-ONLY:
+    * no existing file is read or rewritten when all vintages share the
+    * write's width, because bucket containment is decidable from the
+    * manifest alone (the partition column is non-null and the bucket is a
+    * pure function of it). Mixed spec vintages (a pre-evolution file whose
+    * wider bucket straddles a touched bucket's boundary) fall back to a
+    * row-level rewrite of JUST the straddling files, keeping their rows
+    * outside the touched buckets.
+    *
+    * Concurrency: a commit that lands files into a touched bucket between
+    * this write's scan and its commit raises
+    * ConcurrentModificationException — silently dropping the concurrent
+    * committer's files with the old generation would be a lost update.
+    * Appends into untouched buckets survive (re-derived per attempt from
+    * refreshed metadata).
+    */
+  def overwriteDynamic(spark: SparkSession, newFiles: Seq[DataFileMeta],
+      writeSpecId: Int): Long = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val fresh = newFiles.distinctBy(_.path)
+    if (fresh.isEmpty) return -1L
+    val scanSnapshot = meta.currentSnapshotId
+    val width = meta.specWidth(writeSpecId)
+    val touched = fresh.map(_.partitionValue).distinct.toSet
+    // the write-width buckets a live file's interval [pv, pv+ownWidth)
+    // overlaps — evaluated under the file's OWN spec vintage
+    def writeBuckets(f: DataFileMeta): Seq[Long] = {
+      val wf = meta.specWidth(f.specId)
+      val lo = f.partitionValue - java.lang.Math.floorMod(f.partitionValue, width)
+      Iterator.iterate(lo)(_ + width)
+        .takeWhile(_ < f.partitionValue + wf).toSeq
+    }
+    // straddling = intersects a touched bucket but is not fully contained
+    // (only possible across spec widths); its surviving rows rewrite once,
+    // BEFORE the commit loop — the conflict check below re-validates
+    val straddling = files().filter { f =>
+      val bs = writeBuckets(f)
+      bs.exists(touched) && !bs.forall(touched)
+    }
+    val rewritten: Seq[DataFileMeta] =
+      if (straddling.isEmpty) Nil
+      else {
+        val bucketCol = col(spec.column) - pmod(col(spec.column), lit(width))
+        val keepRows = readWithDeletes(spark, schema, straddling)
+          .filter(!bucketCol.isin(touched.toSeq: _*))
+        LakeWriter.writeDataFiles(keepRows, this)
+      }
+    val straddlingPaths = straddling.map(_.path).toSet
+    retryCommitDeletes("rewrite") { () =>
+      val cur = files()
+      // lost-update guard: files added since the scan that overlap a
+      // touched bucket would be silently swallowed by the swap
+      val conflicting = cur.filter(f => f.seq > scanSnapshot &&
+        !straddlingPaths.contains(f.path) && writeBuckets(f).exists(touched))
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"dynamic overwrite: concurrent commit added " +
+            s"${conflicting.size} file(s) into overwritten buckets")
+      assertReplacedLive(straddlingPaths, "rewrite")
+      assertNoNewDeletes(scanSnapshot, straddling, "rewrite")
+      val kept = cur.filter { f =>
+        !straddlingPaths.contains(f.path) && !writeBuckets(f).forall(touched)
+      } ++ stamp(rewritten) ++ stamp(fresh)
       Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
         meta.snapshots, carryDeleteManifests(kept)))
     }

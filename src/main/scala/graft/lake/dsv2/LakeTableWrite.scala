@@ -27,15 +27,60 @@ import org.apache.spark.sql.types.StructType
   * exact-once no-ops; the fenced replay's duplicate files are deleted by
   * the sink (they were never referenced by any manifest).
   */
-final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+/** How a batch write's commit lands relative to existing data. */
+private[dsv2] sealed trait LakeWriteMode
+private[dsv2] object LakeWriteMode {
+  /** Fast-append (the default `mode("append")` / INSERT INTO). */
+  case object Append extends LakeWriteMode
+  /** Full-table replacement (`mode("overwrite")` / static INSERT OVERWRITE). */
+  case object Truncate extends LakeWriteMode
+  /** Filter overwrite (`writeTo(t).overwrite(cond)`): delete matching rows
+    * + append, atomically ([[graft.lake.LakeTable.overwriteWhere]]). */
+  final case class ByFilter(predicate: org.apache.spark.sql.Column)
+    extends LakeWriteMode
+  /** Dynamic partition overwrite (`overwritePartitions()` / INSERT
+    * OVERWRITE under partitionOverwriteMode=dynamic): replace exactly the
+    * buckets the new data touches ([[graft.lake.LakeTable.overwriteDynamic]]). */
+  case object Dynamic extends LakeWriteMode
+}
 
-  private var truncateRequested = false
+final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: LakeWriteMode = LakeWriteMode.Append
 
   /** mode("overwrite"): replace the table's contents in one CoW rewrite
     * commit (prior snapshots keep time-traveling to the old files).
     */
-  override def truncate(): WriteBuilder = { truncateRequested = true; this }
+  override def truncate(): WriteBuilder = { mode = LakeWriteMode.Truncate; this }
+
+  /** OverwriteByExpression: Spark hands the condition as source Filters
+    * (AND semantics). AlwaysTrue collapses to the truncate path; anything
+    * [[LakeDsTable.toColumn]] can faithfully express becomes an atomic
+    * delete-matching + append commit. canOverwrite rejects the rest so
+    * Spark errors at analysis instead of silently replacing too much.
+    */
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    filters.forall(LakeDsTable.toColumn(_).isDefined)
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    val cols = filters.toSeq.map(f => LakeDsTable.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"cannot overwrite by $f")))
+    val isTruncate = filters.isEmpty || filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case _ => false
+    }
+    mode =
+      if (isTruncate) LakeWriteMode.Truncate
+      else LakeWriteMode.ByFilter(cols.reduce(_ && _))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = LakeWriteMode.Dynamic; this
+  }
 
   override def build(): Write = new Write
     with RequiresDistributionAndOrdering {
@@ -63,7 +108,7 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
 
     override def toBatch: BatchWrite =
-      new LakeBatchWrite(location, info.schema(), spec, truncateRequested)
+      new LakeBatchWrite(location, info.schema(), spec, mode)
     override def toStreaming: StreamingWrite = {
       // CDC upsert mode: .option("upsertKeys", "k1[,k2...]") — each batch
       // appends its rows AND an equality-delete on their keys, atomically
@@ -120,7 +165,8 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
 final class LakeBatchWrite(location: String, schema: StructType,
-    spec: TruncateSpec, truncate: Boolean = false) extends BatchWrite {
+    spec: TruncateSpec, mode: LakeWriteMode = LakeWriteMode.Append)
+  extends BatchWrite {
   // spec id, WIDTH and target size captured from ONE metadata load: a
   // width change racing this write must not split them (files bucketed
   // under one width but stamped with another vintage would mis-prune)
@@ -134,8 +180,18 @@ final class LakeBatchWrite(location: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.stamp(
       LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
-    if (truncate) LakeTable.load(location).overwrite(files)
-    else if (files.nonEmpty) LakeTable.load(location).append(files)
+    mode match {
+      case LakeWriteMode.Truncate =>
+        LakeTable.load(location).overwrite(files)
+      case LakeWriteMode.ByFilter(pred) =>
+        LakeTable.load(location).overwriteWhere(
+          org.apache.spark.sql.SparkSession.active, pred, files)
+      case LakeWriteMode.Dynamic =>
+        LakeTable.load(location).overwriteDynamic(
+          org.apache.spark.sql.SparkSession.active, files, writeSpecId)
+      case LakeWriteMode.Append =>
+        if (files.nonEmpty) LakeTable.load(location).append(files)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     LakeWriteCommit.deleteAll(LakeWriteCommit.collect(messages))

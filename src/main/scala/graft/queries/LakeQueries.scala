@@ -206,6 +206,62 @@ object LakeQueries {
     out
   }
 
+  // B44 — filter overwrite (OverwriteByExpression → overwriteWhere): the
+  // idempotent range backfill — "recompute keys < 500 and swap them in",
+  // one atomic delete-matching+append commit. 500 is deliberately NOT
+  // aligned to the 400-wide buckets, so the op exercises both whole-file
+  // drops ([0,400)) and a straddling-file survivor rewrite ([400,800)).
+  // Final state is pure-SQL reconstructable over `orders` → hash-oracled.
+  def b44_insert_overwrite(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.o${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_ow_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_ow_src WHERE o_orderkey < 1000")
+    s.sql("SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, " +
+        "o_orderstatus FROM graft_orders_ow_src WHERE o_orderkey < 500")
+      .writeTo(tbl).overwrite(col("o_orderkey") < 500)
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B45 — dynamic partition overwrite (OverwritePartitionsDynamic →
+  // overwriteDynamic): SQL INSERT OVERWRITE under
+  // partitionOverwriteMode=dynamic replaces EXACTLY the buckets the new
+  // data lands in — metadata-only (no existing file read or rewritten;
+  // the restatement shape for "recompute these hours"). The recomputed
+  // slice [400,800) covers one full bucket; [0,400) and [800,1200) come
+  // through physically untouched. Hash-oracled.
+  def b45_dynamic_overwrite(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.d${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_dyn_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_dyn_src WHERE o_orderkey < 1200")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try s.sql(s"INSERT OVERWRITE $tbl " +
+      "SELECT o_orderkey, o_totalprice * 2, o_orderstatus " +
+      "FROM graft_orders_dyn_src WHERE o_orderkey >= 400 AND o_orderkey < 800")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B37 — storage-partitioned join: two laketables co-partitioned by
   // truncate(10, user_id) join WITHOUT shuffling either side — the scans
   // report KeyGroupedPartitioning(truncate_10(user_id)) and Catalyst zips
@@ -464,6 +520,8 @@ object LakeQueries {
     "b06_json_csv" -> b06_json_csv _,
     "b34_merge_upsert" -> b34_merge_upsert _,
     "b35_update" -> b35_update _,
+    "b44_insert_overwrite" -> b44_insert_overwrite _,
+    "b45_dynamic_overwrite" -> b45_dynamic_overwrite _,
     "b37_spj_join" -> b37_spj_join _,
     "b38_mor_delete" -> b38_mor_delete _,
     "b39_mor_merge" -> b39_mor_merge _,
@@ -559,6 +617,22 @@ object LakeQueries {
         |  CASE WHEN o_orderkey < 1000 THEN CAST(NULL AS VARCHAR)
         |       ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
+    // rows under the overwrite filter carry the recomputed price; the rest
+    // keep the seeded values
+    "b44_insert_overwrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 500 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    // the touched bucket [400,800) is swapped for the recomputed slice;
+    // untouched buckets keep the seeded rows
+    "b45_dynamic_overwrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 400 AND o_orderkey < 800
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
     // the width change is metadata-only, so the final content is simply
     // both inserted batches filtered to the probe range
     "b43_partition_evolution" ->
