@@ -262,6 +262,31 @@ object LakeQueries {
     out
   }
 
+  // B46 — CTAS / RTAS through the V2 catalog: CREATE TABLE AS SELECT
+  // resolves the truncate transform and lands the query result through the
+  // DSv2 write; REPLACE TABLE AS SELECT swaps content and schema. Final
+  // state is the RTAS query over `orders` → hash-oracled.
+  def b46_ctas(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"c${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_ctas_src")
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |AS SELECT o_orderkey, o_totalprice, o_orderstatus
+         |FROM graft_orders_ctas_src WHERE o_orderkey < 600""".stripMargin)
+    s.sql(
+      s"""REPLACE TABLE $tbl
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |AS SELECT o_orderkey, o_totalprice * 0.5 AS half_price, o_orderstatus
+         |FROM graft_orders_ctas_src WHERE o_orderkey >= 600 AND o_orderkey < 1400""".stripMargin)
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, half_price, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B37 — storage-partitioned join: two laketables co-partitioned by
   // truncate(10, user_id) join WITHOUT shuffling either side — the scans
   // report KeyGroupedPartitioning(truncate_10(user_id)) and Catalyst zips
@@ -522,6 +547,7 @@ object LakeQueries {
     "b35_update" -> b35_update _,
     "b44_insert_overwrite" -> b44_insert_overwrite _,
     "b45_dynamic_overwrite" -> b45_dynamic_overwrite _,
+    "b46_ctas" -> b46_ctas _,
     "b37_spj_join" -> b37_spj_join _,
     "b38_mor_delete" -> b38_mor_delete _,
     "b39_mor_merge" -> b39_mor_merge _,
@@ -633,6 +659,12 @@ object LakeQueries {
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
+    // RTAS fully replaces the CTAS content: the final table is just the
+    // second query's result
+    "b46_ctas" ->
+      """SELECT o_orderkey, o_totalprice * 0.5 AS half_price, o_orderstatus
+        |FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1400
+        |ORDER BY o_orderkey""".stripMargin,
     // the width change is metadata-only, so the final content is simply
     // both inserted batches filtered to the probe range
     "b43_partition_evolution" ->
