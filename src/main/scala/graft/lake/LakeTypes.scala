@@ -260,6 +260,13 @@ object LakeFormat {
   // bytes and open a fresh one for the bucket (default 512 MB)
   val PropTargetFileSize = "write.target-file-size-bytes"
 
+  // declared write-time sort order (comma-separated column names): the
+  // DSv2 write requests an in-task ordering on (partition, sort columns),
+  // so each bucket's rolled files carry DISJOINT footer-stat ranges on the
+  // sort keys and point/range predicates prune to one of them straight
+  // from ingest — no compaction pass needed first
+  val PropSortOrder = "write.sort-order"
+
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"

@@ -84,7 +84,19 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
 
   override def build(): Write = new Write
     with RequiresDistributionAndOrdering {
-    private def spec = LakeTable.load(location).spec
+    private lazy val table = LakeTable.load(location)
+    private def spec = table.spec
+
+    /** Declared write-time sort order (`write.sort-order` property):
+      * within each task the rows additionally sort by these columns, so a
+      * bucket's rolled files carry disjoint footer-stat ranges on the sort
+      * keys — stats pruning works straight from ingest, not only after a
+      * clustering compaction.
+      */
+    private def sortColumns: Seq[String] = table.tableMeta.properties
+      .get(graft.lake.LakeFormat.PropSortOrder)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
     /** Cluster incoming rows by the partition column and sort within each
       * task, so each bucket's rows land in ONE writer instead of every
@@ -100,10 +112,12 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
           .column(spec.column)))
 
     override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(spec.column),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      (spec.column +: sortColumns.filterNot(_ == spec.column)).toArray
+        .map(c => Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING))
+    }
 
     override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
 
