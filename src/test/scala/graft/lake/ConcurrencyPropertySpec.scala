@@ -44,6 +44,11 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
   // registry commit rides the same CAS loop as everything else, and every
   // file appended afterwards carries the new vintage id
   private case class SetWidth(mult: Int) extends Op
+  // dynamic partition overwrite of bucket 0 (every fuzz file lives there):
+  // the metadata-only swap path — replaced files' live rows die, the new
+  // generation lands, pending-delete entries whose targets died must be
+  // pruned (the no-dangling invariant covers it)
+  private case class DynOverwrite(nRows: Int) extends Op
 
   private val KeyDomain = 8L // small on purpose: upsert keys collide often
 
@@ -60,7 +65,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     } yield Rewrite(lag, s)),
     1 -> Gen.choose(2, 5).map(Expire(_)),
     1 -> Gen.choose(1, 3).map(Rollback(_)),
-    1 -> Gen.choose(1, 6).map(SetWidth(_)))
+    1 -> Gen.choose(1, 6).map(SetWidth(_)),
+    2 -> Gen.choose(1, 4).map(DynOverwrite(_)))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, genOp))
@@ -252,6 +258,33 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             history += cur
           }
 
+        case DynOverwrite(nRows) =>
+          // mirror overwriteDynamic's own straddle detection (all fuzz
+          // files sit at bucket start 0 under their vintage): when a wider
+          // old-vintage file straddles, the real op needs a Spark rewrite
+          // — out of scope for this metadata-level fuzz, so skip those
+          // schedules' op (OverwriteSpec covers the straddle path)
+          val width = t.spec.widthMicros
+          def bucketsOf(f: DataFileMeta): Seq[Long] = {
+            val wf = t.tableMeta.specWidth(f.specId)
+            Iterator.iterate(0L)(_ + width).takeWhile(_ < wf).toSeq
+          }
+          val straddling = t.files().exists { f =>
+            val bs = bucketsOf(f); bs.contains(0L) && !bs.forall(_ == 0L)
+          }
+          if (!straddling) {
+            val replaced = t.files()
+              .filter(f => bucketsOf(f).forall(_ == 0L)).map(_.path).toSet
+            val meta = newDataFile(newRows(nRows))
+            // spark is only dereferenced on the straddle path, which the
+            // guard above excludes
+            val sid = t.overwriteDynamic(null, Seq(meta), t.currentSpecId)
+            val killed = replaced.flatMap(p => fileRows(p)).filterNot(cur.dead)
+            deletedRows ++= killed
+            cur = Snap(sid, cur.live -- replaced + meta.path, cur.dead ++ killed)
+            history += cur
+          }
+
         case Rollback(lag) =>
           val liveIds = t.snapshots.map(_.id).toSet
           // roll back to a still-present historical snapshot (expiry may
@@ -318,9 +351,9 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     } finally LakeTable.drop(loc)
   }
 
-  test("1500 random append/delete/upsert/rewrite/expire/rollback/set-width " +
-      "schedules: no resurrection, no duplication, no loss, no dangling " +
-      "deletes, model agreement, resolvable spec vintages") {
+  test("1500 random append/delete/upsert/rewrite/expire/rollback/set-width/" +
+      "dyn-overwrite schedules: no resurrection, no duplication, no loss, " +
+      "no dangling deletes, model agreement, resolvable spec vintages") {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
     }
