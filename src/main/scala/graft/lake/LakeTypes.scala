@@ -260,6 +260,15 @@ object LakeFormat {
   // bytes and open a fresh one for the bucket (default 512 MB)
   val PropTargetFileSize = "write.target-file-size-bytes"
 
+  // comma-separated columns to write parquet BLOOM FILTERS for: point
+  // lookups on unsorted high-cardinality columns then skip row groups the
+  // value provably isn't in (parquet-mr's row-group filter consults blooms
+  // automatically when the pushed predicate is an equality). Blooms live
+  // in the FILES, not the manifests — per-file cost, zero driver-metadata
+  // growth at 10⁶ files, exactly Iceberg's write.parquet.bloom-filter-
+  // enabled design
+  val PropBloomColumns = "write.bloom.columns"
+
   // declared write-time sort order (comma-separated column names): the
   // DSv2 write requests an in-task ordering on (partition, sort columns),
   // so each bucket's rolled files carry DISJOINT footer-stat ranges on the

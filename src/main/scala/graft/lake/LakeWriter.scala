@@ -121,7 +121,14 @@ object LakeWriter {
       if (maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer
-    try sized.parquet(tmpDir.toString)
+    // declared bloom columns survive rewrites/compaction: the per-column
+    // parquet option rides the datasource write's hadoop conf
+    val bloomed = table.tableMeta.properties
+      .get(LakeFormat.PropBloomColumns).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .foldLeft(sized)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    try bloomed.parquet(tmpDir.toString)
     finally prevTsType match {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None => spark.conf.unset(tsTypeKey)

@@ -184,13 +184,14 @@ final class LakeBatchWrite(location: String, schema: StructType,
   // spec id, WIDTH and target size captured from ONE metadata load: a
   // width change racing this write must not split them (files bucketed
   // under one width but stamped with another vintage would mis-prune)
-  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes) = {
+  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes, bloomCols) = {
     val t = LakeTable.load(location)
-    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t))
+    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t),
+      LakeDataWriter.bloomColumnsFor(t))
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
-      writeSpec.widthMicros, targetBytes)
+      writeSpec.widthMicros, targetBytes, bloomCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.stamp(
       LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
@@ -215,15 +216,16 @@ final class LakeStreamingWrite(location: String, schema: StructType,
     spec: TruncateSpec, queryId: String,
     upsertKeys: Seq[String] = Nil) extends StreamingWrite {
   // one load for id + width + target: see LakeBatchWrite
-  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes) = {
+  private val (writeSchemaId, writeSpecId, writeSpec, targetBytes, bloomCols) = {
     val t = LakeTable.load(location)
-    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t))
+    (t.currentSchemaId, t.currentSpecId, t.spec, LakeDataWriter.targetFor(t),
+      LakeDataWriter.bloomColumnsFor(t))
   }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     if (upsertKeys.isEmpty)
       new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
-        writeSpec.widthMicros, targetBytes)
+        writeSpec.widthMicros, targetBytes, bloomCols)
     else
       new LakeUpsertWriterFactory(location, schema.toDDL, writeSpec.column,
         writeSpec.widthMicros, upsertKeys)
@@ -293,12 +295,13 @@ final class LakeUpsertWriterFactory(location: String, schemaDdl: String,
   */
 final class LakeWriterFactory(location: String, schemaDdl: String,
     specColumn: String, specWidth: Long,
-    targetBytes: Long = LakeDataWriter.DefaultTargetBytes)
+    targetBytes: Long = LakeDataWriter.DefaultTargetBytes,
+    bloomColumns: Seq[String] = Nil)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(location, StructType.fromDDL(schemaDdl),
-      TruncateSpec(specColumn, specWidth), targetBytes)
+      TruncateSpec(specColumn, specWidth), targetBytes, bloomColumns)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -318,6 +321,15 @@ object LakeDataWriter {
   def targetFor(table: LakeTable): Long =
     table.tableMeta.properties.get(graft.lake.LakeFormat.PropTargetFileSize)
       .map(_.toLong).getOrElse(DefaultTargetBytes)
+
+  /** Columns declared for parquet bloom filters (`write.bloom.columns`).
+    * Resolved driver-side and shipped with the factory, same as the
+    * rolling target.
+    */
+  def bloomColumnsFor(table: LakeTable): Seq[String] =
+    table.tableMeta.properties.get(graft.lake.LakeFormat.PropBloomColumns)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 }
 
 /** One executor task's writer: routes each row to a per-bucket parquet
@@ -337,7 +349,8 @@ object LakeDataWriter {
   */
 final class LakeDataWriter(location: String, schema: StructType,
     spec: TruncateSpec,
-    targetBytes: Long = LakeDataWriter.DefaultTargetBytes)
+    targetBytes: Long = LakeDataWriter.DefaultTargetBytes,
+    bloomColumns: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val partIdx = schema.fieldIndex(spec.column)
@@ -373,10 +386,14 @@ final class LakeDataWriter(location: String, schema: StructType,
         spec.dirName(bucket))
       dir.getFileSystem(conf).mkdirs(dir)
       val path = new Path(dir, s"${UUID.randomUUID()}.parquet")
-      (path, new Builder(path)
+      val b = new Builder(path)
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build())
+      // declared bloom columns: the filter bytes land in THIS file's
+      // footer region; readers' row-group filtering consults them for
+      // pushed equality predicates with no extra wiring
+      bloomColumns.foreach(c => b.withBloomFilterEnabled(c, true))
+      (path, b.build())
     })._2
 
   override def write(row: InternalRow): Unit = {
