@@ -234,6 +234,54 @@ object Bench {
         "lake_scan_mor_compacted" -> compacted)
     }
 
+    /** Point-lookup pair: the SAME needle query (`WHERE v = <needle>`, a
+      * non-partition high-cardinality column) against two tables holding
+      * identical rows in identically-rolled files — one declared
+      * `write.sort-order=v` + `write.bloom.columns=v` (disjoint per-file
+      * v-ranges, blooms in every footer), one with neither. The sorted
+      * side plans ONE file via manifest stats and bloom-skips row groups;
+      * the plain side reads every file because each covers the full
+      * range. The gap is what declaring the layout buys every needle
+      * query — at 100 TB it is the difference between opening one 512 MB
+      * file and scanning the corpus.
+      */
+    def runPointLookupPair(): Seq[(String, Double)] = {
+      val cat = graft.queries.LakeQueries.dmlCatalog(spark)
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      def build(name: String, props: String): String = {
+        val tbl = s"$cat.ns.$name$sfx"
+        spark.sql(
+          s"""CREATE TABLE $tbl (k BIGINT, v BIGINT, tag STRING)
+             |PARTITIONED BY (truncate(1000000, k)) $props""".stripMargin)
+        // v is a scattered permutation of [0, 1M): without the declared
+        // sort every rolled file's min/max covers the full range and
+        // nothing prunes; with it the range distribution + local sort
+        // make the rolled files disjoint in v
+        spark.sql(s"INSERT INTO $tbl SELECT id, (id * 7919) % 1000000, " +
+          "md5(cast(id AS STRING)) FROM range(0, 1000000)")
+        tbl
+      }
+      val sorted = build("pls", "TBLPROPERTIES ('write.sort-order'='v', " +
+        "'write.bloom.columns'='v', 'write.target-file-size-bytes'='1048576')")
+      val plain = build("plp",
+        "TBLPROPERTIES ('write.target-file-size-bytes'='1048576')")
+      def once(tbl: String, needle: Long): Double = {
+        val t0 = System.nanoTime()
+        // fetch the payload, not count(*): the needle's row must be FOUND
+        // and materialized, the everyday "give me this document" shape
+        val rows = spark.sql(s"SELECT k, tag FROM $tbl WHERE v = $needle")
+          .collect()
+        assert(rows.length == 1, s"point lookup saw ${rows.length} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      // needles exist by construction (v is a bijection on [0, 1000000))
+      once(sorted, 7919); once(plain, 7919) // warmup
+      val s = (1 to 3).map(i => once(sorted, 7919L * i % 1000000)).min
+      val p = (1 to 3).map(i => once(plain, 7919L * i % 1000000)).min
+      spark.sql(s"DROP TABLE $sorted"); spark.sql(s"DROP TABLE $plain")
+      Seq("lake_point_lookup_sorted" -> s, "lake_point_lookup_plain" -> p)
+    }
+
     /** Streaming catch-up under a deep snapshot backlog (the A25
       * contract): 32 fast-append commits land BEFORE the stream starts;
       * the reader must plan each micro-batch in O(files admitted) — the
@@ -300,6 +348,7 @@ object Bench {
         Seq("dml_merge_mor" -> best2(() => runMergeOnce(mor = true))) else Nil) ++
       (if (only("lake_scan_400k")) runLakeScanPair() else Nil) ++
       (if (only("lake_scan_mor")) runMorScanPair() else Nil) ++
+      (if (only("lake_point_lookup")) runPointLookupPair() else Nil) ++
       (if (only("stream_catchup"))
         Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

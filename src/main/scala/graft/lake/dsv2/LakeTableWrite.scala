@@ -98,26 +98,43 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
-    /** Cluster incoming rows by the partition column and sort within each
-      * task, so each bucket's rows land in ONE writer instead of every
-      * task opening a file per bucket it happens to see — without this an
-      * N-task insert over K buckets writes N×K small files; with it, K.
-      * (Identity clustering: the transform groups ranges of the column, so
-      * same-value co-location implies same-bucket co-location.)
+    /** Default: cluster incoming rows by the partition column and sort
+      * within each task, so each bucket's rows land in ONE writer instead
+      * of every task opening a file per bucket it happens to see — without
+      * this an N-task insert over K buckets writes N×K small files; with
+      * it, K. (Identity clustering: the transform groups ranges of the
+      * column, so same-value co-location implies same-bucket co-location.)
+      *
+      * With a declared `write.sort-order`: RANGE-distribute by the sort
+      * columns instead (Iceberg's write.distribution-mode=range). Each
+      * task then owns a disjoint sort-key range, so a bucket's rolled
+      * files are disjoint across tasks AND within a task's rolled chain —
+      * a needle predicate plans at most one file per bucket. Ordering by
+      * (partition, sortCols) under the default hash-by-column clustering
+      * would instead sort by the high-cardinality partition column first
+      * and leave the sort key scattered within every file. Plain column
+      * refs only — a truncate-transform clustering would not resolve for
+      * path-based (non-catalog) writes.
       */
     override def requiredDistribution()
-        : org.apache.spark.sql.connector.distributions.Distribution =
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .column(spec.column)))
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.distributions.Distributions
+      import org.apache.spark.sql.connector.expressions.Expressions
+      if (sortColumns.nonEmpty) Distributions.ordered(sortOrders)
+      else Distributions.clustered(Array(Expressions.column(spec.column)))
+    }
 
-    override def requiredOrdering()
+    private def sortOrders
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-      (spec.column +: sortColumns.filterNot(_ == spec.column)).toArray
-        .map(c => Expressions.sort(Expressions.column(c),
-          SortDirection.ASCENDING))
+      val cols = if (sortColumns.nonEmpty) sortColumns else Seq(spec.column)
+      cols.toArray.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
     }
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      sortOrders
 
     override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
 
