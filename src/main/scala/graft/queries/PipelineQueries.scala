@@ -922,6 +922,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D1e — clustering over the EXACT-Jaccard pair graph: the same
+  // components → keep-first shape as d01_dedup_cluster, but the candidate
+  // edges are the deterministic d03_jaccard_pairs set, so the whole
+  // operator — including the iterative component search — hash-checks
+  // against a DuckDB recursive-CTE transitive closure. This is the oracle
+  // for the engine's connected-components machinery itself; the MinHash
+  // variant then only adds the (spec-checked) approximate edge generator.
+  def d01_cluster_exact(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d03_jaccard_pairs(s, dir).select("a_id", "b_id")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .withColumn("keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed connected components by min-label propagation WITH pointer
     * jumping (label ← label-of-label each round), iterated TO FIXPOINT —
     * a round whose changed-label count is 0 — never a fixed iteration
@@ -1117,6 +1132,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D4 — DSIR-style importance weighting (data selection via importance
+  // resampling): every doc scores avg_t [ ln p_target(t) − ln p_raw(t) ]
+  // under add-one-smoothed unigram models — target = the English slice,
+  // raw = the whole corpus. Positive weight ⇒ the doc looks more like the
+  // target distribution than the background; `selected` is the resampling
+  // verdict. This is the importance-sampling selection pass pretraining
+  // pipelines run to up-weight target-domain data.
+  //
+  // Scale shape (the d03_boilerplate lesson): both models ARE distributed
+  // token-keyed tables, never broadcast — scoring is two shuffle joins on
+  // the token key and one per-doc re-aggregation. The only driver values
+  // are three scalars (target size, corpus size, vocabulary) from ONE
+  // aggregate pass. Exact integer counts + IEEE doubles rounded to 4
+  // decimals → DuckDB hash-oracled.
+  def d04_dsir(s: SparkSession, dir: String): DataFrame = {
+    val uni = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+    // BOTH models in one token-keyed aggregate (one corpus scan): raw
+    // count + target count per token; the three smoothing scalars then
+    // come from the model table, not another corpus pass
+    val model = uni.groupBy("w").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val scalars = model.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v")).head
+    val (nr, nt, v) = (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
+    uni.join(model, Seq("w")) // inner: every token exists in the corpus
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        dec4(avg(
+          log((col("ct") + lit(1L)).cast("double") / lit((nt + v).toDouble)) -
+            log((col("cr") + lit(1L)).cast("double") / lit((nr + v).toDouble))))
+          .as("dsir_weight"))
+      .withColumn("selected", col("dsir_weight") > 0d)
+      .orderBy("doc_id")
+  }
+
   // D5b — distributed decode with the stubbed codec (deterministic fake):
   // exercises the executor-side batch plumbing; rows-only checked.
   def d05_decode_stub(s: SparkSession, dir: String): DataFrame = {
@@ -1160,6 +1213,8 @@ object PipelineQueries {
     "d04_gopher_rules" -> d04_gopher_rules _,
     "d03_boilerplate" -> d03_boilerplate _,
     "d01_dedup_cluster" -> d01_dedup_cluster _,
+    "d01_cluster_exact" -> d01_cluster_exact _,
+    "d04_dsir" -> d04_dsir _,
     "d06_pipeline_e2e" -> d06_pipeline_e2e _,
   )
 
@@ -1257,6 +1312,51 @@ object PipelineQueries {
         |  FROM pairs)
         |SELECT qid, rn, oid, CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
         |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "d01_cluster_exact" ->
+      // transitive closure over the exact-Jaccard candidate graph: the
+      // recursive member carries every reachable id to every node, min()
+      // per node = the component label (same label the engine's min-label
+      // propagation converges to)
+      """WITH RECURSIVE dtok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ni
+        |  FROM dtok x JOIN dtok y ON x.tk = y.tk AND x.lang = y.lang
+        |  WHERE x.doc_id < y.doc_id GROUP BY a_id, b_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.3),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster, id = MIN(r) AS keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d04_dsir" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tc AS (SELECT w, COUNT(*) AS ct FROM u WHERE lang = 'en' GROUP BY w),
+        |rc AS (SELECT w, COUNT(*) AS cr FROM u GROUP BY w),
+        |sc AS (SELECT COUNT(*) AS nr,
+        |  COUNT(*) FILTER (WHERE lang = 'en') AS nt,
+        |  COUNT(DISTINCT w) AS v FROM u),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(CAST(round(AVG(
+        |      ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + v)) -
+        |      ln(CAST(cr + 1 AS DOUBLE) / (nr + v))), 4)
+        |      AS DECIMAL(28,4)) AS DOUBLE) AS dsir_weight
+        |  FROM u LEFT JOIN tc USING (w) JOIN rc USING (w) CROSS JOIN sc
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dsir_weight, dsir_weight > 0 AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "d03_jaccard_pairs" ->
       """WITH dtok AS (
         |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tk

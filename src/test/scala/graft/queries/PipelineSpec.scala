@@ -82,6 +82,44 @@ class PipelineSpec extends SparkSpec {
     assert(keepers == truth.values.toSet)
   }
 
+  test("D1: exact-Jaccard clustering equals union-find over the exact pair graph") {
+    val pairs = PipelineQueries.d03_jaccard_pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val got = PipelineQueries.d01_cluster_exact(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"cluster mismatch: ${got.toSeq.diff(truth.toSeq).take(5)}")
+  }
+
+  test("D4: DSIR weights separate target-language documents") {
+    val d = graft.Tables.t(spark, dir, "documents").select("doc_id", "lang")
+    val w = PipelineQueries.d04_dsir(spark, dir)
+    // selected is exactly the sign of the rounded weight
+    assert(w.filter(col("selected") =!= (col("dsir_weight") > 0d)).count() == 0)
+    val byLang = w.join(d, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("dsir_weight").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the importance weight must rank target-distribution docs above the
+    // background on average — that separation IS the operator's purpose.
+    // The synthetic corpus shares most of its vocabulary across languages,
+    // so the gap is small (measured: en +0.0010 vs other −0.0013); the
+    // floor sits at half the measured gap — deterministic corpus, exact
+    // counts, so this only moves if the operator itself changes
+    assert(byLang(true) > byLang(false) + 0.001,
+      s"no target/background separation: $byLang")
+  }
+
   test("D1: connected components converge on a 300-node chain (diameter >> 64)") {
     // the round-4 implementation ran a FIXED 6 propagation rounds — a
     // chain longer than its reach silently mislabeled (wrong survivor
