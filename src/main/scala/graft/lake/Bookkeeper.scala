@@ -72,12 +72,19 @@ final class QueueBookkeeper(table: LakeTable, eventsDir: String,
       eventFiles.foreach(f => fs.delete(f.getPath, false))
       return -1L
     }
-    // externally-written files carry no schema id — the ingestion contract
-    // is that external writers target the table's CURRENT schema, so stamp
-    // the current def (pre-evolution tables: 0, a no-op)
+    // externally-written files carry no schema or spec id — the ingestion
+    // contract is that external writers target the table's CURRENT schema
+    // AND current partition spec, so stamp both defs (pre-evolution
+    // tables: 0, a no-op). Missing the spec stamp is not cosmetic: after a
+    // width evolution, a file left on the creation spec resolves the WRONG
+    // bucket width — retention delete then drops rows short of the cutoff
+    // and scan pruning skips matching files.
     val sid = table.currentSchemaId
+    val pid = table.currentSpecId
     val metas = QueueEvents.resolveMetrics(spark, paths.toSeq, table.spec)
-      .map(m => if (sid == 0) m else m.copy(schemaId = sid))
+      .map(m => m.copy(
+        schemaId = if (sid == 0) m.schemaId else sid,
+        specId = if (pid == 0) m.specId else pid))
     val snap = table.append(metas)
     eventFiles.foreach(f => fs.delete(f.getPath, false)) // ack after commit
     snap

@@ -521,6 +521,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       if (meta.properties.get(key)
           .exists(v => LakeTable.parseEpochValue(v)._1 >= epochId)) None
       else {
+        assertEqColumnsResolvable(newDeletes, "streaming epoch")
         val existing = meta.current.map(_.manifests).getOrElse(Nil)
         val known = knownPaths()
         val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
@@ -650,6 +651,29 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       throw new IllegalStateException(
         s"cannot $op column $col: pending equality-delete files key on it " +
           "(compact the table first)")
+  }
+
+  /** Commit-time half of the [[assertNoEqDeletesOn]] contract: an
+    * equality-delete commit racing a column rename/drop must LOSE. The
+    * ALTER's own check only sees entries pending at ALTER time — an
+    * in-flight CDC upsert stream (key names fixed at query start) or a
+    * delete written just before the rename would land an entry keyed on
+    * the retired name afterwards; every subsequent scan of files it
+    * applies to would then throw resolving the mask, leaving the table
+    * unreadable until the entry is dug out by hand. Validated inside the
+    * commit retry body (fresh metadata per attempt); a miss aborts the
+    * DELETE/epoch so the caller re-runs against the current schema.
+    */
+  private def assertEqColumnsResolvable(dels: Seq[DeleteFileMeta],
+      op: String): Unit = {
+    val names = schema.fieldNames
+    val missing = dels.iterator.filter(_.kind == DeleteFileMeta.KindEq)
+      .flatMap(_.eqColumns)
+      .filterNot(c => names.exists(_.equalsIgnoreCase(c))).toSeq.distinct
+    if (missing.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op invalidated by concurrent schema change: equality-delete " +
+          s"key column(s) ${missing.mkString(", ")} not in the current schema")
   }
 
   /** Registry entries to append BEFORE the new def: on the first rename/
@@ -868,13 +892,34 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     while (true) {
       val target = meta.snapshot(snapshotId).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $snapshotId to roll back to"))
+      val restoredDdl = target.schemaDdl.getOrElse(meta.schemaDdl)
+      // Restore the target's schema ID too, so post-rollback writes stamp
+      // (and reads resolve) the restored name space. A pre-registry target
+      // (schemaId None) cannot blindly map to def 0: def 0 is frozen at
+      // FIRST-rename time and may carry more columns (pre-registry ADDs)
+      // than the restored DDL — leaving currentSchemaId pointing at a def
+      // whose id list is longer than the DDL would make every later ALTER
+      // throw building its SchemaDef. Pre-registry history is append-only
+      // (rename/drop mint the registry first), so the restored DDL is a
+      // positional prefix of def 0 and its ids are positional 1..n —
+      // reuse a def with the identical DDL, else mint one.
+      val schemasUpd: (Seq[SchemaDef], Int) = target.schemaId match {
+        case Some(id) => (Nil, id)
+        case None if meta.schemas.isEmpty => (Nil, 0)
+        case None => meta.schemas.find(_.ddl == restoredDdl) match {
+          case Some(d) => (Nil, d.id)
+          case None =>
+            val n = org.apache.spark.sql.types.StructType
+              .fromDDL(restoredDdl).fields.length
+            val nextId = meta.schemas.map(_.id).max + 1
+            (Seq(SchemaDef(nextId, restoredDdl, (1 to n).toSeq)), nextId)
+        }
+      }
       try
         return commitAttempt("rollback", target.manifests, meta.snapshots,
-          schemaUpdate = Some(target.schemaDdl.getOrElse(meta.schemaDdl)),
+          schemaUpdate = Some(restoredDdl),
           deleteManifests = Some(target.deleteManifests),
-          // restore the target's schema ID too, so post-rollback writes
-          // stamp (and reads resolve) the restored name space
-          schemasUpdate = Some((Nil, target.schemaId.getOrElse(0))))
+          schemasUpdate = Some(schemasUpd))
       catch {
         case _: java.io.IOException =>
           attempt += 1
@@ -1270,6 +1315,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     if (newData.isEmpty && newDeletes.isEmpty) return -1L
     val fresh = newData.distinctBy(_.path)
     retryCommitDeletes(if (fresh.nonEmpty) "append" else "delete") { () =>
+      assertEqColumnsResolvable(newDeletes, "delta commit")
       val dangling = danglingDeleteRefs(newDeletes,
         files().map(_.path).toSet, scanSnapshot)
       if (dangling.nonEmpty)

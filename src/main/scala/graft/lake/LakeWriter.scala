@@ -123,9 +123,7 @@ object LakeWriter {
       else writer
     // declared bloom columns survive rewrites/compaction: the per-column
     // parquet option rides the datasource write's hadoop conf
-    val bloomed = table.tableMeta.properties
-      .get(LakeFormat.PropBloomColumns).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val bloomed = graft.lake.dsv2.LakeDataWriter.bloomColumnsFor(table)
       .foldLeft(sized)((w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     try bloomed.parquet(tmpDir.toString)

@@ -161,7 +161,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new LakeDsTable(location(ident))
+    new LakeDsTable(location(ident), viaCatalog = true)
   }
 
   /** SQL `VERSION AS OF <snapshot-id | 'tag-name' | 'branch-name'>`: a
@@ -178,7 +178,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     if (t.tableMeta.snapshot(id).isEmpty)
       throw new NoSuchTableException(ident)
-    new LakeDsTable(location(ident), asOf = Some(id))
+    new LakeDsTable(location(ident), asOf = Some(id), viaCatalog = true)
   }
 
   /** SQL `TIMESTAMP AS OF ...` (Spark hands micros since epoch): newest
@@ -190,7 +190,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val cutoffMs = timestampMicros / 1000L
     val id = t.snapshots.filter(_.timestampMs <= cutoffMs)
       .map(_.id).maxOption.getOrElse(throw new NoSuchTableException(ident))
-    new LakeDsTable(location(ident), asOf = Some(id))
+    new LakeDsTable(location(ident), asOf = Some(id), viaCatalog = true)
   }
 
   /** PARTITIONED BY must carry exactly one `truncate(width, col)` (either
@@ -229,7 +229,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       (TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT)
     LakeTable.create(loc, schema.toDDL, spec, props)
-    new LakeDsTable(loc)
+    new LakeDsTable(loc, viaCatalog = true)
   }
 
   /** Schema evolution: ADD / RENAME / DROP COLUMN (all metadata-only, no
@@ -270,7 +270,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           "laketable ALTER supports ADD/RENAME/DROP COLUMN / " +
             s"SET TBLPROPERTIES only; got $other")
     }
-    new LakeDsTable(location(ident))
+    new LakeDsTable(location(ident), viaCatalog = true)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -47,9 +47,14 @@ import org.apache.spark.unsafe.types.UTF8String
 final class LakeDeltaOperation(location: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
-  // snapshot current when the operation was PLANNED — at or before the
-  // scan's, so the commit's capped-entry validation (files removed since
-  // the scan, LakeTable.danglingDeleteRefs) is conservative
+  // snapshot current when the operation was PLANNED; newScanBuilder pins
+  // the scan to THIS snapshot, so the commit's capped-entry validation
+  // (files removed since the scan, LakeTable.danglingDeleteRefs) covers
+  // exactly the file set the scan could have read. An unpinned scan from
+  // a fresh load could read a file appended after planning; a capped
+  // (path-list-free) delete entry covering it would dodge the
+  // removed-since-scan check and dangle after a concurrent rewrite —
+  // silent resurrection.
   private val scanSnapshot: Long = LakeTable.load(location).currentSnapshotId
 
   override def command(): RowLevelOperation.Command = cmd
@@ -71,8 +76,15 @@ final class LakeDeltaOperation(location: String,
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(location, LakeTable.load(location), None, None, None)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = LakeTable.load(location)
+    // empty-at-plan tables have no snapshot to pin (nothing to delete);
+    // an expired pin falls back to current — validation then treats
+    // capped entries conservatively (danglingDeleteRefs' expired branch)
+    val pin = if (t.snapshots.exists(_.id == scanSnapshot)) Some(scanSnapshot)
+      else None
+    new LakeScanBuilder(location, t, None, pin, None)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

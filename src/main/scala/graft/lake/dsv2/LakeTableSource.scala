@@ -51,7 +51,8 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-final class LakeDsTable(location: String, asOf: Option[Long] = None)
+final class LakeDsTable(location: String, asOf: Option[Long] = None,
+    viaCatalog: Boolean = false)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -126,7 +127,9 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LakeWriteBuilder(location, info)
+    // viaCatalog gates the bucket-transform write distribution: the
+    // transform only resolves when the relation carries a FunctionCatalog
+    new LakeWriteBuilder(location, info, viaCatalog)
 }
 
 object LakeDsTable {

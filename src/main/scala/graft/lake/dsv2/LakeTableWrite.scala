@@ -44,7 +44,8 @@ private[dsv2] object LakeWriteMode {
   case object Dynamic extends LakeWriteMode
 }
 
-final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
+final class LakeWriteBuilder(location: String, info: LogicalWriteInfo,
+    viaCatalog: Boolean = false)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: LakeWriteMode = LakeWriteMode.Append
@@ -105,16 +106,24 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
       * it, K. (Identity clustering: the transform groups ranges of the
       * column, so same-value co-location implies same-bucket co-location.)
       *
-      * With a declared `write.sort-order`: RANGE-distribute by the sort
-      * columns instead (Iceberg's write.distribution-mode=range). Each
-      * task then owns a disjoint sort-key range, so a bucket's rolled
-      * files are disjoint across tasks AND within a task's rolled chain —
-      * a needle predicate plans at most one file per bucket. Ordering by
-      * (partition, sortCols) under the default hash-by-column clustering
-      * would instead sort by the high-cardinality partition column first
-      * and leave the sort key scattered within every file. Plain column
-      * refs only — a truncate-transform clustering would not resolve for
-      * path-based (non-catalog) writes.
+      * With a declared `write.sort-order`: RANGE-distribute by
+      * (bucket transform, sort columns) — Iceberg's
+      * write.distribution-mode=range. Each task then owns a contiguous
+      * (bucket, sort-key) range, so (a) tasks visit buckets SEQUENTIALLY
+      * (one open parquet writer per task, ~K+N files total, the writer's
+      * `sequentialBuckets` contract) and (b) within every bucket the
+      * rolled files carry disjoint sort-key ranges — a needle predicate
+      * plans at most one file per bucket straight from manifest stats.
+      * The transform resolves through the table catalog's
+      * [[TruncateFunction]]; that resolution only exists for
+      * catalog-loaded relations, so path-based writes fall back to
+      * ranging by the sort columns alone — still per-bucket sort-key
+      * disjoint (tasks own disjoint key ranges), at the cost of every
+      * task visiting every bucket it sees keys for. Ordering by the RAW
+      * partition column instead would be wrong in a different way: within
+      * a bucket rows would sort by the partition value first, scattering
+      * the sort key inside every file and losing the needle pruning the
+      * declaration exists for.
       */
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution = {
@@ -127,9 +136,17 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
     private def sortOrders
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-      val cols = if (sortColumns.nonEmpty) sortColumns else Seq(spec.column)
-      cols.toArray.map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      def asc(e: org.apache.spark.sql.connector.expressions.Expression) =
+        Expressions.sort(e, SortDirection.ASCENDING)
+      if (sortColumns.isEmpty) Array(asc(Expressions.column(spec.column)))
+      else {
+        val keys = sortColumns.toArray
+          .map(c => asc(Expressions.column(c)))
+        if (!viaCatalog) keys
+        else asc(Expressions.apply(
+          TruncateFunction.nameFor(spec.widthMicros),
+          Expressions.column(spec.column))) +: keys
+      }
     }
 
     override def requiredOrdering()
@@ -139,7 +156,8 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
 
     override def toBatch: BatchWrite =
-      new LakeBatchWrite(location, info.schema(), spec, mode)
+      new LakeBatchWrite(location, info.schema(), spec, mode,
+        sequentialBuckets = viaCatalog && sortColumns.nonEmpty)
     override def toStreaming: StreamingWrite = {
       // CDC upsert mode: .option("upsertKeys", "k1[,k2...]") — each batch
       // appends its rows AND an equality-delete on their keys, atomically
@@ -196,7 +214,8 @@ final case class LakeCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
 final class LakeBatchWrite(location: String, schema: StructType,
-    spec: TruncateSpec, mode: LakeWriteMode = LakeWriteMode.Append)
+    spec: TruncateSpec, mode: LakeWriteMode = LakeWriteMode.Append,
+    sequentialBuckets: Boolean = false)
   extends BatchWrite {
   // spec id, WIDTH and target size captured from ONE metadata load: a
   // width change racing this write must not split them (files bucketed
@@ -208,7 +227,7 @@ final class LakeBatchWrite(location: String, schema: StructType,
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(location, schema.toDDL, writeSpec.column,
-      writeSpec.widthMicros, targetBytes, bloomCols)
+      writeSpec.widthMicros, targetBytes, bloomCols, sequentialBuckets)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = LakeWriteCommit.stamp(
       LakeWriteCommit.collect(messages), writeSchemaId, writeSpecId)
@@ -313,12 +332,14 @@ final class LakeUpsertWriterFactory(location: String, schemaDdl: String,
 final class LakeWriterFactory(location: String, schemaDdl: String,
     specColumn: String, specWidth: Long,
     targetBytes: Long = LakeDataWriter.DefaultTargetBytes,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sequentialBuckets: Boolean = false)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(location, StructType.fromDDL(schemaDdl),
-      TruncateSpec(specColumn, specWidth), targetBytes, bloomColumns)
+      TruncateSpec(specColumn, specWidth), targetBytes, bloomColumns,
+      sequentialBuckets)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -367,7 +388,8 @@ object LakeDataWriter {
 final class LakeDataWriter(location: String, schema: StructType,
     spec: TruncateSpec,
     targetBytes: Long = LakeDataWriter.DefaultTargetBytes,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sequentialBuckets: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val partIdx = schema.fieldIndex(spec.column)
@@ -418,6 +440,18 @@ final class LakeDataWriter(location: String, schema: StructType,
       throw new IllegalArgumentException(
         s"laketable: partition column ${spec.column} must not be NULL")
     val bucket = spec(row.getLong(partIdx))
+    // sorted writes order rows (bucket, sort columns), so a new bucket
+    // means the previous one is FINISHED — close it now instead of holding
+    // one open (row-group-buffering) parquet writer per bucket for the
+    // task's whole lifetime
+    if (sequentialBuckets && !writers.contains(bucket) && writers.nonEmpty) {
+      writers.foreach { case (b, (path, w)) =>
+        w.close()
+        rolled += LakeWriter.footerMeta(conf, path, b)
+      }
+      writers.clear()
+      rowsSinceCheck.clear()
+    }
     writerFor(bucket).write(row)
     val n = rowsSinceCheck.getOrElse(bucket, 0) + 1
     if (n >= LakeDataWriter.RollCheckRows) {
