@@ -20,17 +20,34 @@ object Tables {
 
   /** Load one driver testdata table from `dir` (e.g. /root/testdata/sf0.01).
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a nanos long via the legacy
-    * conf and truncate to a µs TimestampType — the same value DuckDB's
-    * `epoch_us(ts)` sees, keeping both engines in one timestamp domain.
+    * Timestamp encodings vary across driver testdata generations: the
+    * current files carry µs `isAdjustedToUTC=false` (which Spark would
+    * infer as TIMESTAMP_NTZ), older ones nanosecond INT64 (which Spark 4
+    * rejects outright unless read as a long). Normalize BOTH to a µs
+    * TimestampType holding the file's raw micros as a UTC instant — the
+    * same value DuckDB's `epoch_us(ts)` sees, keeping both engines in one
+    * timestamp domain:
+    *   - `inferTimestampNTZ.enabled=false` makes naive-µs columns scan as
+    *     plain TIMESTAMP at the source (no cast wrapper, so filter
+    *     pushdown on e.g. `l_shipdate` survives intact);
+    *   - `nanosAsLong=true` + the div-1000 branch covers legacy ns files
+    *     (the branch keys on the INFERRED type, so it is a no-op for
+    *     µs-encoded data).
+    * Session TZ is pinned UTC by every entry point, so the instant
+    * interpretation is deterministic.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Register every testdata table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
