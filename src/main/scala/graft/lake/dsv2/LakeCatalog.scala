@@ -156,6 +156,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           case "manifests" => new LakeManifestsMetaTable(location(baseIdent))
           case "deletes" => new LakeDeletesMetaTable(location(baseIdent))
           case "refs" => new LakeRefsMetaTable(location(baseIdent))
+          case "history" => new LakeHistoryMetaTable(location(baseIdent))
           case _ => throw new NoSuchTableException(ident)
         }
       case _ => ()

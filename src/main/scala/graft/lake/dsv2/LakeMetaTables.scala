@@ -37,6 +37,9 @@ object LakeMetaTables {
       "eq_columns STRING, seq BIGINT, referenced_files INT")
   val RefsSchema: StructType = StructType.fromDDL(
     "name STRING, type STRING, snapshot_id BIGINT")
+  val HistorySchema: StructType = StructType.fromDDL(
+    "made_current_at_ms BIGINT, snapshot_id BIGINT, parent_id BIGINT, " +
+      "is_current_ancestor BOOLEAN, operation STRING")
 }
 
 /** One manifest file to parse on an executor. */
@@ -271,6 +274,56 @@ final class LakeRefsMetaTable(location: String) extends Table with SupportsRead 
             val (n, tpe, id) = it.next()
             cur = InternalRow(UTF8String.fromString(n),
               UTF8String.fromString(tpe), id)
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** `$history` — the table's commit lineage (Iceberg's history table):
+  * one row per retained snapshot with `is_current_ancestor` = whether it
+  * sits on the CURRENT head's parent chain. Off-lineage rows are
+  * unpublished WAP "stage" commits — the audit question "is this data
+  * visible to main readers yet?" answered from metadata. Retention-
+  * bounded — single task.
+  */
+final case class HistoryRows(rows: Seq[(Long, Long, Long, Boolean, String)])
+  extends InputPartition
+
+final class LakeHistoryMetaTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"laketable.`$location`$$history"
+  override def schema(): StructType = LakeMetaTables.HistorySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = LakeMetaTables.HistorySchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val t = LakeTable.load(location)
+        val meta = t.tableMeta
+        // ancestor chain of the current head (expiry can leave holes; a
+        // missing parent simply terminates the walk, matching what a
+        // reader of the retained log can actually reach)
+        val anc = scala.collection.mutable.Set.empty[Long]
+        var cur = meta.snapshot(meta.currentSnapshotId)
+        while (cur.isDefined && anc.add(cur.get.id))
+          cur = cur.flatMap(s => meta.snapshot(s.parentId))
+        val rows = meta.snapshots.map(s =>
+          (s.timestampMs, s.id, s.parentId, anc.contains(s.id), s.operation))
+        Array(HistoryRows(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => new PartitionReader[InternalRow] {
+          private val it = partition.asInstanceOf[HistoryRows].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val (ts, id, parent, isAnc, op) = it.next()
+            cur = InternalRow(ts, id, parent, isAnc, UTF8String.fromString(op))
             true
           }
           override def get(): InternalRow = cur

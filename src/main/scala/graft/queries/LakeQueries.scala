@@ -186,6 +186,40 @@ object LakeQueries {
     out
   }
 
+  // B34b — tri-clause MERGE with WHEN NOT MATCHED BY SOURCE (Spark 4
+  // syntax): the full synchronize-to-source shape — matched rows update,
+  // source-only rows insert, and target rows ABSENT from the source
+  // either flag stale (conditional UPDATE) or delete. NMBS makes every
+  // target row a candidate, so the row-level op must plan the whole
+  // table (no group pruning on the ON condition) — the semantics the CoW
+  // scan's no-pushdown rule exists for. Final state is pure-SQL
+  // reconstructable over `orders` → hash-oracled.
+  def b34b_merge_full(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.f${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 800")
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey, o_totalprice, o_orderstatus
+         |       FROM graft_orders_src
+         |       WHERE o_orderkey >= 400 AND o_orderkey < 1200) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 150000
+         |  THEN UPDATE SET o_orderstatus = 'STALE'
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B35 — SQL UPDATE (group-based CoW): bump one segment's balances.
   // Runtime group filtering bounds the rewrite to files holding matched
   // rows; +100.0 on DOUBLE is exact in both engines → hash-oracled.
@@ -534,9 +568,39 @@ object LakeQueries {
     out
   }
 
+  // B47 — `$history` lineage audit: CREATE + two appends on main, one
+  // UNPUBLISHED WAP stage commit forked off the head. The history table
+  // answers "which commits are visible to main readers?" from metadata:
+  // the stage row is the only non-ancestor. Hash-oracled: snapshot ids
+  // are sequential and every (id, parent, ancestor?, op) tuple is
+  // declared by the sequence below (made_current_at is wall-clock, so
+  // the driver query projects it out).
+  def b47_history(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"h${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(0)}L FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 50)")
+    val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val table = LakeTable.load(s"$warehouse/ns/$name")
+    table.stageAppend(LakeWriter.writeDataFiles(
+      s.range(0, 25).select(col("id").as("message_id"),
+        lit(bucket(2)).as("timeperiod_loadedBy")), table), "audit")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(3)}L FROM range(0, 10)")
+    val out = localize(s.sql(
+      s"""SELECT snapshot_id, parent_id, is_current_ancestor, operation
+         |FROM $cat.ns.`$name$$history` ORDER BY snapshot_id""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b36_partitions_meta" -> b36_partitions_meta _,
     "b43_partition_evolution" -> b43_partition_evolution _,
+    "b47_history" -> b47_history _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -544,6 +608,7 @@ object LakeQueries {
     "b05_avro_roundtrip" -> b05_avro_roundtrip _,
     "b06_json_csv" -> b06_json_csv _,
     "b34_merge_upsert" -> b34_merge_upsert _,
+    "b34b_merge_full" -> b34b_merge_full _,
     "b35_update" -> b35_update _,
     "b44_insert_overwrite" -> b44_insert_overwrite _,
     "b45_dynamic_overwrite" -> b45_dynamic_overwrite _,
@@ -595,6 +660,24 @@ object LakeQueries {
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
+    "b34b_merge_full" ->
+      """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'STALE' AS o_orderstatus
+        |FROM orders WHERE o_orderkey < 400 AND o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+    "b47_history" ->
+      """SELECT CAST(sid AS BIGINT) AS snapshot_id,
+        |  CAST(pid AS BIGINT) AS parent_id, anc AS is_current_ancestor,
+        |  op AS operation
+        |FROM (VALUES (0, -1, TRUE, 'create'), (1, 0, TRUE, 'append'),
+        |  (2, 1, TRUE, 'append'), (3, 2, FALSE, 'stage'),
+        |  (4, 2, TRUE, 'append')) AS v(sid, pid, anc, op)
+        |ORDER BY snapshot_id""".stripMargin,
     "b35_update" ->
       """SELECT c_custkey,
         |  CASE WHEN c_mktsegment = 'BUILDING'

@@ -79,6 +79,47 @@ object PipelineQueries {
       .orderBy("dup_id")
   }
 
+  // D1f — SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with
+  // cluster-bounded pairwise comparison. K-means cells (the trained IVF
+  // quantizer, [[trainIvfCentroids]]) assign every vector map-side; the
+  // pairwise cosine check runs only WITHIN a cell via a cell-keyed
+  // self-join — the design that makes semantic dedup tractable at corpus
+  // scale (K grows with N, so per-cell work stays bounded; no all-pairs
+  // anywhere). Rank inside a cell is (centroid-sim asc, id): the paper
+  // keeps the LOW-centroid-similarity representative of each duplicate
+  // relation, dropping the redundant near-centroid copies. A vector is a
+  // duplicate iff some earlier-ranked cellmate has cosine > 0.43 (the
+  // same wide-gap threshold d01_dedup_embed uses). Approximate (cell
+  // boundaries hide cross-cell dups, float centroid means can jitter
+  // boundary assignments) → rows-only; properties spec-checked.
+  def d01_semdedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    val cents = trainIvfCentroids(e)
+    val scores = array(cents.map { case (cid, cvec) =>
+      struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
+        lit(cid).as("c"))
+    }: _*)
+    val assigned = e
+      .withColumn("m", array_max(scores))
+      .select(col("vec_id"), col("embedding"),
+        col("m.c").as("cell"), col("m.s").as("csim"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("csim").as("a_sim"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("csim").as("b_sim"))
+    val earlier = (col("a_sim") < col("b_sim")) ||
+      (col("a_sim") === col("b_sim") && col("a_id") < col("b_id"))
+    val dups = a.join(b, "cell").filter(earlier)
+      .filter(expr("cosine_sim(ae, be)") > 0.43)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
   // cosine_sim is our native codegen'd Catalyst expression
   // (graft.functions.CosineSimilarity) — a tight primitive loop inside
@@ -1187,6 +1228,7 @@ object PipelineQueries {
     "d01_dedup_exact" -> d01_dedup_exact _,
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
     "d01_dedup_embed" -> d01_dedup_embed _,
+    "d01_semdedup" -> d01_semdedup _,
     "d02_cosine_topk" -> d02_cosine_topk _,
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d02_ann_ivf" -> d02_ann_ivf _,

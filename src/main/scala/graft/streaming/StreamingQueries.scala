@@ -172,6 +172,24 @@ object StreamingQueries {
     }.orderBy("event_id")
   }
 
+  // C22 — bounded-state streaming dedup (the production variant the C14
+  // comment names): withWatermark + dropDuplicatesWithinWatermark keeps
+  // per-key state only until the watermark passes the key's event time —
+  // the 100 TB posture, where C14's unbounded key set would grow forever.
+  // The watermark delay covers the replay's full event-time span, so
+  // every duplicate lands within-watermark and the completed stream
+  // equals batch DISTINCT — exactly what the DuckDB oracle computes
+  // (state expiry semantics beyond the span are C13's territory).
+  def c22_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    runStream(s, dir, OutputMode.Append(), nFiles = 4,
+      input = Some(ev.union(ev))) { in =>
+      in.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"))
+    }.orderBy("event_id")
+  }
+
   // C18 — stream-stream inner join: clicks joined to the same user's views
   // within 6 hours, both sides watermarked (the delay covers the replay's
   // full disorder, so the finite replay is deterministic and equals the
@@ -425,6 +443,7 @@ object StreamingQueries {
     "c12_stream_session" -> c12_stream_session _,
     "c13_watermark_latedrop" -> c13_watermark_latedrop _,
     "c14_stream_dedup" -> c14_stream_dedup _,
+    "c22_stream_dedup_watermark" -> c22_stream_dedup_watermark _,
     "c15_stream_static_join" -> c15_stream_static_join _,
     "c16_stream_stateful" -> c16_stream_stateful _,
     "c17_moniker_ingest" -> c17_moniker_ingest _,
@@ -456,6 +475,8 @@ object StreamingQueries {
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     // c13/c17: arrival-order/engine-side semantics — rows-only by design.
     "c14_stream_dedup" ->
+      "SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    "c22_stream_dedup_watermark" ->
       "SELECT DISTINCT event_id FROM events ORDER BY event_id",
     "c15_stream_static_join" ->
       """SELECT n_name, COUNT(*) AS n FROM events

@@ -175,6 +175,63 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ns.mrg")
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE: update-stale + delete-absent") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.nmbs (k BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.nmbs SELECT id, id, ${bucket(0)}L FROM range(0, 10)")
+    spark.sql(
+      s"""MERGE INTO lake.ns.nmbs t
+         |USING (SELECT id AS k, id * 10 AS v, ${bucket(1)}L AS timeperiod_loadedBy
+         |       FROM range(5, 12)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 3 THEN UPDATE SET v = -1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.sql("SELECT k, v FROM lake.ns.nmbs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // k 0..2: absent from source, condition false -> deleted
+    // k 3..4: absent from source, k >= 3 -> flagged -1
+    // k 5..9: matched -> v = k * 10; k 10..11: inserted
+    val expected = Seq(3L -> -1L, 4L -> -1L) ++
+      (5L to 11L).map(i => i -> i * 10)
+    assert(rows == expected, s"NMBS merge mismatch: $rows")
+    spark.sql("DROP TABLE lake.ns.nmbs")
+  }
+
+  test("$history: stage commits are off-lineage until published; appends are ancestors") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE lake.ns.hist (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    spark.sql(s"INSERT INTO lake.ns.hist SELECT id, ${bucket(0)}L FROM range(0, 20)")
+    val table = LakeTable.load(s"$warehouse/ns/hist")
+    table.stageAppend(graft.lake.LakeWriter.writeDataFiles(
+      spark.range(0, 5).selectExpr("id AS message_id",
+        s"${bucket(1)}L AS timeperiod_loadedBy"), table), "audit")
+    val hist = spark.sql(
+      "SELECT snapshot_id, parent_id, is_current_ancestor, operation " +
+        "FROM lake.ns.`hist$history` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3))).toSeq
+    assert(hist == Seq((0L, -1L, true, "create"), (1L, 0L, true, "append"),
+      (2L, 1L, false, "stage")), s"history mismatch: $hist")
+    // publish: the branch content reaches main through a publish commit;
+    // the stage row itself stays off the main parent chain
+    table.refresh().publishBranch("audit")
+    val after = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor, operation " +
+        "FROM lake.ns.`hist$history` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(after.last._3 != "stage" && after.last._2,
+      s"publish head should be a current ancestor: $after")
+    assert(after.exists(r => r._3 == "stage" && !r._2),
+      s"stage snapshot should stay off-lineage: $after")
+    assert(spark.sql("SELECT count(*) FROM lake.ns.hist").head.getLong(0) == 25)
+    spark.sql("DROP TABLE lake.ns.hist")
+  }
+
   test("DELETE on a row-level-capable table stays metadata-only when aligned") {
     warehouse
     spark.sql(

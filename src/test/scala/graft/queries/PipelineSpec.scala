@@ -227,6 +227,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 
+  test("D1: SemDeDup verdicts are cluster-sound and reduce the corpus") {
+    graft.functions.CosineSimilarity.register(spark)
+    val out = PipelineQueries.d01_semdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val e = graft.Tables.t(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == e.size, "one verdict per vector")
+    val nDup = out.count(_._3)
+    assert(nDup > 0 && nDup < e.size / 2,
+      s"dup count $nDup should be positive but not dominate")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // every duplicate has a same-cell witness above the threshold; kept
+    // vectors in the same cell may still pair >tau only through a chain
+    // whose intermediate was itself dropped (declared SemDeDup semantics)
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, dup) <- members if dup) {
+      val witness = members.exists { case (oid, _, _) =>
+        oid != id && cos(e(oid), e(id)) > 0.43 }
+      assert(witness, s"dup $id has no same-cell near-dup witness")
+    }
+    // deterministic: a second run returns identical verdicts
+    val again = PipelineQueries.d01_semdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.sameElements(out), "semdedup should be deterministic")
+  }
+
   test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), expr(
