@@ -559,17 +559,13 @@ object PipelineQueries {
   //   4. broadcast the offsets back: cum = local + offset of earlier slices.
   // Costs one extra exchange vs the single-window plan but no task ever
   // sorts more than one slice. Same oracle SQL, identical output.
-  /** Quantile-sliced local prefix sums (shared by d04_budget_pack and
-    * d06_pipeline_e2e): adds `slice` — the count of sampled score cuts
+  /** [[applyScoreSlices]] adds `slice` — the count of sampled score cuts
     * strictly above this row's score, a PURE row function over literal
     * cut points, descending in score so slice order equals pack order —
     * and `local_cum`, the running n_tok sum within (lang, slice). ANY cut
     * set is correct (slices only bound per-task sort size), so the
     * one-time sample job's exact output never affects results.
     */
-  private def withScoreSlices(scored: DataFrame, slices: Int): DataFrame =
-    applyScoreSlices(scored, scoreCuts(scored, slices))
-
   /** Sampled quantile cut points over `df.score`, descending. The cuts job
     * executes `df`'s whole upstream plan — callers with an expensive
     * pipeline behind `scored` should sample a CHEAP proxy distribution
@@ -579,6 +575,17 @@ object PipelineQueries {
     df.stat.approxQuantile("score",
       (1 until slices).map(_.toDouble / slices).toArray, 0.01)
       .toSeq.distinct.sorted.reverse // descending = pack order
+
+  /** The cut-sampling proxy for quality score `n_chars / n_tok`: token
+    * count approximated as spaces+1 — LINEAR in the string, no split
+    * array ever built. Cut points are correct whatever distribution they
+    * come from (they only bound per-task sort size), so the cuts job gets
+    * the cheapest scan that still tracks the real distribution.
+    */
+  private def proxyScore(d: DataFrame): DataFrame =
+    d.select((col("n_chars").cast("double") /
+      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1))
+      .as("score"))
 
   private def applyScoreSlices(scored: DataFrame, cuts: Seq[Double]): DataFrame = {
     val wLocal = Window.partitionBy("lang", "slice")
@@ -597,7 +604,10 @@ object PipelineQueries {
     val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
       size(toks).cast("long").as("n_tok"),
       (col("n_chars").cast("double") / size(toks)).as("score"))
-    val local = withScoreSlices(scored, slices)
+    // cuts sampled from the linear proxy scan — the real `scored` plan
+    // (with its tokenize) never executes for the cuts job
+    val local = applyScoreSlices(scored,
+      scoreCuts(proxyScore(t(s, dir, "documents")), slices))
     // slices are ordered: slice i holds pack-order keys before slice
     // i+1's, so the offset for (lang, slice) is the sum of the same
     // language's totals in earlier slices — a window over ≤ P×langs rows
@@ -668,16 +678,13 @@ object PipelineQueries {
     val scored = redacted.select(col("lang"), col("doc_id"), col("n_tok"),
       col("redacted_sha"),
       (col("n_chars").cast("double") / col("n_tok")).as("score"))
-    // cut points sampled from the RAW corpus score distribution — one
-    // cheap scan-side job — NOT from `scored`, whose upstream plan (gate,
-    // dedup shuffle, regex chain) would otherwise execute twice. The gated
-    // subset's distribution differs slightly; slices only bound per-task
-    // sort size, so correctness and near-uniformity both survive.
-    val rawScored = t(s, dir, "documents")
-      .filter(size(tokens(col("text"))) >= 1)
-      .select((col("n_chars").cast("double") /
-        size(tokens(col("text")))).as("score"))
-    val local = applyScoreSlices(scored, scoreCuts(rawScored, slices))
+    // cut points sampled from the linear PROXY scan — NOT from `scored`,
+    // whose upstream plan (gate, dedup shuffle, regex chain) would
+    // otherwise execute twice. The proxy distribution differs slightly;
+    // slices only bound per-task sort size, so correctness and
+    // near-uniformity both survive.
+    val local = applyScoreSlices(scored,
+      scoreCuts(proxyScore(t(s, dir, "documents")), slices))
     val wOff = Window.partitionBy("lang").orderBy("slice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("lang", "slice").agg(sum("n_tok").as("ptot"))
