@@ -104,9 +104,17 @@ object PipelineQueries {
       .withColumn("m", array_max(scores))
       .select(col("vec_id"), col("embedding"),
         col("m.c").as("cell"), col("m.s").as("csim"))
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+    // skew guard (the minhash-bucket pattern): a degenerate cell — K not
+    // yet scaled up after corpus growth, or a pathological embedding mass
+    // — would make the self-join quadratic in that cell. Cells past the
+    // cap sit out of the pairwise pass (members conservatively kept);
+    // the count window rides the same cell partitioning the join needs.
+    val wc = Window.partitionBy("cell")
+    val bounded = assigned.withColumn("cn", count(lit(1)).over(wc))
+      .filter(col("cn") <= 1024).drop("cn")
+    val a = bounded.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("csim").as("a_sim"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+    val b = bounded.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("be"), col("csim").as("b_sim"))
     val earlier = (col("a_sim") < col("b_sim")) ||
       (col("a_sim") === col("b_sim") && col("a_id") < col("b_id"))
