@@ -6,6 +6,7 @@ import graft.Tables.t
 import graft.lake._
 import graft.sources.AvroIO
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 Part B rows B2–B6: LakeTable snapshot/time-travel/
@@ -568,6 +569,51 @@ object LakeQueries {
     out
   }
 
+  // D1g — INCREMENTAL dedup: dedupe a newly-arrived batch against the
+  // already-committed corpus WITHOUT rescoring the corpus — the shape
+  // every continuously-ingesting training pipeline runs (the full-corpus
+  // passes d01_* cover are periodic; this is the per-arrival path). The
+  // increment comes off the table's own incremental scan
+  // (changesBetween, the A25 contract), keep-first dedups WITHIN the
+  // batch, and a hash anti-join against the prior snapshot's content
+  // drops cross-batch dups. At 100 TB the anti-join is corpus-scan-bound;
+  // the d03_contamination_bloom pattern (bloom prefilter on the
+  // increment's hashes) bounds it when increments are small. The content
+  // round-trips the laketable unchanged, so the final survivor set is
+  // pure-SQL reconstructable → hash-oracled.
+  def d01_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val loc = scratch("incdedup")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val table = LakeTable.create(loc, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    // the corpus carries no natural exact dups, so the increment plants
+    // both kinds deterministically (same derivation in the oracle):
+    // re-keyed copies of low even docs = cross-batch dups the anti-join
+    // must drop; re-keyed copies of low odd docs = within-batch dups
+    // keep-first must collapse
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val increment = odds
+      .union(evens.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(odds.filter(col("doc_id") < 41)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
+    val s2 = table.append(LakeWriter.writeDataFiles(increment, table))
+    val h = sha2(col("text").cast("binary"), 256)
+    val corpus = table.snapshotDF(s, s1).select(h.as("h")).distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val out = localize(table.changesBetween(s, s1, s2)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .join(corpus, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id"))
+    LakeTable.drop(loc)
+    out
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -601,6 +647,7 @@ object LakeQueries {
     "b36_partitions_meta" -> b36_partitions_meta _,
     "b43_partition_evolution" -> b43_partition_evolution _,
     "b47_history" -> b47_history _,
+    "d01_dedup_incremental" -> d01_dedup_incremental _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -660,6 +707,22 @@ object LakeQueries {
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey""".stripMargin,
+    "d01_dedup_incremental" ->
+      """WITH i AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000, sha256(text) FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 20000, sha256(text) FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 41),
+        |k AS (
+        |  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM i)
+        |SELECT doc_id, h FROM k
+        |WHERE rn = 1 AND h NOT IN (
+        |  SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "b34b_merge_full" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
