@@ -49,6 +49,14 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
   // generation lands, pending-delete entries whose targets died must be
   // pruned (the no-dangling invariant covers it)
   private case class DynOverwrite(nRows: Int) extends Op
+  // WAP: stage an append on a branch (invisible to main until publish);
+  // publish folds the whole staged chain onto the current head. The
+  // subtle interaction under fuzz: published files keep their STAGE-time
+  // seq, so an equality upsert that committed between stage and publish
+  // retroactively retires matching published rows — the model must agree
+  // with the metadata reconstruction on exactly that
+  private case class Stage(nFiles: Int, rowsPer: Int) extends Op
+  private case object Publish extends Op
 
   private val KeyDomain = 8L // small on purpose: upsert keys collide often
 
@@ -66,7 +74,11 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     1 -> Gen.choose(2, 5).map(Expire(_)),
     1 -> Gen.choose(1, 3).map(Rollback(_)),
     1 -> Gen.choose(1, 6).map(SetWidth(_)),
-    2 -> Gen.choose(1, 4).map(DynOverwrite(_)))
+    2 -> Gen.choose(1, 4).map(DynOverwrite(_)),
+    2 -> (for {
+      n <- Gen.choose(1, 2); r <- Gen.choose(1, 3)
+    } yield Stage(n, r)),
+    2 -> Gen.const(Publish))
 
   private val genSchedule: Gen[List[Op]] =
     Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, genOp))
@@ -110,6 +122,12 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       // global no-resurrection/no-loss asserts only apply to schedules
       // without one; model agreement applies always
       var rolledBack = false
+      // staged-but-unpublished branch content: invisible to main (never
+      // in `cur`), excluded from the no-loss expectation at the end
+      var stagedPaths = Vector.empty[String]
+      // seq of each committed equality-delete parquet (for the publish
+      // retro-retirement computation)
+      val eqSeq = scala.collection.mutable.Map.empty[String, Long]
       val history = scala.collection.mutable.ArrayBuffer.empty[Snap]
       var cur = Snap(-1L, Set.empty, Set.empty)
 
@@ -202,6 +220,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
           nextEpoch += 1
           val sid = t.appendEpoch(Seq(dataMeta), "fuzz", nextEpoch, Seq(eqMeta))
           assert(sid >= 0, "upsert unexpectedly fenced")
+          eqSeq(dp) = t.deleteFilesMeta().find(_.path == dp)
+            .map(_.seq).getOrElse(Long.MaxValue)
           // every version of the chosen keys live BEFORE this commit dies
           // (all live files carry seq < this commit's seq)
           val retired = liveRowsOf(cur).filter(r => keys(rowKey(r))).toSet
@@ -285,6 +305,34 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             history += cur
           }
 
+        case Stage(n, rowsPer) =>
+          val metas = Seq.fill(n)(newDataFile(newRows(rowsPer)))
+          t.stageAppend(metas, "fuzzbr")
+          // staged content is INVISIBLE to main: cur and history untouched
+          stagedPaths ++= metas.map(_.path)
+
+        case Publish =>
+          if (stagedPaths.nonEmpty) {
+            val sid = t.publishBranch("fuzzbr")
+            assert(sid >= 0, "publish of a non-empty branch no-opped")
+            // published files keep their stage-time seq: every equality
+            // delete live at publish with a HIGHER seq retroactively
+            // retires matching published rows (the same rule the final
+            // metadata reconstruction applies)
+            val fileSeq = t.files().map(f => f.path -> f.seq).toMap
+            val liveEq = t.deleteFilesMeta()
+              .filter(_.kind == DeleteFileMeta.KindEq)
+              .map(d => (eqContent(d.path), eqSeq(d.path)))
+            val killed = stagedPaths.flatMap { p =>
+              fileRows(p).filter(r => liveEq.exists { case (ks, s) =>
+                fileSeq(p) < s && ks(rowKey(r)) })
+            }.toSet
+            deletedRows ++= killed
+            cur = Snap(sid, cur.live ++ stagedPaths, cur.dead ++ killed)
+            history += cur
+            stagedPaths = Vector.empty
+          }
+
         case Rollback(lag) =>
           val liveIds = t.snapshots.map(_.id).toSet
           // roll back to a still-present historical snapshot (expiry may
@@ -345,15 +393,17 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
         "metadata reconstruction diverges from model head")
       if (!rolledBack) {
         assert(liveRows.toSet.intersect(deletedRows).isEmpty, "row resurrected")
-        val expected = (1L to nextRow).toSet -- deletedRows
+        val unpublished = stagedPaths.flatMap(fileRows).toSet
+        val expected = (1L to nextRow).toSet -- deletedRows -- unpublished
         assert(liveRows.toSet == expected, "row lost")
       }
     } finally LakeTable.drop(loc)
   }
 
   test("1500 random append/delete/upsert/rewrite/expire/rollback/set-width/" +
-      "dyn-overwrite schedules: no resurrection, no duplication, no loss, " +
-      "no dangling deletes, model agreement, resolvable spec vintages") {
+      "dyn-overwrite/stage/publish schedules: no resurrection, no " +
+      "duplication, no loss, no dangling deletes, model agreement, " +
+      "resolvable spec vintages") {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
     }
