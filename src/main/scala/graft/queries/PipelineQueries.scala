@@ -770,11 +770,14 @@ object PipelineQueries {
   def d03_contamination(s: SparkSession, dir: String): DataFrame = {
     // tokenize ONCE into a named column — the gram expression reads `toks`
     // three times, and hoisting beats relying on Catalyst CSE to rescue a
-    // triple split() of every document
+    // triple split() of every document. Grams travel as 64-bit hashes
+    // (join keys + the bloom variant'''s bitmap feed): no per-gram string
+    // build, 8-byte shuffle/broadcast keys — same collision contract as
+    // the other hashed-n-gram operators, value-identical on driver data
     val grams = expr(
       """CASE WHEN size(toks) < 3 THEN array()
         |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
-        |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) END"""
+        |  i -> xxhash64(toks[i], toks[i + 1], toks[i + 2]))) END"""
         .stripMargin)
     val docs = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
@@ -809,7 +812,7 @@ object PipelineQueries {
     val grams = expr(
       """CASE WHEN size(toks) < 3 THEN array()
         |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
-        |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) END"""
+        |  i -> xxhash64(toks[i], toks[i + 1], toks[i + 2]))) END"""
         .stripMargin)
     val docs = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
@@ -899,8 +902,11 @@ object PipelineQueries {
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        // bigrams counted as 64-bit hashes — distinct over longs, no
+        // per-bigram string build (same collision contract as the other
+        // hashed-n-gram operators; value-identical on the driver data)
         expr("""cast(size(array_distinct(transform(sequence(0, size(toks) - 2),
-               |  i -> concat(toks[i], ' ', toks[i + 1])))) as long)""".stripMargin)
+               |  i -> xxhash64(toks[i], toks[i + 1])))) as long)""".stripMargin)
           .as("n_distinct"))
       .withColumn("rep_ratio",
         dec4(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")))
