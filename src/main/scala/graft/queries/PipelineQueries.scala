@@ -852,8 +852,11 @@ object PipelineQueries {
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), posexplode(expr(
+        // passages shuffle as xxhash64 over the 8-token slice (array
+        // hashing is native) — no passage string ever built; same
+        // collision contract as the other hashed-n-gram operators
         """transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1),
-          |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin)))
+          |  i -> xxhash64(slice(toks, i * 8 + 1, 8)))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
     val w = Window.partitionBy("passage").orderBy("doc_id", "chunk_idx")
     chunks.withColumn("rn", row_number().over(w))
