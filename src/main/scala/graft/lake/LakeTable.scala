@@ -931,6 +931,35 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     -1L // unreachable
   }
 
+  /** Consolidate the current snapshot's data manifests into ONE (the
+    * Iceberg `rewrite_manifests` maintenance op): commit-heavy ingest
+    * accumulates a manifest per commit until the auto-merge threshold
+    * (`commit.manifest.min-count-to-merge`), and scan planning walks every
+    * manifest — this forces the merge early. Metadata-only and
+    * content-identical: file entries (including their commit sequence
+    * numbers) carry over verbatim, pending delete manifests ride along
+    * untouched, and incremental readers see no new files (a "compact"
+    * snapshot, never re-delivered). Returns -1 when already consolidated.
+    */
+  def rewriteManifests(): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = meta.current.map(_.manifests).getOrElse(Nil)
+      if (cur.size <= 1) return -1L
+      val merged = Seq(writeManifest(cur.flatMap(readManifest)))
+      try return commitAttempt("compact", merged, meta.snapshots)
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"rewrite_manifests failed after $attempt retries")
+          refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Manifest compaction once the count crosses the merge threshold. */
   private def maybeMerge(manifests: Seq[String]): Seq[String] = {
     val threshold = meta.properties.getOrElse(PropManifestMinMerge, "200").toInt

@@ -31,7 +31,7 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "publish_branch", "drop_branch", "remove_orphan_files",
-    "set_partition_width")
+    "set_partition_width", "rewrite_manifests")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -133,6 +133,12 @@ object LakeProcedures {
         param("table", StringType),
         param("width_micros", LongType))) { in =>
         table(in).setPartitionWidth(in.getLong(1))
+      })
+      // force-merge the current snapshot's data manifests into one
+      // (metadata-only; -1 when already consolidated)
+      case "rewrite_manifests" => Some(bound(procName, Array(
+        param("table", StringType))) { in =>
+        table(in).rewriteManifests()
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),

@@ -65,6 +65,27 @@ class ProcedureSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 200)
   }
 
+  test("CALL rewrite_manifests consolidates without changing content or files") {
+    val (tbl, t) = newTable()
+    for (i <- 1 to 4) append(t, 50, seed = i)
+    t.refresh()
+    val beforeFiles = t.files().map(_.path).toSet
+    val beforeCount = t.toDF(spark).count()
+    val manifestsBefore = t.tableMeta.current.get.manifests.size
+    assert(manifestsBefore > 1, s"need multiple manifests, got $manifestsBefore")
+    val row = spark.sql(
+      s"CALL proccat.system.rewrite_manifests(`table` => '$tbl')").head
+    assert(row.getLong(0) > 0)
+    t.refresh()
+    assert(t.tableMeta.current.get.manifests.size == 1)
+    assert(t.files().map(_.path).toSet == beforeFiles, "data files changed")
+    assert(t.toDF(spark).count() == beforeCount, "content changed")
+    // idempotent: second call has nothing to do
+    assert(spark.sql(
+      s"CALL proccat.system.rewrite_manifests(`table` => '$tbl')")
+      .head.getLong(0) == -1L)
+  }
+
   test("CALL expire_snapshots, rollback, create_tag round-trip") {
     val (tbl, t) = newTable()
     val s1 = append(t, 50, seed = 3)
