@@ -370,6 +370,54 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  // D2-scale (IVF+PQ) — the composed billion-vector index shape: the IVF
+  // coarse quantizer bounds WHICH vectors are scored (probes scan their
+  // nprobe=4 nearest cells only) and PQ bounds HOW each candidate is
+  // scored (4 LUT adds against 8-bit codes instead of a 64-dim float
+  // product). Memory per corpus vector: cell id + 4 codes; the scan
+  // never touches the float vectors until the top-100 exact-cosine
+  // refine. Both models are bounded literals trained distributively
+  // (trainIvfCentroids / trainPqCodebooks). Approximate → rows-only;
+  // recall spec vs brute force.
+  def d02_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    val ivf = trainIvfCentroids(e)
+    val pq = trainPqCodebooks(e)
+    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.map {
+      case (cid, cvec) => struct(
+        call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
+        lit(cid).as("c"))
+    }: _*)
+    val corpus = e.withColumn("nv", pqNv)
+      .withColumn("m", array_max(cellScores(col("embedding"))))
+      .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
+        col("m.c").as("cell") +:
+        (0 until 4).map(sb => pqCode(pq, sb).as(s"c$sb")): _*)
+    val probes = e.filter(col("vec_id") < 20).withColumn("nv", pqNv)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 4)
+          .getField("c")).as("cell"),
+        array((for { sb <- 0 until 4; j <- 0 until 16 } yield
+          pqDot(slice(col("nv"), sb * 16 + 1, 16), pq(sb)(j))): _*).as("lut"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("oid"))
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    corpus.join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("oid"))
+      .withColumn("adc",
+        element_at(col("lut"), col("c0") + 1) +
+          element_at(col("lut"), col("c1") + 17) +
+          element_at(col("lut"), col("c2") + 33) +
+          element_at(col("lut"), col("c3") + 49))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= 100)
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   // D3 — exact token-set Jaccard over a bounded candidate set (same lang,
   // doc_id < 100). Integer-ratio math → bit-identical across engines.
   def d03_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
@@ -1265,6 +1313,7 @@ object PipelineQueries {
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d02_ann_ivf" -> d02_ann_ivf _,
     "d02_ann_pq" -> d02_ann_pq _,
+    "d02_ann_ivfpq" -> d02_ann_ivfpq _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
     "d03_simhash" -> d03_simhash _,

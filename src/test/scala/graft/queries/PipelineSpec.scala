@@ -216,6 +216,22 @@ class PipelineSpec extends SparkSpec {
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
 
+  test("D2: composed IVF+PQ recall@5 vs brute-force top-5") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairs(PipelineQueries.d02_cosine_topk(spark, dir))
+    val composed = pairs(PipelineQueries.d02_ann_ivfpq(spark, dir))
+    assert(truth.nonEmpty)
+    val recall = composed.intersect(truth).size.toDouble / truth.size
+    // the composition loses to BOTH parents by design (cell bounding ∩
+    // code quantization); it measures 0.56 here — the floor catches a
+    // regression to either untrained model while leaving jitter room
+    assert(recall >= 0.45,
+      s"IVF+PQ recall $recall below floor (|c|=${composed.size})")
+    assert(PipelineQueries.d02_ann_ivfpq(spark, dir)
+      .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+  }
+
   test("D1: embedding near-dup pairs agree with exact recompute") {
     val out = PipelineQueries.d01_dedup_embed(spark, dir).collect()
     assert(out.nonEmpty, "threshold should admit at least one near-dup pair")
