@@ -576,9 +576,11 @@ object LakeQueries {
   // increment comes off the table's own incremental scan
   // (changesBetween, the A25 contract), keep-first dedups WITHIN the
   // batch, and a hash anti-join against the prior snapshot's content
-  // drops cross-batch dups. At 100 TB the anti-join is corpus-scan-bound;
-  // the d03_contamination_bloom pattern (bloom prefilter on the
-  // increment's hashes) bounds it when increments are small. The content
+  // drops cross-batch dups. The corpus side is PREFILTERED by a bloom
+  // over the (small) increment's hashes — the d03_contamination_bloom
+  // pattern — so at 100 TB the corpus scan feeds the join shuffle only
+  // rows that might match (~1% FP over the bloom) instead of the whole
+  // table; false positives die in the exact anti-join. The content
   // round-trips the laketable unchanged, so the final survivor set is
   // pure-SQL reconstructable → hash-oracled.
   def d01_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
@@ -601,15 +603,28 @@ object LakeQueries {
     val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
     val s2 = table.append(LakeWriter.writeDataFiles(increment, table))
     val h = sha2(col("text").cast("binary"), 256)
-    val corpus = table.snapshotDF(s, s1).select(h.as("h")).distinct()
     val w = Window.partitionBy("h").orderBy("doc_id")
-    val out = localize(table.changesBetween(s, s1, s2)
+    val inc = table.changesBetween(s, s1, s2)
       .select(col("doc_id"), h.as("h"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
+    // bloom over the increment's hashes as an independent scalar-subquery
+    // stage (the increment pipeline is small and re-runs once); sized to
+    // the batch, independent of corpus size
+    graft.functions.BloomFunctions.register(s)
+    val vInc = s"inc_${UUID.randomUUID().toString.replace("-", "")}"
+    inc.createOrReplaceTempView(vInc)
+    val corpus = table.snapshotDF(s, s1).select(h.as("h"))
+      .filter(expr(
+        s"""might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(h), 8192L, 65536L) FROM $vInc),
+           |  xxhash64(h))""".stripMargin))
+      .distinct()
+    val out = localize(inc
       .join(corpus, Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
       .orderBy("doc_id"))
+    s.catalog.dropTempView(vInc)
     LakeTable.drop(loc)
     out
   }
