@@ -608,24 +608,37 @@ object LakeQueries {
       .select(col("doc_id"), h.as("h"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
-    // bloom over the increment's hashes as an independent scalar-subquery
-    // stage (the increment pipeline is small and re-runs once); sized to
-    // the batch, independent of corpus size
+    val out = localize(
+      incrementalDedup(s, inc, table.snapshotDF(s, s1).select(h.as("h"))))
+    LakeTable.drop(loc)
+    out
+  }
+
+  /** The dedup dataflow of [[d01_dedup_incremental]], factored for plan
+    * assertion: corpus hashes prefilter through a bloom built over the
+    * (small, within-batch-deduped) increment as an independent
+    * scalar-subquery stage — sized to the batch, independent of corpus
+    * size — then the exact anti-join keeps increment rows with no corpus
+    * match (bloom false positives die there).
+    */
+  private[graft] def incrementalDedup(s: SparkSession, inc: DataFrame,
+      corpusHashes: DataFrame): DataFrame = {
     graft.functions.BloomFunctions.register(s)
     val vInc = s"inc_${UUID.randomUUID().toString.replace("-", "")}"
     inc.createOrReplaceTempView(vInc)
-    val corpus = table.snapshotDF(s, s1).select(h.as("h"))
+    val corpus = corpusHashes
       .filter(expr(
         s"""might_contain(
            |  (SELECT bloom_filter_agg(xxhash64(h), 8192L, 65536L) FROM $vInc),
            |  xxhash64(h))""".stripMargin))
       .distinct()
-    val out = localize(inc
+    val out = inc
       .join(corpus, Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
-      .orderBy("doc_id"))
+      .orderBy("doc_id")
+    // the subquery resolved at analysis (DataFrame creation is eager), so
+    // the scratch view can drop before execution
     s.catalog.dropTempView(vInc)
-    LakeTable.drop(loc)
     out
   }
 

@@ -115,6 +115,19 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("D1g: incremental dedup prefilters the corpus scan through the increment bloom") {
+    import spark.implicits._
+    val inc = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "h")
+    val corpus = (1 to 1000).map(i => s"c$i").toDF("h")
+    val p = plan(LakeQueries.incrementalDedup(spark, inc, corpus))
+    // the bloom must sit as a filter ON the corpus side (fed by a scalar
+    // subquery over the increment) — without it the anti-join shuffles
+    // the whole corpus for every arrival
+    assert(p.contains("might_contain"), s"no bloom prefilter in plan:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
+      s"bloom not built as an independent subquery stage:\n$p")
+  }
+
   test("D4: budget pack runs the two-phase prefix sum, not a bare per-lang window") {
     val p = plan(PipelineQueries.d04_budget_pack(spark, dir))
     // the corpus-sized running sum windows on (lang, slice) — a window
