@@ -34,7 +34,7 @@ object Bench {
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
     "d04_token_topn", "d04_fingerprint", "d04_curation",
     "d03_boilerplate", "d04_repetition", "d04_budget_pack",
-    "d06_pipeline_e2e")
+    "d06_pipeline_e2e", "d01_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
