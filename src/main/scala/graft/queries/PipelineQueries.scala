@@ -1067,10 +1067,16 @@ object PipelineQueries {
     * that throws instead of returning wrong labels. Per-round cost: one
     * edge join + one label self-join + one cheap changed-count agg; each
     * round persists its labels and unpersists the previous round's, so at
-    * most one label snapshot is pinned at a time. The result localizes to
-    * the driver (size = candidate-graph node count — the dedup verdict set
-    * itself, orders of magnitude below corpus size) so no cached block
-    * outlives the call.
+    * most one label snapshot is pinned at a time. The result stays
+    * DISTRIBUTED: the final labels are written to a scratch parquet under
+    * the warehouse dir and the returned frame is a scan over it — the
+    * label set is proportional to the candidate graph, which on
+    * near-dup-dense corpora is a large fraction of all documents, far too
+    * big to localize to the driver. Disk-backed scratch beats
+    * localCheckpoint here: it survives executor loss, pins no
+    * storage-memory blocks past the call, and lets the per-round caches be
+    * released without recompute risk. The scratch dir is deleted on JVM
+    * exit.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
       maxRounds: Int = 64): DataFrame = {
@@ -1118,11 +1124,15 @@ object PipelineQueries {
       comp = session.createDataFrame(labels.rdd, labels.schema)
       rounds += 1
     }
-    val local = session.createDataFrame(
-      java.util.Arrays.asList(comp.collect(): _*), comp.schema)
+    val scratch = new org.apache.hadoop.fs.Path(
+      session.sessionState.conf.warehousePath,
+      "_graft_scratch/cc_" + java.util.UUID.randomUUID().toString)
+    val fs = scratch.getFileSystem(session.sparkContext.hadoopConfiguration)
+    comp.write.mode("overwrite").parquet(scratch.toString)
+    fs.deleteOnExit(scratch)
     pinned.foreach(_.unpersist())
     edges.unpersist()
-    local
+    session.read.parquet(scratch.toString)
   }
 
   // D4e — n-gram language ID: score = fraction of a doc's bigrams that are

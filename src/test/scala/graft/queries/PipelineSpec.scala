@@ -148,6 +148,30 @@ class PipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"pinned RDD blocks leaked: $leaked")
   }
 
+  test("D1: connected components stay distributed on a 2^20-node graph") {
+    // the round-5 implementation collect()ed the full label set to the
+    // driver — one row per candidate-graph node, a driver OOM on
+    // near-dup-dense corpora where the candidate graph is a large fraction
+    // of all documents. The labels must come back as a distributed scan
+    // (scratch parquet), never a driver-resident LocalRelation, and the
+    // whole check runs distributed: no collect of the 2^20 labels here
+    // either.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = 1L << 20 // 65,536 chains of 16 nodes: diameter 15, ~4 rounds
+    val pairs = spark.range(0, n).filter((col("id") + 1) % 16 =!= 0)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val comp = PipelineQueries.connectedComponents(pairs)
+    val plan = comp.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"),
+      s"labels localized to the driver:\n$plan")
+    assert(comp.count() == n, "every node labeled")
+    // each chain's label is its minimum node id — verified distributed
+    val wrong = comp.filter(col("comp") =!= col("id") - (col("id") % 16)).count()
+    assert(wrong == 0, s"$wrong nodes mislabeled")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned RDD blocks leaked: $leaked")
+  }
+
   test("D2: IVF ANN recall@5 vs brute-force top-5") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
