@@ -617,19 +617,42 @@ object LakeQueries {
   /** The dedup dataflow of [[d01_dedup_incremental]], factored for plan
     * assertion: corpus hashes prefilter through a bloom built over the
     * (small, within-batch-deduped) increment as an independent
-    * scalar-subquery stage — sized to the batch, independent of corpus
-    * size — then the exact anti-join keeps increment rows with no corpus
-    * match (bloom false positives die there).
+    * scalar-subquery stage — then the exact anti-join keeps increment
+    * rows with no corpus match (bloom false positives die there). The
+    * bloom is SIZED FROM THE INCREMENT'S COUNT (~10 bits/item ≈ 1% FP),
+    * never a fixed literal: a fixed 8k-item bloom saturates on any real
+    * per-arrival batch (10⁷–10⁹ rows), FP→1, and the corpus prefilter
+    * silently degrades to a pass-through — correct, but the whole 100 TB
+    * benefit evaporates. The count job runs over the increment only
+    * (batch-sized, the cheap side); callers that already know the count
+    * pass it via `expectedItems` to skip even that.
     */
+  /** (ndv, numBits) chosen for the last incremental-dedup bloom —
+    * spec-observable so a regression back to fixed literals is caught. */
+  @volatile private[graft] var lastIncDedupBloomParams: Option[(Long, Long)] = None
+
   private[graft] def incrementalDedup(s: SparkSession, inc: DataFrame,
-      corpusHashes: DataFrame): DataFrame = {
+      corpusHashes: DataFrame, expectedItems: Option[Long] = None): DataFrame = {
     graft.functions.BloomFunctions.register(s)
     val vInc = s"inc_${UUID.randomUUID().toString.replace("-", "")}"
     inc.createOrReplaceTempView(vInc)
+    // clamp to the session's bloom caps: past them the filter weakens
+    // (higher FP — still correct, the anti-join is exact) rather than
+    // failing the query; raise the confs for bigger arrival batches
+    val maxItems = s.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = s.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val ndv = math.min(maxItems,
+      math.max(64L, expectedItems.getOrElse(inc.count())))
+    val bits = math.min(maxBits, math.max(65536L, ndv * 10L))
+    lastIncDedupBloomParams = Some((ndv, bits))
     val corpus = corpusHashes
       .filter(expr(
         s"""might_contain(
-           |  (SELECT bloom_filter_agg(xxhash64(h), 8192L, 65536L) FROM $vInc),
+           |  (SELECT bloom_filter_agg(xxhash64(h), ${ndv}L, ${bits}L) FROM $vInc),
            |  xxhash64(h))""".stripMargin))
       .distinct()
     val out = inc

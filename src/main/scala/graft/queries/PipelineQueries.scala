@@ -92,26 +92,60 @@ object PipelineQueries {
   // same wide-gap threshold d01_dedup_embed uses). Approximate (cell
   // boundaries hide cross-cell dups, float centroid means can jitter
   // boundary assignments) → rows-only; properties spec-checked.
-  def d01_semdedup(s: SparkSession, dir: String): DataFrame = {
+  def d01_semdedup(s: SparkSession, dir: String): DataFrame =
+    semdedup(s, t(s, dir, "embeddings"))
+
+  /** Per-run SemDeDup observability: corpus size, chosen K, cell count,
+    * and how much of the corpus sat out of the pairwise pass because its
+    * cell breached the quadratic-cost cap. Excluded members are
+    * conservatively KEPT (never wrongly dropped), but an excluded
+    * fraction > 0 means the operator under-deduped — that degradation
+    * must be visible, never silent.
+    */
+  private[graft] case class SemDeDupStats(n: Long, k: Int, cells: Long,
+      excludedCells: Long, excludedRows: Long) {
+    def excludedFraction: Double = if (n == 0) 0.0 else excludedRows.toDouble / n
+  }
+  @volatile private[graft] var lastSemDeDupStats: Option[SemDeDupStats] = None
+
+  /** SemDeDup core over an arbitrary embeddings frame (`vec_id`,
+    * `embedding`). K scales with the corpus — K ≈ N/256, floor 16 — so
+    * average cell occupancy stays well under the 1024-member pairwise
+    * cap as the corpus grows; a fixed K would push EVERY cell past the
+    * cap at real scale and silently degrade the operator to a no-op.
+    * Per-cell cost stays bounded at N × avgCell ≈ N × 256 comparisons —
+    * linear in corpus size. Cells that still breach the cap (pathological
+    * embedding mass) sit out of the pairwise pass with their members
+    * conservatively kept, and the breach is surfaced via
+    * [[lastSemDeDupStats]] + a warning log, never swallowed.
+    */
+  private[graft] def semdedup(s: SparkSession, e: DataFrame,
+      kOverride: Option[Int] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val e = t(s, dir, "embeddings")
-    val cents = trainIvfCentroids(e)
-    val scores = array(cents.map { case (cid, cvec) =>
-      struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
-        lit(cid).as("c"))
-    }: _*)
-    val assigned = e
-      .withColumn("m", array_max(scores))
-      .select(col("vec_id"), col("embedding"),
-        col("m.c").as("cell"), col("m.s").as("csim"))
-    // skew guard (the minhash-bucket pattern): a degenerate cell — K not
-    // yet scaled up after corpus growth, or a pathological embedding mass
-    // — would make the self-join quadratic in that cell. Cells past the
-    // cap sit out of the pairwise pass (members conservatively kept);
-    // the count window rides the same cell partitioning the join needs.
-    val wc = Window.partitionBy("cell")
-    val bounded = assigned.withColumn("cn", count(lit(1)).over(wc))
-      .filter(col("cn") <= 1024).drop("cn")
+    val n = e.count()
+    val k = kOverride.getOrElse(math.max(16, (n / 256).toInt))
+    val cents = trainIvfCentroids(e, k)
+    val assigned = assignCells(e, cents)
+    // skew guard (the minhash-bucket pattern): a degenerate cell would
+    // make the self-join quadratic in that cell. The cell histogram is K
+    // rows — bounded driver state — so it doubles as the observability
+    // surface AND a broadcast membership filter, replacing the old
+    // count-window (one less full-corpus shuffle).
+    val hist = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
+    val histRows = hist.collect() // ≤ K rows
+    val excluded = histRows.filter(_.getLong(1) > 1024)
+    lastSemDeDupStats = Some(SemDeDupStats(n, k, histRows.length,
+      excluded.length.toLong, excluded.map(_.getLong(1)).sum))
+    if (excluded.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semdedup: ${excluded.length}/${histRows.length} cells over the " +
+          s"1024-member cap (${excluded.map(_.getLong(1)).sum}/$n rows " +
+          "excluded from the pairwise pass and conservatively kept); " +
+          "K is undersized for this corpus")
+    val ok = s.createDataFrame(java.util.Arrays.asList(
+        histRows.filter(_.getLong(1) <= 1024): _*), hist.schema)
+      .select("cell")
+    val bounded = assigned.join(broadcast(ok), "cell")
     val a = bounded.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("csim").as("a_sim"))
     val b = bounded.select(col("cell"), col("vec_id").as("b_id"),
@@ -126,6 +160,41 @@ object PipelineQueries {
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
       .orderBy("vec_id")
+  }
+
+  /** Assign every vector to its max-cosine centroid cell. Two physical
+    * shapes, same semantics: small K inlines the centroids as literals
+    * (pure map-side argmax inside whole-stage codegen — zero shuffle);
+    * large K would blow codegen width, so the centroids become a
+    * broadcast table and the argmax becomes a map-side-combined
+    * `max_by`-style aggregation — N×K scored rows collapse to N before
+    * the (vec_id-keyed) shuffle. Returns (vec_id, embedding, cell, csim).
+    */
+  private[graft] def assignCells(e: DataFrame,
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
+    graft.functions.CosineSimilarity.register(e.sparkSession)
+    if (cents.length <= 64) {
+      val scores = array(cents.map { case (cid, cvec) =>
+        struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
+          lit(cid).as("c"))
+      }: _*)
+      e.withColumn("m", array_max(scores))
+        .select(col("vec_id"), col("embedding"),
+          col("m.c").as("cell"), col("m.s").as("csim"))
+    } else {
+      val s = e.sparkSession
+      import s.implicits._
+      val centsDf = cents.toSeq.toDF("cid", "cvec")
+      e.crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("embedding"),
+          struct(expr("cosine_sim(embedding, cvec)").as("s"),
+            col("cid").as("c")).as("sc"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max(col("sc")).as("m"))
+        .select(col("vec_id"), col("embedding"),
+          col("m.c").as("cell"), col("m.s").as("csim"))
+    }
   }
 
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
@@ -212,12 +281,7 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val mean = udaf(graft.functions.VectorMean)
     for (_ <- 0 until iters) {
-      val scores = array(cents.map { case (cid, cvec) =>
-        struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
-          lit(cid).as("c"))
-      }: _*)
-      val byCell = e
-        .select(col("embedding"), array_max(scores).getField("c").as("cell"))
+      val byCell = assignCells(e, cents)
         .groupBy("cell").agg(mean(col("embedding")).as("m"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (cid, old) =>

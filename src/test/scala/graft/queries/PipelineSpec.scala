@@ -297,6 +297,40 @@ class PipelineSpec extends SparkSpec {
     assert(again.sameElements(out), "semdedup should be deterministic")
   }
 
+  test("D1: SemDeDup scales K with the corpus — 40k vectors where K=16 no-ops") {
+    // round-5 regression target: K was hardcoded 16 with a 1024-member
+    // cell cap, so any corpus past ~16k vectors pushed EVERY cell over
+    // the cap and the operator silently returned zero duplicates. K must
+    // grow with N, planted duplicates must be found, and a cap breach
+    // must be observable through lastSemDeDupStats — never silent.
+    val n = 40000L
+    // deterministic pseudo-random 64-dim vectors; ids 20000..20499 are
+    // exact twins of 0..499 (same hash seed → identical vector)
+    val e = spark.range(0, n).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> cast(
+        |  cast(xxhash64(CASE WHEN id BETWEEN 20000 AND 20499
+        |                     THEN id - 20000 ELSE id END * 64 + d) % 1000
+        |    as double) / 1000.0 as float))""".stripMargin).as("embedding"))
+    val out = PipelineQueries.semdedup(spark, e)
+      .filter(col("is_dup")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val stats = PipelineQueries.lastSemDeDupStats.get
+    assert(stats.n == n)
+    assert(stats.k >= n / 512, s"K=${stats.k} did not scale with N=$n")
+    assert(stats.excludedCells == 0,
+      s"cells over cap at spec scale: $stats")
+    // every planted twin pair lands in one cell (identical vectors) and
+    // the later-ranked member must be flagged; which member ranks later
+    // depends on centroid-sim ties, so check pair coverage
+    val found = (0L until 500L).count(i => out.contains(i) || out.contains(i + 20000))
+    assert(found == 500, s"only $found/500 planted twin pairs flagged")
+    // and the same corpus under the old fixed K demonstrably breaches the
+    // cap — visibly, via the stats surface
+    PipelineQueries.semdedup(spark, e, kOverride = Some(16)).collect()
+    val fixed = PipelineQueries.lastSemDeDupStats.get
+    assert(fixed.excludedFraction > 0.9,
+      s"expected fixed K=16 to exclude nearly all rows, got $fixed")
+  }
+
   test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), expr(

@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, expr, sha2}
 
 /** Physical-plan assertions (the 100 TB posture, SURVEY D6/§4): these
   * queries must not merely return correct rows — they must carry the plan
@@ -126,6 +127,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"no bloom prefilter in plan:\n$p")
     assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
       s"bloom not built as an independent subquery stage:\n$p")
+  }
+
+  test("D1g: incremental-dedup bloom scales with the increment (100x the old literal)") {
+    import spark.implicits._
+    // round-5 regression target: the bloom was a fixed 8192-item/64Kib
+    // literal — an increment 100× that size saturates it, FP→1, and the
+    // corpus prefilter silently becomes a pass-through. The NDV must now
+    // track the increment's count and the prefilter must still reject a
+    // disjoint corpus.
+    val n = 819200L
+    val inc = spark.range(0, n).select(col("id").as("doc_id"),
+      sha2(col("id").cast("string").cast("binary"), 256).as("h"))
+    val corpus = spark.range(n, n + 100000L)
+      .select(sha2(col("id").cast("string").cast("binary"), 256).as("h"))
+    val out = LakeQueries.incrementalDedup(spark, inc, corpus)
+    assert(out.count() == n, "disjoint corpus must drop nothing")
+    val (ndv, bits) = LakeQueries.lastIncDedupBloomParams.get
+    assert(ndv >= n, s"bloom NDV $ndv not sized to the $n-row increment")
+    assert(bits >= n * 10, s"bloom bits $bits below ~10 bits/item")
+    // measure the prefilter's real selectivity: survivors of the bloom on
+    // a disjoint corpus are pure false positives; at ~10 bits/item the
+    // rate must stay under 10% (the old literal measures ~100% here)
+    graft.functions.BloomFunctions.register(spark)
+    inc.createOrReplaceTempView("inc_bloom_spec")
+    def fpCount(items: Long, b: Long): Long = corpus.filter(expr(
+      s"""might_contain((SELECT bloom_filter_agg(xxhash64(h), ${items}L, ${b}L)
+         |FROM inc_bloom_spec), xxhash64(h))""".stripMargin)).count()
+    val fp = fpCount(ndv, bits)
+    assert(fp < 10000L, s"bloom passed $fp/100000 of a disjoint corpus")
+    val fpOld = fpCount(8192L, 65536L)
+    assert(fpOld > 90000L,
+      s"expected the old fixed-size bloom to saturate here, got $fpOld")
+    spark.catalog.dropTempView("inc_bloom_spec")
   }
 
   test("D4: budget pack runs the two-phase prefix sum, not a bare per-lang window") {
