@@ -27,22 +27,50 @@ object Tables {
     * TimestampType holding the file's raw micros as a UTC instant — the
     * same value DuckDB's `epoch_us(ts)` sees, keeping both engines in one
     * timestamp domain:
-    *   - `inferTimestampNTZ.enabled=false` makes naive-µs columns scan as
-    *     plain TIMESTAMP at the source (no cast wrapper, so filter
+    *   - the `inferTimestampNTZ=false` READ OPTION makes naive-µs columns
+    *     scan as plain TIMESTAMP at the source (no cast wrapper, so filter
     *     pushdown on e.g. `l_shipdate` survives intact);
-    *   - `nanosAsLong=true` + the div-1000 branch covers legacy ns files
-    *     (the branch keys on the INFERRED type, so it is a no-op for
-    *     µs-encoded data).
+    *   - the `nanosAsLong=true` read option + the div-1000 branch covers
+    *     legacy ns files (the branch keys on the INFERRED type, so it is
+    *     a no-op for µs-encoded data).
+    * Both are per-read parquet options, NOT session-conf mutations: a
+    * library loader must never silently flip how the shared session reads
+    * unrelated parquet (a genuine TIMESTAMP_NTZ table elsewhere in the
+    * session would be coerced to instant TIMESTAMP).
     * Session TZ is pinned UTC by every entry point, so the instant
     * interpretation is deterministic.
     */
+  // Inferred-schema cache: one footer-inference job per (dir, table) per
+  // JVM instead of per t() call. Testdata is immutable within a process
+  // (the driver regenerates it only between rounds/JVMs).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw =
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-      } else spark.read.parquet(s"$dir/$name.parquet")
+    // The NTZ/nanos flags are consulted by parquet SCHEMA INFERENCE from
+    // the session conf only (they are not honored as per-read options),
+    // so: infer the schema once inside a set-and-restore window, cache
+    // it, and hand every read an EXPLICIT schema. Execution with an
+    // explicit schema never consults these confs, so the shared session's
+    // parquet behavior is left exactly as we found it — a library loader
+    // must not silently flip how unrelated parquet reads infer types.
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((dir, name), { _ =>
+      val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prevNtz = spark.conf.getOption(ntzKey)
+      val prevNanos = spark.conf.getOption(nanosKey)
+      try {
+        spark.conf.set(ntzKey, "false")
+        if (name == "events") spark.conf.set(nanosKey, "true")
+        spark.read.parquet(path).schema
+      } finally {
+        prevNtz.fold(spark.conf.unset(ntzKey))(spark.conf.set(ntzKey, _))
+        prevNanos.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
+      }
+    })
+    val raw = spark.read.schema(schema).parquet(path)
     if (name == "events" &&
         raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

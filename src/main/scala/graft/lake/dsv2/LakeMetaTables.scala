@@ -282,12 +282,21 @@ final class LakeRefsMetaTable(location: String) extends Table with SupportsRead 
     }
 }
 
-/** `$history` — the table's commit lineage (Iceberg's history table):
-  * one row per retained snapshot with `is_current_ancestor` = whether it
-  * sits on the CURRENT head's parent chain. Off-lineage rows are
-  * unpublished WAP "stage" commits — the audit question "is this data
-  * visible to main readers yet?" answered from metadata. Retention-
-  * bounded — single task.
+/** `$history` — the table's commit lineage: one row per retained
+  * snapshot with `is_current_ancestor` = whether it sits on the CURRENT
+  * head's parent chain. Off-lineage rows are unpublished WAP "stage"
+  * commits — the audit question "is this data visible to main readers
+  * yet?" answered from metadata. Retention-bounded — single task.
+  *
+  * DELIBERATE DEVIATION from Iceberg's `history` metadata table: Iceberg
+  * derives history from the snapshot LOG (only snapshots that were ever
+  * current appear; `made_current_at` is the made-current wall time;
+  * `is_current_ancestor=false` marks rolled-back lineage), and surfaces
+  * staged/never-current snapshots in `$snapshots` instead. This table
+  * emits one row per RETAINED snapshot — including never-current WAP
+  * stage commits — with `made_current_at_ms` carrying the snapshot's
+  * commit timestamp, i.e. it folds the useful halves of Iceberg's
+  * `history` and `snapshots` views into one lineage audit.
   */
 final case class HistoryRows(rows: Seq[(Long, Long, Long, Boolean, String)])
   extends InputPartition

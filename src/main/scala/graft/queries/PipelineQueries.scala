@@ -458,9 +458,13 @@ object PipelineQueries {
       .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
         col("m.c").as("cell") +:
         (0 until 4).map(sb => pqCode(pq, sb).as(s"c$sb")): _*)
+    // nprobe=8 (vs the pure-IVF variant's 4): the composed index pays ~1
+    // LUT-add per extra candidate, so doubling the probed cells buys back
+    // the recall the two stacked approximations cost almost for free —
+    // the exact-cosine refine still touches only the top-200 shortlist
     val probes = e.filter(col("vec_id") < 20).withColumn("nv", pqNv)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 4)
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 8)
           .getField("c")).as("cell"),
         array((for { sb <- 0 until 4; j <- 0 until 16 } yield
           pqDot(slice(col("nv"), sb * 16 + 1, 16), pq(sb)(j))): _*).as("lut"))
@@ -474,7 +478,7 @@ object PipelineQueries {
           element_at(col("lut"), col("c2") + 33) +
           element_at(col("lut"), col("c3") + 49))
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= 100)
+      .filter(col("arn") <= 200)
       .withColumn("cos", expr("cosine_sim(qe, oe)"))
       .withColumn("rn", row_number().over(wCos))
       .filter(col("rn") <= 5)

@@ -176,27 +176,44 @@ object StreamingQueries {
   // comment names): withWatermark + dropDuplicatesWithinWatermark keeps
   // per-key state only until the watermark passes the key's event time —
   // the 100 TB posture, where C14's unbounded key set would grow forever.
-  // The watermark delay covers the replay's full event-time span, so
-  // every duplicate lands within-watermark and the completed stream
-  // equals batch DISTINCT — exactly what the DuckDB oracle computes
-  // (state expiry semantics beyond the span are C13's territory).
+  // The watermark delay is COMPUTED from the replay's actual event-time
+  // span (+1 day slack) rather than hard-coded, so regenerated or
+  // larger-SF testdata with a wider span cannot silently reintroduce
+  // duplicates past expired state: every duplicate lands within-watermark
+  // and the completed stream equals batch DISTINCT — exactly what the
+  // DuckDB oracle computes (state expiry semantics beyond the span are
+  // C13's territory). The span agg is a bounded min/max scan of the
+  // finite replay input — a setup-time cost, not a per-row one.
   def c22_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    val delay = s"${spanDays(ev)} days"
     runStream(s, dir, OutputMode.Append(), nFiles = 4,
       input = Some(ev.union(ev))) { in =>
-      in.withWatermark("ts", "45 days")
+      in.withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"))
     }.orderBy("event_id")
   }
 
+  /** Whole-days watermark delay covering `ev`'s full `ts` span, +1 day
+    * slack — the delay that makes a finite unordered replay deterministic
+    * (no event can arrive later than the span; nothing expires early). */
+  private def spanDays(ev: DataFrame): Long = {
+    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val spanUs = r.getLong(1) - r.getLong(0)
+    spanUs / 86400000000L + 2
+  }
+
   // C18 — stream-stream inner join: clicks joined to the same user's views
-  // within 6 hours, both sides watermarked (the delay covers the replay's
-  // full disorder, so the finite replay is deterministic and equals the
-  // batch join — which is exactly what the DuckDB oracle computes). The
-  // state-store shape is the production one: user-keyed state on both
-  // sides, bounded by the watermark + the time-range condition.
+  // within 6 hours, both sides watermarked (the delay is computed from
+  // the replay's actual event-time span like c22's, so the finite replay
+  // stays deterministic and equals the batch join — which is exactly what
+  // the DuckDB oracle computes — even if regenerated testdata widens the
+  // span). The state-store shape is the production one: user-keyed state
+  // on both sides, bounded by the watermark + the time-range condition.
   def c18_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val delay = s"${spanDays(t(s, dir, "events"))} days"
     val in = replayDir(t(s, dir, "events"), 4)
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
     val name = "m" + UUID.randomUUID().toString.replace("-", "")
@@ -206,11 +223,11 @@ object StreamingQueries {
       .parquet(in)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
-      .withWatermark("cts", "45 days")
+      .withWatermark("cts", delay)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("vts"))
-      .withWatermark("vts", "45 days")
+      .withWatermark("vts", delay)
     val q = clicks.join(views,
         col("user_id") === col("v_user") &&
           col("vts") >= col("cts") &&

@@ -320,9 +320,14 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             // retires matching published rows (the same rule the final
             // metadata reconstruction applies)
             val fileSeq = t.files().map(f => f.path -> f.seq).toMap
+            // eqSeq is recorded only by the Upsert arm; an eq-delete file
+            // committed by any future op degrades conservatively (seq =
+            // MaxValue, same fallback the insertion side uses) instead of
+            // crashing the harness with NoSuchElementException
             val liveEq = t.deleteFilesMeta()
               .filter(_.kind == DeleteFileMeta.KindEq)
-              .map(d => (eqContent(d.path), eqSeq(d.path)))
+              .map(d => (eqContent.getOrElse(d.path, Set.empty[Long]),
+                eqSeq.getOrElse(d.path, Long.MaxValue)))
             val killed = stagedPaths.flatMap { p =>
               fileRows(p).filter(r => liveEq.exists { case (ks, s) =>
                 fileSeq(p) < s && ks(rowKey(r)) })
@@ -379,7 +384,7 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
         .groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
       val eqLive: Seq[(Set[Long], Long)] = liveDels
         .filter(_.kind == DeleteFileMeta.KindEq)
-        .map(d => (eqContent(d.path), d.seq))
+        .map(d => (eqContent.getOrElse(d.path, Set.empty[Long]), d.seq))
       val liveRows = liveFiles.flatMap(f =>
         fileRows(f.path).zipWithIndex.collect {
           case (r, i)
