@@ -490,7 +490,26 @@ object StreamingQueries {
         |      FROM b)
         |SELECT user_id, MIN(tu) AS session_start_us, COUNT(*) AS n
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
-    // c13/c17: arrival-order/engine-side semantics — rows-only by design.
+    // c13/c17 are deterministic replays over FIXED synthetic inputs, so
+    // their end states are reconstructed-constant oracles (the b02/b03
+    // pattern): the SQL re-declares the scenario's outcome — c13's
+    // finalized window set under the 10-min watermark, c17's per-bucket
+    // ingest counts with the duplicate moniker deduped — and the driver
+    // hash-checks the engine against it.
+    "c13_watermark_latedrop" ->
+      """SELECT CAST(w AS BIGINT) AS w_us, CAST(n AS BIGINT) AS n FROM (VALUES
+        |  (epoch_us(TIMESTAMP '2024-01-01 11:40:00'), 1),
+        |  (epoch_us(TIMESTAMP '2024-01-01 11:55:00'), 1),
+        |  (epoch_us(TIMESTAMP '2024-01-01 12:00:00'), 1),
+        |  (epoch_us(TIMESTAMP '2024-01-01 13:00:00'), 1)) t(w, n)
+        |ORDER BY 1""".stripMargin,
+    "c17_moniker_ingest" ->
+      """SELECT CAST(b AS BIGINT) AS "timeperiod_loadedBy",
+        |       CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_ids
+        |FROM (VALUES (1699999800000000, 100),
+        |             (1700000100000000, 101),
+        |             (1700000400000000, 102)) t(b, n)
+        |ORDER BY 1""".stripMargin,
     "c14_stream_dedup" ->
       "SELECT DISTINCT event_id FROM events ORDER BY event_id",
     "c22_stream_dedup_watermark" ->
