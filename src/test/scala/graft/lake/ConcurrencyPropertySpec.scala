@@ -293,8 +293,15 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             val bs = bucketsOf(f); bs.contains(0L) && !bs.forall(_ == 0L)
           }
           if (!straddling) {
-            val replaced = t.files()
-              .filter(f => bucketsOf(f).forall(_ == 0L)).map(_.path).toSet
+            val replacedMetas = t.files()
+              .filter(f => bucketsOf(f).forall(_ == 0L))
+            val replaced = replacedMetas.map(_.path).toSet
+            // coverage: a swap that retires files written under an OLDER
+            // spec vintage is the dyn-overwrite × partition-evolution race
+            // this fuzz exists to exercise — count it so the suite can
+            // assert the interaction actually fires
+            if (replacedMetas.exists(_.specId != t.currentSpecId))
+              ConcurrencyPropertySpec.mixedVintageSwaps.incrementAndGet()
             val meta = newDataFile(newRows(nRows))
             // spark is only dereferenced on the straddle path, which the
             // guard above excludes
@@ -412,8 +419,20 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     val prop = forAll(genSchedule) { schedule =>
       runSchedule(schedule); true
     }
+    ConcurrencyPropertySpec.mixedVintageSwaps.set(0)
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(1500), prop)
     assert(res.passed, res.status.toString)
+    // the dyn-overwrite × set-width interaction must actually occur in
+    // the schedule sample, or the "mixed-vintage bucket swap" coverage is
+    // vacuous (with these generator frequencies it fires hundreds of
+    // times; >0 keeps the assert seed-robust)
+    val swaps = ConcurrencyPropertySpec.mixedVintageSwaps.get()
+    info(s"mixed-vintage dyn-overwrite swaps exercised: $swaps")
+    assert(swaps > 0, "no schedule swapped old-vintage buckets")
   }
+}
+
+private object ConcurrencyPropertySpec {
+  val mixedVintageSwaps = new java.util.concurrent.atomic.AtomicLong(0)
 }
