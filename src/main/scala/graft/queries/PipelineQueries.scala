@@ -759,10 +759,57 @@ object PipelineQueries {
   // pack's (lang, slice) window shuffle. Every stage is deterministic, so
   // the whole pipeline is hash-oracled end to end against DuckDB.
   def d06_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
-    val budget = 3000L
-    val slices = 32
-    // stage 1 — quality gate (same rules + rounding as d04_gopher_rules)
-    val gated = t(s, dir, "documents")
+    // stage 2 — exact dedup keep-first: shuffle keyed on the content hash;
+    // a group is one duplicate set, never corpus-proportional
+    val wDup = Window.partitionBy("h").orderBy("doc_id")
+    val deduped = gateStage(s, dir)
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1).drop("h", "rn")
+    redactPackStages(s, dir, deduped)
+  }
+
+  // D6b — the same pipeline with stage 2 swapped for FUZZY dedup: connected
+  // components over the exact-Jaccard candidate graph (the
+  // d01_cluster_exact machinery) computed on the GATED corpus, keep-first
+  // per component (non-keeper members drop via anti-join). The candidate
+  // subset is the declared doc_id < 100 probe set (the d03_jaccard_pairs
+  // bound) so the whole pipeline — including the iterative component
+  // search — stays hash-oracled via DuckDB's recursive-CTE transitive
+  // closure; d03_minhash_lsh is the (spec-checked) candidate generator at
+  // scale for this same composition. What this entry proves: the fixpoint
+  // -iterative operator COMPOSES inside one dataflow — its labels come
+  // back as a distributed scan (scratch parquet, never driver rows) that
+  // the downstream anti-join, redaction, and pack stages consume like any
+  // other frame.
+  def d06_pipeline_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val gated = gateStage(s, dir)
+    val cand = gated.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val a = cand.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("toks").as("a_toks"))
+    val b = cand.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("toks").as("b_toks"))
+    val pairs = a
+      .join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("ni", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("ni")))
+      .filter(col("j") >= 0.3)
+      .select("a_id", "b_id")
+    val dups = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val deduped = gated.join(dups, Seq("doc_id"), "left_anti")
+    redactPackStages(s, dir, deduped)
+  }
+
+  /** Stage 1 of the D6 pipelines — quality gate (same rules + rounding as
+    * d04_gopher_rules), map-side, fused by Catalyst into the scan stage.
+    */
+  private def gateStage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 1)
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -773,13 +820,13 @@ object PipelineQueries {
         col("mean_len") >= 3.0 && col("mean_len") <= 12.0 &&
         col("max_freq").cast("double") / col("n_tok") <= 0.2)
       .drop("toks")
-    // stage 2 — exact dedup keep-first: shuffle keyed on the content hash;
-    // a group is one duplicate set, never corpus-proportional
-    val wDup = Window.partitionBy("h").orderBy("doc_id")
-    val deduped = gated
-      .withColumn("h", sha2(col("text").cast("binary"), 256))
-      .withColumn("rn", row_number().over(wDup))
-      .filter(col("rn") === 1).drop("h", "rn")
+
+  /** Stages 3–4 of the D6 pipelines — PII redaction (map-side regex
+    * chain) then the two-phase per-lang token-budget pack.
+    */
+  private def redactPackStages(s: SparkSession, dir: String,
+      deduped: DataFrame, budget: Long = 3000L,
+      slices: Int = 32): DataFrame = {
     // stage 3 — PII redaction (planted doc_id-derived suffix as in d04_pii
     // so the scrubber has real matches on the synthetic corpus)
     val emailP = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
@@ -1417,6 +1464,7 @@ object PipelineQueries {
     "d01_cluster_exact" -> d01_cluster_exact _,
     "d04_dsir" -> d04_dsir _,
     "d06_pipeline_e2e" -> d06_pipeline_e2e _,
+    "d06_pipeline_fuzzy" -> d06_pipeline_fuzzy _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1442,6 +1490,68 @@ object PipelineQueries {
         |    SELECT *, ROW_NUMBER() OVER
         |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |    FROM kept) WHERE rn = 1),
+        |red AS (
+        |  SELECT doc_id, lang, n_chars, n_tok,
+        |    sha256(regexp_replace(regexp_replace(regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
+        |  FROM deduped),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok, redacted_sha,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM red)
+        |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
+        |FROM packed WHERE cum_tok <= 3000
+        |ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    // same pipeline, stage 2 = connected components over the exact-Jaccard
+    // graph of the GATED doc_id<100 subset (recursive-CTE closure), drop
+    // non-keeper members
+    "d06_pipeline_fuzzy" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk),
+        |kept AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
+        |  WHERE n_tok >= 20 AND n_tok <= 5000
+        |    AND mean_len >= 3.0 AND mean_len <= 12.0
+        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
+        |cd AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tkn
+        |  FROM kept WHERE doc_id < 100),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM cd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ni
+        |  FROM cd x JOIN cd y ON x.tkn = y.tkn AND x.lang = y.lang
+        |  WHERE x.doc_id < y.doc_id GROUP BY a_id, b_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.3),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |dups AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+        |deduped AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM kept
+        |  WHERE doc_id NOT IN (SELECT id FROM dups)),
         |red AS (
         |  SELECT doc_id, lang, n_chars, n_tok,
         |    sha256(regexp_replace(regexp_replace(regexp_replace(
