@@ -155,8 +155,12 @@ object Bench {
       // are at parity)
       def lakeDf = spark.read.format("laketable").load(loc)
       def rawDf = spark.read.schema(table.schema).parquet(paths: _*)
+      // 5 timed pairs, min each: profiled exec-time variance on this exact
+      // workload is ~3× (GC/page-cache jitter dwarfs the reader delta), so
+      // min-of-3 routinely reported a phantom reader gap in either
+      // direction. Both sides get identical treatment.
       once(lakeDf); once(rawDf)
-      val (lakes, raws) = (1 to 3).map(_ => (once(lakeDf), once(rawDf))).unzip
+      val (lakes, raws) = (1 to 5).map(_ => (once(lakeDf), once(rawDf))).unzip
       LakeTable.drop(loc)
       Seq("lake_scan_400k" -> lakes.min, "lake_scan_raw_parquet" -> raws.min)
     }

@@ -1585,11 +1585,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * ranges on EVERY listed dimension, so predicates on any of them prune
     * — the multi-dimensional variant a single lexicographic sort cannot
     * provide (its second column's range spans every file).
+    *
+    * With NO explicit sortBy/zorderBy, compaction defaults to the table's
+    * declared `write.sort-order`: a sorted-write table's needle-pruning
+    * contract must survive maintenance — a compaction that interleaves the
+    * sorted inputs would silently widen every output file's stat range
+    * back to the whole domain and the regression would only show up as
+    * slow point lookups much later.
     * Returns the new snapshot id, or -1 if nothing qualified.
     */
   def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
       minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
+    val effectiveSortBy =
+      if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy
+      else meta.properties.get(LakeFormat.PropSortOrder)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     val scanSnapshot = meta.currentSnapshotId
     // candidate selection groups by (spec vintage, bucket) so files that
     // merely share a bucket START across widths don't inflate the count;
@@ -1625,7 +1637,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         (org.apache.spark.sql.functions.col(c), lo, hi)
       }))
     val rewritten = LakeWriter.writeDataFiles(rows, this,
-      sortBy = sortBy, maxRecordsPerFile = maxRecordsPerFile,
+      sortBy = effectiveSortBy, maxRecordsPerFile = maxRecordsPerFile,
       sortExprs = zKey)
     val replaced = candidates.map(_.path).toSet
     retryCommitDeletes("compact") { () =>
@@ -1968,6 +1980,25 @@ object LakeTable {
           size() > 128
       })
 
+  /** Parsed-metadata cache: a committed `vN.json` is immutable (committers
+    * CAS-create, never rewrite), but unlike manifests its NAME is reused
+    * when a table is dropped and re-created at the same path — so the key
+    * carries the file's (mtime, length) identity from the listing readMeta
+    * already performs, and [[drop]] purges the location's entries for the
+    * in-JVM recreate case. Every DSv2 query loads the table 2-3× (schema
+    * inference, the table handle, row-level ops); the metadata JSON grows
+    * with snapshot history, so at real scale the per-query parse is the
+    * dominant snapshot-invariant planning cost this removes.
+    */
+  private[lake] val metaParseCache: java.util.Map[String, TableMeta] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, TableMeta](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, TableMeta]): Boolean =
+          size() > 64
+      })
+  private[lake] val metaParses = new java.util.concurrent.atomic.AtomicLong
+
   private def fsFor(location: String) =
     new Path(location).getFileSystem(LakeTable.hadoopConf)
 
@@ -2034,21 +2065,40 @@ object LakeTable {
     val fs = fsFor(location)
     val metaDir = new Path(location, MetadataDir)
     val hint = new Path(metaDir, VersionHint)
-    val version: Long = {
-      // The hint is rewritten (delete + create) by committers; a read racing
-      // that window must fall back to listing, not fail.
-      val fromHint =
-        try readSmall(fs, hint).trim.toLongOption
-        catch { case _: java.io.IOException => None }
-      // The hint is advisory (written after the CAS): recover by listing.
-      val listed = fs.listStatus(metaDir).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .flatMap(_.stripPrefix("v").stripSuffix(".json").toLongOption)
-      val maxListed = listed.maxOption
-        .getOrElse(throw new IllegalStateException(s"no table at $location"))
-      math.max(fromHint.getOrElse(-1L), maxListed)
+    // The hint is rewritten (delete + create) by committers; a read racing
+    // that window must fall back to listing, not fail.
+    val fromHint =
+      try readSmall(fs, hint).trim.toLongOption
+      catch { case _: java.io.IOException => None }
+    // The hint is advisory (written after the CAS): recover by listing.
+    val statuses = fs.listStatus(metaDir).filter { s =>
+      val n = s.getPath.getName
+      n.startsWith("v") && n.endsWith(".json")
     }
-    Json.metaFromJson(readSmall(fs, new Path(metaDir, s"v$version.json")))
+    val maxListed = statuses
+      .flatMap(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLongOption)
+      .maxOption
+      .getOrElse(throw new IllegalStateException(s"no table at $location"))
+    val version = math.max(fromHint.getOrElse(-1L), maxListed)
+    val vPath = new Path(metaDir, s"v$version.json")
+    // Cache hit requires the listing to vouch for the file's identity; a
+    // hint-ahead-of-listing version (eventually-consistent store) parses
+    // uncached rather than trusting a stale entry.
+    statuses.find(_.getPath.getName == s"v$version.json") match {
+      case Some(st) =>
+        val key = s"$vPath#${st.getModificationTime}#${st.getLen}"
+        val cached = metaParseCache.get(key)
+        if (cached != null) cached
+        else {
+          metaParses.incrementAndGet()
+          val parsed = Json.metaFromJson(readSmall(fs, vPath))
+          metaParseCache.put(key, parsed)
+          parsed
+        }
+      case None =>
+        metaParses.incrementAndGet()
+        Json.metaFromJson(readSmall(fs, vPath))
+    }
   }
 
   def load(location: String): LakeTable =
@@ -2060,6 +2110,12 @@ object LakeTable {
   def drop(location: String): Unit = {
     val fs = fsFor(location)
     fs.delete(new Path(location), true)
+    // purge parsed-metadata entries for this path: a re-created table reuses
+    // the same vN.json names (see metaParseCache)
+    val prefix = new Path(location, MetadataDir).toString
+    metaParseCache.synchronized {
+      metaParseCache.keySet().removeIf(_.startsWith(prefix))
+    }
   }
 
   private[lake] def readFiles(spark: SparkSession, schema: StructType,

@@ -50,6 +50,31 @@ class LakeTableSpec extends SparkSpec {
       == bySnap.flatMap(_._2).map(_.path))
   }
 
+  test("repeat loads serve parsed metadata from cache; drop+recreate does not") {
+    val loc = tmpDir("laketable-metacache")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    appendBatch(t, 10, bucket(0), seed = 1)
+    LakeTable.load(loc) // prime
+    val before = LakeTable.metaParses.get()
+    val reloaded = LakeTable.load(loc)
+    assert(LakeTable.metaParses.get() == before,
+      "second load of an unchanged table must not re-parse vN.json")
+    assert(reloaded.currentSnapshotId == t.currentSnapshotId)
+    // a commit advances the version → new key → exactly one fresh parse
+    appendBatch(t, 10, bucket(1), seed = 2)
+    val t2 = LakeTable.load(loc)
+    assert(t2.currentSnapshotId == t.currentSnapshotId)
+    assert(LakeTable.metaParses.get() == before + 1)
+    // drop + recreate at the SAME path reuses v0.json's name: the cache
+    // must not serve the old table's metadata
+    LakeTable.drop(loc)
+    val fresh = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val seen = LakeTable.load(loc)
+    assert(seen.currentSnapshotId == fresh.currentSnapshotId)
+    assert(seen.files().isEmpty, "recreated table must read as empty")
+  }
+
   test("tags pin snapshots through expiry; rollback restores prior content") {
     val t = newTable()
     val s1 = appendBatch(t, 20, bucket(0), seed = 1)

@@ -63,6 +63,46 @@ class SortedWriteSpec extends SparkSpec {
     spark.sql("DROP TABLE lakesw.ns.sorted")
   }
 
+  test("compaction with no explicit sort re-establishes the declared sort order") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE lakesw.ns.sortedc (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+        |PARTITIONED BY (truncate(1000000, timeperiod_loadedBy))
+        |TBLPROPERTIES ('write.sort-order'='v')""".stripMargin)
+    // 4 small appends, each spanning the WHOLE v domain: every file's
+    // (min,max) stat range overlaps every other's, so pre-compaction a
+    // point lookup can prune nothing
+    for (i <- 0 until 4)
+      spark.sql(
+        s"INSERT INTO lakesw.ns.sortedc SELECT id, id * 4 + $i, 7 FROM range(0, 500)")
+    val t = LakeTable.load(s"$warehouse/ns/sortedc")
+    assert(t.files().size >= 4)
+    // default-arg compaction (the maintenance loop's call shape) must pick
+    // up write.sort-order on its own; maxRecordsPerFile forces multi-file
+    // output so disjointness is observable
+    val snap = t.compactFiles(spark, minInputFiles = 2,
+      maxRecordsPerFile = 500L)
+    assert(snap > 0)
+    val out = t.files()
+    assert(out.size >= 3, s"expected split output, got ${out.size}")
+    val ranges = out.map { f =>
+      val s = f.stats("v"); (s.longMin.get, s.longMax.get)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"compaction lost the declared clustering: $ranges")
+      case _ =>
+    }
+    assert(ranges.head._1 == 0L && ranges.last._2 == 1999L)
+    // and the pruning payoff is back: a point lookup plans one file
+    LakeScanMetrics.lastPlannedFiles = -1
+    assert(spark.sql("SELECT count(*) FROM lakesw.ns.sortedc WHERE v = 1000")
+      .head.getLong(0) == 1L)
+    assert(LakeScanMetrics.lastPlannedFiles == 1,
+      s"post-compaction point lookup planned ${LakeScanMetrics.lastPlannedFiles}")
+    spark.sql("DROP TABLE lakesw.ns.sortedc")
+  }
+
   test("sort order spanning the partition column dedupes it") {
     warehouse
     spark.sql(
