@@ -286,6 +286,60 @@ object Bench {
       Seq("lake_point_lookup_sorted" -> s, "lake_point_lookup_plain" -> p)
     }
 
+    /** Storage-partitioned-join pair: the SAME lake-lake equi-join on
+      * (partition column, row id) over the same two tables — once with V2
+      * bucketing on (each side's key-grouped scan satisfies the join's
+      * distribution, zero exchanges under the join) and once with it off
+      * (both inputs re-shuffle). The gap is the dominant cost of a
+      * fact-fact lake join at 100 TB: with co-partitioned tables the join
+      * is a per-bucket merge; without, it moves both corpora over the
+      * network. Timed region = join + aggregate only; table build shared.
+      */
+    def runSpjJoinPair(): Seq[(String, Double)] = {
+      val cat = graft.queries.LakeQueries.dmlCatalog(spark)
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      def build(name: String): String = {
+        val tbl = s"$cat.ns.$name$sfx"
+        spark.sql(
+          s"""CREATE TABLE $tbl (k BIGINT, id BIGINT, v DOUBLE)
+             |PARTITIONED BY (truncate(62500, k))""".stripMargin)
+        // 1M rows over 16 buckets; id scattered within bucket
+        spark.sql(s"INSERT INTO $tbl SELECT id % 1000000, id, " +
+          "CAST(id AS DOUBLE) FROM range(0, 1000000)")
+        tbl
+      }
+      val a = build("spja")
+      val b = build("spjb")
+      val q =
+        s"""SELECT count(*) AS pairs, sum(a.v + b.v) AS s
+           |FROM $a a JOIN $b b ON a.k = b.k AND a.id = b.id""".stripMargin
+      def once(spj: Boolean): Double = {
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> spj.toString,
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> spj.toString,
+          // join keys (k, id) SUPERSET the partition key truncate(k):
+          // accept the partition-key prefix as co-partitioning (SpjSpec)
+          "spark.sql.requireAllClusterKeysForCoPartition" -> (!spj).toString,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+        confs.foreach { case (key, v) => spark.conf.set(key, v) }
+        try {
+          val t0 = System.nanoTime()
+          val row = spark.sql(q).head
+          assert(row.getLong(0) == 1000000L, s"spj join saw ${row.getLong(0)}")
+          (System.nanoTime() - t0) / 1e9
+        } finally prev.foreach {
+          case (key, Some(v)) => spark.conf.set(key, v)
+          case (key, None) => spark.conf.unset(key)
+        }
+      }
+      once(true); once(false) // warmup both shapes
+      val spjs = (1 to 3).map(_ => once(true))
+      val shuf = (1 to 3).map(_ => once(false))
+      spark.sql(s"DROP TABLE $a"); spark.sql(s"DROP TABLE $b")
+      Seq("lake_join_spj" -> spjs.min, "lake_join_shuffle" -> shuf.min)
+    }
+
     /** Streaming catch-up under a deep snapshot backlog (the A25
       * contract): 32 fast-append commits land BEFORE the stream starts;
       * the reader must plan each micro-batch in O(files admitted) — the
@@ -353,6 +407,7 @@ object Bench {
       (if (only("lake_scan_400k")) runLakeScanPair() else Nil) ++
       (if (only("lake_scan_mor")) runMorScanPair() else Nil) ++
       (if (only("lake_point_lookup")) runPointLookupPair() else Nil) ++
+      (if (only("lake_join_spj")) runSpjJoinPair() else Nil) ++
       (if (only("stream_catchup"))
         Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -98,6 +98,40 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("join keys that SUPERSET the partition key stay shuffle-free") {
+    // the realistic fact-fact shape: equi-join on (partition col, row id).
+    // The partition transform's source column is among the join keys, so
+    // each side's key-grouped scan already satisfies the distribution —
+    // within-bucket matching happens in the local sort, not an exchange.
+    // Needs requireAllClusterKeysForCoPartition=false: by default Spark
+    // only accepts co-partitioning that covers EVERY join key; the
+    // partition-key prefix is sufficient here (both sides group by the
+    // same truncate buckets, extra keys only refine the local sort).
+    warehouse
+    mkTable("h", buckets = Seq(0, 1, 2), rowsPer = 50)
+    mkTable("i", buckets = Seq(0, 1, 2), rowsPer = 50)
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try withSpjConfs {
+      val joined = spark.sql(
+        """SELECT count(*) AS pairs, sum(h.message_id) AS s
+          |FROM spj.ns.h h JOIN spj.ns.i i
+          |  ON h.timeperiod_loadedBy = i.timeperiod_loadedBy
+          | AND h.message_id = i.message_id""".stripMargin)
+      val row = joined.head
+      assert(row.getLong(0) == 150L, s"expected 150 pairs, got ${row.getLong(0)}")
+      val plan = joined.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected sort-merge join:\n$plan")
+      assert(smj.get.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"expected shuffle-free superset-key join:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("without the bucketing conf the same join still answers correctly") {
     warehouse
     mkTable("e", buckets = Seq(0, 1), rowsPer = 7)
