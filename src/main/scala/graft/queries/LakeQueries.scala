@@ -608,8 +608,14 @@ object LakeQueries {
       .select(col("doc_id"), h.as("h"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
+    // bloom NDV from the increment's MANIFEST row counts: a free upper
+    // bound on its distinct hashes (pre-dedup), so sizing costs zero
+    // Spark jobs — without it the count() action executes the whole
+    // within-batch dedup pipeline (window included) a second time
+    val incRows = table.addedFilesBetween(s1, s2).map(_.rowCount).sum
     val out = localize(
-      incrementalDedup(s, inc, table.snapshotDF(s, s1).select(h.as("h"))))
+      incrementalDedup(s, inc, table.snapshotDF(s, s1).select(h.as("h")),
+        expectedItems = Some(incRows)))
     LakeTable.drop(loc)
     out
   }
