@@ -132,6 +132,39 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("mixed spec widths fall back to a shuffled join, never a wrong zip") {
+    // partition evolution mid-data: one side carries files written under
+    // TWO truncate widths. The scan must report UnknownPartitioning (a
+    // key-grouped claim would be true only under one width) so the join
+    // pays a shuffle instead of zipping buckets that no longer line up.
+    warehouse
+    mkTable("j", buckets = Seq(0, 1), rowsPer = 20)
+    mkTable("k2", buckets = Seq(0, 1), rowsPer = 20)
+    // evolve j's width and land a file under the NEW spec
+    spark.sql(s"CALL spj.system.set_partition_width('ns.j', ${Width / 2})")
+    spark.sql(
+      s"""INSERT INTO spj.ns.j SELECT
+         |  id + 1000, md5(cast(id AS STRING)), timestamp_micros(${bucket(2)} + id),
+         |  ${bucket(2)}L, cast('x' AS BINARY)
+         |FROM range(0, 10)""".stripMargin)
+    withSpjConfs {
+      val joined = spark.sql(
+        """SELECT count(*) AS pairs
+          |FROM spj.ns.j j JOIN spj.ns.k2 k
+          |  ON j.timeperiod_loadedBy = k.timeperiod_loadedBy""".stripMargin)
+      // correctness first: buckets 0 and 1 match (20×20 each); the new
+      // bucket-2 rows have no partner
+      assert(joined.head.getLong(0) == 2L * 20 * 20)
+      // and the plan did NOT claim co-partitioning: the join sits above
+      // at least one exchange
+      val plan = joined.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected sort-merge join:\n$plan")
+      assert(smj.get.collect { case s: ShuffleExchangeExec => s }.nonEmpty,
+        s"mixed-width side must not zip as co-partitioned:\n$plan")
+    }
+  }
+
   test("without the bucketing conf the same join still answers correctly") {
     warehouse
     mkTable("e", buckets = Seq(0, 1), rowsPer = 7)
