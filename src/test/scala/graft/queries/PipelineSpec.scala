@@ -403,7 +403,10 @@ class PipelineSpec extends SparkSpec {
     }
     assert(exact.nonEmpty)
     val recall = ann.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.3, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
+    info(f"ANN-LSH pair recall: $recall%.3f (found ${ann.size}, true ${exact.size})")
+    // 8 bands × 4 bits: analytic recall ≈ 0.75 at cos 0.4, rising with
+    // cos (4 bands measured 0.42 → floor was 0.3)
+    assert(recall >= 0.6, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
   }
 
   test("B19: exact count matches and approx lands within the hashed tolerance") {
