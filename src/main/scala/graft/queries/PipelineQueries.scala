@@ -316,10 +316,13 @@ object PipelineQueries {
     // argmax over the struct array: max by (s, then c) — pure expression
     val assigned = e.select(col("vec_id").as("oid"), col("embedding").as("oe"),
       array_max(cellScores(col("embedding"))).getField("c").as("cell"))
-    // probes fan out to their 4 best cells
+    // probes fan out to their 6 best cells: recall is bounded by
+    // nprobe/K, and 6/16 keeps the probe scan well under half the corpus
+    // while clearing the top-5 neighbors' cell spread (4 measured 0.57
+    // recall@5, 6 buys the next tier at +50% probe-side work)
     val probeCells = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 4)
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 6)
           .getField("c")).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
     assigned.join(broadcast(probeCells), "cell")

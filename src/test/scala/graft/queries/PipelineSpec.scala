@@ -179,11 +179,12 @@ class PipelineSpec extends SparkSpec {
     val ivf = pairs(PipelineQueries.d02_ann_ivf(spark, dir))
     assert(truth.nonEmpty)
     val recall = ivf.intersect(truth).size.toDouble / truth.size
-    // k-means-trained centroids (2 Lloyd rounds) measure 0.57 here vs
-    // 0.51 with raw sampled seeds (iters=0); the floor sits between the
-    // two so a regression to untrained seeding fails while the float-sum
-    // jitter of distributed means (≤ a pair or two) keeps clearing it
-    assert(recall >= 0.52, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
+    info(f"IVF recall@5: $recall%.3f (|ivf|=${ivf.size})")
+    // k-means-trained centroids (2 Lloyd rounds) + nprobe=6 measure ~0.7
+    // here (nprobe=4 measured 0.57; raw sampled seeds 0.51); the floor
+    // catches a regression to untrained seeding or starved probing while
+    // the float-sum jitter of distributed means keeps clearing it
+    assert(recall >= 0.6, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
     // every reported neighbor must be a real vector with sane cosine
     assert(PipelineQueries.d02_ann_ivf(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
