@@ -431,7 +431,10 @@ object PipelineQueries {
           element_at(col("lut"), col("c2") + 33) +
           element_at(col("lut"), col("c3") + 49))
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= 100)
+      // 200-candidate ADC shortlist (was 100): the exact refine prices
+      // each extra candidate at one cosine, so recall lost to 4-bit code
+      // quantization comes back nearly free (the d02_ann_ivfpq lesson)
+      .filter(col("arn") <= 200)
       .withColumn("cos", expr("cosine_sim(qe, oe)"))
       .withColumn("rn", row_number().over(wCos))
       .filter(col("rn") <= 5)

@@ -232,11 +232,12 @@ class PipelineSpec extends SparkSpec {
     val pq = pairs(PipelineQueries.d02_ann_pq(spark, dir))
     assert(truth.nonEmpty)
     val recall = pq.intersect(truth).size.toDouble / truth.size
-    // trained 4x16 codebooks (2 Lloyd rounds, L2-argmin encode) + top-100
-    // ADC shortlist + exact refine measure 0.72 here vs 0.50 with raw
-    // sampled codewords (iters=0); floor keeps jitter margin while
-    // catching a regression to untrained codebooks
-    assert(recall >= 0.6, s"PQ recall $recall below floor (|pq|=${pq.size})")
+    info(f"PQ recall@5: $recall%.3f (|pq|=${pq.size})")
+    // trained 4x16 codebooks (2 Lloyd rounds, L2-argmin encode) + top-200
+    // ADC shortlist + exact refine (top-100 measured 0.72; raw sampled
+    // codewords 0.50); floor keeps jitter margin while catching a
+    // regression to untrained codebooks or a starved shortlist
+    assert(recall >= 0.65, s"PQ recall $recall below floor (|pq|=${pq.size})")
     assert(PipelineQueries.d02_ann_pq(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
