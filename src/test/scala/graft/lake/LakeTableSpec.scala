@@ -75,6 +75,23 @@ class LakeTableSpec extends SparkSpec {
     assert(seen.files().isEmpty, "recreated table must read as empty")
   }
 
+  test("empty edges: zero-commit scans, empty change ranges, empty compaction") {
+    val t = newTable()
+    // a freshly created table reads as empty THROUGH the DSv2 source
+    // (planInputPartitions over zero files), with the declared schema
+    val df = spark.read.format("laketable").load(t.location)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.contains("message_id"))
+    // compaction on an empty table: nothing qualifies, no commit
+    assert(t.compactFiles(spark) == -1L)
+    val s1 = appendBatch(t, 25, bucket(0), seed = 9)
+    // an empty (s1, s1] range is a schema-correct empty frame, not an error
+    val none = t.changesBetween(spark, s1, s1)
+    assert(none.count() == 0 && none.schema == t.schema)
+    // and a full (0, s1] range still delivers the batch
+    assert(t.changesBetween(spark, 0L, s1).count() == 25)
+  }
+
   test("tags pin snapshots through expiry; rollback restores prior content") {
     val t = newTable()
     val s1 = appendBatch(t, 20, bucket(0), seed = 1)

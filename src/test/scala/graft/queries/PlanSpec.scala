@@ -129,6 +129,19 @@ class PlanSpec extends SparkSpec {
       s"bloom not built as an independent subquery stage:\n$p")
   }
 
+  test("D1g: an empty increment dedups to empty, never errors on the empty bloom") {
+    import spark.implicits._
+    // bloom_filter_agg over ZERO rows yields a null bloom; might_contain
+    // (null, x) is null, the corpus prefilter keeps nothing, and the
+    // anti-join returns the (empty) increment — the quiet-period arrival
+    // shape must be a no-op, not an NPE or a full corpus scan
+    val inc = Seq.empty[(Long, String)].toDF("doc_id", "h")
+    val corpus = (1 to 100).map(i => s"c$i").toDF("h")
+    val out = LakeQueries.incrementalDedup(spark, inc, corpus)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "h"))
+  }
+
   test("D1g: incremental-dedup bloom scales with the increment (100x the old literal)") {
     import spark.implicits._
     // round-5 regression target: the bloom was a fixed 8192-item/64Kib
