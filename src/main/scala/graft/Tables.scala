@@ -46,6 +46,7 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       org.apache.spark.sql.types.StructType]()
+  private val inferenceLock = new Object
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The NTZ/nanos flags are consulted by parquet SCHEMA INFERENCE from
@@ -56,18 +57,27 @@ object Tables {
     // parquet behavior is left exactly as we found it — a library loader
     // must not silently flip how unrelated parquet reads infer types.
     val path = s"$dir/$name.parquet"
+    // inferenceLock serializes the whole capture-set-infer-restore window:
+    // two interleaved windows would capture each other's TRANSIENT conf as
+    // "previous" and restore it permanently — exactly the session-global
+    // leak this path exists to prevent. (Concurrent unrelated parquet
+    // reads during a window still see the flipped inference; the window is
+    // one footer read per (dir, table) per JVM, so exposure is bounded and
+    // first-use, not per-query.)
     val schema = schemaCache.computeIfAbsent((dir, name), { _ =>
-      val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
-      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-      val prevNtz = spark.conf.getOption(ntzKey)
-      val prevNanos = spark.conf.getOption(nanosKey)
-      try {
-        spark.conf.set(ntzKey, "false")
-        if (name == "events") spark.conf.set(nanosKey, "true")
-        spark.read.parquet(path).schema
-      } finally {
-        prevNtz.fold(spark.conf.unset(ntzKey))(spark.conf.set(ntzKey, _))
-        prevNanos.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
+      inferenceLock.synchronized {
+        val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+        val prevNtz = spark.conf.getOption(ntzKey)
+        val prevNanos = spark.conf.getOption(nanosKey)
+        try {
+          spark.conf.set(ntzKey, "false")
+          if (name == "events") spark.conf.set(nanosKey, "true")
+          spark.read.parquet(path).schema
+        } finally {
+          prevNtz.fold(spark.conf.unset(ntzKey))(spark.conf.set(ntzKey, _))
+          prevNanos.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
+        }
       }
     })
     val raw = spark.read.schema(schema).parquet(path)

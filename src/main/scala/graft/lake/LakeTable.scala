@@ -1599,9 +1599,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
     val effectiveSortBy =
       if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy
-      else meta.properties.get(LakeFormat.PropSortOrder)
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
+      else LakeFormat.sortOrderColumns(meta.properties, schema.fieldNames)
     val scanSnapshot = meta.currentSnapshotId
     // candidate selection groups by (spec vintage, bucket) so files that
     // merely share a bucket START across widths don't inflate the count;
@@ -1989,6 +1987,14 @@ object LakeTable {
     * inference, the table handle, row-level ops); the metadata JSON grows
     * with snapshot history, so at real scale the per-query parse is the
     * dominant snapshot-invariant planning cost this removes.
+    *
+    * Known limit: an OUT-OF-PROCESS drop+recreate is detected only through
+    * (mtime, length) — a same-length v0.json recreated within the store's
+    * mtime granularity (1 s on some object stores; ns on local ext4) could
+    * serve the old table's meta, surfacing as FileNotFound on its deleted
+    * data paths at scan time. Cross-process table replacement should go
+    * through a commit (RTAS/overwrite), which allocates a fresh version
+    * and misses the cache by name.
     */
   private[lake] val metaParseCache: java.util.Map[String, TableMeta] =
     java.util.Collections.synchronizedMap(

@@ -276,6 +276,23 @@ object LakeFormat {
   // from ingest — no compaction pass needed first
   val PropSortOrder = "write.sort-order"
 
+  /** The declared sort columns that still EXIST under the given schema's
+    * field names — the one parse of [[PropSortOrder]] (DSv2 write path and
+    * compaction both resolve through here, so the formats can't diverge).
+    * A column renamed or dropped after declaration silently leaves the
+    * order (the property is not rewritten by DDL); resolving against the
+    * live schema keeps writes/compaction working on the surviving prefix
+    * instead of failing analysis on a phantom name.
+    */
+  def sortOrderColumns(properties: Map[String, String],
+      schemaFields: Seq[String]): Seq[String] = {
+    val declared = properties.get(PropSortOrder)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val live = schemaFields.map(_.toLowerCase).toSet
+    declared.filter(c => live.contains(c.toLowerCase))
+  }
+
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"

@@ -94,10 +94,9 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo,
       * keys — stats pruning works straight from ingest, not only after a
       * clustering compaction.
       */
-    private def sortColumns: Seq[String] = table.tableMeta.properties
-      .get(graft.lake.LakeFormat.PropSortOrder)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
+    private def sortColumns: Seq[String] =
+      graft.lake.LakeFormat.sortOrderColumns(table.tableMeta.properties,
+        table.schema.fieldNames)
 
     /** Default: cluster incoming rows by the partition column and sort
       * within each task, so each bucket's rows land in ONE writer instead

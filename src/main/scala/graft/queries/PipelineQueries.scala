@@ -109,23 +109,33 @@ object PipelineQueries {
   @volatile private[graft] var lastSemDeDupStats: Option[SemDeDupStats] = None
 
   /** SemDeDup core over an arbitrary embeddings frame (`vec_id`,
-    * `embedding`). K scales with the corpus — K ≈ N/256, floor 16 — so
-    * average cell occupancy stays well under the 1024-member pairwise
-    * cap as the corpus grows; a fixed K would push EVERY cell past the
-    * cap at real scale and silently degrade the operator to a no-op.
-    * Per-cell cost stays bounded at N × avgCell ≈ N × 256 comparisons —
-    * linear in corpus size. Cells that still breach the cap (pathological
-    * embedding mass) sit out of the pairwise pass with their members
-    * conservatively kept, and the breach is surfaced via
-    * [[lastSemDeDupStats]] + a warning log, never swallowed.
+    * `embedding`). K scales as 4·√N (floor 16): with a FLAT quantizer the
+    * two stage costs pull against each other — assignment is N×K and the
+    * within-cell pairwise pass is N×(N/K) — so √N-scaled K balances both
+    * at O(N^1.5) total, the best a single-level quantizer can do (K ∝ N
+    * would make assignment quadratic AND put corpus-proportional centroid
+    * state on the driver; fixed K pushes every cell over the pairwise
+    * cap). Driver/broadcast centroid state is 4·√N rows — ~8 MB at 10⁸
+    * vectors. The flat shape holds to ~10⁷ vectors before mean cell
+    * occupancy (√N/4) meets the 1024-member cap; past that, breaching
+    * cells sit out of the pairwise pass with members conservatively KEPT
+    * and the breach surfaced via [[lastSemDeDupStats]] + a warning log —
+    * visible degradation, never silent. Corpora beyond that want a
+    * two-level (hierarchical) quantizer so assignment stays N×2√K; the
+    * stats surface is where such an escalation would key off.
     */
   private[graft] def semdedup(s: SparkSession, e: DataFrame,
       kOverride: Option[Int] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val n = e.count()
-    val k = kOverride.getOrElse(math.max(16, (n / 256).toInt))
+    val k = kOverride.getOrElse(
+      math.max(16, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
     val cents = trainIvfCentroids(e, k)
-    val assigned = assignCells(e, cents)
+    // scratch-persisted: the histogram, the bounded self-join, and the
+    // final verdict join all consume the assignment — without the
+    // materialization each would recompute the full N×K assignment pass
+    // from lineage
+    val assigned = Scratch.persist(assignCells(e, cents), "semdedup_assign")
     // skew guard (the minhash-bucket pattern): a degenerate cell would
     // make the self-join quadratic in that cell. The cell histogram is K
     // rows — bounded driver state — so it doubles as the observability
@@ -1247,15 +1257,10 @@ object PipelineQueries {
       comp = session.createDataFrame(labels.rdd, labels.schema)
       rounds += 1
     }
-    val scratch = new org.apache.hadoop.fs.Path(
-      session.sessionState.conf.warehousePath,
-      "_graft_scratch/cc_" + java.util.UUID.randomUUID().toString)
-    val fs = scratch.getFileSystem(session.sparkContext.hadoopConfiguration)
-    comp.write.mode("overwrite").parquet(scratch.toString)
-    fs.deleteOnExit(scratch)
+    val out = Scratch.persist(comp, "cc")
     pinned.foreach(_.unpersist())
     edges.unpersist()
-    session.read.parquet(scratch.toString)
+    out
   }
 
   // D4e — n-gram language ID: score = fraction of a doc's bigrams that are

@@ -103,6 +103,31 @@ class SortedWriteSpec extends SparkSpec {
     spark.sql("DROP TABLE lakesw.ns.sortedc")
   }
 
+  test("renaming a declared sort column does not break writes or compaction") {
+    // DDL never rewrites write.sort-order; after RENAME COLUMN the
+    // property names a phantom. Writes and default-arg compaction must
+    // resolve the order against the live schema (dropping the phantom)
+    // instead of failing analysis.
+    warehouse
+    spark.sql(
+      """CREATE TABLE lakesw.ns.sortedr (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
+        |PARTITIONED BY (truncate(1000000, timeperiod_loadedBy))
+        |TBLPROPERTIES ('write.sort-order'='v')""".stripMargin)
+    for (i <- 0 until 2)
+      spark.sql(
+        s"INSERT INTO lakesw.ns.sortedr SELECT id, id * 2 + $i, 7 FROM range(0, 200)")
+    val t = LakeTable.load(s"$warehouse/ns/sortedr")
+    t.renameColumn("v", "w")
+    // post-rename insert (write path resolves the declared order)
+    spark.sql(
+      "INSERT INTO lakesw.ns.sortedr SELECT id + 1000, id, 7 FROM range(0, 50)")
+    // post-rename compaction with default args (the maintenance shape)
+    val t2 = LakeTable.load(s"$warehouse/ns/sortedr")
+    assert(t2.compactFiles(spark, minInputFiles = 2) > 0)
+    assert(spark.sql("SELECT count(*) FROM lakesw.ns.sortedr").head.getLong(0) == 450)
+    spark.sql("DROP TABLE lakesw.ns.sortedr")
+  }
+
   test("sort order spanning the partition column dedupes it") {
     warehouse
     spark.sql(
