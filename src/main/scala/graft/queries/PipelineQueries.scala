@@ -109,20 +109,21 @@ object PipelineQueries {
   @volatile private[graft] var lastSemDeDupStats: Option[SemDeDupStats] = None
 
   /** SemDeDup core over an arbitrary embeddings frame (`vec_id`,
-    * `embedding`). K scales as 4·√N (floor 16): with a FLAT quantizer the
-    * two stage costs pull against each other — assignment is N×K and the
-    * within-cell pairwise pass is N×(N/K) — so √N-scaled K balances both
-    * at O(N^1.5) total, the best a single-level quantizer can do (K ∝ N
-    * would make assignment quadratic AND put corpus-proportional centroid
-    * state on the driver; fixed K pushes every cell over the pairwise
-    * cap). Driver/broadcast centroid state is 4·√N rows — ~8 MB at 10⁸
-    * vectors. The flat shape holds to ~10⁷ vectors before mean cell
-    * occupancy (√N/4) meets the 1024-member cap; past that, breaching
-    * cells sit out of the pairwise pass with members conservatively KEPT
-    * and the breach surfaced via [[lastSemDeDupStats]] + a warning log —
-    * visible degradation, never silent. Corpora beyond that want a
-    * two-level (hierarchical) quantizer so assignment stays N×2√K; the
-    * stats surface is where such an escalation would key off.
+    * `embedding`). K scales as 4·√N (floor 16): K ∝ N would put
+    * corpus-proportional centroid state on the driver, and fixed K pushes
+    * every cell over the pairwise cap at real scale (the round-5 silent
+    * no-op). Assignment goes through the TWO-LEVEL quantizer
+    * ([[assignCellsHier]]): N×O(√K) per pass — with K = 4√N that is
+    * ~N^1.25 — in the Lloyd training rounds and the final assignment
+    * alike, so the within-cell pairwise pass (N×(N/K) ≈ N^1.5/4) is the
+    * dominant stage, as it should be: it is the pass doing the actual
+    * dedup work. Driver/broadcast centroid state is 4·√N rows — ~8 MB at
+    * 10⁸ vectors. Mean cell occupancy (√N/4) meets the 1024-member
+    * pairwise cap around ~10⁷ vectors; past that, breaching cells sit
+    * out of the pairwise pass with members conservatively KEPT and the
+    * breach surfaced via [[lastSemDeDupStats]] + a warning log — visible
+    * degradation, never silent (the cap bounds the largest single
+    * shuffle key, which no K choice can fix for a genuinely hot cell).
     */
   private[graft] def semdedup(s: SparkSession, e: DataFrame,
       kOverride: Option[Int] = None): DataFrame = {
@@ -130,12 +131,14 @@ object PipelineQueries {
     val n = e.count()
     val k = kOverride.getOrElse(
       math.max(16, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
-    val cents = trainIvfCentroids(e, k)
+    // two-level assignment ([[assignCellsHier]]): N×O(√K) per pass, in
+    // training rounds and here
+    val cents = trainIvfCentroids(e, k, hier = true)
     // scratch-persisted: the histogram, the bounded self-join, and the
     // final verdict join all consume the assignment — without the
-    // materialization each would recompute the full N×K assignment pass
+    // materialization each would recompute the full assignment pass
     // from lineage
-    val assigned = Scratch.persist(assignCells(e, cents), "semdedup_assign")
+    val assigned = Scratch.persist(assignCellsHier(e, cents), "semdedup_assign")
     // skew guard (the minhash-bucket pattern): a degenerate cell would
     // make the self-join quadratic in that cell. The cell histogram is K
     // rows — bounded driver state — so it doubles as the observability
@@ -205,6 +208,53 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding"),
           col("m.c").as("cell"), col("m.s").as("csim"))
     }
+  }
+
+  /** Two-level cell assignment for large K (the SemDeDup path): vectors
+    * find the nearest of ~√K COARSE centroids first, then argmax only
+    * over the fine centroids ROUTED to that coarse region — N×O(√K) work
+    * instead of flat N×K (with K = 4√N that turns the assignment pass
+    * from N^1.5 into ~N^1.25; training pays the same reduction per Lloyd
+    * round). Routing is driver-side: K fine × √K coarse dot products
+    * over arrays already in hand — bounded, no Spark job. A vector whose
+    * true nearest fine centroid lives in a neighboring coarse region
+    * assigns to its best routed candidate instead; that boundary noise
+    * is acceptable for SemDeDup — identical vectors route identically,
+    * so exact/near-exact duplicates always co-assign, and a shifted
+    * borderline assignment changes which cell dedups a pair, not the
+    * operator's keep-one-representative contract. Falls back to flat
+    * assignment when K ≤ 64 (already one literal-inline map pass).
+    */
+  private[graft] def assignCellsHier(e: DataFrame,
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
+    if (cents.length <= 64) return assignCells(e, cents)
+    val s = e.sparkSession
+    import s.implicits._
+    graft.functions.CosineSimilarity.register(s)
+    val kc = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    // coarse layer: every (K/kc)-th fine centroid, re-keyed 0..kc-1
+    val coarse: Array[(Long, Seq[Float])] =
+      (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._2)).toArray
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+    }
+    val routed = cents.map { case (cid, cvec) =>
+      (coarse.maxBy { case (_, co) => cosLocal(cvec, co) }._1, cid, cvec)
+    }.toSeq.toDF("region", "cid", "cvec")
+    val coarseAssigned = assignCells(e, coarse)
+      .select(col("vec_id"), col("embedding"), col("cell").as("region"))
+    coarseAssigned.join(broadcast(routed), "region")
+      .select(col("vec_id"), col("embedding"),
+        struct(expr("cosine_sim(embedding, cvec)").as("s"),
+          col("cid").as("c")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
+      .select(col("vec_id"), col("embedding"),
+        col("m.c").as("cell"), col("m.s").as("csim"))
   }
 
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
@@ -286,14 +336,20 @@ object PipelineQueries {
     * floor, not a hash, gates these entries.)
     */
   private[graft] def trainIvfCentroids(e: DataFrame, k: Int = 16,
-      iters: Int = 2): Array[(Long, Seq[Float])] = {
+      iters: Int = 2, hier: Boolean = false): Array[(Long, Seq[Float])] = {
     var cents: Array[(Long, Seq[Float])] =
       e.filter(pmod(col("vec_id"), lit(31)) === 0)
         .orderBy("vec_id").limit(k)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val mean = udaf(graft.functions.VectorMean)
     for (_ <- 0 until iters) {
-      val byCell = assignCells(e, cents)
+      // hier: Lloyd rounds assign through the two-level route too —
+      // approximate k-means, standard for large-K quantizer training;
+      // without it every training round pays the flat N×K pass the
+      // hierarchical assignment exists to avoid
+      val assigned =
+        if (hier) assignCellsHier(e, cents) else assignCells(e, cents)
+      val byCell = assigned
         .groupBy("cell").agg(mean(col("embedding")).as("m"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (cid, old) =>

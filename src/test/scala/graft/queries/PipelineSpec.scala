@@ -335,6 +335,36 @@ class PipelineSpec extends SparkSpec {
       s"expected fixed K=16 to exclude nearly all rows, got $fixed")
   }
 
+  test("D1: hierarchical cell assignment agrees with flat and co-assigns twins") {
+    // the two-level route (coarse region -> fine argmax within region) is
+    // an approximation of the flat N x K argmax: identical vectors MUST
+    // land identically (dedup correctness), and overall agreement with
+    // the exact assignment must stay high (quantizer quality)
+    val n = 4000L
+    val e = spark.range(0, n).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> cast(
+        |  cast(xxhash64(CASE WHEN id >= 3500 THEN id - 3500 ELSE id END
+        |    * 64 + d) % 1000 as double) / 1000.0 as float))""".stripMargin)
+      .as("embedding"))
+    val cents = PipelineQueries.trainIvfCentroids(e, k = 256, hier = true)
+    val flat = PipelineQueries.assignCells(e, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = PipelineQueries.assignCellsHier(e, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.size == n)
+    // twins (3500+i duplicates i) take identical routes
+    (0L until 500L).foreach { i =>
+      assert(hier(i) == hier(i + 3500),
+        s"twin pair $i/${i + 3500} split across cells ${hier(i)}/${hier(i + 3500)}")
+    }
+    val agree = hier.count { case (id, c) => flat(id) == c }.toDouble / n
+    info(f"hier-vs-flat assignment agreement: $agree%.3f")
+    assert(agree >= 0.5,
+      s"two-level assignment agreement $agree too far from the flat argmax")
+  }
+
   test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), expr(
