@@ -602,7 +602,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * under before the top-level DDL diverges from it.
     */
   def renameColumn(oldName: String, newName: String): Long =
-    alterSchemaRetry { () =>
+    alterSchemaRetry(() => {
       val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
       if (idx < 0) throw new IllegalArgumentException(s"no column $oldName")
       if (schema.fieldNames.exists(_.equalsIgnoreCase(newName)))
@@ -617,7 +617,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val newDdl = StructType(fields).toDDL
       (newDdl, Some((base :+ SchemaDef(nextId, newDdl,
         meta.currentSchemaDef.ids), nextId)))
-    }
+    }, () => rewriteColumnListProps(oldName, Some(newName)))
 
   /** Schema evolution: DROP COLUMN. Metadata-only — the column's field id
     * leaves the current schema (and is never reused), so every file's copy
@@ -625,7 +625,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * snapshots still reads it through their pinned schema.
     */
   def dropColumn(name: String): Long =
-    alterSchemaRetry { () =>
+    alterSchemaRetry(() => {
       val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       if (idx < 0) throw new IllegalArgumentException(s"no column $name")
       if (schema.fields.length == 1)
@@ -639,7 +639,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         schema.fields.patch(idx, Nil, 1)).toDDL
       (newDdl, Some((base :+ SchemaDef(nextId, newDdl,
         meta.currentSchemaDef.ids.patch(idx, Nil, 1)), nextId)))
-    }
+    }, () => rewriteColumnListProps(name, None))
 
   /** Pending equality-delete files key rows BY NAME; renaming/dropping a
     * key column out from under them would silently stop retiring the rows
@@ -688,13 +688,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     } else (Nil, meta.schemas.map(_.id).max + 1)
 
   private def alterSchemaRetry(
-      body: () => (String, Option[(Seq[SchemaDef], Int)])): Long = {
+      body: () => (String, Option[(Seq[SchemaDef], Int)]),
+      propsUpdate: () => Map[String, String] = () => Map.empty): Long = {
     var attempt = 0
     while (true) {
       val (newDdl, schemasUpd) = body()
       try
         return commitAttempt("alter",
           meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+          propsUpdate = propsUpdate(),
           schemaUpdate = Some(newDdl), schemasUpdate = schemasUpd)
       catch {
         case _: java.io.IOException =>
@@ -706,6 +708,26 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
     -1L // unreachable
   }
+
+  /** Column-list properties (`write.sort-order`, `write.bloom.columns`)
+    * rewritten for a rename (newName = Some) or drop (None) of `oldName`.
+    * DDL must keep these declarations truthful: a stale token would
+    * silently lose the declared clustering/bloom on the renamed column —
+    * or worse, later bind to an unrelated column re-using the name. The
+    * read-side [[LakeFormat.sortOrderColumns]] filter stays as
+    * defense-in-depth for tables evolved before this rewrite existed.
+    */
+  private def rewriteColumnListProps(oldName: String,
+      newName: Option[String]): Map[String, String] =
+    Seq(LakeFormat.PropSortOrder, LakeFormat.PropBloomColumns).flatMap { key =>
+      meta.properties.get(key).flatMap { v =>
+        val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (!cols.exists(_.equalsIgnoreCase(oldName))) None
+        else Some(key -> cols.flatMap { c =>
+          if (c.equalsIgnoreCase(oldName)) newName else Some(c)
+        }.mkString(","))
+      }
+    }.toMap
 
   /** Partition evolution: change the truncate WIDTH new writes bucket
     * under — "the 5-minute buckets grew too many files, move to hourly",

@@ -286,11 +286,14 @@ object LakeFormat {
     */
   def sortOrderColumns(properties: Map[String, String],
       schemaFields: Seq[String]): Seq[String] = {
+    // Locale.ROOT: a locale-sensitive lowercase (tr-TR dotless-i) would
+    // silently drop a valid declared column from the order
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
     val declared = properties.get(PropSortOrder)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val live = schemaFields.map(_.toLowerCase).toSet
-    declared.filter(c => live.contains(c.toLowerCase))
+    val live = schemaFields.map(lower).toSet
+    declared.filter(c => live.contains(lower(c)))
   }
 
   // Table properties honored from the reference (SURVEY §1.3).

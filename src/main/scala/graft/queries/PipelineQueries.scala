@@ -242,19 +242,42 @@ object PipelineQueries {
       }
       dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
     }
+    // tie-break toward the LARGER region id, matching Spark's struct-max
+    // (max s, then max c) used by the vectors' coarse argmax — divergent
+    // tie-breaks could leave a region holding vectors but zero routed
+    // fine centroids
     val routed = cents.map { case (cid, cvec) =>
-      (coarse.maxBy { case (_, co) => cosLocal(cvec, co) }._1, cid, cvec)
+      (coarse.maxBy { case (rid, co) => (cosLocal(cvec, co), rid) }._1,
+        cid, cvec)
     }.toSeq.toDF("region", "cid", "cvec")
+    // region -> its own seed fine centroid: the guaranteed fallback cell.
+    // The LEFT join + coalesce below make unrouted regions impossible to
+    // LOSE: float disagreement between the distributed cosine and the
+    // driver-side routing cosine near an exact tie could otherwise strand
+    // a region with vectors but no candidates, and an inner join would
+    // silently drop those rows from the dedup output. The fallback cell's
+    // csim is exact — the region's coarse centroid IS its seed fine
+    // centroid, so the stage-1 score is the cosine to that same vector.
+    val regionSeed = (0 until kc)
+      .map(i => (i.toLong, cents(i * cents.length / kc)._1))
+      .toDF("region", "seed_cid")
     val coarseAssigned = assignCells(e, coarse)
-      .select(col("vec_id"), col("embedding"), col("cell").as("region"))
-    coarseAssigned.join(broadcast(routed), "region")
       .select(col("vec_id"), col("embedding"),
-        struct(expr("cosine_sim(embedding, cvec)").as("s"),
-          col("cid").as("c")).as("sc"))
+        col("cell").as("region"), col("csim").as("coarse_sim"))
+    coarseAssigned.join(broadcast(routed), Seq("region"), "left")
+      .select(col("vec_id"), col("embedding"), col("region"), col("coarse_sim"),
+        when(col("cvec").isNotNull,
+          struct(expr("cosine_sim(embedding, cvec)").as("s"),
+            col("cid").as("c"))).as("sc"))
       .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
+      .agg(first(col("embedding")).as("embedding"),
+        first(col("region")).as("region"),
+        first(col("coarse_sim")).as("coarse_sim"),
+        max(col("sc")).as("m"))
+      .join(broadcast(regionSeed), "region")
       .select(col("vec_id"), col("embedding"),
-        col("m.c").as("cell"), col("m.s").as("csim"))
+        coalesce(col("m.c"), col("seed_cid")).as("cell"),
+        coalesce(col("m.s"), col("coarse_sim")).as("csim"))
   }
 
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
@@ -365,7 +388,7 @@ object PipelineQueries {
   // assigns every vector to its nearest cell MAP-SIDE (centroids are a
   // bounded model constant inlined as literals — the same "ship the
   // trained quantizer to executors" shape a real IVF index uses; no
-  // shuffle, no window). Probes scan their nprobe=4 nearest cells;
+  // shuffle, no window). Probes scan their nprobe=6 nearest cells;
   // candidates come from one broadcast equi-join on cell id, exact
   // cosine refine inside. Cost: corpus × K map work + corpus-linear probe
   // join — the classic IVF trade (recall bounded by nprobe/K). No SQL
@@ -407,7 +430,7 @@ object PipelineQueries {
   // than the float vector, THE memory/bandwidth lever of billion-vector
   // search. Probes precompute a 64-entry lookup table (dot of their
   // subvector with every codeword); the ADC scan scores a candidate with
-  // 4 table adds instead of 64 multiplies, takes the top-100, and an exact
+  // 4 table adds instead of 64 multiplies, takes the top-200, and an exact
   // cosine refine re-ranks to top-5. Encode and LUT are map-side pure
   // expressions; codes ride a broadcast join (compose with d02_ann_ivf's
   // cells to also bound the scan). Approximate → rows-only; recall spec.
@@ -510,10 +533,10 @@ object PipelineQueries {
 
   // D2-scale (IVF+PQ) — the composed billion-vector index shape: the IVF
   // coarse quantizer bounds WHICH vectors are scored (probes scan their
-  // nprobe=4 nearest cells only) and PQ bounds HOW each candidate is
+  // nprobe=8 nearest cells only) and PQ bounds HOW each candidate is
   // scored (4 LUT adds against 8-bit codes instead of a 64-dim float
   // product). Memory per corpus vector: cell id + 4 codes; the scan
-  // never touches the float vectors until the top-100 exact-cosine
+  // never touches the float vectors until the top-200 exact-cosine
   // refine. Both models are bounded literals trained distributively
   // (trainIvfCentroids / trainPqCodebooks). Approximate → rows-only;
   // recall spec vs brute force.
@@ -532,7 +555,7 @@ object PipelineQueries {
       .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
         col("m.c").as("cell") +:
         (0 until 4).map(sb => pqCode(pq, sb).as(s"c$sb")): _*)
-    // nprobe=8 (vs the pure-IVF variant's 4): the composed index pays ~1
+    // nprobe=8 (vs the pure-IVF variant's 6): the composed index pays ~1
     // LUT-add per extra candidate, so doubling the probed cells buys back
     // the recall the two stacked approximations cost almost for free —
     // the exact-cosine refine still touches only the top-200 shortlist

@@ -14,12 +14,19 @@ import org.apache.spark.sql.DataFrame
   * per call forever. Every persist sweeps sibling dirs older than
   * `spark.graft.scratch.ttlSeconds` (default 3600) — consumers read their
   * frame promptly in every driver/bench/stream shape, and a slow consumer
-  * can raise the TTL. `deleteOnExit` remains the JVM-exit backstop
+  * can raise the TTL. The sweep is OWNERSHIP-AWARE: dir names carry a
+  * per-JVM token, and dirs written by OTHER processes (a concurrent app
+  * sharing the warehouse, or a crashed session whose deleteOnExit never
+  * fired) are only reclaimed at 24× the TTL — this JVM cannot know when
+  * a foreign frame was last referenced, so it errs long while still
+  * bounding crash debris. `deleteOnExit` remains the JVM-exit backstop
   * (best-effort on object stores, where the TTL sweep is the mechanism
   * that actually runs).
   */
 private[graft] object Scratch {
   val TtlKey = "spark.graft.scratch.ttlSeconds"
+  private val jvmToken =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   def persist(df: DataFrame, prefix: String): DataFrame = {
     val session = df.sparkSession
@@ -28,15 +35,17 @@ private[graft] object Scratch {
     val fs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
     val ttlMs = 1000L * session.conf.getOption(TtlKey)
       .flatMap(_.toLongOption).getOrElse(3600L)
-    val cutoff = System.currentTimeMillis() - ttlMs
+    val now = System.currentTimeMillis()
     try if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getModificationTime < cutoff)
+        val mine = st.getPath.getName.contains(s"_${jvmToken}_")
+        val ttl = if (mine) ttlMs else ttlMs * 24
+        if (st.isDirectory && st.getModificationTime < now - ttl)
           fs.delete(st.getPath, true)
       }
     catch { case _: java.io.IOException => } // sweep is advisory
     val dir = new org.apache.hadoop.fs.Path(root,
-      s"${prefix}_${java.util.UUID.randomUUID().toString}")
+      s"${prefix}_${jvmToken}_${java.util.UUID.randomUUID().toString}")
     df.write.mode("overwrite").parquet(dir.toString)
     fs.deleteOnExit(dir)
     session.read.parquet(dir.toString)

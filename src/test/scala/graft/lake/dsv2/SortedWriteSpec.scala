@@ -103,28 +103,49 @@ class SortedWriteSpec extends SparkSpec {
     spark.sql("DROP TABLE lakesw.ns.sortedc")
   }
 
-  test("renaming a declared sort column does not break writes or compaction") {
-    // DDL never rewrites write.sort-order; after RENAME COLUMN the
-    // property names a phantom. Writes and default-arg compaction must
-    // resolve the order against the live schema (dropping the phantom)
-    // instead of failing analysis.
+  test("renaming a declared sort column follows the rename, keeping clustering") {
+    // RENAME COLUMN rewrites write.sort-order in the same commit — a
+    // stale token would silently lose the declared clustering (or later
+    // bind to an unrelated column reusing the name). Writes and
+    // compaction after the rename must still cluster, now by the new
+    // name.
     warehouse
     spark.sql(
       """CREATE TABLE lakesw.ns.sortedr (message_id BIGINT, v BIGINT, timeperiod_loadedBy BIGINT)
         |PARTITIONED BY (truncate(1000000, timeperiod_loadedBy))
-        |TBLPROPERTIES ('write.sort-order'='v')""".stripMargin)
+        |TBLPROPERTIES ('write.sort-order'='v', 'write.bloom.columns'='v')""".stripMargin)
     for (i <- 0 until 2)
       spark.sql(
         s"INSERT INTO lakesw.ns.sortedr SELECT id, id * 2 + $i, 7 FROM range(0, 200)")
     val t = LakeTable.load(s"$warehouse/ns/sortedr")
     t.renameColumn("v", "w")
-    // post-rename insert (write path resolves the declared order)
+    val props = LakeTable.load(s"$warehouse/ns/sortedr").tableMeta.properties
+    assert(props(graft.lake.LakeFormat.PropSortOrder) == "w",
+      s"sort-order not rewritten: $props")
+    assert(props(graft.lake.LakeFormat.PropBloomColumns) == "w",
+      s"bloom columns not rewritten: $props")
+    // post-rename insert sorts by the renamed column
     spark.sql(
       "INSERT INTO lakesw.ns.sortedr SELECT id + 1000, id, 7 FROM range(0, 50)")
-    // post-rename compaction with default args (the maintenance shape)
+    // post-rename compaction with default args re-clusters on w
     val t2 = LakeTable.load(s"$warehouse/ns/sortedr")
-    assert(t2.compactFiles(spark, minInputFiles = 2) > 0)
+    assert(t2.compactFiles(spark, minInputFiles = 2,
+      maxRecordsPerFile = 150L) > 0)
     assert(spark.sql("SELECT count(*) FROM lakesw.ns.sortedr").head.getLong(0) == 450)
+    val ranges = LakeTable.load(s"$warehouse/ns/sortedr").files().map { f =>
+      val s = f.stats("w"); (s.longMin.get, s.longMax.get)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"post-rename compaction lost clustering on w: $ranges")
+      case _ =>
+    }
+    // a sort column dropped outright leaves the order without it
+    val t3 = LakeTable.load(s"$warehouse/ns/sortedr")
+    t3.dropColumn("w")
+    val props2 = LakeTable.load(s"$warehouse/ns/sortedr").tableMeta.properties
+    assert(props2.get(graft.lake.LakeFormat.PropSortOrder).contains(""),
+      s"sort-order should be emptied by the drop: $props2")
     spark.sql("DROP TABLE lakesw.ns.sortedr")
   }
 
