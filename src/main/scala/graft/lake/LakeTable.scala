@@ -937,8 +937,38 @@ final class LakeTable private (val location: String, private var meta: TableMeta
             (Seq(SchemaDef(nextId, restoredDdl, (1 to n).toSeq)), nextId)
         }
       }
+      // Column-list properties (`write.sort-order`, `write.bloom.columns`)
+      // follow the restored name space: this rollback deliberately restores
+      // the target's pinned SCHEMA (doc above), so a property naming a
+      // post-target rename would otherwise dangle as a phantom — translate
+      // each token current-name → field id → restored-name; tokens whose
+      // field was added after the target drop out.
+      val propsUpd: Map[String, String] =
+        if (meta.schemas.isEmpty) Map.empty
+        else {
+          val curDef = meta.currentSchemaDef
+          val restoredDef: Option[SchemaDef] = schemasUpd match {
+            case (minted, id) =>
+              minted.find(_.id == id).orElse(meta.schemas.find(_.id == id))
+                .orElse(if (id == 0) Some(meta.schemaDef(0)) else None)
+          }
+          restoredDef.fold(Map.empty[String, String]) { rd =>
+            Seq(LakeFormat.PropSortOrder, LakeFormat.PropBloomColumns)
+              .flatMap { key =>
+                meta.properties.get(key).flatMap { v =>
+                  val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+                  val translated = cols.flatMap { c =>
+                    val i = curDef.names.indexWhere(_.equalsIgnoreCase(c))
+                    if (i < 0) None else rd.nameOf(curDef.ids(i))
+                  }.mkString(",")
+                  if (translated == v) None else Some(key -> translated)
+                }
+              }.toMap
+          }
+        }
       try
         return commitAttempt("rollback", target.manifests, meta.snapshots,
+          propsUpdate = propsUpd,
           schemaUpdate = Some(restoredDdl),
           deleteManifests = Some(target.deleteManifests),
           schemasUpdate = Some(schemasUpd))

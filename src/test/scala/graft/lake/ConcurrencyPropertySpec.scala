@@ -49,6 +49,10 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
   // generation lands, pending-delete entries whose targets died must be
   // pruned (the no-dangling invariant covers it)
   private case class DynOverwrite(nRows: Int) extends Op
+  // metadata-only rename of the payload column, toggling data <-> data_rn:
+  // the alter commit (schema-registry growth + column-list property
+  // rewrite) races every other op in the alphabet
+  private case object Rename extends Op
   // WAP: stage an append on a branch (invisible to main until publish);
   // publish folds the whole staged chain onto the current head. The
   // subtle interaction under fuzz: published files keep their STAGE-time
@@ -74,6 +78,7 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     1 -> Gen.choose(2, 5).map(Expire(_)),
     1 -> Gen.choose(1, 3).map(Rollback(_)),
     1 -> Gen.choose(1, 6).map(SetWidth(_)),
+    1 -> Gen.const(Rename),
     2 -> Gen.choose(1, 4).map(DynOverwrite(_)),
     2 -> (for {
       n <- Gen.choose(1, 2); r <- Gen.choose(1, 3)
@@ -102,7 +107,10 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
       .getOrElse(java.nio.file.Files.createTempDirectory("lake-fuzz"))
       .toString
     LakeTable.drop(loc)
-    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    // a declared sort order on the to-be-renamed column: every Rename op
+    // must rewrite it in the same alter commit, asserted at schedule end
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropSortOrder -> "data"))
     try {
       var nextRow = 0L
       var nextFile = 0
@@ -269,6 +277,17 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
             history += cur
           }
 
+        case Rename =>
+          // schema evolution racing the data ops: metadata-only, the row
+          // model is untouched; the commit also rewrites the declared
+          // sort-order property to follow the column
+          val sid =
+            if (t.schema.fieldNames.contains("data"))
+              t.renameColumn("data", "data_rn")
+            else t.renameColumn("data_rn", "data")
+          cur = Snap(sid, cur.live, cur.dead)
+          history += cur
+
         case SetWidth(mult) =>
           val w = LakeWriter.EventSpec.widthMicros * mult
           if (w != t.spec.widthMicros) {
@@ -409,11 +428,17 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
         val expected = (1L to nextRow).toSet -- deletedRows -- unpublished
         assert(liveRows.toSet == expected, "row lost")
       }
+      // the declared sort order must have tracked every rename: it still
+      // names the CURRENT payload column, never a phantom
+      val declared = LakeFormat.sortOrderColumns(
+        t.tableMeta.properties, t.schema.fieldNames)
+      assert(declared.nonEmpty,
+        s"sort-order lost track of the renamed column: ${t.tableMeta.properties}")
     } finally LakeTable.drop(loc)
   }
 
   test("1500 random append/delete/upsert/rewrite/expire/rollback/set-width/" +
-      "dyn-overwrite/stage/publish schedules: no resurrection, no " +
+      "rename/dyn-overwrite/stage/publish schedules: no resurrection, no " +
       "duplication, no loss, no dangling deletes, model agreement, " +
       "resolvable spec vintages") {
     val prop = forAll(genSchedule) { schedule =>
