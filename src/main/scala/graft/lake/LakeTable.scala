@@ -1496,6 +1496,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     meta.snapshot(toId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId"))
     val outSchema = schemaAt(toId)
+    val outDef = schemaDefAt(toId)
     val toPlain = udf((s: String) => new Path(s).toUri.getPath)
     def withMeta(df: DataFrame, tpe: String, snap: Long): DataFrame =
       df.select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1522,14 +1523,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           // copy-on-write shape: row-level multiset diff, carryovers cancel
           val oldRows = readWithDeletes(spark, outSchema, removed,
             snapshotId = s.parentId)
-          val newRows = LakeTable.readFiles(spark, outSchema, added.map(_.path))
+          val newRows = LakeTable.readFilesMapped(spark, outDef, outSchema,
+            added, meta.schemas)
           Seq(withMeta(oldRows.exceptAll(newRows), "delete", id),
             withMeta(newRows.exceptAll(oldRows), "insert", id))
         } else {
           val inserts =
             if (added.isEmpty) Nil
             else Seq(withMeta(
-              LakeTable.readFiles(spark, outSchema, added.map(_.path)),
+              LakeTable.readFilesMapped(spark, outDef, outSchema, added,
+                meta.schemas),
               "insert", id))
           // new delete files (diffed by delete-file path — rewrite commits
           // re-list carried entries under fresh manifest names)
@@ -1942,7 +1945,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * For the full insert+delete changelog, see [[changelogBetween]].
     */
   def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
-    LakeTable.readFiles(spark, schema, addedFilesBetween(fromId, toId).map(_.path))
+    LakeTable.readFilesMapped(spark, meta.currentSchemaDef, schema,
+      addedFilesBetween(fromId, toId), meta.schemas)
 
   /** Scan with manifest-level pruning (SURVEY §4): partition-bucket and
     * column min/max stats filter the file list before Spark plans the scan.
@@ -2181,4 +2185,44 @@ object LakeTable {
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)
+
+  /** Read data files with each file's PHYSICAL column names translated to
+    * the read-time names through the field ids — the same rename/drop
+    * contract the DSv2 reader applies per slice, for the direct read
+    * paths (incremental scan, changelog) that bypass the snapshot scan.
+    * A plain by-name read silently null-fills a renamed column for every
+    * pre-rename file. Files group by schema vintage: never-evolved
+    * tables (empty registry) and current-vintage groups take the one
+    * plain read; a field absent from a file's vintage (added later)
+    * reads as null, exactly like a missing column.
+    */
+  private[lake] def readFilesMapped(spark: SparkSession, readDef: SchemaDef,
+      outSchema: StructType, metas: Seq[DataFileMeta],
+      schemas: Seq[SchemaDef]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (metas.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val parts = metas.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+      case (sid, fs) =>
+        val paths = fs.map(_.path)
+        val fd = schemas.find(_.id == sid)
+        if (schemas.isEmpty || sid == readDef.id || fd.isEmpty)
+          spark.read.schema(outSchema).parquet(paths: _*)
+        else {
+          val mapping: Seq[(org.apache.spark.sql.types.StructField, Option[String])] =
+            outSchema.fields.toSeq.map { sf =>
+              val i = readDef.names.indexWhere(_.equalsIgnoreCase(sf.name))
+              sf -> (if (i < 0) None else fd.get.nameOf(readDef.ids(i)))
+            }
+          val physFields = mapping.collect { case (sf, Some(p)) => sf.copy(name = p) }
+          spark.read.schema(StructType(physFields)).parquet(paths: _*)
+            .select(mapping.map {
+              case (sf, Some(p)) => col(p).as(sf.name)
+              case (sf, None) => lit(null).cast(sf.dataType).as(sf.name)
+            }.toIndexedSeq: _*)
+        }
+    }
+    parts.reduce(_ unionByName _)
+  }
 }

@@ -59,6 +59,31 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(df.select("payload").distinct().count() > 1)
   }
 
+  test("incremental and changelog reads map old-vintage files across a rename") {
+    // changesBetween / changelogBetween read data files DIRECTLY (not
+    // through the DSv2 snapshot scan) — they must still translate each
+    // file's physical column names through the field ids, or a renamed
+    // column silently null-fills for pre-rename files
+    val t = newTable()
+    val s1 = appendBatch(t, 40, bucket(0), seed = 7) // physical name `data`
+    t.renameColumn("data", "payload")
+    val s2 = appendBatch(t, 30, bucket(1), seed = 8) // physical `payload`
+    val inc = t.changesBetween(spark, 0L, s2)
+    assert(inc.count() == 70)
+    assert(inc.columns.contains("payload"))
+    assert(inc.filter(col("payload").isNull).count() == 0,
+      "pre-rename files null-filled the renamed column in changesBetween")
+    // the range crossing only the old vintage
+    val incOld = t.changesBetween(spark, 0L, s1)
+    assert(incOld.count() == 40)
+    assert(incOld.filter(col("payload").isNull).count() == 0)
+    // changelog over the same range: inserts must carry real payloads
+    val log = t.changelogBetween(spark, 0L, s2)
+    assert(log.filter(col("_change_type") === "insert").count() == 70)
+    assert(log.filter(col("payload").isNull).count() == 0,
+      "pre-rename files null-filled the renamed column in changelogBetween")
+  }
+
   test("drop then re-add the same name: old column data stays dead") {
     val t = newTable()
     appendBatch(t, 25, bucket(0), seed = 4)
