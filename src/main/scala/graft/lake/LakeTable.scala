@@ -729,6 +729,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
     }.toMap
 
+  /** Column-list properties translated through field ids from one schema
+    * vintage to another (rollback's restored name space). A token that
+    * does not resolve in `from` is kept VERBATIM: it was already dangling
+    * (a pre-rewrite-era rename left it behind), and under the restored
+    * schema it may become valid again — dropping it would turn a rollback
+    * into permanent loss of the declaration. Only emits keys whose value
+    * actually changes.
+    */
+  private def translateColumnListProps(from: SchemaDef,
+      to: SchemaDef): Map[String, String] =
+    Seq(LakeFormat.PropSortOrder, LakeFormat.PropBloomColumns).flatMap { key =>
+      meta.properties.get(key).flatMap { v =>
+        val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val translated = cols.map { c =>
+          val i = from.names.indexWhere(_.equalsIgnoreCase(c))
+          if (i < 0) c else to.nameOf(from.ids(i)).getOrElse(c)
+        }.mkString(",")
+        if (translated == v) None else Some(key -> translated)
+      }
+    }.toMap
+
   /** Partition evolution: change the truncate WIDTH new writes bucket
     * under — "the 5-minute buckets grew too many files, move to hourly",
     * the repartitioning every long-lived ingest table eventually makes.
@@ -940,31 +961,17 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // Column-list properties (`write.sort-order`, `write.bloom.columns`)
       // follow the restored name space: this rollback deliberately restores
       // the target's pinned SCHEMA (doc above), so a property naming a
-      // post-target rename would otherwise dangle as a phantom — translate
-      // each token current-name → field id → restored-name; tokens whose
-      // field was added after the target drop out.
+      // post-target rename would otherwise dangle as a phantom.
       val propsUpd: Map[String, String] =
         if (meta.schemas.isEmpty) Map.empty
         else {
-          val curDef = meta.currentSchemaDef
           val restoredDef: Option[SchemaDef] = schemasUpd match {
             case (minted, id) =>
               minted.find(_.id == id).orElse(meta.schemas.find(_.id == id))
                 .orElse(if (id == 0) Some(meta.schemaDef(0)) else None)
           }
-          restoredDef.fold(Map.empty[String, String]) { rd =>
-            Seq(LakeFormat.PropSortOrder, LakeFormat.PropBloomColumns)
-              .flatMap { key =>
-                meta.properties.get(key).flatMap { v =>
-                  val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-                  val translated = cols.flatMap { c =>
-                    val i = curDef.names.indexWhere(_.equalsIgnoreCase(c))
-                    if (i < 0) None else rd.nameOf(curDef.ids(i))
-                  }.mkString(",")
-                  if (translated == v) None else Some(key -> translated)
-                }
-              }.toMap
-          }
+          restoredDef.fold(Map.empty[String, String])(
+            translateColumnListProps(meta.currentSchemaDef, _))
         }
       try
         return commitAttempt("rollback", target.manifests, meta.snapshots,
@@ -1433,7 +1440,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       fileMetas: Seq[DataFileMeta],
       snapshotId: Long = meta.currentSnapshotId,
       keepPathCol: Option[String] = None,
-      keepPosCol: Option[String] = None): DataFrame = {
+      keepPosCol: Option[String] = None,
+      // the SchemaDef `schema`'s names belong to, when it is NOT the
+      // pinned snapshot's vintage (changelog reads a parent snapshot
+      // under toId's names): name misses then translate through field
+      // ids instead of null-filling a renamed column
+      requestDef: Option[SchemaDef] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     if (fileMetas.isEmpty) {
       val full = StructType(schema.fields
@@ -1451,9 +1463,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       df = df.filter(col(dsv2.LakeMetaColumns.FileColumn)
         .isin(wanted.toIndexedSeq: _*))
     val present = df.columns.toSet
+    lazy val pinnedDef = schemaDefAt(snapshotId)
     val projected = schema.fields.map(f =>
       if (present.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name))
+      else requestDef.flatMap { rd =>
+        val i = rd.names.indexWhere(_.equalsIgnoreCase(f.name))
+        if (i < 0) None
+        else pinnedDef.nameOf(rd.ids(i)).filter(present.contains)
+          .map(p => col(p).as(f.name))
+      }.getOrElse(lit(null).cast(f.dataType).as(f.name)))
     val kept =
       keepPathCol.map(n => col(dsv2.LakeMetaColumns.FileColumn).as(n)).toSeq ++
         keepPosCol.map(n => col(dsv2.LakeMetaColumns.PosColumn).as(n)).toSeq
@@ -1522,7 +1540,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         if (removed.nonEmpty) {
           // copy-on-write shape: row-level multiset diff, carryovers cancel
           val oldRows = readWithDeletes(spark, outSchema, removed,
-            snapshotId = s.parentId)
+            snapshotId = s.parentId, requestDef = Some(outDef))
           val newRows = LakeTable.readFilesMapped(spark, outDef, outSchema,
             added, meta.schemas)
           Seq(withMeta(oldRows.exceptAll(newRows), "delete", id),
@@ -1552,7 +1570,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
                 // subtracted, semi-joined to the new positions
                 val base = readWithDeletes(spark, outSchema, referenced,
                   snapshotId = s.parentId, keepPathCol = Some("__cdc_fp"),
-                  keepPosCol = Some("__cdc_pos"))
+                  keepPosCol = Some("__cdc_pos"), requestDef = Some(outDef))
                 val delDF0 = spark.read.parquet(newPos.map(_.path): _*)
                   .select(toPlain(col("file_path")).as("__del_fp"),
                     col("pos").as("__del_pos"))
@@ -1572,7 +1590,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
               if (affected.isEmpty) Nil
               else {
                 val base = readWithDeletes(spark, outSchema, affected,
-                  snapshotId = s.parentId)
+                  snapshotId = s.parentId, requestDef = Some(outDef))
                 val keys0 = spark.read.parquet(dels.map(_.path): _*).distinct()
                 val keys = if (dels.map(_.rowCount).sum < 4000000L)
                   broadcast(keys0) else keys0
@@ -2179,12 +2197,6 @@ object LakeTable {
       metaParseCache.keySet().removeIf(_.startsWith(prefix))
     }
   }
-
-  private[lake] def readFiles(spark: SparkSession, schema: StructType,
-      paths: Seq[String]): DataFrame =
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
 
   /** Read data files with each file's PHYSICAL column names translated to
     * the read-time names through the field ids — the same rename/drop

@@ -84,6 +84,34 @@ class SchemaEvolutionSpec extends SparkSpec {
       "pre-rename files null-filled the renamed column in changelogBetween")
   }
 
+  test("changelog delete/rewrite branches carry real values across a rename") {
+    // the CoW exceptAll diff and the MoR delete resolution read the
+    // PARENT snapshot under toId's names — a name-based projection would
+    // null-fill one side (breaking carryover cancellation) and emit CDC
+    // delete rows with a null renamed column
+    val t = newTable()
+    appendBatch(t, 40, bucket(0), seed = 11) // physical `data`
+    // MoR delete of 1/4 of the rows, pre-rename
+    val sDel = t.deleteWhereMoR(spark, col("message_id") % 4 === 0)
+    // CoW rewrite: compaction-free file swap via deleteWhereCoW of a slice
+    val sCow = t.deleteWhereCoW(spark, col("message_id") % 4 === 1)
+    t.renameColumn("data", "payload")
+    val log = t.changelogBetween(spark, 0L, t.currentSnapshotId)
+    val dels = log.filter(col("_change_type") === "delete")
+    assert(dels.count() > 0, "expected CDC delete rows")
+    assert(log.filter(col("payload").isNull).count() == 0,
+      "changelog emitted null payloads for pre-rename files")
+    // CoW carryover cancellation survives the rename: surviving rows of
+    // the rewritten files must NOT appear as spurious delete+insert pairs
+    val cowRows = log.filter(col("_commit_snapshot_id") === sCow)
+    val cowDels = cowRows.filter(col("_change_type") === "delete").count()
+    val cowIns = cowRows.filter(col("_change_type") === "insert").count()
+    assert(cowIns == 0, s"CoW delete emitted $cowIns spurious inserts")
+    assert(cowDels > 0 && cowDels <= 10,
+      s"CoW delete emitted $cowDels delete rows (expected only matched rows)")
+    assert(sDel > 0 && sCow > sDel)
+  }
+
   test("drop then re-add the same name: old column data stays dead") {
     val t = newTable()
     appendBatch(t, 25, bucket(0), seed = 4)
