@@ -906,7 +906,14 @@ object PipelineQueries {
     * d04_gopher_rules), map-side, fused by Catalyst into the scan stage.
     */
   private def gateStage(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    gateDf(t(s, dir, "documents"))
+
+  /** The gate as a frame transform — stateless column ops only, so the
+    * same stage drops into a Structured Streaming plan unchanged
+    * (d07_stream_pipeline runs it continuously over arriving documents).
+    */
+  private[graft] def gateDf(d: DataFrame): DataFrame =
+    d
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 1)
       .withColumn("n_tok", size(col("toks")).cast("long"))

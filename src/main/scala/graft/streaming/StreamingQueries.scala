@@ -39,11 +39,12 @@ object StreamingQueries {
   private def runStream(s: SparkSession, dir: String, mode: OutputMode,
       nFiles: Int = 4, input: Option[DataFrame] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val in = replayDir(input.getOrElse(t(s, dir, "events")), nFiles)
+    val src = input.getOrElse(t(s, dir, "events"))
+    val in = replayDir(src, nFiles)
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
     val name = "m" + UUID.randomUUID().toString.replace("-", "")
     val stream = s.readStream
-      .schema(t(s, dir, "events").schema)
+      .schema(src.schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(in)
     val q = transform(stream).writeStream
@@ -193,6 +194,35 @@ object StreamingQueries {
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"))
     }.orderBy("event_id")
+  }
+
+  // D7 — the training-data pipeline running CONTINUOUSLY: the d06 quality
+  // gate (stateless column ops, unchanged from the batch plan) followed by
+  // bounded-state exact dedup (withWatermark + dropDuplicatesWithinWatermark,
+  // the c22 production shape) over an ARRIVING corpus — documents replayed
+  // twice across micro-batches so every row is a cross-batch duplicate the
+  // state store must catch. Event time is synthesized deterministically
+  // from doc_id (1 s apart from a fixed base) since documents carry no
+  // timestamp; the watermark delay is computed from that span like
+  // c18/c22, so regenerated or larger-SF testdata cannot expire state
+  // mid-replay. Completed stream = batch gate + DISTINCT — exactly what
+  // the DuckDB oracle computes.
+  //
+  // 100 TB posture: the gate fuses into the scan stage of each
+  // micro-batch (no shuffle); the only state is the dedup store, keyed on
+  // doc_id and bounded by the watermark — the per-key state Spark expires
+  // as event time advances, not an ever-growing set.
+  def d07_stream_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ts",
+      timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    val delay = s"${spanDays(docs)} days"
+    runStream(s, dir, OutputMode.Append(), nFiles = 4,
+      input = Some(docs.union(docs))) { in =>
+      graft.queries.PipelineQueries.gateDf(in)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    }.orderBy("doc_id")
   }
 
   /** Whole-days watermark delay covering `ev`'s full `ts` span, +1 day
@@ -468,6 +498,7 @@ object StreamingQueries {
     "c19_stream_upsert" -> c19_stream_upsert _,
     "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
     "c21_stream_tws" -> c21_stream_tws _,
+    "d07_stream_pipeline" -> d07_stream_pipeline _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -549,5 +580,24 @@ object StreamingQueries {
         |  CASE WHEN o_orderkey >= 500 THEN 'U'
         |       ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
+    // gate (the d06 stage-1 SQL, hash-green there) + DISTINCT: the
+    // completed dedup stream keeps exactly one copy of each gated doc
+    "d07_stream_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tok FROM g
+        |WHERE n_tok >= 20 AND n_tok <= 5000
+        |  AND mean_len >= 3.0 AND mean_len <= 12.0
+        |  AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -97,6 +97,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty && out.toSeq == expected.toSeq)
   }
 
+  test("D7: streaming pipeline equals batch gate + distinct; dedup state catches cross-batch twins") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingQueries.d07_stream_pipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // batch equivalent: the d06 gate over the same docs, one row per doc
+    val expected = graft.queries.PipelineQueries
+      .gateDf(graft.Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty, "gated stream produced no rows")
+    assert(out.toSeq == expected.toSeq,
+      "completed stream != batch gate+distinct")
+    // the replay doubled every row across micro-batches: equality with the
+    // batch result proves the watermarked state store dropped every
+    // cross-batch duplicate
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
