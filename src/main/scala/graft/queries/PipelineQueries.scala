@@ -1349,10 +1349,16 @@ object PipelineQueries {
     out
   }
 
-  // D4e — n-gram language ID: score = fraction of a doc's bigrams that are
-  // among its language's globally most-frequent bigrams. Engine-side
-  // heuristic (argmax over per-lang profiles) → no SQL oracle; its spec
-  // checks accuracy against the labeled lang column.
+  // D4e — n-gram language ID: rank each language's bigrams by lift
+  // (freq-in-lang / freq-overall), keep the top 30 per language, predict
+  // per doc by argmax of summed profile lifts. Scoring sums QUANTIZED
+  // lifts (round(lift·1e15) as BIGINT): integer sums are
+  // order-independent, so the argmax cannot drift with Spark's partial-
+  // aggregation order AND the whole query becomes exactly reproducible
+  // in ANSI SQL — DuckDB hash-oracled, not rows-only. (Max summed
+  // magnitude ≈ 30·1e13 per doc ≪ 2^63; the raw-double profile RANK is
+  // shared verbatim by both engines, and halfway doubles below 2^52 are
+  // exactly representable, so round() agrees bit-for-bit.)
   def d04_langid(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = d.select(col("doc_id"), col("lang"), explode(expr(
@@ -1372,9 +1378,10 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("lift").desc, col("tok"))))
       .filter(col("rk") <= 30)
-      .select(col("lang").as("p_lang"), col("tok"), col("lift"))
+      .select(col("lang").as("p_lang"), col("tok"),
+        round(col("lift") * lit(1e15)).cast("long").as("lift_q"))
     val scored = toks.join(broadcast(profile), Seq("tok"))
-      .groupBy("doc_id", "p_lang").agg(sum(col("lift")).as("score"))
+      .groupBy("doc_id", "p_lang").agg(sum(col("lift_q")).as("score"))
     val best = scored.withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))))
       .filter(col("rk") === 1)
@@ -1798,6 +1805,44 @@ object PipelineQueries {
     // bigram LM with add-one smoothing, trained on the en slice, scoring
     // every doc: pure integer counts + one rounded double — the joins and
     // grouping reproduce exactly in DuckDB
+    // the quantized-lift scoring (sum of BIGINTs) is order-independent,
+    // so the argmax reproduces exactly; the profile RANK compares the
+    // identical raw-double lift expression in both engines
+    "d04_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    t[CAST(i AS INT)] || '_' || t[CAST(i AS INT) + 1] AS tok
+        |  FROM (SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM tk)
+        |  WHERE i < len(t) OR len(t) = 1),
+        |counts AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok),
+        |totals AS (SELECT lang, COUNT(*) AS tot FROM toks GROUP BY lang),
+        |overall AS (SELECT tok, COUNT(*) AS n_all FROM toks GROUP BY tok),
+        |prof AS (
+        |  SELECT lang AS p_lang, tok, CAST(round(lift * 1e15) AS BIGINT) AS lift_q
+        |  FROM (
+        |    SELECT c.lang, c.tok,
+        |      (CAST(c.n AS DOUBLE) / t.tot) / CAST(o.n_all AS DOUBLE) AS lift,
+        |      ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY
+        |        (CAST(c.n AS DOUBLE) / t.tot) / CAST(o.n_all AS DOUBLE) DESC,
+        |        c.tok) AS rk
+        |    FROM counts c JOIN totals t ON c.lang = t.lang
+        |    JOIN overall o ON c.tok = o.tok
+        |    WHERE c.n >= 3)
+        |  WHERE rk <= 30),
+        |scored AS (
+        |  SELECT k.doc_id, p.p_lang, SUM(p.lift_q) AS score
+        |  FROM toks k JOIN prof p ON k.tok = p.tok
+        |  GROUP BY k.doc_id, p.p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang FROM (
+        |    SELECT doc_id, p_lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, p_lang) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unk') AS pred_lang
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d04_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
