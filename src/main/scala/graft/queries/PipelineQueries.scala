@@ -652,21 +652,27 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
-  // D3c — SimHash near-dup: 64-bit signature (per-bit majority vote over
+  // D3c — SimHash near-dup: 60-bit signature (per-bit majority vote over
   // token hashes, single pass with an array-of-counters accumulator),
-  // candidates via the pigeonhole banding of 4 × 16-bit chunks (hamming
+  // candidates via the pigeonhole banding of 4 × 15-bit chunks (hamming
   // distance ≤ 3 guarantees at least one identical chunk), then exact
-  // hamming filter with bit_count(xor). Deterministic; no SQL oracle
-  // (DuckDB's hash differs) — spec checks recall vs exact Jaccard.
+  // hamming filter with bit_count(xor). The per-token hash is the first
+  // 60 bits of md5 — a hash BOTH engines compute identically (Spark conv/
+  // DuckDB 0x-cast on the same hex prefix), which turns the previously
+  // engine-side operator into a DuckDB hash-oracled one: every later step
+  // is exact integer arithmetic. (xxhash64 would be ~2× cheaper per token;
+  // at 100 TB swap the hash back and keep the identical structure — the
+  // signature layout, banding, and state shape do not change.)
   def d03_simhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("transform(array_distinct(split(text, ' ')), tk -> xxhash64(tk))")
-          .as("hashes"))
+        expr("""transform(array_distinct(split(text, ' ')),
+          |  tk -> CAST(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin).as("hashes"))
       .select(col("doc_id"), expr(
         """aggregate(
-          |  aggregate(hashes, array_repeat(0, 64),
-          |    (acc, h) -> zip_with(acc, sequence(0, 63),
+          |  aggregate(hashes, array_repeat(0, 60),
+          |    (acc, h) -> zip_with(acc, sequence(0, 59),
           |      (c, b) -> c + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)),
           |  0L, (sig, c) -> (sig << 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END)"""
           .stripMargin).as("sig"))
@@ -675,7 +681,7 @@ object PipelineQueries {
     // intermediate in executor memory for the session's lifetime
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), i -> (sig >> (i * 16)) & 65535)")))
+        "transform(sequence(0, 3), i -> (sig >> (i * 15)) & 32767)")))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
     val l = chunks.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("chunk"))
@@ -1936,6 +1942,36 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, lang, 2 FROM c WHERE copies >= 2
         |  UNION ALL SELECT doc_id, lang, 3 FROM c WHERE copies >= 3)
         |ORDER BY doc_id, copy""".stripMargin,
+    // full SimHash reproduction: md5-prefix token hashes, per-bit majority
+    // vote, 4×15-bit pigeonhole banding, exact hamming — all integer-exact
+    "d03_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        |  FROM documents),
+        |tokh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM tk)),
+        |bits AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    SUM(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM tokh, (SELECT unnest(range(0, 60)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sigs AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, sig, ii.i AS band,
+        |    (sig >> CAST(ii.i * 15 AS INT)) & 32767 AS chunk
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS i) ii),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+        |  FROM chunks l JOIN chunks r ON l.band = r.band AND l.chunk = r.chunk
+        |  WHERE l.doc_id < r.doc_id)
+        |SELECT a_id, b_id, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "d03_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
