@@ -652,6 +652,46 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // D3b-exact — the MinHash-LSH machinery under a DuckDB-portable hash:
+  // identical structure to d03_minhash_lsh (3-token shingles hashed once,
+  // 8 min-hash lanes by per-lane rehash, 4 bands × 2 rows, ≤64-member
+  // skew guard, bucket self-join) but every hash is a 60-bit md5 prefix
+  // both engines compute bit-identically, so the ENTIRE candidate
+  // generation — signatures, banding, skew pruning, join — hash-oracles
+  // against SQL. d03_minhash_lsh stays the production path (native long
+  // xxhash64 lanes, ~10× cheaper per shingle); this twin proves the
+  // machinery exact, the way d01_cluster_exact oracles the CC machinery.
+  def d03_minhash_exact(s: SparkSession, dir: String): DataFrame = {
+    def md5h(c: String) =
+      s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
+    val d = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(toks) < 3 THEN array(${md5h("text")})
+          |ELSE transform(sequence(0, size(toks) - 3),
+          |  i -> ${md5h("concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])")}) END"""
+          .stripMargin).as("shash"))
+    val withSig = d.withColumn("sig", expr(
+      s"""transform(sequence(0, 7), b ->
+        |  aggregate(shash, 9223372036854775807L, (acc, h) -> least(acc,
+        |    ${md5h("concat(CAST(h AS STRING), '_', CAST(b AS STRING))")})))"""
+        .stripMargin))
+    val bands = withSig.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b as band, sig[b*2] as h0, sig[b*2+1] as h1))")))
+      .select(col("doc_id"), col("col.band").as("band"),
+        col("col.h0").as("h0"), col("col.h1").as("h1"))
+    val wb = Window.partitionBy("band", "h0", "h1")
+    val pruned = bands.withColumn("bn", count(lit(1)).over(wb))
+      .filter(col("bn") <= 64).drop("bn")
+    val l = pruned.select(col("doc_id").as("a_id"), col("band"), col("h0"), col("h1"))
+    val r = pruned.select(col("doc_id").as("b_id"), col("band"), col("h0"), col("h1"))
+    l.join(r, Seq("band", "h0", "h1"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   // D3c — SimHash near-dup: 60-bit signature (per-bit majority vote over
   // token hashes, single pass with an array-of-counters accumulator),
   // candidates via the pigeonhole banding of 4 × 15-bit chunks (hamming
@@ -1553,6 +1593,7 @@ object PipelineQueries {
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
+    "d03_minhash_exact" -> d03_minhash_exact _,
     "d03_simhash" -> d03_simhash _,
     "d04_text_stats" -> d04_text_stats _,
     "d04_token_topn" -> d04_token_topn _,
@@ -1942,6 +1983,45 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, lang, 2 FROM c WHERE copies >= 2
         |  UNION ALL SELECT doc_id, lang, 3 FROM c WHERE copies >= 3)
         |ORDER BY doc_id, copy""".stripMargin,
+    // full MinHash-LSH reproduction (md5-portable twin): shingle hashes,
+    // 8 min lanes via per-lane rehash, 4×2 banding, ≤64 skew guard, join
+    "d03_minhash_exact" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN
+        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(t) - 1), i ->
+        |      CAST(concat('0x', substring(md5(
+        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
+        |    END AS shash
+        |  FROM tk),
+        |lanes AS (
+        |  SELECT doc_id, bb.b AS lane,
+        |    MIN(CAST(concat('0x', substring(md5(
+        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM (SELECT doc_id, unnest(shash) AS h FROM sh),
+        |       (SELECT unnest(range(0, 8)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sig AS (SELECT doc_id, list(mh ORDER BY lane) AS sig
+        |        FROM lanes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, bb.b AS band,
+        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
+        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |pruned AS (
+        |  SELECT doc_id, band, h0, h1 FROM (
+        |    SELECT doc_id, band, h0, h1,
+        |      COUNT(*) OVER (PARTITION BY band, h0, h1) AS bn FROM bands)
+        |  WHERE bn <= 64)
+        |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |FROM pruned l JOIN pruned r
+        |  ON l.band = r.band AND l.h0 = r.h0 AND l.h1 = r.h1
+        |WHERE l.doc_id < r.doc_id ORDER BY a_id, b_id""".stripMargin,
     // full SimHash reproduction: md5-prefix token hashes, per-bit majority
     // vote, 4×15-bit pigeonhole banding, exact hamming — all integer-exact
     "d03_simhash" ->
