@@ -347,6 +347,53 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // D2b-exact — the hyperplane-LSH machinery under engine-portable,
+  // ORDER-INDEPENDENT arithmetic: plane weights are integers in
+  // [-500, 500) derived from md5 prefixes (both engines bit-identical),
+  // and the sign test runs on embeddings quantized to round(x·1e6) — the
+  // per-plane dot is an exact BIGINT sum (max |64·1e6·500| ≈ 3.2e10), so
+  // bucket membership cannot drift with aggregation order in EITHER
+  // engine. Same 8-band × 4-plane banding, candidate join, and
+  // cosine>0.4 refine as d02_ann_lsh; that entry keeps the cheap
+  // xxhash64 weights and its recall spec, this twin hash-oracles the
+  // machinery (the d01_cluster_exact / d03_minhash_exact pattern).
+  def d02_ann_exact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    def sig(band: Int) = expr(
+      s"""aggregate(
+         |  transform(sequence(0, 3), p ->
+         |    CASE WHEN aggregate(zip_with(embedding,
+         |        transform(sequence(0, 63), d ->
+         |          CAST(conv(substring(md5(CAST(d * 64 + p + $band * 4
+         |            AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000 - 500),
+         |        (x, w) -> CAST(round(CAST(x AS DOUBLE) * 1000000D) AS BIGINT) * w),
+         |      0L, (acc, v) -> acc + v) > 0
+         |    THEN cast(pow(2, p) as bigint) ELSE 0L END),
+         |  0L, (acc, b) -> acc + b)""".stripMargin)
+    val sigs = e.select(col("vec_id") +: col("embedding") +:
+      (0 until 8).map(b => sig(b).as(s"s$b")): _*)
+    val bands = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until 8).map(b => col(s"s$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val a = bands.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("band"), col("sig"))
+    val b = bands.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("band"), col("sig"))
+    val cos = expr(
+      """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+        |          0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+        |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+        |""".stripMargin)
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ae", "be").dropDuplicates("a_id", "b_id")
+      .withColumn("cos", cos)
+      .filter(col("cos") > 0.4)
+      .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Train the IVF coarse quantizer: deterministic every-31st seeds
     * refined by `iters` distributed Lloyd rounds (spherical k-means:
     * cosine assignment map-side against centroid literals, per-cell mean
@@ -1588,6 +1635,7 @@ object PipelineQueries {
     "d01_semdedup" -> d01_semdedup _,
     "d02_cosine_topk" -> d02_cosine_topk _,
     "d02_ann_lsh" -> d02_ann_lsh _,
+    "d02_ann_exact" -> d02_ann_exact _,
     "d02_ann_ivf" -> d02_ann_ivf _,
     "d02_ann_pq" -> d02_ann_pq _,
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
@@ -1983,6 +2031,49 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, lang, 2 FROM c WHERE copies >= 2
         |  UNION ALL SELECT doc_id, lang, 3 FROM c WHERE copies >= 3)
         |ORDER BY doc_id, copy""".stripMargin,
+    // hyperplane-LSH reproduction (md5-portable twin): integer plane
+    // weights, exact quantized-dot sign test, 8×4 banding, cosine refine
+    "d02_ann_exact" ->
+      """WITH elems AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT dd.d AS d, pp.p AS p, bb.band AS band,
+        |    CAST(concat('0x', substring(md5(
+        |      CAST(dd.d * 64 + pp.p + bb.band * 4 AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000 - 500 AS w
+        |  FROM (SELECT unnest(range(0, 64)) AS d) dd,
+        |       (SELECT unnest(range(0, 4)) AS p) pp,
+        |       (SELECT unnest(range(0, 8)) AS band) bb),
+        |dots AS (
+        |  SELECT e.vec_id, pl.band, pl.p, SUM(e.xq * pl.w) AS dot
+        |  FROM elems e JOIN planes pl ON e.d = pl.d
+        |  GROUP BY e.vec_id, pl.band, pl.p),
+        |sigs AS (
+        |  SELECT vec_id, band, CAST(SUM(CASE WHEN dot > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.vec_id < b.vec_id),
+        |ex AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id,
+        |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+        |  FROM cand c
+        |  JOIN ex a ON a.vec_id = c.a_id
+        |  JOIN ex b ON b.vec_id = c.b_id AND a.i = b.i
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id,
+        |  CAST(CAST(round(dot / (sqrt(na) * sqrt(nb)), 4) AS DECIMAL(28,4))
+        |    AS DOUBLE) AS cos
+        |FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) > 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
     // full MinHash-LSH reproduction (md5-portable twin): shingle hashes,
     // 8 min lanes via per-lane rehash, 4×2 banding, ≤64 skew guard, join
     "d03_minhash_exact" ->
