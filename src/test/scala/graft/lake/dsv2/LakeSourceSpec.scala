@@ -397,6 +397,70 @@ class LakeSourceSpec extends SparkSpec {
     assert(spark.table(name).head.getLong(0) == 35)
   }
 
+  test("property: stream delivers every appended row exactly once under maintenance churn") {
+    // The A25 consumer contract under the operations a live table actually
+    // runs: random schedules of append / compact / expire / partition-width
+    // change, with the checkpointed reader draining after every op (a
+    // reader that keeps up — expiry behind the checkpoint must then never
+    // lose rows, and compaction rewrites must never re-deliver). The
+    // Complete-mode count/sum aggregate accumulates across AvailableNow
+    // runs through the checkpoint, so the final numbers are the lifetime
+    // delivery totals.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val t = newTable()
+      val ckpt = tmpDir(s"dsv2-churn$seed") + "/c"
+      val name = "lakechurn" + seed + System.nanoTime()
+      def drain(): Unit = {
+        val q = spark.readStream.format("laketable")
+          .option("startSnapshotId", "0").load(t.location)
+          .groupBy().agg(count(lit(1)).as("n"), sum("message_id").as("s"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      var appended = 0L
+      var idSum = 0L
+      var batchNo = 0
+      val ops = 4 + rnd.nextInt(3)
+      for (_ <- 0 until ops) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append outweighs maintenance, as in production
+            val rows = 20 + rnd.nextInt(60)
+            appendBatch(t, rows, bucket(batchNo % 4), 1000L * seed + batchNo)
+            val ids = t.toDF(spark).agg(count(lit(1)), sum("message_id")).head
+            appended = ids.getLong(0); idSum = ids.getLong(1)
+            batchNo += 1
+          case 2 => t.compactFiles(spark, minInputFiles = 2)
+          case 3 =>
+            // expire everything except the latest two snapshots — always
+            // BEHIND the drained checkpoint, the contract's requirement
+            t.expireSnapshots(System.currentTimeMillis() + 3600000, retainLast = 2)
+          case 4 => // partition evolution mid-stream: invisible to readers
+            val w = Width * (1 + rnd.nextInt(3))
+            if (w != t.spec.widthMicros) t.setPartitionWidth(w)
+        }
+        drain()
+      }
+      // a drain with no new offsets leaves the (cleared) memory sink
+      // empty — close each schedule with one more append so the final
+      // run re-emits the lifetime Complete-mode totals
+      appendBatch(t, 10, bucket(0), 90000L + seed)
+      val ids = t.toDF(spark).agg(count(lit(1)), sum("message_id")).head
+      appended = ids.getLong(0); idSum = ids.getLong(1)
+      drain()
+      val got = spark.table(name).head
+      assert(got.getLong(0) == appended,
+        s"schedule $seed: delivered ${got.getLong(0)} rows, table holds $appended")
+      assert(got.getLong(1) == idSum,
+        s"schedule $seed: delivered id-sum ${got.getLong(1)} != table $idSum")
+      LakeTable.drop(t.location)
+    }
+  }
+
   test("admission control: maxFilesPerTrigger drains a backlog in bounded batches") {
     val t = newTable()
     // 4-commit backlog, one file each, BEFORE the stream starts
