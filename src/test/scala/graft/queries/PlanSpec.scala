@@ -116,6 +116,28 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("D3/D2 exact twins: candidate joins shuffle on the bucket key, never hint-broadcast") {
+    // the banded-signature sides are corpus-sized — same posture rule as
+    // d03_boilerplate: with auto-broadcast off, only an (absent) hint
+    // could still broadcast; the join must key on (band, sig) / (band,
+    // h0, h1) so both twins keep the production variants' scale shape
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      for (q <- Seq(PipelineQueries.d03_minhash_exact(spark, dir),
+                    PipelineQueries.d02_ann_exact(spark, dir))) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"), p)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), p)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      }
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("D1g: incremental dedup prefilters the corpus scan through the increment bloom") {
     import spark.implicits._
     val inc = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "h")
