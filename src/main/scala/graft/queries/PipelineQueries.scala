@@ -325,6 +325,23 @@ object PipelineQueries {
          |  0L, (acc, b) -> acc + b)""".stripMargin)
     val sigs = e.select(col("vec_id") +: col("embedding") +:
       (0 until 8).map(b => sig(b).as(s"s$b")): _*)
+    lshCandidateRefine(sigs, expr(
+      """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+        |          0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+        |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+        |""".stripMargin))
+  }
+
+  /** 8-band explode, candidate equi-join, and cosine>0.4 refine shared by
+    * d02_ann_lsh and its oracled twin — ONE copy of the machinery, so a
+    * fix to the banding or join can never diverge between the production
+    * variant and the twin that proves it. `cosRefine` scores an (ae, be)
+    * pair: the raw double fold for production, order-independent
+    * quantized-integer sums for the exact twin.
+    */
+  private def lshCandidateRefine(sigs: DataFrame,
+      cosRefine: org.apache.spark.sql.Column): DataFrame = {
     val bands = sigs.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until 8).map(b => col(s"s$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
@@ -332,16 +349,10 @@ object PipelineQueries {
       col("band"), col("sig"))
     val b = bands.select(col("vec_id").as("b_id"), col("embedding").as("be"),
       col("band"), col("sig"))
-    val cos = expr(
-      """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
-        |          0D, (acc, v) -> acc + v)
-        | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
-        |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
-        |""".stripMargin)
     a.join(b, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "ae", "be").dropDuplicates("a_id", "b_id")
-      .withColumn("cos", cos)
+      .withColumn("cos", cosRefine)
       .filter(col("cos") > 0.4)
       .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
       .orderBy("a_id", "b_id")
@@ -350,15 +361,20 @@ object PipelineQueries {
   // D2b-exact — the hyperplane-LSH machinery under engine-portable,
   // ORDER-INDEPENDENT arithmetic: plane weights are integers in
   // [-500, 500) derived from md5 prefixes (both engines bit-identical),
-  // and the sign test runs on embeddings quantized to round(x·1e6) — the
-  // per-plane dot is an exact BIGINT sum (max |64·1e6·500| ≈ 3.2e10), so
-  // bucket membership cannot drift with aggregation order in EITHER
-  // engine. Same 8-band × 4-plane banding, candidate join, and
-  // cosine>0.4 refine as d02_ann_lsh; that entry keeps the cheap
-  // xxhash64 weights and its recall spec, this twin hash-oracles the
-  // machinery (the d01_cluster_exact / d03_minhash_exact pattern).
+  // and BOTH the sign test and the cosine refine run on embeddings
+  // quantized to round(x·1e6) — per-plane dots (max |64·1e6·500| ≈
+  // 3.2e10) and pair dots/norms (max 64·1e12 ≈ 6.4e13 < 2^53) are exact
+  // BIGINT sums, so neither bucket membership nor the refine value can
+  // drift with aggregation order in EITHER engine; the only floating
+  // point left is scalar sqrt/divide on exact integers, identical
+  // everywhere. Same 8-band × 4-plane banding, candidate join, and
+  // cosine>0.4 refine as d02_ann_lsh (shared lshCandidateRefine); that
+  // entry keeps the cheap xxhash64 weights and its recall spec, this
+  // twin hash-oracles the machinery (the d01_cluster_exact /
+  // d03_minhash_exact pattern).
   def d02_ann_exact(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val q = "x -> CAST(round(CAST(x AS DOUBLE) * 1000000D) AS BIGINT)"
     def sig(band: Int) = expr(
       s"""aggregate(
          |  transform(sequence(0, 3), p ->
@@ -372,26 +388,13 @@ object PipelineQueries {
          |  0L, (acc, b) -> acc + b)""".stripMargin)
     val sigs = e.select(col("vec_id") +: col("embedding") +:
       (0 until 8).map(b => sig(b).as(s"s$b")): _*)
-    val bands = sigs.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until 8).map(b => col(s"s$b")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val a = bands.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-      col("band"), col("sig"))
-    val b = bands.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-      col("band"), col("sig"))
-    val cos = expr(
-      """aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
-        |          0D, (acc, v) -> acc + v)
-        | / (sqrt(aggregate(ae, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
-        |    * sqrt(aggregate(be, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
-        |""".stripMargin)
-    a.join(b, Seq("band", "sig"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "ae", "be").dropDuplicates("a_id", "b_id")
-      .withColumn("cos", cos)
-      .filter(col("cos") > 0.4)
-      .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
-      .orderBy("a_id", "b_id")
+    lshCandidateRefine(sigs, expr(
+      s"""CAST(aggregate(zip_with(transform(ae, $q), transform(be, $q),
+         |    (xa, xb) -> xa * xb), 0L, (acc, v) -> acc + v) AS DOUBLE)
+         | / (sqrt(CAST(aggregate(transform(ae, $q), 0L,
+         |      (acc, xa) -> acc + xa * xa) AS DOUBLE))
+         |  * sqrt(CAST(aggregate(transform(be, $q), 0L,
+         |      (acc, xb) -> acc + xb * xb) AS DOUBLE)))""".stripMargin))
   }
 
   /** Train the IVF coarse quantizer: deterministic every-31st seeds
@@ -676,18 +679,28 @@ object PipelineQueries {
       """transform(sequence(0, 7), b ->
         |  aggregate(shash, 9223372036854775807L,
         |    (acc, h) -> least(acc, xxhash64(h, b))))""".stripMargin))
+    minhashBandPairs(withSig)
+  }
+
+  /** 4 bands × 2 rows, ≤64-member skew guard, and bucket self-join shared
+    * by d03_minhash_lsh and its md5-portable oracled twin — ONE copy of
+    * the candidate machinery, so a banding/skew fix can never diverge
+    * between the production variant and the twin that proves it.
+    *
+    * Skew guard: drop buckets with > 64 members before the self-join — a
+    * count window keyed exactly like the join, so the bucket sizing rides
+    * the same hash partitioning the join needs anyway. Pure dataflow: no
+    * persist/cache (pinning a corpus-sized banded-signature intermediate
+    * is precisely what a 100 TB run cannot do — recomputing the map-side
+    * signature pipeline per join side is the cheaper trade, and the bench
+    * times the query, not a cache materialization).
+    */
+  private def minhashBandPairs(withSig: DataFrame): DataFrame = {
     val bands = withSig.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as band, sig[b*2] as h0, sig[b*2+1] as h1))")))
       .select(col("doc_id"), col("col.band").as("band"),
         col("col.h0").as("h0"), col("col.h1").as("h1"))
-    // skew guard: drop buckets with > 64 members before the self-join — a
-    // count window keyed exactly like the join, so the bucket sizing rides
-    // the same hash partitioning the join needs anyway. Pure dataflow: no
-    // persist/cache (pinning a corpus-sized banded-signature intermediate
-    // is precisely what a 100 TB run cannot do — recomputing the map-side
-    // signature pipeline per join side is the cheaper trade, and the bench
-    // now times the query, not a cache materialization).
     val wb = Window.partitionBy("band", "h0", "h1")
     val pruned = bands.withColumn("bn", count(lit(1)).over(wb))
       .filter(col("bn") <= 64).drop("bn")
@@ -723,20 +736,7 @@ object PipelineQueries {
         |  aggregate(shash, 9223372036854775807L, (acc, h) -> least(acc,
         |    ${md5h("concat(CAST(h AS STRING), '_', CAST(b AS STRING))")})))"""
         .stripMargin))
-    val bands = withSig.select(col("doc_id"),
-      posexplode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b as band, sig[b*2] as h0, sig[b*2+1] as h1))")))
-      .select(col("doc_id"), col("col.band").as("band"),
-        col("col.h0").as("h0"), col("col.h1").as("h1"))
-    val wb = Window.partitionBy("band", "h0", "h1")
-    val pruned = bands.withColumn("bn", count(lit(1)).over(wb))
-      .filter(col("bn") <= 64).drop("bn")
-    val l = pruned.select(col("doc_id").as("a_id"), col("band"), col("h0"), col("h1"))
-    val r = pruned.select(col("doc_id").as("b_id"), col("band"), col("h0"), col("h1"))
-    l.join(r, Seq("band", "h0", "h1"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-      .orderBy("a_id", "b_id")
+    minhashBandPairs(withSig)
   }
 
   // D3c — SimHash near-dup: 60-bit signature (per-bit majority vote over
@@ -1897,9 +1897,6 @@ object PipelineQueries {
         |         unnest(string_split(text, ' ')) AS tok
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // bigram LM with add-one smoothing, trained on the en slice, scoring
-    // every doc: pure integer counts + one rounded double — the joins and
-    // grouping reproduce exactly in DuckDB
     // the quantized-lift scoring (sum of BIGINTs) is order-independent,
     // so the argmax reproduces exactly; the profile RANK compares the
     // identical raw-double lift expression in both engines
@@ -1938,6 +1935,9 @@ object PipelineQueries {
         |SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unk') AS pred_lang
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // bigram LM with add-one smoothing, trained on the en slice, scoring
+    // every doc: pure integer counts + one rounded double — the joins and
+    // grouping reproduce exactly in DuckDB
     "d04_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
@@ -2058,16 +2058,14 @@ object PipelineQueries {
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
         |  WHERE a.vec_id < b.vec_id),
-        |ex AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
         |pairs AS (
         |  SELECT c.a_id, c.b_id,
-        |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+        |    CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot,
+        |    CAST(SUM(a.xq * a.xq) AS DOUBLE) AS na,
+        |    CAST(SUM(b.xq * b.xq) AS DOUBLE) AS nb
         |  FROM cand c
-        |  JOIN ex a ON a.vec_id = c.a_id
-        |  JOIN ex b ON b.vec_id = c.b_id AND a.i = b.i
+        |  JOIN elems a ON a.vec_id = c.a_id
+        |  JOIN elems b ON b.vec_id = c.b_id AND a.d = b.d
         |  GROUP BY c.a_id, c.b_id)
         |SELECT a_id, b_id,
         |  CAST(CAST(round(dot / (sqrt(na) * sqrt(nb)), 4) AS DECIMAL(28,4))

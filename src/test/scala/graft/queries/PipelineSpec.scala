@@ -385,7 +385,7 @@ class PipelineSpec extends SparkSpec {
     val candidates = PipelineQueries.d03_simhash(spark, dir)
       .select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // hamming <= 3 on 64-bit signatures is a STRICTER bar than shingle
+    // hamming <= 3 on 60-bit signatures is a STRICTER bar than shingle
     // J >= 0.9 — assert a recall floor, not containment
     val recall = truth.intersect(candidates).size.toDouble / truth.size
     assert(recall >= 0.25, s"SimHash recall $recall below floor")
