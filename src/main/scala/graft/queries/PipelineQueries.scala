@@ -333,25 +333,43 @@ object PipelineQueries {
         |""".stripMargin))
   }
 
-  /** 8-band explode, candidate equi-join, and cosine>0.4 refine shared by
-    * d02_ann_lsh and its oracled twin — ONE copy of the machinery, so a
-    * fix to the banding or join can never diverge between the production
-    * variant and the twin that proves it. `cosRefine` scores an (ae, be)
-    * pair: the raw double fold for production, order-independent
-    * quantized-integer sums for the exact twin.
+  /** 8-band explode, skew-guarded candidate equi-join, and cosine>0.4
+    * refine shared by d02_ann_lsh and its oracled twin — ONE copy of the
+    * machinery, so a fix to the banding or join can never diverge between
+    * the production variant and the twin that proves it. `cosRefine`
+    * scores an (ae, be) pair: the raw double fold for production,
+    * order-independent quantized-integer sums for the exact twin.
+    *
+    * Skew guard (the minhashBandPairs rule, cap 256 here: 4-plane
+    * signatures give only 16 buckets per band, so expected bucket size
+    * is N/16 and a tight cap would star legitimately-sized buckets and
+    * cost recall): ≤256-member buckets self-join all pairs; larger
+    * buckets star to the member with the minimum vec_id — O(members), so
+    * a mega-cluster of near-identical embeddings stays connected to its
+    * representative instead of going quadratic or (worse) being silently
+    * exempted.
     */
   private def lshCandidateRefine(sigs: DataFrame,
       cosRefine: org.apache.spark.sql.Column): DataFrame = {
     val bands = sigs.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until 8).map(b => col(s"s$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val a = bands.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+    val wb = Window.partitionBy("band", "sig")
+    val sized = bands.withColumn("bn", count(lit(1)).over(wb))
+      .withColumn("mn", min("vec_id").over(wb))
+      .withColumn("mne", min_by(col("embedding"), col("vec_id")).over(wb))
+    val pruned = sized.filter(col("bn") <= 256)
+    val a = pruned.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
       col("band"), col("sig"))
-    val b = bands.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+    val b = pruned.select(col("vec_id").as("b_id"), col("embedding").as("be"),
       col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
+    val allPairs = a.join(b, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "ae", "be").dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id", "ae", "be")
+    val starPairs = sized.filter(col("bn") > 256 && col("vec_id") =!= col("mn"))
+      .select(col("mn").as("a_id"), col("vec_id").as("b_id"),
+        col("mne").as("ae"), col("embedding").as("be"))
+    allPairs.union(starPairs).dropDuplicates("a_id", "b_id")
       .withColumn("cos", cosRefine)
       .filter(col("cos") > 0.4)
       .select(col("a_id"), col("b_id"), dec4(col("cos")).as("cos"))
@@ -682,18 +700,23 @@ object PipelineQueries {
     minhashBandPairs(withSig)
   }
 
-  /** 4 bands × 2 rows, ≤64-member skew guard, and bucket self-join shared
-    * by d03_minhash_lsh and its md5-portable oracled twin — ONE copy of
-    * the candidate machinery, so a banding/skew fix can never diverge
-    * between the production variant and the twin that proves it.
+  /** 4 bands × 2 rows, skew-guarded bucket self-join shared by
+    * d03_minhash_lsh and its md5-portable oracled twin — ONE copy of the
+    * candidate machinery, so a banding/skew fix can never diverge between
+    * the production variant and the twin that proves it.
     *
-    * Skew guard: drop buckets with > 64 members before the self-join — a
-    * count window keyed exactly like the join, so the bucket sizing rides
-    * the same hash partitioning the join needs anyway. Pure dataflow: no
-    * persist/cache (pinning a corpus-sized banded-signature intermediate
-    * is precisely what a 100 TB run cannot do — recomputing the map-side
-    * signature pipeline per join side is the cheaper trade, and the bench
-    * times the query, not a cache materialization).
+    * Skew guard: buckets with ≤ 64 members self-join (all pairs); LARGER
+    * buckets fall back to a STAR — every member pairs with the bucket's
+    * minimum doc_id, O(members) instead of O(members²). Dropping big
+    * buckets (the previous guard) silently exempted exactly the
+    * most-duplicated content from dedup: a boilerplate mega-cluster at
+    * 100 TB lands >64 members in EVERY band, got zero candidate pairs,
+    * and survived d01_dedup_cluster untouched. The star keeps such a
+    * bucket one connected component for the downstream clustering at
+    * linear cost (the SemDeDup cell-cap lesson applied here). Both
+    * windows (count + min) share the bucket partitioning the join needs
+    * anyway. Pure dataflow: no persist/cache — pinning a corpus-sized
+    * banded intermediate is what a 100 TB run cannot do.
     */
   private def minhashBandPairs(withSig: DataFrame): DataFrame = {
     val bands = withSig.select(col("doc_id"),
@@ -702,13 +725,17 @@ object PipelineQueries {
       .select(col("doc_id"), col("col.band").as("band"),
         col("col.h0").as("h0"), col("col.h1").as("h1"))
     val wb = Window.partitionBy("band", "h0", "h1")
-    val pruned = bands.withColumn("bn", count(lit(1)).over(wb))
-      .filter(col("bn") <= 64).drop("bn")
+    val sized = bands.withColumn("bn", count(lit(1)).over(wb))
+      .withColumn("mn", min("doc_id").over(wb))
+    val pruned = sized.filter(col("bn") <= 64)
     val l = pruned.select(col("doc_id").as("a_id"), col("band"), col("h0"), col("h1"))
     val r = pruned.select(col("doc_id").as("b_id"), col("band"), col("h0"), col("h1"))
-    l.join(r, Seq("band", "h0", "h1"))
+    val allPairs = l.join(r, Seq("band", "h0", "h1"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+    val starPairs = sized.filter(col("bn") > 64 && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("a_id"), col("doc_id").as("b_id"))
+    allPairs.union(starPairs).distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -770,12 +797,29 @@ object PipelineQueries {
       posexplode(expr(
         "transform(sequence(0, 3), i -> (sig >> (i * 15)) & 32767)")))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
-    val l = chunks.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+    // skew guard (the minhashBandPairs rule, refined for the hamming
+    // filter): ≤64-member chunk buckets self-join; larger ones star each
+    // SIGNATURE GROUP to its minimum doc — star edges are then always
+    // hamming 0, so they survive the ≤3 filter and an identical-signature
+    // mega-cluster stays connected to its representative at O(members)
+    // instead of going quadratic (cross-signature pairs inside an
+    // oversized bucket are the priced-in loss, as in minhashBandPairs)
+    val wb = Window.partitionBy("band", "chunk")
+    val wg = Window.partitionBy("band", "chunk", "sig")
+    val sized = chunks.withColumn("bn", count(lit(1)).over(wb))
+      .withColumn("mn", min("doc_id").over(wg))
+    val pruned = sized.filter(col("bn") <= 64)
+    val l = pruned.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("chunk"))
-    val r = chunks.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+    val r = pruned.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
       col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
+    val allPairs = l.join(r, Seq("band", "chunk"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+    val starPairs = sized.filter(col("bn") > 64 && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("a_id"), col("doc_id").as("b_id"),
+        col("sig").as("a_sig"), col("sig").as("b_sig"))
+    allPairs.union(starPairs)
       .select(col("a_id"), col("b_id"),
         expr("bit_count(a_sig ^ b_sig)").as("hamming"))
       .dropDuplicates("a_id", "b_id")
@@ -2054,10 +2098,21 @@ object PipelineQueries {
         |  SELECT vec_id, band, CAST(SUM(CASE WHEN dot > 0
         |    THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
         |  FROM dots GROUP BY vec_id, band),
+        |sized AS (
+        |  SELECT vec_id, band, sig,
+        |    COUNT(*) OVER (PARTITION BY band, sig) AS bn,
+        |    MIN(vec_id) OVER (PARTITION BY band, sig) AS mn
+        |  FROM sigs),
         |cand AS (
-        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
-        |  WHERE a.vec_id < b.vec_id),
+        |  SELECT DISTINCT a_id, b_id FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |    FROM (SELECT * FROM sized WHERE bn <= 256) a
+        |    JOIN (SELECT * FROM sized WHERE bn <= 256) b
+        |      ON a.band = b.band AND a.sig = b.sig
+        |    WHERE a.vec_id < b.vec_id
+        |    UNION ALL
+        |    SELECT mn AS a_id, vec_id AS b_id FROM sized
+        |    WHERE bn > 256 AND vec_id <> mn)),
         |pairs AS (
         |  SELECT c.a_id, c.b_id,
         |    CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot,
@@ -2102,15 +2157,22 @@ object PipelineQueries {
         |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
         |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |sized AS (
+        |  SELECT doc_id, band, h0, h1,
+        |    COUNT(*) OVER (PARTITION BY band, h0, h1) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, h0, h1) AS mn
+        |  FROM bands),
         |pruned AS (
-        |  SELECT doc_id, band, h0, h1 FROM (
-        |    SELECT doc_id, band, h0, h1,
-        |      COUNT(*) OVER (PARTITION BY band, h0, h1) AS bn FROM bands)
-        |  WHERE bn <= 64)
-        |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-        |FROM pruned l JOIN pruned r
-        |  ON l.band = r.band AND l.h0 = r.h0 AND l.h1 = r.h1
-        |WHERE l.doc_id < r.doc_id ORDER BY a_id, b_id""".stripMargin,
+        |  SELECT doc_id, band, h0, h1 FROM sized WHERE bn <= 64),
+        |allp AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM pruned l JOIN pruned r
+        |    ON l.band = r.band AND l.h0 = r.h0 AND l.h1 = r.h1
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT mn AS a_id, doc_id AS b_id FROM sized
+        |  WHERE bn > 64 AND doc_id <> mn)
+        |SELECT DISTINCT a_id, b_id FROM allp ORDER BY a_id, b_id""".stripMargin,
     // full SimHash reproduction: md5-prefix token hashes, per-bit majority
     // vote, 4×15-bit pigeonhole banding, exact hamming — all integer-exact
     "d03_simhash" ->
@@ -2134,11 +2196,26 @@ object PipelineQueries {
         |  SELECT doc_id, sig, ii.i AS band,
         |    (sig >> CAST(ii.i * 15 AS INT)) & 32767 AS chunk
         |  FROM sigs, (SELECT unnest(range(0, 4)) AS i) ii),
+        |sized AS (
+        |  SELECT doc_id, sig, band, chunk,
+        |    COUNT(*) OVER (PARTITION BY band, chunk) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, chunk, sig) AS mn
+        |  FROM chunks),
+        |cand AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM (SELECT * FROM sized WHERE bn <= 64) l
+        |  JOIN (SELECT * FROM sized WHERE bn <= 64) r
+        |    ON l.band = r.band AND l.chunk = r.chunk
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT mn AS a_id, doc_id AS b_id FROM sized
+        |  WHERE bn > 64 AND doc_id <> mn),
         |pairs AS (
-        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
-        |    CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
-        |  FROM chunks l JOIN chunks r ON l.band = r.band AND l.chunk = r.chunk
-        |  WHERE l.doc_id < r.doc_id)
+        |  SELECT DISTINCT c.a_id, c.b_id,
+        |    CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.a_id
+        |  JOIN sigs sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id, hamming FROM pairs
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "d03_contamination" ->
