@@ -82,6 +82,32 @@ class PipelineSpec extends SparkSpec {
     assert(keepers == truth.values.toSet)
   }
 
+  test("D1: a mega-cluster past the bucket cap still dedups via the star fallback") {
+    // 120 identical docs overflow the 64-member cap in EVERY minhash band
+    // (identical signatures → one bucket) — the old guard dropped those
+    // buckets and the whole cluster silently escaped dedup; the star
+    // fallback must keep it one connected component with one keeper
+    val tdir = s"${System.getProperty("java.io.tmpdir")}/graft-star-${java.util.UUID.randomUUID()}"
+    val boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val rows = (0L until 120L).map(i => (i, boiler, "en", "web", boiler.length.toLong)) ++
+      (200L until 210L).map(i => (i, s"unique document number $i with its own words entirely", "en", "web", 50L))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tdir/documents.parquet")
+    try {
+      val pairs = PipelineQueries.d03_minhash_lsh(spark, tdir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // star shape: O(members) edges, not O(members^2)
+      assert(pairs.length < 1000, s"quadratic pair count ${pairs.length}")
+      val clusters = PipelineQueries.d01_dedup_cluster(spark, tdir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val mega = clusters.filter(c => c._1 < 120L)
+      assert(mega.length == 120 && mega.map(_._2).toSet == Set(0L),
+        "identical docs did not land in one cluster labeled by doc 0")
+      assert(mega.count(_._3) == 1, "mega-cluster must keep exactly one doc")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tdir))
+  }
+
   test("D1: exact-Jaccard clustering equals union-find over the exact pair graph") {
     val pairs = PipelineQueries.d03_jaccard_pairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
