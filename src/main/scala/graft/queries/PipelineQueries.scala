@@ -119,11 +119,13 @@ object PipelineQueries {
     * dominant stage, as it should be: it is the pass doing the actual
     * dedup work. Driver/broadcast centroid state is 4·√N rows — ~8 MB at
     * 10⁸ vectors. Mean cell occupancy (√N/4) meets the 1024-member
-    * pairwise cap around ~10⁷ vectors; past that, breaching cells sit
-    * out of the pairwise pass with members conservatively KEPT and the
-    * breach surfaced via [[lastSemDeDupStats]] + a warning log — visible
-    * degradation, never silent (the cap bounds the largest single
-    * shuffle key, which no K choice can fix for a genuinely hot cell).
+    * pairwise cap around ~10⁷ vectors; past that, breaching cells FALL
+    * BACK to an O(members) representative comparison (each member vs the
+    * cell's most-central member) instead of sitting out, and the breach
+    * is surfaced via [[lastSemDeDupStats]] + a warning log — graceful,
+    * visible degradation, never a silent no-op (the cap bounds the
+    * largest single shuffle key, which no K choice can fix for a
+    * genuinely hot cell).
     */
   private[graft] def semdedup(s: SparkSession, e: DataFrame,
       kOverride: Option[Int] = None): DataFrame = {
@@ -153,8 +155,8 @@ object PipelineQueries {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semdedup: ${excluded.length}/${histRows.length} cells over the " +
           s"1024-member cap (${excluded.map(_.getLong(1)).sum}/$n rows " +
-          "excluded from the pairwise pass and conservatively kept); " +
-          "K is undersized for this corpus")
+          "fall back to representative comparison instead of the " +
+          "pairwise pass); K is undersized for this corpus")
     val ok = s.createDataFrame(java.util.Arrays.asList(
         histRows.filter(_.getLong(1) <= 1024): _*), hist.schema)
       .select("cell")
@@ -165,9 +167,32 @@ object PipelineQueries {
       col("embedding").as("be"), col("csim").as("b_sim"))
     val earlier = (col("a_sim") < col("b_sim")) ||
       (col("a_sim") === col("b_sim") && col("a_id") < col("b_id"))
-    val dups = a.join(b, "cell").filter(earlier)
+    val pairDups = a.join(b, "cell").filter(earlier)
       .filter(expr("cosine_sim(ae, be)") > 0.43)
-      .select(col("b_id").as("vec_id")).distinct()
+      .select(col("b_id").as("vec_id"))
+    // oversized cells: graceful degradation instead of sitting out (the
+    // LSH star-fallback rule) — every member compares against ONE
+    // representative, the cell's most-central member (highest csim: the
+    // dense near-dup mass clusters around the centroid, so the medoid-ish
+    // rep catches it), O(members) per cell. Members similar to each other
+    // but not to the rep escape — the priced-in loss vs the quadratic
+    // pass, strictly better than exempting the whole cell. The rep frame
+    // is ≤ (oversized cells) ≤ K rows: bounded broadcast.
+    val over = s.createDataFrame(java.util.Arrays.asList(
+        excluded: _*), hist.schema)
+      .select("cell")
+    val big = assigned.join(broadcast(over), "cell")
+    val wr = Window.partitionBy("cell")
+      .orderBy(col("csim").desc, col("vec_id"))
+    val rep = big.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("embedding").as("re"),
+        col("vec_id").as("rep_id"))
+    val repDups = big.join(broadcast(rep), "cell")
+      .filter(col("vec_id") =!= col("rep_id"))
+      .filter(expr("cosine_sim(embedding, re)") > 0.43)
+      .select(col("vec_id"))
+    val dups = pairDups.union(repDups).distinct()
     assigned
       .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),

@@ -361,6 +361,31 @@ class PipelineSpec extends SparkSpec {
       s"expected fixed K=16 to exclude nearly all rows, got $fixed")
   }
 
+  test("D1: SemDeDup cap breach degrades to representative comparison, not a no-op") {
+    // a clone mega-cell past the 1024-member cap must still be deduped:
+    // the fallback compares every member to the cell's most-central
+    // member, so the 1500-clone mass collapses to its representative
+    // while distinct vectors survive. xxhash64 % 1000 is SIGNED, so the
+    // components already center on 0 and unrelated vectors sit near
+    // cosine 0, far from the 0.43 bar.
+    val e = spark.range(0, 2000).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> cast(
+        |  cast(xxhash64(CASE WHEN id < 1500 THEN 7 ELSE id END * 64 + d)
+        |    % 1000 as double) / 1000.0 as float))""".stripMargin)
+      .as("embedding"))
+    val out = PipelineQueries.semdedup(spark, e, kOverride = Some(4))
+      .filter(col("is_dup")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val stats = PipelineQueries.lastSemDeDupStats.get
+    assert(stats.excludedCells >= 1, s"expected a cap breach, got $stats")
+    val clonesFlagged = out.count(_ < 1500L)
+    assert(clonesFlagged >= 1498,
+      s"fallback caught only $clonesFlagged/1499 clones: $stats")
+    assert(clonesFlagged < 1500, "the representative itself must be kept")
+    val strangersFlagged = out.count(_ >= 1500L)
+    assert(strangersFlagged <= 50,
+      s"$strangersFlagged/500 distinct vectors falsely flagged")
+  }
+
   test("D1: hierarchical cell assignment agrees with flat and co-assigns twins") {
     // the two-level route (coarse region -> fine argmax within region) is
     // an approximation of the flat N x K argmax: identical vectors MUST
