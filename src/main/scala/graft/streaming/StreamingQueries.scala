@@ -225,6 +225,46 @@ object StreamingQueries {
     }.orderBy("doc_id")
   }
 
+  // D7b — the streaming pipeline LANDING IN THE TABLE FORMAT: the d07
+  // dataflow (gate + bounded-state dedup over the twice-replayed
+  // documents stream) writes its survivors through the NATIVE laketable
+  // streaming sink — one epoch-fenced fast-append commit per micro-batch
+  // — and the result is read back through the DSv2 scan. This composes
+  // the reference's ingest/commit protocol (Part A) with the pipeline
+  // operators (Part D) in one continuous dataflow: arriving documents →
+  // quality gate → watermarked exact dedup → versioned table. Append-mode
+  // dedup emits each surviving doc exactly once, so the table's end state
+  // equals batch gate+DISTINCT — the same DuckDB oracle as d07.
+  def d07_pipeline_lake(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-d07b-${UUID.randomUUID()}"
+    LakeTable.create(loc, "doc_id BIGINT,lang STRING,n_tok BIGINT",
+      TruncateSpec("doc_id", 100L))
+    val docs = t(s, dir, "documents").withColumn("ts",
+      timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    val delay = s"${spanDays(docs)} days"
+    val src = docs.union(docs)
+    val in = replayDir(src, 4)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val q = graft.queries.PipelineQueries.gateDf(
+        s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "2").parquet(in))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .writeStream.format("laketable")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(loc)
+    q.awaitTermination()
+    val out = localize(s.read.format("laketable").load(loc)
+      .select("doc_id", "lang", "n_tok").orderBy("doc_id"))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    LakeTable.drop(loc)
+    out
+  }
+
   /** Whole-days watermark delay covering `ev`'s full `ts` span, +1 day
     * slack — the delay that makes a finite unordered replay deterministic
     * (no event can arrive later than the span; nothing expires early). */
@@ -499,6 +539,7 @@ object StreamingQueries {
     "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
     "c21_stream_tws" -> c21_stream_tws _,
     "d07_stream_pipeline" -> d07_stream_pipeline _,
+    "d07_pipeline_lake" -> d07_pipeline_lake _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -583,6 +624,23 @@ object StreamingQueries {
     // gate (the d06 stage-1 SQL, hash-green there) + DISTINCT: the
     // completed dedup stream keeps exactly one copy of each gated doc
     "d07_stream_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tok FROM g
+        |WHERE n_tok >= 20 AND n_tok <= 5000
+        |  AND mean_len >= 3.0 AND mean_len <= 12.0
+        |  AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2
+        |ORDER BY doc_id""".stripMargin,
+    "d07_pipeline_lake" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t
         |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
