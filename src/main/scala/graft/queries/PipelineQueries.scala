@@ -1848,6 +1848,29 @@ object PipelineQueries {
         | CAST(CEIL(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) AS n_chunks,
         | base64(CAST(substr(text, 1, 32) AS BLOB)) AS head_b64
         |FROM documents ORDER BY media_id""".stripMargin,
+    // The decode STUB is deterministic (frame-strided rolling hash mod
+    // 2^64), so it is SQL-reconstructable after all: per frame, reduce
+    // the byte slice under HUGEINT mod-2^64 arithmetic, quantize to
+    // float k/1000, and sum the 8 frames in order as doubles —
+    // bit-for-bit the JVM path.
+    "d05_decode_stub" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n,
+        |         greatest(1, octet_length(encode(text)) // 8) AS stride
+        |  FROM documents)
+        |SELECT media_id, 'txt' AS fmt,
+        |  CAST(CAST(round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(CAST(
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |           [CAST(('0x' || substr(h, 2*i+1, 2)) AS INT)::HUGEINT
+        |            FOR i IN range(f*stride, least(n, f*stride + stride))]),
+        |           (a,x) -> (a*31+x) % CAST('18446744073709551616' AS HUGEINT))
+        |         % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE)
+        |       FOR f IN range(8)]),
+        |      (a,x) -> a + x), 4) AS DECIMAL(28,4)) AS DOUBLE) AS feat_sum
+        |FROM p ORDER BY media_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
