@@ -34,7 +34,11 @@ object Bench {
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
     "d04_token_topn", "d04_fingerprint", "d04_curation",
     "d03_boilerplate", "d04_repetition", "d04_budget_pack",
-    "d06_pipeline_e2e", "d01_dedup_incremental")
+    "d06_pipeline_e2e", "d01_dedup_incremental",
+    // the round-5 scale flags, fixed and priced: fuzzy-dedup CC with the
+    // distributed label handoff, SemDeDup with scale-aware K + two-level
+    // assignment
+    "d01_dedup_cluster", "d01_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

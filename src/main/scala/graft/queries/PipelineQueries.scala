@@ -1465,8 +1465,12 @@ object PipelineQueries {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache() // reused every round; unpersisted below
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init fuses the first propagation: label₀ = min(id, min neighbor) —
+    // one groupBy replaces the distinct AND round 1's neighbor-min join,
+    // shaving a full fixpoint round (each round is a multi-stage job,
+    // the dominant per-round cost until the joins carry real data)
+    var comp = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min("dst")).as("comp"))
     var pinned: Option[DataFrame] = None
     var changed = 1L
     var rounds = 0
