@@ -34,11 +34,17 @@ object Bench {
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
     "d04_token_topn", "d04_fingerprint", "d04_curation",
     "d03_boilerplate", "d04_repetition", "d04_budget_pack",
-    "d06_pipeline_e2e", "d01_dedup_incremental",
-    // the round-5 scale flags, fixed and priced: fuzzy-dedup CC with the
-    // distributed label handoff, SemDeDup with scale-aware K + two-level
-    // assignment
-    "d01_dedup_cluster", "d01_semdedup")
+    "d06_pipeline_e2e", "d01_dedup_incremental")
+
+  /** The round-5 scale flags, fixed and priced: fuzzy-dedup CC with the
+    * distributed label handoff, SemDeDup with scale-aware K + two-level
+    * assignment. Run AFTER the envelope benches, not inside `headline`:
+    * their fixpoint/persist churn (~7 s of GC-heavy jobs) right before
+    * `ingest_100k` measurably shifted the envelope numbers (+0.2-0.4 s
+    * each), which would read as cross-round regressions on entries whose
+    * code didn't change.
+    */
+  val heavyTail: Seq[String] = Seq("d01_dedup_cluster", "d01_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -413,7 +419,8 @@ object Bench {
       (if (only("lake_point_lookup")) runPointLookupPair() else Nil) ++
       (if (only("lake_join_spj")) runSpjJoinPair() else Nil) ++
       (if (only("stream_catchup"))
-        Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
+        Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil) ++
+      heavyTail.filter(only).map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
