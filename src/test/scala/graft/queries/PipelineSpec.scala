@@ -146,6 +146,44 @@ class PipelineSpec extends SparkSpec {
       s"no target/background separation: $byLang")
   }
 
+  test("D1: connected components equal union-find on seeded random graphs") {
+    // adversarial-topology fuzz for the fixpoint machinery (and its fused
+    // init round, label₀ = min(id, min neighbor)): random sparse/dense
+    // graphs, a clique, a star, and isolated pairs — topologies where a
+    // one-round or init-only labeling would be wrong but plausible-looking.
+    // Seeded RNG → deterministic failures.
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val cases: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "sparse" -> Seq.fill(120)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)),
+      "dense" -> Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)),
+      // a clique converges at the fused init; must not regress past it
+      "clique" -> (for (i <- 0L until 20L; j <- i + 1 to 19L) yield (i, j)),
+      // a star whose hub is NOT the minimum id: leaves must still reach 0
+      "star" -> (0L until 40L).filterNot(_ == 17L).map(x => (17L, x)),
+      "pairs" -> (0L until 30L).map(i => (i * 2, i * 2 + 1)))
+    for ((name, raw) <- cases) {
+      val edges = raw.filter { case (a, b) => a != b }
+      assert(edges.nonEmpty, s"$name generated no edges")
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      import spark.implicits._
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = PipelineQueries.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth,
+        s"$name: CC labels diverge from union-find; " +
+          s"diff=${(got.toSet -- truth.toSet).take(5)} / ${(truth.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("D1: connected components converge on a 300-node chain (diameter >> 64)") {
     // the round-4 implementation ran a FIXED 6 propagation rounds — a
     // chain longer than its reach silently mislabeled (wrong survivor
