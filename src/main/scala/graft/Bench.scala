@@ -406,7 +406,7 @@ object Bench {
     // across rounds 1-3)
     def best2(f: () => Double): Double = { f(); math.min(f(), f()) }
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
-    val results = headline.filter(only).map(n => n -> run(n)) ++
+    val envelope = headline.filter(only).map(n => n -> run(n)) ++
       (if (only("ingest_100k")) Seq("ingest_100k" -> best2(() => runIngest())) else Nil) ++
       (if (only("maintenance_compact"))
         Seq("maintenance_compact" -> best2(() => runMaintenance())) else Nil) ++
@@ -419,11 +419,26 @@ object Bench {
       (if (only("lake_point_lookup")) runPointLookupPair() else Nil) ++
       (if (only("lake_join_spj")) runSpjJoinPair() else Nil) ++
       (if (only("stream_catchup"))
-        Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil) ++
-      heavyTail.filter(only).map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
+    val heavy = heavyTail.filter(only).map(n => n -> run(n))
+    val results = envelope ++ heavy
+    // ms precision: cross-round deltas under ~0.3 s are run variance on
+    // this harness, and compact values keep the WHOLE final JSON line
+    // inside the driver's 2000-char output-tail capture — the round-6
+    // artifact truncated away b01_scan/b08_filter/b09_join_inner because
+    // full-precision doubles pushed the blob past the tail window.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // `total` = envelope entries only; the heavyTail pair (~5 s of
+    // iterative CC + SemDeDup) reports under `heavy_total` so the
+    // envelope aggregate stays comparable with rounds ≤5 (adding them to
+    // `total` in round 6 read as a +5 s cross-round regression with no
+    // code change — the same artifact problem the heavyTail ordering
+    // fix was for, moved into the sum).
+    val total = envelope.map(_._2).filter(_ >= 0).sum
+    val heavyTotal = heavy.map(_._2).filter(_ >= 0).sum
     // DuckDB side-by-side: time each headline query's oracle SQL on the
     // same parquet at the same sf (dev measurement via tools/bench_duckdb
     // .py — duckdb is driver-side tooling, not a library dependency). The
@@ -450,9 +465,15 @@ object Bench {
       }
     } catch { case _: Throwable => "null" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""heavy_total":${fmt(heavyTotal)},"queries":$qs,""" +
         s""""duckdb_seconds":$duckdbJson,"sf":"$sfDir"}"""
-    // file fallback for machine parsing, then the bare stdout line
+    // file fallback for machine parsing, then the bare stdout line —
+    // printed LAST so the driver's output-tail capture always holds the
+    // complete blob; warn (stderr) if it ever outgrows the tail window
+    if (json.length > 1900)
+      System.err.println(s"[bench] WARNING: json line ${json.length} chars " +
+        "— approaching the 2000-char driver tail capture")
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
       try w.println(json) finally w.close()

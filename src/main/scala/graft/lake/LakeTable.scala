@@ -1819,9 +1819,14 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * (manifests may record `/x` while listings return `file:/x`), and
     * only paths under the table location are ever deleted.
     *
-    * Returns the deleted paths, sorted.
+    * Returns a bounded summary (count + ≤[[OrphanSweep.SampleCap]]
+    * sample paths), NOT the full deleted-path list: a pathological
+    * crash-debris sweep can delete 10⁶ orphans, and localizing one string
+    * per deletion would haul ~100 MB of paths to the driver just to
+    * return them. Each task reports (count, bounded sample); the driver
+    * folds ≤ tasks×cap strings.
     */
-  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): Seq[String] = {
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): OrphanSweep = {
     def plain(s: String): String = new Path(s).toUri.getPath
     // pending monikers BEFORE metadata: a bookkeeper sweep racing this GC
     // commits the backlog then deletes the monikers — reading metadata
@@ -1881,20 +1886,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .union(spark.createDataset(fromRoot))
       .toDF("path", "mtime")
     val knownDf = spark.createDataset(known.toSeq).toDF("path")
-    val deleted = listed
+    // each task returns (deleted-count, ≤cap sample) — never one string
+    // per deleted orphan (10⁶ orphans must not become a driver collect)
+    val cap = OrphanSweep.SampleCap
+    val perTask = listed
       .filter(col("mtime") < olderThanMs)
       .join(knownDf, Seq("path"), "left_anti")
       .select("path").as[String]
       .filter(_.startsWith(locPrefix)) // defense in depth
       .mapPartitions { it =>
-        it.map { s =>
+        var n = 0L
+        val sample = scala.collection.mutable.ArrayBuffer.empty[String]
+        it.foreach { s =>
           val p = new Path(s)
           p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
-          s
+          n += 1
+          if (sample.size < cap) sample += s
         }
+        Iterator.single((n, sample.toSeq))
       }
-      .collect().toSeq
-    (deleted ++ staleTmp.map(p => plain(p.toString))).sorted
+      .collect()
+    val tmpPaths = staleTmp.map(p => plain(p.toString))
+    OrphanSweep(
+      perTask.map(_._1).sum + tmpPaths.size,
+      (perTask.flatMap(_._2) ++ tmpPaths).sorted.take(cap))
   }
 
   // ---- read path ---------------------------------------------------------

@@ -237,6 +237,18 @@ final case class TableMeta(
     else TruncateSpec(spec.column, specWidth(currentSpecId))
 }
 
+/** Bounded result of an orphan-file sweep (`removeOrphanFiles`): total
+  * deleted count + a ≤[[OrphanSweep.SampleCap]] path sample for
+  * operator eyeballing. Deliberately NOT the full path list — a
+  * crash-debris sweep can delete millions of files and the summary must
+  * stay driver-bounded regardless.
+  */
+case class OrphanSweep(deletedCount: Long, sample: Seq[String])
+
+object OrphanSweep {
+  val SampleCap = 20
+}
+
 object LakeFormat {
   val MetadataDir = "metadata"
   val DataDir = "data"

@@ -144,7 +144,7 @@ object LakeProcedures {
         param("table", StringType),
         paramD("older_than_ms", LongType, "-1"))) { in =>
         table(in).removeOrphanFiles(SparkSession.active,
-          cutoffMs(in.getLong(1), 24L * 3600 * 1000)).size.toLong
+          cutoffMs(in.getLong(1), 24L * 3600 * 1000)).deletedCount
       })
       case _ => None
     }

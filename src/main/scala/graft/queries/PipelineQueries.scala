@@ -95,6 +95,42 @@ object PipelineQueries {
   def d01_semdedup(s: SparkSession, dir: String): DataFrame =
     semdedup(s, t(s, dir, "embeddings"))
 
+  /** Exact-twin constants, shared by [[d01_semdedup_exact]] and its DuckDB
+    * oracle (interpolated into the SQL — the two sides cannot drift):
+    * embeddings quantize to round(x·1000) integers, the first K corpus
+    * vectors are the fixed centroids, and the cell cap shrinks to 8 so
+    * the 500-vector sf corpus naturally exercises BOTH the within-cell
+    * pairwise pass and the cap-breach representative fallback.
+    */
+  private[graft] val SemDeDupExactK = 100
+  private[graft] val SemDeDupExactCap = 8
+  private[graft] val SemDeDupExactScale = 1000
+
+  // D1f-exact — the FULL SemDeDup machinery (two-level hierarchical cell
+  // assignment incl. fine→coarse routing, cell-cap skew guard, pairwise
+  // pass, representative fallback) under engine-portable, ORDER-
+  // INDEPENDENT arithmetic — the d02_ann_exact recipe: embeddings
+  // quantize to round(x·1000) integers (exact in float storage; dots and
+  // norms become exact integer-valued double sums ≤ 64·6e5² ≈ 2.3e7 that
+  // no aggregation order can drift), centroids are the first K quantized
+  // corpus vectors (no Lloyd training — the trained path's double means
+  // ARE order-sensitive, which is exactly why d01_semdedup is rows-only),
+  // and every cosine is scalar sqrt/divide on exact integers, identical
+  // in any IEEE engine. Drives the SAME semdedup/assignCellsHier code
+  // paths as the production entry (K=100 > the 64-literal inlining bound,
+  // so the hier route is exercised; cap=8 so breaches occur at sf scale);
+  // only the centroid source and cap differ.
+  def d01_semdedup_exact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val cents = e.orderBy("vec_id").limit(SemDeDupExactK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    semdedup(s, e, kOverride = Some(cents.length),
+      centsOverride = Some(cents), cap = SemDeDupExactCap)
+  }
+
   /** Per-run SemDeDup observability: corpus size, chosen K, cell count,
     * and how much of the corpus sat out of the pairwise pass because its
     * cell breached the quadratic-cost cap. Excluded members are
@@ -128,14 +164,19 @@ object PipelineQueries {
     * genuinely hot cell).
     */
   private[graft] def semdedup(s: SparkSession, e: DataFrame,
-      kOverride: Option[Int] = None): DataFrame = {
+      kOverride: Option[Int] = None,
+      centsOverride: Option[Array[(Long, Seq[Float])]] = None,
+      cap: Int = 1024): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val n = e.count()
     val k = kOverride.getOrElse(
       math.max(16, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
     // two-level assignment ([[assignCellsHier]]): N×O(√K) per pass, in
-    // training rounds and here
-    val cents = trainIvfCentroids(e, k, hier = true)
+    // training rounds and here. centsOverride (the exact-twin hook) pins
+    // fixed centroids instead of Lloyd training — the trained path's
+    // double-mean reductions are order-sensitive, so the hash-oracled
+    // twin must skip them while driving everything downstream unchanged.
+    val cents = centsOverride.getOrElse(trainIvfCentroids(e, k, hier = true))
     // scratch-persisted: the histogram, the bounded self-join, and the
     // final verdict join all consume the assignment — without the
     // materialization each would recompute the full assignment pass
@@ -148,17 +189,17 @@ object PipelineQueries {
     // count-window (one less full-corpus shuffle).
     val hist = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
     val histRows = hist.collect() // ≤ K rows
-    val excluded = histRows.filter(_.getLong(1) > 1024)
+    val excluded = histRows.filter(_.getLong(1) > cap)
     lastSemDeDupStats = Some(SemDeDupStats(n, k, histRows.length,
       excluded.length.toLong, excluded.map(_.getLong(1)).sum))
     if (excluded.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semdedup: ${excluded.length}/${histRows.length} cells over the " +
-          s"1024-member cap (${excluded.map(_.getLong(1)).sum}/$n rows " +
+          s"$cap-member cap (${excluded.map(_.getLong(1)).sum}/$n rows " +
           "fall back to representative comparison instead of the " +
           "pairwise pass); K is undersized for this corpus")
     val ok = s.createDataFrame(java.util.Arrays.asList(
-        histRows.filter(_.getLong(1) <= 1024): _*), hist.schema)
+        histRows.filter(_.getLong(1) <= cap): _*), hist.schema)
       .select("cell")
     val bounded = assigned.join(broadcast(ok), "cell")
     val a = bounded.select(col("cell"), col("vec_id").as("a_id"),
@@ -235,13 +276,57 @@ object PipelineQueries {
     }
   }
 
+  /** Fine→coarse centroid routing for [[assignCellsHier]]: each fine
+    * centroid joins the coarse region it is most cosine-similar to.
+    * Tie-break toward the LARGER region id, matching Spark's struct-max
+    * (max s, then max c) used by the vectors' coarse argmax — divergent
+    * tie-breaks could leave a region holding vectors but zero routed
+    * fine centroids.
+    *
+    * The K·√K dot products are embarrassingly parallel, so above
+    * [[RouteSerialCap]] they run as a tiny Spark job (broadcast the √K
+    * coarse rows, one map over the K fine rows) — with K = 4√N a
+    * single-threaded driver loop is ~O(N^0.75) serial flops, minutes of
+    * driver math at 10¹¹ docs. Below the cap the per-job overhead
+    * dominates the loop and the serial path wins. Both paths compute the
+    * identical argmax (`forceSerial` pins the path for the agreement
+    * spec). Returns (region, cid); K rows — the same driver footprint as
+    * `cents` itself.
+    */
+  private[graft] val RouteSerialCap = 4096
+  private[graft] def routeRegions(s: SparkSession,
+      cents: Array[(Long, Seq[Float])], coarse: Array[(Long, Seq[Float])],
+      forceSerial: Option[Boolean] = None): Array[(Long, Long)] = {
+    val cos: (Seq[Float], Seq[Float]) => Double = (a, b) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+    }
+    val route: ((Long, Seq[Float]), Array[(Long, Seq[Float])]) => (Long, Long) = {
+      case ((cid, cvec), co) =>
+        (co.maxBy { case (rid, cv) => (cos(cvec, cv), rid) }._1, cid)
+    }
+    if (forceSerial.getOrElse(cents.length <= RouteSerialCap))
+      cents.map(c => route(c, coarse))
+    else {
+      val bc = s.sparkContext.broadcast(coarse)
+      try s.sparkContext
+        .parallelize(cents.toSeq, math.max(1, math.min(64, cents.length / 1024)))
+        .map(c => route(c, bc.value))
+        .collect()
+      finally bc.destroy()
+    }
+  }
+
   /** Two-level cell assignment for large K (the SemDeDup path): vectors
     * find the nearest of ~√K COARSE centroids first, then argmax only
     * over the fine centroids ROUTED to that coarse region — N×O(√K) work
     * instead of flat N×K (with K = 4√N that turns the assignment pass
     * from N^1.5 into ~N^1.25; training pays the same reduction per Lloyd
-    * round). Routing is driver-side: K fine × √K coarse dot products
-    * over arrays already in hand — bounded, no Spark job. A vector whose
+    * round). Routing runs through [[routeRegions]] (serial under
+    * [[RouteSerialCap]], a tiny Spark job above it). A vector whose
     * true nearest fine centroid lives in a neighboring coarse region
     * assigns to its best routed candidate instead; that boundary noise
     * is acceptable for SemDeDup — identical vectors route identically,
@@ -260,21 +345,10 @@ object PipelineQueries {
     // coarse layer: every (K/kc)-th fine centroid, re-keyed 0..kc-1
     val coarse: Array[(Long, Seq[Float])] =
       (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._2)).toArray
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
-    }
-    // tie-break toward the LARGER region id, matching Spark's struct-max
-    // (max s, then max c) used by the vectors' coarse argmax — divergent
-    // tie-breaks could leave a region holding vectors but zero routed
-    // fine centroids
-    val routed = cents.map { case (cid, cvec) =>
-      (coarse.maxBy { case (rid, co) => (cosLocal(cvec, co), rid) }._1,
-        cid, cvec)
-    }.toSeq.toDF("region", "cid", "cvec")
+    val centVec = cents.toMap
+    val routed = routeRegions(s, cents, coarse)
+      .map { case (region, cid) => (region, cid, centVec(cid)) }
+      .toSeq.toDF("region", "cid", "cvec")
     // region -> its own seed fine centroid: the guaranteed fallback cell.
     // The LEFT join + coalesce below make unrouted regions impossible to
     // LOSE: float disagreement between the distributed cosine and the
@@ -1688,12 +1762,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame count shared by the d05_decode_stub query AND its DuckDB
+    * oracle (the oracle SQL interpolates this into `range(n)` and the
+    * stride derivation) — one constant so the Scala call and the SQL
+    * replay can never drift apart silently.
+    */
+  val DecodeStubFrames = 8
+
   // D5b — distributed decode with the stubbed codec (deterministic fake):
-  // exercises the executor-side batch plumbing; rows-only checked.
+  // exercises the executor-side batch plumbing; hash-oracled (the oracle
+  // replays the rolling hash with DecodeStubFrames frames).
   def d05_decode_stub(s: SparkSession, dir: String): DataFrame = {
     val media = graft.operators.Multimodal.asMedia(
       t(s, dir, "documents"), "text", "doc_id")
-    graft.operators.Multimodal.decode(media, frames = 8)
+    graft.operators.Multimodal.decode(media, frames = DecodeStubFrames)
       .select(col("media_id"), col("fmt"),
         dec4(expr("aggregate(frame_features, 0D, (a, x) -> a + x)")).as("feat_sum"))
       .orderBy("media_id")
@@ -1706,6 +1788,7 @@ object PipelineQueries {
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
+    "d01_semdedup_exact" -> d01_semdedup_exact _,
     "d02_cosine_topk" -> d02_cosine_topk _,
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d02_ann_exact" -> d02_ann_exact _,
@@ -1855,13 +1938,15 @@ object PipelineQueries {
     // The decode STUB is deterministic (frame-strided rolling hash mod
     // 2^64), so it is SQL-reconstructable after all: per frame, reduce
     // the byte slice under HUGEINT mod-2^64 arithmetic, quantize to
-    // float k/1000, and sum the 8 frames in order as doubles —
-    // bit-for-bit the JVM path.
+    // float k/1000, and sum the frames in order as doubles —
+    // bit-for-bit the JVM path. Frame count interpolated from
+    // DecodeStubFrames, the same constant the Scala query passes to
+    // Multimodal.decode — the two sides cannot drift.
     "d05_decode_stub" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |         octet_length(encode(text)) AS n,
-        |         greatest(1, octet_length(encode(text)) // 8) AS stride
+        |         greatest(1, octet_length(encode(text)) // $DecodeStubFrames) AS stride
         |  FROM documents)
         |SELECT media_id, 'txt' AS fmt,
         |  CAST(CAST(round(
@@ -1872,7 +1957,7 @@ object PipelineQueries {
         |            FOR i IN range(f*stride, least(n, f*stride + stride))]),
         |           (a,x) -> (a*31+x) % CAST('18446744073709551616' AS HUGEINT))
         |         % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE)
-        |       FOR f IN range(8)]),
+        |       FOR f IN range($DecodeStubFrames)]),
         |      (a,x) -> a + x), 4) AS DECIMAL(28,4)) AS DOUBLE) AS feat_sum
         |FROM p ORDER BY media_id""".stripMargin,
     "d01_dedup_exact" ->

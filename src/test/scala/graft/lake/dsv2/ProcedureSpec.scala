@@ -165,7 +165,8 @@ class ProcedureSpec extends SparkSpec {
     fs.mkdirs(staleTmp)
     plant(new Path(staleTmp, "part-0.parquet"))
     // past cutoff: the mtime guard protects everything
-    assert(t.removeOrphanFiles(spark, 1000L).isEmpty)
+    val guarded = t.removeOrphanFiles(spark, 1000L)
+    assert(guarded.deletedCount == 0L && guarded.sample.isEmpty)
     assert(fs.exists(orphan) && fs.exists(staleTmp))
     // future cutoff via SQL: exactly the orphan + the staging tree go
     val n = spark.sql(

@@ -454,6 +454,44 @@ class PipelineSpec extends SparkSpec {
       s"two-level assignment agreement $agree too far from the flat argmax")
   }
 
+  test("D1: distributed centroid routing agrees with the serial loop") {
+    // the fine->coarse routing above RouteSerialCap runs as a Spark job
+    // instead of a K*sqrt(K) single-threaded driver loop (~O(N^0.75)
+    // serial flops with K = 4*sqrt(N) — minutes of driver math at 1e11
+    // docs); both paths must produce the identical argmax, including the
+    // larger-region-id tie-break
+    def coarseOf(cents: Array[(Long, Seq[Float])]): Array[(Long, Seq[Float])] = {
+      val kc = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+      (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._2)).toArray
+    }
+    // trained centroids from a 40k-vector corpus (the semdedup shape)
+    val e = spark.range(0, 40000).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> cast(
+        |  cast(xxhash64(id * 64 + d) % 1000 as double) / 1000.0 as float))"""
+        .stripMargin).as("embedding"))
+    val trained = PipelineQueries.trainIvfCentroids(e, k = 800, hier = true)
+    val co = coarseOf(trained)
+    val serial = PipelineQueries
+      .routeRegions(spark, trained, co, forceSerial = Some(true)).sorted.toSeq
+    val dist = PipelineQueries
+      .routeRegions(spark, trained, co, forceSerial = Some(false)).sorted.toSeq
+    assert(serial == dist, "distributed routing diverged from the serial loop")
+    // above the cap the DEFAULT path is the distributed one — synthetic
+    // K > RouteSerialCap centroids (routing needs no training), default
+    // call must agree with the forced-serial loop
+    val big: Array[(Long, Seq[Float])] = Array.tabulate(
+      PipelineQueries.RouteSerialCap + 1000) { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val bigCo = coarseOf(big)
+    val bigDefault = PipelineQueries.routeRegions(spark, big, bigCo).sorted.toSeq
+    val bigSerial = PipelineQueries
+      .routeRegions(spark, big, bigCo, forceSerial = Some(true)).sorted.toSeq
+    assert(bigDefault == bigSerial,
+      "default large-K routing diverged from the serial loop")
+  }
+
   test("D3: SimHash candidates contain every pair with shingle-Jaccard >= 0.9") {
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), expr(

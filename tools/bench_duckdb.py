@@ -42,7 +42,9 @@ def main():
                 t0 = time.perf_counter()
                 con.execute(sqls[name]).fetchall()
                 times.append(time.perf_counter() - t0)
-            out[name] = round(min(times), 6)
+            # ms precision — keeps the embedded blob small enough that the
+            # whole bench JSON line fits the driver's 2000-char tail capture
+            out[name] = round(min(times), 3)
         except Exception:
             out[name] = None
     print(json.dumps(out))
