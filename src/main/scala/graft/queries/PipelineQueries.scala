@@ -1987,6 +1987,86 @@ object PipelineQueries {
         |SELECT dup_id, keep_id,
         |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
         |FROM scored WHERE rn = 1 ORDER BY dup_id""".stripMargin,
+    // d01_semdedup_exact: full SQL replay of the two-level SemDeDup
+    // machinery under the shared exact-twin constants (K/cap/scale and
+    // the coarse seed indices interpolated from the SAME Scala values
+    // the query uses). Quantized integer components make every dot/norm
+    // an exact sum in both engines; the remaining sqrt/divide on exact
+    // integers is identical IEEE scalar math, so cell argmaxes (tie:
+    // larger id, matching Spark's struct max), the csim rank inside a
+    // cell, and both dup passes reproduce bit-for-bit. Routing adds the
+    // 1e-12 denominator epsilon exactly like routeRegions' cosine.
+    "d01_semdedup_exact" -> {
+      def cos(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b))))"
+      val kc = math.max(4,
+        math.ceil(math.sqrt(SemDeDupExactK.toDouble)).toInt)
+      val seedValues = (0 until kc)
+        .map(i => s"($i, ${i * SemDeDupExactK / kc})").mkString(", ")
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> round(CAST(x AS DOUBLE) * $SemDeDupExactScale)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT cid, cv, idx FROM (
+        |    SELECT vec_id AS cid, v AS cv,
+        |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx FROM q)
+        |  WHERE idx < $SemDeDupExactK),
+        |coarse_idx(rid, idx) AS (VALUES $seedValues),
+        |coarse AS (
+        |  SELECT ci.rid, c.cid AS seed_cid, c.cv
+        |  FROM coarse_idx ci JOIN cents c ON c.idx = ci.idx),
+        |routed AS (
+        |  SELECT cid, cv, rid FROM (
+        |    SELECT c.cid, c.cv, r.rid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
+        |        (list_dot_product(c.cv, r.cv) /
+        |          (sqrt(list_dot_product(c.cv, c.cv)) *
+        |           sqrt(list_dot_product(r.cv, r.cv)) + 1e-12)) DESC,
+        |        r.rid DESC) AS rn
+        |    FROM cents c CROSS JOIN coarse r)
+        |  WHERE rn = 1),
+        |vassign AS (
+        |  SELECT vec_id, v, region FROM (
+        |    SELECT q.vec_id, q.v, r.rid AS region,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${cos("q.v", "r.cv")} DESC, r.rid DESC) AS rn
+        |    FROM q CROSS JOIN coarse r)
+        |  WHERE rn = 1),
+        |fassign AS (
+        |  SELECT vec_id, v, cell, csim FROM (
+        |    SELECT vec_id, v, cell, csim, ROW_NUMBER() OVER
+        |      (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+        |    FROM (SELECT va.vec_id, va.v, f.cid AS cell,
+        |            ${cos("va.v", "f.cv")} AS csim
+        |          FROM vassign va JOIN routed f ON f.rid = va.region))
+        |  WHERE rn = 1),
+        |hist AS (SELECT cell, COUNT(*) AS cn FROM fassign GROUP BY cell),
+        |pair_dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM fassign a JOIN fassign b ON a.cell = b.cell
+        |  JOIN hist h ON h.cell = a.cell
+        |  WHERE h.cn <= $SemDeDupExactCap
+        |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+        |    AND ${cos("a.v", "b.v")} > 0.43),
+        |rep AS (
+        |  SELECT cell, rep_id, rv FROM (
+        |    SELECT f.cell, f.vec_id AS rep_id, f.v AS rv,
+        |      ROW_NUMBER() OVER (PARTITION BY f.cell
+        |        ORDER BY f.csim DESC, f.vec_id) AS rn
+        |    FROM fassign f JOIN hist h ON h.cell = f.cell
+        |      AND h.cn > $SemDeDupExactCap)
+        |  WHERE rn = 1),
+        |rep_dups AS (
+        |  SELECT f.vec_id FROM fassign f JOIN rep r ON f.cell = r.cell
+        |  WHERE f.vec_id <> r.rep_id AND ${cos("f.v", "r.rv")} > 0.43),
+        |dups AS (
+        |  SELECT vec_id FROM pair_dups UNION SELECT vec_id FROM rep_dups)
+        |SELECT f.vec_id, f.cell, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM fassign f LEFT JOIN dups d ON d.vec_id = f.vec_id
+        |ORDER BY f.vec_id""".stripMargin
+    },
     "d02_cosine_topk" ->
       """WITH elems AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,

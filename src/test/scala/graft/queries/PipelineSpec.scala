@@ -424,6 +424,25 @@ class PipelineSpec extends SparkSpec {
       s"$strangersFlagged/500 distinct vectors falsely flagged")
   }
 
+  test("D1: SemDeDup exact twin drives both dup passes through the hier route") {
+    // the hash-oracled twin must exercise the SAME machinery the
+    // production entry uses: K=100 > the 64-literal bound (hier
+    // assignment), and at the 500-vector sf both the within-cell pairwise
+    // pass AND the cap-breach representative fallback must fire — a twin
+    // that only ever walks one path hash-verifies half the guard
+    val out = PipelineQueries.d01_semdedup_exact(spark, dir).collect()
+    assert(out.length == 500)
+    val stats = PipelineQueries.lastSemDeDupStats.get
+    assert(stats.k == PipelineQueries.SemDeDupExactK)
+    assert(stats.excludedCells >= 1,
+      s"no cell breached the twin cap — rep fallback unexercised: $stats")
+    assert(stats.cells - stats.excludedCells >= 1,
+      s"every cell breached — pairwise pass unexercised: $stats")
+    // determinism: the fixed-centroid path has no training jitter
+    val again = PipelineQueries.d01_semdedup_exact(spark, dir).collect()
+    assert(again.map(_.toString).sameElements(out.map(_.toString)))
+  }
+
   test("D1: hierarchical cell assignment agrees with flat and co-assigns twins") {
     // the two-level route (coarse region -> fine argmax within region) is
     // an approximation of the flat N x K argmax: identical vectors MUST
