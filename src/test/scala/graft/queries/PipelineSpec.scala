@@ -244,11 +244,12 @@ class PipelineSpec extends SparkSpec {
     assert(truth.nonEmpty)
     val recall = ivf.intersect(truth).size.toDouble / truth.size
     info(f"IVF recall@5: $recall%.3f (|ivf|=${ivf.size})")
-    // k-means-trained centroids (2 Lloyd rounds) + nprobe=6 measure ~0.7
-    // here (nprobe=4 measured 0.57; raw sampled seeds 0.51); the floor
-    // catches a regression to untrained seeding or starved probing while
-    // the float-sum jitter of distributed means keeps clearing it
-    assert(recall >= 0.6, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
+    // k-means-trained centroids (2 Lloyd rounds) + nprobe=6 measure 0.77
+    // here (nprobe=4 measured 0.57; raw sampled seeds 0.51); floor sits
+    // ~0.07 under measured — a change that halves the recall must FAIL,
+    // not coast over a stale floor (the old 0.6 let 0.62 pass), while
+    // float-sum jitter of distributed means keeps clearing it
+    assert(recall >= 0.7, s"IVF recall $recall below floor (|ivf|=${ivf.size})")
     // every reported neighbor must be a real vector with sane cosine
     assert(PipelineQueries.d02_ann_ivf(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
@@ -298,10 +299,11 @@ class PipelineSpec extends SparkSpec {
     val recall = pq.intersect(truth).size.toDouble / truth.size
     info(f"PQ recall@5: $recall%.3f (|pq|=${pq.size})")
     // trained 4x16 codebooks (2 Lloyd rounds, L2-argmin encode) + top-200
-    // ADC shortlist + exact refine (top-100 measured 0.72; raw sampled
-    // codewords 0.50); floor keeps jitter margin while catching a
-    // regression to untrained codebooks or a starved shortlist
-    assert(recall >= 0.65, s"PQ recall $recall below floor (|pq|=${pq.size})")
+    // ADC shortlist + exact refine measure 0.88 (top-100 measured 0.72;
+    // raw sampled codewords 0.50); floor ~0.08 under measured so a
+    // regression to either untrained codebooks or a starved shortlist
+    // fails instead of coasting over the old 0.65
+    assert(recall >= 0.8, s"PQ recall $recall below floor (|pq|=${pq.size})")
     assert(PipelineQueries.d02_ann_pq(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
@@ -316,9 +318,10 @@ class PipelineSpec extends SparkSpec {
     info(s"IVF+PQ recall@5 = $recall")
     // the composition loses to BOTH parents by design (cell bounding ∩
     // code quantization); nprobe=8 + the 200-candidate ADC shortlist buy
-    // the IVF-side recall back — the floor catches a regression to
-    // either untrained model or to the starved nprobe=4/top-100 shape
-    assert(recall >= 0.6,
+    // the IVF-side recall back, measuring 0.82 — floor ~0.12 under so a
+    // regression to either untrained model or the starved nprobe=4/
+    // top-100 shape fails
+    assert(recall >= 0.7,
       s"IVF+PQ recall $recall below floor (|c|=${composed.size})")
     assert(PipelineQueries.d02_ann_ivfpq(spark, dir)
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
@@ -582,9 +585,10 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = ann.intersect(exact).size.toDouble / exact.size
     info(f"ANN-LSH pair recall: $recall%.3f (found ${ann.size}, true ${exact.size})")
-    // 8 bands × 4 bits: analytic recall ≈ 0.75 at cos 0.4, rising with
-    // cos (4 bands measured 0.42 → floor was 0.3)
-    assert(recall >= 0.6, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
+    // 8 bands × 4 bits measure 0.82 (analytic ≈ 0.75 at cos 0.4, rising
+    // with cos; 4 bands measured 0.42); floor ~0.12 under measured so a
+    // banding/plane regression fails instead of coasting over the old 0.6
+    assert(recall >= 0.7, s"ANN recall $recall below floor (found ${ann.size}, true ${exact.size})")
   }
 
   test("B19: exact count matches and approx lands within the hashed tolerance") {
