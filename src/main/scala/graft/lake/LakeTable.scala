@@ -297,33 +297,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     else Seq(writeDeleteManifest(live))
   }
 
-  private def writeAtomic(dest: Path, content: String): Unit = {
-    if (fs.getScheme == "file") {
-      // Local FS: full NIO. Hadoop's local create() costs ~10 ms per file
-      // when native IO is absent (it FORKS a chmod per file, plus checksum
-      // sidecars) — two of those per commit put a floor under commit
-      // latency that NIO (~0.1 ms) removes. Hadoop's rename also
-      // overwrites, so hard-link creation is the POSIX create-if-absent
-      // CAS (sidecar-free and race-exact).
-      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
-      val tmp = destNio.resolveSibling(s".${dest.getName}.tmp-${UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(destNio, tmp)
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          throw new java.io.IOException(s"concurrent commit: $dest exists", e)
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val tmp = new Path(dest.getParent, s".${dest.getName}.tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, dest)) {
-        // HDFS-semantics rename refuses existing destinations — that IS the CAS.
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"concurrent commit: $dest exists")
-      }
-    }
-  }
+  /** Publish through the per-scheme commit CAS ([[CommitCas]]): hard-link
+    * on local FS, rename-if-absent on namespace stores, a registered
+    * store-native conditional-put on flat object stores. Throws
+    * IOException on a lost CAS — the retry loop's conflict signal.
+    */
+  private def writeAtomic(dest: Path, content: String): Unit =
+    CommitCas.forScheme(fs.getScheme).publish(fs, dest, content)
 
   private def maxRetries: Int =
     meta.properties.getOrElse(PropCommitRetries, "20").toInt
