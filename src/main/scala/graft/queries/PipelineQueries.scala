@@ -876,19 +876,26 @@ object PipelineQueries {
   // is exact integer arithmetic. (xxhash64 would be ~2× cheaper per token;
   // at 100 TB swap the hash back and keep the identical structure — the
   // signature layout, banding, and state shape do not change.)
+  /** The 60-bit md5 SimHash signature of `text` as a single expression —
+    * the d03_simhash derivation, shared verbatim with the streaming fuzzy
+    * stage (`d07_stream_fuzzy`) so the batch oracle's SQL replay covers
+    * both. Stateless map-side column ops: fuses into whatever scan (batch
+    * or micro-batch) feeds it.
+    */
+  private[graft] val simhashSig: org.apache.spark.sql.Column = expr(
+    """aggregate(
+      |  aggregate(
+      |    transform(array_distinct(split(text, ' ')),
+      |      tk -> CAST(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)),
+      |    array_repeat(0, 60),
+      |    (acc, h) -> zip_with(acc, sequence(0, 59),
+      |      (c, b) -> c + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)),
+      |  0L, (sig, c) -> (sig << 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END)"""
+      .stripMargin)
+
   def d03_simhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("""transform(array_distinct(split(text, ' ')),
-          |  tk -> CAST(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT))"""
-          .stripMargin).as("hashes"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  aggregate(hashes, array_repeat(0, 60),
-          |    (acc, h) -> zip_with(acc, sequence(0, 59),
-          |      (c, b) -> c + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)),
-          |  0L, (sig, c) -> (sig << 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END)"""
-          .stripMargin).as("sig"))
+      .select(col("doc_id"), simhashSig.as("sig"))
     // pure dataflow (no persist): each join side recomputes the map-side
     // signature pass — the 100 TB-friendly trade vs pinning a corpus-sized
     // intermediate in executor memory for the session's lifetime

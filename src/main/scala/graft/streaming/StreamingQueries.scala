@@ -225,6 +225,38 @@ object StreamingQueries {
     }.orderBy("doc_id")
   }
 
+  // D7f — the continuous pipeline's NEAR-dup stage: gate → 60-bit md5
+  // SimHash signature (the d03_simhash derivation, shared verbatim via
+  // PipelineQueries.simhashSig — stateless, fuses into each micro-batch's
+  // scan) → bounded-state dedup KEYED ON THE SIGNATURE
+  // (dropDuplicatesWithinWatermark): documents whose distinct token sets
+  // collide — exact copies, reorderings, repetition-only edits — collapse
+  // to one survivor per signature even when the copies arrive in
+  // DIFFERENT micro-batches, with per-key state the watermark expires.
+  // This is the fuzzy stage the batch pipeline runs as connected
+  // components (d06_pipeline_fuzzy); the streaming form trades the
+  // cross-signature (hamming 1-3) edges for bounded state — at 100 TB the
+  // state store holds one entry per live signature, not a pair graph.
+  //
+  // Output = the distinct gated signature set (which doc of a colliding
+  // group survives is arrival-order-dependent, but the SET of signatures
+  // is not — so the completed stream equals batch gate+signature+DISTINCT,
+  // exactly what the DuckDB oracle computes; the kept-doc semantics are
+  // covered by the StreamingSpec scenario with controlled batch placement).
+  def d07_stream_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ts",
+      timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    val delay = s"${spanDays(docs)} days"
+    runStream(s, dir, OutputMode.Append(), nFiles = 4,
+      input = Some(docs.union(docs))) { in =>
+      graft.queries.PipelineQueries.gateDf(in)
+        .withColumn("sig", graft.queries.PipelineQueries.simhashSig)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("sig")
+        .select(col("sig"))
+    }.orderBy("sig")
+  }
+
   // D7b — the streaming pipeline LANDING IN THE TABLE FORMAT: the d07
   // dataflow (gate + bounded-state dedup over the twice-replayed
   // documents stream) writes its survivors through the NATIVE laketable
@@ -539,6 +571,7 @@ object StreamingQueries {
     "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
     "c21_stream_tws" -> c21_stream_tws _,
     "d07_stream_pipeline" -> d07_stream_pipeline _,
+    "d07_stream_fuzzy" -> d07_stream_fuzzy _,
     "d07_pipeline_lake" -> d07_pipeline_lake _,
   )
 
@@ -640,6 +673,42 @@ object StreamingQueries {
         |  AND mean_len >= 3.0 AND mean_len <= 12.0
         |  AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2
         |ORDER BY doc_id""".stripMargin,
+    // gate + the d03_simhash signature derivation + DISTINCT: the
+    // signature-keyed bounded-state dedup keeps exactly one survivor per
+    // gated signature, so the completed stream's signature SET is the
+    // batch one regardless of arrival order
+    "d07_stream_fuzzy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk),
+        |kept AS (
+        |  SELECT doc_id, text FROM g
+        |  WHERE n_tok >= 20 AND n_tok <= 5000
+        |    AND mean_len >= 3.0 AND mean_len <= 12.0
+        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
+        |tokh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |        FROM kept)),
+        |bits AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    SUM(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM tokh, (SELECT unnest(range(0, 60)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sigs AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT DISTINCT sig FROM sigs ORDER BY sig""".stripMargin,
     "d07_pipeline_lake" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t

@@ -117,6 +117,64 @@ class StreamingSpec extends SparkSpec {
     // cross-batch guarantee with controlled batch placement
   }
 
+  test("D7f: signature-keyed dedup drops a cross-batch near-dup, keeps distinct docs") {
+    // controlled batch placement: docB is a REORDERING of docA's tokens
+    // (same distinct-token set -> same SimHash signature) arriving one
+    // micro-batch later — only the signature-keyed state store can drop
+    // it, exact doc_id dedup would keep both. docC is genuinely distinct
+    // and must survive. All three pass the quality gate (>=20 tokens,
+    // mean length 3-12, max token frequency <= 0.2).
+    val words = (0 until 25).map(i => s"word${('a' + i % 26).toChar}$i")
+    val textA = words.mkString(" ")
+    val textB = words.reverse.mkString(" ") // same token SET, new order
+    val textC = (0 until 25).map(i => s"other${('z' - i % 26).toChar}$i").mkString(" ")
+    def doc(id: Long, ts: String, text: String) =
+      s"""{"doc_id":$id,"ts":"$ts","text":"$text"}"""
+    val in = tmp("fuzzy-replay"); val ckpt = tmp("fuzzy-ckpt")
+    new java.io.File(in).mkdirs()
+    Seq(
+      Seq(doc(1, "2024-01-01 10:00:00", textA)),
+      Seq(doc(2, "2024-01-01 10:01:00", textB),
+        doc(3, "2024-01-01 10:02:00", textC))).zipWithIndex.foreach {
+      case (rows, i) =>
+        val f = new java.io.File(in, f"b$i%03d.json")
+        java.nio.file.Files.write(f.toPath, rows.mkString("\n").getBytes)
+        f.setLastModified(1700000000000L + i * 60000)
+    }
+    val name = "m" + UUID.randomUUID().toString.replace("-", "")
+    val q = graft.queries.PipelineQueries.gateDf(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType
+            .fromDDL("doc_id BIGINT, ts TIMESTAMP, text STRING"))
+          .option("maxFilesPerTrigger", "1")
+          .json(in))
+      .withColumn("sig", graft.queries.PipelineQueries.simhashSig)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col("doc_id"), col("sig"))
+      .writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // one survivor per signature: docA won its group (first arrival, batch
+    // placement controlled), docB's signature collided and was dropped by
+    // state from the PREVIOUS batch, docC survived
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 3L),
+      s"expected docs 1 and 3 to survive, got ${out.toSeq}")
+    // and the signatures really did collide/differ as constructed
+    import spark.implicits._
+    val sigs = Seq((1L, textA), (2L, textB), (3L, textC))
+      .toDF("doc_id", "text")
+      .withColumn("sig", graft.queries.PipelineQueries.simhashSig)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sigs(1L) == sigs(2L), "reordered twin should share the signature")
+    assert(sigs(1L) != sigs(3L), "distinct doc should differ in signature")
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
