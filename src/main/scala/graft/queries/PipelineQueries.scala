@@ -1653,32 +1653,48 @@ object PipelineQueries {
   // gates that the distributed fit actually converged on the seen labels
   // (in-sample accuracy far above the majority baseline).
   // Engine-side ML (float iteration order) → rows-only.
-  def d04_lang_model(s: SparkSession, dir: String): DataFrame = {
+  def d04_lang_model(s: SparkSession, dir: String): DataFrame =
+    langModelFitScore(t(s, dir, "documents"), t(s, dir, "documents"))
+
+  /** The d04_lang_model machinery with the fit/score corpora split out:
+    * fit the hashing-TF bigram multinomial LR on `trainDocs`, score
+    * `scoreDocs` (both need doc_id, lang, text). d04_lang_model passes
+    * the same frame twice (the driver corpus's languages share one
+    * vocabulary by construction, so held-out accuracy is chance there —
+    * see the entry's doc); the generalization spec passes DISJOINT
+    * train/test synthetic corpora where out-of-sample accuracy is
+    * meaningful, closing the "untestable on this data" caveat with data
+    * the spec controls. The fitted model broadcasts inside the scoring
+    * transform — map-side, no shuffle over the scored corpus.
+    */
+  private[graft] def langModelFitScore(trainDocs: DataFrame,
+      scoreDocs: DataFrame): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
-    val d = t(s, dir, "documents")
+    def prep(d: DataFrame): DataFrame = d
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"), expr(
         """transform(sequence(0, greatest(size(toks) - 2, 0)),
           |  i -> concat(toks[i], '_', toks[i + 1]))""".stripMargin).as("words"))
+    val train = prep(trainDocs)
     // deterministic label ids: langs sorted (the label map is tiny and
     // ships as a literal CASE — no StringIndexer fit pass)
-    val langs = d.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val langs = train.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
     val toLabel = langs.zipWithIndex
       .foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
         when(col("lang") === l, lit(i.toDouble)).otherwise(acc)
       }
     val tf = new HashingTF().setInputCol("words").setOutputCol("features")
       .setNumFeatures(1 << 14)
-    val featured = tf.transform(d.withColumn("label", toLabel))
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.001).setFamily("multinomial")
-      .fit(featured)
+      .fit(tf.transform(train.withColumn("label", toLabel)))
     val fromLabel = langs.zipWithIndex
       .foldLeft(lit("unk")) { case (acc, (l, i)) =>
         when(col("prediction") === i.toDouble, lit(l)).otherwise(acc)
       }
-    model.transform(featured)
+    model.transform(tf.transform(prep(scoreDocs)))
       .select(col("doc_id"), col("lang"), fromLabel.as("pred_lang"))
       .orderBy("doc_id")
   }

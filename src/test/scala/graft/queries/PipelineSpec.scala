@@ -624,6 +624,38 @@ class PipelineSpec extends SparkSpec {
       s"in-sample accuracy ${correct / n} too low (baseline ${majority / n})")
   }
 
+  test("D4: trained lang classifier GENERALIZES to held-out docs on learnable data") {
+    // the driver corpus can't test generalization (its languages share
+    // one vocabulary by construction — held-out accuracy is chance for
+    // any learner), so this spec OWNS its corpus: three languages with
+    // mostly-disjoint vocabularies (40% shared noise tokens), 30-token
+    // docs drawn by seeded hashes. Train on doc_id < 400, score doc_id
+    // >= 400 — fully disjoint documents — and out-of-sample accuracy
+    // must clear the ~1/3 majority baseline by a wide margin.
+    val langNames = Seq("aa", "bb", "cc")
+    val corpus = spark.range(0, 600)
+      .select(col("id").as("doc_id"),
+        element_at(typedlit(langNames), pmod(col("id"), lit(3)).cast("int") + 1)
+          .as("lang"))
+      .withColumn("text", expr(
+        """concat_ws(' ', transform(sequence(0, 29), p ->
+          |  CASE WHEN pmod(xxhash64(doc_id * 97 + p), 5) < 2
+          |       THEN concat('shared', pmod(xxhash64(doc_id * 131 + p), 20))
+          |       ELSE concat(lang, 'word', pmod(xxhash64(doc_id * 173 + p), 30))
+          |  END))""".stripMargin))
+    val train = corpus.filter(col("doc_id") < 400)
+    val test = corpus.filter(col("doc_id") >= 400)
+    val out = PipelineQueries.langModelFitScore(train, test)
+    val n = out.count().toDouble
+    assert(n == 200)
+    val correct = out.filter(col("lang") === col("pred_lang")).count()
+    val majority = test.groupBy("lang").count().agg(max("count")).head.getLong(0)
+    assert(correct / n > 0.9,
+      s"out-of-sample accuracy ${correct / n} too low")
+    assert(correct / n > majority / n + 0.2,
+      s"accuracy ${correct / n} not clearly above baseline ${majority / n}")
+  }
+
   test("D1: keep-first dedup output size equals number of distinct hashes") {
     val nHashes = PipelineQueries.d01_dedup_exact(spark, dir).count()
     val nKept = PipelineQueries.d01_dedup_keepfirst(spark, dir).count()
