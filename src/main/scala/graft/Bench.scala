@@ -393,6 +393,57 @@ object Bench {
       secs
     }
 
+    /** SPARK_GRAFT_HEAVY_SCALE=m1[,m2,...]: price the two iterative heavy
+      * operators against corpus size (a dev measurement like
+      * SPARK_GRAFT_LAKE_SCAN_ROWS — the driver's default run leaves it
+      * unset so the round artifact stays comparable). For each multiplier
+      * m the sf corpus is replicated m× under shifted ids — document
+      * copies append one per-copy token (near-dup clusters grow m×, the
+      * operator's actual work shape), embedding copies are exact twins —
+      * written as a scratch sf-layout dir, and the UNCHANGED
+      * d01_dedup_cluster / d01_semdedup queries run against it. Reported:
+      * seconds per entry plus the CC fixpoint round count on stderr, so
+      * the O(log diameter) claim is a measured rounds-vs-size curve.
+      */
+    def runHeavyScale(mults: Seq[Int]): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+      val emb = graft.Tables.t(spark, sfDir, "embeddings")
+      val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+      mults.flatMap { m =>
+        val scratch = s"${System.getProperty("java.io.tmpdir")}/graft-heavy-x$m-${java.util.UUID.randomUUID()}"
+        val sd = (0 until m).map { i =>
+          val d = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+          if (i == 0) d
+          else d.withColumn("text", concat(col("text"), lit(s" cp$i")))
+        }.reduce(_ union _)
+        val se = (0 until m).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+          .reduce(_ union _)
+        sd.write.parquet(s"$scratch/documents.parquet")
+        se.write.parquet(s"$scratch/embeddings.parquet")
+        def onceAt(name: String): Double = {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, scratch)
+            .write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name x$m failed: ${e.getMessage}")
+            return -1.0
+          } finally spark.sqlContext.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cluster = { onceAt("d01_dedup_cluster")
+          math.min(onceAt("d01_dedup_cluster"), onceAt("d01_dedup_cluster")) }
+        System.err.println(s"[bench] heavy_scale x$m: cc_rounds=" +
+          s"${graft.queries.PipelineQueries.lastCcRounds}")
+        val sem = { onceAt("d01_semdedup")
+          math.min(onceAt("d01_semdedup"), onceAt("d01_semdedup")) }
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
+        Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem)
+      }
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -420,7 +471,9 @@ object Bench {
       (if (only("lake_join_spj")) runSpjJoinPair() else Nil) ++
       (if (only("stream_catchup"))
         Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
-    val heavy = heavyTail.filter(only).map(n => n -> run(n))
+    val heavy = heavyTail.filter(only).map(n => n -> run(n)) ++
+      sys.env.get("SPARK_GRAFT_HEAVY_SCALE").toSeq.flatMap(s =>
+        runHeavyScale(s.split(",").toSeq.map(_.trim.toInt)))
     val results = envelope ++ heavy
     // ms precision: cross-round deltas under ~0.3 s are run variance on
     // this harness, and compact values keep the WHOLE final JSON line

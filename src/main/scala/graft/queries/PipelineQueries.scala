@@ -561,9 +561,19 @@ object PipelineQueries {
   // join — the classic IVF trade (recall bounded by nprobe/K). No SQL
   // oracle (approximate); spec checks recall vs d02 brute force.
   def d02_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
-    val cents = trainIvfCentroids(e)
+    ivfSearch(s, e, trainIvfCentroids(e))
+  }
+
+  /** The IVF search machinery with the centroid source split out (shared
+    * by the trained d02_ann_ivf and the hash-oracled d02_ivf_exact twin):
+    * map-side cell assignment against centroid literals, nprobe-cell
+    * probe fan-out, broadcast equi-join on cell id, exact cosine refine
+    * to top-5.
+    */
+  private[graft] def ivfSearch(s: SparkSession, e: DataFrame,
+      cents: Array[(Long, Seq[Float])], nprobe: Int = 6): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     def cellScores(vec: org.apache.spark.sql.Column) = array(cents.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
@@ -572,13 +582,13 @@ object PipelineQueries {
     // argmax over the struct array: max by (s, then c) — pure expression
     val assigned = e.select(col("vec_id").as("oid"), col("embedding").as("oe"),
       array_max(cellScores(col("embedding"))).getField("c").as("cell"))
-    // probes fan out to their 6 best cells: recall is bounded by
+    // probes fan out to their nprobe best cells: recall is bounded by
     // nprobe/K, and 6/16 keeps the probe scan well under half the corpus
     // while clearing the top-5 neighbors' cell spread (4 measured 0.57
     // recall@5, 6 buys the next tier at +50% probe-side work)
     val probeCells = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 6)
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, nprobe)
           .getField("c")).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
     assigned.join(broadcast(probeCells), "cell")
@@ -588,6 +598,27 @@ object PipelineQueries {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  // D2c-exact — the FULL IVF machinery (literal-inline cell assignment,
+  // nprobe probe fan-out with the array_sort/reverse/slice tie-breaks,
+  // broadcast cell join, cosine refine) under the d02_ann_exact recipe:
+  // embeddings quantize to round(x·1e6) integers (float-exact; every
+  // dot/norm is an exact order-independent double sum), and the centroids
+  // are the UNTRAINED every-31st seeds (the Lloyd rounds' double means
+  // are the one order-sensitive stage, which is exactly why d02_ann_ivf
+  // is rows-only). Same ivfSearch code path — only the centroid source
+  // and input quantization differ — so the probe/assign/refine machinery
+  // itself is hash-verified the way d01_semdedup_exact covers SemDeDup.
+  def d02_ivf_exact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  CAST(round(CAST(x AS DOUBLE) * 1000000D) AS FLOAT))""".stripMargin)
+      .as("embedding"))
+    val cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    ivfSearch(s, e, cents)
   }
 
   // D2-scale (PQ) — product-quantization ANN: normalized 64-dim vectors
@@ -1590,11 +1621,18 @@ object PipelineQueries {
       comp = session.createDataFrame(labels.rdd, labels.schema)
       rounds += 1
     }
+    lastCcRounds = rounds
     val out = Scratch.persist(comp, "cc")
     pinned.foreach(_.unpersist())
     edges.unpersist()
     out
   }
+
+  /** Rounds the last [[connectedComponents]] fixpoint took — the heavy-
+    * scale bench records it so the O(log diameter) claim is a measured
+    * curve (rounds vs corpus size), not an asymptote.
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
 
   // D4e — n-gram language ID: rank each language's bigrams by lift
   // (freq-in-lang / freq-overall), keep the top 30 per language, predict
@@ -1816,6 +1854,7 @@ object PipelineQueries {
     "d02_ann_lsh" -> d02_ann_lsh _,
     "d02_ann_exact" -> d02_ann_exact _,
     "d02_ann_ivf" -> d02_ann_ivf _,
+    "d02_ivf_exact" -> d02_ivf_exact _,
     "d02_ann_pq" -> d02_ann_pq _,
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
@@ -2315,6 +2354,48 @@ object PipelineQueries {
         |  UNION ALL SELECT doc_id, lang, 2 FROM c WHERE copies >= 2
         |  UNION ALL SELECT doc_id, lang, 3 FROM c WHERE copies >= 3)
         |ORDER BY doc_id, copy""".stripMargin,
+    // d02_ivf_exact: full SQL replay of the IVF machinery on round(x·1e6)
+    // quantized embeddings with the untrained every-31st seed centroids.
+    // Integer components make every dot/norm an exact order-independent
+    // sum; cell argmax and probe fan-out tie-break (cos DESC, cid DESC)
+    // mirror Spark's struct array_max / reversed array_sort exactly.
+    "d02_ivf_exact" -> {
+      def cos(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b))))"
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM q
+        |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id AS oid, v AS ov, cell FROM (
+        |    SELECT q.vec_id, q.v, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${cos("q.v", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM (
+        |    SELECT q.vec_id, q.v, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${cos("q.v", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM q CROSS JOIN cents c WHERE q.vec_id < 20)
+        |  WHERE rn <= 6),
+        |cand AS (
+        |  SELECT p.qid, a.oid, ${cos("p.qv", "a.ov")} AS cos
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.oid <> p.qid),
+        |scored AS (
+        |  SELECT qid, oid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+        |  FROM cand)
+        |SELECT qid, rn, oid,
+        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
     // hyperplane-LSH reproduction (md5-portable twin): integer plane
     // weights, exact quantized-dot sign test, 8×4 banding, cosine refine
     "d02_ann_exact" ->
