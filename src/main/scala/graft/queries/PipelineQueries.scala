@@ -696,11 +696,36 @@ object PipelineQueries {
   }
 
   def d02_ann_pq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
     // codebook: 4 × 16 trained codewords ([[trainPqCodebooks]]) — a
     // bounded model constant shipped to executors as literals
-    val cents = trainPqCodebooks(e)
+    pqSearch(s, e, trainPqCodebooks(e))
+  }
+
+  // D2d-exact — the FULL PQ machinery (normalize, L2-argmin encode, LUT
+  // build, 4-add ADC scan, 200-candidate shortlist, exact cosine refine)
+  // hash-oracled WITHOUT quantizing anything: with UNTRAINED codebooks
+  // (iters=0 — the every-31st normalized sample slices, re-derivable in
+  // SQL) there is no distributed aggregation anywhere in the dataflow —
+  // every float reduction is a SEQUENTIAL array fold (Spark `aggregate`
+  // over array literals / the cosine_sim element loop), which DuckDB's
+  // list_reduce replays in the identical order, so every double is
+  // bit-identical across engines and every rank/tie-break agrees. The
+  // Lloyd rounds' partition-order double means are the ONE order-
+  // sensitive stage — exactly why d02_ann_pq stays rows-only while this
+  // twin hash-verifies the machinery (completing the twin set: LSH/
+  // MinHash/SimHash/CC/SemDeDup/IVF/PQ all exact-oracled somewhere).
+  def d02_pq_exact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    pqSearch(s, e, trainPqCodebooks(e, iters = 0))
+  }
+
+  /** The PQ search machinery with the codebook source split out (shared
+    * by the trained d02_ann_pq and the hash-oracled d02_pq_exact twin).
+    */
+  private[graft] def pqSearch(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Seq[Double]]]): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     val corpus = e.withColumn("nv", pqNv)
       .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
         (0 until 4).map(sb => pqCode(cents, sb).as(s"c$sb")): _*)
@@ -1856,6 +1881,7 @@ object PipelineQueries {
     "d02_ann_ivf" -> d02_ann_ivf _,
     "d02_ivf_exact" -> d02_ivf_exact _,
     "d02_ann_pq" -> d02_ann_pq _,
+    "d02_pq_exact" -> d02_pq_exact _,
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
@@ -2392,6 +2418,94 @@ object PipelineQueries {
         |  SELECT qid, oid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
         |  FROM cand)
+        |SELECT qid, rn, oid,
+        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    // d02_pq_exact: full SQL replay of the PQ machinery with the
+    // untrained seed codebooks. No quantization: every Spark-side float
+    // reduction here is a SEQUENTIAL array fold (aggregate / the
+    // cosine_sim loop), which list_reduce replays in identical order —
+    // bit-identical doubles, so encode argmax (tie: larger code id), ADC
+    // rank, and refine rank all agree. ADC sums via 4 explicit joins in
+    // the same left-assoc order as the Spark expression.
+    "d02_pq_exact" -> {
+      // sequential fold of element products over n-length slices/lists —
+      // the exact order Spark's aggregate(zip_with(...)) uses
+      def dot(a: String, b: String, n: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"[($a)[i+1] * ($b)[i+1] FOR i IN range($n)]), (acc, v) -> acc + v)"
+      def sumsq(l: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+      val cosRefine =
+        s"(${dot("e1.fv", "e2.fv", 64)} / " +
+          s"(sqrt(${dot("e1.fv", "e1.fv", 64)}) * sqrt(${dot("e2.fv", "e2.fv", 64)})))"
+      s"""WITH nvs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+        |      / sqrt(${sumsq("embedding")})) AS nv
+        |  FROM embeddings),
+        |samp AS (
+        |  SELECT nv, j FROM (
+        |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM nvs WHERE vec_id % 31 = 0)
+        |  WHERE j < 16),
+        |cbb AS (
+        |  SELECT sbs.sb, s.j,
+        |    list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16) AS cw,
+        |    ${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+              "list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16), " +
+              "x -> x * x)), (acc, v) -> acc + v)"} / 2 AS bias
+        |  FROM samp s, (SELECT unnest(range(0, 4)) AS sb) sbs),
+        |codes AS (
+        |  SELECT vec_id, sb, j AS code FROM (
+        |    SELECT n.vec_id, c.sb, c.j,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.sb ORDER BY
+        |        (${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                       "c.cw", 16)} - c.bias) DESC, c.j DESC) AS rn
+        |    FROM nvs n CROSS JOIN cbb c)
+        |  WHERE rn = 1),
+        |codesw AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sb = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN sb = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN sb = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN sb = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |lut AS (
+        |  SELECT n.vec_id AS qid, c.sb, c.j,
+        |    ${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                   "c.cw", 16)} AS lv
+        |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20),
+        |adc AS (
+        |  SELECT l0.qid, k.vec_id AS oid,
+        |    ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
+        |  FROM codesw k
+        |  JOIN lut l0 ON l0.sb = 0 AND l0.j = k.c0
+        |  JOIN lut l1 ON l1.qid = l0.qid AND l1.sb = 1 AND l1.j = k.c1
+        |  JOIN lut l2 ON l2.qid = l0.qid AND l2.sb = 2 AND l2.j = k.c2
+        |  JOIN lut l3 ON l3.qid = l0.qid AND l3.sb = 3 AND l3.j = k.c3
+        |  WHERE l0.qid <> k.vec_id),
+        |short AS (
+        |  SELECT qid, oid FROM (
+        |    SELECT qid, oid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, oid) AS arn
+        |    FROM adc)
+        |  WHERE arn <= 200),
+        |fin AS (
+        |  SELECT sh.qid, sh.oid, $cosRefine AS cos
+        |  FROM short sh
+        |  JOIN (SELECT vec_id, list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE)) AS fv FROM embeddings) e1
+        |    ON e1.vec_id = sh.qid
+        |  JOIN (SELECT vec_id, list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE)) AS fv FROM embeddings) e2
+        |    ON e2.vec_id = sh.oid),
+        |scored AS (
+        |  SELECT qid, oid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+        |  FROM fin)
         |SELECT qid, rn, oid,
         |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
         |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
