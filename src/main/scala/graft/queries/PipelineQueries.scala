@@ -764,10 +764,30 @@ object PipelineQueries {
   // (trainIvfCentroids / trainPqCodebooks). Approximate → rows-only;
   // recall spec vs brute force.
   def d02_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
-    val ivf = trainIvfCentroids(e)
-    val pq = trainPqCodebooks(e)
+    ivfPqSearch(s, e, trainIvfCentroids(e), trainPqCodebooks(e))
+  }
+
+  // D2e-exact — the COMPOSED IVF+PQ machinery hash-oracled: untrained
+  // seed models for both stages (the d02_ivf_exact / d02_pq_exact
+  // recipe composed) make the whole dataflow free of distributed
+  // aggregation, so the SQL replay's sequential folds agree
+  // bit-for-bit: cell assignment, nprobe=8 fan-out, PQ encode, 4-add
+  // ADC over the cell-bounded candidates, shortlist, cosine refine.
+  // Same ivfPqSearch code path as the trained production entry.
+  def d02_ivfpq_exact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    ivfPqSearch(s, e, trainIvfCentroids(e, iters = 0),
+      trainPqCodebooks(e, iters = 0))
+  }
+
+  /** The composed IVF+PQ search machinery with both model sources split
+    * out (shared by d02_ann_ivfpq and the d02_ivfpq_exact twin).
+    */
+  private[graft] def ivfPqSearch(s: SparkSession, e: DataFrame,
+      ivf: Array[(Long, Seq[Float])],
+      pq: Array[Array[Seq[Double]]]): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
@@ -1883,6 +1903,7 @@ object PipelineQueries {
     "d02_ann_pq" -> d02_ann_pq _,
     "d02_pq_exact" -> d02_pq_exact _,
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
+    "d02_ivfpq_exact" -> d02_ivfpq_exact _,
     "d03_jaccard_pairs" -> d03_jaccard_pairs _,
     "d03_minhash_lsh" -> d03_minhash_lsh _,
     "d03_minhash_exact" -> d03_minhash_exact _,
@@ -2502,6 +2523,108 @@ object PipelineQueries {
         |  JOIN (SELECT vec_id, list_transform(embedding,
         |          x -> CAST(x AS DOUBLE)) AS fv FROM embeddings) e2
         |    ON e2.vec_id = sh.oid),
+        |scored AS (
+        |  SELECT qid, oid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+        |  FROM fin)
+        |SELECT qid, rn, oid,
+        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    // d02_ivfpq_exact: the composed replay — IVF cell assignment +
+    // nprobe=8 fan-out on raw (cast-to-double) embeddings with untrained
+    // seeds, PQ encode/LUT/ADC from the d02_pq_exact codebook CTEs,
+    // cell-bounded candidates, 200-shortlist, cosine refine. All
+    // reductions sequential folds — bit-identical in both engines.
+    "d02_ivfpq_exact" -> {
+      def dot(a: String, b: String, n: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"[($a)[i+1] * ($b)[i+1] FOR i IN range($n)]), (acc, v) -> acc + v)"
+      def sumsq(l: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+      def cos64(a: String, b: String): String =
+        s"(${dot(a, b, 64)} / (sqrt(${dot(a, a, 64)}) * sqrt(${dot(b, b, 64)})))"
+      s"""WITH fvs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+        |  FROM embeddings),
+        |nvs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+        |      / sqrt(${sumsq("embedding")})) AS nv
+        |  FROM embeddings),
+        |ivfc AS (
+        |  SELECT vec_id AS cid, fv AS cv FROM fvs
+        |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+        |samp AS (
+        |  SELECT nv, j FROM (
+        |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM nvs WHERE vec_id % 31 = 0)
+        |  WHERE j < 16),
+        |cbb AS (
+        |  SELECT sbs.sb, s.j,
+        |    list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16) AS cw,
+        |    ${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+              "list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16), " +
+              "x -> x * x)), (acc, v) -> acc + v)"} / 2 AS bias
+        |  FROM samp s, (SELECT unnest(range(0, 4)) AS sb) sbs),
+        |assign AS (
+        |  SELECT vec_id AS oid, cell FROM (
+        |    SELECT f.vec_id, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+        |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM fvs f CROSS JOIN ivfc c)
+        |  WHERE rn = 1),
+        |codes AS (
+        |  SELECT vec_id, sb, j AS code FROM (
+        |    SELECT n.vec_id, c.sb, c.j,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.sb ORDER BY
+        |        (${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                       "c.cw", 16)} - c.bias) DESC, c.j DESC) AS rn
+        |    FROM nvs n CROSS JOIN cbb c)
+        |  WHERE rn = 1),
+        |codesw AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sb = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN sb = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN sb = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN sb = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT f.vec_id, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+        |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
+        |  WHERE rn <= 8),
+        |lut AS (
+        |  SELECT n.vec_id AS qid, c.sb, c.j,
+        |    ${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                   "c.cw", 16)} AS lv
+        |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20),
+        |cand AS (
+        |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.oid <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
+        |  FROM cand c
+        |  JOIN codesw k ON k.vec_id = c.oid
+        |  JOIN lut l0 ON l0.qid = c.qid AND l0.sb = 0 AND l0.j = k.c0
+        |  JOIN lut l1 ON l1.qid = c.qid AND l1.sb = 1 AND l1.j = k.c1
+        |  JOIN lut l2 ON l2.qid = c.qid AND l2.sb = 2 AND l2.j = k.c2
+        |  JOIN lut l3 ON l3.qid = c.qid AND l3.sb = 3 AND l3.j = k.c3),
+        |short AS (
+        |  SELECT qid, oid FROM (
+        |    SELECT qid, oid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, oid) AS arn
+        |    FROM adc)
+        |  WHERE arn <= 200),
+        |fin AS (
+        |  SELECT sh.qid, sh.oid, ${cos64("e1.fv", "e2.fv")} AS cos
+        |  FROM short sh
+        |  JOIN fvs e1 ON e1.vec_id = sh.qid
+        |  JOIN fvs e2 ON e2.vec_id = sh.oid),
         |scored AS (
         |  SELECT qid, oid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
