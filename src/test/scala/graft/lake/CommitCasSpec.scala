@@ -1,9 +1,7 @@
 package graft.lake
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import graft.SparkSpec
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 
 /** Commit portability (SURVEY §7.5 #1): the optimistic commit protocol is
   * only as atomic as its create-if-absent primitive, and object stores
@@ -21,30 +19,8 @@ class CommitCasSpec extends SparkSpec {
   private val Width = 300000000L
   private def bucket(i: Int): Long = (5666666L + i) * Width
 
-  /** Conditional-put CAS backed by a JVM-global putIfAbsent token map —
-    * the shape of S3 `If-None-Match: *` / GCS `ifGenerationMatch=0` (a
-    * real implementation issues ONE conditional PUT through the store
-    * SDK; the token map stands in for the store's atomicity).
-    */
-  private object CondPut extends CommitCas {
-    val attempts = new AtomicInteger
-    val published: java.util.Set[String] =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    override def publish(fs: FileSystem, dest: Path, content: String): Unit = {
-      attempts.incrementAndGet()
-      if (!published.add(dest.toUri.getPath))
-        throw new java.io.IOException(s"conditional put failed: $dest exists")
-      // a real store's PUT is all-or-nothing to readers; emulate that
-      // read-after-put atomicity with an atomic move on the backing disk
-      // (the CAS atomicity itself came from the token map above)
-      val nio = java.nio.file.Paths.get(dest.toUri.getPath)
-      java.nio.file.Files.createDirectories(nio.getParent)
-      val tmp = nio.resolveSibling(s".condput-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, nio,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-  }
+  // shared conditional-put emulation — see [[ConditionalPutCas]]
+  private val CondPut = ConditionalPutCas
 
   private def mockLoc(prefix: String): String =
     "mocks3:" + tmpDir(prefix)

@@ -101,8 +101,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
   }
 
-  private def runSchedule(schedule: List[Op]): Unit = {
-    val loc = tmpBase
+  private def runSchedule(schedule: List[Op], locPrefix: String = ""): Unit = {
+    val loc = locPrefix + tmpBase
       .map(b => java.nio.file.Files.createTempDirectory(b, "lake-fuzz"))
       .getOrElse(java.nio.file.Files.createTempDirectory("lake-fuzz"))
       .toString
@@ -455,6 +455,29 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     val swaps = ConcurrencyPropertySpec.mixedVintageSwaps.get()
     info(s"mixed-vintage dyn-overwrite swaps exercised: $swaps")
     assert(swaps > 0, "no schedule swapped old-vintage buckets")
+  }
+
+  test("200 random schedules over an OBJECT-STORE CAS (conditional put on " +
+      "the overwriting-rename mock store): same model agreement") {
+    // the full op alphabet — appends, deletes, upserts, rewrites, expiry,
+    // rollback, evolution, WAP — through the commit protocol on a store
+    // whose rename CANNOT be the CAS (MockObjectStoreFileSystem
+    // overwrites), with the registered conditional-put providing the
+    // atomicity. Every invariant of the local-FS fuzz must hold
+    // unchanged: the protocol's correctness may not depend on which CAS
+    // primitive the scheme resolved to. Also exercises the stale-hint
+    // recovery path (the advisory version hint's second write loses the
+    // token-map CAS and reads fall back to listing, by design).
+    CommitCas.register("mocks3", ConditionalPutCas)
+    try {
+      val prop = forAll(genSchedule) { schedule =>
+        runSchedule(schedule, locPrefix = "mocks3:"); true
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+      assert(res.passed, res.status.toString)
+      assert(ConditionalPutCas.attempts.get() > 0, "conditional put unused?")
+    } finally CommitCas.unregister("mocks3")
   }
 }
 

@@ -1,0 +1,31 @@
+package graft.lake
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared test CAS emulating an object store's conditional put (S3
+  * `If-None-Match: *` / GCS `ifGenerationMatch=0`): a JVM-global
+  * putIfAbsent token map provides the create-if-absent atomicity a flat
+  * store's SDK would, and an atomic move on the backing local disk
+  * emulates the store's all-or-nothing PUT visibility to readers. Used
+  * by [[CommitCasSpec]] (explicit races) and the object-store variant of
+  * the commit-protocol fuzz in `ConcurrencyPropertySpec`.
+  */
+object ConditionalPutCas extends CommitCas {
+  val attempts = new AtomicInteger
+  val published: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def publish(fs: FileSystem, dest: Path, content: String): Unit = {
+    attempts.incrementAndGet()
+    if (!published.add(dest.toUri.getPath))
+      throw new java.io.IOException(s"conditional put failed: $dest exists")
+    val nio = java.nio.file.Paths.get(dest.toUri.getPath)
+    java.nio.file.Files.createDirectories(nio.getParent)
+    val tmp = nio.resolveSibling(s".condput-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, nio,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
