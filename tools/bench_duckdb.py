@@ -47,7 +47,9 @@ def main():
             out[name] = round(min(times), 3)
         except Exception:
             out[name] = None
-    print(json.dumps(out))
+    # compact separators: the blob embeds into Bench's single output line,
+    # which must stay inside the driver's 2000-char tail capture
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
