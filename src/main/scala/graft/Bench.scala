@@ -439,8 +439,11 @@ object Bench {
           s"${graft.queries.PipelineQueries.lastCcRounds}")
         val sem = { onceAt("d01_semdedup")
           math.min(onceAt("d01_semdedup"), onceAt("d01_semdedup")) }
+        val mh = { onceAt("d03_minhash_lsh")
+          math.min(onceAt("d03_minhash_lsh"), onceAt("d03_minhash_lsh")) }
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
-        Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem)
+        Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
+          s"d03_minhash_lsh_x$m" -> mh)
       }
     }
 

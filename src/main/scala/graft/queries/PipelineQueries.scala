@@ -1221,6 +1221,51 @@ object PipelineQueries {
     redactPackStages(s, dir, deduped)
   }
 
+  // D6c — the pipeline's EXPORT stage (the "last mile" every training run
+  // needs): the full cleaned corpus — gate → exact dedup → PII redaction →
+  // two-phase pack WITHOUT a budget cut — is split into deterministic
+  // TOKEN-BOUNDED SHARDS (shard = start-offset DIV 500 within the
+  // language's pack order: every doc STARTS inside its shard's token
+  // window, so shard sizes are bounded by S + one doc and the assignment
+  // is a pure expression over the prefix sums — no extra shuffle beyond
+  // the pack's own), then LANDED in the table format partitioned
+  // one-bucket-per-shard (truncate width 1 on the shard id: the DSv2
+  // write's clustered distribution rolls one self-contained data file
+  // per shard — what a trainer's data loader consumes), and read back
+  // through the DSv2 scan. Hash-oracled end to end: the shard math
+  // replays in SQL and the lake round-trip must return the content
+  // byte-identically.
+  def d06_pipeline_shards(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val wDup = Window.partitionBy("h").orderBy("doc_id")
+    val deduped = gateStage(s, dir)
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1).drop("h", "rn")
+    val packed = redactPackStages(s, dir, deduped, budget = Long.MaxValue)
+    val sharded = packed
+      .withColumn("shard", expr(s"(cum_tok - n_tok) DIV $ShardTokens"))
+      .select("lang", "doc_id", "n_tok", "cum_tok", "shard", "redacted_sha")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-d06c-${java.util.UUID.randomUUID()}"
+    LakeTable.create(loc,
+      "lang STRING,doc_id BIGINT,n_tok BIGINT,cum_tok BIGINT," +
+        "shard BIGINT,redacted_sha STRING",
+      TruncateSpec("shard", 1L))
+    sharded.write.format("laketable").mode("append").save(loc)
+    val back = s.read.format("laketable").load(loc)
+      .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "redacted_sha")
+      .orderBy("lang", "shard", "cum_tok", "doc_id")
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(back.collect(): _*), back.schema)
+    LakeTable.drop(loc)
+    out
+  }
+
+  /** Shard token budget for [[d06_pipeline_shards]] — shared with its
+    * DuckDB oracle (interpolated) and the spec's invariants.
+    */
+  private[graft] val ShardTokens = 500L
+
   /** Stage 1 of the D6 pipelines — quality gate (same rules + rounding as
     * d04_gopher_rules), map-side, fused by Catalyst into the scan stage.
     */
@@ -1931,6 +1976,7 @@ object PipelineQueries {
     "d04_dsir" -> d04_dsir _,
     "d06_pipeline_e2e" -> d06_pipeline_e2e _,
     "d06_pipeline_fuzzy" -> d06_pipeline_fuzzy _,
+    "d06_pipeline_shards" -> d06_pipeline_shards _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2037,6 +2083,51 @@ object PipelineQueries {
         |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
         |FROM packed WHERE cum_tok <= 3000
         |ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    // shard export: the e2e pipeline without the budget cut, shard =
+    // start-offset integer-divided by the shared ShardTokens constant;
+    // the lake round-trip must hand the content back unchanged
+    "d06_pipeline_shards" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+        |  FROM tk),
+        |kept AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
+        |  WHERE n_tok >= 20 AND n_tok <= 5000
+        |    AND mean_len >= 3.0 AND mean_len <= 12.0
+        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
+        |deduped AS (
+        |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
+        |    SELECT *, ROW_NUMBER() OVER
+        |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |red AS (
+        |  SELECT doc_id, lang, n_chars, n_tok,
+        |    sha256(regexp_replace(regexp_replace(regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |      '\\b555-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_sha
+        |  FROM deduped),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok, redacted_sha,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM red)
+        |SELECT lang, (cum_tok - n_tok) // $ShardTokens AS shard, doc_id,
+        |  n_tok, cum_tok, redacted_sha
+        |FROM packed
+        |ORDER BY lang, shard, cum_tok, doc_id""".stripMargin,
     "d05_multimodal" ->
       """SELECT doc_id AS media_id, 'txt' AS fmt,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,

@@ -656,6 +656,29 @@ class PipelineSpec extends SparkSpec {
       s"accuracy ${correct / n} not clearly above baseline ${majority / n}")
   }
 
+  test("D6: shard export — docs start inside their shard window, shards contiguous and bounded") {
+    val out = PipelineQueries.d06_pipeline_shards(spark, dir).collect()
+    assert(out.nonEmpty)
+    val S = PipelineQueries.ShardTokens
+    // columns: lang, shard, doc_id, n_tok, cum_tok, redacted_sha
+    out.foreach { r =>
+      val start = r.getLong(4) - r.getLong(3)
+      assert(start / S == r.getLong(1),
+        s"doc ${r.getLong(2)} start offset $start outside shard ${r.getLong(1)}")
+    }
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val shards = rows.map(_.getLong(1)).distinct.sorted.toSeq
+      assert(shards == (0L to shards.last).toSeq,
+        s"$lang shard ids not contiguous from 0: $shards")
+    }
+    // start-offset sharding bounds every shard at S + one doc's tokens
+    out.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rows) =>
+      val tot = rows.map(_.getLong(3)).sum
+      assert(tot <= S + rows.map(_.getLong(3)).max,
+        s"shard $k holds $tot tokens (budget $S)")
+    }
+  }
+
   test("D1: keep-first dedup output size equals number of distinct hashes") {
     val nHashes = PipelineQueries.d01_dedup_exact(spark, dir).count()
     val nKept = PipelineQueries.d01_dedup_keepfirst(spark, dir).count()
