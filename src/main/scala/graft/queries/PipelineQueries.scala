@@ -1255,6 +1255,10 @@ object PipelineQueries {
     val back = s.read.format("laketable").load(loc)
       .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "redacted_sha")
       .orderBy("lang", "shard", "cum_tok", "doc_id")
+    // localize is the VERIFICATION harness (the scratch table must drop
+    // before returning), not the operator: in production the export ENDS
+    // at the committed shard table — consumers read the buckets in place,
+    // nothing corpus-sized ever reaches the driver
     val out = s.createDataFrame(
       java.util.Arrays.asList(back.collect(): _*), back.schema)
     LakeTable.drop(loc)
