@@ -1237,15 +1237,7 @@ object PipelineQueries {
   // byte-identically.
   def d06_pipeline_shards(s: SparkSession, dir: String): DataFrame = {
     import graft.lake._
-    val wDup = Window.partitionBy("h").orderBy("doc_id")
-    val deduped = gateStage(s, dir)
-      .withColumn("h", sha2(col("text").cast("binary"), 256))
-      .withColumn("rn", row_number().over(wDup))
-      .filter(col("rn") === 1).drop("h", "rn")
-    val packed = redactPackStages(s, dir, deduped, budget = Long.MaxValue)
-    val sharded = packed
-      .withColumn("shard", expr(s"(cum_tok - n_tok) DIV $ShardTokens"))
-      .select("lang", "doc_id", "n_tok", "cum_tok", "shard", "redacted_sha")
+    val sharded = shardedCorpus(s, dir)
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft-d06c-${java.util.UUID.randomUUID()}"
     LakeTable.create(loc,
       "lang STRING,doc_id BIGINT,n_tok BIGINT,cum_tok BIGINT," +
@@ -1269,6 +1261,24 @@ object PipelineQueries {
     * DuckDB oracle (interpolated) and the spec's invariants.
     */
   private[graft] val ShardTokens = 500L
+
+  /** The shard-export dataflow up to (not including) the lake write —
+    * split out so PlanSpec can assert the shard assignment is a pure
+    * projection over the pack's prefix sums (no window or exchange of
+    * its own; the only exchanges in the whole export are the dedup
+    * hash, the pack's range partitioning, and the write's
+    * one-file-per-bucket clustering).
+    */
+  private[graft] def shardedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val wDup = Window.partitionBy("h").orderBy("doc_id")
+    val deduped = gateStage(s, dir)
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1).drop("h", "rn")
+    redactPackStages(s, dir, deduped, budget = Long.MaxValue)
+      .withColumn("shard", expr(s"(cum_tok - n_tok) DIV $ShardTokens"))
+      .select("lang", "doc_id", "n_tok", "cum_tok", "shard", "redacted_sha")
+  }
 
   /** Stage 1 of the D6 pipelines — quality gate (same rules + rounding as
     * d04_gopher_rules), map-side, fused by Catalyst into the scan stage.

@@ -226,6 +226,24 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one bare-lang window (the bounded final):\n$p")
   }
 
+  test("D6c: shard assignment adds no window or exchange beyond the pack's") {
+    val p = plan(PipelineQueries.shardedCorpus(spark, dir))
+    // the shard id must be a pure projection over the pack's prefix sums:
+    // same window-spec budget as d04_budget_pack (the slice-keyed
+    // running sum + at most one bare-lang offsets window) and NO
+    // shard-keyed window or repartition in the pre-write plan
+    val specs = "windowspecdefinition\\(lang[^,)]*(, slice[^,)]*)?,"
+      .r.findAllIn(p).toList
+    assert(specs.exists(_.contains("slice")),
+      s"no (lang, slice) window spec found:\n$p")
+    assert(specs.count(!_.contains("slice")) <= 1,
+      s"corpus-sized bare-lang window present:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition(shard"),
+      s"shard-keyed window crept into the export plan:\n$p")
+    assert(!"hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"shard-keyed exchange before the write:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
