@@ -1993,25 +1993,36 @@ object PipelineQueries {
     "d06_pipeline_shards" -> d06_pipeline_shards _,
   )
 
+  /** The quality-gate CTE block (`tk`/`g`/`kept`) shared VERBATIM by all
+    * six pipeline oracles (d06 e2e/fuzzy/shards here; the three d07
+    * streaming variants in StreamingQueries) — one definition so the
+    * gate rules cannot drift between oracles (the DecodeStubFrames
+    * lesson applied to the pipeline's largest shared SQL). `kept`
+    * carries (doc_id, lang, n_chars, text, n_tok); consumers that need
+    * fewer columns just select fewer.
+    */
+  private[graft] val GateCteSql: String =
+    """tk AS (
+      |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |g AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    CAST(len(t) AS BIGINT) AS n_tok,
+      |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+      |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
+      |    CAST(list_max(list_transform(list_distinct(t),
+      |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
+      |  FROM tk),
+      |kept AS (
+      |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
+      |  WHERE n_tok >= 20 AND n_tok <= 5000
+      |    AND mean_len >= 3.0 AND mean_len <= 12.0
+      |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d06_pipeline_e2e" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, lang, n_chars, text,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk),
-        |kept AS (
-        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
-        |  WHERE n_tok >= 20 AND n_tok <= 5000
-        |    AND mean_len >= 3.0 AND mean_len <= 12.0
-        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
-        |deduped AS (
+      (s"WITH $GateCteSql,\n" +
+      """deduped AS (
         |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
         |    SELECT *, ROW_NUMBER() OVER
         |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
@@ -2034,28 +2045,13 @@ object PipelineQueries {
         |  FROM red)
         |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
         |FROM packed WHERE cum_tok <= 3000
-        |ORDER BY lang, cum_tok, doc_id""".stripMargin,
+        |ORDER BY lang, cum_tok, doc_id""".stripMargin),
     // same pipeline, stage 2 = connected components over the exact-Jaccard
     // graph of the GATED doc_id<100 subset (recursive-CTE closure), drop
     // non-keeper members
     "d06_pipeline_fuzzy" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, lang, n_chars, text,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk),
-        |kept AS (
-        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
-        |  WHERE n_tok >= 20 AND n_tok <= 5000
-        |    AND mean_len >= 3.0 AND mean_len <= 12.0
-        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
-        |cd AS (
+      (s"WITH RECURSIVE $GateCteSql,\n" +
+      """cd AS (
         |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tkn
         |  FROM kept WHERE doc_id < 100),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM cd GROUP BY doc_id),
@@ -2096,28 +2092,13 @@ object PipelineQueries {
         |  FROM red)
         |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
         |FROM packed WHERE cum_tok <= 3000
-        |ORDER BY lang, cum_tok, doc_id""".stripMargin,
+        |ORDER BY lang, cum_tok, doc_id""".stripMargin),
     // shard export: the e2e pipeline without the budget cut, shard =
     // start-offset integer-divided by the shared ShardTokens constant;
     // the lake round-trip must hand the content back unchanged
     "d06_pipeline_shards" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, lang, n_chars, text,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk),
-        |kept AS (
-        |  SELECT doc_id, lang, n_chars, text, n_tok FROM g
-        |  WHERE n_tok >= 20 AND n_tok <= 5000
-        |    AND mean_len >= 3.0 AND mean_len <= 12.0
-        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
-        |deduped AS (
+      (s"WITH $GateCteSql,\n" +
+      s"""deduped AS (
         |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
         |    SELECT *, ROW_NUMBER() OVER
         |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
@@ -2141,7 +2122,7 @@ object PipelineQueries {
         |SELECT lang, (cum_tok - n_tok) // $ShardTokens AS shard, doc_id,
         |  n_tok, cum_tok, redacted_sha
         |FROM packed
-        |ORDER BY lang, shard, cum_tok, doc_id""".stripMargin,
+        |ORDER BY lang, shard, cum_tok, doc_id""".stripMargin),
     "d05_multimodal" ->
       """SELECT doc_id AS media_id, 'txt' AS fmt,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,

@@ -654,47 +654,19 @@ object StreamingQueries {
         |  CASE WHEN o_orderkey >= 500 THEN 'U'
         |       ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
-    // gate (the d06 stage-1 SQL, hash-green there) + DISTINCT: the
-    // completed dedup stream keeps exactly one copy of each gated doc
+    // gate (the shared GateCteSql block, hash-green in the d06 oracles)
+    // + DISTINCT: the completed dedup stream keeps exactly one copy of
+    // each gated doc
     "d07_stream_pipeline" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk)
-        |SELECT doc_id, lang, n_tok FROM g
-        |WHERE n_tok >= 20 AND n_tok <= 5000
-        |  AND mean_len >= 3.0 AND mean_len <= 12.0
-        |  AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${graft.queries.PipelineQueries.GateCteSql}\n" +
+        "SELECT doc_id, lang, n_tok FROM kept ORDER BY doc_id"),
     // gate + the d03_simhash signature derivation + DISTINCT: the
     // signature-keyed bounded-state dedup keeps exactly one survivor per
     // gated signature, so the completed stream's signature SET is the
     // batch one regardless of arrival order
     "d07_stream_fuzzy" ->
-      """WITH tk AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk),
-        |kept AS (
-        |  SELECT doc_id, text FROM g
-        |  WHERE n_tok >= 20 AND n_tok <= 5000
-        |    AND mean_len >= 3.0 AND mean_len <= 12.0
-        |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2),
-        |tokh AS (
+      (s"WITH ${graft.queries.PipelineQueries.GateCteSql},\n" +
+      """tokh AS (
         |  SELECT doc_id,
         |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -708,23 +680,9 @@ object StreamingQueries {
         |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
         |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
         |  FROM bits GROUP BY doc_id)
-        |SELECT DISTINCT sig FROM sigs ORDER BY sig""".stripMargin,
+        |SELECT DISTINCT sig FROM sigs ORDER BY sig""".stripMargin),
     "d07_pipeline_lake" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(t) AS BIGINT) AS n_tok,
-        |    CAST(CAST(round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
-        |      / CAST(len(t) AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS mean_len,
-        |    CAST(list_max(list_transform(list_distinct(t),
-        |      u -> len(list_filter(t, x -> x = u)))) AS BIGINT) AS max_freq
-        |  FROM tk)
-        |SELECT doc_id, lang, n_tok FROM g
-        |WHERE n_tok >= 20 AND n_tok <= 5000
-        |  AND mean_len >= 3.0 AND mean_len <= 12.0
-        |  AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${graft.queries.PipelineQueries.GateCteSql}\n" +
+        "SELECT doc_id, lang, n_tok FROM kept ORDER BY doc_id"),
   )
 }
