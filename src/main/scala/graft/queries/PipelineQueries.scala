@@ -2019,31 +2019,41 @@ object PipelineQueries {
       |    AND mean_len >= 3.0 AND mean_len <= 12.0
       |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2)""".stripMargin
 
+  /** The exact-dedup CTE (stage 2 of the e2e/shards pipelines). */
+  private val DedupCteSql: String =
+    """deduped AS (
+      |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
+      |    SELECT *, ROW_NUMBER() OVER
+      |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM kept) WHERE rn = 1)""".stripMargin
+
+  /** The PII-redact + pack CTE block (stages 3-4), shared by the d06
+    * e2e/fuzzy/shards oracles — consumes `deduped`, defines `packed`
+    * with the per-lang running token sum. Raw string: the regex
+    * backslashes must reach DuckDB verbatim.
+    */
+  private val RedactPackCteSql: String =
+    """red AS (
+      |  SELECT doc_id, lang, n_chars, n_tok,
+      |    sha256(regexp_replace(regexp_replace(regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
+      |  FROM deduped),
+      |packed AS (
+      |  SELECT lang, doc_id, n_tok, redacted_sha,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+      |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM red)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d06_pipeline_e2e" ->
-      (s"WITH $GateCteSql,\n" +
-      """deduped AS (
-        |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
-        |    SELECT *, ROW_NUMBER() OVER
-        |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        |    FROM kept) WHERE rn = 1),
-        |red AS (
-        |  SELECT doc_id, lang, n_chars, n_tok,
-        |    sha256(regexp_replace(regexp_replace(regexp_replace(
-        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
-        |  FROM deduped),
-        |packed AS (
-        |  SELECT lang, doc_id, n_tok, redacted_sha,
-        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
-        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-        |  FROM red)
-        |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
+      (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +
+      """SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
         |FROM packed WHERE cum_tok <= 3000
         |ORDER BY lang, cum_tok, doc_id""".stripMargin),
     // same pipeline, stage 2 = connected components over the exact-Jaccard
@@ -2073,53 +2083,17 @@ object PipelineQueries {
         |dups AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
         |deduped AS (
         |  SELECT doc_id, lang, n_chars, text, n_tok FROM kept
-        |  WHERE doc_id NOT IN (SELECT id FROM dups)),
-        |red AS (
-        |  SELECT doc_id, lang, n_chars, n_tok,
-        |    sha256(regexp_replace(regexp_replace(regexp_replace(
-        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
-        |  FROM deduped),
-        |packed AS (
-        |  SELECT lang, doc_id, n_tok, redacted_sha,
-        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
-        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-        |  FROM red)
-        |SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
+        |  WHERE doc_id NOT IN (SELECT id FROM dups)),""".stripMargin +
+      s"\n$RedactPackCteSql\n" +
+      """SELECT lang, doc_id, n_tok, cum_tok, redacted_sha
         |FROM packed WHERE cum_tok <= 3000
         |ORDER BY lang, cum_tok, doc_id""".stripMargin),
     // shard export: the e2e pipeline without the budget cut, shard =
     // start-offset integer-divided by the shared ShardTokens constant;
     // the lake round-trip must hand the content back unchanged
     "d06_pipeline_shards" ->
-      (s"WITH $GateCteSql,\n" +
-      s"""deduped AS (
-        |  SELECT doc_id, lang, n_chars, text, n_tok FROM (
-        |    SELECT *, ROW_NUMBER() OVER
-        |      (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        |    FROM kept) WHERE rn = 1),
-        |red AS (
-        |  SELECT doc_id, lang, n_chars, n_tok,
-        |    sha256(regexp_replace(regexp_replace(regexp_replace(
-        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |        || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-        |        || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-        |      '\\b555-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_sha
-        |  FROM deduped),
-        |packed AS (
-        |  SELECT lang, doc_id, n_tok, redacted_sha,
-        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
-        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tok DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-        |  FROM red)
-        |SELECT lang, (cum_tok - n_tok) // $ShardTokens AS shard, doc_id,
+      (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +
+      s"""SELECT lang, (cum_tok - n_tok) // $ShardTokens AS shard, doc_id,
         |  n_tok, cum_tok, redacted_sha
         |FROM packed
         |ORDER BY lang, shard, cum_tok, doc_id""".stripMargin),
