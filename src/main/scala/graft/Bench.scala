@@ -433,14 +433,16 @@ object Bench {
           } finally spark.sqlContext.clearCache()
           (System.nanoTime() - t0) / 1e9
         }
-        val cluster = { onceAt("d01_dedup_cluster")
-          math.min(onceAt("d01_dedup_cluster"), onceAt("d01_dedup_cluster")) }
+        // the standard warmup+best-of-2 protocol, one definition for all
+        // three entries so a later edit can't silently drop a warmup
+        def best2At(name: String): Double = {
+          onceAt(name); math.min(onceAt(name), onceAt(name))
+        }
+        val cluster = best2At("d01_dedup_cluster")
         System.err.println(s"[bench] heavy_scale x$m: cc_rounds=" +
           s"${graft.queries.PipelineQueries.lastCcRounds}")
-        val sem = { onceAt("d01_semdedup")
-          math.min(onceAt("d01_semdedup"), onceAt("d01_semdedup")) }
-        val mh = { onceAt("d03_minhash_lsh")
-          math.min(onceAt("d03_minhash_lsh"), onceAt("d03_minhash_lsh")) }
+        val sem = best2At("d01_semdedup")
+        val mh = best2At("d03_minhash_lsh")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh)
@@ -474,9 +476,12 @@ object Bench {
       (if (only("lake_join_spj")) runSpjJoinPair() else Nil) ++
       (if (only("stream_catchup"))
         Seq("stream_catchup_backlog" -> best2(() => runStreamCatchup())) else Nil)
+    // malformed multipliers are dropped, not fatal: the env knob is a dev
+    // aid and must never abort a run after the envelope benches were paid
     val heavy = heavyTail.filter(only).map(n => n -> run(n)) ++
       sys.env.get("SPARK_GRAFT_HEAVY_SCALE").toSeq.flatMap(s =>
-        runHeavyScale(s.split(",").toSeq.map(_.trim.toInt)))
+        runHeavyScale(s.split(",").toSeq
+          .flatMap(_.trim.toIntOption).filter(_ >= 1)))
     val results = envelope ++ heavy
     // ms precision: cross-round deltas under ~0.3 s are run variance on
     // this harness, and compact values keep the WHOLE final JSON line

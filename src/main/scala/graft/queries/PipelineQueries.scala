@@ -1243,18 +1243,17 @@ object PipelineQueries {
       "lang STRING,doc_id BIGINT,n_tok BIGINT,cum_tok BIGINT," +
         "shard BIGINT,redacted_sha STRING",
       TruncateSpec("shard", 1L))
-    sharded.write.format("laketable").mode("append").save(loc)
-    val back = s.read.format("laketable").load(loc)
-      .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "redacted_sha")
-      .orderBy("lang", "shard", "cum_tok", "doc_id")
-    // localize is the VERIFICATION harness (the scratch table must drop
-    // before returning), not the operator: in production the export ENDS
-    // at the committed shard table — consumers read the buckets in place,
-    // nothing corpus-sized ever reaches the driver
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(back.collect(): _*), back.schema)
-    LakeTable.drop(loc)
-    out
+    try {
+      sharded.write.format("laketable").mode("append").save(loc)
+      val back = s.read.format("laketable").load(loc)
+        .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "redacted_sha")
+        .orderBy("lang", "shard", "cum_tok", "doc_id")
+      // localize is the VERIFICATION harness (the scratch table must drop
+      // before returning), not the operator: in production the export ENDS
+      // at the committed shard table — consumers read the buckets in
+      // place, nothing corpus-sized ever reaches the driver
+      s.createDataFrame(java.util.Arrays.asList(back.collect(): _*), back.schema)
+    } finally LakeTable.drop(loc)
   }
 
   /** Shard token budget for [[d06_pipeline_shards]] — shared with its
@@ -2019,6 +2018,86 @@ object PipelineQueries {
       |    AND mean_len >= 3.0 AND mean_len <= 12.0
       |    AND CAST(max_freq AS DOUBLE) / n_tok <= 0.2)""".stripMargin
 
+  /** Sequential-fold dot product over the first `n` elements of two SQL
+    * list expressions — the exact order Spark's `aggregate(zip_with(...))`
+    * and the cosine_sim loop use, so doubles match bit-for-bit. Shared by
+    * the d02_pq_exact / d02_ivfpq_exact oracles.
+    */
+  private def sqlSeqDot(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"[($a)[i+1] * ($b)[i+1] FOR i IN range($n)]), (acc, v) -> acc + v)"
+
+  /** Sequential-fold sum of squared (double-cast) elements. */
+  private def sqlSeqSumSq(l: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** The PQ codebook + encode CTE block (`nvs`/`samp`/`cbb`/`codes`/
+    * `codesw`/`lut`), shared VERBATIM by the d02_pq_exact and
+    * d02_ivfpq_exact oracles — one definition so the encode tie-break or
+    * bias derivation can never drift between the two replays.
+    */
+  private lazy val PqCodebookCteSql: String =
+    s"""nvs AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      |      / sqrt(${sqlSeqSumSq("embedding")})) AS nv
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT nv, j FROM (
+      |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      |    FROM nvs WHERE vec_id % 31 = 0)
+      |  WHERE j < 16),
+      |cbb AS (
+      |  SELECT sbs.sb, s.j,
+      |    list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16) AS cw,
+      |    ${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+          "list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16), " +
+          "x -> x * x)), (acc, v) -> acc + v)"} / 2 AS bias
+      |  FROM samp s, (SELECT unnest(range(0, 4)) AS sb) sbs),
+      |codes AS (
+      |  SELECT vec_id, sb, j AS code FROM (
+      |    SELECT n.vec_id, c.sb, c.j,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.sb ORDER BY
+      |        (${sqlSeqDot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                   "c.cw", 16)} - c.bias) DESC, c.j DESC) AS rn
+      |    FROM nvs n CROSS JOIN cbb c)
+      |  WHERE rn = 1),
+      |codesw AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN sb = 0 THEN code END) AS c0,
+      |    MAX(CASE WHEN sb = 1 THEN code END) AS c1,
+      |    MAX(CASE WHEN sb = 2 THEN code END) AS c2,
+      |    MAX(CASE WHEN sb = 3 THEN code END) AS c3
+      |  FROM codes GROUP BY vec_id),
+      |lut AS (
+      |  SELECT n.vec_id AS qid, c.sb, c.j,
+      |    ${sqlSeqDot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
+                   "c.cw", 16)} AS lv
+      |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20)""".stripMargin
+
+  /** The SimHash signature CTE block (`tokh`/`bits`/`sigs`) computing
+    * the 60-bit md5 signature per doc of `src` (needs doc_id, text) —
+    * shared by the d03_simhash oracle (src = documents) and the
+    * d07_stream_fuzzy oracle (src = the gated `kept`), mirroring the one
+    * Scala-side [[simhashSig]] expression both queries use.
+    */
+  private[graft] def simhashSigCteSql(src: String): String =
+    s"""tokh AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM $src)),
+      |bits AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    SUM(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM tokh, (SELECT unnest(range(0, 60)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |sigs AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+      |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** The exact-dedup CTE (stage 2 of the e2e/shards pipelines). */
   private val DedupCteSql: String =
     """deduped AS (
@@ -2197,20 +2276,34 @@ object PipelineQueries {
         |    FROM cents c CROSS JOIN coarse r)
         |  WHERE rn = 1),
         |vassign AS (
-        |  SELECT vec_id, v, region FROM (
+        |  SELECT vec_id, v, region, coarse_sim FROM (
         |    SELECT q.vec_id, q.v, r.rid AS region,
+        |      ${cos("q.v", "r.cv")} AS coarse_sim,
         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
         |        ${cos("q.v", "r.cv")} DESC, r.rid DESC) AS rn
         |    FROM q CROSS JOIN coarse r)
         |  WHERE rn = 1),
-        |fassign AS (
-        |  SELECT vec_id, v, cell, csim FROM (
-        |    SELECT vec_id, v, cell, csim, ROW_NUMBER() OVER
+        |fa0 AS (
+        |  SELECT vec_id, cell, csim FROM (
+        |    SELECT vec_id, cell, csim, ROW_NUMBER() OVER
         |      (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
-        |    FROM (SELECT va.vec_id, va.v, f.cid AS cell,
+        |    FROM (SELECT va.vec_id, f.cid AS cell,
         |            ${cos("va.v", "f.cv")} AS csim
         |          FROM vassign va JOIN routed f ON f.rid = va.region))
         |  WHERE rn = 1),
+        |fassign AS (
+        |  -- seed-cell fallback, mirroring assignCellsHier's LEFT join +
+        |  -- coalesce: a region holding vectors but ZERO routed fine
+        |  -- centroids (possible only at an exact routing tie, since the
+        |  -- routing cosine carries a 1e-12 epsilon the vector argmax does
+        |  -- not) must assign to the region's seed cell with the coarse
+        |  -- score, never drop rows
+        |  SELECT va.vec_id, va.v,
+        |    COALESCE(f.cell, co.seed_cid) AS cell,
+        |    COALESCE(f.csim, va.coarse_sim) AS csim
+        |  FROM vassign va
+        |  LEFT JOIN fa0 f ON f.vec_id = va.vec_id
+        |  JOIN coarse co ON co.rid = va.region),
         |hist AS (SELECT cell, COUNT(*) AS cn FROM fassign GROUP BY cell),
         |pair_dups AS (
         |  SELECT DISTINCT b.vec_id
@@ -2511,54 +2604,11 @@ object PipelineQueries {
     // rank, and refine rank all agree. ADC sums via 4 explicit joins in
     // the same left-assoc order as the Spark expression.
     "d02_pq_exact" -> {
-      // sequential fold of element products over n-length slices/lists —
-      // the exact order Spark's aggregate(zip_with(...)) uses
-      def dot(a: String, b: String, n: Int): String =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"[($a)[i+1] * ($b)[i+1] FOR i IN range($n)]), (acc, v) -> acc + v)"
-      def sumsq(l: String): String =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, " +
-          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
       val cosRefine =
-        s"(${dot("e1.fv", "e2.fv", 64)} / " +
-          s"(sqrt(${dot("e1.fv", "e1.fv", 64)}) * sqrt(${dot("e2.fv", "e2.fv", 64)})))"
-      s"""WITH nvs AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
-        |      / sqrt(${sumsq("embedding")})) AS nv
-        |  FROM embeddings),
-        |samp AS (
-        |  SELECT nv, j FROM (
-        |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
-        |    FROM nvs WHERE vec_id % 31 = 0)
-        |  WHERE j < 16),
-        |cbb AS (
-        |  SELECT sbs.sb, s.j,
-        |    list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16) AS cw,
-        |    ${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
-              "list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16), " +
-              "x -> x * x)), (acc, v) -> acc + v)"} / 2 AS bias
-        |  FROM samp s, (SELECT unnest(range(0, 4)) AS sb) sbs),
-        |codes AS (
-        |  SELECT vec_id, sb, j AS code FROM (
-        |    SELECT n.vec_id, c.sb, c.j,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.sb ORDER BY
-        |        (${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
-                       "c.cw", 16)} - c.bias) DESC, c.j DESC) AS rn
-        |    FROM nvs n CROSS JOIN cbb c)
-        |  WHERE rn = 1),
-        |codesw AS (
-        |  SELECT vec_id,
-        |    MAX(CASE WHEN sb = 0 THEN code END) AS c0,
-        |    MAX(CASE WHEN sb = 1 THEN code END) AS c1,
-        |    MAX(CASE WHEN sb = 2 THEN code END) AS c2,
-        |    MAX(CASE WHEN sb = 3 THEN code END) AS c3
-        |  FROM codes GROUP BY vec_id),
-        |lut AS (
-        |  SELECT n.vec_id AS qid, c.sb, c.j,
-        |    ${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
-                   "c.cw", 16)} AS lv
-        |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20),
+        s"(${sqlSeqDot("e1.fv", "e2.fv", 64)} / " +
+          s"(sqrt(${sqlSeqDot("e1.fv", "e1.fv", 64)}) * " +
+          s"sqrt(${sqlSeqDot("e2.fv", "e2.fv", 64)})))"
+      s"""WITH $PqCodebookCteSql,
         |adc AS (
         |  SELECT l0.qid, k.vec_id AS oid,
         |    ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
@@ -2597,38 +2647,17 @@ object PipelineQueries {
     // cell-bounded candidates, 200-shortlist, cosine refine. All
     // reductions sequential folds — bit-identical in both engines.
     "d02_ivfpq_exact" -> {
-      def dot(a: String, b: String, n: Int): String =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"[($a)[i+1] * ($b)[i+1] FOR i IN range($n)]), (acc, v) -> acc + v)"
-      def sumsq(l: String): String =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, " +
-          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
       def cos64(a: String, b: String): String =
-        s"(${dot(a, b, 64)} / (sqrt(${dot(a, a, 64)}) * sqrt(${dot(b, b, 64)})))"
+        s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
+          s"sqrt(${sqlSeqDot(b, b, 64)})))"
       s"""WITH fvs AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
         |  FROM embeddings),
-        |nvs AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
-        |      / sqrt(${sumsq("embedding")})) AS nv
-        |  FROM embeddings),
         |ivfc AS (
         |  SELECT vec_id AS cid, fv AS cv FROM fvs
         |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
-        |samp AS (
-        |  SELECT nv, j FROM (
-        |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
-        |    FROM nvs WHERE vec_id % 31 = 0)
-        |  WHERE j < 16),
-        |cbb AS (
-        |  SELECT sbs.sb, s.j,
-        |    list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16) AS cw,
-        |    ${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
-              "list_slice(s.nv, sbs.sb * 16 + 1, sbs.sb * 16 + 16), " +
-              "x -> x * x)), (acc, v) -> acc + v)"} / 2 AS bias
-        |  FROM samp s, (SELECT unnest(range(0, 4)) AS sb) sbs),
+        |$PqCodebookCteSql,
         |assign AS (
         |  SELECT vec_id AS oid, cell FROM (
         |    SELECT f.vec_id, c.cid AS cell,
@@ -2636,21 +2665,6 @@ object PipelineQueries {
         |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
         |    FROM fvs f CROSS JOIN ivfc c)
         |  WHERE rn = 1),
-        |codes AS (
-        |  SELECT vec_id, sb, j AS code FROM (
-        |    SELECT n.vec_id, c.sb, c.j,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.sb ORDER BY
-        |        (${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
-                       "c.cw", 16)} - c.bias) DESC, c.j DESC) AS rn
-        |    FROM nvs n CROSS JOIN cbb c)
-        |  WHERE rn = 1),
-        |codesw AS (
-        |  SELECT vec_id,
-        |    MAX(CASE WHEN sb = 0 THEN code END) AS c0,
-        |    MAX(CASE WHEN sb = 1 THEN code END) AS c1,
-        |    MAX(CASE WHEN sb = 2 THEN code END) AS c2,
-        |    MAX(CASE WHEN sb = 3 THEN code END) AS c3
-        |  FROM codes GROUP BY vec_id),
         |probes AS (
         |  SELECT vec_id AS qid, cell FROM (
         |    SELECT f.vec_id, c.cid AS cell,
@@ -2658,11 +2672,6 @@ object PipelineQueries {
         |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
         |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
         |  WHERE rn <= 8),
-        |lut AS (
-        |  SELECT n.vec_id AS qid, c.sb, c.j,
-        |    ${dot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
-                   "c.cw", 16)} AS lv
-        |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20),
         |cand AS (
         |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
         |  WHERE a.oid <> p.qid),
@@ -2794,23 +2803,8 @@ object PipelineQueries {
     // full SimHash reproduction: md5-prefix token hashes, per-bit majority
     // vote, 4×15-bit pigeonhole banding, exact hamming — all integer-exact
     "d03_simhash" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-        |  FROM documents),
-        |tokh AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM tk)),
-        |bits AS (
-        |  SELECT doc_id, bb.b AS b,
-        |    SUM(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |  FROM tokh, (SELECT unnest(range(0, 60)) AS b) bb
-        |  GROUP BY doc_id, bb.b),
-        |sigs AS (
-        |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
-        |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY doc_id),
-        |chunks AS (
+      (s"WITH ${simhashSigCteSql("documents")},\n" +
+      """chunks AS (
         |  SELECT doc_id, sig, ii.i AS band,
         |    (sig >> CAST(ii.i * 15 AS INT)) & 32767 AS chunk
         |  FROM sigs, (SELECT unnest(range(0, 4)) AS i) ii),
@@ -2835,7 +2829,7 @@ object PipelineQueries {
         |  JOIN sigs sa ON sa.doc_id = c.a_id
         |  JOIN sigs sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id, hamming FROM pairs
-        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin),
     "d03_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

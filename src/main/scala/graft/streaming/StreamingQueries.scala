@@ -666,21 +666,8 @@ object StreamingQueries {
     // batch one regardless of arrival order
     "d07_stream_fuzzy" ->
       (s"WITH ${graft.queries.PipelineQueries.GateCteSql},\n" +
-      """tokh AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        |        FROM kept)),
-        |bits AS (
-        |  SELECT doc_id, bb.b AS b,
-        |    SUM(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |  FROM tokh, (SELECT unnest(range(0, 60)) AS b) bb
-        |  GROUP BY doc_id, bb.b),
-        |sigs AS (
-        |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
-        |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY doc_id)
-        |SELECT DISTINCT sig FROM sigs ORDER BY sig""".stripMargin),
+        s"${graft.queries.PipelineQueries.simhashSigCteSql("kept")}\n" +
+        "SELECT DISTINCT sig FROM sigs ORDER BY sig"),
     "d07_pipeline_lake" ->
       (s"WITH ${graft.queries.PipelineQueries.GateCteSql}\n" +
         "SELECT doc_id, lang, n_tok FROM kept ORDER BY doc_id"),

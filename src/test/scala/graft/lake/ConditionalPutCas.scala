@@ -17,7 +17,15 @@ object ConditionalPutCas extends CommitCas {
   val published: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  override def publish(fs: FileSystem, dest: Path, content: String): Unit = {
+  // synchronized: a real store's conditional PUT makes the CAS outcome
+  // and the content visible ATOMICALLY. Without the lock there is a
+  // window where a loser sees "version N taken" (token map) while a
+  // metadata LISTING does not yet show vN.json — its refresh re-derives
+  // the same N, loses again, and can loop to retry exhaustion. The lock
+  // closes the window: the winner's move lands before any loser's
+  // publish call returns its failure.
+  override def publish(fs: FileSystem, dest: Path,
+      content: String): Unit = synchronized {
     attempts.incrementAndGet()
     if (!published.add(dest.toUri.getPath))
       throw new java.io.IOException(s"conditional put failed: $dest exists")
