@@ -671,6 +671,59 @@ object LakeQueries {
     out
   }
 
+  // D1h — INCREMENTAL SemDeDup: the SEMANTIC near-dup gate for a newly-
+  // arrived embedding batch against the committed corpus — the per-
+  // arrival analog of d01_semdedup the way d01_dedup_incremental is the
+  // per-arrival analog of exact dedup. The committed corpus lands in a
+  // laketable (snapshot 1), the batch appends (snapshot 2), and the
+  // increment comes off the table's own incremental scan (changesBetween,
+  // the A25 contract). Both sides assign through the SAME two-level
+  // quantizer (assignCellsHier) under the exact-twin constants (quantized
+  // integer embeddings, fixed first-K committed centroids), and a new
+  // vector is a duplicate iff some same-cell COMMITTED vector clears the
+  // 0.43 cosine bar — a cell-keyed join whose per-key width is the
+  // committed cell membership (~N/K by the K=4√N scaling), never the
+  // corpus. At 100 TB the committed assignment is computed once per
+  // corpus snapshot and reused across arrivals; here it recomputes
+  // because the scratch table lives only for the query. Exact-twin
+  // arithmetic end to end → hash-oracled (shares the assignment CTE
+  // block with d01_semdedup_exact).
+  def d01_semdedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("incsem")
+    val q = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val table = LakeTable.create(loc, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val s1 = table.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") < 400), table))
+      val s2 = table.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 400), table))
+      val committed = table.snapshotDF(s, s1)
+      // fixed centroids = the committed corpus's first K quantized
+      // vectors (vec_ids 0..K-1 — the same centroid set the full-corpus
+      // twin derives, so the oracle shares its assignment block verbatim)
+      val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val aCom = P.assignCellsHier(committed, cents)
+        .select(col("cell"), col("vec_id").as("c_id"),
+          col("embedding").as("ce"))
+      val aInc = P.assignCellsHier(table.changesBetween(s, s1, s2), cents)
+      val dups = aInc.join(aCom, "cell")
+        .filter(expr("cosine_sim(embedding, ce)") > 0.43)
+        .select("vec_id").distinct()
+      localize(aInc
+        .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id"))
+    } finally LakeTable.drop(loc)
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -705,6 +758,7 @@ object LakeQueries {
     "b43_partition_evolution" -> b43_partition_evolution _,
     "b47_history" -> b47_history _,
     "d01_dedup_incremental" -> d01_dedup_incremental _,
+    "d01_semdedup_incremental" -> d01_semdedup_incremental _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -780,6 +834,20 @@ object LakeQueries {
         |WHERE rn = 1 AND h NOT IN (
         |  SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // increment (vec_id >= 400) vs committed (< 400) through the SHARED
+    // two-level assignment replay (SemDedupHierAssignCteSql — same block
+    // as d01_semdedup_exact, since the fixed centroids are identical):
+    // a new vector is a dup iff a same-cell committed vector clears 0.43
+    "d01_semdedup_incremental" ->
+      (s"WITH ${graft.queries.PipelineQueries.SemDedupHierAssignCteSql},\n" +
+      s"""inc AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id >= 400),
+        |com AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id < 400),
+        |dups AS (
+        |  SELECT DISTINCT i.vec_id FROM inc i JOIN com c ON c.cell = i.cell
+        |  WHERE ${graft.queries.PipelineQueries.sdxCosSql("i.v", "c.v")} > 0.43)
+        |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM inc i LEFT JOIN dups d ON d.vec_id = i.vec_id
+        |ORDER BY i.vec_id""".stripMargin),
     "b34b_merge_full" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800

@@ -2098,6 +2098,80 @@ object PipelineQueries {
       |    THEN CAST(1 AS BIGINT) << CAST(59 - b AS INT) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Exact cosine on quantized integer lists (list_dot_product sums are
+    * exact for integer components) — the SemDeDup exact-twin arithmetic.
+    */
+  private[graft] def sdxCosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))))"
+
+  /** The two-level SemDeDup ASSIGNMENT replay (`q`/`cents`/`coarse_idx`/
+    * `coarse`/`routed`/`vassign`/`fa0`/`fassign`) under the shared
+    * exact-twin constants — one definition used by the d01_semdedup_exact
+    * oracle (full dedup) and the d01_semdedup_incremental oracle
+    * (increment-vs-committed gate in LakeQueries). `fassign` carries
+    * (vec_id, v, cell, csim) for EVERY corpus vector, including the
+    * unrouted-region seed-cell fallback mirroring assignCellsHier.
+    */
+  private[graft] lazy val SemDedupHierAssignCteSql: String = {
+    val kc = math.max(4,
+      math.ceil(math.sqrt(SemDeDupExactK.toDouble)).toInt)
+    val seedValues = (0 until kc)
+      .map(i => s"($i, ${i * SemDeDupExactK / kc})").mkString(", ")
+    s"""q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> round(CAST(x AS DOUBLE) * $SemDeDupExactScale)) AS v
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT cid, cv, idx FROM (
+      |    SELECT vec_id AS cid, v AS cv,
+      |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx FROM q)
+      |  WHERE idx < $SemDeDupExactK),
+      |coarse_idx(rid, idx) AS (VALUES $seedValues),
+      |coarse AS (
+      |  SELECT ci.rid, c.cid AS seed_cid, c.cv
+      |  FROM coarse_idx ci JOIN cents c ON c.idx = ci.idx),
+      |routed AS (
+      |  SELECT cid, cv, rid FROM (
+      |    SELECT c.cid, c.cv, r.rid,
+      |      ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
+      |        (list_dot_product(c.cv, r.cv) /
+      |          (sqrt(list_dot_product(c.cv, c.cv)) *
+      |           sqrt(list_dot_product(r.cv, r.cv)) + 1e-12)) DESC,
+      |        r.rid DESC) AS rn
+      |    FROM cents c CROSS JOIN coarse r)
+      |  WHERE rn = 1),
+      |vassign AS (
+      |  SELECT vec_id, v, region, coarse_sim FROM (
+      |    SELECT q.vec_id, q.v, r.rid AS region,
+      |      ${sdxCosSql("q.v", "r.cv")} AS coarse_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sdxCosSql("q.v", "r.cv")} DESC, r.rid DESC) AS rn
+      |    FROM q CROSS JOIN coarse r)
+      |  WHERE rn = 1),
+      |fa0 AS (
+      |  SELECT vec_id, cell, csim FROM (
+      |    SELECT vec_id, cell, csim, ROW_NUMBER() OVER
+      |      (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+      |    FROM (SELECT va.vec_id, f.cid AS cell,
+      |            ${sdxCosSql("va.v", "f.cv")} AS csim
+      |          FROM vassign va JOIN routed f ON f.rid = va.region))
+      |  WHERE rn = 1),
+      |fassign AS (
+      |  -- seed-cell fallback, mirroring assignCellsHier's LEFT join +
+      |  -- coalesce: a region holding vectors but ZERO routed fine
+      |  -- centroids (possible only at an exact routing tie, since the
+      |  -- routing cosine carries a 1e-12 epsilon the vector argmax does
+      |  -- not) must assign to the region's seed cell with the coarse
+      |  -- score, never drop rows
+      |  SELECT va.vec_id, va.v,
+      |    COALESCE(f.cell, co.seed_cid) AS cell,
+      |    COALESCE(f.csim, va.coarse_sim) AS csim
+      |  FROM vassign va
+      |  LEFT JOIN fa0 f ON f.vec_id = va.vec_id
+      |  JOIN coarse co ON co.rid = va.region)""".stripMargin
+  }
+
   /** The exact-dedup CTE (stage 2 of the e2e/shards pipelines). */
   private val DedupCteSql: String =
     """deduped AS (
@@ -2245,65 +2319,7 @@ object PipelineQueries {
     // cell, and both dup passes reproduce bit-for-bit. Routing adds the
     // 1e-12 denominator epsilon exactly like routeRegions' cosine.
     "d01_semdedup_exact" -> {
-      def cos(a: String, b: String): String =
-        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-          s"sqrt(list_dot_product($b, $b))))"
-      val kc = math.max(4,
-        math.ceil(math.sqrt(SemDeDupExactK.toDouble)).toInt)
-      val seedValues = (0 until kc)
-        .map(i => s"($i, ${i * SemDeDupExactK / kc})").mkString(", ")
-      s"""WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> round(CAST(x AS DOUBLE) * $SemDeDupExactScale)) AS v
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT cid, cv, idx FROM (
-        |    SELECT vec_id AS cid, v AS cv,
-        |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx FROM q)
-        |  WHERE idx < $SemDeDupExactK),
-        |coarse_idx(rid, idx) AS (VALUES $seedValues),
-        |coarse AS (
-        |  SELECT ci.rid, c.cid AS seed_cid, c.cv
-        |  FROM coarse_idx ci JOIN cents c ON c.idx = ci.idx),
-        |routed AS (
-        |  SELECT cid, cv, rid FROM (
-        |    SELECT c.cid, c.cv, r.rid,
-        |      ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
-        |        (list_dot_product(c.cv, r.cv) /
-        |          (sqrt(list_dot_product(c.cv, c.cv)) *
-        |           sqrt(list_dot_product(r.cv, r.cv)) + 1e-12)) DESC,
-        |        r.rid DESC) AS rn
-        |    FROM cents c CROSS JOIN coarse r)
-        |  WHERE rn = 1),
-        |vassign AS (
-        |  SELECT vec_id, v, region, coarse_sim FROM (
-        |    SELECT q.vec_id, q.v, r.rid AS region,
-        |      ${cos("q.v", "r.cv")} AS coarse_sim,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |        ${cos("q.v", "r.cv")} DESC, r.rid DESC) AS rn
-        |    FROM q CROSS JOIN coarse r)
-        |  WHERE rn = 1),
-        |fa0 AS (
-        |  SELECT vec_id, cell, csim FROM (
-        |    SELECT vec_id, cell, csim, ROW_NUMBER() OVER
-        |      (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
-        |    FROM (SELECT va.vec_id, f.cid AS cell,
-        |            ${cos("va.v", "f.cv")} AS csim
-        |          FROM vassign va JOIN routed f ON f.rid = va.region))
-        |  WHERE rn = 1),
-        |fassign AS (
-        |  -- seed-cell fallback, mirroring assignCellsHier's LEFT join +
-        |  -- coalesce: a region holding vectors but ZERO routed fine
-        |  -- centroids (possible only at an exact routing tie, since the
-        |  -- routing cosine carries a 1e-12 epsilon the vector argmax does
-        |  -- not) must assign to the region's seed cell with the coarse
-        |  -- score, never drop rows
-        |  SELECT va.vec_id, va.v,
-        |    COALESCE(f.cell, co.seed_cid) AS cell,
-        |    COALESCE(f.csim, va.coarse_sim) AS csim
-        |  FROM vassign va
-        |  LEFT JOIN fa0 f ON f.vec_id = va.vec_id
-        |  JOIN coarse co ON co.rid = va.region),
+      s"""WITH $SemDedupHierAssignCteSql,
         |hist AS (SELECT cell, COUNT(*) AS cn FROM fassign GROUP BY cell),
         |pair_dups AS (
         |  SELECT DISTINCT b.vec_id
@@ -2311,7 +2327,7 @@ object PipelineQueries {
         |  JOIN hist h ON h.cell = a.cell
         |  WHERE h.cn <= $SemDeDupExactCap
         |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
-        |    AND ${cos("a.v", "b.v")} > 0.43),
+        |    AND ${sdxCosSql("a.v", "b.v")} > 0.43),
         |rep AS (
         |  SELECT cell, rep_id, rv FROM (
         |    SELECT f.cell, f.vec_id AS rep_id, f.v AS rv,
@@ -2322,7 +2338,7 @@ object PipelineQueries {
         |  WHERE rn = 1),
         |rep_dups AS (
         |  SELECT f.vec_id FROM fassign f JOIN rep r ON f.cell = r.cell
-        |  WHERE f.vec_id <> r.rep_id AND ${cos("f.v", "r.rv")} > 0.43),
+        |  WHERE f.vec_id <> r.rep_id AND ${sdxCosSql("f.v", "r.rv")} > 0.43),
         |dups AS (
         |  SELECT vec_id FROM pair_dups UNION SELECT vec_id FROM rep_dups)
         |SELECT f.vec_id, f.cell, (d.vec_id IS NOT NULL) AS is_dup

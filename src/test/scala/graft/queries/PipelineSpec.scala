@@ -656,6 +656,51 @@ class PipelineSpec extends SparkSpec {
       s"accuracy ${correct / n} not clearly above baseline ${majority / n}")
   }
 
+  test("D1: incremental SemDeDup verdicts have same-cell committed witnesses") {
+    // the per-arrival semantic gate: every flagged increment vector must
+    // have a committed same-cell witness above the bar, every unflagged
+    // one must have none — recomputed brute-force on the quantized
+    // vectors (exact integer arithmetic, so the recompute is bit-equal
+    // to the query's own cosines)
+    val out = graft.queries.LakeQueries
+      .d01_semdedup_incremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 100, s"expected the 100-vector increment")
+    assert(out.count(_._3) >= 1, "no dup found — the gate is vacuous here")
+    val q = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        """transform(embedding, x ->
+          |  CAST(round(CAST(x AS DOUBLE) * 1000D) AS FLOAT))""".stripMargin)
+        .as("embedding"))
+    val vecs = q.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // committed cell assignment from the SAME machinery
+    val cents = q.filter(col("vec_id") < 400).orderBy("vec_id")
+      .limit(PipelineQueries.SemDeDupExactK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cells = PipelineQueries
+      .assignCellsHier(q, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val committedByCell = cells.filter(_._1 < 400).groupBy(_._2)
+      .map { case (c, m) => c -> m.keys.toSeq }
+    out.foreach { case (id, cell, isDup) =>
+      assert(cells(id) == cell, s"cell mismatch for $id")
+      val witness = committedByCell.getOrElse(cell, Nil)
+        .exists(cid => cos(vecs(id), vecs(cid)) > 0.43)
+      assert(witness == isDup,
+        s"vec $id flagged=$isDup but witness=$witness in cell $cell")
+    }
+  }
+
   test("D6: shard export — docs start inside their shard window, shards contiguous and bounded") {
     val out = PipelineQueries.d06_pipeline_shards(spark, dir).collect()
     assert(out.nonEmpty)
