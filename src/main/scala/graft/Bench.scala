@@ -34,7 +34,10 @@ object Bench {
     "d02_cosine_topk", "d03_minhash_lsh", "d03_contamination",
     "d04_token_topn", "d04_fingerprint", "d04_curation",
     "d03_boilerplate", "d04_repetition", "d04_budget_pack",
-    "d06_pipeline_e2e", "d01_dedup_incremental")
+    "d06_pipeline_e2e", "d01_dedup_incremental",
+    // round-7 addition, appended LAST so earlier envelope entries keep
+    // their cross-round comparability (the heavyTail ordering lesson)
+    "d01_semdedup_incremental")
 
   /** The round-5 scale flags, fixed and priced: fuzzy-dedup CC with the
     * distributed label handoff, SemDeDup with scale-aware K + two-level
@@ -44,7 +47,11 @@ object Bench {
     * each), which would read as cross-round regressions on entries whose
     * code didn't change.
     */
-  val heavyTail: Seq[String] = Seq("d01_dedup_cluster", "d01_semdedup")
+  val heavyTail: Seq[String] = Seq("d01_dedup_cluster", "d01_semdedup",
+    // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
+    // lake sink — honest pricing of the one-file-per-shard layout, but
+    // its IO/GC churn belongs after the envelope entries
+    "d06_pipeline_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
