@@ -284,6 +284,35 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // B48 — correlated LATERAL subquery: top-2 orders per customer, the
+  // per-row-subquery shape (Catalyst decorrelates the LIMIT'd ordered
+  // subquery into a ranked join — no per-customer re-execution).
+  def b48_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  // B49 — UNPIVOT (wide → long), the inverse of b33's PIVOT: three
+  // measure columns melt into (name, val) rows.
+  def b49_unpivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, name, val FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+        |         l_discount AS discount, l_tax AS tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (val FOR name IN (price, discount, tax))
+        |ORDER BY l_orderkey, l_linenumber, name""".stripMargin)
+  }
+
   // B31 — CTE via spark.sql over temp views.
   def b31_cte(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -347,6 +376,8 @@ object RelationalQueries {
     "b29_dedup" -> b29_dedup _,
     "b30_subquery" -> b30_subquery _,
     "b31_cte" -> b31_cte _,
+    "b48_lateral_topk" -> b48_lateral_topk _,
+    "b49_unpivot" -> b49_unpivot _,
     "b32_explode" -> b32_explode _,
     "b33_pivot" -> b33_pivot _,
   )
@@ -478,6 +509,23 @@ object RelationalQueries {
         |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
         |  FROM lineitem WHERE l_quantity > 10)
         |SELECT rf, ls, COUNT(*) AS n FROM flagged GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
+    "b48_lateral_topk" ->
+      """SELECT c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "b49_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, name, CAST(val AS DOUBLE) AS val FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DOUBLE) AS price,
+        |    CAST(l_discount AS DOUBLE) AS discount,
+        |    CAST(l_tax AS DOUBLE) AS tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (val FOR name IN (price, discount, tax))
+        |ORDER BY l_orderkey, l_linenumber, name""".stripMargin,
     "b32_explode" ->
       """SELECT vec_id, pos, CAST(CAST(round(CAST(v AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS v
         |FROM (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
