@@ -244,6 +244,17 @@ class PlanSpec extends SparkSpec {
       s"shard-keyed exchange before the write:\n$p")
   }
 
+  test("B48: LATERAL top-k decorrelates into a ranked join, not a per-row loop") {
+    val p = plan(RelationalQueries.b48_lateral_topk(spark, dir))
+    // Catalyst must rewrite the correlated ORDER BY+LIMIT subquery into a
+    // window/rank over a JOIN — a correlated nested-loop execution would
+    // re-run the subquery per outer row (the classic lateral scale trap)
+    assert(p.toLowerCase.contains("window") || p.contains("row_number"),
+      s"no rank stage — lateral subquery not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the lateral plan:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
