@@ -191,6 +191,19 @@ object RelationalQueries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         col("g_rf"), col("g_ls"))
 
+  // B20c — explicit GROUPING SETS (arbitrary set list, not just the
+  // rollup/cube lattices): (rf), (rf, ls), and the grand total.
+  def b20_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST, g_rf, g_ls""".stripMargin)
+  }
+
   // B21 — stddev aggregate.
   def b21_stddev(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -219,6 +232,21 @@ object RelationalQueries {
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "rn")
       .orderBy("o_custkey", "rn")
+  }
+
+  // B22b — the full ranking-function family over one window: rank /
+  // dense_rank (gap semantics), ntile (bucket split), percent_rank /
+  // cume_dist (relative position, dec4-rounded doubles).
+  def b22_rank_fns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rk"), dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("nt"),
+        dec4(percent_rank().over(w)).as("prk"),
+        dec4(cume_dist().over(w)).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   // B23 — analytic window: per-user delta vs previous event.
@@ -267,6 +295,16 @@ object RelationalQueries {
     t(s, dir, "customer").select(col("c_nationkey").as("k"))
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
       .orderBy("k")
+
+  // B28c — EXCEPT ALL (multiset difference): subtracting the DISTINCT
+  // key set leaves each key with multiplicity−1 copies — the result is
+  // nonempty precisely because lineitem orderkeys repeat per line, so
+  // the ALL semantics (not the collapsing EXCEPT) is what's exercised.
+  def b28_except_all(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey").as("k"))
+    left.exceptAll(left.distinct()).orderBy("k")
+  }
 
   // B29 — exact deduplication on a key pair.
   def b29_dedup(s: SparkSession, dir: String): DataFrame =
@@ -378,6 +416,9 @@ object RelationalQueries {
     "b31_cte" -> b31_cte _,
     "b48_lateral_topk" -> b48_lateral_topk _,
     "b49_unpivot" -> b49_unpivot _,
+    "b20_grouping_sets" -> b20_grouping_sets _,
+    "b22_rank_fns" -> b22_rank_fns _,
+    "b28_except_all" -> b28_except_all _,
     "b32_explode" -> b32_explode _,
     "b33_pivot" -> b33_pivot _,
   )
@@ -509,6 +550,28 @@ object RelationalQueries {
         |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
         |  FROM lineitem WHERE l_quantity > 10)
         |SELECT rf, ls, COUNT(*) AS n FROM flagged GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
+    "b20_grouping_sets" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST, g_rf, g_ls""".stripMargin,
+    "b22_rank_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER w AS INT) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        |  CAST(NTILE(4) OVER w AS INT) AS nt,
+        |  CAST(CAST(round(PERCENT_RANK() OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS prk,
+        |  CAST(CAST(round(CUME_DIST() OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cd
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b28_except_all" ->
+      """SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey < 2000
+        |EXCEPT ALL
+        |SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY k""".stripMargin,
     "b48_lateral_topk" ->
       """SELECT c_custkey, l.o_orderkey, l.o_totalprice
         |FROM customer,
