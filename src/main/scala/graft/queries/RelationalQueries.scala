@@ -382,6 +382,43 @@ object RelationalQueries {
       .na.fill(0L)
       .orderBy("g")
 
+  // B50 — FILTER (WHERE ...) aggregate clauses: per-aggregate predicates
+  // inside ONE grouped pass (Catalyst rewrites each into a conditional
+  // aggregate — one scan, one shuffle, no self-join per condition, which
+  // is what the naive "join k filtered aggregates" formulation costs).
+  def b50_filter_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("COUNT(*) FILTER (WHERE l_quantity > 25)").as("n_bulk"),
+        dec4(expr("SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05)"))
+          .as("disc_rev"),
+        dec4(expr("AVG(l_quantity) FILTER (WHERE l_linestatus = 'F')"))
+          .as("avg_f_qty"))
+      .orderBy("l_returnflag")
+
+  // B51 — LAG/LEAD/FIRST/LAST ... IGNORE NULLS: carry the most recent
+  // non-null observation across a sparse column ("last purchase value
+  // seen at each event") — the gap-fill shape SQL users hit right after
+  // plain lag/lead. Sparse column synthesized deterministically (value
+  // only on purchase events) so both engines derive identical NULLs;
+  // default RANGE frame on a unique (ts_us, event_id) order keeps
+  // first/last deterministic.
+  def b51_ignore_nulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), us(col("ts")).as("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", col("value")).as("pval"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        dec4(lag(col("pval"), 1, null, ignoreNulls = true).over(w)).as("last_p"),
+        dec4(lead(col("pval"), 1, null, ignoreNulls = true).over(w)).as("next_p"),
+        dec4(first(col("pval"), ignoreNulls = true).over(w)).as("first_p"),
+        dec4(last(col("pval"), ignoreNulls = true).over(w)).as("run_p"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .limit(500)
+  }
+
   /** Spark entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan" -> b01_scan _,
@@ -421,6 +458,8 @@ object RelationalQueries {
     "b28_except_all" -> b28_except_all _,
     "b32_explode" -> b32_explode _,
     "b33_pivot" -> b33_pivot _,
+    "b50_filter_agg" -> b50_filter_agg _,
+    "b51_ignore_nulls" -> b51_ignore_nulls _,
   )
 
   /** DuckDB oracle SQL — column names and ordering match the Spark side. */
@@ -603,5 +642,24 @@ object RelationalQueries {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY g ORDER BY g""".stripMargin,
+    "b50_filter_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(CAST(round(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS disc_rev,
+        |  CAST(CAST(round(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS avg_f_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b51_ignore_nulls" ->
+      """SELECT user_id, ts_us, event_id,
+        |  CAST(CAST(round(LAG(pval IGNORE NULLS) OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS last_p,
+        |  CAST(CAST(round(LEAD(pval IGNORE NULLS) OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS next_p,
+        |  CAST(CAST(round(FIRST_VALUE(pval IGNORE NULLS) OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS first_p,
+        |  CAST(CAST(round(LAST_VALUE(pval IGNORE NULLS) OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS run_p
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |        CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id LIMIT 500""".stripMargin,
   )
 }
