@@ -13,7 +13,11 @@ object Json {
   def obj(): ObjectNode = mapper.createObjectNode()
   def arr(): ArrayNode = mapper.createArrayNode()
   def parse(s: String): JsonNode = mapper.readTree(s)
-  def write(n: JsonNode): String = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  // COMPACT on the commit path: pretty-printing inflated every metadata/
+  // manifest write ~2×, and the metadata file is re-serialized in full on
+  // EVERY commit — at 1000 retained snapshots the indentation alone was a
+  // measurable slice of per-commit latency (commit-curve bench, round 8).
+  def write(n: JsonNode): String = mapper.writeValueAsString(n)
 
   def fileToNode(f: DataFileMeta): ObjectNode = {
     val n = obj()
@@ -121,14 +125,25 @@ object Json {
       parent: Option[(Long, Seq[String])], fullKey: String, baseKey: String,
       addKey: String, remKey: String): Unit = {
     val asDelta = parent.flatMap { case (pid, p) =>
-      val pSet = p.toSet
-      val cSet = cur.toSet
-      val added = cur.filterNot(pSet)
-      val removed = p.filterNot(cSet)
-      val replay = p.filterNot(removed.toSet) ++ added
-      if (replay == cur && added.size + removed.size < cur.size)
-        Some((pid, added, removed))
-      else None
+      // fast path: child extends parent (every fast-append commit). The
+      // prefix check compares mostly reference-identical strings (child
+      // lists are built as parent :+ new), so this is O(len) pointer
+      // compares vs the general path's four hashed passes — the encoder
+      // runs over EVERY historical snapshot on EVERY commit, and the
+      // hashing was half the per-commit latency at depth 1000
+      // (commit-curve bench, round 8).
+      if (p.nonEmpty && cur.size >= p.size && cur.startsWith(p))
+        Some((pid, cur.drop(p.size), Nil))
+      else {
+        val pSet = p.toSet
+        val cSet = cur.toSet
+        val added = cur.filterNot(pSet)
+        val removed = p.filterNot(cSet)
+        val replay = p.filterNot(removed.toSet) ++ added
+        if (replay == cur && added.size + removed.size < cur.size)
+          Some((pid, added, removed))
+        else None
+      }
     }
     asDelta match {
       case Some((pid, added, removed)) =>
@@ -173,7 +188,13 @@ object Json {
       n.put("parentId", s.parentId)
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
-      s.schemaDdl.foreach(n.put("schemaDdl", _))
+      // a snapshot's pinned DDL is elided when it equals the table-level
+      // DDL (the common case: every snapshot since the last evolution) —
+      // inlining it re-serialized the full schema string per snapshot per
+      // commit, the other depth-linear constant the commit-curve bench
+      // exposed. metaFromJson restores the exact value from the file's
+      // top-level schemaDdl, so the encoding is invisible to readers.
+      s.schemaDdl.filterNot(_ == m.schemaDdl).foreach(n.put("schemaDdl", _))
       s.schemaId.foreach(n.put("schemaId", _))
       val parent = byId.get(s.parentId).filter(_.id < s.id)
       putListDelta(n, s.manifests, parent.map(p => (p.id, p.manifests)),
@@ -213,10 +234,14 @@ object Json {
     // smaller ids: version numbers are max+1 even for rollback commits)
     case class Raw(id: Long, parentId: Long, ts: Long, op: String,
         schemaDdl: Option[String], schemaId: Option[Int], node: JsonNode)
+    // absent snapshot DDL = elided-as-equal by metaToJson (or genuinely
+    // pre-evolution legacy metadata) — both resolve to the file's
+    // top-level DDL, which is exactly the value the writer elided
+    val topDdl = n.get("schemaDdl").asText
     val raws = n.get("snapshots").elements().asScala.map { sn =>
       Raw(sn.get("id").asLong, sn.get("parentId").asLong,
         sn.get("timestampMs").asLong, sn.get("operation").asText,
-        Option(sn.get("schemaDdl")).map(_.asText),
+        Option(sn.get("schemaDdl")).map(_.asText).orElse(Some(topDdl)),
         Option(sn.get("schemaId")).map(_.asInt), sn)
     }.toSeq
     def strArr(node: JsonNode, k: String): Option[Seq[String]] =

@@ -12,8 +12,13 @@ import org.apache.spark.sql.types.StructType
   * jars exist in this environment).
   *
   * Layout under `location`:
-  *   metadata/v<N>.json          — full TableMeta (snapshot log)
-  *   metadata/manifest-*.json    — immutable data-file lists
+  *   metadata/v<N>.json            — full TableMeta (snapshot log)
+  *   metadata/manifests/manifest-*.json — immutable data-file lists (kept
+  *     out of metadata/ itself so per-commit metadata-version GC and
+  *     load-by-listing stay O(retained versions), not O(all manifests
+  *     ever written) — the commit-curve bench's dominant depth-linear
+  *     cost; manifests are referenced BY NAME relative to metadata/, so
+  *     pre-subdir tables with plain manifest-*.json names read unchanged)
   *   metadata/version-hint.text  — latest committed N (recoverable by listing)
   *   data/<col>_trunc=<v>/<uuid>.parquet
   *   _commits/{tmp,pending}/     — two-phase moniker handoff (A11)
@@ -198,8 +203,19 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
   // ---- commit ------------------------------------------------------------
 
+  // lazily ensured (covers tables created before the manifests/ subdir);
+  // @volatile flag so the mkdirs stat is paid once per instance, not per
+  // manifest write
+  @volatile private var manifestDirEnsured = false
+  private def ensureManifestDir(): Unit =
+    if (!manifestDirEnsured) {
+      fs.mkdirs(new Path(metaDir, LakeFormat.ManifestsSubdir))
+      manifestDirEnsured = true
+    }
+
   private def writeManifest(fm: Seq[DataFileMeta]): String = {
-    val name = s"manifest-${UUID.randomUUID()}.json"
+    ensureManifestDir()
+    val name = s"${LakeFormat.ManifestsSubdir}/manifest-${UUID.randomUUID()}.json"
     writeAtomic(new Path(metaDir, name), Json.manifestToJson(fm))
     name
   }
@@ -218,7 +234,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
   }
 
   private def writeDeleteManifest(fm: Seq[DeleteFileMeta]): String = {
-    val name = s"delete-manifest-${UUID.randomUUID()}.json"
+    ensureManifestDir()
+    val name = s"${LakeFormat.ManifestsSubdir}/delete-manifest-${UUID.randomUUID()}.json"
     writeAtomic(new Path(metaDir, name), Json.deleteManifestToJson(fm))
     name
   }
@@ -453,17 +470,34 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * at-least-once-redelivery bugs (A14, §3.3.6).
     */
   def append(newFiles: Seq[DataFileMeta]): Long = {
-    retryCommit("append") { () =>
+    // captured from the attempt that actually lands, to roll the known-path
+    // cache forward without re-reading manifests (see below)
+    var lastKnown: Set[String] = null
+    var lastFresh: Seq[String] = Nil
+    val id = retryCommit("append") { () =>
       val existing = meta.current.map(_.manifests).getOrElse(Nil)
       // dedupe within the batch too: one sweep can carry the same file
       // twice (at-least-once event redelivery)
       val known = knownPaths()
       val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
+      lastKnown = known
+      lastFresh = fresh.map(_.path)
       val withNew =
         if (fresh.isEmpty) existing
         else existing :+ writeManifest(stamp(fresh))
       Some((maybeMerge(withNew), meta.snapshots))
     }
+    // Roll the cache forward: the new snapshot's path set is exactly the
+    // parent's plus this commit's fresh paths (a merge reshuffles manifests
+    // but never the path SET). Without this, sequential fast-appends get
+    // ZERO cache hits — every commit's id invalidates the previous entry
+    // and the dedupe check re-reads every manifest (up to the 200-manifest
+    // merge ceiling) — the commit-curve bench's sawtooth. Tagged with OUR
+    // committed id: a concurrent later commit has a larger id, so readers
+    // miss and rebuild rather than trusting a stale set.
+    if (id >= 0 && lastKnown != null)
+      knownPathsCache = (id, lastKnown ++ lastFresh)
+    id
   }
 
   /** Full-table overwrite (CoW): ONE rewrite commit whose manifest lists
@@ -2085,11 +2119,12 @@ object LakeTable {
       throw new IllegalStateException(s"table exists at $location")
     // NIO fast path for the same chmod-fork reason as writeSmall
     if (fs.getScheme == "file") {
-      Seq(MetadataDir, DataDir, PendingCommitsDir, TmpCommitsDir).foreach(d =>
+      Seq(MetadataDir, s"$MetadataDir/$ManifestsSubdir", DataDir,
+        PendingCommitsDir, TmpCommitsDir).foreach(d =>
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(new Path(location, d).toUri.getPath)))
     } else {
-      fs.mkdirs(metaDir)
+      fs.mkdirs(new Path(metaDir, ManifestsSubdir))
       fs.mkdirs(new Path(location, DataDir))
       fs.mkdirs(new Path(location, PendingCommitsDir))
       fs.mkdirs(new Path(location, TmpCommitsDir))

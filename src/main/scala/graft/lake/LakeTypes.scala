@@ -251,6 +251,10 @@ object OrphanSweep {
 
 object LakeFormat {
   val MetadataDir = "metadata"
+  // manifest files live under metadata/manifests/ and are referenced by
+  // RELATIVE name, so commit-path listings of metadata/ stay
+  // O(retained versions); legacy plain names resolve unchanged
+  val ManifestsSubdir = "manifests"
   val DataDir = "data"
   val DeleteDir = "deletes"
   // delete strategy for predicate deletes (Iceberg's knob):

@@ -394,6 +394,8 @@ class LakeCatalogSpec extends SparkSpec {
         "ORDER BY row_count DESC").collect()
     assert(mans.length == 2)
     assert(mans.map(_.getLong(2)).toSeq == Seq(8L, 4L))
+    // $manifests reports the basename (Path.getName) regardless of the
+    // manifests/ subdir the stored relative name carries
     assert(mans.forall(_.getString(0).startsWith("manifest-")))
 
     // path-based snapshot pin matches VERSION AS OF
