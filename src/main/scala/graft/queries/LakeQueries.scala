@@ -724,6 +724,69 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  // D1i — INCREMENTAL MinHash near-dup: the FUZZY gate for a newly-
+  // arrived batch against the committed corpus — the third member of the
+  // incremental family (exact: d01_dedup_incremental, semantic:
+  // d01_semdedup_incremental; this is the one a refreshed web-crawl
+  // actually runs). The committed corpus lands in a laketable (snapshot
+  // 1), the batch appends (snapshot 2), the increment comes off the
+  // table's own incremental scan (changesBetween, the A25 contract), and
+  // both sides derive banded MinHash signatures through the SAME
+  // md5-portable machinery as d03_minhash_exact (md5MinhashSigs +
+  // explodeBands — one code path, one oracle replay). An increment doc
+  // is a fuzzy dup iff ANY of its 4 band keys exists in the committed
+  // band space: the committed side reduces to DISTINCT band keys and the
+  // probe is a LEFT SEMI join, so per-key width is 1 — an oversized
+  // boilerplate bucket (the LSH skew hazard) costs one key row, never a
+  // corpus-width pair fan-out, and the increment is never re-paired with
+  // the corpus or itself. At 100 TB the committed band space is computed
+  // once per corpus snapshot (or maintained incrementally as batches
+  // commit) and reused across arrivals; it recomputes here only because
+  // the scratch table lives per-query. Planted cross-batch dups (exact
+  // re-keys share all 4 bands; near-dup re-keys with 3 appended tokens
+  // share the surviving bands) are derived identically in the oracle →
+  // hash-oracled end to end.
+  /** Optimized plan of the last d01_minhash_incremental run — spec-
+    * observable, so a regression from the semi-join/distinct-keys shape
+    * back to a pairing join is caught. */
+  @volatile private[graft] var lastMinhashIncPlan: Option[String] = None
+
+  def d01_minhash_incremental(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("incmh")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val increment = odds
+      .union(evens.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text")))
+    val table = LakeTable.create(loc, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    try {
+      val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
+      val s2 = table.append(LakeWriter.writeDataFiles(increment, table))
+      // committed signature space: band-bucket KEYS only (DISTINCT), so
+      // the semi-join's per-key width is 1 regardless of how many
+      // committed docs share a band bucket
+      val comBands = P.explodeBands(P.md5MinhashSigs(table.snapshotDF(s, s1)))
+        .select("band", "h0", "h1").distinct()
+      val inc = table.changesBetween(s, s1, s2)
+      val incBands = P.explodeBands(P.md5MinhashSigs(inc))
+      val dups = incBands.join(comBands, Seq("band", "h0", "h1"), "left_semi")
+        .select("doc_id").distinct()
+      val out = inc.select("doc_id")
+        .join(dups.withColumn("is_fuzzy_dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_fuzzy_dup"), lit(false)).as("is_fuzzy_dup"))
+        .orderBy("doc_id")
+      lastMinhashIncPlan = Some(out.queryExecution.optimizedPlan.toString)
+      localize(out)
+    } finally LakeTable.drop(loc)
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -759,6 +822,7 @@ object LakeQueries {
     "b47_history" -> b47_history _,
     "d01_dedup_incremental" -> d01_dedup_incremental _,
     "d01_semdedup_incremental" -> d01_semdedup_incremental _,
+    "d01_minhash_incremental" -> d01_minhash_incremental _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -848,6 +912,56 @@ object LakeQueries {
         |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
         |FROM inc i LEFT JOIN dups d ON d.vec_id = i.vec_id
         |ORDER BY i.vec_id""".stripMargin),
+    // increment (odds + planted re-keys) vs committed (evens) through the
+    // d03_minhash_exact signature recipe with a side marker: an increment
+    // doc is a fuzzy dup iff any of its 4 band keys exists on side 0
+    "d01_minhash_incremental" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zq zr zs', 1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 80),
+        |tk AS (
+        |  SELECT doc_id, side, text, string_split(text, ' ') AS t FROM src),
+        |sh AS (
+        |  SELECT doc_id, side,
+        |    CASE WHEN len(t) < 3 THEN
+        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(t) - 1), i ->
+        |      CAST(concat('0x', substring(md5(
+        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
+        |    END AS shash
+        |  FROM tk),
+        |lanes AS (
+        |  SELECT doc_id, side, bb.b AS lane,
+        |    MIN(CAST(concat('0x', substring(md5(
+        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM (SELECT doc_id, side, unnest(shash) AS h FROM sh),
+        |       (SELECT unnest(range(0, 8)) AS b) bb
+        |  GROUP BY doc_id, side, bb.b),
+        |sig AS (SELECT doc_id, side, list(mh ORDER BY lane) AS sig
+        |        FROM lanes GROUP BY doc_id, side),
+        |bands AS (
+        |  SELECT doc_id, side, bb.b AS band,
+        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
+        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |com AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side = 0),
+        |dup AS (
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN com c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
+        |  WHERE i.side = 1)
+        |SELECT i.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
+        |FROM (SELECT DISTINCT doc_id FROM src WHERE side = 1) i
+        |LEFT JOIN dup d ON d.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "b34b_merge_full" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800

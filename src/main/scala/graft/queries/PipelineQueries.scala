@@ -893,12 +893,18 @@ object PipelineQueries {
     * anyway. Pure dataflow: no persist/cache — pinning a corpus-sized
     * banded intermediate is what a 100 TB run cannot do.
     */
-  private def minhashBandPairs(withSig: DataFrame): DataFrame = {
-    val bands = withSig.select(col("doc_id"),
+  /** Explode an 8-lane signature frame into its 4 × 2-row LSH band keys
+    * (doc_id, band, h0, h1) — shared by the pair generator below and the
+    * incremental gate's band-space join. */
+  private[graft] def explodeBands(withSig: DataFrame): DataFrame =
+    withSig.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as band, sig[b*2] as h0, sig[b*2+1] as h1))")))
       .select(col("doc_id"), col("col.band").as("band"),
         col("col.h0").as("h0"), col("col.h1").as("h1"))
+
+  private def minhashBandPairs(withSig: DataFrame): DataFrame = {
+    val bands = explodeBands(withSig)
     val wb = Window.partitionBy("band", "h0", "h1")
     val sized = bands.withColumn("bn", count(lit(1)).over(wb))
       .withColumn("mn", min("doc_id").over(wb))
@@ -923,23 +929,32 @@ object PipelineQueries {
   // against SQL. d03_minhash_lsh stays the production path (native long
   // xxhash64 lanes, ~10× cheaper per shingle); this twin proves the
   // machinery exact, the way d01_cluster_exact oracles the CC machinery.
-  def d03_minhash_exact(s: SparkSession, dir: String): DataFrame = {
+  /** The md5-portable MinHash signature of a (doc_id, text) frame —
+    * 3-token shingles hashed to 60-bit md5 prefixes, 8 min-hash lanes by
+    * per-lane rehash — factored out so d03_minhash_exact (full-corpus
+    * pairs) and d01_minhash_incremental (increment-vs-committed gate)
+    * derive signatures through ONE code path the same DuckDB CTEs replay.
+    */
+  private[graft] def md5MinhashSigs(d0: DataFrame): DataFrame = {
     def md5h(c: String) =
       s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
-    val d = t(s, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
+    d0.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(toks) < 3 THEN array(${md5h("text")})
           |ELSE transform(sequence(0, size(toks) - 3),
           |  i -> ${md5h("concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])")}) END"""
           .stripMargin).as("shash"))
-    val withSig = d.withColumn("sig", expr(
-      s"""transform(sequence(0, 7), b ->
-        |  aggregate(shash, 9223372036854775807L, (acc, h) -> least(acc,
-        |    ${md5h("concat(CAST(h AS STRING), '_', CAST(b AS STRING))")})))"""
-        .stripMargin))
-    minhashBandPairs(withSig)
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 7), b ->
+          |  aggregate(shash, 9223372036854775807L, (acc, h) -> least(acc,
+          |    ${md5h("concat(CAST(h AS STRING), '_', CAST(b AS STRING))")})))"""
+          .stripMargin))
+      .select("doc_id", "sig")
   }
+
+  def d03_minhash_exact(s: SparkSession, dir: String): DataFrame =
+    minhashBandPairs(md5MinhashSigs(
+      t(s, dir, "documents").select(col("doc_id"), col("text"))))
 
   // D3c — SimHash near-dup: 60-bit signature (per-bit majority vote over
   // token hashes, single pass with an array-of-counters accumulator),

@@ -805,4 +805,36 @@ class PipelineSpec extends SparkSpec {
     // hello|world|v|1|.|2|,|id|=|42|;|cost|$|9|.|99|! = 17 pre-tokens
     assert(out == 17, s"expected 17 pre-tokens, got $out")
   }
+
+  test("D1i incremental MinHash: planted cross-batch dups flagged, fresh docs " +
+      "survive, committed side joins as distinct band keys (LEFT SEMI)") {
+    val rows = LakeQueries.d01_minhash_incremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact re-keys (+1000000) share ALL 4 bands with their committed
+    // original — every one must be flagged
+    val exactRekeys = rows.keys.filter(id => id >= 1000000L && id < 2000000L)
+    assert(exactRekeys.nonEmpty)
+    assert(exactRekeys.forall(rows(_)),
+      s"unflagged exact re-key: ${exactRekeys.filterNot(rows(_))}")
+    // near-dup re-keys (+2000000, 3 appended tokens) keep most lanes: the
+    // overwhelming majority must still collide on >= 1 band
+    val nearRekeys = rows.keys.filter(_ >= 2000000L)
+    assert(nearRekeys.nonEmpty)
+    val caught = nearRekeys.count(rows(_))
+    assert(caught * 2 > nearRekeys.size,
+      s"near-dup recall collapsed: $caught/${nearRekeys.size}")
+    // genuinely-new odd docs: not ALL of them may be flagged (natural
+    // near-dups exist in the corpus, but not everywhere)
+    assert(rows.exists { case (id, dup) => id < 1000000L && !dup },
+      "every fresh doc flagged — the gate is not discriminating")
+    // scale shape: the committed corpus participates ONLY as a distinct
+    // band-key set probed by a LEFT SEMI join — per-key width 1, no
+    // increment × committed pair fan-out
+    val plan = LakeQueries.lastMinhashIncPlan.get
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(plan.indexOf("Aggregate", semiIdx) > 0,
+      "committed band keys not deduplicated below the semi join:\n" +
+        plan.take(2000))
+  }
 }
