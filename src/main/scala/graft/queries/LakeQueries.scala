@@ -787,6 +787,63 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** Rows encoded by the last d02_ann_indexed index-maintenance commit —
+    * spec-observable proof that an append triggers encode work
+    * proportional to the INCREMENT, not the corpus. */
+  @volatile private[graft] var lastAnnIndexedIncrementRows: Long = -1L
+
+  // D2f — the ANN index as a first-class TABLE citizen: every other d02
+  // entry retrains/encodes per query; a real 10⁹-vector serving path
+  // commits the index once and maintains it incrementally. Two
+  // laketables: the DATA table holds vectors; the INDEX table holds one
+  // row per vector = IVF cell id + 4 PQ codes (ivfPqEncode — the
+  // ~64×-smaller representation the ADC scan reads instead of floats).
+  // Flow: (1) corpus batch commits to data, (2) frozen models derive
+  // from the COMMITTED corpus only (untrained exact-twin constants:
+  // every-17th seeds under vec_id<400 — a frozen index must not peek at
+  // future arrivals), (3) the encoded corpus commits to the index, (4) a
+  // new batch appends to data, (5) index maintenance encodes ONLY the
+  // increment off the data table's incremental scan (changesBetween,
+  // A25) into one more index commit, (6) top-5 serves from the COMMITTED
+  // codes (ivfPqServe) — the same two machinery halves the per-query
+  // d02_ann_ivfpq path composes, so the persisted index can never
+  // diverge from it. Untrained models + sequential-fold arithmetic end
+  // to end → the whole dataflow hash-oracles against the ivfPqExact
+  // replay with the committed-batch seed predicate.
+  def d02_ann_indexed(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("annidx-data")
+    val locI = scratch("annidx-idx")
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, committed, ivf, pq), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
+      lastAnnIndexedIncrementRows =
+        index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      localize(P.ivfPqServe(s, index.snapshotDF(s, i2),
+        data.snapshotDF(s, d2), ivf, pq))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -823,6 +880,7 @@ object LakeQueries {
     "d01_dedup_incremental" -> d01_dedup_incremental _,
     "d01_semdedup_incremental" -> d01_semdedup_incremental _,
     "d01_minhash_incremental" -> d01_minhash_incremental _,
+    "d02_ann_indexed" -> d02_ann_indexed _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
@@ -962,6 +1020,12 @@ object LakeQueries {
         |FROM (SELECT DISTINCT doc_id FROM src WHERE side = 1) i
         |LEFT JOIN dup d ON d.doc_id = i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+    // the ivfPqExact replay with the frozen models' seed predicate (first
+    // 16 every-17th vectors of the COMMITTED batch); the lake round-trip
+    // is value-transparent, so serve-from-committed-codes replays as the
+    // full computation over the same vectors
+    "d02_ann_indexed" -> graft.queries.PipelineQueries
+      .ivfPqExactOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
     "b34b_merge_full" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800

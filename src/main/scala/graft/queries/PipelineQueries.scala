@@ -671,8 +671,8 @@ object PipelineQueries {
     * keep their previous codeword.
     */
   private[graft] def trainPqCodebooks(e: DataFrame,
-      iters: Int = 2): Array[Array[Seq[Double]]] = {
-    val sample: Array[Seq[Float]] = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+      iters: Int = 2, seedMod: Int = 31): Array[Array[Seq[Double]]] = {
+    val sample: Array[Seq[Float]] = e.filter(pmod(col("vec_id"), lit(seedMod)) === 0)
       .orderBy("vec_id").limit(16)
       .collect().map(_.getSeq[Float](1))
     var cents: Array[Array[Seq[Double]]] = Array.tabulate(4)(sb =>
@@ -781,10 +781,16 @@ object PipelineQueries {
       trainPqCodebooks(e, iters = 0))
   }
 
-  /** The composed IVF+PQ search machinery with both model sources split
-    * out (shared by d02_ann_ivfpq and the d02_ivfpq_exact twin).
+  /** IVF cell assignment + PQ encode of `e` under frozen models:
+    * (vec_id, cell, c0..c3) — the rows a PERSISTED ANN index table
+    * stores (cell id + 4 codes per corpus vector, the ~64×-smaller
+    * representation the scan reads instead of floats). Map-side pure
+    * expressions against model literals; shared by the per-query
+    * ivfPqSearch path and the committed-index d02_ann_indexed entry, so
+    * the index a table serves from is byte-for-byte what the per-query
+    * path would compute.
     */
-  private[graft] def ivfPqSearch(s: SparkSession, e: DataFrame,
+  private[graft] def ivfPqEncode(s: SparkSession, e: DataFrame,
       ivf: Array[(Long, Seq[Float])],
       pq: Array[Array[Seq[Double]]]): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
@@ -793,16 +799,38 @@ object PipelineQueries {
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
         lit(cid).as("c"))
     }: _*)
-    val corpus = e.withColumn("nv", pqNv)
+    e.withColumn("nv", pqNv)
       .withColumn("m", array_max(cellScores(col("embedding"))))
-      .select(col("vec_id").as("oid") +: col("embedding").as("oe") +:
-        col("m.c").as("cell") +:
+      .select(col("vec_id") +: col("m.c").as("cell") +:
         (0 until 4).map(sb => pqCode(pq, sb).as(s"c$sb")): _*)
+  }
+
+  /** Serve top-5 from an ENCODED corpus (`codes`: vec_id, cell, c0..c3)
+    * + the float vectors (probe source and exact refine): nprobe=8 cell
+    * fan-out, 4-add ADC, 200-shortlist, cosine refine — the query half of
+    * the persisted-index split.
+    */
+  private[graft] def ivfPqServe(s: SparkSession, codes: DataFrame,
+      vectors: DataFrame, ivf: Array[(Long, Seq[Float])],
+      pq: Array[Array[Seq[Double]]]): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.map {
+      case (cid, cvec) => struct(
+        call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
+        lit(cid).as("c"))
+    }: _*)
+    // the scan side reads codes; floats attach only for the refine (a
+    // production layout re-fetches the ≤200-per-probe shortlist by id —
+    // here the join is corpus-wide because the refine carries oe through
+    // the ADC for simplicity, same trade the other d02 entries document)
+    val corpus = codes.join(vectors, "vec_id")
+      .select(col("vec_id").as("oid"), col("embedding").as("oe"),
+        col("cell"), col("c0"), col("c1"), col("c2"), col("c3"))
     // nprobe=8 (vs the pure-IVF variant's 6): the composed index pays ~1
     // LUT-add per extra candidate, so doubling the probed cells buys back
     // the recall the two stacked approximations cost almost for free —
     // the exact-cosine refine still touches only the top-200 shortlist
-    val probes = e.filter(col("vec_id") < 20).withColumn("nv", pqNv)
+    val probes = vectors.filter(col("vec_id") < 20).withColumn("nv", pqNv)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 8)
           .getField("c")).as("cell"),
@@ -825,6 +853,17 @@ object PipelineQueries {
       .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
       .orderBy("qid", "rn")
   }
+
+  /** The composed IVF+PQ search machinery with both model sources split
+    * out (shared by d02_ann_ivfpq and the d02_ivfpq_exact twin): encode
+    * the corpus, then serve — the same two halves d02_ann_indexed
+    * persists between, so the per-query path and the committed-index path
+    * can never diverge.
+    */
+  private[graft] def ivfPqSearch(s: SparkSession, e: DataFrame,
+      ivf: Array[(Long, Seq[Float])],
+      pq: Array[Array[Seq[Double]]]): DataFrame =
+    ivfPqServe(s, ivfPqEncode(s, e, ivf, pq), e, ivf, pq)
 
   // D3 — exact token-set Jaccard over a bounded candidate set (same lang,
   // doc_id < 100). Integer-ratio math → bit-identical across engines.
@@ -2052,7 +2091,11 @@ object PipelineQueries {
     * d02_ivfpq_exact oracles — one definition so the encode tie-break or
     * bias derivation can never drift between the two replays.
     */
-  private lazy val PqCodebookCteSql: String =
+  /** PQ codebook CTEs with the seed predicate split out: the untrained
+    * codewords come from the first 16 vectors matching `seedWhere` —
+    * "vec_id % 31 = 0" for the full-corpus twins, a committed-batch
+    * predicate for the persisted-index entry. */
+  private def pqCodebookCteSql(seedWhere: String): String =
     s"""nvs AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)
@@ -2061,7 +2104,7 @@ object PipelineQueries {
       |samp AS (
       |  SELECT nv, j FROM (
       |    SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
-      |    FROM nvs WHERE vec_id % 31 = 0)
+      |    FROM nvs WHERE $seedWhere)
       |  WHERE j < 16),
       |cbb AS (
       |  SELECT sbs.sb, s.j,
@@ -2090,6 +2133,74 @@ object PipelineQueries {
       |    ${sqlSeqDot("list_slice(n.nv, c.sb * 16 + 1, c.sb * 16 + 16)",
                    "c.cw", 16)} AS lv
       |  FROM nvs n CROSS JOIN cbb c WHERE n.vec_id < 20)""".stripMargin
+
+  private lazy val PqCodebookCteSql: String =
+    pqCodebookCteSql("vec_id % 31 = 0")
+
+  /** The full IVF+PQ exact replay (assignment, nprobe=8 fan-out, encode,
+    * LUT, ADC, shortlist, refine) with the seed predicate split out —
+    * ONE SQL body behind both the d02_ivfpq_exact oracle (full-corpus
+    * seeds) and the d02_ann_indexed oracle in LakeQueries (seeds from the
+    * committed batch only, since a frozen index must not peek at future
+    * arrivals). The lake round-trip is value-transparent, so the indexed
+    * entry's serve-from-committed-codes result replays identically.
+    */
+  private[graft] def ivfPqExactOracleSql(seedWhere: String): String = {
+    def cos64(a: String, b: String): String =
+      s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
+        s"sqrt(${sqlSeqDot(b, b, 64)})))"
+    s"""WITH fvs AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+      |  FROM embeddings),
+      |ivfc AS (
+      |  SELECT vec_id AS cid, fv AS cv FROM fvs
+      |  WHERE $seedWhere ORDER BY vec_id LIMIT 16),
+      |${pqCodebookCteSql(seedWhere)},
+      |assign AS (
+      |  SELECT vec_id AS oid, cell FROM (
+      |    SELECT f.vec_id, c.cid AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+      |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
+      |    FROM fvs f CROSS JOIN ivfc c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT f.vec_id, c.cid AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+      |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
+      |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
+      |  WHERE rn <= 8),
+      |cand AS (
+      |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
+      |  WHERE a.oid <> p.qid),
+      |adc AS (
+      |  SELECT c.qid, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
+      |  FROM cand c
+      |  JOIN codesw k ON k.vec_id = c.oid
+      |  JOIN lut l0 ON l0.qid = c.qid AND l0.sb = 0 AND l0.j = k.c0
+      |  JOIN lut l1 ON l1.qid = c.qid AND l1.sb = 1 AND l1.j = k.c1
+      |  JOIN lut l2 ON l2.qid = c.qid AND l2.sb = 2 AND l2.j = k.c2
+      |  JOIN lut l3 ON l3.qid = c.qid AND l3.sb = 3 AND l3.j = k.c3),
+      |short AS (
+      |  SELECT qid, oid FROM (
+      |    SELECT qid, oid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, oid) AS arn
+      |    FROM adc)
+      |  WHERE arn <= 200),
+      |fin AS (
+      |  SELECT sh.qid, sh.oid, ${cos64("e1.fv", "e2.fv")} AS cos
+      |  FROM short sh
+      |  JOIN fvs e1 ON e1.vec_id = sh.qid
+      |  JOIN fvs e2 ON e2.vec_id = sh.oid),
+      |scored AS (
+      |  SELECT qid, oid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+      |  FROM fin)
+      |SELECT qid, rn, oid,
+      |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+      |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
 
   /** The SimHash signature CTE block (`tokh`/`bits`/`sigs`) computing
     * the 60-bit md5 signature per doc of `src` (needs doc_id, text) —
@@ -2677,62 +2788,7 @@ object PipelineQueries {
     // seeds, PQ encode/LUT/ADC from the d02_pq_exact codebook CTEs,
     // cell-bounded candidates, 200-shortlist, cosine refine. All
     // reductions sequential folds — bit-identical in both engines.
-    "d02_ivfpq_exact" -> {
-      def cos64(a: String, b: String): String =
-        s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
-          s"sqrt(${sqlSeqDot(b, b, 64)})))"
-      s"""WITH fvs AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
-        |  FROM embeddings),
-        |ivfc AS (
-        |  SELECT vec_id AS cid, fv AS cv FROM fvs
-        |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
-        |$PqCodebookCteSql,
-        |assign AS (
-        |  SELECT vec_id AS oid, cell FROM (
-        |    SELECT f.vec_id, c.cid AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-        |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
-        |    FROM fvs f CROSS JOIN ivfc c)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cell FROM (
-        |    SELECT f.vec_id, c.cid AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-        |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
-        |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
-        |  WHERE rn <= 8),
-        |cand AS (
-        |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
-        |  WHERE a.oid <> p.qid),
-        |adc AS (
-        |  SELECT c.qid, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
-        |  FROM cand c
-        |  JOIN codesw k ON k.vec_id = c.oid
-        |  JOIN lut l0 ON l0.qid = c.qid AND l0.sb = 0 AND l0.j = k.c0
-        |  JOIN lut l1 ON l1.qid = c.qid AND l1.sb = 1 AND l1.j = k.c1
-        |  JOIN lut l2 ON l2.qid = c.qid AND l2.sb = 2 AND l2.j = k.c2
-        |  JOIN lut l3 ON l3.qid = c.qid AND l3.sb = 3 AND l3.j = k.c3),
-        |short AS (
-        |  SELECT qid, oid FROM (
-        |    SELECT qid, oid,
-        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, oid) AS arn
-        |    FROM adc)
-        |  WHERE arn <= 200),
-        |fin AS (
-        |  SELECT sh.qid, sh.oid, ${cos64("e1.fv", "e2.fv")} AS cos
-        |  FROM short sh
-        |  JOIN fvs e1 ON e1.vec_id = sh.qid
-        |  JOIN fvs e2 ON e2.vec_id = sh.oid),
-        |scored AS (
-        |  SELECT qid, oid, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
-        |  FROM fin)
-        |SELECT qid, rn, oid,
-        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
-        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-    },
+    "d02_ivfpq_exact" -> ivfPqExactOracleSql("vec_id % 31 = 0"),
     // hyperplane-LSH reproduction (md5-portable twin): integer plane
     // weights, exact quantized-dot sign test, 8×4 banding, cosine refine
     "d02_ann_exact" ->

@@ -837,4 +837,27 @@ class PipelineSpec extends SparkSpec {
       "committed band keys not deduplicated below the semi join:\n" +
         plan.take(2000))
   }
+
+  test("D2f persisted ANN index: an append encodes ONLY the increment, and " +
+      "serving from committed codes equals the per-query path") {
+    val out = LakeQueries.d02_ann_indexed(spark, dir).collect().toSeq
+    assert(out.nonEmpty)
+    // 100 vectors arrived after the index was built (vec_id 400..499 at
+    // this sf) — the maintenance commit must encode exactly those, never
+    // re-encode the 400-vector committed corpus
+    assert(LakeQueries.lastAnnIndexedIncrementRows == 100L,
+      s"index maintenance encoded ${LakeQueries.lastAnnIndexedIncrementRows} rows")
+    // the committed-index serve must be indistinguishable from running
+    // the unsplit encode+serve machinery over the same vectors with the
+    // same frozen models — the persisted index adds storage, not drift
+    val e = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val committed = e.filter(col("vec_id") < 400)
+    val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val pq = PipelineQueries.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+    val direct = PipelineQueries.ivfPqSearch(spark, e, ivf, pq).collect().toSeq
+    assert(out == direct, s"indexed serve diverged from per-query path")
+  }
 }
