@@ -187,6 +187,76 @@ class LakeSinkSpec extends SparkSpec {
     assert(t.refresh().toDF(spark).count() == 20)
   }
 
+  test("epoch fencing holds over an object-store CAS: replay fenced on mocks3") {
+    // the same replay scenario as the local-FS test above, but the table
+    // lives on the overwriting-rename mock store with the registered
+    // conditional-put CAS providing commit atomicity — the epoch fence's
+    // exactly-once guarantee must not depend on which CAS primitive the
+    // scheme resolved to (r7 verdict item #6: the streaming sink's fence
+    // had only local-FS coverage)
+    CommitCas.register("mocks3", ConditionalPutCas)
+    try {
+      val loc = "mocks3:" + tmpDir("dsv2-sink-s3")
+      LakeTable.drop(loc)
+      val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      val before = ConditionalPutCas.attempts.get()
+      val files1 = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(0), seed = 61), t)
+      assert(t.appendEpoch(files1, "q1", 0L) >= 0)
+      // crash-window replay of epoch 0: fresh physical files, same epoch
+      val files2 = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(0), seed = 61), t)
+      val snapBefore = t.currentSnapshotId
+      assert(t.appendEpoch(files2, "q1", 0L) == -1L)
+      assert(t.currentSnapshotId == snapBefore)
+      assert(t.toDF(spark).count() == 10)
+      // later epoch lands; an unrelated query is not fenced
+      val files3 = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 5, bucket(1), seed = 62), t)
+      assert(t.appendEpoch(files3, "q1", 1L) >= 0)
+      val files4 = LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 5, bucket(2), seed = 63), t)
+      assert(t.appendEpoch(files4, "q2", 0L) >= 0)
+      assert(t.refresh().toDF(spark).count() == 20)
+      // the commits really went through the conditional put, not a rename
+      assert(ConditionalPutCas.attempts.get() > before)
+      LakeTable.drop(loc)
+    } finally CommitCas.unregister("mocks3")
+  }
+
+  test("streaming sink end-to-end on mocks3: micro-batches commit exactly-once " +
+      "through the conditional-put CAS") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    CommitCas.register("mocks3", ConditionalPutCas)
+    try {
+      val loc = "mocks3:" + tmpDir("dsv2-sink-s3-stream")
+      LakeTable.drop(loc)
+      val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[Long]
+      val events = mem.toDF().select(
+        col("value").as("message_id"),
+        md5(col("value").cast("string")).as("data"),
+        timestamp_micros(lit(bucket(0)) + col("value")).as("timestamp"),
+        (lit(bucket(0)) + (col("value") % 2) * Width).as("timeperiod_loadedBy"),
+        col("value").cast("string").cast("binary").as("message_body"))
+      // checkpoint stays on the local FS (its own rename discipline);
+      // only the SINK table lives on the object store
+      val q = events.writeStream.format("laketable")
+        .option("checkpointLocation", tmpDir("dsv2-sink-s3-ckpt"))
+        .trigger(Trigger.AvailableNow())
+      mem.addData(0L until 40L: _*)
+      val running = q.start(loc)
+      running.awaitTermination(60000)
+      val t2 = t.refresh()
+      assert(t2.toDF(spark).count() == 40)
+      assert(t2.files().map(_.partitionValue).toSet == Set(bucket(0), bucket(1)))
+      assert(t2.tableMeta.properties.keys.exists(_.startsWith("stream.epoch.")))
+      LakeTable.drop(loc)
+    } finally CommitCas.unregister("mocks3")
+  }
+
   test("mode(overwrite) replaces contents in one rewrite commit, keeps time travel") {
     val t = newTable()
     LakeWriter.generateBatch(spark, 40, bucket(0), seed = 9)
