@@ -550,15 +550,15 @@ object Bench {
         runCommitCurve()
       else Nil
     val results = envelope ++ heavy
-    // ms precision: cross-round deltas under ~0.3 s are run variance on
-    // this harness, and compact values keep the WHOLE final JSON line
-    // inside the driver's 2000-char output-tail capture — the round-6
-    // artifact truncated away b01_scan/b08_filter/b09_join_inner because
-    // full-precision doubles pushed the blob past the tail window.
+    // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
+    // are run variance on this harness, so 2dp loses nothing real, and
+    // the saved chars keep the GROWING JSON line (two new heavy entries +
+    // their duckdb keys this round) inside the driver's 2000-char
+    // output-tail capture — the round-6 artifact truncated away three
+    // entries when the blob outgrew the window. The full-precision blob
+    // still lands in /tmp/graft_bench.json every run.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // `total` = envelope entries only; the heavyTail pair (~5 s of
     // iterative CC + SemDeDup) reports under `heavy_total` so the
     // envelope aggregate stays comparable with rounds ≤5 (adding them to
@@ -592,16 +592,23 @@ object Bench {
         if (proc.waitFor() == 0 && line.startsWith("{")) line else "null"
       }
     } catch { case _: Throwable => "null" }
-    def optObj(key: String, entries: Seq[(String, Double)]): String =
-      if (entries.isEmpty) ""
-      else entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(s""""$key":{""", ",", "},")
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""heavy_total":${fmt(heavyTotal)},"queries":$qs,""" +
+    def fmt3(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def render(f: Double => String): String = {
+      def optObj(key: String, entries: Seq[(String, Double)]): String =
+        if (entries.isEmpty) ""
+        else entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
+          .mkString(s""""$key":{""", ",", "},")
+      val q = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+        s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
         optObj("heavy_scale", heavyScale) +
         optObj("commit_curve", commitCurve) +
-        s""""duckdb_seconds":$duckdbJson,"sf":"$sfDir"}"""
+        s""""duckdb_seconds":$duckdbJson,""" +
+        s""""sf":"${sfDir.split('/').last}"}"""
+    }
+    val json = render(fmt)
     // file fallback for machine parsing, then the bare stdout line —
     // printed LAST so the driver's output-tail capture always holds the
     // complete blob; warn (stderr) if it ever outgrows the tail window
@@ -609,8 +616,9 @@ object Bench {
       System.err.println(s"[bench] WARNING: json line ${json.length} chars " +
         "— approaching the 2000-char driver tail capture")
     try {
+      // the file copy keeps ms precision (the historical artifact format)
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
-      try w.println(json) finally w.close()
+      try w.println(render(fmt3)) finally w.close()
     } catch { case _: java.io.IOException => }
     println(json)
     spark.stop()

@@ -42,9 +42,10 @@ def main():
                 t0 = time.perf_counter()
                 con.execute(sqls[name]).fetchall()
                 times.append(time.perf_counter() - t0)
-            # ms precision — keeps the embedded blob small enough that the
-            # whole bench JSON line fits the driver's 2000-char tail capture
-            out[name] = round(min(times), 3)
+            # 10ms precision (round 8: was 3dp) — the bench protocol's own
+            # noise floor is ~0.3 s, and every saved char keeps the growing
+            # JSON line inside the driver's 2000-char tail capture
+            out[name] = round(min(times), 2)
         except Exception:
             out[name] = None
     # compact separators: the blob embeds into Bench's single output line,
