@@ -828,6 +828,11 @@ object LakeQueries {
         .orderBy("vec_id").limit(16)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      // the frozen models commit WITH the index (table properties, exact
+      // text codec) — the index table is self-contained: serving below
+      // uses ONLY what a fresh session could load from the two tables
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       val i1 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, committed, ivf, pq), index))
       val d2 = data.append(LakeWriter.writeDataFiles(
@@ -836,8 +841,13 @@ object LakeQueries {
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
       lastAnnIndexedIncrementRows =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
-      localize(P.ivfPqServe(s, index.snapshotDF(s, i2),
-        data.snapshotDF(s, d2), ivf, pq))
+      // serve from a FRESH load: committed codes + models parsed back
+      // from the table's own properties (bit-exact round-trip)
+      val served = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(served.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(served.tableMeta.properties(P.AnnPqProp))
+      localize(P.ivfPqServe(s, served.snapshotDF(s, i2),
+        data.snapshotDF(s, d2), ivf2, pq2))
     } finally {
       LakeTable.drop(locD)
       LakeTable.drop(locI)

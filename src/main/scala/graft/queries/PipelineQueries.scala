@@ -854,6 +854,31 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Table-property keys + exact text codec for the frozen ANN models —
+    * what makes a committed index table SELF-CONTAINED: a fresh session
+    * loads the table, parses the models from its properties, and serves,
+    * never retraining. Float.toString/parseFloat (and the Double pair)
+    * round-trip bit-exactly by the Java language spec, so the served
+    * scores are identical to the build session's.
+    */
+  val AnnIvfProp = "graft.ann.ivf.model"
+  val AnnPqProp = "graft.ann.pq.model"
+
+  private[graft] def ivfModelToString(ivf: Array[(Long, Seq[Float])]): String =
+    ivf.map { case (cid, v) => s"$cid:${v.mkString(",")}" }.mkString(";")
+
+  private[graft] def ivfModelFromString(s: String): Array[(Long, Seq[Float])] =
+    s.split(';').map { part =>
+      val Array(cid, vs) = part.split(':')
+      (cid.toLong, vs.split(',').toSeq.map(_.toFloat))
+    }
+
+  private[graft] def pqModelToString(pq: Array[Array[Seq[Double]]]): String =
+    pq.map(_.map(_.mkString(",")).mkString("|")).mkString(";")
+
+  private[graft] def pqModelFromString(s: String): Array[Array[Seq[Double]]] =
+    s.split(';').map(_.split('|').map(_.split(',').toSeq.map(_.toDouble)))
+
   /** The composed IVF+PQ search machinery with both model sources split
     * out (shared by d02_ann_ivfpq and the d02_ivfpq_exact twin): encode
     * the corpus, then serve — the same two halves d02_ann_indexed

@@ -419,6 +419,32 @@ object RelationalQueries {
       .limit(500)
   }
 
+  // B52 — WITH RECURSIVE (Spark 4.x recursive CTE): depth-limited graph
+  // walk over a DERIVED edge set (each customer points at (7k+3) mod
+  // 1500 — both engines compute the identical graph from the same
+  // parquet, any sf ≥ 0.01 contains the full [0,1500) target range).
+  // BFS from 3 seeds, first-visit depth per node. The recursion is the
+  // operator under test: each step is one self-referencing UNION ALL
+  // iteration Catalyst executes as an iterative union loop — bounded
+  // here by depth < 20, and globally by spark.sql.cteRecursionLevelLimit.
+  def b52_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST((c_custkey * 7 + 3) % 1500 AS BIGINT) AS dst
+        |  FROM customer),
+        |reach(node, depth) AS (
+        |  SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey < 3
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 20)
+        |SELECT node, CAST(MIN(depth) AS INT) AS first_depth,
+        |  CAST(COUNT(*) AS BIGINT) AS visits
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   /** Spark entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan" -> b01_scan _,
@@ -460,6 +486,7 @@ object RelationalQueries {
     "b33_pivot" -> b33_pivot _,
     "b50_filter_agg" -> b50_filter_agg _,
     "b51_ignore_nulls" -> b51_ignore_nulls _,
+    "b52_recursive_cte" -> b52_recursive_cte _,
   )
 
   /** DuckDB oracle SQL — column names and ordering match the Spark side. */
@@ -661,5 +688,19 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id LIMIT 500""".stripMargin,
+    "b52_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST((c_custkey * 7 + 3) % 1500 AS BIGINT) AS dst
+        |  FROM customer),
+        |reach(node, depth) AS (
+        |  SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey < 3
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 20)
+        |SELECT node, CAST(MIN(depth) AS INT) AS first_depth,
+        |  CAST(COUNT(*) AS BIGINT) AS visits
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
   )
 }

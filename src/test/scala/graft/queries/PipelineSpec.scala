@@ -859,5 +859,16 @@ class PipelineSpec extends SparkSpec {
     val pq = PipelineQueries.trainPqCodebooks(committed, iters = 0, seedMod = 17)
     val direct = PipelineQueries.ivfPqSearch(spark, e, ivf, pq).collect().toSeq
     assert(out == direct, s"indexed serve diverged from per-query path")
+    // the model text codec (index-table properties) round-trips bit-exactly
+    // — the entry serves from PARSED models, so this is the claim the
+    // out==direct equality above rests on
+    val ivf2 = PipelineQueries.ivfModelFromString(
+      PipelineQueries.ivfModelToString(ivf))
+    assert(ivf2.toSeq.map { case (c, v) => (c, v.toList) } ==
+      ivf.toSeq.map { case (c, v) => (c, v.toList) })
+    val pq2 = PipelineQueries.pqModelFromString(
+      PipelineQueries.pqModelToString(pq))
+    assert(pq2.map(_.map(_.toList).toList).toList ==
+      pq.map(_.map(_.toList).toList).toList)
   }
 }
