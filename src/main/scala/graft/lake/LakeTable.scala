@@ -90,7 +90,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
 
   // ---- file listing ------------------------------------------------------
 
-  private def readManifest(name: String): Seq[DataFileMeta] = {
+  private[lake] def readManifest(name: String): Seq[DataFileMeta] = {
     val p = new Path(metaDir, name)
     // Manifests are immutable by construction (every write mints a new
     // UUID name), so parsed contents cache safely across queries — without
@@ -1033,12 +1033,35 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     -1L // unreachable
   }
 
-  /** Manifest compaction once the count crosses the merge threshold. */
+  /** Manifest compaction once the count crosses the merge threshold.
+    *
+    * The merge output is BINNED at merge.max-entries file entries per
+    * manifest, and bins already holding ≥ half the cap are carried
+    * forward untouched: a 10⁶-file inventory becomes ~10 bounded bins +
+    * a small tail, planning keeps one task per manifest (never one
+    * giant single-manifest scan), driver memory during the merge is
+    * bounded by one bin, and each merge rewrites only the small-tail
+    * entries instead of the whole inventory every `threshold` commits.
+    */
   private def maybeMerge(manifests: Seq[String]): Seq[String] = {
     val threshold = meta.properties.getOrElse(PropManifestMinMerge, "200").toInt
-    if (manifests.size >= threshold)
-      Seq(writeManifest(manifests.flatMap(readManifest)))
-    else manifests
+    if (manifests.size < threshold) manifests
+    else {
+      val cap = meta.properties.getOrElse(PropManifestMergeMaxEntries,
+        DefaultManifestMergeMaxEntries.toString).toInt
+      val sized = manifests.map(m => m -> readManifest(m).size)
+      val (big, small) = sized.partition(_._2 >= math.max(1, cap / 2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+      small.foreach { case (m, _) =>
+        readManifest(m).foreach { f =>
+          buf += f
+          if (buf.size >= cap) { out += writeManifest(buf.toSeq); buf.clear() }
+        }
+      }
+      if (buf.nonEmpty) out += writeManifest(buf.toSeq)
+      big.map(_._1) ++ out.toSeq
+    }
   }
 
   /** Metadata-only retention delete (A21): drop every data file whose

@@ -315,6 +315,15 @@ object LakeFormat {
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"
+  // Cap on file entries per MERGED manifest (our analog of Iceberg's
+  // manifest target size): merge output is binned, never one unbounded
+  // manifest — a 10⁶-file table merged into a single manifest would be a
+  // one-task planning bottleneck and a driver-memory spike, and every
+  // later merge would rewrite the full inventory. Bins that already meet
+  // half this cap are left untouched by later merges (amortized merge
+  // cost stays O(small tail), not O(table)).
+  val PropManifestMergeMaxEntries = "commit.manifest.merge.max-entries"
+  val DefaultManifestMergeMaxEntries = 100000
   val PropMinSnapshotsToKeep = "history.expire.min-snapshots-to-keep"
   // per-query streaming-epoch watermark:
   // "stream.epoch.<queryId>" -> "<epochId>:<commitTimestampMs>"

@@ -424,6 +424,43 @@ class LakeTableSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 15)
   }
 
+  test("manifest merge bins at merge.max-entries and never rewrites full bins") {
+    val loc = tmpDir("laketable-merge-bins")
+    LakeTable.drop(loc)
+    // merge every 4 manifests; each merged bin holds <= 6 file entries
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropManifestMinMerge -> "4",
+        LakeFormat.PropManifestMergeMaxEntries -> "6"))
+    def manifestSizes(): Seq[(String, Int)] =
+      t.tableMeta.current.get.manifests.map(m => m -> t.readManifest(m).size)
+    // 2-file appends: the 4th commit triggers a merge of 8 entries ->
+    // two bins (6 + 2), never one unbounded manifest
+    for (i <- 0 until 4)
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(i % 3), seed = 10 + i),
+        t, filesPerPartition = 2))
+    val afterFirst = manifestSizes()
+    assert(afterFirst.map(_._2).forall(_ <= 6),
+      s"unbounded merged manifest: $afterFirst")
+    assert(afterFirst.size >= 2, s"single giant bin: $afterFirst")
+    val fullBins = afterFirst.filter(_._2 >= 3).map(_._1).toSet // >= cap/2
+    assert(fullBins.nonEmpty)
+    // more appends to trigger a SECOND merge: the full bins carry over
+    // by name (no rewrite), only the small tail re-bins
+    for (i <- 4 until 8)
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(i % 3), seed = 10 + i),
+        t, filesPerPartition = 2))
+    val afterSecond = manifestSizes()
+    assert(afterSecond.map(_._2).forall(_ <= 6),
+      s"unbounded merged manifest: $afterSecond")
+    assert(fullBins.subsetOf(afterSecond.map(_._1).toSet),
+      s"full bins were rewritten: $fullBins vs ${afterSecond.map(_._1)}")
+    // nothing lost or duplicated through both merges
+    assert(t.toDF(spark).count() == 80)
+    assert(t.files().map(_.path).distinct.size == t.files().size)
+  }
+
   test("stats-pruned scan skips files outside the partition range") {
     val t = newTable()
     appendBatch(t, 10, bucket(0), seed = 1)
