@@ -183,7 +183,19 @@ object FunctionQueries {
       .orderBy("label", "pos")
   }
 
+  // C23 — ordered string aggregation: Spark 4's LISTAGG ... WITHIN GROUP
+  // (the SQL-standard form; DuckDB replays as string_agg with ORDER BY).
+  // Deterministic because the within-group order is total.
+  def c23_string_agg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_string_agg" -> c23_string_agg _,
     "c09_udaf_centroid" -> c09_udaf_centroid _,
     "c01_string" -> c01_string _,
     "c01_split" -> c01_split _,
@@ -201,6 +213,10 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c23_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "c09_udaf_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
         | CAST(CAST(round(AVG(CAST(x AS DOUBLE)), 4) AS DECIMAL(28,4)) AS DOUBLE) AS v

@@ -445,6 +445,23 @@ object RelationalQueries {
         |FROM reach GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  // B53 — BATCH session windows: `session_window(ts, gap)` groups each
+  // user's events into variable-length sessions (next event within 30
+  // min extends the session; window end = last event + gap, half-open).
+  // The streaming C12 entry covers the stateful variant; this is the
+  // batch analog Catalyst executes as a partition-local sort + merge —
+  // one shuffle on user_id, no self-join. Oracle = the classic
+  // gaps-and-islands replay (LAG + running break-sum), exact integer µs.
+  def b53_session_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), dec4(sum(col("value"))).as("sv"))
+      .select(col("user_id"),
+        us(col("session_window.start")).as("s_us"),
+        us(col("session_window.end")).as("e_us"),
+        col("n"), col("sv"))
+      .orderBy("user_id", "s_us")
+
   /** Spark entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan" -> b01_scan _,
@@ -487,6 +504,7 @@ object RelationalQueries {
     "b50_filter_agg" -> b50_filter_agg _,
     "b51_ignore_nulls" -> b51_ignore_nulls _,
     "b52_recursive_cte" -> b52_recursive_cte _,
+    "b53_session_agg" -> b53_session_agg _,
   )
 
   /** DuckDB oracle SQL — column names and ordering match the Spark side. */
@@ -702,5 +720,25 @@ object RelationalQueries {
         |SELECT node, CAST(MIN(depth) AS INT) AS first_depth,
         |  CAST(COUNT(*) AS BIGINT) AS visits
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // gaps-and-islands: a session breaks where the gap to the previous
+    // event is >= 30 min (Spark's session windows are half-open, so an
+    // event at exactly start+gap opens a NEW session); end = last + gap
+    "b53_session_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(us) AS s_us, MAX(us) + 1800000000 AS e_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(round(SUM(value), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sv
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_us""".stripMargin,
   )
 }
