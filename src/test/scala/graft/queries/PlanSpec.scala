@@ -255,6 +255,17 @@ class PlanSpec extends SparkSpec {
       s"cartesian product in the lateral plan:\n$p")
   }
 
+  test("B53: batch session windows aggregate in one user_id shuffle, no self-join") {
+    val p = plan(RelationalQueries.b53_session_agg(spark, dir))
+    // the gaps-and-islands SQL shape would be LAG + running sum + regroup
+    // (three window passes); Spark's session_window must instead be a
+    // partition-local sort + session merge under ONE hash exchange on
+    // user_id — and never a self-join
+    assert(!p.contains("Join"), s"self-join in the session plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges hash exchanges (expected <= 2):\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
