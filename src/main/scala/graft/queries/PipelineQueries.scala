@@ -2227,6 +2227,38 @@ object PipelineQueries {
       |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** The INDEX-CONTENT replay (cell assignment + PQ codes per corpus
+    * vector, no serving) — what a committed ANN index table must hold,
+    * row for row. Oracles `d07_ann_index_stream` (the continuously-
+    * maintained index): same untrained-model CTEs as the ivfPqExact
+    * serve replay, projected at the encode stage.
+    */
+  private[graft] def annIndexOracleSql(seedWhere: String): String = {
+    def cos64(a: String, b: String): String =
+      s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
+        s"sqrt(${sqlSeqDot(b, b, 64)})))"
+    s"""WITH fvs AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+      |  FROM embeddings),
+      |ivfc AS (
+      |  SELECT vec_id AS cid, fv AS cv FROM fvs
+      |  WHERE $seedWhere ORDER BY vec_id LIMIT 16),
+      |${pqCodebookCteSql(seedWhere)},
+      |assign AS (
+      |  SELECT vec_id AS oid, cell FROM (
+      |    SELECT f.vec_id, c.cid AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+      |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
+      |    FROM fvs f CROSS JOIN ivfc c)
+      |  WHERE rn = 1)
+      |SELECT a.oid AS vec_id, a.cell,
+      |  CAST(k.c0 AS INT) AS c0, CAST(k.c1 AS INT) AS c1,
+      |  CAST(k.c2 AS INT) AS c2, CAST(k.c3 AS INT) AS c3
+      |FROM assign a JOIN codesw k ON k.vec_id = a.oid
+      |ORDER BY vec_id""".stripMargin
+  }
+
   /** The SimHash signature CTE block (`tokh`/`bits`/`sigs`) computing
     * the 60-bit md5 signature per doc of `src` (needs doc_id, text) —
     * shared by the d03_simhash oracle (src = documents) and the

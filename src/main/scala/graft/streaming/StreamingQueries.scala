@@ -556,7 +556,66 @@ object StreamingQueries {
     out
   }
 
+  // D7c — the ANN index maintained CONTINUOUSLY: a streaming job reads
+  // the DATA table's own incremental scan (the laketable source, A25),
+  // encodes each arriving micro-batch under the frozen models
+  // (ivfPqEncode — pure expressions, so the transform rides the stream),
+  // and lands the codes in the INDEX table through the epoch-fenced
+  // laketable sink. Two runs of the same checkpointed query: the first
+  // indexes the committed corpus; a batch then appends to the data
+  // table and the restarted query encodes ONLY the new snapshot's files
+  // (exactly-once from the source checkpoint — a replayed or
+  // re-encoded corpus would double vec_ids in the append-only index and
+  // fail the hash). This is d02_ann_indexed's maintenance path run as
+  // the production streaming job instead of a manual changesBetween
+  // call. Oracle: the untrained-model assign+encode replay over the
+  // full corpus (annIndexOracleSql).
+  def d07_ann_index_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07ann-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07ann-idx-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      def runMaintenance(): Unit = {
+        val q = P.ivfPqEncode(s,
+            s.readStream.format("laketable")
+              .option("startSnapshotId", "0").load(locD), ivf, pq)
+          .writeStream.format("laketable")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(locI)
+        q.awaitTermination()
+      }
+      runMaintenance() // index the committed corpus
+      data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      runMaintenance() // restart: only the new snapshot's files flow
+      localize(s.read.format("laketable").load(locI)
+        .select("vec_id", "cell", "c0", "c1", "c2", "c3")
+        .orderBy("vec_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_ann_index_stream" -> d07_ann_index_stream _,
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
     "c12_stream_session" -> c12_stream_session _,
@@ -576,6 +635,8 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d07_ann_index_stream" -> graft.queries.PipelineQueries
+      .annIndexOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
     "c10_stream_tumbling" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS w_us, COUNT(*) AS n
         |FROM events GROUP BY w_us ORDER BY w_us""".stripMargin,
