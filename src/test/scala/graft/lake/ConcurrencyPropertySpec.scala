@@ -101,7 +101,8 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
   }
 
-  private def runSchedule(schedule: List[Op], locPrefix: String = ""): Unit = {
+  private def runSchedule(schedule: List[Op], locPrefix: String = "",
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val loc = locPrefix + tmpBase
       .map(b => java.nio.file.Files.createTempDirectory(b, "lake-fuzz"))
       .getOrElse(java.nio.file.Files.createTempDirectory("lake-fuzz"))
@@ -110,7 +111,7 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     // a declared sort order on the to-be-renamed column: every Rename op
     // must rewrite it in the same alter commit, asserted at schedule end
     val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
-      Map(LakeFormat.PropSortOrder -> "data"))
+      Map(LakeFormat.PropSortOrder -> "data") ++ extraProps)
     try {
       var nextRow = 0L
       var nextFile = 0
@@ -455,6 +456,26 @@ class ConcurrencyPropertySpec extends AnyFunSuite {
     val swaps = ConcurrencyPropertySpec.mixedVintageSwaps.get()
     info(s"mixed-vintage dyn-overwrite swaps exercised: $swaps")
     assert(swaps > 0, "no schedule swapped old-vintage buckets")
+  }
+
+  test("200 random schedules under AGGRESSIVE manifest merge + binning: " +
+      "same model agreement") {
+    // min-count-to-merge 3 + a 4-entry bin cap makes nearly every commit
+    // trigger the binned merge (incl. the carry-forward of full bins), so
+    // the merge/bin logic runs under the FULL op alphabet — appends,
+    // CoW/MoR deletes, upserts, rewrites, expiry, rollback, evolution,
+    // WAP — with every invariant of the baseline fuzz unchanged: a merge
+    // may regroup manifests but never change the live file SET, and no
+    // downstream op may observe the difference.
+    val prop = forAll(genSchedule) { schedule =>
+      runSchedule(schedule, extraProps = Map(
+        LakeFormat.PropManifestMinMerge -> "3",
+        LakeFormat.PropManifestMergeMaxEntries -> "4"))
+      true
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("200 random schedules over an OBJECT-STORE CAS (conditional put on " +
