@@ -233,6 +233,24 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     fm.map(_.copy(seq = s))
   }
 
+  /** Inventory-scale manifest writes (compaction swaps, retention
+    * survivors, CoW rewrites, full overwrites) go through this binning
+    * variant: one manifest per merge.max-entries entries, so NO commit
+    * path can mint an unbounded manifest — a 10⁶-file survivor list as
+    * a single manifest would be a one-task planning bottleneck and an
+    * O(table) rewrite on every later touch (the maybeMerge lesson
+    * applied to every full-list rewrite site). Empty input = no
+    * manifest, matching the callers' previous isEmpty guards.
+    */
+  private def writeManifests(fm: Seq[DataFileMeta]): Seq[String] =
+    if (fm.isEmpty) Nil
+    else {
+      val cap = math.max(1, meta.properties
+        .getOrElse(PropManifestMergeMaxEntries,
+          DefaultManifestMergeMaxEntries.toString).toInt)
+      fm.grouped(cap).map(g => writeManifest(g)).toSeq
+    }
+
   private def writeDeleteManifest(fm: Seq[DeleteFileMeta]): String = {
     ensureManifestDir()
     val name = s"${LakeFormat.ManifestsSubdir}/delete-manifest-${UUID.randomUUID()}.json"
@@ -510,7 +528,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val fresh = newFiles.distinctBy(_.path)
       // full replacement: no pre-existing file survives, so no pending
       // delete can reference a live file
-      Some((if (fresh.isEmpty) Nil else Seq(writeManifest(stamp(fresh))),
+      Some((writeManifests(stamp(fresh)),
         meta.snapshots, Nil))
     }
 
@@ -1019,7 +1037,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     while (true) {
       val cur = meta.current.map(_.manifests).getOrElse(Nil)
       if (cur.size <= 1) return -1L
-      val merged = Seq(writeManifest(cur.flatMap(readManifest)))
+      val merged = writeManifests(cur.flatMap(readManifest))
       try return commitAttempt("compact", merged, meta.snapshots)
       catch {
         case _: java.io.IOException =>
@@ -1080,7 +1098,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val (dropped, kept) = files().partition(f =>
         f.partitionValue + meta.specWidth(f.specId) <= cutoffMicros)
       if (dropped.isEmpty) None
-      else Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+      else Some((writeManifests(kept),
         meta.snapshots, carryDeleteManifests(kept)))
     }
   }
@@ -1134,7 +1152,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     if (live.isEmpty) // overwrite into an empty table = plain append
       return retryCommitDeletes("rewrite") { () =>
         val kept = files() ++ stamp(extra)
-        Some((Seq(writeManifest(kept)), meta.snapshots,
+        Some((writeManifests(kept), meta.snapshots,
           carryDeleteManifests(kept)))
       }
     // Pending MoR deletes must be honored throughout: a deleted row that
@@ -1191,7 +1209,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // the scan must not be dropped by this manifest rewrite
       val kept = files().filterNot(f => replaced.contains(f.path)) ++
         stamp(rewritten) ++ stamp(extra)
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+      Some((writeManifests(kept),
         meta.snapshots, carryDeleteManifests(kept)))
     }
   }
@@ -1263,7 +1281,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val kept = cur.filter { f =>
         !straddlingPaths.contains(f.path) && !writeBuckets(f).forall(touched)
       } ++ stamp(rewritten) ++ stamp(fresh)
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+      Some((writeManifests(kept),
         meta.snapshots, carryDeleteManifests(kept)))
     }
   }
@@ -1672,7 +1690,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
       val kept = files().filterNot(f => replacedPaths.contains(f.path)) ++
         stamp(fresh)
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+      Some((writeManifests(kept),
         meta.snapshots, carryDeleteManifests(kept)))
     }
   }
@@ -1753,7 +1771,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       assertReplacedLive(replaced, "compaction")
       val kept = files().filterNot(f => replaced.contains(f.path)) ++
         stamp(rewritten)
-      Some((if (kept.isEmpty) Nil else Seq(writeManifest(kept)),
+      Some((writeManifests(kept),
         meta.snapshots, carryDeleteManifests(kept)))
     }
   }
