@@ -397,6 +397,24 @@ class LakeTableSpec extends SparkSpec {
     assert(lB == 4, s"lex b-pruning should NOT prune, planned $lB files")
   }
 
+  test("compaction's survivor list bins at merge.max-entries too") {
+    val loc = tmpDir("laketable-compact-bins")
+    LakeTable.drop(loc)
+    val t = LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropManifestMergeMaxEntries -> "3",
+        // merge threshold above the commit count so ONLY the compaction
+        // path's writeManifests is what produces the binned layout
+        LakeFormat.PropManifestMinMerge -> "100"))
+    for (i <- 0 until 8)
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 10, bucket(i % 3), seed = 70 + i), t))
+    assert(t.compactFiles(spark, minInputFiles = 1) > 0)
+    val sizes = t.tableMeta.current.get.manifests.map(m => t.readManifest(m).size)
+    assert(sizes.forall(_ <= 3), s"unbounded survivor manifest: $sizes")
+    assert(sizes.sum == t.files().size)
+    assert(t.toDF(spark).count() == 80)
+  }
+
   test("immutable manifests parse once; repeat planning hits the cache") {
     val t = newTable()
     for (s <- 1 to 3) appendBatch(t, 10, bucket(s), seed = 40 + s)
