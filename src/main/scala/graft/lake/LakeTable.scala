@@ -487,6 +487,52 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * crash-window fix for the reference's delete-before-commit /
     * at-least-once-redelivery bugs (A14, §3.3.6).
     */
+  /** Register EXTERNALLY-WRITTEN parquet files into the table —
+    * metadata-only, the Iceberg `add_files` migration path and the bulk
+    * form of what the moniker flow does one batch at a time. Files under
+    * `sourceDir` (recursive, *.parquet) are footer-harvested for row
+    * counts + column stats; each file's partition value derives from its
+    * OWN stats on the partition column, and a file whose min/max span
+    * two buckets under the current spec is rejected with a clear error
+    * (registering it would break partition pruning — the same contract
+    * Iceberg's add_files enforces via its partition filter). Everything
+    * lands as ONE fast-append commit; nothing is moved, copied, or
+    * rewritten, and append()'s path-dedupe makes re-imports idempotent.
+    * Footer reads run through the same bounded I/O pool as the write
+    * path; the returned commit is -1 when no new file was found.
+    */
+  def addFiles(sourceDir: String): Long = {
+    val srcPath = new Path(sourceDir)
+    val srcFs = srcPath.getFileSystem(LakeTable.hadoopConf)
+    val found = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("."))
+        found += st.getPath
+    }
+    if (found.isEmpty) return -1L
+    val s = spec
+    val metas = found.toSeq.map { p =>
+      val m = LakeWriter.footerMeta(LakeTable.hadoopConf, p, 0L)
+      val st = m.stats.getOrElse(s.column, throw new IllegalArgumentException(
+        s"add_files: $p carries no footer stats for partition column " +
+          s"'${s.column}' — cannot derive its bucket"))
+      val (lo, hi) = (st.longMin, st.longMax) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"add_files: $p has no min/max for partition column '${s.column}'")
+      }
+      if (s(lo) != s(hi))
+        throw new IllegalArgumentException(
+          s"add_files: $p spans partition buckets ${s(lo)} and ${s(hi)} " +
+            s"(width ${s.widthMicros}) — split or rewrite it before import")
+      m.copy(partitionValue = s(lo))
+    }
+    append(metas)
+  }
+
   def append(newFiles: Seq[DataFileMeta]): Long = {
     // captured from the attempt that actually lands, to roll the known-path
     // cache forward without re-reading manifests (see below)
@@ -500,10 +546,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val fresh = newFiles.distinctBy(_.path).filterNot(f => known.contains(f.path))
       lastKnown = known
       lastFresh = fresh.map(_.path)
-      val withNew =
-        if (fresh.isEmpty) existing
-        else existing :+ writeManifest(stamp(fresh))
-      Some((maybeMerge(withNew), meta.snapshots))
+      // every path already known (moniker redelivery, add_files re-import)
+      // = NOTHING to commit: returning None keeps at-least-once replay
+      // from minting an empty snapshot per redelivery — idempotent means
+      // no new rows AND no history growth
+      if (fresh.isEmpty) None
+      else Some((maybeMerge(existing :+ writeManifest(stamp(fresh))),
+        meta.snapshots))
     }
     // Roll the cache forward: the new snapshot's path set is exactly the
     // parent's plus this commit's fresh paths (a merge reshuffles manifests

@@ -31,7 +31,7 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "publish_branch", "drop_branch", "remove_orphan_files",
-    "set_partition_width", "rewrite_manifests")
+    "set_partition_width", "rewrite_manifests", "add_files")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -139,6 +139,14 @@ object LakeProcedures {
       case "rewrite_manifests" => Some(bound(procName, Array(
         param("table", StringType))) { in =>
         table(in).rewriteManifests()
+      })
+      // metadata-only import of externally-written parquet (the Iceberg
+      // add_files migration path): footer-harvested stats, per-file bucket
+      // derivation, one fast-append commit, idempotent on re-import
+      case "add_files" => Some(bound(procName, Array(
+        param("table", StringType),
+        param("source_dir", StringType))) { in =>
+        table(in).addFiles(in.getUTF8String(1).toString)
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),

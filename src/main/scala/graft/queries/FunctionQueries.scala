@@ -194,7 +194,26 @@ object FunctionQueries {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  // C24 — error-safe conversion family (the data-cleaning workhorse):
+  // try_cast on malformed strings yields NULL instead of failing the job
+  // (derived malformed values: every 3rd doc's n_chars renders with a
+  // trailing "x"), and zero-denominator division nulls via try_divide.
+  // DuckDB replays with TRY_CAST and a NULLIF-guarded division.
+  def c24_try_fns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("n_chars").cast("string"), lit("x")))
+          .otherwise(col("n_chars").cast("string")).as("raw"),
+        col("n_chars"))
+      .select(col("doc_id"),
+        expr("try_cast(raw AS BIGINT)").as("parsed"),
+        dec4(expr("try_divide(CAST(n_chars AS DOUBLE), " +
+          "CAST(doc_id % 5 AS DOUBLE))")).as("ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_try_fns" -> c24_try_fns _,
     "c23_string_agg" -> c23_string_agg _,
     "c09_udaf_centroid" -> c09_udaf_centroid _,
     "c01_string" -> c01_string _,
@@ -213,6 +232,15 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c24_try_fns" ->
+      """SELECT doc_id,
+        |  TRY_CAST(CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(n_chars AS VARCHAR) || 'x'
+        |    ELSE CAST(n_chars AS VARCHAR) END AS BIGINT) AS parsed,
+        |  CAST(CAST(round(CAST(n_chars AS DOUBLE) /
+        |    NULLIF(CAST(doc_id % 5 AS DOUBLE), 0), 4)
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c23_string_agg" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS names

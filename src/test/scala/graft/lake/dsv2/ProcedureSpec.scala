@@ -181,4 +181,54 @@ class ProcedureSpec extends SparkSpec {
     new FileBookkeeper(t.refresh()).sweep()
     assert(t.refresh().files().map(_.path).contains(pendingRef.toString))
   }
+
+  test("CALL add_files registers external parquet metadata-only; " +
+      "re-import is a no-op; bucket-spanning files are rejected") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (tbl, t) = newTable()
+    append(t, 50, seed = 30) // pre-existing native data
+    // an EXTERNAL writer produced bucket-pure parquet (one dir per bucket,
+    // rows derived so footer min/max sit inside one truncate width each)
+    val ext = tmpDir("proc-addfiles-src")
+    def extBatch(b: Int, rows: Int): Unit =
+      spark.range(0, rows).selectExpr(
+        "id + 1000 AS message_id", "md5(cast(id AS STRING)) AS data",
+        s"timestamp_micros(${bucket(b)} + id) AS timestamp",
+        s"${bucket(b)}L + id AS timeperiod_loadedBy",
+        "cast(md5(cast(id AS STRING)) AS BINARY) AS message_body")
+        .coalesce(1).write.mode("append").parquet(s"$ext/b$b")
+    extBatch(1, 40)
+    extBatch(2, 25)
+    val id = spark.sql(
+      s"CALL proccat.system.add_files(`table` => '$tbl', source_dir => '$ext')")
+      .head.getLong(0)
+    assert(id > 0)
+    val t2 = t.refresh()
+    assert(t2.toDF(spark).count() == 115)
+    // files registered IN PLACE (no copy/move) with per-file buckets
+    val imported = t2.files().filter(_.path.startsWith(ext))
+    assert(imported.map(_.partitionValue).toSet == Set(bucket(1), bucket(2)))
+    // partition pruning works off the derived buckets + harvested stats
+    assert(spark.read.format("laketable").load(t2.location)
+      .filter(col("timeperiod_loadedBy") >= lit(bucket(2))).count() == 25)
+    // idempotent: a second import finds only known paths -> no commit
+    assert(spark.sql(
+      s"CALL proccat.system.add_files(`table` => '$tbl', source_dir => '$ext')")
+      .head.getLong(0) == -1L)
+    assert(t.refresh().toDF(spark).count() == 115)
+    // a file spanning two buckets is rejected with a clear error
+    val bad = tmpDir("proc-addfiles-bad")
+    spark.range(0, 10).selectExpr(
+      "id AS message_id", "'x' AS data",
+      s"timestamp_micros(${bucket(3)} + id) AS timestamp",
+      s"${bucket(3)}L + id * ${Width}L AS timeperiod_loadedBy",
+      "cast('x' AS BINARY) AS message_body")
+      .coalesce(1).write.mode("overwrite").parquet(bad)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL proccat.system.add_files(`table` => '$tbl', " +
+        s"source_dir => '$bad')").collect()
+    }
+    assert(e.getMessage != null)
+    assert(t.refresh().toDF(spark).count() == 115) // nothing half-imported
+  }
 }
