@@ -462,6 +462,56 @@ object RelationalQueries {
         col("n"), col("sv"))
       .orderBy("user_id", "s_us")
 
+  // B54 — NULL-aware anti join (NOT IN with a nullable subquery): the
+  // classic three-valued-logic trap. One NULL in the subquery makes
+  // every `x NOT IN (...)` predicate UNKNOWN → zero rows; Spark plans
+  // this as a null-aware anti join (not the plain LeftAnti EXISTS
+  // rewrite). Both sides of the behavior are pinned in one result: the
+  // null-free branch returns real survivors, the with-NULL branch must
+  // contribute zero.
+  def b54_not_in_null(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT 'no_null' AS branch, COUNT(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'with_null' AS branch, COUNT(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |          ELSE o_custkey END FROM orders)
+        |ORDER BY branch""".stripMargin)
+  }
+
+  // B55 — INTERSECT ALL (multiset intersection), completing the B27/B28
+  // set-op family: per-key multiplicity = min(left count, right count).
+  def b55_intersect_all(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .select(col("l_suppkey").as("k"))
+    val r = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") >= 2000 && col("l_orderkey") < 4000)
+      .select(col("l_suppkey").as("k"))
+    l.intersectAll(r).orderBy("k")
+  }
+
+  // B56 — RANGE-framed window (vs b24's ROWS): the frame is a VALUE
+  // interval on the order key, so peers and near rows join the frame by
+  // distance, not position — a different physical frame evaluator
+  // (sliding bound per row) than the fixed-offset ROWS path.
+  def b56_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), us(col("ts")).as("ts_us"), col("event_id"),
+        col("value"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        dec4(sum(col("value")).over(w)).as("sv_hour"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .limit(1000)
+  }
+
   /** Spark entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan" -> b01_scan _,
@@ -505,6 +555,9 @@ object RelationalQueries {
     "b51_ignore_nulls" -> b51_ignore_nulls _,
     "b52_recursive_cte" -> b52_recursive_cte _,
     "b53_session_agg" -> b53_session_agg _,
+    "b54_not_in_null" -> b54_not_in_null _,
+    "b55_intersect_all" -> b55_intersect_all _,
+    "b56_range_frame" -> b56_range_frame _,
   )
 
   /** DuckDB oracle SQL — column names and ordering match the Spark side. */
@@ -740,5 +793,29 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(CAST(round(SUM(value), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sv
         |FROM g GROUP BY user_id, sid ORDER BY user_id, s_us""".stripMargin,
+    "b54_not_in_null" ->
+      """SELECT 'no_null' AS branch, COUNT(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'with_null' AS branch, COUNT(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |          ELSE o_custkey END FROM orders)
+        |ORDER BY branch""".stripMargin,
+    "b55_intersect_all" ->
+      """SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 2000
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_orderkey >= 2000 AND l_orderkey < 4000
+        |ORDER BY k""".stripMargin,
+    "b56_range_frame" ->
+      """SELECT user_id, ts_us, event_id,
+        |  COUNT(*) OVER w AS n_hour,
+        |  CAST(CAST(round(SUM(value) OVER w, 4) AS DECIMAL(28,4)) AS DOUBLE) AS sv_hour
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id LIMIT 1000""".stripMargin,
   )
 }
