@@ -457,9 +457,16 @@ object Bench {
         System.err.println(s"[bench] heavy_scale x$m: cc_rounds=$ccRounds")
         val sem = best2At("d01_semdedup")
         val mh = best2At("d03_minhash_lsh")
+        // the round-8 incremental/index paths priced against corpus size
+        // too: the per-arrival MinHash gate (committed band space grows
+        // with the corpus) and the committed-index build+serve
+        val mhInc = best2At("d01_minhash_incremental")
+        val annIdx = best2At("d02_ann_indexed")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
+          s"d01_minhash_incremental_x$m" -> mhInc,
+          s"d02_ann_indexed_x$m" -> annIdx,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)

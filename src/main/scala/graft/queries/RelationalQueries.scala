@@ -475,12 +475,13 @@ object RelationalQueries {
     s.sql(
       """SELECT 'no_null' AS branch, COUNT(*) AS cnt FROM customer
         |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_orderkey < 2000)
         |UNION ALL
         |SELECT 'with_null' AS branch, COUNT(*) AS cnt FROM customer
         |WHERE c_custkey NOT IN
         |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-        |          ELSE o_custkey END FROM orders)
+        |          ELSE o_custkey END FROM orders WHERE o_orderkey < 2000)
         |ORDER BY branch""".stripMargin)
   }
 
@@ -796,12 +797,13 @@ object RelationalQueries {
     "b54_not_in_null" ->
       """SELECT 'no_null' AS branch, COUNT(*) AS cnt FROM customer
         |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_orderkey < 2000)
         |UNION ALL
         |SELECT 'with_null' AS branch, COUNT(*) AS cnt FROM customer
         |WHERE c_custkey NOT IN
         |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-        |          ELSE o_custkey END FROM orders)
+        |          ELSE o_custkey END FROM orders WHERE o_orderkey < 2000)
         |ORDER BY branch""".stripMargin,
     "b55_intersect_all" ->
       """SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 2000
