@@ -1486,6 +1486,26 @@ object PipelineQueries {
         explode(sequence(lit(1L), col("copies").cast("long"))).as("copy"))
       .orderBy("doc_id", "copy")
 
+  // D4k — deterministic train/val/test split assignment: every dataset
+  // build needs splits that are (a) reproducible across runs and engines,
+  // (b) stable (a doc keeps its split when the corpus grows — no
+  // reshuffling between refreshes), and (c) leakage-free by
+  // construction. Split = a 60-bit md5 prefix of the DOC ID modulo 100
+  // (portable hash both engines compute identically, the d03 recipe):
+  // <90 train, <95 val, else test. Map-side pure projection — no shuffle
+  // beyond the audit aggregate; the audit reports per-(split, lang) doc
+  // and char mass so quota drift across corpus versions is visible.
+  def d04_datasplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("b", expr(
+        "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+      .withColumn("split", expr(
+        "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("split", "lang")
+
   // D3d — benchmark-contamination check: train docs (id >= 20) sharing at
   // least two distinct 3-gram shingles with any eval doc (id < 20). The
   // shingle equi-join is linear in shingle count — the standard
@@ -2055,6 +2075,7 @@ object PipelineQueries {
     "d04_budget_pack" -> d04_budget_pack _,
     "d04_pii" -> d04_pii _,
     "d04_mixture" -> d04_mixture _,
+    "d04_datasplit" -> d04_datasplit _,
     "d03_contamination" -> d03_contamination _,
     "d03_contamination_bloom" -> d03_contamination_bloom _,
     "d01_dedup_passage" -> d01_dedup_passage _,
@@ -2736,6 +2757,18 @@ object PipelineQueries {
         |  sha256(redacted) AS redacted_sha,
         |  right(redacted, 40) AS red_tail
         |FROM x ORDER BY doc_id""".stripMargin,
+    "d04_datasplit" ->
+      """SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |            1, 15)) AS BIGINT) % 100 AS b
+        |        FROM documents))
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "d04_mixture" ->
       """WITH w AS (
         |  SELECT doc_id, lang,
