@@ -266,6 +266,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges hash exchanges (expected <= 2):\n$p")
   }
 
+  test("B50: FILTER-clause aggregates run as ONE grouped pass, no self-joins") {
+    val p = plan(RelationalQueries.b50_filter_agg(spark, dir))
+    // the naive formulation joins k filtered aggregates; Catalyst must
+    // instead rewrite each FILTER into a conditional aggregate — one
+    // scan, one partial+final aggregation, zero joins
+    assert(!p.contains("Join"), s"self-join in the FILTER-agg plan:\n$p")
+    // tree-section occurrences only ("HashAggregate (n)"): the formatted
+    // details section repeats every node name
+    val aggs = """HashAggregate \(\d""".r.findAllIn(p).length
+    assert(aggs <= 2, s"$aggs aggregate stages (expected partial+final):\n$p")
+  }
+
+  test("D4k: split assignment is a map-side projection + one audit aggregate") {
+    val p = plan(PipelineQueries.d04_datasplit(spark, dir))
+    assert(!p.contains("Join"), s"join in the datasplit plan:\n$p")
+    // no shuffle beyond the audit groupBy (+ the final sort): the split
+    // column itself must never require an exchange (tree-section count)
+    val exchanges = """Exchange \(\d""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 aggregation path") {
     // codegen stages ("*(n)") appear once AQE finalizes — execute first
     val df = RelationalQueries.b17_q1(spark, dir)
