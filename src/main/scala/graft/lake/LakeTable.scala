@@ -514,7 +514,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
     if (found.isEmpty) return -1L
     val s = spec
+    val tableFields = schema.fieldNames.map(_.toLowerCase).toSet
     val metas = found.toSeq.map { p =>
+      // schema gate BEFORE registration: a file missing table columns
+      // would import fine and then fail every scan with a reader error —
+      // reject it here with the actual missing names instead
+      val fileFields =
+        LakeWriter.footerFieldNames(LakeTable.hadoopConf, p)
+          .map(_.toLowerCase).toSet
+      val missing = tableFields -- fileFields
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"add_files: $p lacks table column(s) ${missing.mkString(", ")}")
       val m = LakeWriter.footerMeta(LakeTable.hadoopConf, p, 0L)
       val st = m.stats.getOrElse(s.column, throw new IllegalArgumentException(
         s"add_files: $p carries no footer stats for partition column " +

@@ -277,4 +277,14 @@ object LakeWriter {
         "parquet", stats.toMap)
     } finally reader.close()
   }
+
+  /** Top-level field names of a parquet file's footer schema — the
+    * add_files import gate's compatibility check (one footer read, no
+    * row data touched). */
+  def footerFieldNames(conf: Configuration, path: Path): Seq[String] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSeq
+    finally reader.close()
+  }
 }

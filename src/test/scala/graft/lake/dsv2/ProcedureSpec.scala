@@ -230,5 +230,19 @@ class ProcedureSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
     assert(t.refresh().toDF(spark).count() == 115) // nothing half-imported
+    // a file MISSING table columns is rejected by the schema gate (it
+    // would otherwise import fine and fail every later scan)
+    val badSchema = tmpDir("proc-addfiles-badschema")
+    spark.range(0, 5).selectExpr(
+      "id AS message_id", s"${bucket(4)}L + id AS timeperiod_loadedBy")
+      .coalesce(1).write.mode("overwrite").parquet(badSchema)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL proccat.system.add_files(`table` => '$tbl', " +
+        s"source_dir => '$badSchema')").collect()
+    }
+    assert(e2.getMessage.contains("lacks table column") ||
+      Option(e2.getCause).exists(_.getMessage.contains("lacks table column")),
+      s"unexpected error: ${e2.getMessage}")
+    assert(t.refresh().toDF(spark).count() == 115)
   }
 }
