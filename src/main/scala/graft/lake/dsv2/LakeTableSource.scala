@@ -122,7 +122,8 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None,
     new LakeScanBuilder(location, table,
       Option(options.get("startSnapshotId")).map(_.toLong), asOf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      endSnapshot = Option(options.get("endSnapshotId")).map(_.toLong))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -169,7 +170,8 @@ object LakeDsTable {
 final class LakeScanBuilder(location: String, table: LakeTable,
     startSnapshot: Option[Long], asOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    endSnapshot: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with SupportsPushDownLimit {
@@ -218,6 +220,10 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty) return false
+    // batch incremental read (startSnapshotId): the manifest-aggregate
+    // rows below come from the FULL inventory — answering over the
+    // increment needs the row-level path
+    if (startSnapshot.isDefined) return false
     // pending merge-on-read deletes: manifest row counts/stats include
     // deleted rows — answers must come from the row-level path (which
     // applies the delete masks)
@@ -300,7 +306,7 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     case None =>
       new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf,
         maxFilesPerTrigger, pushedLimit = limit,
-        maxBytesPerTrigger = maxBytesPerTrigger)
+        maxBytesPerTrigger = maxBytesPerTrigger, endSnapshot = endSnapshot)
   }
 }
 
@@ -458,15 +464,26 @@ final class LakeBatchScan(location: String, table: LakeTable,
     asOf: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
     planListener: Option[Seq[DataFileMeta] => Unit] = None,
     pushedLimit: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    endSnapshot: Option[Long] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
   private var runtime: Array[Filter] = Array.empty
 
-  // time travel: a pinned snapshot reads that version's file list
-  private def liveFiles: Seq[DataFileMeta] =
-    asOf.map(table.files(_)).getOrElse(table.files())
+  // time travel: a pinned snapshot reads that version's file list.
+  // BATCH incremental read (A25's batch form, the Iceberg incremental
+  // surface): with startSnapshotId the scan plans only the files APPEND
+  // snapshots added over (start, end] — same never-re-deliver-compacted
+  // contract as the streaming source, one walk over the range
+  // (addedFilesBetween). Previously the batch path silently IGNORED the
+  // option and read the whole table.
+  private def liveFiles: Seq[DataFileMeta] = startSnapshot match {
+    case Some(from) =>
+      table.addedFilesBetween(from,
+        endSnapshot.orElse(asOf).getOrElse(table.currentSnapshotId))
+    case None => asOf.map(table.files(_)).getOrElse(table.files())
+  }
 
   /** Schema def the scan's column names resolve against (rename/drop
     * evolution): current, or the pinned def of a time-travel snapshot.

@@ -75,6 +75,26 @@ object LakeQueries {
     out
   }
 
+  // B3b — the SAME incremental contract through the DSv2 OPTIONS surface
+  // (spark.read.format("laketable").option("startSnapshotId"/
+  // "endSnapshotId")): a SQL/DataFrame-only consumer gets batch CDC reads
+  // with no Scala API — previously the batch path silently ignored the
+  // option. Counts must equal b03's changesBetween walk exactly.
+  def b03b_incremental_options(s: SparkSession, dir: String): DataFrame = {
+    val (table, snaps) = stagedTable(s)
+    import s.implicits._
+    val pairs = snaps.sliding(2).toSeq.map {
+      case Seq(a, b) => (a, b,
+        s.read.format("laketable")
+          .option("startSnapshotId", a.toString)
+          .option("endSnapshotId", b.toString)
+          .load(table.location).count())
+    }
+    val out = localize(pairs.toDF("from_id", "to_id", "added").orderBy("from_id"))
+    LakeTable.drop(table.location)
+    out
+  }
+
   // B4 — parquet sink round-trip: write lineitem, re-read, aggregate.
   def b04_parquet_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = scratch("pq")
@@ -893,6 +913,7 @@ object LakeQueries {
     "d02_ann_indexed" -> d02_ann_indexed _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
+    "b03b_incremental_options" -> b03b_incremental_options _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
     "b04b_lake_sink" -> b04b_lake_sink _,
     "b05_avro_roundtrip" -> b05_avro_roundtrip _,
@@ -921,6 +942,13 @@ object LakeQueries {
         |FROM (VALUES (1, 100), (2, 150), (3, 175)) AS v(id, cnt)
         |ORDER BY snapshot_id""".stripMargin,
     "b03_incremental_scan" ->
+      """SELECT CAST(f AS BIGINT) AS from_id, CAST(t AS BIGINT) AS to_id,
+        |  CAST(a AS BIGINT) AS added
+        |FROM (VALUES (1, 2, 50), (2, 3, 25)) AS v(f, t, a)
+        |ORDER BY from_id""".stripMargin,
+    // identical declared counts: the options surface must agree with the
+    // changesBetween API walk
+    "b03b_incremental_options" ->
       """SELECT CAST(f AS BIGINT) AS from_id, CAST(t AS BIGINT) AS to_id,
         |  CAST(a AS BIGINT) AS added
         |FROM (VALUES (1, 2, 50), (2, 3, 25)) AS v(f, t, a)

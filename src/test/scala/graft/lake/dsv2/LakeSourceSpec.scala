@@ -526,4 +526,35 @@ class LakeSourceSpec extends SparkSpec {
     assert(batches2.filter(_ > 0) == Vector(totals.sum),
       s"expected one catch-up batch, got $batches2")
   }
+
+  test("BATCH incremental read: startSnapshotId/endSnapshotId plan only the " +
+      "range's appended rows; compaction is never re-delivered") {
+    val t = newTable()
+    val s1 = appendBatch(t, 10, bucket(0), 81)
+    val s2 = appendBatch(t, 20, bucket(1), 82)
+    appendBatch(t, 30, bucket(2), 83)
+    def inc(opts: (String, String)*): Long = {
+      var r = spark.read.format("laketable")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(t.location).count()
+    }
+    // (s1, current]: the two later appends
+    assert(inc("startSnapshotId" -> s1.toString) == 50)
+    // (s1, s2]: exactly the middle append
+    assert(inc("startSnapshotId" -> s1.toString,
+      "endSnapshotId" -> s2.toString) == 20)
+    // (0, current] = everything appended since create
+    assert(inc("startSnapshotId" -> "0") == 60)
+    // a compaction adds REWRITTEN files — an incremental reader over a
+    // range containing it must not see them as new rows (minInputFiles=1:
+    // each bucket holds a single file here)
+    assert(t.compactFiles(spark, minInputFiles = 1) > 0)
+    val afterCompact = t.currentSnapshotId
+    assert(inc("startSnapshotId" -> s2.toString) == 30)
+    assert(inc("startSnapshotId" -> afterCompact.toString) == 0)
+    // pushed filters still prune within the incremental file set
+    assert(spark.read.format("laketable")
+      .option("startSnapshotId", s1.toString).load(t.location)
+      .filter(col("timeperiod_loadedBy") === bucket(1)).count() == 20)
+  }
 }
