@@ -516,6 +516,48 @@ object Bench {
         "ms_per_commit_at_1000" -> win(1000))
     }
 
+    /** SPARK_GRAFT_PLAN_SCALE=<nFiles>: metadata-path planning cost at a
+      * file count the sf corpus can't reach — n synthetic file metas land
+      * through real fast-append commits (500/commit, the queue-mode cap),
+      * rewrite_manifests bins them at 50k entries/manifest, and the probe
+      * times (a) a COLD table load + full files() inventory walk (fresh
+      * process planning a deep table), (b) the warm re-walk (cached
+      * manifest parses), and (c) executor-side filesDF().count() — the
+      * shape `$files`/orphan-GC/compaction planning use. Env-gated like
+      * the commit curve; reported under its own `plan_scale` key in ms.
+      */
+    def runPlanScale(nFiles: Int): Seq[(String, Double)] = {
+      import graft.lake._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-plan-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl,
+        LakeWriter.EventSpec,
+        Map(LakeFormat.PropManifestMergeMaxEntries -> "50000"))
+      val t0 = System.nanoTime()
+      (0 until nFiles).grouped(500).foreach { batch =>
+        table.append(batch.map(i => DataFileMeta(
+          s"$loc/data/f$i.parquet", 1L << 20, 1000L,
+          (5666666L + i % 64) * 300000000L)))
+      }
+      table.rewriteManifests()
+      val buildS = (System.nanoTime() - t0) / 1e9
+      def ms(f: => Unit): Double = {
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e6
+      }
+      // drop the JVM-wide parse caches so "cold" means a fresh process
+      // planning a deep table, not a warm re-read of the build's parses
+      LakeTable.manifestCache.clear()
+      LakeTable.metaParseCache.clear()
+      val fresh = LakeTable.load(loc)
+      val cold = ms(assert(fresh.files().size == nFiles))
+      val warm = ms(assert(fresh.files().size == nFiles))
+      val dfMs = ms(assert(fresh.filesDF(spark).count() == nFiles))
+      System.err.println(f"[bench] plan_scale n=$nFiles: build=$buildS%.1fs " +
+        f"cold=$cold%.0fms warm=$warm%.0fms filesDF=$dfMs%.0fms")
+      LakeTable.drop(loc)
+      Seq("files_cold_ms" -> cold, "files_warm_ms" -> warm,
+        "files_df_ms" -> dfMs, "n_files" -> nFiles.toDouble)
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -556,6 +598,9 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_COMMIT_CURVE").contains("1"))
         runCommitCurve()
       else Nil
+    val planScale = sys.env.get("SPARK_GRAFT_PLAN_SCALE")
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
+      .map(runPlanScale).getOrElse(Nil)
     val results = envelope ++ heavy
     // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
     // are run variance on this harness, so 2dp loses nothing real, and
@@ -612,6 +657,7 @@ object Bench {
         s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
         optObj("heavy_scale", heavyScale) +
         optObj("commit_curve", commitCurve) +
+        optObj("plan_scale", planScale) +
         s""""duckdb_seconds":$duckdbJson,""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }

@@ -2140,7 +2140,7 @@ object LakeTable {
   /** JVM-wide immutable-manifest cache (see readManifest) + a parse
     * counter for test observability.
     */
-  private[lake] val manifestCache: java.util.Map[String, Seq[DataFileMeta]] =
+  private[graft] val manifestCache: java.util.Map[String, Seq[DataFileMeta]] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Seq[DataFileMeta]](16, 0.75f, true) {
         override def removeEldestEntry(
@@ -2200,7 +2200,7 @@ object LakeTable {
     * through a commit (RTAS/overwrite), which allocates a fresh version
     * and misses the cache by name.
     */
-  private[lake] val metaParseCache: java.util.Map[String, TableMeta] =
+  private[graft] val metaParseCache: java.util.Map[String, TableMeta] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, TableMeta](16, 0.75f, true) {
         override def removeEldestEntry(
