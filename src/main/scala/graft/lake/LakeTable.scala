@@ -711,6 +711,46 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         meta.currentSchemaDef.ids), nextId)))
     }, () => rewriteColumnListProps(oldName, Some(newName)))
 
+  /** Schema evolution: WIDEN COLUMN TYPE (`ALTER COLUMN x TYPE t`) — the
+    * Iceberg-legal promotions only: INT → BIGINT, FLOAT → DOUBLE.
+    * Metadata-only: the new [[SchemaDef]] keeps the SAME field ids and
+    * names; files written under the narrower vintage decode through
+    * Spark's parquet reader type widening (int32 columns read as long,
+    * float as double — Spark 4 supports this in both the vectorized and
+    * row paths), so no data file is touched and the read path needs no
+    * fork. Anything else — narrowing, string/type-family changes — is
+    * rejected: those need a rewrite, not an ALTER. The partition column
+    * and equality-delete-referenced columns are refused (delete files
+    * carry values under the old physical type; comparing across widths
+    * is a correctness trap this guard simply removes).
+    */
+  def widenColumnType(name: String,
+      newType: org.apache.spark.sql.types.DataType): Long =
+    alterSchemaRetry(() => {
+      import org.apache.spark.sql.types._
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (idx < 0) throw new IllegalArgumentException(s"no column $name")
+      val cur = schema.fields(idx).dataType
+      val legal = (cur, newType) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      if (!legal) throw new UnsupportedOperationException(
+        s"illegal type change $cur -> $newType for $name " +
+          "(only INT -> BIGINT and FLOAT -> DOUBLE widen in place)")
+      if (meta.spec.column.equalsIgnoreCase(name))
+        throw new UnsupportedOperationException(
+          s"cannot change the partition column ${meta.spec.column}'s type")
+      assertNoEqDeletesOn(name, "widen")
+      val (base, nextId) = mintBase()
+      val fields = schema.fields.clone()
+      fields(idx) = fields(idx).copy(dataType = newType)
+      val newDdl = StructType(fields).toDDL
+      (newDdl, Some((base :+ SchemaDef(nextId, newDdl,
+        meta.currentSchemaDef.ids), nextId)))
+    })
+
   /** Schema evolution: DROP COLUMN. Metadata-only — the column's field id
     * leaves the current schema (and is never reused), so every file's copy
     * of the data goes dead without a rewrite; time travel to pre-drop

@@ -266,10 +266,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         t.dropColumn(del.fieldNames().head)
       case sp: TableChange.SetProperty =>
         t.setProperty(sp.property(), sp.value())
+      case ut: TableChange.UpdateColumnType =>
+        if (ut.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "laketable ALTER COLUMN TYPE supports top-level columns only")
+        t.widenColumnType(ut.fieldNames().head, ut.newDataType())
       case other =>
         throw new UnsupportedOperationException(
-          "laketable ALTER supports ADD/RENAME/DROP COLUMN / " +
-            s"SET TBLPROPERTIES only; got $other")
+          "laketable ALTER supports ADD/RENAME/DROP COLUMN / ALTER COLUMN " +
+            s"TYPE (widening) / SET TBLPROPERTIES only; got $other")
     }
     new LakeDsTable(location(ident), viaCatalog = true)
   }

@@ -925,6 +925,38 @@ final class LakeReaderFactory(schemaDdl: String,
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.hadoop.conf.Configuration]()
 
+  // per-vintage field types (defId -> fieldId -> type), for the widening
+  // filter gate below
+  private lazy val typesByDef
+      : Map[Int, Map[Int, org.apache.spark.sql.types.DataType]] =
+    schemaDefs.map { d =>
+      val st = StructType.fromDDL(d.ddl)
+      d.id -> d.ids.zip(st.fields.map(_.dataType)).toMap
+    }.toMap
+
+  private lazy val filterRefNames: Set[String] =
+    filters.flatMap(_.references).map(_.toLowerCase).toSet
+
+  /** TYPE WIDENING gate for the row-group predicate: the FilterPredicate
+    * is built against the CURRENT (wide) types, and parquet-mr rejects a
+    * Long/Double predicate on an INT32/FLOAT column at file open. A file
+    * whose vintage stored a FILTERED column under a different physical
+    * type must read through baseConf — the decode still widens (the
+    * requested schema keeps the logical types); only row-group skipping
+    * is forfeited, and Spark re-evaluates every filter post-scan.
+    */
+  private def filterTypesMatch(sid: Int): Boolean =
+    sid == readSchemaId || filters.isEmpty || defsById.isEmpty || {
+      (for {
+        rd <- defsById.get(readSchemaId)
+        rdT <- typesByDef.get(readSchemaId)
+        fdT <- typesByDef.get(sid)
+      } yield rd.names.iterator.zip(rd.ids.iterator).forall { case (n, fid) =>
+        !filterRefNames.contains(n.toLowerCase) ||
+          fdT.get(fid).forall(_ == rdT(fid))
+      }).getOrElse(false)
+    }
+
   private def readConfFor(extras: Seq[StructField], withIdx: Boolean,
       sid: Int = 0): org.apache.hadoop.conf.Configuration = {
     // identity = the file's physical names ARE the requested names: same
@@ -935,7 +967,8 @@ final class LakeReaderFactory(schemaDdl: String,
       else mappedFields(logical, sid)
     val identity = (phys eq logical) ||
       phys.iterator.zip(logical.iterator).forall { case (a, b) => a.name == b.name }
-    if (identity && extras.isEmpty && !withIdx) return cachedConf
+    val filterSafe = filterTypesMatch(sid)
+    if (identity && filterSafe && extras.isEmpty && !withIdx) return cachedConf
     val fields = (if (identity) logical else phys) ++
       (if (withIdx) Seq(StructField(
         org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -945,13 +978,14 @@ final class LakeReaderFactory(schemaDdl: String,
           .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
       else Nil)
     val s = StructType(fields)
-    readConfCache.computeIfAbsent(s.toDDL + withIdx + identity, _ => {
-      // mapped (non-identity) slices build on baseConf, NOT cachedConf:
-      // the parquet row-group predicate references CURRENT column names,
-      // which the file doesn't have. Spark re-evaluates every filter
-      // post-scan, so dropping the predicate loses skipping, not rows.
+    readConfCache.computeIfAbsent(s.toDDL + withIdx + identity + filterSafe, _ => {
+      // mapped (non-identity) or type-widened slices build on baseConf,
+      // NOT cachedConf: the parquet row-group predicate references
+      // CURRENT column names/types, which the file doesn't have. Spark
+      // re-evaluates every filter post-scan, so dropping the predicate
+      // loses skipping, not rows.
       val c = new org.apache.hadoop.conf.Configuration(
-        if (identity) cachedConf else baseConf)
+        if (identity && filterSafe) cachedConf else baseConf)
       c.set(org.apache.spark.sql.execution.datasources.parquet
         .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, s.json)
       c

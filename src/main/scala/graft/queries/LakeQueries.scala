@@ -532,6 +532,35 @@ object LakeQueries {
     out
   }
 
+  // B57 — schema-evolution TYPE WIDENING (ALTER COLUMN ... TYPE): narrow
+  // files (k int32, v float physically) and wide files (int64/double)
+  // consolidate under one scan after INT→BIGINT / FLOAT→DOUBLE
+  // promotions — metadata-only, Spark's parquet readers widen the narrow
+  // vintage at decode; a filter crossing both vintages still prunes
+  // (row-group predicates drop per-file where the physical type differs,
+  // Spark re-evaluates). Hash-oracled: derivation is pure orders math.
+  def b57_type_widening(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.w${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_wsrc")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, k INT, v FLOAT)
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, " +
+      "CAST(o_orderkey % 1000 AS INT), CAST(o_orderkey AS FLOAT) / 32 " +
+      "FROM graft_orders_wsrc WHERE o_orderkey < 500")
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE BIGINT")
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN v TYPE DOUBLE")
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, " +
+      "CAST(o_orderkey % 1000 AS BIGINT), CAST(o_orderkey AS DOUBLE) / 32 " +
+      "FROM graft_orders_wsrc WHERE o_orderkey >= 500 AND o_orderkey < 1000")
+    val out = localize(s.sql(
+      s"""SELECT o_orderkey, k, CAST(CAST(round(v, 4) AS DECIMAL(28,4)) AS DOUBLE) AS v
+         |FROM $tbl WHERE k >= 100 ORDER BY o_orderkey""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -930,6 +959,7 @@ object LakeQueries {
     "b40_changelog" -> b40_changelog _,
     "b41_wap" -> b41_wap _,
     "b42_schema_evolution" -> b42_schema_evolution _,
+    "b57_type_widening" -> b57_type_widening _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1130,6 +1160,16 @@ object LakeQueries {
         |  CASE WHEN o_orderkey < 1000 THEN CAST(NULL AS VARCHAR)
         |       ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
+    // widening is value-preserving: o_orderkey/32 is exact in FLOAT below
+    // 2^19 (power-of-two divisor), so the float-written narrow vintage
+    // widens to the same double the wide vintage stored directly
+    "b57_type_widening" ->
+      """SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS k,
+        |  CAST(CAST(round(CAST(o_orderkey AS DOUBLE) / 32, 4)
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS v
+        |FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderkey % 1000 >= 100
+        |ORDER BY o_orderkey""".stripMargin,
     // rows under the overwrite filter carry the recomputed price; the rest
     // keep the seeded values
     "b44_insert_overwrite" ->

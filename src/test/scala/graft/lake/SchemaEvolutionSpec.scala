@@ -259,6 +259,65 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("TYPE WIDENING: INT->BIGINT / FLOAT->DOUBLE read across vintages; " +
+      "illegal changes rejected") {
+    spark.conf.set("spark.sql.catalog.widencat",
+      classOf[dsv2.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.widencat.warehouse", tmpDir("widen-wh"))
+    try {
+      spark.sql("CREATE TABLE widencat.db.widen (k INT, f FLOAT, tag STRING, " +
+        "timeperiod_loadedBy BIGINT) PARTITIONED BY " +
+        s"(truncate($Width, timeperiod_loadedBy))")
+      // narrow-vintage files (k int32, f float physically)
+      spark.sql("INSERT INTO widencat.db.widen SELECT CAST(id AS INT), " +
+        s"CAST(id AS FLOAT) / 2, 'n', ${bucket(0)}L FROM range(0, 100)")
+      val preWiden = LakeTable.load(
+        s"${spark.conf.get("spark.sql.catalog.widencat.warehouse")}/db/widen")
+        .currentSnapshotId
+      spark.sql("ALTER TABLE widencat.db.widen ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE widencat.db.widen ALTER COLUMN f TYPE DOUBLE")
+      // wide-vintage files land int64/double physically
+      spark.sql("INSERT INTO widencat.db.widen SELECT CAST(id AS BIGINT), " +
+        s"CAST(id AS DOUBLE) / 2, 'w', ${bucket(1)}L FROM range(100, 150)")
+      val df = spark.table("widencat.db.widen")
+      assert(df.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(df.schema("f").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // mixed vintages consolidate: both file generations decode under
+      // the wide types through the SAME scan
+      assert(df.count() == 150)
+      assert(df.agg(sum(col("k"))).head.getLong(0) == (0L until 150).sum)
+      assert(math.abs(df.agg(sum(col("f"))).head.getDouble(0)
+        - (0 until 150).map(_ / 2.0).sum) < 1e-6)
+      // pushed filter evaluates across both physical widths
+      assert(df.filter(col("k") >= 95 && col("k") < 105).count() == 10)
+      // time travel to the pre-widen snapshot sees the NARROW schema
+      val tt = spark.read.format("laketable")
+        .option("snapshotId", preWiden.toString)
+        .load(s"${spark.conf.get("spark.sql.catalog.widencat.warehouse")}/db/widen")
+      assert(tt.schema("k").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(tt.count() == 100)
+      // narrowing and cross-family changes are rejected
+      intercept[Exception] {
+        spark.sql("ALTER TABLE widencat.db.widen ALTER COLUMN k TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE widencat.db.widen ALTER COLUMN tag TYPE BIGINT")
+      }
+      // MoR deletes over mixed widths: the row path widens too
+      spark.sql("ALTER TABLE widencat.db.widen SET TBLPROPERTIES " +
+        s"('${LakeFormat.PropDeleteMode}'='${LakeFormat.DeleteModeMergeOnRead}')")
+      spark.sql("DELETE FROM widencat.db.widen WHERE k % 10 = 0")
+      assert(spark.table("widencat.db.widen").count() == 135)
+      assert(spark.table("widencat.db.widen").agg(sum(col("k"))).head.getLong(0)
+        == (0L until 150).filter(_ % 10 != 0).sum)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS widencat.db.widen")
+    }
+  }
+
   test("compaction migrates mixed-vintage files to the current schema") {
     val t = newTable()
     appendBatch(t, 30, bucket(0), seed = 14)
