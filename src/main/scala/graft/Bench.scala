@@ -551,11 +551,23 @@ object Bench {
       val cold = ms(assert(fresh.files().size == nFiles))
       val warm = ms(assert(fresh.files().size == nFiles))
       val dfMs = ms(assert(fresh.filesDF(spark).count() == nFiles))
+      // PRUNED planning: the real query-path shape — DSv2
+      // planInputPartitions with a partition-bucket equality pushed, over
+      // the full inventory (expects ~1/64 of the files to survive)
+      var prunedParts = 0
+      val scan = new graft.lake.dsv2.LakeBatchScan(loc, fresh, fresh.schema,
+        Array(org.apache.spark.sql.sources.EqualTo(
+          "timeperiod_loadedBy", 5666666L * 300000000L)), None)
+      val prunedMs = ms { prunedParts = scan.planInputPartitions().length }
+      assert(prunedParts > 0 && prunedParts.toLong < nFiles,
+        s"pruned planning kept $prunedParts partitions")
       System.err.println(f"[bench] plan_scale n=$nFiles: build=$buildS%.1fs " +
-        f"cold=$cold%.0fms warm=$warm%.0fms filesDF=$dfMs%.0fms")
+        f"cold=$cold%.0fms warm=$warm%.0fms filesDF=$dfMs%.0fms " +
+        f"pruned=$prunedMs%.0fms ($prunedParts tasks)")
       LakeTable.drop(loc)
       Seq("files_cold_ms" -> cold, "files_warm_ms" -> warm,
-        "files_df_ms" -> dfMs, "n_files" -> nFiles.toDouble)
+        "files_df_ms" -> dfMs, "pruned_plan_ms" -> prunedMs,
+        "n_files" -> nFiles.toDouble)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
