@@ -220,7 +220,7 @@ object Bench {
            |WHEN MATCHED THEN UPDATE SET v = s.v * 2, tag = s.tag
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       val secs = (System.nanoTime() - t0) / 1e9
-      val n = spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      val n = spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0)
       assert(n == 100000L, s"merge bench saw $n rows")
       spark.sql(s"DROP TABLE $tbl")
       secs
@@ -349,7 +349,7 @@ object Bench {
         confs.foreach { case (key, v) => spark.conf.set(key, v) }
         try {
           val t0 = System.nanoTime()
-          val row = spark.sql(q).head
+          val row = spark.sql(q).head()
           assert(row.getLong(0) == 1000000L, s"spj join saw ${row.getLong(0)}")
           (System.nanoTime() - t0) / 1e9
         } finally prev.foreach {
@@ -423,8 +423,8 @@ object Bench {
       import org.apache.spark.sql.functions._
       val docs = graft.Tables.t(spark, sfDir, "documents")
       val emb = graft.Tables.t(spark, sfDir, "embeddings")
-      val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
-      val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
       mults.flatMap { m =>
         val scratch = s"${System.getProperty("java.io.tmpdir")}/graft-heavy-x$m-${java.util.UUID.randomUUID()}"
         val sd = (0 until m).map { i =>

@@ -66,7 +66,7 @@ final class QueueBookkeeper(table: LakeTable, eventsDir: String,
       .take(maxFilesPerCommit)
     if (eventFiles.isEmpty) return -1L
     val parsed = QueueEvents.parse(
-      spark.read.text(eventFiles.map(_.getPath.toString): _*))
+      spark.read.text(eventFiles.toIndexedSeq.map(_.getPath.toString): _*))
     val paths = parsed.select("filePath").collect().map(_.getString(0))
     if (paths.isEmpty) {
       eventFiles.foreach(f => fs.delete(f.getPath, false))

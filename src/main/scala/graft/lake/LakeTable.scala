@@ -1827,7 +1827,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
     val effectiveSortBy =
       if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy
-      else LakeFormat.sortOrderColumns(meta.properties, schema.fieldNames)
+      else LakeFormat.sortOrderColumns(meta.properties,
+        schema.fieldNames.toIndexedSeq)
     val scanSnapshot = meta.currentSnapshotId
     // candidate selection groups by (spec vintage, bucket) so files that
     // merely share a bucket START across widths don't inflate the count;
@@ -1857,7 +1858,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
             (los.flatten.min, his.flatten.max)
           else {
             val r = rows.agg(org.apache.spark.sql.functions.min(c),
-              org.apache.spark.sql.functions.max(c)).head
+              org.apache.spark.sql.functions.max(c)).head()
             (r.getLong(0), r.getLong(1))
           }
         (org.apache.spark.sql.functions.col(c), lo, hi)
@@ -2064,7 +2065,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val tmpPaths = staleTmp.map(p => plain(p.toString))
     OrphanSweep(
       perTask.map(_._1).sum + tmpPaths.size,
-      (perTask.flatMap(_._2) ++ tmpPaths).sorted.take(cap))
+      (perTask.flatMap(_._2).toIndexedSeq ++ tmpPaths).sorted.take(cap))
   }
 
   // ---- read path ---------------------------------------------------------

@@ -226,8 +226,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     require(schema.fieldNames.contains(spec.column),
       s"partition column ${spec.column} not in schema")
     val loc = location(ident)
-    val props = properties.asScala.toMap -
-      (TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+    val props = properties.asScala.toMap --
+      Seq(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT)
     LakeTable.create(loc, schema.toDDL, spec, props)
     new LakeDsTable(loc, viaCatalog = true)

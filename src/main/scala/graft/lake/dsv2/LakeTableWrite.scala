@@ -96,7 +96,7 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo,
       */
     private def sortColumns: Seq[String] =
       graft.lake.LakeFormat.sortOrderColumns(table.tableMeta.properties,
-        table.schema.fieldNames)
+        table.schema.fieldNames.toIndexedSeq)
 
     /** Default: cluster incoming rows by the partition column and sort
       * within each task, so each bucket's rows land in ONE writer instead

@@ -253,7 +253,7 @@ object PipelineQueries {
       cents: Array[(Long, Seq[Float])]): DataFrame = {
     graft.functions.CosineSimilarity.register(e.sparkSession)
     if (cents.length <= 64) {
-      val scores = array(cents.map { case (cid, cvec) =>
+      val scores = array(cents.toIndexedSeq.map { case (cid, cvec) =>
         struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
           lit(cid).as("c"))
       }: _*)
@@ -574,7 +574,7 @@ object PipelineQueries {
   private[graft] def ivfSearch(s: SparkSession, e: DataFrame,
       cents: Array[(Long, Seq[Float])], nprobe: Int = 6): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    def cellScores(vec: org.apache.spark.sql.Column) = array(cents.map {
+    def cellScores(vec: org.apache.spark.sql.Column) = array(cents.toIndexedSeq.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
         lit(cid).as("c"))
@@ -794,7 +794,7 @@ object PipelineQueries {
       ivf: Array[(Long, Seq[Float])],
       pq: Array[Array[Seq[Double]]]): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.map {
+    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.toIndexedSeq.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
         lit(cid).as("c"))
@@ -814,7 +814,7 @@ object PipelineQueries {
       vectors: DataFrame, ivf: Array[(Long, Seq[Float])],
       pq: Array[Array[Seq[Double]]]): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.map {
+    def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.toIndexedSeq.map {
       case (cid, cvec) => struct(
         call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
         lit(cid).as("c"))
@@ -1974,7 +1974,7 @@ object PipelineQueries {
     val contextCounts = train.groupBy("w1").agg(count(lit(1)).as("c1"))
     // vocabulary size: ONE bounded scalar to the driver (the smoothing
     // denominator), not the model
-    val v = train.agg(countDistinct(col("w2"))).head.getLong(0)
+    val v = train.agg(countDistinct(col("w2"))).head().getLong(0)
     bi.join(bigramCounts, Seq("w1", "w2"), "left")
       .join(contextCounts, Seq("w1"), "left")
       .groupBy("doc_id")
@@ -2011,7 +2011,7 @@ object PipelineQueries {
       count(lit(1)).as("cr"),
       count(when(col("lang") === "en", 1)).as("ct"))
     val scalars = model.agg(
-      sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v")).head
+      sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v")).head()
     val (nr, nt, v) = (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
     uni.join(model, Seq("w")) // inner: every token exists in the corpus
       .groupBy("doc_id")
