@@ -1824,7 +1824,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   def compactFiles(spark: SparkSession, smallFileBytes: Long = 64L << 20,
       minInputFiles: Int = 2, sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
+      maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil,
+      // partition-scoped maintenance: at 100 TB an operator compacts THE
+      // hot partition's small-file debt, not the whole table — bounds
+      // both the rewrite and the conflict window to the targeted buckets
+      partitionMin: Option[Long] = None,
+      partitionMax: Option[Long] = None): Long = {
     val effectiveSortBy =
       if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy
       else LakeFormat.sortOrderColumns(meta.properties,
@@ -1836,6 +1841,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     // is the migration path that pays down an old layout
     val candidates = files()
       .filter(_.sizeBytes < smallFileBytes)
+      .filter(f => partitionMin.forall(f.partitionValue >= _) &&
+        partitionMax.forall(f.partitionValue <= _))
       .groupBy(f => (f.specId, f.partitionValue))
       .filter(_._2.size >= minInputFiles)
       .values.flatten.toSeq

@@ -83,15 +83,22 @@ object LakeProcedures {
         // clustering, zorder_by = Morton-curve multi-dimension clustering
         paramD("sort_by", StringType, "''"),
         paramD("zorder_by", StringType, "''"),
-        paramD("max_records_per_file", LongType, "0"))) { in =>
+        paramD("max_records_per_file", LongType, "0"),
+        // partition-scoped maintenance: compact only buckets in
+        // [partition_min, partition_max] (-1 = unbounded side)
+        paramD("partition_min", LongType, "-1"),
+        paramD("partition_max", LongType, "-1"))) { in =>
         def cols(i: Int): Seq[String] =
           Option(in.getUTF8String(i)).map(_.toString.trim).filter(_.nonEmpty)
             .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)
+        def bound(i: Int): Option[Long] =
+          Some(in.getLong(i)).filter(_ >= 0)
         table(in).compactFiles(SparkSession.active,
           smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2),
           sortBy = cols(3), zorderBy = cols(4),
-          maxRecordsPerFile = in.getLong(5))
+          maxRecordsPerFile = in.getLong(5),
+          partitionMin = bound(6), partitionMax = bound(7))
       })
       case "expire_snapshots" => Some(bound(procName, Array(
         param("table", StringType),

@@ -65,6 +65,30 @@ class ProcedureSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 200)
   }
 
+  test("CALL compact with partition_min/max rewrites only the targeted buckets") {
+    val (tbl, t) = newTable()
+    // two fragmented buckets
+    for (s <- 1 to 3) {
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 50, bucket(0), seed = 20 + s), t))
+      t.append(LakeWriter.writeDataFiles(
+        LakeWriter.generateBatch(spark, 50, bucket(1), seed = 30 + s), t))
+    }
+    val untouched = t.refresh().files()
+      .filter(_.partitionValue == bucket(1)).map(_.path).toSet
+    assert(untouched.size == 3)
+    spark.sql(
+      s"""CALL proccat.system.compact(`table` => '$tbl',
+         |  partition_min => ${bucket(0)}, partition_max => ${bucket(0)})"""
+        .stripMargin)
+    val after = t.refresh().files()
+    // bucket 0 compacted to one file; bucket 1's files untouched BY NAME
+    assert(after.count(_.partitionValue == bucket(0)) == 1)
+    assert(after.filter(_.partitionValue == bucket(1)).map(_.path).toSet
+      == untouched)
+    assert(t.toDF(spark).count() == 300)
+  }
+
   test("CALL rewrite_manifests consolidates without changing content or files") {
     val (tbl, t) = newTable()
     for (i <- 1 to 4) append(t, 50, seed = i)
