@@ -514,18 +514,35 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
     if (found.isEmpty) return -1L
     val s = spec
-    val tableFields = schema.fieldNames.map(_.toLowerCase).toSet
+    // imported files land under the CURRENT schema and spec vintages:
+    // partitionValue below is a bucket start under the CURRENT width, and
+    // the ingestion contract (same as the queue bookkeeper's) is that
+    // external writers target the current column names. Leaving the
+    // footerMeta defaults (0 = creation vintage) on an evolved table would
+    // resolve the WRONG bucket width in pruning/retention and map current
+    // names to schema-0 physical names on read.
+    val sid = currentSchemaId
+    val pid = currentSpecId
+    val tableTypes = schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
     val metas = found.toSeq.map { p =>
-      // schema gate BEFORE registration: a file missing table columns
-      // would import fine and then fail every scan with a reader error —
-      // reject it here with the actual missing names instead
-      val fileFields =
-        LakeWriter.footerFieldNames(LakeTable.hadoopConf, p)
-          .map(_.toLowerCase).toSet
-      val missing = tableFields -- fileFields
+      // schema gate BEFORE registration: a file missing table columns —
+      // or carrying a same-named column of an incompatible physical type —
+      // would import fine and then fail (or silently misread) every later
+      // scan; reject it here with the actual missing names / type clash
+      val fileFields = LakeWriter.footerFields(LakeTable.hadoopConf, p)
+      val byName = fileFields.map(t => t.getName.toLowerCase -> t).toMap
+      val missing = tableTypes.keySet -- byName.keySet
       if (missing.nonEmpty)
         throw new IllegalArgumentException(
           s"add_files: $p lacks table column(s) ${missing.mkString(", ")}")
+      tableTypes.foreach { case (name, dt) =>
+        val ft = byName(name)
+        if (!LakeWriter.parquetCompatible(dt, ft))
+          throw new IllegalArgumentException(
+            s"add_files: $p column '$name' has parquet type $ft, " +
+              s"incompatible with table type ${dt.sql}")
+      }
       val m = LakeWriter.footerMeta(LakeTable.hadoopConf, p, 0L)
       val st = m.stats.getOrElse(s.column, throw new IllegalArgumentException(
         s"add_files: $p carries no footer stats for partition column " +
@@ -539,7 +556,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         throw new IllegalArgumentException(
           s"add_files: $p spans partition buckets ${s(lo)} and ${s(hi)} " +
             s"(width ${s.widthMicros}) — split or rewrite it before import")
-      m.copy(partitionValue = s(lo))
+      m.copy(partitionValue = s(lo),
+        schemaId = if (sid == 0) m.schemaId else sid,
+        specId = if (pid == 0) m.specId else pid)
     }
     append(metas)
   }
@@ -1165,8 +1184,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val threshold = meta.properties.getOrElse(PropManifestMinMerge, "200").toInt
     if (manifests.size < threshold) manifests
     else {
-      val cap = meta.properties.getOrElse(PropManifestMergeMaxEntries,
-        DefaultManifestMergeMaxEntries.toString).toInt
+      // clamped ONCE and reused for both the big/small threshold and the
+      // bin flush: a property value of 0 must not make every buffered
+      // entry flush into its own single-file manifest (manifest explosion)
+      val cap = math.max(1, meta.properties
+        .getOrElse(PropManifestMergeMaxEntries,
+          DefaultManifestMergeMaxEntries.toString).toInt)
       val sized = manifests.map(m => m -> readManifest(m).size)
       val (big, small) = sized.partition(_._2 >= math.max(1, cap / 2))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -278,13 +278,58 @@ object LakeWriter {
     } finally reader.close()
   }
 
-  /** Top-level field names of a parquet file's footer schema — the
-    * add_files import gate's compatibility check (one footer read, no
-    * row data touched). */
-  def footerFieldNames(conf: Configuration, path: Path): Seq[String] = {
+  /** Top-level fields of a parquet file's footer schema — the add_files
+    * import gate's compatibility check (one footer read, no row data
+    * touched). */
+  def footerFields(conf: Configuration, path: Path): Seq[org.apache.parquet.schema.Type] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSeq
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
     finally reader.close()
+  }
+
+  /** Is the parquet footer field's physical type identical to — or legally
+    * widenable to — the table's Spark type? The add_files registration
+    * gate: a same-named column of an incompatible physical type (STRING
+    * where the table has BIGINT) imports cleanly and then fails or
+    * silently misreads on every later scan, so the check must happen at
+    * import. Widenable means what the scan path already decodes across
+    * vintages (b57): INT32 read as BIGINT, FLOAT read as DOUBLE. Nested
+    * and exotic types pass the name gate only — the footer can't cheaply
+    * prove their shape and the reference schema carries none of them.
+    */
+  def parquetCompatible(dt: org.apache.spark.sql.types.DataType,
+      t: org.apache.parquet.schema.Type): Boolean = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (!t.isPrimitive) return dt match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    }
+    val p = t.asPrimitiveType().getPrimitiveTypeName
+    val ann = t.getLogicalTypeAnnotation
+    def isString = ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    def isTimestamp = ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+    def isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+    def isDecimal = ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        p == INT32 && !isDate && !isDecimal
+      case LongType =>
+        (p == INT64 || p == INT32) && !isTimestamp && !isDate && !isDecimal
+      case FloatType => p == FLOAT
+      case DoubleType => p == DOUBLE || p == FLOAT
+      case StringType => p == BINARY && isString
+      case BinaryType => p == BINARY && !isString
+      case BooleanType => p == BOOLEAN
+      case TimestampType | TimestampNTZType =>
+        (p == INT64 && isTimestamp) || p == INT96 // INT96 = legacy default
+      case DateType => p == INT32 && isDate
+      case d: DecimalType => isDecimal && {
+        val da = ann.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+        da.getScale == d.scale && da.getPrecision <= d.precision
+      }
+      case _ => true
+    }
   }
 }

@@ -85,15 +85,18 @@ object LakeProcedures {
         paramD("zorder_by", StringType, "''"),
         paramD("max_records_per_file", LongType, "0"),
         // partition-scoped maintenance: compact only buckets in
-        // [partition_min, partition_max] (-1 = unbounded side)
-        paramD("partition_min", LongType, "-1"),
-        paramD("partition_max", LongType, "-1"))) { in =>
+        // [partition_min, partition_max]. Long.MinValue = unbounded side —
+        // NOT -1: bucket starts are arbitrary BIGINTs (negative keys,
+        // pre-1970 timestamps), so any value a caller can actually pass
+        // must be honored or the compaction silently goes full-table
+        paramD("partition_min", LongType, Long.MinValue.toString),
+        paramD("partition_max", LongType, Long.MinValue.toString))) { in =>
         def cols(i: Int): Seq[String] =
           Option(in.getUTF8String(i)).map(_.toString.trim).filter(_.nonEmpty)
             .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)
         def bound(i: Int): Option[Long] =
-          Some(in.getLong(i)).filter(_ >= 0)
+          Some(in.getLong(i)).filter(_ != Long.MinValue)
         table(in).compactFiles(SparkSession.active,
           smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2),
           sortBy = cols(3), zorderBy = cols(4),

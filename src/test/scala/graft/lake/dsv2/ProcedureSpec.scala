@@ -269,4 +269,67 @@ class ProcedureSpec extends SparkSpec {
       s"unexpected error: ${e2.getMessage}")
     assert(t.refresh().toDF(spark).count() == 115)
   }
+
+  test("add_files onto an EVOLVED table stamps current schema/spec ids " +
+      "(pruning + renamed-column reads resolve); type clashes are rejected") {
+    import org.apache.spark.sql.functions.col
+    val (tbl, t) = newTable()
+    append(t, 50, seed = 31)
+    // evolve BOTH axes before the import: double the partition width and
+    // rename data -> payload. bucket(1) is an ODD multiple of Width, so
+    // under the doubled width its bucket start is bucket(0) — a file
+    // stamped with the creation specId would be interpreted at width W
+    // (covering [bucket(0), bucket(1)) only) and every scan filtering
+    // >= bucket(1) would silently skip it.
+    t.setPartitionWidth(Width * 2)
+    t.refresh().renameColumn("data", "payload")
+    val t1 = t.refresh()
+    val (sid, pid) = (t1.currentSchemaId, t1.currentSpecId)
+    assert(sid > 0 && pid > 0)
+    // external writer targets the CURRENT names; rows sit in [bucket(1),
+    // bucket(1)+30) — inside one bucket of the CURRENT doubled width
+    val ext = tmpDir("proc-addfiles-evolved")
+    spark.range(0, 30).selectExpr(
+      "id + 5000 AS message_id", "md5(cast(id AS STRING)) AS payload",
+      s"timestamp_micros(${bucket(1)} + id) AS timestamp",
+      s"${bucket(1)}L + id AS timeperiod_loadedBy",
+      "cast(md5(cast(id AS STRING)) AS BINARY) AS message_body")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    assert(spark.sql(
+      s"CALL proccat.system.add_files(`table` => '$tbl', source_dir => '$ext')")
+      .head.getLong(0) > 0)
+    val t2 = t.refresh()
+    val imported = t2.files().filter(_.path.startsWith(ext))
+    assert(imported.nonEmpty)
+    imported.foreach { f =>
+      assert(f.schemaId == sid, s"schemaId ${f.schemaId} != current $sid")
+      assert(f.specId == pid, s"specId ${f.specId} != current $pid")
+      assert(f.partitionValue == bucket(0),
+        s"bucket ${f.partitionValue} != doubled-width start ${bucket(0)}")
+    }
+    val df = spark.read.format("laketable").load(t2.location)
+    // pruning at the doubled width still admits the file...
+    assert(df.filter(col("timeperiod_loadedBy") >= bucket(1)).count() == 30)
+    // ...and the renamed column resolves to the file's physical 'payload'
+    // (schemaId 0 would map it to physical 'data' -> all-null reads)
+    assert(df.filter(col("timeperiod_loadedBy") >= bucket(1))
+      .filter(col("payload").isNotNull).count() == 30)
+    // a same-named column of an incompatible physical type (STRING where
+    // the table has BIGINT) is rejected AT IMPORT, not at first scan
+    val badType = tmpDir("proc-addfiles-badtype")
+    spark.range(0, 5).selectExpr(
+      "cast(id AS STRING) AS message_id", "'x' AS payload",
+      s"timestamp_micros(${bucket(3)} + id) AS timestamp",
+      s"${bucket(3)}L + id AS timeperiod_loadedBy",
+      "cast('x' AS BINARY) AS message_body")
+      .coalesce(1).write.mode("overwrite").parquet(badType)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL proccat.system.add_files(`table` => '$tbl', " +
+        s"source_dir => '$badType')").collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("incompatible with table type"), s"got: $msg")
+    assert(t.refresh().toDF(spark).count() == 80) // nothing half-imported
+  }
 }
