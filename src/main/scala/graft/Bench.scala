@@ -54,6 +54,9 @@ object Bench {
     // round-8 additions: both build and drop scratch laketables, so their
     // commit churn belongs here, away from the envelope entries
     "d01_minhash_incremental", "d02_ann_indexed",
+    // round-9: the committed band-index variant of the fuzzy gate —
+    // scratch-table commit churn, same placement rationale
+    "d03_minhash_index",
     "d01_dedup_cluster", "d01_semdedup",
     // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
     // lake sink — honest pricing of the one-file-per-shard layout, but

@@ -836,6 +836,89 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** Optimized plan of the last d03_minhash_index GATE — spec-observable:
+    * must show a LEFT SEMI probe whose committed side is the INDEX table's
+    * scan (the laketable relation at the index location), not a recompute
+    * of the corpus band space. */
+  @volatile private[graft] var lastMinhashIndexGate: Option[(String, String)] = None
+  /** Band keys appended by the last d03_minhash_index maintenance commit —
+    * spec-observable proof that index maintenance writes work proportional
+    * to the INCREMENT's novel keys, never the corpus band space. */
+  @volatile private[graft] var lastMinhashIndexNewKeys: Long = -1L
+
+  // D3f — the MinHash band space as a first-class TABLE citizen,
+  // completing the committed-index family (ANN: d02_ann_indexed; fuzzy:
+  // this). d01_minhash_incremental proves the per-arrival gate shape but
+  // RECOMPUTES the committed band space per arrival — fine per-snapshot,
+  // wasteful per-arrival. Here the band space is a laketable: (1) corpus
+  // batch commits to the DATA table, (2) its DISTINCT band keys (band,
+  // h0, h1 — the d03_minhash_exact md5-portable derivation, one code
+  // path) commit to the INDEX table, (3) a new batch appends to data,
+  // (4) the GATE derives the increment's band keys and LEFT-SEMI probes
+  // the COMMITTED index read from a FRESH LakeTable.load — per-key width
+  // 1, the corpus is never re-banded or re-paired, and the probe side is
+  // a table scan any number of arrivals can share, (5) maintenance
+  // appends ONLY the increment's novel keys (anti-join against the same
+  // committed scan) in one more commit, so the next arrival's index is
+  // current. At 100 TB the index table is ~4 rows per committed doc of
+  // three integers — small enough to co-locate, incremental to maintain,
+  // and shared across every ingesting stream. Same planted dups and
+  // verdict shape as d01_minhash_incremental → the same hash oracle.
+  def d03_minhash_index(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("mhidx-data")
+    val locI = scratch("mhidx-idx")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val increment = odds
+      .union(evens.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text")))
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    // band keys are 60-bit md5 prefixes: 2^56-wide buckets spread the
+    // index over 16 partitions, so maintenance appends and gate scans
+    // parallelize without a single hot bucket
+    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
+      TruncateSpec("h0", 1L << 56))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct(), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(increment, data))
+      val inc = data.changesBetween(s, d1, d2)
+      val incBands = P.explodeBands(P.md5MinhashSigs(inc))
+      // the gate serves from a FRESH load of the committed index — the
+      // index table is self-contained (the d02_ann_indexed discipline)
+      val comBands = LakeTable.load(locI).snapshotDF(s, i1)
+      val dups = incBands.join(comBands, Seq("band", "h0", "h1"), "left_semi")
+        .select("doc_id").distinct()
+      val out = inc.select("doc_id")
+        .join(dups.withColumn("is_fuzzy_dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_fuzzy_dup"), lit(false)).as("is_fuzzy_dup"))
+        .orderBy("doc_id")
+      lastMinhashIndexGate =
+        Some((out.queryExecution.optimizedPlan.toString, locI))
+      val gated = localize(out)
+      // maintenance: one commit of the increment's NOVEL distinct keys —
+      // probe work ∝ increment, write work ∝ novel keys
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        incBands.select("band", "h0", "h1").distinct()
+          .join(comBands, Seq("band", "h0", "h1"), "left_anti"), index))
+      lastMinhashIndexNewKeys =
+        index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      gated
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   /** Rows encoded by the last d02_ann_indexed index-maintenance commit —
     * spec-observable proof that an append triggers encode work
     * proportional to the INCREMENT, not the corpus. */
@@ -939,6 +1022,7 @@ object LakeQueries {
     "d01_dedup_incremental" -> d01_dedup_incremental _,
     "d01_semdedup_incremental" -> d01_semdedup_incremental _,
     "d01_minhash_incremental" -> d01_minhash_incremental _,
+    "d03_minhash_index" -> d03_minhash_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
@@ -961,6 +1045,59 @@ object LakeQueries {
     "b42_schema_evolution" -> b42_schema_evolution _,
     "b57_type_widening" -> b57_type_widening _,
   )
+
+  /** The increment-vs-committed fuzzy-gate replay (DuckDB): shared
+    * verbatim by d01_minhash_incremental (recompute-per-arrival) and
+    * d03_minhash_index (committed band-index table) — the two entries
+    * gate against the same committed band space, so one replay oracles
+    * both. */
+  private val minhashIncrementalOracleSql: String =
+      """WITH src AS (
+        |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zq zr zs', 1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 80),
+        |tk AS (
+        |  SELECT doc_id, side, text, string_split(text, ' ') AS t FROM src),
+        |sh AS (
+        |  SELECT doc_id, side,
+        |    CASE WHEN len(t) < 3 THEN
+        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(t) - 1), i ->
+        |      CAST(concat('0x', substring(md5(
+        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
+        |    END AS shash
+        |  FROM tk),
+        |lanes AS (
+        |  SELECT doc_id, side, bb.b AS lane,
+        |    MIN(CAST(concat('0x', substring(md5(
+        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM (SELECT doc_id, side, unnest(shash) AS h FROM sh),
+        |       (SELECT unnest(range(0, 8)) AS b) bb
+        |  GROUP BY doc_id, side, bb.b),
+        |sig AS (SELECT doc_id, side, list(mh ORDER BY lane) AS sig
+        |        FROM lanes GROUP BY doc_id, side),
+        |bands AS (
+        |  SELECT doc_id, side, bb.b AS band,
+        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
+        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |com AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side = 0),
+        |dup AS (
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN com c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
+        |  WHERE i.side = 1)
+        |SELECT i.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
+        |FROM (SELECT DISTINCT doc_id FROM src WHERE side = 1) i
+        |LEFT JOIN dup d ON d.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // b02/b03/b04b run on scratch LakeTables whose content is fully
@@ -1041,53 +1178,11 @@ object LakeQueries {
     // increment (odds + planted re-keys) vs committed (evens) through the
     // d03_minhash_exact signature recipe with a side marker: an increment
     // doc is a fuzzy dup iff any of its 4 band keys exists on side 0
-    "d01_minhash_incremental" ->
-      """WITH src AS (
-        |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
-        |  UNION ALL
-        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, 1 FROM documents
-        |  WHERE doc_id % 2 = 0 AND doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' zq zr zs', 1 FROM documents
-        |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 80),
-        |tk AS (
-        |  SELECT doc_id, side, text, string_split(text, ' ') AS t FROM src),
-        |sh AS (
-        |  SELECT doc_id, side,
-        |    CASE WHEN len(t) < 3 THEN
-        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
-        |    ELSE list_transform(range(1, len(t) - 1), i ->
-        |      CAST(concat('0x', substring(md5(
-        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
-        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
-        |    END AS shash
-        |  FROM tk),
-        |lanes AS (
-        |  SELECT doc_id, side, bb.b AS lane,
-        |    MIN(CAST(concat('0x', substring(md5(
-        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
-        |      AS BIGINT)) AS mh
-        |  FROM (SELECT doc_id, side, unnest(shash) AS h FROM sh),
-        |       (SELECT unnest(range(0, 8)) AS b) bb
-        |  GROUP BY doc_id, side, bb.b),
-        |sig AS (SELECT doc_id, side, list(mh ORDER BY lane) AS sig
-        |        FROM lanes GROUP BY doc_id, side),
-        |bands AS (
-        |  SELECT doc_id, side, bb.b AS band,
-        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
-        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
-        |com AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side = 0),
-        |dup AS (
-        |  SELECT DISTINCT i.doc_id FROM bands i
-        |  JOIN com c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
-        |  WHERE i.side = 1)
-        |SELECT i.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
-        |FROM (SELECT DISTINCT doc_id FROM src WHERE side = 1) i
-        |LEFT JOIN dup d ON d.doc_id = i.doc_id
-        |ORDER BY i.doc_id""".stripMargin,
+    "d01_minhash_incremental" -> minhashIncrementalOracleSql,
+    // the committed-index variant gates against the SAME committed band
+    // space (persisted as a table instead of recomputed), so its verdict
+    // set — and therefore its oracle — is identical by construction
+    "d03_minhash_index" -> minhashIncrementalOracleSql,
     // the ivfPqExact replay with the frozen models' seed predicate (first
     // 16 every-17th vectors of the COMMITTED batch); the lake round-trip
     // is value-transparent, so serve-from-committed-codes replays as the

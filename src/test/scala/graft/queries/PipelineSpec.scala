@@ -838,6 +838,36 @@ class PipelineSpec extends SparkSpec {
         plan.take(2000))
   }
 
+  test("D3f committed MinHash band index: gate probes the INDEX TABLE scan " +
+      "(not a corpus recompute), maintenance appends only novel keys, " +
+      "verdicts equal the recompute gate") {
+    val indexed = LakeQueries.d03_minhash_index(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val recomputed = LakeQueries.d01_minhash_incremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the committed-index gate and the recompute gate see the same band
+    // space, so their verdict sets must be identical — the persisted
+    // index adds storage and reuse, never drift
+    assert(indexed == recomputed,
+      s"indexed gate diverged on ${(indexed.toSet diff recomputed.toSet).take(5)}")
+    val (plan, locI) = LakeQueries.lastMinhashIndexGate.get
+    // the semi-join's committed side is the INDEX table's DSv2 relation
+    // (its name embeds the index location) — a regression back to
+    // re-banding the corpus would scan the DATA table's text instead
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains(locI),
+      s"gate does not scan the committed index table $locI:\n${plan.take(2000)}")
+    // maintenance wrote ONLY the increment's novel keys: bounded by
+    // 4 band keys per increment doc, and strictly positive (fresh odd
+    // docs contribute new band buckets)
+    val incDocs = indexed.size
+    val appended = LakeQueries.lastMinhashIndexNewKeys
+    assert(appended > 0L, "maintenance appended no keys")
+    assert(appended <= 4L * incDocs,
+      s"maintenance wrote $appended keys for $incDocs increment docs " +
+        "— corpus-proportional rewrite")
+  }
+
   test("D2f persisted ANN index: an append encodes ONLY the increment, and " +
       "serving from committed codes equals the per-query path") {
     val out = LakeQueries.d02_ann_indexed(spark, dir).collect().toSeq
