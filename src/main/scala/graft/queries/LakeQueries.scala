@@ -1051,7 +1051,7 @@ object LakeQueries {
     * d03_minhash_index (committed band-index table) — the two entries
     * gate against the same committed band space, so one replay oracles
     * both. */
-  private val minhashIncrementalOracleSql: String =
+  private[graft] val minhashIncrementalOracleSql: String =
       """WITH src AS (
         |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL

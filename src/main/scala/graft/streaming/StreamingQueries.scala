@@ -614,8 +614,102 @@ object StreamingQueries {
     }
   }
 
+  /** Distinct dup doc_ids landed by each of the two d07_minhash_stream
+    * gate runs — spec-observable exactly-once evidence: the second run
+    * gates ONLY the second wave (a replayed first wave would re-land its
+    * dup ids and inflate the second delta). */
+  @volatile private[graft] var lastMinhashStreamRunDups: Seq[Long] = Nil
+
+  // D7d — the FUZZY gate run CONTINUOUSLY against the committed band
+  // index: the streaming pair of d03_minhash_index, the way
+  // d07_ann_index_stream pairs with d02_ann_indexed. A streaming job
+  // reads the DATA table's own incremental scan (the laketable source,
+  // A25), derives each micro-batch's MinHash band keys as PURE
+  // expressions (md5MinhashSigs + explodeBands — no state, no window:
+  // the derivation fuses into the micro-batch scan), LEFT-SEMI joins
+  // them against the COMMITTED band-index table (stream-static, the
+  // index is a batch scan any number of gate streams share), and lands
+  // matching doc_ids in a verdict table through the epoch-fenced
+  // laketable sink. Two checkpointed runs over two arrival waves: the
+  // restarted query gates ONLY the new snapshot's files (exactly-once
+  // from the source checkpoint — a replayed wave would double verdict
+  // rows; the spec asserts per-run dup deltas). A doc with k >= 1
+  // matching bands lands k rows — the verdict read is DISTINCT, so the
+  // stream itself stays fully stateless: at 100 TB this is a
+  // shuffle-free map-side gate per micro-batch (the index side
+  // broadcast or bucket-joined), the cheapest continuous-dedup shape.
+  // The two waves union to the batch entries' increment, so the same
+  // hash oracle replays the verdict set.
+  def d07_minhash_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07mh-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07mh-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07mh-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // wave 2 = the planted cross-batch dups (exact re-keys share all 4
+    // bands; near re-keys with 3 appended tokens keep most lanes)
+    val wave2 = evens.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text")))
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
+      TruncateSpec("h0", 1L << 56))
+    LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000000L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      index.append(LakeWriter.writeDataFiles(
+        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct(), index))
+      // the static side: the committed index table, read once per
+      // micro-batch planning — shared by every gate stream
+      val comBands = s.read.format("laketable").load(locI)
+      def runGate(): Unit = {
+        val before = s.read.format("laketable").load(locR)
+          .select("doc_id").distinct().count()
+        val q = P.explodeBands(P.md5MinhashSigs(
+            s.readStream.format("laketable")
+              .option("startSnapshotId", d1.toString).load(locD)))
+          .join(comBands, Seq("band", "h0", "h1"), "left_semi")
+          .select("doc_id")
+          .writeStream.format("laketable")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(locR)
+        q.awaitTermination()
+        val after = s.read.format("laketable").load(locR)
+          .select("doc_id").distinct().count()
+        lastMinhashStreamRunDups :+= (after - before)
+      }
+      lastMinhashStreamRunDups = Nil
+      data.append(LakeWriter.writeDataFiles(odds, data))
+      runGate() // wave 1: the fresh odd docs
+      val d3 = data.append(LakeWriter.writeDataFiles(wave2, data))
+      runGate() // restart: only wave 2's files flow
+      val dups = s.read.format("laketable").load(locR)
+        .select("doc_id").distinct().withColumn("is_fuzzy_dup", lit(true))
+      localize(data.changesBetween(s, d1, d3).select("doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_fuzzy_dup"), lit(false)).as("is_fuzzy_dup"))
+        .orderBy("doc_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_ann_index_stream" -> d07_ann_index_stream _,
+    "d07_minhash_stream" -> d07_minhash_stream _,
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
     "c12_stream_session" -> c12_stream_session _,
@@ -637,6 +731,11 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "d07_ann_index_stream" -> graft.queries.PipelineQueries
       .annIndexOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
+    // the two waves union to the batch increment, and the gate reads the
+    // same committed band space — the batch gate's replay oracles the
+    // completed stream (SURVEY §5.4 batch-equivalence)
+    "d07_minhash_stream" ->
+      graft.queries.LakeQueries.minhashIncrementalOracleSql,
     "c10_stream_tumbling" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS w_us, COUNT(*) AS n
         |FROM events GROUP BY w_us ORDER BY w_us""".stripMargin,

@@ -175,6 +175,29 @@ class StreamingSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L), "distinct doc should differ in signature")
   }
 
+  test("D7d continuous fuzzy gate: two checkpointed runs gate each wave " +
+      "exactly once against the committed band index; verdicts equal the " +
+      "batch gate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.d07_minhash_stream(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.queries.LakeQueries.d01_minhash_incremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the waves union to the batch increment and both gates probe the
+    // same committed band space — the completed stream must equal batch
+    assert(streamed == batch,
+      s"stream gate diverged: ${(streamed.toSet diff batch.toSet).take(5)}")
+    // exactly-once across the restart: run 2 gated ONLY wave 2 (the 40
+    // planted re-key docs — 20 exact, all of which must match, plus up
+    // to 20 near re-keys). A replayed wave 1 would re-land its dup ids
+    // and push the delta past the wave-2 ceiling.
+    val deltas = StreamingQueries.lastMinhashStreamRunDups
+    assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
+    assert(deltas(1) >= 20L && deltas(1) <= 40L,
+      s"run-2 dup delta ${deltas(1)} outside wave 2's [20, 40] envelope " +
+        "— replay or loss across the restart")
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
