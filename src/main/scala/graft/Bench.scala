@@ -54,9 +54,10 @@ object Bench {
     // round-8 additions: both build and drop scratch laketables, so their
     // commit churn belongs here, away from the envelope entries
     "d01_minhash_incremental", "d02_ann_indexed",
-    // round-9: the committed band-index variant of the fuzzy gate —
-    // scratch-table commit churn, same placement rationale
-    "d03_minhash_index",
+    // round-9: the committed band-index variant of the fuzzy gate and the
+    // trained-model committed ANN index — scratch-table commit churn (and
+    // Lloyd-round training jobs), same placement rationale
+    "d03_minhash_index", "d02_ann_indexed_trained",
     "d01_dedup_cluster", "d01_semdedup",
     // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
     // lake sink — honest pricing of the one-file-per-shard layout, but

@@ -986,6 +986,66 @@ object LakeQueries {
     }
   }
 
+  /** The frozen TRAINED models of the last d02_ann_indexed_trained run —
+    * spec-observable: serving from the committed index with parsed-back
+    * models must equal the direct per-query path under the SAME model
+    * instances (bit-exact codec round-trip at the served-result level). */
+  @volatile private[graft] var lastAnnIndexedTrainedModels:
+    Option[(Array[(Long, Seq[Float])], Array[Array[Seq[Double]]])] = None
+
+  // D2g — the committed ANN index under TRAINED models: d02_ann_indexed
+  // freezes untrained exact-twin constants so the whole dataflow can
+  // hash-oracle; the PRODUCTION posture commits k-means-trained models
+  // (2 distributed Lloyd rounds each for the IVF coarse quantizer and
+  // the PQ codebooks — the d02_ann_ivfpq training path) into the index
+  // table's properties and serves from them. Training sees ONLY the
+  // committed corpus (a frozen index must not peek at future arrivals);
+  // the increment encodes under the frozen models off changesBetween,
+  // exactly like the untrained twin. Distributed float means make the
+  // models run-order-sensitive in the last ulp → rows-only + recall
+  // floor (the d02_ann_ivfpq convention); the codec round-trip and
+  // serve-equality claims are spec'd via [[lastAnnIndexedTrainedModels]].
+  def d02_ann_indexed_trained(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("annidxt-data")
+    val locI = scratch("annidxt-idx")
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = P.trainIvfCentroids(committed)
+      // every-23rd seeds (vs the full-corpus default 31): the committed
+      // 400-vector corpus must still yield the 16 codewords per subspace
+      // pqCode's argmin iterates over
+      val pq = P.trainPqCodebooks(committed, seedMod = 23)
+      lastAnnIndexedTrainedModels = Some((ivf, pq))
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, committed, ivf, pq), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
+      // serve from a FRESH load: committed codes + models parsed back
+      // from the table's own properties — self-contained, no retraining
+      val served = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(served.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(served.tableMeta.properties(P.AnnPqProp))
+      localize(P.ivfPqServe(s, served.snapshotDF(s, i2),
+        data.snapshotDF(s, d2), ivf2, pq2))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -1024,6 +1084,7 @@ object LakeQueries {
     "d01_minhash_incremental" -> d01_minhash_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
+    "d02_ann_indexed_trained" -> d02_ann_indexed_trained _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b03b_incremental_options" -> b03b_incremental_options _,

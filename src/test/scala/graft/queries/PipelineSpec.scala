@@ -868,6 +868,47 @@ class PipelineSpec extends SparkSpec {
         "— corpus-proportional rewrite")
   }
 
+  test("D2g TRAINED committed ANN index: recall@5 clears the floor, and the " +
+      "self-contained reload (parsed-back trained models) equals the " +
+      "direct path under the same model instances") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val out = LakeQueries.d02_ann_indexed_trained(spark, dir)
+    val served = pairs(out)
+    val truth = pairs(PipelineQueries.d02_cosine_topk(spark, dir))
+    assert(truth.nonEmpty)
+    val recall = served.intersect(truth).size.toDouble / truth.size
+    info(f"trained committed-index recall@5: $recall%.3f")
+    // models train on the COMMITTED 400 vectors only (the frozen-index
+    // contract), then serve the full corpus — measured 0.88 here (the
+    // 13-cell IVF from the committed corpus's every-31st seeds probes a
+    // larger corpus fraction at nprobe=8 than d02_ann_ivfpq's 16 cells,
+    // more than paying back the unseen-increment handicap); floor ~0.10
+    // under measured (the d02 convention) so a regression to untrained
+    // models or a starved shortlist fails
+    assert(recall >= 0.78,
+      s"trained committed-index recall $recall below floor")
+    // the entry served from models PARSED BACK from the index table's
+    // properties; under the same model instances the direct (unsplit,
+    // unpersisted) path must produce the identical result — the codec
+    // and the lake round-trip add storage, never drift
+    val (ivf, pq) = LakeQueries.lastAnnIndexedTrainedModels.get
+    val e = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val direct = PipelineQueries.ivfPqSearch(spark, e, ivf, pq).collect().toSeq
+    assert(out.collect().toSeq == direct,
+      "trained committed-index serve diverged from the direct path")
+    // and the trained floats themselves round-trip bit-exactly
+    val ivf2 = PipelineQueries.ivfModelFromString(
+      PipelineQueries.ivfModelToString(ivf))
+    assert(ivf2.toSeq.map { case (c, v) => (c, v.toList) } ==
+      ivf.toSeq.map { case (c, v) => (c, v.toList) })
+    val pq2 = PipelineQueries.pqModelFromString(
+      PipelineQueries.pqModelToString(pq))
+    assert(pq2.map(_.map(_.toList).toList).toList ==
+      pq.map(_.map(_.toList).toList).toList)
+  }
+
   test("D2f persisted ANN index: an append encodes ONLY the increment, and " +
       "serving from committed codes equals the per-query path") {
     val out = LakeQueries.d02_ann_indexed(spark, dir).collect().toSeq
