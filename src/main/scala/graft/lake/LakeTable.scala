@@ -731,17 +731,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }, () => rewriteColumnListProps(oldName, Some(newName)))
 
   /** Schema evolution: WIDEN COLUMN TYPE (`ALTER COLUMN x TYPE t`) — the
-    * Iceberg-legal promotions only: INT → BIGINT, FLOAT → DOUBLE.
-    * Metadata-only: the new [[SchemaDef]] keeps the SAME field ids and
-    * names; files written under the narrower vintage decode through
-    * Spark's parquet reader type widening (int32 columns read as long,
-    * float as double — Spark 4 supports this in both the vectorized and
-    * row paths), so no data file is touched and the read path needs no
-    * fork. Anything else — narrowing, string/type-family changes — is
-    * rejected: those need a rewrite, not an ALTER. The partition column
-    * and equality-delete-referenced columns are refused (delete files
-    * carry values under the old physical type; comparing across widths
-    * is a correctness trap this guard simply removes).
+    * Iceberg-legal promotions only: INT → BIGINT, FLOAT → DOUBLE, and
+    * DECIMAL(p, s) → DECIMAL(p', s) with p' > p (precision growth at the
+    * SAME scale — Iceberg's third in-place promotion). Metadata-only: the
+    * new [[SchemaDef]] keeps the SAME field ids and names; files written
+    * under the narrower vintage decode through Spark's parquet reader
+    * type widening (int32 columns read as long, float as double, and
+    * lower-precision decimals — including across physical storage
+    * classes, INT32-backed p<=9 read under an INT64/FLBA-width logical
+    * type — Spark 4 supports all three in the vectorized and row paths),
+    * so no data file is touched and the read path needs no fork. Anything
+    * else — narrowing, scale changes, string/type-family changes — is
+    * rejected: those need a rewrite, not an ALTER (a scale change
+    * re-values every stored unscaled long; precision shrink overflows).
+    * The partition column and equality-delete-referenced columns are
+    * refused (delete files carry values under the old physical type;
+    * comparing across widths is a correctness trap this guard simply
+    * removes).
     */
   def widenColumnType(name: String,
       newType: org.apache.spark.sql.types.DataType): Long =
@@ -753,11 +759,14 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val legal = (cur, newType) match {
         case (IntegerType, LongType) => true
         case (FloatType, DoubleType) => true
+        case (d1: DecimalType, d2: DecimalType) =>
+          d2.scale == d1.scale && d2.precision > d1.precision
         case _ => false
       }
       if (!legal) throw new UnsupportedOperationException(
         s"illegal type change $cur -> $newType for $name " +
-          "(only INT -> BIGINT and FLOAT -> DOUBLE widen in place)")
+          "(only INT -> BIGINT, FLOAT -> DOUBLE, and same-scale DECIMAL " +
+          "precision growth widen in place)")
       if (meta.spec.column.equalsIgnoreCase(name))
         throw new UnsupportedOperationException(
           s"cannot change the partition column ${meta.spec.column}'s type")

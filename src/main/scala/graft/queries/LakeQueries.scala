@@ -561,6 +561,36 @@ object LakeQueries {
     out
   }
 
+  // B58 — DECIMAL PRECISION WIDENING (ALTER COLUMN ... TYPE DECIMAL(p',s)):
+  // Iceberg's third in-place promotion. Narrow files store DECIMAL(9,2)
+  // (physical INT32); after the metadata-only ALTER the wide batch lands
+  // values a (9,2) could not hold (o_orderkey × 100000 needs 11 integral
+  // digits, physical INT64) — one scan consolidates both vintages, and
+  // the price filter crosses them (row-group predicates drop per-file
+  // where the physical decimal differs; Spark re-evaluates). All values
+  // are exact in both decimal and binary (quarter steps / integral), so
+  // the DOUBLE projection hash-oracles.
+  def b58_decimal_widening(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val tbl = s"$cat.ns.dw${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_dwsrc")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, price DECIMAL(9,2))
+         |PARTITIONED BY (truncate(400, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, " +
+      "CAST(CAST(o_orderkey AS DECIMAL(9,2)) / 4 AS DECIMAL(9,2)) " +
+      "FROM graft_orders_dwsrc WHERE o_orderkey < 500")
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN price TYPE DECIMAL(18,2)")
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, " +
+      "CAST(CAST(o_orderkey AS DECIMAL(18,2)) * 100000 AS DECIMAL(18,2)) " +
+      "FROM graft_orders_dwsrc WHERE o_orderkey >= 500 AND o_orderkey < 1000")
+    val out = localize(s.sql(
+      s"""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
+         |FROM $tbl WHERE price >= 50 ORDER BY o_orderkey""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   // B36 — `$partitions` skew audit over a deliberately skewed scratch
   // table (bucket 0 fragmented into 4 files, bucket 1 one file): the
   // rollup that tells an operator where compaction/salting is needed.
@@ -1105,6 +1135,7 @@ object LakeQueries {
     "b41_wap" -> b41_wap _,
     "b42_schema_evolution" -> b42_schema_evolution _,
     "b57_type_widening" -> b57_type_widening _,
+    "b58_decimal_widening" -> b58_decimal_widening _,
   )
 
   /** The increment-vs-committed fuzzy-gate replay (DuckDB): shared
@@ -1325,6 +1356,16 @@ object LakeQueries {
         |    AS DECIMAL(28,4)) AS DOUBLE) AS v
         |FROM orders
         |WHERE o_orderkey < 1000 AND o_orderkey % 1000 >= 100
+        |ORDER BY o_orderkey""".stripMargin,
+    // both vintages' decimals are exact in binary too (quarter steps /
+    // integral × 100000), so the DOUBLE projection replays as plain math;
+    // the price filter drops narrow keys < 200 and keeps every wide row
+    "b58_decimal_widening" ->
+      """SELECT o_orderkey, o_orderkey / 4.0 AS price
+        |FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, o_orderkey * 100000.0
+        |FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
         |ORDER BY o_orderkey""".stripMargin,
     // rows under the overwrite filter carry the recomputed price; the rest
     // keep the seeded values

@@ -318,6 +318,59 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("DECIMAL WIDENING: precision growth reads across vintages (INT32 -> " +
+      "INT64 -> FLBA physical); scale change / shrink / cross-family rejected") {
+    spark.conf.set("spark.sql.catalog.deccat",
+      classOf[dsv2.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.deccat.warehouse", tmpDir("dec-wh"))
+    try {
+      spark.sql("CREATE TABLE deccat.db.dec (d DECIMAL(9,2), " +
+        "timeperiod_loadedBy BIGINT) PARTITIONED BY " +
+        s"(truncate($Width, timeperiod_loadedBy))")
+      // narrow vintage: DECIMAL(9,2) stores as physical INT32
+      spark.sql("INSERT INTO deccat.db.dec SELECT " +
+        s"CAST(CAST(id AS DECIMAL(9,2)) / 4 AS DECIMAL(9,2)), ${bucket(0)}L " +
+        "FROM range(0, 100)")
+      spark.sql("ALTER TABLE deccat.db.dec ALTER COLUMN d TYPE DECIMAL(18,2)")
+      // mid vintage: INT64-backed values a (9,2) could not hold
+      spark.sql("INSERT INTO deccat.db.dec SELECT " +
+        s"CAST(CAST(id AS DECIMAL(18,2)) * 100000000 AS DECIMAL(18,2)), ${bucket(1)}L " +
+        "FROM range(1, 3)")
+      spark.sql("ALTER TABLE deccat.db.dec ALTER COLUMN d TYPE DECIMAL(38,2)")
+      // wide vintage: FIXED_LEN_BYTE_ARRAY-backed
+      spark.sql("INSERT INTO deccat.db.dec SELECT " +
+        s"CAST(CAST(id AS DECIMAL(38,2)) * 1e20 AS DECIMAL(38,2)), ${bucket(2)}L " +
+        "FROM range(1, 2)")
+      val df = spark.table("deccat.db.dec")
+      assert(df.schema("d").dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 2))
+      // all three physical storage classes decode under the widest type
+      // in ONE scan, values intact
+      assert(df.count() == 103)
+      val total = df.agg(sum(col("d"))).head.getDecimal(0)
+      val expected = new java.math.BigDecimal(
+        (0 until 100).map(_ / 4.0).sum.toString)
+        .add(new java.math.BigDecimal("300000000"))
+        .add(new java.math.BigDecimal("1e20")).setScale(2)
+      assert(total.compareTo(expected) == 0, s"sum $total != $expected")
+      // a filter crossing vintages still answers correctly (row-group
+      // predicate declines per-file where the physical decimal differs)
+      assert(df.filter(col("d") >= 20).count() == 100 - 80 + 3)
+      // refusals: scale change, precision shrink, cross-family
+      intercept[Exception] {
+        spark.sql("ALTER TABLE deccat.db.dec ALTER COLUMN d TYPE DECIMAL(38,4)")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE deccat.db.dec ALTER COLUMN d TYPE DECIMAL(18,2)")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE deccat.db.dec ALTER COLUMN d TYPE DOUBLE")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS deccat.db.dec")
+    }
+  }
+
   test("compaction migrates mixed-vintage files to the current schema") {
     val t = newTable()
     appendBatch(t, 30, bucket(0), seed = 14)

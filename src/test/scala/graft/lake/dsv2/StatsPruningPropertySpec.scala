@@ -132,4 +132,49 @@ class StatsPruningPropertySpec extends AnyFunSuite {
     assert(!LakeStatsPruning.accept(spec, file, EqualTo("p", Width * 7)))
     assert(LakeStatsPruning.accept(spec, file, EqualTo("p", Width * 3 + 5)))
   }
+
+  test("TYPE WIDENING: BIGINT-typed filters prune narrow-vintage (int-stat) " +
+      "files soundly AND effectively; decimal filters degrade to keep-all") {
+    // narrow-vintage file metas: v written as INT32 — footerMeta's Integer
+    // stats path folds int min/max into the SAME long domain the manifest
+    // stores for every width, so a post-widening query (filter values now
+    // java.lang.Long, possibly outside int range) must keep pruning them.
+    // Soundness first: int-valued rows, long-valued filters, fuzzed.
+    val intRowGen: Gen[Row] = for {
+      p <- Gen.choose(0L, 10L * Width)
+      v <- Gen.option(Gen.choose(-100, 100).map(_.toLong))
+    } yield Row(p, v, None)
+    val fileRows: Gen[List[Row]] = for {
+      first <- intRowGen
+      rest <- Gen.listOfN(5, intRowGen)
+    } yield first :: rest.map(r => r.copy(p =
+      spec(first.p) + java.lang.Math.floorMod(r.p, Width)))
+    val wideFilterGen: Gen[Filter] = for {
+      x <- Gen.oneOf(Gen.choose(-120L, 120L),
+        Gen.choose(Int.MaxValue.toLong, Int.MaxValue.toLong + 1000000L))
+      f <- Gen.oneOf[Filter](EqualTo("v", x), GreaterThan("v", x),
+        GreaterThanOrEqual("v", x), LessThan("v", x), LessThanOrEqual("v", x),
+        In("v", Array[Any](x, x + 3)))
+    } yield f
+    check(forAll(fileRows, wideFilterGen) { (rows, f) =>
+      val anyMatch = rows.exists(matches(_, f))
+      !anyMatch || LakeStatsPruning.accept(spec, fileOf(rows), f)
+    })
+    // effectiveness canaries: the widened-type filter still PRUNES on the
+    // narrow file's manifest min/max — this is what keeps a mixed-vintage
+    // million-file table's planning proportional to the surviving files
+    // even where the parquet ROW-GROUP gate (filterTypesMatch) declines
+    // the in-file predicate for vintage-mismatched physical types
+    val narrow = fileOf(List(Row(5L, Some(10L), None), Row(6L, Some(20L), None)))
+    assert(!LakeStatsPruning.accept(spec, narrow,
+      EqualTo("v", Int.MaxValue.toLong + 5L)), "out-of-int-range needle kept")
+    assert(!LakeStatsPruning.accept(spec, narrow, GreaterThan("v", 25L)))
+    assert(LakeStatsPruning.accept(spec, narrow, GreaterThan("v", 15L)))
+    // decimal widening: filter values are java.math.BigDecimal — outside
+    // the long/string stat domains, so pruning degrades to KEEP (sound:
+    // the manifest's unscaled int stats must never compare against a
+    // scaled decimal needle)
+    assert(LakeStatsPruning.accept(spec, narrow,
+      EqualTo("v", new java.math.BigDecimal("999999.99"))))
+  }
 }
