@@ -1105,7 +1105,68 @@ object LakeQueries {
     out
   }
 
+  // B59 — `$snapshots` commit-log audit: one row per retained snapshot
+  // with parent lineage, operation, and manifest count — what an operator
+  // debugging commit cadence or manifest-merge behavior queries first.
+  // Hash-oracled (the b36/b47 reconstructed-constant pattern): snapshot
+  // ids are sequential, each clustered INSERT lands exactly one manifest,
+  // manifests accumulate until the merge threshold (not reached here), and
+  // committed_at_ms is wall-clock so the query projects it out.
+  def b59_snapshots_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"sn${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(0)}L FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 50)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(2)}L FROM range(0, 25)")
+    val out = localize(s.sql(
+      s"""SELECT snapshot_id, parent_id, operation, manifest_count
+         |FROM $cat.ns.`$name$$snapshots` ORDER BY snapshot_id""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B60 — `$manifests` merge-health audit before AND after
+  // rewrite_manifests: phase 1 shows one single-file manifest per commit
+  // (the commit-heavy shape approaching the merge threshold); phase 2
+  // shows the rewrite binned them into ONE manifest carrying all files.
+  // Manifest names and byte sizes are nondeterministic, so the query
+  // projects the deterministic (file_count, row_count) shape per phase.
+  def b60_manifests_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"mf${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(0)}L FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 50)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(2)}L FROM range(0, 25)")
+    val before = s.sql(
+      s"""SELECT 1 AS phase, file_count, row_count
+         |FROM $cat.ns.`$name$$manifests`""".stripMargin)
+      .collect().toSeq
+    val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    LakeTable.load(s"$warehouse/ns/$name").rewriteManifests()
+    val after = s.sql(
+      s"""SELECT 2 AS phase, file_count, row_count
+         |FROM $cat.ns.`$name$$manifests`""".stripMargin)
+      .collect().toSeq
+    import s.implicits._
+    val out = localize(
+      (before ++ after).map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toDF("phase", "file_count", "row_count")
+        .orderBy("phase", "row_count"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b59_snapshots_meta" -> b59_snapshots_meta _,
+    "b60_manifests_meta" -> b60_manifests_meta _,
     "b36_partitions_meta" -> b36_partitions_meta _,
     "b43_partition_evolution" -> b43_partition_evolution _,
     "b47_history" -> b47_history _,
@@ -1291,6 +1352,23 @@ object LakeQueries {
         |SELECT o_orderkey, o_totalprice, 'STALE' AS o_orderstatus
         |FROM orders WHERE o_orderkey < 400 AND o_totalprice > 150000
         |ORDER BY o_orderkey""".stripMargin,
+    // sequential snapshot ids; one manifest per clustered INSERT,
+    // accumulating (merge threshold not reached)
+    "b59_snapshots_meta" ->
+      """SELECT CAST(sid AS BIGINT) AS snapshot_id,
+        |  CAST(pid AS BIGINT) AS parent_id, op AS operation,
+        |  CAST(mc AS INT) AS manifest_count
+        |FROM (VALUES (0, -1, 'create', 0), (1, 0, 'append', 1),
+        |  (2, 1, 'append', 2), (3, 2, 'append', 3)) AS v(sid, pid, op, mc)
+        |ORDER BY snapshot_id""".stripMargin,
+    // phase 1: one single-file manifest per commit; phase 2:
+    // rewrite_manifests binned all three files into ONE manifest
+    "b60_manifests_meta" ->
+      """SELECT CAST(ph AS INT) AS phase, CAST(fc AS BIGINT) AS file_count,
+        |  CAST(rc AS BIGINT) AS row_count
+        |FROM (VALUES (1, 1, 25), (1, 1, 50), (1, 1, 100),
+        |  (2, 3, 175)) AS v(ph, fc, rc)
+        |ORDER BY phase, row_count""".stripMargin,
     "b47_history" ->
       """SELECT CAST(sid AS BIGINT) AS snapshot_id,
         |  CAST(pid AS BIGINT) AS parent_id, anc AS is_current_ancestor,
