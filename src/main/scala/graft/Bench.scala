@@ -565,12 +565,36 @@ object Bench {
       val prunedMs = ms { prunedParts = scan.planInputPartitions().length }
       assert(prunedParts > 0 && prunedParts.toLong < nFiles,
         s"pruned planning kept $prunedParts partitions")
+      // the two MAINTENANCE sweeps at the same posture (r8 verdict item
+      // #6). Expiry here is the pure-metadata shape (every file stays
+      // referenced by a retained snapshot, so nothing is physically
+      // deleted): the cost is the retention-set walk over ~2000 commits'
+      // manifest lists. Orphan GC prices the REFERENCE-SET fold (10^6
+      // manifest entries through the driver) — its other term, the
+      // distributed data-tree listing, is ~0 here because the probe's
+      // files are synthetic metas (that term runs one task per bucket dir
+      // and is spec'd in LakeTableSpec, not priced here).
+      val expireMs = ms {
+        val id = fresh.expireSnapshots(System.currentTimeMillis() + 1000L,
+          retainLast = 100)
+        assert(id >= 0, "expiry committed nothing")
+      }
+      assert(fresh.snapshots.size <= 101,
+        s"expiry retained ${fresh.snapshots.size} snapshots")
+      val orphanMs = ms {
+        val sweep = fresh.removeOrphanFiles(spark,
+          System.currentTimeMillis() - 3600000L)
+        assert(sweep.deletedCount == 0,
+          s"probe sweep deleted ${sweep.deletedCount} files")
+      }
       System.err.println(f"[bench] plan_scale n=$nFiles: build=$buildS%.1fs " +
         f"cold=$cold%.0fms warm=$warm%.0fms filesDF=$dfMs%.0fms " +
-        f"pruned=$prunedMs%.0fms ($prunedParts tasks)")
+        f"pruned=$prunedMs%.0fms ($prunedParts tasks) " +
+        f"expire=$expireMs%.0fms orphan=$orphanMs%.0fms")
       LakeTable.drop(loc)
       Seq("files_cold_ms" -> cold, "files_warm_ms" -> warm,
         "files_df_ms" -> dfMs, "pruned_plan_ms" -> prunedMs,
+        "expire_ms" -> expireMs, "orphan_ref_ms" -> orphanMs,
         "n_files" -> nFiles.toDouble)
     }
 

@@ -1966,9 +1966,37 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val keptManifests = keep.flatMap(_.manifests).toSet
         val expired = ordered.filterNot(s => keep.exists(_.id == s.id))
         orphanManifests = expired.flatMap(_.manifests).toSet -- keptManifests
-        val keptPaths = keep.flatMap(s => s.manifests.flatMap(readManifest))
-          .map(_.path).toSet
-        orphanFiles = orphanManifests.flatMap(readManifest).map(_.path) -- keptPaths
+        // the only-if-needed path subtraction (proves a file is referenced
+        // by NO kept manifest before physical deletion). Both sides parse
+        // their DISTINCT manifests once, in PARALLEL with the LRU bypassed
+        // (the cache map is synchronized + access-ordered, so bulk lookups
+        // serialize on it, and a full-inventory walk evicts it wholesale)
+        // — serial through the cache this was ~7 s of the 10⁶-file
+        // maintenance probe; the old per-snapshot keptPaths flatMap also
+        // re-read each shared manifest once per retaining snapshot
+        def manifestPaths(m: String): Seq[String] =
+          Json.manifestFromJson(
+            LakeTable.readSmall(fs, new Path(metaDir, m))).map(_.path)
+        orphanFiles =
+          if (orphanManifests.isEmpty) Set.empty
+          else {
+            // kept paths land in a ConcurrentHashMap (striped, parallel
+            // inserts) and orphan-side paths filter against it DURING the
+            // parallel parse — no million-entry immutable Set is ever
+            // built (the common outcome is an EMPTY orphan set: every
+            // file still referenced by a kept manifest)
+            val kept = java.util.concurrent.ConcurrentHashMap
+              .newKeySet[String](1 << 20)
+            java.util.Arrays.stream(keptManifests.toArray).parallel()
+              .forEach(m => manifestPaths(m).foreach(kept.add))
+            val orphan = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+            java.util.Arrays.stream(orphanManifests.toArray).parallel()
+              .forEach(m => manifestPaths(m)
+                .foreach(p => if (!kept.contains(p)) orphan.add(p)))
+            val b = Set.newBuilder[String]
+            orphan.forEach(p => b += p)
+            b.result()
+          }
         // same GC for merge-on-read delete manifests/parquets: those
         // referenced only by expired snapshots go with them
         val keptDelManifests = keep.flatMap(_.deleteManifests).toSet
@@ -1982,10 +2010,18 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
     }
     if (id >= 0) {
-      orphanFiles.foreach(p => fs.delete(new Path(p), false))
-      orphanManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
-      orphanDeleteFiles.foreach(p => fs.delete(new Path(p), false))
-      orphanDeleteManifests.foreach(mn => fs.delete(new Path(metaDir, mn), false))
+      // physical GC in parallel: the deletes are independent, and serial
+      // per-file round-trips dominate expiry wall time once thousands of
+      // pre-merge manifests retire at once (measured ~2 s of the 10⁶-file
+      // probe locally; on an object store each round-trip is ~10-100×
+      // worse). Hadoop FileSystem instances are thread-safe for deletes.
+      def deleteAll(paths: Iterable[Path]): Unit =
+        java.util.Arrays.stream(paths.toArray).parallel()
+          .forEach(p => fs.delete(p, false))
+      deleteAll(orphanFiles.map(new Path(_)))
+      deleteAll(orphanManifests.map(new Path(metaDir, _)))
+      deleteAll(orphanDeleteFiles.map(new Path(_)))
+      deleteAll(orphanDeleteManifests.map(new Path(metaDir, _)))
     }
     id
   }
@@ -2022,7 +2058,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * folds ≤ tasks×cap strings.
     */
   def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): OrphanSweep = {
-    def plain(s: String): String = new Path(s).toUri.getPath
+    // scheme-less comparison form. Fast-path scheme-less absolute paths
+    // (what manifests record): Path→URI construction costs ~10µs, and the
+    // reference-set fold runs it once per committed file — at 10⁶ files
+    // that was ~10 s of the sweep's driver time for strings the Path
+    // round-trip returns unchanged.
+    def plain(s: String): String =
+      if (s.startsWith("/")) s else new Path(s).toUri.getPath
     // pending monikers BEFORE metadata: a bookkeeper sweep racing this GC
     // commits the backlog then deletes the monikers — reading metadata
     // first would see neither (files in no reference set = data loss);
@@ -2030,11 +2072,19 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val pendingRefs = Monikers.read(Monikers.listPending(location))
       .map(f => plain(f.path))
     refresh()
-    val committed = meta.snapshots.flatMap(_.manifests).distinct
-      .flatMap(readManifest).map(f => plain(f.path)) ++
-      meta.snapshots.flatMap(_.deleteManifests).distinct
-        .flatMap(readDeleteManifest).map(f => plain(f.path))
-    val known = (committed ++ pendingRefs).toSet
+    // the DATA reference set (one path per file of every RETAINED
+    // snapshot) stays DISTRIBUTED end to end — manifests parse
+    // executor-side (the filesDF shape) and feed the anti-join as a
+    // DataFrame. The driver holds only manifest NAMES: the previous
+    // driver-side fold (parse 10⁶ entries, build a 10⁶-string Set,
+    // re-serialize it into a LocalRelation for the join) measured ~9 s at
+    // the million-file posture and grows with the inventory; this shape
+    // grows only with manifest count. Delete-file and pending-moniker
+    // references stay driver-side — both are metadata-bounded by design.
+    val dataManifests = meta.snapshots.flatMap(_.manifests).distinct
+      .map(new Path(metaDir, _).toString)
+    val smallRefs = (meta.snapshots.flatMap(_.deleteManifests).distinct
+      .flatMap(readDeleteManifest).map(f => plain(f.path)) ++ pendingRefs)
     val locPrefix = plain(new Path(location).toString) + "/"
     import org.apache.spark.sql.functions.col
 
@@ -2080,7 +2130,22 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
       .union(spark.createDataset(fromRoot))
       .toDF("path", "mtime")
-    val knownDf = spark.createDataset(known.toSeq).toDF("path")
+    val knownDf = (if (dataManifests.isEmpty)
+        spark.emptyDataset[String]
+      else spark.createDataset(dataManifests)
+        .repartition(math.min(dataManifests.size, 64))
+        .flatMap { mp =>
+          val p = new Path(mp)
+          val f = p.getFileSystem(LakeTable.hadoopConf)
+          val content = {
+            val in = f.open(p)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          }
+          Json.manifestFromJson(content).map(e =>
+            if (e.path.startsWith("/")) e.path else new Path(e.path).toUri.getPath)
+        })
+      .union(spark.createDataset(smallRefs))
+      .toDF("path")
     // each task returns (deleted-count, ≤cap sample) — never one string
     // per deleted orphan (10⁶ orphans must not become a driver collect)
     val cap = OrphanSweep.SampleCap
