@@ -466,11 +466,19 @@ object Bench {
         // with the corpus) and the committed-index build+serve
         val mhInc = best2At("d01_minhash_incremental")
         val annIdx = best2At("d02_ann_indexed")
+        // round-9 committed-index variants: the persisted band index
+        // (build one commit + increment-proportional gate/maintenance)
+        // and the trained-model ANN index (adds the Lloyd-round training
+        // jobs to the build side)
+        val mhIdx = best2At("d03_minhash_index")
+        val annTrained = best2At("d02_ann_indexed_trained")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
           s"d01_minhash_incremental_x$m" -> mhInc,
           s"d02_ann_indexed_x$m" -> annIdx,
+          s"d03_minhash_index_x$m" -> mhIdx,
+          s"d02_ann_indexed_trained_x$m" -> annTrained,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)
