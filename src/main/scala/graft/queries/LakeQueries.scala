@@ -1164,9 +1164,91 @@ object LakeQueries {
     out
   }
 
+  // B61 — `$files` inventory audit (the per-file grain under b36's
+  // $partitions rollup): with clustered DSv2 writes each INSERT lands
+  // exactly one file per touched bucket, so (partition_value, row_count,
+  // format, spec_id) is fully declared; paths and byte sizes are
+  // per-run, so the query projects the deterministic shape.
+  def b61_files_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"fl${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    // one INSERT spanning two buckets (one file each) + one single-bucket
+    s.sql(s"INSERT INTO $tbl SELECT id, " +
+      s"CASE WHEN id < 60 THEN ${bucket(0)}L ELSE ${bucket(1)}L END " +
+      "FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 25)")
+    val out = localize(s.sql(
+      s"""SELECT partition_value, row_count, format, spec_id
+         |FROM $cat.ns.`$name$$files`
+         |ORDER BY partition_value, row_count""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B62 — `$refs` audit: a retention-pinning TAG and an unpublished WAP
+  // BRANCH, both landing with declared names and snapshot ids (commits
+  // are sequential: create=0, append=1, append=2, tag=3 — createTag mints
+  // a lightweight snapshot to preserve the metadata-version==snapshot-id
+  // CAS invariant — stage=4) — the view an operator uses to answer "what
+  // is pinned, and what is staged?".
+  def b62_refs_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"rf${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(0)}L FROM range(0, 100)")
+    s.sql(s"INSERT INTO $tbl SELECT id, ${bucket(1)}L FROM range(0, 50)")
+    val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val table = LakeTable.load(s"$warehouse/ns/$name")
+    table.createTag("audit-2024", 1L)
+    table.stageAppend(LakeWriter.writeDataFiles(
+      s.range(0, 25).select(col("id").as("message_id"),
+        lit(bucket(2)).as("timeperiod_loadedBy")), table), "wap-etl")
+    val out = localize(s.sql(
+      s"""SELECT name, type, snapshot_id
+         |FROM $cat.ns.`$name$$refs` ORDER BY name""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
+  // B63 — `$deletes` merge-on-read debt audit: a MoR DELETE leaves
+  // position-delete files whose (kind, row_count, eq_columns,
+  // referenced_files) are declared by the delete predicate and the
+  // clustered layout (paths/bytes/seq are per-run). The view that sets
+  // the compaction cadence: how many masked rows is every reader paying?
+  def b63_deletes_meta(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"dl${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    s.sql(
+      s"""CREATE TABLE $tbl (message_id BIGINT, timeperiod_loadedBy BIGINT)
+         |PARTITIONED BY (truncate($Width, timeperiod_loadedBy))
+         |TBLPROPERTIES ('${LakeFormat.PropDeleteMode}'=
+         |  '${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    // two buckets, one file each; the predicate masks 10 rows in each
+    s.sql(s"INSERT INTO $tbl SELECT id, " +
+      s"CASE WHEN id < 50 THEN ${bucket(0)}L ELSE ${bucket(1)}L END " +
+      "FROM range(0, 100)")
+    s.sql(s"DELETE FROM $tbl WHERE message_id % 5 = 0")
+    val out = localize(s.sql(
+      s"""SELECT kind, row_count, eq_columns, referenced_files
+         |FROM $cat.ns.`$name$$deletes` ORDER BY row_count""".stripMargin))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b59_snapshots_meta" -> b59_snapshots_meta _,
     "b60_manifests_meta" -> b60_manifests_meta _,
+    "b61_files_meta" -> b61_files_meta _,
+    "b62_refs_meta" -> b62_refs_meta _,
+    "b63_deletes_meta" -> b63_deletes_meta _,
     "b36_partitions_meta" -> b36_partitions_meta _,
     "b43_partition_evolution" -> b43_partition_evolution _,
     "b47_history" -> b47_history _,
@@ -1361,6 +1443,32 @@ object LakeQueries {
         |FROM (VALUES (0, -1, 'create', 0), (1, 0, 'append', 1),
         |  (2, 1, 'append', 2), (3, 2, 'append', 3)) AS v(sid, pid, op, mc)
         |ORDER BY snapshot_id""".stripMargin,
+    // per-file grain: clustered writes land one file per touched bucket,
+    // so (partition_value, row_count) is declared by the INSERTs
+    "b61_files_meta" ->
+      """SELECT CAST(pv AS BIGINT) AS partition_value,
+        |  CAST(rc AS BIGINT) AS row_count, fmt AS format,
+        |  CAST(sid AS INT) AS spec_id
+        |FROM (VALUES (CAST(5666666 AS BIGINT) * 300000000, 60, 'parquet', 0),
+        |  (CAST(5666667 AS BIGINT) * 300000000, 25, 'parquet', 0),
+        |  (CAST(5666667 AS BIGINT) * 300000000, 40, 'parquet', 0))
+        |  AS v(pv, rc, fmt, sid)
+        |ORDER BY partition_value, row_count""".stripMargin,
+    // create=0, append=1, append=2, tag=3 (createTag mints a snapshot to
+    // keep the metadata-version==snapshot-id CAS invariant), stage=4
+    "b62_refs_meta" ->
+      """SELECT name, type, CAST(sid AS BIGINT) AS snapshot_id
+        |FROM (VALUES ('audit-2024', 'tag', 1),
+        |  ('wap-etl', 'branch', 4)) AS v(name, type, sid)
+        |ORDER BY name""".stripMargin,
+    // one position-delete file per touched data file; the predicate masks
+    // 10 rows in each of the two buckets; eq_columns empty for pos deletes
+    "b63_deletes_meta" ->
+      """SELECT kind, CAST(rc AS BIGINT) AS row_count, eq_columns,
+        |  CAST(rf AS INT) AS referenced_files
+        |FROM (VALUES ('pos', 10, '', 1), ('pos', 10, '', 1))
+        |  AS v(kind, rc, eq_columns, rf)
+        |ORDER BY row_count""".stripMargin,
     // phase 1: one single-file manifest per commit; phase 2:
     // rewrite_manifests binned all three files into ONE manifest
     "b60_manifests_meta" ->
