@@ -58,6 +58,9 @@ object Bench {
     // trained-model committed ANN index — scratch-table commit churn (and
     // Lloyd-round training jobs), same placement rationale
     "d03_minhash_index", "d02_ann_indexed_trained",
+    // round-9: the committed semantic cell index — completes the
+    // committed-index family; same scratch-table churn rationale
+    "d01_semdedup_index",
     "d01_dedup_cluster", "d01_semdedup",
     // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
     // lake sink — honest pricing of the one-file-per-shard layout, but
@@ -472,6 +475,9 @@ object Bench {
         // jobs to the build side)
         val mhIdx = best2At("d03_minhash_index")
         val annTrained = best2At("d02_ann_indexed_trained")
+        // the committed semantic cell index (build one commit +
+        // increment-sized gate/maintenance) against corpus size
+        val semIdx = best2At("d01_semdedup_index")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
@@ -479,6 +485,7 @@ object Bench {
           s"d02_ann_indexed_x$m" -> annIdx,
           s"d03_minhash_index_x$m" -> mhIdx,
           s"d02_ann_indexed_trained_x$m" -> annTrained,
+          s"d01_semdedup_index_x$m" -> semIdx,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)

@@ -949,6 +949,110 @@ object LakeQueries {
     }
   }
 
+  /** Optimized plan of the last d01_semdedup_index GATE plus the index
+    * location — spec-observable: the cell-keyed probe's committed side
+    * must be the INDEX table's scan (cells + embeddings persisted at
+    * build time), not an assignCellsHier recompute over the corpus. */
+  @volatile private[graft] var lastSemIndexGate: Option[(String, String)] = None
+  /** Rows appended by the last d01_semdedup_index maintenance commit —
+    * spec-observable proof that maintenance assigns and writes ONLY the
+    * increment, never re-assigning the committed corpus. */
+  @volatile private[graft] var lastSemIndexMaintRows: Long = -1L
+
+  /** Centroid model property on the semantic cell-index table (same
+    * (id, vector) text codec as [[PipelineQueries.AnnIvfProp]] — Float
+    * string round-trips are bit-exact by the Java language spec). */
+  private val SemCentroidsProp = "graft.semdedup.centroids"
+
+  // D1s — the SemDeDup cell space as a first-class TABLE citizen,
+  // completing the committed-index family across all three similarity
+  // regimes (ANN: d02_ann_indexed; fuzzy: d03_minhash_index; semantic:
+  // this). d01_semdedup_incremental proves the per-arrival gate shape
+  // but RE-ASSIGNS the committed corpus's cells per arrival
+  // (assignCellsHier over the full committed snapshot) — fine
+  // per-snapshot, wasteful per-arrival. Here the cell space is a
+  // laketable: (1) corpus batch commits to the DATA table, (2) the
+  // frozen centroids (first-K quantized vectors — the exact-twin
+  // constants) commit INTO the index table's properties and the corpus's
+  // (cell, vec_id, embedding) assignments commit as its rows,
+  // cell-partitioned so a gate join prunes to touched cells, (3) a new
+  // batch appends to data, (4) the GATE assigns ONLY the increment under
+  // centroids parsed back from a FRESH load of the index (self-contained
+  // — the d02_ann_indexed discipline) and cell-joins the COMMITTED index
+  // scan for the cosine check — per-cell width ~N/K, the corpus is never
+  // re-assigned, and the probe side is a table scan every arrival
+  // shares, (5) maintenance appends ONLY the increment's assignments in
+  // one more commit. At 100 TB the index adds one bigint cell key per
+  // committed vector (the embeddings are stored once either way) —
+  // cheap to maintain, and it converts every future arrival's gate from
+  // corpus-wide assignment to an increment-sized one. Same planted
+  // layout and verdict shape as d01_semdedup_incremental → the same
+  // hash oracle.
+  def d01_semdedup_index(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("semidx-data")
+    val locI = scratch("semidx-idx")
+    val q = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    // cell-partitioned (width 8 over K=100 centroid ids): the gate's
+    // cell-equality join and a targeted compaction both prune to the
+    // touched buckets
+    val index = LakeTable.create(locI,
+      "cell BIGINT,vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("cell", 8L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      // frozen centroids = the committed corpus's first K quantized
+      // vectors (the d01_semdedup_incremental exact-twin constants); a
+      // frozen index must not peek at future arrivals
+      val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      index.setProperty(SemCentroidsProp, P.ivfModelToString(cents))
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        P.assignCellsHier(committed, cents)
+          .select(col("cell"), col("vec_id"), col("embedding")), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 400), data))
+      val inc = data.changesBetween(s, d1, d2)
+      // the gate serves from a FRESH load of the committed index:
+      // centroids parsed back from its properties, cells from its scan
+      val idxT = LakeTable.load(locI)
+      val cents2 = P.ivfModelFromString(idxT.tableMeta.properties(SemCentroidsProp))
+      val aInc = P.assignCellsHier(inc, cents2)
+      val comIdx = idxT.snapshotDF(s, i1)
+        .select(col("cell"), col("vec_id").as("c_id"),
+          col("embedding").as("ce"))
+      val dups = aInc.join(comIdx, "cell")
+        .filter(expr("cosine_sim(embedding, ce)") > 0.43)
+        .select("vec_id").distinct()
+      val out = aInc
+        .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+      lastSemIndexGate =
+        Some((out.queryExecution.optimizedPlan.toString, locI))
+      val gated = localize(out)
+      // maintenance: one commit of the increment's assignments — assign
+      // and write work ∝ increment
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        aInc.select(col("cell"), col("vec_id"), col("embedding")), index))
+      lastSemIndexMaintRows =
+        index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      gated
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   /** Rows encoded by the last d02_ann_indexed index-maintenance commit —
     * spec-observable proof that an append triggers encode work
     * proportional to the INCREMENT, not the corpus. */
@@ -1256,6 +1360,7 @@ object LakeQueries {
     "d01_semdedup_incremental" -> d01_semdedup_incremental _,
     "d01_minhash_incremental" -> d01_minhash_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
+    "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "d02_ann_indexed_trained" -> d02_ann_indexed_trained _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
@@ -1280,6 +1385,22 @@ object LakeQueries {
     "b57_type_widening" -> b57_type_widening _,
     "b58_decimal_widening" -> b58_decimal_widening _,
   )
+
+  /** The increment-vs-committed semantic-gate replay (DuckDB): shared
+    * verbatim by d01_semdedup_incremental (re-assign-per-arrival) and
+    * d01_semdedup_index (committed cell-index table) — the two entries
+    * gate against the same committed cell space, so one replay oracles
+    * both. */
+  private[graft] val semdedupIncrementalOracleSql: String =
+    s"WITH ${graft.queries.PipelineQueries.SemDedupHierAssignCteSql},\n" +
+      s"""inc AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id >= 400),
+        |com AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id < 400),
+        |dups AS (
+        |  SELECT DISTINCT i.vec_id FROM inc i JOIN com c ON c.cell = i.cell
+        |  WHERE ${graft.queries.PipelineQueries.sdxCosSql("i.v", "c.v")} > 0.43)
+        |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM inc i LEFT JOIN dups d ON d.vec_id = i.vec_id
+        |ORDER BY i.vec_id""".stripMargin
 
   /** The increment-vs-committed fuzzy-gate replay (DuckDB): shared
     * verbatim by d01_minhash_incremental (recompute-per-arrival) and
@@ -1400,16 +1521,11 @@ object LakeQueries {
     // two-level assignment replay (SemDedupHierAssignCteSql — same block
     // as d01_semdedup_exact, since the fixed centroids are identical):
     // a new vector is a dup iff a same-cell committed vector clears 0.43
-    "d01_semdedup_incremental" ->
-      (s"WITH ${graft.queries.PipelineQueries.SemDedupHierAssignCteSql},\n" +
-      s"""inc AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id >= 400),
-        |com AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id < 400),
-        |dups AS (
-        |  SELECT DISTINCT i.vec_id FROM inc i JOIN com c ON c.cell = i.cell
-        |  WHERE ${graft.queries.PipelineQueries.sdxCosSql("i.v", "c.v")} > 0.43)
-        |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
-        |FROM inc i LEFT JOIN dups d ON d.vec_id = i.vec_id
-        |ORDER BY i.vec_id""".stripMargin),
+    "d01_semdedup_incremental" -> semdedupIncrementalOracleSql,
+    // the committed-index variant gates against the SAME committed cell
+    // space (persisted as a table instead of re-assigned), so its verdict
+    // set — and therefore its oracle — is identical by construction
+    "d01_semdedup_index" -> semdedupIncrementalOracleSql,
     // increment (odds + planted re-keys) vs committed (evens) through the
     // d03_minhash_exact signature recipe with a side marker: an increment
     // doc is a fuzzy dup iff any of its 4 band keys exists on side 0

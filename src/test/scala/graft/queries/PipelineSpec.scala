@@ -868,6 +868,31 @@ class PipelineSpec extends SparkSpec {
         "— corpus-proportional rewrite")
   }
 
+  test("D1s committed SemDeDup cell index: gate joins the INDEX TABLE scan " +
+      "(not a corpus re-assign), maintenance writes exactly the increment, " +
+      "verdicts equal the re-assign gate") {
+    val indexed = LakeQueries.d01_semdedup_index(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val reassigned = LakeQueries.d01_semdedup_incremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // the committed-index gate and the re-assign gate see the same cell
+    // space under the same frozen centroids, so their verdict sets must
+    // be identical — the persisted index adds reuse, never drift
+    assert(indexed == reassigned,
+      s"indexed gate diverged on ${(indexed.toSet diff reassigned.toSet).take(5)}")
+    val (plan, locI) = LakeQueries.lastSemIndexGate.get
+    // the cell join's committed side is the INDEX table's DSv2 relation
+    // (its name embeds the index location) — a regression back to
+    // re-assigning the corpus would scan the DATA table instead
+    assert(plan.contains(locI),
+      s"gate does not scan the committed index table $locI:\n${plan.take(2000)}")
+    // maintenance assigned and wrote EXACTLY the increment's rows — one
+    // index row per gated vector, never a corpus-proportional rewrite
+    assert(LakeQueries.lastSemIndexMaintRows == indexed.size.toLong,
+      s"maintenance wrote ${LakeQueries.lastSemIndexMaintRows} rows " +
+        s"for ${indexed.size} increment vectors")
+  }
+
   test("D2g TRAINED committed ANN index: recall@5 clears the floor, and the " +
       "self-contained reload (parsed-back trained models) equals the " +
       "direct path under the same model instances") {
