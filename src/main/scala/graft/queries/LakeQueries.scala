@@ -962,7 +962,7 @@ object LakeQueries {
   /** Centroid model property on the semantic cell-index table (same
     * (id, vector) text codec as [[PipelineQueries.AnnIvfProp]] — Float
     * string round-trips are bit-exact by the Java language spec). */
-  private val SemCentroidsProp = "graft.semdedup.centroids"
+  private[graft] val SemCentroidsProp = "graft.semdedup.centroids"
 
   // D1s — the SemDeDup cell space as a first-class TABLE citizen,
   // completing the committed-index family across all three similarity
@@ -1347,7 +1347,67 @@ object LakeQueries {
     out
   }
 
+  // B64 — snapshot ROLLBACK as an end-to-end read state: batch 1 lands,
+  // batch 2 lands, the table rolls back to batch 1 (ONE new "rollback"
+  // snapshot — history preserved, concurrent appends conflict-and-retry
+  // instead of being dropped), then batch 3 lands ON TOP of the restored
+  // state. The current read must show batch 1 + batch 3 and none of the
+  // rolled-past batch 2 — any batch-2 row leaking through manifests the
+  // hash catches. The rolled-past snapshot stays time-travelable until
+  // expiry (asserted here via its count; unit-level coverage in
+  // LakeTableSpec), and rollback is not an "append" snapshot, so an
+  // incremental reader crossing it never re-delivers. Fully
+  // reconstructable over `orders` → hash-oracled.
+  def b64_rollback(s: SparkSession, dir: String): DataFrame = {
+    val loc = scratch("rollback")
+    val table = LakeTable.create(loc,
+      "o_orderkey BIGINT,o_totalprice DOUBLE,o_orderstatus STRING",
+      TruncateSpec("o_orderkey", 400L))
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val s1 = table.append(LakeWriter.writeDataFiles(
+      orders.filter(col("o_orderkey") < 300), table))
+    val s2 = table.append(LakeWriter.writeDataFiles(
+      orders.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600), table))
+    val preRollbackRows = table.snapshotDF(s, s2).count()
+    table.rollbackTo(s1)
+    table.append(LakeWriter.writeDataFiles(
+      orders.filter(col("o_orderkey") >= 600 && col("o_orderkey") < 900), table))
+    // the rolled-past head stays readable by snapshot id (pre-expiry)
+    require(table.snapshotDF(s, s2).count() == preRollbackRows,
+      "rolled-past snapshot must stay time-travelable until expiry")
+    val out = localize(table.toDF(s)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey"))
+    LakeTable.drop(loc)
+    out
+  }
+
+  // B65 — ORC round-trip: the third columnar interchange format next to
+  // parquet (B4) and Avro (B5). Spark's native vectorized ORC
+  // source/sink; the aggregate re-derives over the round-tripped files,
+  // so any encode/decode loss shows in the hash. DuckDB has no ORC
+  // reader — the oracle replays the LOGICAL result over the original
+  // parquet table (round-trip fidelity is exactly what that proves).
+  def b65_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.dec4
+    val tmp = scratch("orc")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(tmp)
+    val out = localize(s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dec4(sum(col("l_quantity"))).as("sum_qty"),
+        dec4(sum(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("l_returnflag"))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b64_rollback" -> b64_rollback _,
+    "b65_orc_roundtrip" -> b65_orc_roundtrip _,
     "b59_snapshots_meta" -> b59_snapshots_meta _,
     "b60_manifests_meta" -> b60_manifests_meta _,
     "b61_files_meta" -> b61_files_meta _,
@@ -1456,6 +1516,20 @@ object LakeQueries {
         |ORDER BY i.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // current read after rollback = batch 1 + batch 3; any rolled-past
+    // batch-2 row (300 <= k < 600) leaking through poisons the hash
+    "b64_rollback" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 900)
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB has no ORC reader: the oracle replays the LOGICAL aggregate
+    // over the original parquet table — a lossy ORC encode/decode on any
+    // of the four columns diverges the hash
+    "b65_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // b02/b03/b04b run on scratch LakeTables whose content is fully
     // declared in the query (sequential snapshot ids, seeded batches), so
     // their oracles reconstruct the expected outputs from the same

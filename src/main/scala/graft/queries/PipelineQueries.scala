@@ -379,6 +379,62 @@ object PipelineQueries {
         coalesce(col("m.s"), col("coarse_sim")).as("csim"))
   }
 
+  /** [[assignCellsHier]] as a PURE stateless projection — no joins, no
+    * groupBy — so the two-level assignment can ride a STREAMING
+    * micro-batch (d07_semdedup_stream): Structured Streaming forbids the
+    * batch path's aggregation, but the whole hierarchy is driver-side
+    * metadata (K centroids + the √K routing table), so it folds into
+    * literal expressions: a coarse argmax over the √K region array (the
+    * exact ≤64 [[assignCells]] shape), then a region-dispatched
+    * `when`-chain whose branch r computes `array_max` over ONLY region
+    * r's routed fine-centroid structs. `array_max` and the batch path's
+    * `max(struct)` share Catalyst's struct ordering (s, then c), and the
+    * unrouted-region fallback reproduces the batch LEFT-join + coalesce
+    * seed — `PipelineSpec` asserts row-for-row (cell, csim) agreement
+    * with [[assignCellsHier]], so the gate a stream applies can never
+    * diverge from the committed index's batch assignment. Work per row is
+    * O(√K + routed(region)) cosines — the same arithmetic the batch path
+    * does after its routing join.
+    */
+  private[graft] def assignCellsHierExpr(e: DataFrame,
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
+    if (cents.length <= 64) return assignCells(e, cents)
+    val s = e.sparkSession
+    graft.functions.CosineSimilarity.register(s)
+    val kc = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val coarse: Array[(Long, Seq[Float])] =
+      (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._2)).toArray
+    val centVec = cents.toMap
+    val routedByRegion: Map[Long, Array[Long]] = routeRegions(s, cents, coarse)
+      .groupBy(_._1).map { case (r, rc) => r -> rc.map(_._2).sorted }
+    val regionSeed: Map[Long, Long] =
+      (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._1)).toMap
+    def scoreStruct(cid: Long): org.apache.spark.sql.Column =
+      struct(
+        call_function("cosine_sim", col("embedding"), typedlit(centVec(cid))).as("s"),
+        lit(cid).as("c"))
+    val coarseScores = array(coarse.toIndexedSeq.map { case (rid, cvec) =>
+      struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
+        lit(rid).as("c"))
+    }: _*)
+    val fineInit: org.apache.spark.sql.Column = lit(null).cast("struct<s:double,c:bigint>")
+    val fine = routedByRegion.toSeq.sortBy(_._1).foldLeft(fineInit) {
+      case (acc, (r, cids)) =>
+        when(col("region") === r,
+          array_max(array(cids.toIndexedSeq.map(scoreStruct): _*))).otherwise(acc)
+    }
+    val seed = regionSeed.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("bigint"): org.apache.spark.sql.Column) { case (acc, (r, cid)) =>
+        when(col("region") === r, lit(cid)).otherwise(acc)
+      }
+    e.withColumn("cm", array_max(coarseScores))
+      .withColumn("region", col("cm.c"))
+      .withColumn("m", fine)
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("m.c"), seed).as("cell"),
+        coalesce(col("m.s"), col("cm.s")).as("csim"))
+  }
+
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
   // cosine_sim is our native codegen'd Catalyst expression
   // (graft.functions.CosineSimilarity) — a tight primitive loop inside
@@ -1465,6 +1521,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // D4 — HTML/whitespace text CLEANING (the CCNet/RefinedWeb-style
+  // normalization pass every web-scrape corpus runs before anything
+  // else): strip markup tags, decode the common HTML entities, collapse
+  // runs of whitespace, trim. The noise is synthesized deterministically
+  // around each doc's text (the d04_pii pattern — testdata text is
+  // clean, so the operator must provably REMOVE what was injected: the
+  // cleaned sha equals a plain normalization of the original text or the
+  // hash diverges). Pure per-row projection — scan-fused codegen, no
+  // shuffle, trivially 100 TB-safe. Identical regex/replace semantics in
+  // DuckDB (both regex dialects support `<[^>]+>` and `\s+`; DuckDB
+  // needs the explicit 'g' flag Spark applies by default) → hash-oracled.
+  def d04_clean(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("""<div class="post"><h1>Doc """), col("doc_id").cast("string"),
+      lit("</h1>\t "), col("text"),
+      lit(" &amp; more&nbsp;text &lt;ok&gt; <br/>  <span>tail</span>   "))
+    t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .withColumn("stripped", regexp_replace(col("raw"), lit("<[^>]+>"), lit(" ")))
+      .withColumn("decoded", expr(
+        """replace(replace(replace(replace(replace(stripped,
+          |  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          |  '&quot;', '"')""".stripMargin))
+      .withColumn("cleaned",
+        trim(regexp_replace(col("decoded"), lit("""\s+"""), lit(" "))))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("cleaned")).cast("long").as("n_clean"),
+        sha2(col("cleaned"), 256).as("clean_sha"),
+        expr("left(cleaned, 30)").as("clean_head"))
+      .orderBy("doc_id")
+  }
+
   // D4i — domain-mixture sampling with fractional epochs: each language
   // gets a target weight (zh 2.0 = every doc twice; en 1.5 = once plus a
   // reproducible half; fr 0.3 = 30% sample), materialized as (doc, copy)
@@ -2074,6 +2163,7 @@ object PipelineQueries {
     "d04_curation" -> d04_curation _,
     "d04_budget_pack" -> d04_budget_pack _,
     "d04_pii" -> d04_pii _,
+    "d04_clean" -> d04_clean _,
     "d04_mixture" -> d04_mixture _,
     "d04_datasplit" -> d04_datasplit _,
     "d03_contamination" -> d03_contamination _,
@@ -2757,6 +2847,31 @@ object PipelineQueries {
         |  sha256(redacted) AS redacted_sha,
         |  right(redacted, 40) AS red_tail
         |FROM x ORDER BY doc_id""".stripMargin,
+    // same injected markup, same strip/decode/collapse pipeline; DuckDB's
+    // regexp_replace needs the explicit 'g' flag (Spark replaces all by
+    // default); sha256 ↔ sha2(...,256)
+    "d04_clean" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    '<div class="post"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1>' || chr(9) || ' ' || text
+        |    || ' &amp; more&nbsp;text &lt;ok&gt; <br/>  <span>tail</span>   '
+        |    AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM r)
+        |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+        |  CAST(len(cleaned) AS BIGINT) AS n_clean,
+        |  sha256(cleaned) AS clean_sha,
+        |  left(cleaned, 30) AS clean_head
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d04_datasplit" ->
       """SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars

@@ -707,9 +707,115 @@ object StreamingQueries {
     }
   }
 
+  /** Distinct dup vec_ids landed by each of the two d07_semdedup_stream
+    * gate runs — the lastMinhashStreamRunDups pattern: exactly-once
+    * evidence that a restarted gate processes ONLY the new wave. */
+  @volatile private[graft] var lastSemStreamRunDups: Seq[Long] = Nil
+
+  // D7f — the SEMANTIC gate run CONTINUOUSLY against the committed cell
+  // index, completing the streaming committed-index trio (ANN:
+  // d07_ann_index_stream; fuzzy: d07_minhash_stream; semantic: this).
+  // d01_semdedup_index proved the cell index as a table; here a streaming
+  // job reads the DATA table's own incremental scan (laketable source,
+  // A25), assigns each arriving vector's cell via assignCellsHierExpr —
+  // the two-level hierarchical assignment folded into PURE stateless
+  // expressions (coarse argmax over √K regions, then a region-dispatched
+  // argmax over that region's routed fine centroids; no join, no groupBy,
+  // so it fuses into the micro-batch scan) under centroids parsed back
+  // from a FRESH load of the index table's properties (self-contained:
+  // nothing the stream uses exists outside the two tables) — then
+  // cell-joins the COMMITTED index snapshot (stream-static inner join;
+  // per-cell width ~N/K) for the cosine check, landing matches through
+  // the epoch-fenced sink. Two checkpointed runs over two arrival waves:
+  // the restart gates ONLY wave 2's files (exactly-once from the source
+  // checkpoint; per-run dup deltas spec-asserted). At 100 TB this is the
+  // cheapest continuous semantic gate: per-arrival work ∝ increment ×
+  // (√K + routed-region cosines), the corpus is never re-assigned, and
+  // the committed-cell probe prunes to touched cell buckets. The waves
+  // union to the batch increment and the index is frozen at the corpus
+  // snapshot, so the d01_semdedup_incremental replay oracles the
+  // completed stream (batch-equivalence).
+  def d07_semdedup_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07sem-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07sem-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07sem-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val q = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "cell BIGINT,vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("cell", 8L))
+    LakeTable.create(locR, "vec_id BIGINT", TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      index.setProperty(L.SemCentroidsProp, P.ivfModelToString(cents))
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        P.assignCellsHier(committed, cents)
+          .select(col("cell"), col("vec_id"), col("embedding")), index))
+      // everything the gate stream uses reloads from the committed index:
+      // centroids from its properties, cells from its corpus snapshot
+      val idxT = LakeTable.load(locI)
+      val cents2 = P.ivfModelFromString(idxT.tableMeta.properties(L.SemCentroidsProp))
+      val comIdx = idxT.snapshotDF(s, i1)
+        .select(col("cell"), col("vec_id").as("c_id"), col("embedding").as("ce"))
+      def runGate(): Unit = {
+        val before = s.read.format("laketable").load(locR)
+          .select("vec_id").distinct().count()
+        val gq = P.assignCellsHierExpr(
+            s.readStream.format("laketable")
+              .option("startSnapshotId", d1.toString).load(locD), cents2)
+          .join(comIdx, "cell")
+          .filter(expr("cosine_sim(embedding, ce)") > 0.43)
+          .select("vec_id")
+          .writeStream.format("laketable")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(locR)
+        gq.awaitTermination()
+        val after = s.read.format("laketable").load(locR)
+          .select("vec_id").distinct().count()
+        lastSemStreamRunDups :+= (after - before)
+      }
+      lastSemStreamRunDups = Nil
+      data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 400 && col("vec_id") < 450), data))
+      runGate() // wave 1
+      val d3 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 450), data))
+      runGate() // restart: only wave 2's files flow
+      val dups = s.read.format("laketable").load(locR)
+        .select("vec_id").distinct().withColumn("is_dup", lit(true))
+      localize(
+        P.assignCellsHierExpr(data.changesBetween(s, d1, d3), cents2)
+          .select("vec_id", "cell")
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("vec_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
+    "d07_semdedup_stream" -> d07_semdedup_stream _,
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
     "c12_stream_session" -> c12_stream_session _,
@@ -736,6 +842,11 @@ object StreamingQueries {
     // completed stream (SURVEY §5.4 batch-equivalence)
     "d07_minhash_stream" ->
       graft.queries.LakeQueries.minhashIncrementalOracleSql,
+    // the two waves union to the batch increment and the gate reads the
+    // corpus-frozen committed cell index — the semantic incremental
+    // replay oracles the completed stream (batch-equivalence)
+    "d07_semdedup_stream" ->
+      graft.queries.LakeQueries.semdedupIncrementalOracleSql,
     "c10_stream_tumbling" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS w_us, COUNT(*) AS n
         |FROM events GROUP BY w_us ORDER BY w_us""".stripMargin,

@@ -476,6 +476,30 @@ class PipelineSpec extends SparkSpec {
       s"two-level assignment agreement $agree too far from the flat argmax")
   }
 
+  test("D1: pure-expression hier assignment equals the batch hier path row-for-row") {
+    // assignCellsHierExpr folds the two-level assignment into stateless
+    // literal expressions so it can ride a streaming micro-batch
+    // (d07_semdedup_stream); any divergence from the batch
+    // assignCellsHier would let a stream's gate disagree with the
+    // committed index it probes — (cell, csim) must match exactly
+    val n = 2000L
+    val e = spark.range(0, n).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> cast(
+        |  cast(xxhash64(id * 64 + d) % 1000 as double) / 1000.0 as float))"""
+        .stripMargin).as("embedding"))
+    val cents = PipelineQueries.trainIvfCentroids(e, k = 256, hier = true)
+    def collectAssign(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "csim").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = collectAssign(PipelineQueries.assignCellsHier(e, cents))
+    val pure = collectAssign(PipelineQueries.assignCellsHierExpr(e, cents))
+    assert(pure.size == n)
+    val diff = batch.keys.filter(k => batch(k) != pure(k)).take(5)
+    assert(diff.isEmpty,
+      s"expression path diverged from batch hier assignment at vec_ids " +
+        s"$diff: ${diff.map(k => (batch(k), pure(k)))}")
+  }
+
   test("D1: distributed centroid routing agrees with the serial loop") {
     // the fine->coarse routing above RouteSerialCap runs as a Spark job
     // instead of a K*sqrt(K) single-threaded driver loop (~O(N^0.75)

@@ -198,6 +198,31 @@ class StreamingSpec extends SparkSpec {
         "— replay or loss across the restart")
   }
 
+  test("D7f continuous semantic gate: two checkpointed runs gate each wave " +
+      "exactly once against the committed cell index; verdicts equal the " +
+      "batch gate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.d07_semdedup_stream(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val batch = graft.queries.LakeQueries.d01_semdedup_index(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // waves union to the batch increment; both gates assign under the
+    // same frozen centroids and probe the same committed cell snapshot —
+    // the completed stream must equal the batch committed-index gate
+    assert(streamed == batch,
+      s"stream gate diverged: ${(streamed.toSet diff batch.toSet).take(5)}")
+    // exactly-once across the restart: the two per-run dup deltas must
+    // sum to the total dup verdicts (waves are disjoint vec_id ranges, so
+    // a replayed wave 1 in run 2 would double-count its dups), and each
+    // run must have landed at least one dup at this sf (planted twins
+    // exist on both sides of the 450 split)
+    val deltas = StreamingQueries.lastSemStreamRunDups
+    assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
+    assert(deltas.sum == streamed.count(_._2._2).toLong,
+      s"per-run dup deltas $deltas don't sum to the verdict total " +
+        s"${streamed.count(_._2._2)} — replay or loss across the restart")
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
