@@ -383,16 +383,19 @@ object PipelineQueries {
     * groupBy — so the two-level assignment can ride a STREAMING
     * micro-batch (d07_semdedup_stream): Structured Streaming forbids the
     * batch path's aggregation, but the whole hierarchy is driver-side
-    * metadata (K centroids + the √K routing table), so it folds into
-    * literal expressions: a coarse argmax over the √K region array (the
-    * exact ≤64 [[assignCells]] shape), then a region-dispatched
-    * `when`-chain whose branch r computes `array_max` over ONLY region
-    * r's routed fine-centroid structs. `array_max` and the batch path's
-    * `max(struct)` share Catalyst's struct ordering (s, then c), and the
-    * unrouted-region fallback reproduces the batch LEFT-join + coalesce
-    * seed — `PipelineSpec` asserts row-for-row (cell, csim) agreement
-    * with [[assignCellsHier]], so the gate a stream applies can never
-    * diverge from the committed index's batch assignment. Work per row is
+    * metadata (K centroids + the √K routing table), so it evaluates as
+    * ONE native codegen'd expression ([[graft.functions.HierAssign]]):
+    * coarse argmax over the √K regions, then argmax over the winning
+    * region's routed fine centroids, seed fallback for unrouted regions
+    * — the identical decision procedure (CosineSimilarity arithmetic,
+    * Catalyst struct-max double ordering incl. tie/NaN corners) as the
+    * batch join/groupBy dataflow, as two tight loops behind a
+    * reference-object call, so the projection stays inside whole-stage
+    * codegen at any K (the literal expression-tree alternative inlines
+    * ~K 64-float constants and trips the 64 KB generated-method limit).
+    * `PipelineSpec` asserts row-for-row (cell, csim) agreement with
+    * [[assignCellsHier]], so the gate a stream applies can never diverge
+    * from the committed index's batch assignment. Work per row is
     * O(√K + routed(region)) cosines — the same arithmetic the batch path
     * does after its routing join.
     */
@@ -400,39 +403,19 @@ object PipelineQueries {
       cents: Array[(Long, Seq[Float])]): DataFrame = {
     if (cents.length <= 64) return assignCells(e, cents)
     val s = e.sparkSession
-    graft.functions.CosineSimilarity.register(s)
     val kc = math.max(4, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val coarse: Array[(Long, Seq[Float])] =
       (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._2)).toArray
-    val centVec = cents.toMap
     val routedByRegion: Map[Long, Array[Long]] = routeRegions(s, cents, coarse)
       .groupBy(_._1).map { case (r, rc) => r -> rc.map(_._2).sorted }
     val regionSeed: Map[Long, Long] =
       (0 until kc).map(i => (i.toLong, cents(i * cents.length / kc)._1)).toMap
-    def scoreStruct(cid: Long): org.apache.spark.sql.Column =
-      struct(
-        call_function("cosine_sim", col("embedding"), typedlit(centVec(cid))).as("s"),
-        lit(cid).as("c"))
-    val coarseScores = array(coarse.toIndexedSeq.map { case (rid, cvec) =>
-      struct(call_function("cosine_sim", col("embedding"), typedlit(cvec)).as("s"),
-        lit(rid).as("c"))
-    }: _*)
-    val fineInit: org.apache.spark.sql.Column = lit(null).cast("struct<s:double,c:bigint>")
-    val fine = routedByRegion.toSeq.sortBy(_._1).foldLeft(fineInit) {
-      case (acc, (r, cids)) =>
-        when(col("region") === r,
-          array_max(array(cids.toIndexedSeq.map(scoreStruct): _*))).otherwise(acc)
-    }
-    val seed = regionSeed.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("bigint"): org.apache.spark.sql.Column) { case (acc, (r, cid)) =>
-        when(col("region") === r, lit(cid)).otherwise(acc)
-      }
-    e.withColumn("cm", array_max(coarseScores))
-      .withColumn("region", col("cm.c"))
-      .withColumn("m", fine)
+    val model = graft.functions.HierAssignModel(
+      cents, coarse, routedByRegion, regionSeed)
+    e.withColumn("m",
+        graft.functions.HierAssign.column(col("embedding"), model))
       .select(col("vec_id"), col("embedding"),
-        coalesce(col("m.c"), seed).as("cell"),
-        coalesce(col("m.s"), col("cm.s")).as("csim"))
+        col("m.cell").as("cell"), col("m.csim").as("csim"))
   }
 
   // D2 — brute-force cosine top-5 neighbors for a 20-vector probe set.
