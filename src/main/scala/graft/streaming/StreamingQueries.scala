@@ -707,6 +707,107 @@ object StreamingQueries {
     }
   }
 
+  /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
+    * runs — exactly-once evidence across the checkpointed restart. */
+  @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
+
+  // D7e — the LIVE fuzzy gate: gate AND maintain the committed band
+  // index in the same continuous job, so an arrival is deduped against
+  // EARLIER ARRIVALS too, not just the frozen corpus (d07_minhash_stream
+  // probes the corpus-frozen index — two near-dup arrivals in different
+  // waves both pass it; this closes that window). Each micro-batch,
+  // inside foreachBatch: (1) derive the batch's band keys (pure
+  // expressions), (2) LEFT-SEMI gate against the index table AS OF NOW —
+  // a fresh load that includes every previous batch's maintenance — and
+  // land matches in the verdict table, (3) append the batch's NOVEL keys
+  // (left-anti vs the same committed space, DISTINCT within batch) as
+  // one index commit. Work per batch stays ∝ batch (two semi/anti joins
+  // against the committed key space, per-key width 1); the corpus is
+  // never re-banded. Wave 2 plants re-keys of WAVE-1 docs (+3M exact,
+  // +4M near) alongside corpus re-keys (+1M): the frozen-index gate
+  // would pass the +3M/+4M docs, the live gate must flag the exact ones
+  // — the oracle replays the wave-ordered band spaces (side-2 arrivals
+  // probe side-0 ∪ side-1). Two checkpointed AvailableNow runs prove the
+  // restart gates only the new wave (per-run dup deltas spec-asserted).
+  def d07_minhash_live(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07live-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07live-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07live-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // wave 2: corpus re-keys (+1M — any gate catches these) and WAVE-1
+    // re-keys (+3M exact, +4M near — only a live, self-maintaining gate
+    // can catch these: their bands entered the index during run 1)
+    val wave2 = evens.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .union(odds.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      .union(odds.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text")))
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
+      TruncateSpec("h0", 1L << 56))
+    LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000000L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      index.append(LakeWriter.writeDataFiles(
+        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct(), index))
+      def runLive(): Unit = {
+        val before = s.read.format("laketable").load(locR)
+          .select("doc_id").distinct().count()
+        val q = s.readStream.format("laketable")
+          .option("startSnapshotId", d1.toString).load(locD)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // the committed band space AS OF THIS BATCH — includes every
+            // earlier batch's maintenance append
+            val com = s.read.format("laketable").load(locI)
+            val bands = P.explodeBands(P.md5MinhashSigs(batch))
+            val res = LakeTable.load(locR)
+            res.append(LakeWriter.writeDataFiles(
+              bands.join(com, Seq("band", "h0", "h1"), "left_semi")
+                .select("doc_id"), res))
+            val idx = LakeTable.load(locI)
+            idx.append(LakeWriter.writeDataFiles(
+              bands.select("band", "h0", "h1").distinct()
+                .join(com, Seq("band", "h0", "h1"), "left_anti"), idx))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val after = s.read.format("laketable").load(locR)
+          .select("doc_id").distinct().count()
+        lastMinhashLiveRunDups :+= (after - before)
+      }
+      lastMinhashLiveRunDups = Nil
+      data.append(LakeWriter.writeDataFiles(odds, data))
+      runLive() // wave 1: gated against the corpus; its bands join the index
+      val d3 = data.append(LakeWriter.writeDataFiles(wave2, data))
+      runLive() // restart: wave 2 gated against corpus ∪ wave 1
+      val dups = s.read.format("laketable").load(locR)
+        .select("doc_id").distinct().withColumn("is_fuzzy_dup", lit(true))
+      localize(data.changesBetween(s, d1, d3).select("doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_fuzzy_dup"), lit(false)).as("is_fuzzy_dup"))
+        .orderBy("doc_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup vec_ids landed by each of the two d07_semdedup_stream
     * gate runs — the lastMinhashStreamRunDups pattern: exactly-once
     * evidence that a restarted gate processes ONLY the new wave. */
@@ -815,6 +916,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
+    "d07_minhash_live" -> d07_minhash_live _,
     "d07_semdedup_stream" -> d07_semdedup_stream _,
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
@@ -842,6 +944,65 @@ object StreamingQueries {
     // completed stream (SURVEY §5.4 batch-equivalence)
     "d07_minhash_stream" ->
       graft.queries.LakeQueries.minhashIncrementalOracleSql,
+    // the LIVE gate's band space GROWS between waves: side-1 arrivals
+    // probe the side-0 (corpus) bands, side-2 arrivals probe side-0 ∪
+    // side-1 — the oracle replays the wave-ordered spaces with the same
+    // md5 banding CTEs as the frozen-gate replay
+    "d07_minhash_live" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, 2 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text || ' zq zr zs', 2 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80),
+        |tk AS (
+        |  SELECT doc_id, side, text, string_split(text, ' ') AS t FROM src),
+        |sh AS (
+        |  SELECT doc_id, side,
+        |    CASE WHEN len(t) < 3 THEN
+        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(t) - 1), i ->
+        |      CAST(concat('0x', substring(md5(
+        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
+        |    END AS shash
+        |  FROM tk),
+        |lanes AS (
+        |  SELECT doc_id, side, bb.b AS lane,
+        |    MIN(CAST(concat('0x', substring(md5(
+        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM (SELECT doc_id, side, unnest(shash) AS h FROM sh),
+        |       (SELECT unnest(range(0, 8)) AS b) bb
+        |  GROUP BY doc_id, side, bb.b),
+        |sig AS (SELECT doc_id, side, list(mh ORDER BY lane) AS sig
+        |        FROM lanes GROUP BY doc_id, side),
+        |bands AS (
+        |  SELECT doc_id, side, bb.b AS band,
+        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
+        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |com0 AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side = 0),
+        |com01 AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side <= 1),
+        |dup AS (
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN com0 c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
+        |  WHERE i.side = 1
+        |  UNION
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN com01 c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
+        |  WHERE i.side = 2)
+        |SELECT i.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
+        |FROM (SELECT DISTINCT doc_id FROM src WHERE side >= 1) i
+        |LEFT JOIN dup d ON d.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     // the two waves union to the batch increment and the gate reads the
     // corpus-frozen committed cell index — the semantic incremental
     // replay oracles the completed stream (batch-equivalence)

@@ -198,6 +198,34 @@ class StreamingSpec extends SparkSpec {
         "— replay or loss across the restart")
   }
 
+  test("D7e live fuzzy gate: arrivals gate against EARLIER ARRIVALS via " +
+      "in-stream index maintenance; exactly-once across the restart") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingQueries.d07_minhash_live(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // +3M docs are exact re-keys of WAVE-1 arrivals: their bands entered
+    // the index only through run-1's in-stream maintenance append — a
+    // corpus-frozen gate (d07_minhash_stream's shape) would pass every
+    // one; the live gate must flag them all
+    val wave1Rekeys = out.keys.filter(k => k >= 3000000L && k < 4000000L)
+    assert(wave1Rekeys.size == 20, s"expected 20 wave-1 re-keys, got ${wave1Rekeys.size}")
+    assert(wave1Rekeys.forall(out(_)),
+      s"live gate missed wave-1 re-keys: ${wave1Rekeys.filterNot(out(_)).take(5)}")
+    // +1M corpus re-keys flag under any gate
+    val corpusRekeys = out.keys.filter(k => k >= 1000000L && k < 2000000L)
+    assert(corpusRekeys.size == 20 && corpusRekeys.forall(out(_)))
+    // exactly-once across the checkpointed restart: per-run dup deltas
+    // sum to the verdict total; run 2 must carry at least the 40 planted
+    // exact re-keys (a replayed wave 1 would inflate it past the wave-2
+    // ceiling of 60)
+    val deltas = StreamingQueries.lastMinhashLiveRunDups
+    assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
+    assert(deltas.sum == out.count(_._2).toLong,
+      s"per-run deltas $deltas don't sum to ${out.count(_._2)}")
+    assert(deltas(1) >= 40L && deltas(1) <= 60L,
+      s"run-2 dup delta ${deltas(1)} outside wave 2's [40, 60] envelope")
+  }
+
   test("D7f continuous semantic gate: two checkpointed runs gate each wave " +
       "exactly once against the committed cell index; verdicts equal the " +
       "batch gate") {
