@@ -2390,15 +2390,24 @@ object PipelineQueries {
     * (vec_id, v, cell, csim) for EVERY corpus vector, including the
     * unrouted-region seed-cell fallback mirroring assignCellsHier.
     */
-  private[graft] lazy val SemDedupHierAssignCteSql: String = {
+  private[graft] lazy val SemDedupHierAssignCteSql: String =
+    semDedupHierAssignCteSqlFrom(
+      s"""SELECT vec_id, list_transform(embedding,
+         |    x -> round(CAST(x AS DOUBLE) * $SemDeDupExactScale)) AS v
+         |  FROM embeddings""".stripMargin)
+
+  /** [[SemDedupHierAssignCteSql]] with a caller-supplied `q` body — the
+    * live-gate oracle (d07_semdedup_live) unions planted wave re-keys
+    * into the vector space. Re-keys must sort AFTER every original
+    * vec_id: `cents` takes the first-K rows by vec_id, so high re-key
+    * ids leave the frozen-centroid derivation untouched. */
+  private[graft] def semDedupHierAssignCteSqlFrom(qSelect: String): String = {
     val kc = math.max(4,
       math.ceil(math.sqrt(SemDeDupExactK.toDouble)).toInt)
     val seedValues = (0 until kc)
       .map(i => s"($i, ${i * SemDeDupExactK / kc})").mkString(", ")
     s"""q AS (
-      |  SELECT vec_id, list_transform(embedding,
-      |    x -> round(CAST(x AS DOUBLE) * $SemDeDupExactScale)) AS v
-      |  FROM embeddings),
+      |  $qSelect),
       |cents AS (
       |  SELECT cid, cv, idx FROM (
       |    SELECT vec_id AS cid, v AS cv,

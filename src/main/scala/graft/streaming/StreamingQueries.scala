@@ -913,7 +913,123 @@ object StreamingQueries {
     }
   }
 
+  /** Distinct dup vec_ids landed by each of the two d07_semdedup_live
+    * gate runs — exactly-once evidence across the checkpointed restart. */
+  @volatile private[graft] var lastSemLiveRunDups: Seq[Long] = Nil
+
+  // D7g — the LIVE semantic gate: the d07_minhash_live shape applied to
+  // the committed CELL index, closing the arrivals-vs-arrivals window
+  // for the semantic regime (d07_semdedup_stream probes the
+  // corpus-frozen index — a wave-2 near-copy of a wave-1 arrival passes
+  // it). Each micro-batch, inside foreachBatch: (1) assign the batch's
+  // cells under the centroids parsed from the index table's OWN
+  // properties (frozen at corpus build — the live part is the cell
+  // POPULATION, never the model), (2) cosine-gate against the index AS
+  // OF the batch — a fresh load including every earlier batch's
+  // maintenance — and land matching vec_ids, (3) append the batch's
+  // (cell, vec_id, embedding) assignments as one index commit. Work per
+  // batch ∝ batch × per-cell width; the corpus is never re-assigned.
+  // Wave 2 plants exact twins (+10000) of WAVE-1 vectors: their cells
+  // entered the index only via run-1's maintenance, so the frozen gate
+  // would pass them unless the wave-1 source was itself a corpus dup —
+  // the live gate must flag every one (cosine 1 to its source). The
+  // final read serves (vec_id, cell) from the MAINTAINED index table —
+  // the oracle replays the wave-ordered cell spaces over the re-keyed
+  // vector space.
+  def d07_semdedup_live(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07sml-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07sml-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07sml-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val q = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "cell BIGINT,vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("cell", 8L))
+    LakeTable.create(locR, "vec_id BIGINT", TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      index.setProperty(L.SemCentroidsProp, P.ivfModelToString(cents))
+      index.append(LakeWriter.writeDataFiles(
+        P.assignCellsHier(committed, cents)
+          .select(col("cell"), col("vec_id"), col("embedding")), index))
+      def runLive(): Unit = {
+        val before = s.read.format("laketable").load(locR)
+          .select("vec_id").distinct().count()
+        val sq = s.readStream.format("laketable")
+          .option("startSnapshotId", d1.toString).load(locD)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val idx = LakeTable.load(locI)
+            val cents2 =
+              P.ivfModelFromString(idx.tableMeta.properties(L.SemCentroidsProp))
+            // foreachBatch hands a plain batch DataFrame, so the BATCH
+            // hier assignment (routing join + groupBy) applies directly
+            val aInc = P.assignCellsHier(batch, cents2)
+            val com = s.read.format("laketable").load(locI)
+              .select(col("cell"), col("embedding").as("ce"))
+            val res = LakeTable.load(locR)
+            res.append(LakeWriter.writeDataFiles(
+              aInc.join(com, "cell")
+                .filter(expr("cosine_sim(embedding, ce)") > 0.43)
+                .select("vec_id").distinct(), res))
+            idx.append(LakeWriter.writeDataFiles(
+              aInc.select(col("cell"), col("vec_id"), col("embedding")), idx))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        val after = s.read.format("laketable").load(locR)
+          .select("vec_id").distinct().count()
+        lastSemLiveRunDups :+= (after - before)
+      }
+      lastSemLiveRunDups = Nil
+      data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 400 && col("vec_id") < 450), data))
+      runLive() // wave 1: gated against the corpus cells
+      // wave 2: the tail of the space + exact twins of wave-1 vectors,
+      // re-keyed far above every original id (centroid derivation and
+      // oracle ordering untouched)
+      data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") >= 450).union(
+          q.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))),
+        data))
+      runLive() // restart: wave 2 gated against corpus ∪ wave 1
+      val dups = s.read.format("laketable").load(locR)
+        .select("vec_id").distinct().withColumn("is_dup", lit(true))
+      // serve the arrivals' assignments from the MAINTAINED index table
+      localize(s.read.format("laketable").load(locI)
+        .filter(col("vec_id") >= 400)
+        .select("vec_id", "cell")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_semdedup_live" -> d07_semdedup_live _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1008,6 +1124,38 @@ object StreamingQueries {
     // replay oracles the completed stream (batch-equivalence)
     "d07_semdedup_stream" ->
       graft.queries.LakeQueries.semdedupIncrementalOracleSql,
+    // the LIVE semantic gate's cell population grows between waves:
+    // wave-1 arrivals probe the corpus cells, wave-2 arrivals (incl. the
+    // +10000 exact twins of wave-1 vectors) probe corpus ∪ wave-1 — the
+    // oracle replays the wave-ordered spaces over the re-keyed vector
+    // space under the same frozen first-K centroid derivation
+    "d07_semdedup_live" -> {
+      val P = graft.queries.PipelineQueries
+      val qSelect =
+        s"""SELECT vec_id, list_transform(embedding,
+           |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000, list_transform(embedding,
+           |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
+           |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 420""".stripMargin
+      s"WITH ${P.semDedupHierAssignCteSqlFrom(qSelect)},\n" +
+        s"""inc1 AS (SELECT vec_id, v, cell FROM fassign
+           |         WHERE vec_id >= 400 AND vec_id < 450),
+           |inc2 AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id >= 450),
+           |com0 AS (SELECT vec_id, v, cell FROM fassign WHERE vec_id < 400),
+           |com01 AS (SELECT * FROM com0 UNION ALL SELECT * FROM inc1),
+           |dups AS (
+           |  SELECT DISTINCT i.vec_id FROM inc1 i JOIN com0 c ON c.cell = i.cell
+           |  WHERE ${P.sdxCosSql("i.v", "c.v")} > 0.43
+           |  UNION
+           |  SELECT DISTINCT i.vec_id FROM inc2 i JOIN com01 c ON c.cell = i.cell
+           |  WHERE ${P.sdxCosSql("i.v", "c.v")} > 0.43)
+           |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
+           |FROM (SELECT vec_id, cell FROM fassign WHERE vec_id >= 400) i
+           |LEFT JOIN dups d ON d.vec_id = i.vec_id
+           |ORDER BY i.vec_id""".stripMargin
+    },
     "c10_stream_tumbling" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS w_us, COUNT(*) AS n
         |FROM events GROUP BY w_us ORDER BY w_us""".stripMargin,

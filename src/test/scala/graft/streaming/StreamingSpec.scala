@@ -226,6 +226,32 @@ class StreamingSpec extends SparkSpec {
       s"run-2 dup delta ${deltas(1)} outside wave 2's [40, 60] envelope")
   }
 
+  test("D7g live semantic gate: wave-2 twins of wave-1 arrivals flag via " +
+      "in-stream cell-index maintenance; exactly-once across the restart") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingQueries.d07_semdedup_live(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // +10000 docs are exact twins of WAVE-1 vectors (cosine 1 to their
+    // source): their cells entered the index only through run-1's
+    // maintenance append — a corpus-frozen gate flags one only if its
+    // source was itself a corpus dup; the live gate must flag them ALL,
+    // and each twin must land in its source's cell
+    val twins = out.keys.filter(_ >= 10000L)
+    assert(twins.size == 20, s"expected 20 wave-1 twins, got ${twins.size}")
+    assert(twins.forall(out(_)._2),
+      s"live gate missed wave-1 twins: ${twins.filterNot(out(_)._2).take(5)}")
+    twins.foreach { k =>
+      assert(out(k)._1 == out(k - 10000L)._1,
+        s"twin $k landed in cell ${out(k)._1} != source cell ${out(k - 10000L)._1}")
+    }
+    val deltas = StreamingQueries.lastSemLiveRunDups
+    assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
+    assert(deltas.sum == out.count(_._2._2).toLong,
+      s"per-run deltas $deltas don't sum to ${out.count(_._2._2)}")
+    assert(deltas(1) >= 20L,
+      s"run-2 dup delta ${deltas(1)} below the 20 planted twins")
+  }
+
   test("D7f continuous semantic gate: two checkpointed runs gate each wave " +
       "exactly once against the committed cell index; verdicts equal the " +
       "batch gate") {
