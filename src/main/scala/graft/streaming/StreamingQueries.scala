@@ -707,6 +707,69 @@ object StreamingQueries {
     }
   }
 
+  // D7h — LIVE ANN SERVING: the full production loop in one entry —
+  // frozen models committed INTO the index table's properties, a
+  // checkpointed maintenance stream encodes the corpus and then ONLY the
+  // appended increment (restart; exactly-once off the source
+  // checkpoint), and top-5 then serves from a FRESH load of the
+  // stream-maintained index: codes from its scan, models parsed back
+  // from its own properties — nothing the serve path uses exists outside
+  // the two tables. Completes the live story for the ANN regime the way
+  // d07_minhash_live / d07_semdedup_live do for fuzzy/semantic (ANN
+  // arrivals don't gate, they SERVE — so "live" here is
+  // maintain-while-serving). The stream-maintained index state equals
+  // the batch-encoded one (d07_ann_index_stream proves the codes
+  // hash-equal), so the d02_ann_indexed exact replay oracles the serve.
+  def d07_ann_serve_live(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07asl-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07asl-idx-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      def runMaintenance(): Unit = {
+        val q = P.ivfPqEncode(s,
+            s.readStream.format("laketable")
+              .option("startSnapshotId", "0").load(locD), ivf, pq)
+          .writeStream.format("laketable")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(locI)
+        q.awaitTermination()
+      }
+      runMaintenance() // encode the committed corpus
+      data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      runMaintenance() // restart: only the increment encodes
+      // serve from a fresh load: stream-maintained codes + models parsed
+      // back from the index's own properties
+      val served = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(served.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(served.tableMeta.properties(P.AnnPqProp))
+      localize(P.ivfPqServe(s, served.toDF(s), data.refresh().toDF(s),
+        ivf2, pq2))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
@@ -1030,6 +1093,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_semdedup_live" -> d07_semdedup_live _,
+    "d07_ann_serve_live" -> d07_ann_serve_live _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1055,6 +1119,11 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "d07_ann_index_stream" -> graft.queries.PipelineQueries
       .annIndexOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
+    // the stream-maintained index state equals the batch-encoded one, so
+    // the committed-index serve replay (d02_ann_indexed's oracle) covers
+    // the serve-from-stream-maintained-codes composition too
+    "d07_ann_serve_live" -> graft.queries.PipelineQueries
+      .ivfPqExactOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
     // the two waves union to the batch increment, and the gate reads the
     // same committed band space — the batch gate's replay oracles the
     // completed stream (SURVEY §5.4 batch-equivalence)
