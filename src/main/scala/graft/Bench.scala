@@ -545,6 +545,63 @@ object Bench {
       * shape `$files`/orphan-GC/compaction planning use. Env-gated like
       * the commit curve; reported under its own `plan_scale` key in ms.
       */
+    /** SPARK_GRAFT_INDEX_COMPACT=1: the committed-index fragmentation
+      * debt a live gate accretes — every maintenance commit appends one
+      * small file per touched bucket — and the targeted-compaction
+      * payoff. Builds a band index (one corpus commit + 25
+      * arrival-cadence maintenance commits), times the gate semi-join
+      * against the FRAGMENTED index, bin-pack compacts, re-times the
+      * gate, and asserts the verdict count is unchanged (compaction is
+      * a rewrite, never a semantic change). Reported under its own
+      * `index_compact` key; never joins the totals.
+      */
+    def runIndexCompact(): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val P = graft.queries.PipelineQueries
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-idxc-${java.util.UUID.randomUUID()}"
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val odds = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val index = LakeTable.create(loc, "band INT,h0 BIGINT,h1 BIGINT",
+        TruncateSpec("h0", 1L << 56))
+      index.append(LakeWriter.writeDataFiles(
+        P.explodeBands(P.md5MinhashSigs(evens))
+          .select("band", "h0", "h1").distinct(), index))
+      for (i <- 0 until 25) {
+        index.append(LakeWriter.writeDataFiles(
+          P.explodeBands(P.md5MinhashSigs(
+              odds.filter(pmod(col("doc_id"), lit(50)) === i * 2 + 1)))
+            .select("band", "h0", "h1").distinct(), index))
+      }
+      val filesBefore = index.refresh().files().size
+      val wave = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      def gateOnce(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = P.explodeBands(P.md5MinhashSigs(wave))
+          .join(spark.read.format("laketable").load(loc),
+            Seq("band", "h0", "h1"), "left_semi")
+          .select("doc_id").distinct().count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      gateOnce() // warmup
+      val (gFrag, nFrag) = gateOnce()
+      val t0 = System.nanoTime()
+      index.compactFiles(spark, minInputFiles = 2)
+      val compactS = (System.nanoTime() - t0) / 1e9
+      val filesAfter = index.refresh().files().size
+      val (gComp, nComp) = gateOnce()
+      assert(nFrag == nComp, s"compaction changed gate verdicts: $nFrag != $nComp")
+      assert(filesAfter < filesBefore, "compaction did not reduce index file count")
+      LakeTable.drop(loc)
+      Seq("files_before" -> filesBefore.toDouble,
+        "files_after" -> filesAfter.toDouble,
+        "gate_frag_s" -> gFrag, "gate_compact_s" -> gComp,
+        "compact_s" -> compactS)
+    }
+
     def runPlanScale(nFiles: Int): Seq[(String, Double)] = {
       import graft.lake._
       val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-plan-${java.util.UUID.randomUUID()}"
@@ -656,6 +713,10 @@ object Bench {
     val planScale = sys.env.get("SPARK_GRAFT_PLAN_SCALE")
       .flatMap(_.trim.toIntOption).filter(_ > 0)
       .map(runPlanScale).getOrElse(Nil)
+    val indexCompact =
+      if (sys.env.get("SPARK_GRAFT_INDEX_COMPACT").contains("1"))
+        runIndexCompact()
+      else Nil
     val results = envelope ++ heavy
     // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
     // are run variance on this harness, so 2dp loses nothing real, and
@@ -737,6 +798,7 @@ object Bench {
         optObj("heavy_scale", heavyScale) +
         optObj("commit_curve", commitCurve) +
         optObj("plan_scale", planScale) +
+        optObj("index_compact", indexCompact) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
