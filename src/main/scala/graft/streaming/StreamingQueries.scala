@@ -828,19 +828,23 @@ object StreamingQueries {
         val q = s.readStream.format("laketable")
           .option("startSnapshotId", d1.toString).load(locD)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // the committed band space AS OF THIS BATCH — includes every
-            // earlier batch's maintenance append
+            // earlier batch's maintenance append. Both appends ride the
+            // epoch fence (appendEpoch): a foreachBatch replay after a
+            // mid-batch crash is a per-table no-op — the same
+            // exactly-once guarantee the format sink gives.
             val com = s.read.format("laketable").load(locI)
             val bands = P.explodeBands(P.md5MinhashSigs(batch))
             val res = LakeTable.load(locR)
-            res.append(LakeWriter.writeDataFiles(
+            res.appendEpoch(LakeWriter.writeDataFiles(
               bands.join(com, Seq("band", "h0", "h1"), "left_semi")
-                .select("doc_id"), res))
+                .select("doc_id"), res), "live-gate", epoch)
             val idx = LakeTable.load(locI)
-            idx.append(LakeWriter.writeDataFiles(
+            idx.appendEpoch(LakeWriter.writeDataFiles(
               bands.select("band", "h0", "h1").distinct()
-                .join(com, Seq("band", "h0", "h1"), "left_anti"), idx))
+                .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+              "live-maint", epoch)
             ()
           }
           .option("checkpointLocation", ckpt)
@@ -1034,22 +1038,25 @@ object StreamingQueries {
         val sq = s.readStream.format("laketable")
           .option("startSnapshotId", d1.toString).load(locD)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
             val idx = LakeTable.load(locI)
             val cents2 =
               P.ivfModelFromString(idx.tableMeta.properties(L.SemCentroidsProp))
             // foreachBatch hands a plain batch DataFrame, so the BATCH
-            // hier assignment (routing join + groupBy) applies directly
+            // hier assignment (routing join + groupBy) applies directly.
+            // Both appends ride the epoch fence (appendEpoch): a replayed
+            // batch is a per-table no-op — the format sink's exactly-once.
             val aInc = P.assignCellsHier(batch, cents2)
             val com = s.read.format("laketable").load(locI)
               .select(col("cell"), col("embedding").as("ce"))
             val res = LakeTable.load(locR)
-            res.append(LakeWriter.writeDataFiles(
+            res.appendEpoch(LakeWriter.writeDataFiles(
               aInc.join(com, "cell")
                 .filter(expr("cosine_sim(embedding, ce)") > 0.43)
-                .select("vec_id").distinct(), res))
-            idx.append(LakeWriter.writeDataFiles(
-              aInc.select(col("cell"), col("vec_id"), col("embedding")), idx))
+                .select("vec_id").distinct(), res), "live-gate", epoch)
+            idx.appendEpoch(LakeWriter.writeDataFiles(
+              aInc.select(col("cell"), col("vec_id"), col("embedding")), idx),
+              "live-maint", epoch)
             ()
           }
           .option("checkpointLocation", ckpt)
