@@ -252,6 +252,69 @@ class StreamingSpec extends SparkSpec {
       s"run-2 dup delta ${deltas(1)} below the 20 planted twins")
   }
 
+  test("D7e live gate is ARRIVAL-grained: within one run, a later " +
+      "micro-batch gates against an earlier batch's maintenance") {
+    // The wave-level entry proves cross-RUN dedup; this pins the finer
+    // property the live shape exists for — under file-capped admission a
+    // single AvailableNow run splits its backlog, and batch N+1 must see
+    // batch N's band keys in the index (gate-then-maintain per batch).
+    val P = graft.queries.PipelineQueries
+    val locD = tmp("live-arr-data"); val locI = tmp("live-arr-idx")
+    val locR = tmp("live-arr-res"); val ckpt = tmp("live-arr-ckpt")
+    import spark.implicits._
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
+      TruncateSpec("h0", 1L << 56))
+    LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000L))
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textC = "completely different content with no shared shingles at all here"
+    try {
+      // backlog of two snapshots: doc 1, then its exact re-key + a fresh doc
+      data.append(LakeWriter.writeDataFiles(
+        Seq((1L, textA)).toDF("doc_id", "text"), data))
+      data.append(LakeWriter.writeDataFiles(
+        Seq((2L, textA), (3L, textC)).toDF("doc_id", "text"), data))
+      val q = spark.readStream.format("laketable")
+        .option("startSnapshotId", "0")
+        .option("maxFilesPerTrigger", "1") // force per-file batches
+        .load(locD)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          val com = spark.read.format("laketable").load(locI)
+          val bands = P.explodeBands(P.md5MinhashSigs(batch))
+          val res = LakeTable.load(locR)
+          res.appendEpoch(LakeWriter.writeDataFiles(
+            bands.join(com, Seq("band", "h0", "h1"), "left_semi")
+              .select("doc_id"), res), "live-gate", epoch)
+          val idx = LakeTable.load(locI)
+          idx.appendEpoch(LakeWriter.writeDataFiles(
+            bands.select("band", "h0", "h1").distinct()
+              .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+            "live-maint", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dups = spark.read.format("laketable").load(locR)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      // doc 2's bands matched doc 1's — indexed by an EARLIER batch of
+      // the SAME run; doc 3 is fresh and must pass
+      assert(dups == Set(2L),
+        s"expected exactly doc 2 flagged (intra-run dedup), got $dups")
+      // and the index holds each band key exactly once (left_anti dedup)
+      val keys = spark.read.format("laketable").load(locI)
+        .groupBy("band", "h0", "h1").count()
+        .filter(col("count") > 1).count()
+      assert(keys == 0L, s"$keys band keys duplicated in the live index")
+    } finally {
+      LakeTable.drop(locD); LakeTable.drop(locI); LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   test("D7f continuous semantic gate: two checkpointed runs gate each wave " +
       "exactly once against the committed cell index; verdicts equal the " +
       "batch gate") {
