@@ -875,6 +875,81 @@ object StreamingQueries {
     }
   }
 
+  // D7i — the live fuzzy gate at ARRIVAL grain, hash-oracled: eight
+  // documents commit INDIVIDUALLY (one snapshot each), a single
+  // AvailableNow run admits them as eight ordered micro-batches
+  // (`maxFilesPerTrigger=1`), and each batch gates against exactly the
+  // index its predecessors maintained — so arrival k is a dup iff it
+  // shares a band with ANY arrival j < k, starting from an EMPTY index.
+  // That per-arrival semantics is one self-join in SQL (band match AND
+  // ord < ord — monotone index growth needs no recursion), so unlike
+  // the wave entries the ORACLE models the exact arrival order,
+  // closing the round-9 seed. Plants: a3 re-keys a1, a7 re-keys a6
+  // (must flag), a5 near-re-keys a2 (the oracle decides per lanes);
+  // a1/a2/a4/a6/a8 derive from distinct source docs.
+  def d07_minhash_ordered(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07ord-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07ord-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07ord-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // (arrival doc_id, source doc_id, append ' zq zr zs'?)
+    val plan = Seq((101L, 0L, false), (102L, 2L, false), (103L, 0L, false),
+      (104L, 4L, false), (105L, 2L, true), (106L, 6L, false),
+      (107L, 6L, false), (108L, 8L, false))
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
+      TruncateSpec("h0", 1L << 56))
+    LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000L))
+    try {
+      plan.foreach { case (id, srcId, near) =>
+        val text =
+          if (near) concat(col("text"), lit(" zq zr zs")) else col("text")
+        data.append(LakeWriter.writeDataFiles(
+          d.filter(col("doc_id") === srcId)
+            .select(lit(id).as("doc_id"), text.as("text")), data))
+      }
+      val q = s.readStream.format("laketable")
+        .option("startSnapshotId", "0")
+        .option("maxFilesPerTrigger", "1") // one arrival per micro-batch
+        .load(locD)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val com = s.read.format("laketable").load(locI)
+          val bands = P.explodeBands(P.md5MinhashSigs(batch))
+          val res = LakeTable.load(locR)
+          res.appendEpoch(LakeWriter.writeDataFiles(
+            bands.join(com, Seq("band", "h0", "h1"), "left_semi")
+              .select("doc_id"), res), "live-gate", epoch)
+          val idx = LakeTable.load(locI)
+          idx.appendEpoch(LakeWriter.writeDataFiles(
+            bands.select("band", "h0", "h1").distinct()
+              .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+            "live-maint", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dups = s.read.format("laketable").load(locR)
+        .select("doc_id").distinct().withColumn("is_fuzzy_dup", lit(true))
+      localize(data.refresh().toDF(s).select("doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_fuzzy_dup"), lit(false)).as("is_fuzzy_dup"))
+        .orderBy("doc_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup vec_ids landed by each of the two d07_semdedup_stream
     * gate runs — the lastMinhashStreamRunDups pattern: exactly-once
     * evidence that a restarted gate processes ONLY the new wave. */
@@ -1104,6 +1179,7 @@ object StreamingQueries {
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
+    "d07_minhash_ordered" -> d07_minhash_ordered _,
     "d07_semdedup_stream" -> d07_semdedup_stream _,
     "c10_stream_tumbling" -> c10_stream_tumbling _,
     "c11_stream_sliding" -> c11_stream_sliding _,
@@ -1136,6 +1212,63 @@ object StreamingQueries {
     // completed stream (SURVEY §5.4 batch-equivalence)
     "d07_minhash_stream" ->
       graft.queries.LakeQueries.minhashIncrementalOracleSql,
+    // arrival-grained replay: the index grows MONOTONICALLY, so "dup iff
+    // any band matches any STRICTLY EARLIER arrival" is one self-join on
+    // (band, h0, h1) with ord < ord — no recursion; the oracle models the
+    // exact per-arrival order the file-capped stream processes
+    "d07_minhash_ordered" ->
+      """WITH src AS (
+        |  SELECT CAST(101 AS BIGINT) AS doc_id, 1 AS ord, text
+        |  FROM documents WHERE doc_id = 0
+        |  UNION ALL SELECT CAST(102 AS BIGINT), 2, text
+        |  FROM documents WHERE doc_id = 2
+        |  UNION ALL SELECT CAST(103 AS BIGINT), 3, text
+        |  FROM documents WHERE doc_id = 0
+        |  UNION ALL SELECT CAST(104 AS BIGINT), 4, text
+        |  FROM documents WHERE doc_id = 4
+        |  UNION ALL SELECT CAST(105 AS BIGINT), 5, text || ' zq zr zs'
+        |  FROM documents WHERE doc_id = 2
+        |  UNION ALL SELECT CAST(106 AS BIGINT), 6, text
+        |  FROM documents WHERE doc_id = 6
+        |  UNION ALL SELECT CAST(107 AS BIGINT), 7, text
+        |  FROM documents WHERE doc_id = 6
+        |  UNION ALL SELECT CAST(108 AS BIGINT), 8, text
+        |  FROM documents WHERE doc_id = 8),
+        |tk AS (
+        |  SELECT doc_id, ord, text, string_split(text, ' ') AS t FROM src),
+        |sh AS (
+        |  SELECT doc_id, ord,
+        |    CASE WHEN len(t) < 3 THEN
+        |      [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+        |    ELSE list_transform(range(1, len(t) - 1), i ->
+        |      CAST(concat('0x', substring(md5(
+        |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |        t[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT))
+        |    END AS shash
+        |  FROM tk),
+        |lanes AS (
+        |  SELECT doc_id, ord, bb.b AS lane,
+        |    MIN(CAST(concat('0x', substring(md5(
+        |      CAST(h AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM (SELECT doc_id, ord, unnest(shash) AS h FROM sh),
+        |       (SELECT unnest(range(0, 8)) AS b) bb
+        |  GROUP BY doc_id, ord, bb.b),
+        |sig AS (SELECT doc_id, ord, list(mh ORDER BY lane) AS sig
+        |        FROM lanes GROUP BY doc_id, ord),
+        |bands AS (
+        |  SELECT doc_id, ord, bb.b AS band,
+        |    sig[CAST(bb.b * 2 + 1 AS INT)] AS h0,
+        |    sig[CAST(bb.b * 2 + 2 AS INT)] AS h1
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+        |dup AS (
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN bands c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
+        |    AND c.ord < i.ord)
+        |SELECT s.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
+        |FROM (SELECT DISTINCT doc_id FROM src) s
+        |LEFT JOIN dup d ON d.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // the LIVE gate's band space GROWS between waves: side-1 arrivals
     // probe the side-0 (corpus) bands, side-2 arrivals probe side-0 ∪
     // side-1 — the oracle replays the wave-ordered spaces with the same
