@@ -143,12 +143,21 @@ object HierAssign {
   // bridge goes through the session function registry (the
   // CosineSimilarity route). The model itself can't ride a SQL literal —
   // it parks in this map under a UUID key that does; the builder resolves
-  // it at analysis. Entries are ~K·dim floats (tens of KB) and one is
-  // minted per gate/assignment CONSTRUCTION (not per row/micro-batch:
-  // streaming analyzes the plan once per run), so the map stays
-  // metadata-sized for a session's lifetime.
-  private val models =
-    new java.util.concurrent.ConcurrentHashMap[String, HierAssignModel]()
+  // it at analysis. One entry (~K·dim floats, tens of KB) is minted per
+  // gate/assignment CONSTRUCTION (not per row/micro-batch: streaming
+  // analyzes the plan once per run). Bounded as an access-ordered LRU so
+  // a long-lived service constructing thousands of gates can't grow it
+  // without limit: once the builder has resolved, the EXPRESSION holds
+  // the model — the map entry only needs to survive the window between
+  // Column creation and analysis, and re-analysis recreates the Column
+  // (a fresh key) in every engine path, so evicting cold entries is safe.
+  private val MaxModels = 64
+  private val models = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, HierAssignModel](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, HierAssignModel]): Boolean =
+        size() > MaxModels
+    })
 
   private val ident =
     org.apache.spark.sql.catalyst.FunctionIdentifier("hier_assign")
