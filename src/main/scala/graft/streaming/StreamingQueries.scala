@@ -1173,7 +1173,100 @@ object StreamingQueries {
     }
   }
 
+  // D7j — the SEMANTIC analog of d07_minhash_ordered: six vector batches
+  // commit individually, a file-capped AvailableNow run admits them as
+  // ordered micro-batches over a corpus-initialized cell index, and each
+  // batch cosine-gates against exactly the index its predecessors
+  // maintained — arrival k flags iff some SAME-CELL vector with
+  // cosine > 0.43 exists in the corpus or in any arrival j < k. The
+  // frozen centroids make the assignment arrival-INDEPENDENT, so the
+  // oracle is the hier-assignment CTE once plus a single ord-predicate
+  // self-join — the exact processing order, hash-verified. Plants:
+  // arrivals 3 and 5 are exact twins (+10000) of arrivals 1 and 4 —
+  // their cells enter the index only via in-run maintenance.
+  def d07_semdedup_ordered(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07sord-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07sord-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07sord-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val q = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale}D) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    def range(lo: Long, hi: Long) =
+      q.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def twins(lo: Long, hi: Long) = range(lo, hi)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    // ord 1..6: fresh, fresh, twins-of-1, fresh, twins-of-4, fresh
+    val arrivals = Seq(range(400, 410), range(410, 420), twins(400, 410),
+      range(420, 430), twins(420, 430), range(430, 440))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "cell BIGINT,vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("cell", 8L))
+    LakeTable.create(locR, "vec_id BIGINT", TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        q.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      index.setProperty(L.SemCentroidsProp, P.ivfModelToString(cents))
+      index.append(LakeWriter.writeDataFiles(
+        P.assignCellsHier(committed, cents)
+          .select(col("cell"), col("vec_id"), col("embedding")), index))
+      arrivals.foreach(a =>
+        data.append(LakeWriter.writeDataFiles(a, data)))
+      val sq = s.readStream.format("laketable")
+        .option("startSnapshotId", d1.toString)
+        .option("maxFilesPerTrigger", "1") // one arrival per micro-batch
+        .load(locD)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val idx = LakeTable.load(locI)
+          val cents2 =
+            P.ivfModelFromString(idx.tableMeta.properties(L.SemCentroidsProp))
+          val aInc = P.assignCellsHier(batch, cents2)
+          val com = s.read.format("laketable").load(locI)
+            .select(col("cell"), col("embedding").as("ce"))
+          val res = LakeTable.load(locR)
+          res.appendEpoch(LakeWriter.writeDataFiles(
+            aInc.join(com, "cell")
+              .filter(expr("cosine_sim(embedding, ce)") > 0.43)
+              .select("vec_id").distinct(), res), "live-gate", epoch)
+          idx.appendEpoch(LakeWriter.writeDataFiles(
+            aInc.select(col("cell"), col("vec_id"), col("embedding")), idx),
+            "live-maint", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dups = s.read.format("laketable").load(locR)
+        .select("vec_id").distinct().withColumn("is_dup", lit(true))
+      localize(s.read.format("laketable").load(locI)
+        .filter(col("vec_id") >= 400)
+        .select("vec_id", "cell")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_semdedup_ordered" -> d07_semdedup_ordered _,
     "d07_semdedup_live" -> d07_semdedup_live _,
     "d07_ann_serve_live" -> d07_ann_serve_live _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
@@ -1333,6 +1426,42 @@ object StreamingQueries {
     // replay oracles the completed stream (batch-equivalence)
     "d07_semdedup_stream" ->
       graft.queries.LakeQueries.semdedupIncrementalOracleSql,
+    // semantic arrival-ordered replay: frozen centroids make assignment
+    // arrival-independent, so the oracle is the hier-assignment CTE once
+    // plus one self-join with the ord predicate (corpus = ord 0)
+    "d07_semdedup_ordered" -> {
+      val P = graft.queries.PipelineQueries
+      val qSelect =
+        s"""SELECT vec_id, list_transform(embedding,
+           |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000, list_transform(embedding,
+           |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
+           |  FROM embeddings
+           |  WHERE (vec_id >= 400 AND vec_id < 410)
+           |     OR (vec_id >= 420 AND vec_id < 430)""".stripMargin
+      s"WITH ${P.semDedupHierAssignCteSqlFrom(qSelect)},\n" +
+        s"""a AS (
+           |  SELECT vec_id, v, cell,
+           |    CASE WHEN vec_id < 400 THEN 0
+           |      WHEN vec_id >= 400 AND vec_id < 410 THEN 1
+           |      WHEN vec_id >= 410 AND vec_id < 420 THEN 2
+           |      WHEN vec_id >= 10400 AND vec_id < 10410 THEN 3
+           |      WHEN vec_id >= 420 AND vec_id < 430 THEN 4
+           |      WHEN vec_id >= 10420 AND vec_id < 10430 THEN 5
+           |      ELSE 6 END AS ord
+           |  FROM fassign
+           |  WHERE vec_id < 440 OR (vec_id >= 10400 AND vec_id < 10430)),
+           |dups AS (
+           |  SELECT DISTINCT i.vec_id FROM a i JOIN a c
+           |  ON c.cell = i.cell AND c.ord < i.ord
+           |  WHERE i.ord >= 1 AND ${P.sdxCosSql("i.v", "c.v")} > 0.43)
+           |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
+           |FROM (SELECT vec_id, cell FROM a WHERE ord >= 1) i
+           |LEFT JOIN dups d ON d.vec_id = i.vec_id
+           |ORDER BY i.vec_id""".stripMargin
+    },
     // the LIVE semantic gate's cell population grows between waves:
     // wave-1 arrivals probe the corpus cells, wave-2 arrivals (incl. the
     // +10000 exact twins of wave-1 vectors) probe corpus ∪ wave-1 — the
