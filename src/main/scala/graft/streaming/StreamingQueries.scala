@@ -770,6 +770,92 @@ object StreamingQueries {
     }
   }
 
+  // D7k — the ANN analog of the arrival-ordered gates (d07_minhash_ordered
+  // / d07_semdedup_ordered): ANN arrivals SERVE rather than gate, so the
+  // per-arrival property is the answer from a GROWING index. Five
+  // 100-vector batches commit INDIVIDUALLY; one file-capped AvailableNow
+  // run (`maxFilesPerTrigger=1`) admits them as five ORDERED micro-batches,
+  // each of which (1) encodes its arrivals into the committed index
+  // (appendEpoch — exactly-once) under models parsed back from the index
+  // table's OWN properties, then (2) serves the fixed 20-probe top-5 from
+  // a FRESH load of the index — i.e. the state after arrival k. Frozen
+  // full-corpus seed models make encode arrival-independent, so the
+  // oracle computes assignment/codes ONCE and replays each arrival's
+  // serve as a candidate-prefix restriction (`oid < arr*100`) — the exact
+  // per-arrival semantics, hash-verified at every step of index growth
+  // (closing the round-9 "ANN arrival-ordered analog" seed; the recall-
+  // vs-brute-force floor per arrival is spec-asserted in StreamingSpec).
+  def d07_ann_ordered(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    // register BEFORE the stream starts: the micro-batch session is a
+    // CLONE taken at start — functions registered later don't reach it
+    graft.functions.CosineSimilarity.register(s)
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07aord-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07aord-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07aord-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    LakeTable.create(locR,
+      "arr BIGINT,qid BIGINT,rn INT,oid BIGINT,cos DOUBLE",
+      TruncateSpec("arr", 1L))
+    try {
+      // frozen models over the full corpus (arrival-independent encode),
+      // committed WITH the index — nothing the stream uses lives outside
+      // the tables
+      val ivf = e.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(e, iters = 0, seedMod = 17)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      // five arrivals, one commit each (one 100-wide bucket → one file,
+      // so the file-capped stream admits exactly one arrival per batch)
+      (0 until 5).foreach { k =>
+        data.append(LakeWriter.writeDataFiles(
+          e.filter(col("vec_id") >= k * 100 && col("vec_id") < (k + 1) * 100),
+          data))
+      }
+      val vectors = data.toDF(s) // float source for probes + exact refine
+      val q = s.readStream.format("laketable")
+        .option("startSnapshotId", "0")
+        .option("maxFilesPerTrigger", "1") // one arrival per micro-batch
+        .load(locD)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val idx = LakeTable.load(locI)
+          val ivf2 = P.ivfModelFromString(idx.tableMeta.properties(P.AnnIvfProp))
+          val pq2 = P.pqModelFromString(idx.tableMeta.properties(P.AnnPqProp))
+          idx.appendEpoch(LakeWriter.writeDataFiles(
+            P.ivfPqEncode(s, batch, ivf2, pq2), idx), "ann-maint", epoch)
+          // serve AFTER maintenance: the index as of arrival epoch+1
+          val grown = LakeTable.load(locI)
+          val res = LakeTable.load(locR)
+          res.appendEpoch(LakeWriter.writeDataFiles(
+            P.ivfPqServe(s, grown.toDF(s), vectors, ivf2, pq2)
+              .select(lit(epoch + 1).as("arr"), col("qid"), col("rn"),
+                col("oid"), col("cos")), res), "ann-serve", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      localize(s.read.format("laketable").load(locR)
+        .orderBy("arr", "qid", "rn"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
@@ -1269,6 +1355,7 @@ object StreamingQueries {
     "d07_semdedup_ordered" -> d07_semdedup_ordered _,
     "d07_semdedup_live" -> d07_semdedup_live _,
     "d07_ann_serve_live" -> d07_ann_serve_live _,
+    "d07_ann_ordered" -> d07_ann_ordered _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1300,6 +1387,10 @@ object StreamingQueries {
     // the serve-from-stream-maintained-codes composition too
     "d07_ann_serve_live" -> graft.queries.PipelineQueries
       .ivfPqExactOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
+    // per-arrival serve replay: frozen models → assignment/codes computed
+    // once, each arrival's serve = candidate prefix oid < arr*100
+    "d07_ann_ordered" -> graft.queries.PipelineQueries
+      .ivfPqOrderedOracleSql("vec_id % 17 = 0", arrivals = 5, width = 100),
     // the two waves union to the batch increment, and the gate reads the
     // same committed band space — the batch gate's replay oracles the
     // completed stream (SURVEY §5.4 batch-equivalence)

@@ -340,6 +340,45 @@ class StreamingSpec extends SparkSpec {
         s"${streamed.count(_._2._2)} — replay or loss across the restart")
   }
 
+  test("D7k ANN ordered serve: every arrival answers only from vectors " +
+      "arrived so far, at a recall floor vs per-prefix brute force") {
+    // the hash oracle pins exact equality with the prefix replay; this
+    // spec pins the two properties the entry EXISTS for — (1) causality:
+    // arrival k's answers never cite a vector that arrives later, and
+    // (2) per-arrival RECALL against exact brute force over the same
+    // prefix (the growing index must keep serving well mid-growth, not
+    // only at the final state)
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.CosineSimilarity.register(spark)
+    val served = StreamingQueries.d07_ann_ordered(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(served.map(_._1).toSet == (1L to 5L).toSet)
+    assert(served.forall { case (arr, _, oid) => oid < arr * 100 },
+      "an arrival cited a vector that had not arrived yet")
+    val e = graft.Tables.t(spark, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    (1 to 5).foreach { arr =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+      val exact = e.filter(col("vec_id") < arr * 100)
+        .select(col("vec_id").as("oid"), col("embedding").as("oe"))
+        .crossJoin(broadcast(probes))
+        .filter(col("qid") =!= col("oid"))
+        .withColumn("cos", expr("cosine_sim(qe, oe)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("qid", "oid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = served.filter(_._1 == arr).map(t => (t._2, t._3)).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      // measured ~0.9+ per arrival for the untrained 16-cell/nprobe-8
+      // IVF+PQ over ≤500 vectors; 0.7 = measured minus margin
+      assert(recall >= 0.7,
+        f"arrival $arr recall@5 $recall%.2f below floor 0.7")
+    }
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
