@@ -1446,10 +1446,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     */
   private[lake] def writePositionDeletes(spark: SparkSession,
       predicate: org.apache.spark.sql.Column): Seq[DeleteFileMeta] = {
-    import org.apache.spark.sql.functions.{col, lit, udf}
+    import org.apache.spark.sql.functions.{col, lit}
     val live = files()
     if (live.isEmpty) return Nil
-    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
     // (file, position) row identity from the table's own scan — V1/V2
     // parquet-source agnostic (see readWithDeletes) and mask-aware
     val matches = spark.read.format("laketable").load(location)
@@ -1458,6 +1457,20 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         col(dsv2.LakeMetaColumns.PosColumn).as("pos"))
     val matchCount = matches.count()
     if (matchCount == 0L) return Nil
+    writeDeleteParquets(spark, matches, matchCount)
+  }
+
+  /** Write a (file_path, pos) frame as range-binned position-delete
+    * parquets under the table's delete dir and harvest their metadata —
+    * the physical half shared by [[writePositionDeletes]] (fresh DELETEs)
+    * and [[rewritePositionDeletes]] (compaction of existing ones).
+    * Nothing is committed.
+    */
+  private[lake] def writeDeleteParquets(spark: SparkSession,
+      matches: org.apache.spark.sql.DataFrame,
+      matchCount: Long): Seq[DeleteFileMeta] = {
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    val toPlain = udf((s: String) => new Path(s).toUri.getPath)
     // ~4M positions (~tens of MB) per delete file
     val nFiles = math.max(1, math.min(64, (matchCount / 4000000L).toInt + 1))
     val tmp = new Path(location, s"_tmp-del-${UUID.randomUUID()}")
@@ -1565,6 +1578,82 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
         cur :+ writeDeleteManifest(written)))
     }
+
+  /** Compact the table's POSITION-delete files (the Iceberg
+    * `rewrite_position_deletes` maintenance op). A merge-on-read table
+    * accretes one (or more) pos-delete parquet per DELETE/MERGE commit;
+    * every scan of an affected data file then pays a parquet open per
+    * delete file — at a streaming-upsert table the delete inventory, not
+    * the data, becomes the scan bottleneck. This op reads the live
+    * pos-delete rows once, DROPS entries whose target data file is no
+    * longer live (dangling marks left behind when a compaction rewrote
+    * PART of a delete file's range — [[carryDeleteManifests]] only prunes
+    * whole files whose ENTIRE range died) and duplicate (path, pos) marks
+    * (two DELETEs matching the same row), and rewrites the survivors as
+    * range-binned files (~4M positions each). One metadata-only commit
+    * swaps the entries; data files are untouched, so the snapshot is a
+    * physical no-op to incremental readers and the changelog (operation
+    * "rewrite-deletes", excluded like "compact").
+    *
+    * EQUALITY deletes carry forward unchanged: they are sequence-
+    * addressed (apply to files with seq < theirs), so merging two eq
+    * files with different seqs would change which data files they retire.
+    *
+    * Concurrency: pos-delete files appended after the scan are carried
+    * forward untouched; if a concurrent rewrite already replaced one of
+    * this op's inputs, the commit aborts (re-run). The rewritten entries
+    * re-validate against the live file set per attempt via
+    * [[danglingDeleteRefs]] — a data compaction landing mid-rewrite
+    * aborts rather than committing entries that dangle from birth.
+    *
+    * Returns the new snapshot id, or -1 when there is nothing to gain
+    * (≤1 live pos-delete file and no dangling/duplicate rows).
+    */
+  def rewritePositionDeletes(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.col
+    refresh()
+    val scanSnapshot = meta.currentSnapshotId
+    val all = deleteFilesMeta()
+    val pos = all.filter(_.kind == DeleteFileMeta.KindPos)
+    if (pos.isEmpty) return -1L
+    val origRows = pos.map(_.rowCount).sum
+    // live-path filter stays DISTRIBUTED (filesDF parses manifests
+    // executor-side): at 10⁶ data files the reference set must never be
+    // a driver-built Set shipped into a join
+    val liveDf = filesDF(spark, scanSnapshot).select("path")
+    val rows = spark.read.parquet(pos.map(_.path): _*)
+      .select("file_path", "pos").distinct()
+      .join(liveDf, col("file_path") === col("path"), "left_semi")
+    val keptRows = rows.count()
+    // nothing to gain: already a single file carrying no dangling or
+    // duplicate marks (the common steady state right after a previous
+    // rewrite) — don't mint a no-op snapshot
+    if (pos.size <= 1 && keptRows == origRows) return -1L
+    val rewritten =
+      if (keptRows == 0L) Nil
+      else writeDeleteParquets(spark, rows, keptRows)
+    val replaced = pos.map(_.path).toSet
+    retryCommitDeletes("rewrite-deletes") { () =>
+      val curEntries = deleteFilesMeta()
+      val gone = replaced -- curEntries.map(_.path).toSet
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite-deletes aborted: ${gone.size} input delete file(s) " +
+            s"already replaced by a concurrent rewrite (first: ${gone.head})")
+      val dangling = danglingDeleteRefs(rewritten,
+        files().map(_.path).toSet, Some(scanSnapshot))
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite-deletes invalidated by concurrent data rewrite: " +
+            s"${dangling.size} referenced data file(s) no longer live " +
+            s"(first: ${dangling.head})")
+      // eq entries + any pos files appended since the scan carry forward
+      val kept = curEntries.filterNot(d => replaced.contains(d.path))
+      val next = kept ++ rewritten
+      Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        if (next.isEmpty) Nil else Seq(writeDeleteManifest(next))))
+    }
+  }
 
   /** Delta commit (merge-on-read MERGE/UPDATE via SupportsDelta): append
     * executor-written data files (the inserted/updated row versions) AND
@@ -1711,10 +1800,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .filter(id => id > fromId && id <= toId).sorted
     val parts: Seq[DataFrame] = ids.flatMap { id =>
       val s = meta.snapshot(id).get
-      // compaction/expiry are physical no-ops; "stage" snapshots are off
-      // the main lineage — their rows surface at publish
+      // compaction/expiry/delete-rewrite are physical no-ops; "stage"
+      // snapshots are off the main lineage — their rows surface at publish
       if (s.operation == "compact" || s.operation == "expire" ||
-          s.operation == "stage") Nil
+          s.operation == "stage" || s.operation == "rewrite-deletes") Nil
       else {
         val parent = meta.snapshot(s.parentId)
         val pFiles = parent.map(_.manifests.flatMap(readManifest))
@@ -2010,14 +2099,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       }
     }
     if (id >= 0) {
-      // physical GC in parallel: the deletes are independent, and serial
-      // per-file round-trips dominate expiry wall time once thousands of
-      // pre-merge manifests retire at once (measured ~2 s of the 10⁶-file
-      // probe locally; on an object store each round-trip is ~10-100×
-      // worse). Hadoop FileSystem instances are thread-safe for deletes.
+      // physical GC through the pluggable batch-delete seam
+      // ([[BulkDelete]]): default = parallel per-file (serial round-trips
+      // dominated expiry wall once thousands of pre-merge manifests
+      // retired at once — ~2 s of the 10⁶-file probe locally, 10-100×
+      // worse per call on an object store); stores with a native batch
+      // primitive (S3 DeleteObjects) register theirs per scheme
+      val bulk = BulkDelete.forFs(fs)
       def deleteAll(paths: Iterable[Path]): Unit =
-        java.util.Arrays.stream(paths.toArray).parallel()
-          .forEach(p => fs.delete(p, false))
+        if (paths.nonEmpty) bulk.deleteAll(fs, paths.toSeq)
       deleteAll(orphanFiles.map(new Path(_)))
       deleteAll(orphanManifests.map(new Path(metaDir, _)))
       deleteAll(orphanDeleteFiles.map(new Path(_)))
@@ -2112,24 +2202,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val entries = roots.flatMap(r => fs.listStatus(r).toSeq)
     val (dirs, rootFiles) = entries.partition(_.isDirectory)
     import spark.implicits._
+    // each candidate carries BOTH forms: the scheme-less `path` joins
+    // against the (scheme-less) reference set; the QUALIFIED `full` is
+    // what deletion resolves its FileSystem from — deleting through the
+    // plain form would resolve the DEFAULT fs, i.e. on an object-store
+    // table it would target a same-named local path instead of the store
     val fromRoot = rootFiles.map(st =>
-      (plain(st.getPath.toString), st.getModificationTime))
+      (plain(st.getPath.toString), st.getPath.toString,
+        st.getModificationTime))
     val listed = spark.createDataset(dirs.map(_.getPath.toString))
       .repartition(math.max(1, math.min(dirs.size, 64)))
       .flatMap { d =>
         val p = new Path(d)
         val f = p.getFileSystem(LakeTable.hadoopConf)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         val it = f.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
           out += ((new Path(st.getPath.toString).toUri.getPath,
-            st.getModificationTime))
+            st.getPath.toString, st.getModificationTime))
         }
         out
       }
       .union(spark.createDataset(fromRoot))
-      .toDF("path", "mtime")
+      .toDF("path", "full", "mtime")
     val knownDf = (if (dataManifests.isEmpty)
         spark.emptyDataset[String]
       else spark.createDataset(dataManifests)
@@ -2152,16 +2248,25 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val perTask = listed
       .filter(col("mtime") < olderThanMs)
       .join(knownDf, Seq("path"), "left_anti")
-      .select("path").as[String]
-      .filter(_.startsWith(locPrefix)) // defense in depth
+      .select("path", "full").as[(String, String)]
+      .filter(_._1.startsWith(locPrefix)) // defense in depth
       .mapPartitions { it =>
+        // deletion stays where the listing ran, but batches through the
+        // BulkDelete seam (one call per task's haul) instead of a
+        // round-trip per orphan — a store-native batch impl registered
+        // in this (executor) JVM turns a task's thousands of deletes
+        // into a handful of requests; the default is the parallel loop
         var n = 0L
         val sample = scala.collection.mutable.ArrayBuffer.empty[String]
-        it.foreach { s =>
-          val p = new Path(s)
-          p.getFileSystem(LakeTable.hadoopConf).delete(p, false)
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Path]
+        it.foreach { case (plainPath, fullPath) =>
+          batch += new Path(fullPath)
           n += 1
-          if (sample.size < cap) sample += s
+          if (sample.size < cap) sample += plainPath
+        }
+        if (batch.nonEmpty) {
+          val f = batch.head.getFileSystem(LakeTable.hadoopConf)
+          BulkDelete.forFs(f).deleteAll(f, batch.toSeq)
         }
         Iterator.single((n, sample.toSeq))
       }

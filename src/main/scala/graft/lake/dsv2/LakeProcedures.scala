@@ -31,7 +31,8 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "publish_branch", "drop_branch", "remove_orphan_files",
-    "set_partition_width", "rewrite_manifests", "add_files")
+    "set_partition_width", "rewrite_manifests", "add_files",
+    "rewrite_position_deletes")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -157,6 +158,12 @@ object LakeProcedures {
         param("table", StringType),
         param("source_dir", StringType))) { in =>
         table(in).addFiles(in.getUTF8String(1).toString)
+      })
+      // compact position-delete files: union live pos rows, drop dangling
+      // and duplicate marks, rewrite range-binned; eq deletes untouched
+      case "rewrite_position_deletes" => Some(bound(procName, Array(
+        param("table", StringType))) { in =>
+        table(in).rewritePositionDeletes(SparkSession.active)
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),

@@ -1405,9 +1405,46 @@ object LakeQueries {
     out
   }
 
+  // B66 — position-delete COMPACTION (`CALL rewrite_position_deletes`,
+  // the Iceberg maintenance op): three MoR DELETE commits fragment the
+  // table's delete inventory into ≥3 pos-delete files (one parquet open
+  // per affected scan each); the rewrite unions them into ONE range-
+  // binned file in a metadata-only commit. The entry asserts the
+  // $deletes collapse engine-side (≥3 → 1) and hashes the post-rewrite
+  // read — any position lost or invented by the rewrite resurrects or
+  // swallows a row the oracle's replay of the three predicates catches.
+  def b66_rewrite_deletes(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"rd${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |TBLPROPERTIES ('${LakeFormat.PropDeleteMode}'='${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 2000")
+    s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 3")
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice < 50000 AND o_orderkey % 5 = 1")
+    def posFiles(): Long = s.sql(
+      s"SELECT count(*) FROM $cat.ns.`$name$$deletes` WHERE kind = 'pos'")
+      .head().getLong(0)
+    val before = posFiles()
+    require(before >= 3, s"expected >=3 fragmented pos-delete files, got $before")
+    s.sql(s"CALL $cat.system.rewrite_position_deletes(`table` => 'ns.$name')")
+    val after = posFiles()
+    require(after == 1, s"rewrite must collapse pos-delete files to 1, got $after")
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b64_rollback" -> b64_rollback _,
     "b65_orc_roundtrip" -> b65_orc_roundtrip _,
+    "b66_rewrite_deletes" -> b66_rewrite_deletes _,
     "b59_snapshots_meta" -> b59_snapshots_meta _,
     "b60_manifests_meta" -> b60_manifests_meta _,
     "b61_files_meta" -> b61_files_meta _,
@@ -1530,6 +1567,16 @@ object LakeQueries {
         | CAST(CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
         | CAST(CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // survivors of the three scripted MoR DELETEs, replayed as negated
+    // predicates — a position lost in the rewrite resurrects a row, a
+    // position invented (or mis-binned) swallows one; either flips rows
+    "b66_rewrite_deletes" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey < 2000
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |  AND NOT (o_orderkey % 11 = 3)
+        |  AND NOT (o_totalprice < 50000 AND o_orderkey % 5 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
     // b02/b03/b04b run on scratch LakeTables whose content is fully
     // declared in the query (sequential snapshot ids, seeded batches), so
     // their oracles reconstruct the expected outputs from the same

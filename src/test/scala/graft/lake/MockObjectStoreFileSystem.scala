@@ -2,7 +2,7 @@ package graft.lake
 
 import java.net.URI
 
-import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
 
 /** An object-store-shaped FileSystem for [[CommitCasSpec]]: data lives on
   * the local disk, but `rename` has S3-style semantics — a client-side
@@ -27,4 +27,21 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem {
     if (exists(dst)) delete(dst, false)
     super.rename(src, dst)
   }
+
+  // RawLocalFileSystem's statuses load permissions LAZILY via
+  // `new java.io.File(uri)` — which rejects the mocks3 scheme, so any
+  // recursive listing (FileSystem.listFiles → LocatedFileStatus →
+  // getPermission) blows up. Object stores have no POSIX permissions
+  // anyway: return plain statuses with defaults pre-loaded.
+  private def plainStatus(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault,
+      "", "", st.getPath)
+
+  override def getFileStatus(f: Path): FileStatus =
+    plainStatus(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(plainStatus)
 }
