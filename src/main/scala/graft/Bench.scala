@@ -545,23 +545,35 @@ object Bench {
       * shape `$files`/orphan-GC/compaction planning use. Env-gated like
       * the commit curve; reported under its own `plan_scale` key in ms.
       */
-    /** SPARK_GRAFT_INDEX_COMPACT=1: the committed-index fragmentation
+    /** SPARK_GRAFT_INDEX_COMPACT=m: the committed-index fragmentation
       * debt a live gate accretes — every maintenance commit appends one
       * small file per touched bucket — and the targeted-compaction
-      * payoff. Builds a band index (one corpus commit + 25
+      * payoff, against an m×-replicated corpus (m=1: the plain sf
+      * corpus). Builds a band index (one corpus commit + 25
       * arrival-cadence maintenance commits), times the gate semi-join
-      * against the FRAGMENTED index, bin-pack compacts, re-times the
-      * gate, and asserts the verdict count is unchanged (compaction is
-      * a rewrite, never a semantic change). Reported under its own
-      * `index_compact` key; never joins the totals.
+      * against the FRAGMENTED index, prices a PARTITION-SCOPED compact
+      * first (one quarter of the band space — the hot-bucket maintenance
+      * an operator actually runs at 100 TB, bounding both the rewrite
+      * and the conflict window), then the full bin-pack compact,
+      * re-times the gate, and asserts the verdict count is unchanged
+      * (compaction is a rewrite, never a semantic change). Reported
+      * under its own `index_compact` key; never joins the totals.
       */
-    def runIndexCompact(): Seq[(String, Double)] = {
+    def runIndexCompact(mult: Int): Seq[(String, Double)] = {
       import graft.lake._
       import org.apache.spark.sql.functions._
       val P = graft.queries.PipelineQueries
       val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-idxc-${java.util.UUID.randomUUID()}"
-      val docs = graft.Tables.t(spark, sfDir, "documents")
+      val docs0 = graft.Tables.t(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
+      val maxDoc = docs0.agg(max("doc_id")).head().getLong(0) + 1
+      // m× corpus under shifted ids; copies append a per-copy token so
+      // the near-dup cluster shape grows with m (the heavy-scale recipe)
+      val docs = (0 until mult).map { i =>
+        val d = docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" cp$i")))
+      }.reduce(_ union _)
       val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val odds = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       val index = LakeTable.create(loc, "band INT,h0 BIGINT,h1 BIGINT",
@@ -588,6 +600,14 @@ object Bench {
       }
       gateOnce() // warmup
       val (gFrag, nFrag) = gateOnce()
+      // PARTITION-SCOPED first: compact one quarter of the band space
+      // (h0-bucket range [0, 4·2^56)) — the targeted hot-bucket sweep;
+      // its cost must track the targeted slice, not the table
+      val tP = System.nanoTime()
+      index.compactFiles(spark, minInputFiles = 2,
+        partitionMin = Some(0L), partitionMax = Some(4L * (1L << 56) - 1))
+      val compactPartS = (System.nanoTime() - tP) / 1e9
+      val filesAfterPart = index.refresh().files().size
       val t0 = System.nanoTime()
       index.compactFiles(spark, minInputFiles = 2)
       val compactS = (System.nanoTime() - t0) / 1e9
@@ -596,10 +616,12 @@ object Bench {
       assert(nFrag == nComp, s"compaction changed gate verdicts: $nFrag != $nComp")
       assert(filesAfter < filesBefore, "compaction did not reduce index file count")
       LakeTable.drop(loc)
-      Seq("files_before" -> filesBefore.toDouble,
+      Seq("corpus_mult" -> mult.toDouble,
+        "files_before" -> filesBefore.toDouble,
+        "files_after_part" -> filesAfterPart.toDouble,
         "files_after" -> filesAfter.toDouble,
         "gate_frag_s" -> gFrag, "gate_compact_s" -> gComp,
-        "compact_s" -> compactS)
+        "compact_part_s" -> compactPartS, "compact_s" -> compactS)
     }
 
     def runPlanScale(nFiles: Int): Seq[(String, Double)] = {
@@ -713,10 +735,12 @@ object Bench {
     val planScale = sys.env.get("SPARK_GRAFT_PLAN_SCALE")
       .flatMap(_.trim.toIntOption).filter(_ > 0)
       .map(runPlanScale).getOrElse(Nil)
-    val indexCompact =
-      if (sys.env.get("SPARK_GRAFT_INDEX_COMPACT").contains("1"))
-        runIndexCompact()
-      else Nil
+    // value = corpus multiplier (1 = plain sf corpus; m>1 replicates the
+    // documents m× first, the runHeavyScale recipe — prices the same
+    // fragmentation/compaction cycle against a 10× band space)
+    val indexCompact = sys.env.get("SPARK_GRAFT_INDEX_COMPACT")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1)
+      .map(runIndexCompact).getOrElse(Nil)
     val results = envelope ++ heavy
     // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
     // are run variance on this harness, so 2dp loses nothing real, and
