@@ -57,10 +57,12 @@ object BulkDelete {
   def unregister(scheme: String): Unit = registry.remove(scheme)
 
   /** Resolve for a filesystem: registered impl for its scheme, else the
-    * parallel per-file default.
+    * parallel per-file default. Scheme via getUri — FileSystem.getScheme's
+    * BASE implementation throws UnsupportedOperationException, so custom
+    * connectors that never overrode it would crash the sweeps here.
     */
   def forFs(fs: FileSystem): BulkDelete = {
-    val registered = registry.get(fs.getScheme)
+    val registered = registry.get(fs.getUri.getScheme)
     if (registered != null) registered else Parallel
   }
 }

@@ -251,6 +251,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       fm.grouped(cap).map(g => writeManifest(g)).toSeq
     }
 
+  /** Delete-file METADATA records scheme-less paths (the stable
+    * comparison form, [[writeDeleteParquets]]); qualify through the
+    * table's OWN FileSystem before handing one to a reader — the bare
+    * form resolves fs.defaultFS, i.e. the wrong store when the table
+    * lives on an object store and the cluster default is HDFS/local.
+    * Idempotent on already-qualified paths.
+    */
+  private[lake] def qualifiedDeletePath(p: String): String =
+    fs.makeQualified(new Path(p)).toString
+
   private def writeDeleteManifest(fm: Seq[DeleteFileMeta]): String = {
     ensureManifestDir()
     val name = s"${LakeFormat.ManifestsSubdir}/delete-manifest-${UUID.randomUUID()}.json"
@@ -1305,7 +1315,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     val dels = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
     val delCounts: Option[DataFrame] =
       if (dels.isEmpty) None
-      else Some(spark.read.parquet(dels.map(_.path): _*)
+      else Some(spark.read.parquet(dels.map(d => qualifiedDeletePath(d.path)): _*)
         .groupBy(col("file_path").as("path")).agg(count(lit(1)).as("dels")))
     // Classification stays a DATAFLOW end-to-end: files-meta (manifests
     // parsed executor-side via filesDF) ⋈ matched counts ⋈ pending-delete
@@ -1621,17 +1631,23 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     // executor-side): at 10⁶ data files the reference set must never be
     // a driver-built Set shipped into a join
     val liveDf = filesDF(spark, scanSnapshot).select("path")
-    val rows = spark.read.parquet(pos.map(_.path): _*)
+    val rows = spark.read
+      .parquet(pos.map(d => qualifiedDeletePath(d.path)): _*)
       .select("file_path", "pos").distinct()
       .join(liveDf, col("file_path") === col("path"), "left_semi")
-    val keptRows = rows.count()
-    // nothing to gain: already a single file carrying no dangling or
-    // duplicate marks (the common steady state right after a previous
-    // rewrite) — don't mint a no-op snapshot
-    if (pos.size <= 1 && keptRows == origRows) return -1L
-    val rewritten =
-      if (keptRows == 0L) Nil
-      else writeDeleteParquets(spark, rows, keptRows)
+      // the count below and writeDeleteParquets' repartition+write both
+      // materialize this plan (union read of every live pos parquet + a
+      // distinct shuffle + the manifest semi-join) — cache it across the
+      // two passes rather than paying the dominant I/O twice
+      .persist()
+    val rewritten = try {
+      val n = rows.count()
+      // nothing to gain: already a single file carrying no dangling or
+      // duplicate marks (the common steady state right after a previous
+      // rewrite) — don't mint a no-op snapshot
+      if (pos.size <= 1 && n == origRows) return -1L
+      if (n == 0L) Nil else writeDeleteParquets(spark, rows, n)
+    } finally rows.unpersist()
     val replaced = pos.map(_.path).toSet
     retryCommitDeletes("rewrite-deletes") { () =>
       val curEntries = deleteFilesMeta()
@@ -1847,7 +1863,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
                 val base = readWithDeletes(spark, outSchema, referenced,
                   snapshotId = s.parentId, keepPathCol = Some("__cdc_fp"),
                   keepPosCol = Some("__cdc_pos"), requestDef = Some(outDef))
-                val delDF0 = spark.read.parquet(newPos.map(_.path): _*)
+                val delDF0 = spark.read
+                  .parquet(newPos.map(d => qualifiedDeletePath(d.path)): _*)
                   .select(toPlain(col("file_path")).as("__del_fp"),
                     col("pos").as("__del_pos"))
                 val delDF = if (newPos.map(_.rowCount).sum < 4000000L)
@@ -1867,7 +1884,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
               else {
                 val base = readWithDeletes(spark, outSchema, affected,
                   snapshotId = s.parentId, requestDef = Some(outDef))
-                val keys0 = spark.read.parquet(dels.map(_.path): _*).distinct()
+                val keys0 = spark.read
+                  .parquet(dels.map(d => qualifiedDeletePath(d.path)): _*)
+                  .distinct()
                 val keys = if (dels.map(_.rowCount).sum < 4000000L)
                   broadcast(keys0) else keys0
                 Seq(withMeta(base.join(keys,

@@ -616,7 +616,10 @@ final class LakeBatchScan(location: String, table: LakeTable,
     val deletesFor: DataFileMeta => Seq[DeleteSliceRef] =
       if (dels.isEmpty) _ => Nil
       else f => table.deletesFor(dels, f)
-        .map(d => DeleteSliceRef(d.path, d.sizeBytes, d.eqColumns))
+        // qualified through the table's fs: the metadata's scheme-less
+        // form would make the reader's FileSplit resolve the DEFAULT fs
+        .map(d => DeleteSliceRef(table.qualifiedDeletePath(d.path),
+          d.sizeBytes, d.eqColumns))
     LakePartitionPacker.pack(files, deletesFor)
   }
 
