@@ -692,6 +692,55 @@ object Bench {
         "n_files" -> nFiles.toDouble)
     }
 
+    /** SPARK_GRAFT_DELETE_COMPACT=1: the merge-on-read read-amplification
+      * debt and the `rewrite_position_deletes` payoff. 25 small DELETE
+      * commits fragment a lineitem-backed MoR table's delete inventory
+      * (one pos-delete parquet each — the streaming-upsert cadence);
+      * the probe times a full scan against the FRAGMENTED masks, runs
+      * the rewrite, re-times the scan, and asserts the visible row count
+      * is unchanged. Reported under its own `delete_compact` key.
+      */
+    def runDeleteCompact(): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-delc-${java.util.UUID.randomUUID()}"
+      LakeTable.drop(loc)
+      val t = LakeTable.create(loc,
+        "l_orderkey BIGINT,l_linenumber BIGINT,l_quantity DOUBLE",
+        TruncateSpec("l_orderkey", 400L),
+        Map(LakeFormat.PropDeleteMode -> LakeFormat.DeleteModeMergeOnRead))
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"))
+      t.append(LakeWriter.writeDataFiles(li, t))
+      // 25 arrival-cadence DELETE commits, each masking a thin slice —
+      // every one lands its own pos-delete parquet
+      for (i <- 0 until 25)
+        t.deleteWhere(spark, col("l_orderkey") % 100 === i &&
+          col("l_linenumber") === (i % 7) + 1)
+      val delBefore = t.refresh().deleteFilesMeta().size
+      def scanOnce(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = spark.read.format("laketable").load(loc)
+          .agg(count(lit(1)), sum("l_quantity")).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      scanOnce() // warmup
+      val (sFrag, nFrag) = scanOnce()
+      val t0 = System.nanoTime()
+      assert(t.rewritePositionDeletes(spark) > 0)
+      val rewriteS = (System.nanoTime() - t0) / 1e9
+      val delAfter = t.refresh().deleteFilesMeta().size
+      val (sComp, nComp) = scanOnce()
+      assert(nFrag == nComp, s"rewrite changed visible rows: $nFrag != $nComp")
+      assert(delAfter < delBefore)
+      LakeTable.drop(loc)
+      Seq("del_files_before" -> delBefore.toDouble,
+        "del_files_after" -> delAfter.toDouble,
+        "scan_frag_s" -> sFrag, "scan_compact_s" -> sComp,
+        "rewrite_s" -> rewriteS)
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> restricts the run —
     // an iteration aid (e.g. =lake_scan while tuning the DSv2 reader); the
     // driver's full run leaves it unset.
@@ -741,6 +790,10 @@ object Bench {
     val indexCompact = sys.env.get("SPARK_GRAFT_INDEX_COMPACT")
       .flatMap(_.trim.toIntOption).filter(_ >= 1)
       .map(runIndexCompact).getOrElse(Nil)
+    val deleteCompact =
+      if (sys.env.get("SPARK_GRAFT_DELETE_COMPACT").contains("1"))
+        runDeleteCompact()
+      else Nil
     val results = envelope ++ heavy
     // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
     // are run variance on this harness, so 2dp loses nothing real, and
@@ -823,6 +876,7 @@ object Bench {
         optObj("commit_curve", commitCurve) +
         optObj("plan_scale", planScale) +
         optObj("index_compact", indexCompact) +
+        optObj("delete_compact", deleteCompact) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""
     }

@@ -1,0 +1,103 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property fuzz for [[LakeTable.rewritePositionDeletes]] against REAL
+  * parquets (the ConcurrencyPropertySpec alphabet runs metadata-only fake
+  * files, which the rewrite — a physical read of the delete parquets —
+  * cannot join): random schedules of append / MoR delete / compaction /
+  * delete-rewrite on a merge-on-read table, with a row-level model
+  * checked after every op and exactly at the end. The invariants the
+  * rewrite must never break, under any interleaving:
+  *  - read content == model (no row resurrects, none is swallowed);
+  *  - the live pos-delete mark count never exceeds the marks a fresh
+  *    scan would need (rewrite only ever drops dangling/dup marks);
+  *  - a rewrite directly after a rewrite is a no-op (-1).
+  */
+class DeleteRewritePropertySpec extends SparkSpec {
+
+  private val Width = 300000000L
+  private def bucket(i: Int): Long = (7900000L + i) * Width
+
+  private def newTable(): LakeTable = {
+    val loc = tmpDir("del-rewrite-fuzz")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec,
+      Map(LakeFormat.PropDeleteMode -> LakeFormat.DeleteModeMergeOnRead))
+  }
+
+  private def runSchedule(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = newTable()
+    import spark.implicits._
+    var nextId = 0L
+    // model: live row id -> its bucket
+    val live = scala.collection.mutable.Map.empty[Long, Long]
+    var lastOpWasRewrite = false
+
+    def append(): Unit = {
+      val n = 20 + rnd.nextInt(60)
+      val b = bucket(rnd.nextInt(3))
+      val ids = (nextId until nextId + n)
+      nextId += n
+      val df = ids.toDF("message_id").select(
+        col("message_id"), lit(s"s$seed").as("data"),
+        timestamp_micros(lit(b) + col("message_id")).as("timestamp"),
+        lit(b).as("timeperiod_loadedBy"),
+        lit("x").cast("binary").as("message_body"))
+      t.append(LakeWriter.writeDataFiles(df, t, 1 + rnd.nextInt(2)))
+      ids.foreach(i => live(i) = b)
+    }
+    def del(): Unit = {
+      val k = 2 + rnd.nextInt(4)
+      val r = rnd.nextInt(k)
+      val scoped = rnd.nextBoolean()
+      val b = bucket(rnd.nextInt(3))
+      val pred =
+        if (scoped) col("message_id") % k === r &&
+          col("timeperiod_loadedBy") === b
+        else col("message_id") % k === r
+      t.deleteWhere(spark, pred)
+      live.filterInPlace((id, bk) =>
+        !(id % k == r && (!scoped || bk == b)))
+    }
+    def compact(): Unit =
+      t.compactFiles(spark, minInputFiles = 1 + rnd.nextInt(2))
+    def rewrite(): Unit = {
+      val posBefore = t.deleteFilesMeta().count(_.kind == DeleteFileMeta.KindPos)
+      val sid = t.rewritePositionDeletes(spark)
+      val pos = t.deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
+      if (lastOpWasRewrite)
+        assert(sid == -1L, "rewrite directly after rewrite must be a no-op")
+      if (sid >= 0) assert(pos.size <= math.max(1, posBefore))
+      // after a rewrite every surviving mark references a LIVE file and
+      // is unique — the mark count is exactly the masked-row count
+      if (sid >= 0) {
+        val masked = nextId - live.size // rows ever appended minus live
+        assert(pos.map(_.rowCount).sum <= masked,
+          s"rewrite kept more marks than masked rows ($masked)")
+      }
+    }
+
+    append() // schedules start non-empty
+    (0 until 8).foreach { _ =>
+      val op = rnd.nextInt(10)
+      if (op < 3) { append(); lastOpWasRewrite = false }
+      else if (op < 6) { del(); lastOpWasRewrite = false }
+      else if (op < 8) { compact(); lastOpWasRewrite = false }
+      else { rewrite(); lastOpWasRewrite = true }
+      assert(t.toDF(spark).count() == live.size.toLong,
+        s"count diverged from model (seed $seed)")
+    }
+    // exact content at schedule end
+    val got = t.toDF(spark).select("message_id", "timeperiod_loadedBy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == live.toSet, s"content diverged from model (seed $seed)")
+    LakeTable.drop(t.location)
+  }
+
+  test("random append/delete/compact/rewrite schedules preserve the model") {
+    (1L to 10L).foreach(runSchedule)
+  }
+}
