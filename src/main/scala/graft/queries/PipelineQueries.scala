@@ -1281,6 +1281,58 @@ object PipelineQueries {
       .orderBy("lang", "cum_tok", "doc_id")
   }
 
+  // D4k — PACKED-STREAM SEQUENCE PACKING (the GPT-style trainer-prep op
+  // d04_budget_pack doesn't cover): concatenate the corpus in doc_id
+  // order into one token stream and cut it every `cap` tokens. A document
+  // spans every sequence its token interval overlaps, emitting one
+  // (doc_id, seq_id, tok_start, tok_len, off_in_seq) row per overlap —
+  // the index a packed-pretraining loader consumes (documents cross
+  // sequence boundaries; the loader's attention mask cuts at offsets).
+  // The global running sum is the budget-pack two-phase shape keyed by
+  // doc_id-range slices: per-slice window cumsum + a broadcast of
+  // per-slice offsets (≤ `slices` rows ever sit in one window task), and
+  // the per-document window fan-out is a pure sequence() explode — so the
+  // whole op is two tiny exchanges over (doc_id, n_tok) rows, never a
+  // single-task global window over the corpus. Integer math end to end →
+  // hash-oracled. Any cut set is correct (slices only bound per-task
+  // sort size), so the sampled quantiles never affect the output.
+  def d04_seq_pack(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512L
+    val slices = 32
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val cuts = d.select(col("doc_id").cast("double").as("score"))
+      .stat.approxQuantile("score",
+        (1 until slices).map(_.toDouble / slices).toArray, 0.01)
+      .toSeq.distinct.sorted // ascending = stream order
+    val wLocal = Window.partitionBy("slice").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("slice",
+        if (cuts.isEmpty) lit(0)
+        else size(filter(array(cuts.map(lit): _*),
+          c => c <= col("doc_id").cast("double"))))
+      .withColumn("local_cum", sum("n_tok").over(wLocal))
+    // ≤ `slices` rows: the one intentionally-unpartitioned window
+    val wOff = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("slice").agg(sum("n_tok").as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select("slice", "off")
+    local.join(broadcast(offsets), Seq("slice"))
+      .withColumn("end_tok", col("local_cum") + col("off"))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $cap"), expr(s"(end_tok - 1) div $cap"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * cap - col("start_tok"), lit(0L))
+          .as("tok_start"),
+        (least(col("end_tok"), (col("seq_id") + 1) * cap) -
+          greatest(col("start_tok"), col("seq_id") * cap)).as("tok_len"),
+        greatest(col("start_tok") - col("seq_id") * cap, lit(0L))
+          .as("off_in_seq"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   // D6 — the END-TO-END training-data pipeline: the cleaning passes
   // composed as ONE dataflow, the shape a real 100 TB curation run takes —
   //   1. Gopher-style quality gate        (map-side; d04_gopher_rules)
@@ -2145,6 +2197,7 @@ object PipelineQueries {
     "d04_lang_model" -> d04_lang_model _,
     "d04_curation" -> d04_curation _,
     "d04_budget_pack" -> d04_budget_pack _,
+    "d04_seq_pack" -> d04_seq_pack _,
     "d04_pii" -> d04_pii _,
     "d04_clean" -> d04_clean _,
     "d04_mixture" -> d04_mixture _,
@@ -2886,6 +2939,31 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT lang, doc_id, n_tok, cum_tok FROM packed
         |WHERE cum_tok <= 3000 ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    // the packed stream is one global integer prefix sum cut every 512
+    // tokens; a doc spans [start, end) and emits one row per overlapped
+    // sequence — pure integer math, bit-identical across engines
+    "d04_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS end_tok
+        |  FROM d),
+        |span AS (
+        |  SELECT doc_id, n_tok, end_tok, end_tok - n_tok AS start_tok FROM c),
+        |w AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |    unnest(range(start_tok // 512, (end_tok - 1) // 512 + 1)) AS seq_id
+        |  FROM span)
+        |SELECT doc_id, seq_id,
+        |  GREATEST(seq_id * 512 - start_tok, 0) AS tok_start,
+        |  LEAST(end_tok, (seq_id + 1) * 512)
+        |    - GREATEST(start_tok, seq_id * 512) AS tok_len,
+        |  GREATEST(start_tok - seq_id * 512, 0) AS off_in_seq
+        |FROM w ORDER BY doc_id, seq_id""".stripMargin,
     "d04_pii" ->
       """WITH r AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized bare-lang window present:\n$p")
   }
 
+  test("D4: sequence packing windows per slice; only the tiny offsets " +
+      "table sits in an unpartitioned window") {
+    val p = plan(PipelineQueries.d04_seq_pack(spark, dir))
+    // the corpus-sized running sum must window on slice (the two-phase
+    // prefix sum); an unpartitioned window over the doc stream would be
+    // the single-task global-sort shape that dies at 100 TB
+    // partitioned-by-slice spec prints `(slice#N, doc_id#M ASC`;
+    // the order-only (unpartitioned) spec prints `(slice#N ASC` directly
+    val partitioned =
+      "windowspecdefinition\\(slice#\\d+, doc_id#".r.findAllIn(p).size
+    assert(partitioned >= 1, s"no slice-partitioned window found:\n$p")
+    val bare = "windowspecdefinition\\(slice#\\d+ ASC".r.findAllIn(p).size
+    assert(bare <= 1, s"more than one unpartitioned window:\n$p")
+  }
+
   test("D4: curation cuts candidates per (lang, slice) before the per-lang window") {
     val p = plan(PipelineQueries.d04_curation(spark, dir))
     // phase 1 must window on (lang, slice) — a bare per-lang window alone
