@@ -2165,8 +2165,15 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * per deletion would haul ~100 MB of paths to the driver just to
     * return them. Each task reports (count, bounded sample); the driver
     * folds ≤ tasks×cap strings.
+    *
+    * `dryRun` audits instead of deleting (the Iceberg procedure's
+    * dry_run): the identical listing/reference/anti-join dataflow runs
+    * and the identical summary returns, but no file — orphan or stale
+    * staging tree — is touched. An operator prices the sweep and
+    * eyeballs the sample before running it for real.
     */
-  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): OrphanSweep = {
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long,
+      dryRun: Boolean = false): OrphanSweep = {
     // scheme-less comparison form. Fast-path scheme-less absolute paths
     // (what manifests record): Path→URI construction costs ~10µs, and the
     // reference-set fold runs it once per committed file — at 10⁶ files
@@ -2213,7 +2220,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           st.getPath.getName.startsWith("_tmp-del-")) &&
         newestMtime(st.getPath) < olderThanMs)
       .map(_.getPath)
-    staleTmp.foreach(p => fs.delete(p, true))
+    if (!dryRun) staleTmp.foreach(p => fs.delete(p, true))
 
     // distributed candidate listing over data/ and deletes/
     val roots = Seq(LakeFormat.DataDir, LakeFormat.DeleteDir)
@@ -2283,7 +2290,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           n += 1
           if (sample.size < cap) sample += plainPath
         }
-        if (batch.nonEmpty) {
+        if (batch.nonEmpty && !dryRun) {
           val f = batch.head.getFileSystem(LakeTable.hadoopConf)
           BulkDelete.forFs(f).deleteAll(f, batch.toSeq)
         }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-callable maintenance procedures (Spark 4 ProcedureCatalog — the
@@ -167,9 +167,12 @@ object LakeProcedures {
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),
-        paramD("older_than_ms", LongType, "-1"))) { in =>
+        paramD("older_than_ms", LongType, "-1"),
+        // dry_run: audit — identical dataflow and count, nothing deleted
+        paramD("dry_run", BooleanType, "false"))) { in =>
         table(in).removeOrphanFiles(SparkSession.active,
-          cutoffMs(in.getLong(1), 24L * 3600 * 1000)).deletedCount
+          cutoffMs(in.getLong(1), 24L * 3600 * 1000),
+          dryRun = in.getBoolean(2)).deletedCount
       })
       case _ => None
     }

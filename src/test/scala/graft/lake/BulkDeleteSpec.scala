@@ -91,6 +91,12 @@ class BulkDeleteSpec extends SparkSpec {
         try out.write(Array[Byte](1, 2, 3)) finally out.close()
         p
       }
+      // dry run first: identical count, nothing touched, seam never called
+      val audit = t.removeOrphanFiles(spark,
+        System.currentTimeMillis() + 60000, dryRun = true)
+      assert(audit.deletedCount == 6)
+      assert(orphans.forall(fs.exists), "dry run must not delete")
+      assert(counting.paths.get() == 0, "dry run must not reach the seam")
       val swept = t.removeOrphanFiles(spark, System.currentTimeMillis() + 60000)
       assert(swept.deletedCount == 6, s"expected 6 orphans, got $swept")
       assert(orphans.forall(p => !fs.exists(p)))

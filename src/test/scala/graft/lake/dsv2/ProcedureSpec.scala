@@ -192,6 +192,14 @@ class ProcedureSpec extends SparkSpec {
     val guarded = t.removeOrphanFiles(spark, 1000L)
     assert(guarded.deletedCount == 0L && guarded.sample.isEmpty)
     assert(fs.exists(orphan) && fs.exists(staleTmp))
+    // dry_run via SQL: the audit reports the same count, deletes nothing
+    val audit = spark.sql(
+      s"""CALL proccat.system.remove_orphan_files(`table` => '$tbl',
+         |  older_than_ms => ${System.currentTimeMillis() + 60000},
+         |  dry_run => true)""".stripMargin).head.getLong(0)
+    assert(audit == 2L, s"dry run reported $audit entries")
+    assert(fs.exists(orphan) && fs.exists(staleTmp),
+      "dry run must not delete")
     // future cutoff via SQL: exactly the orphan + the staging tree go
     val n = spark.sql(
       s"""CALL proccat.system.remove_orphan_files(`table` => '$tbl',
