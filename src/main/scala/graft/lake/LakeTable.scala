@@ -1654,8 +1654,10 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       val gone = replaced -- curEntries.map(_.path).toSet
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(
-          s"rewrite-deletes aborted: ${gone.size} input delete file(s) " +
-            s"already replaced by a concurrent rewrite (first: ${gone.head})")
+          s"rewrite-deletes aborted: ${gone.size} input delete file(s) no " +
+            "longer in the current snapshot — replaced by a concurrent " +
+            "delete rewrite, or pruned by a concurrent data compaction " +
+            s"that retired their targets (first: ${gone.head}); re-run")
       val dangling = danglingDeleteRefs(rewritten,
         files().map(_.path).toSet, Some(scanSnapshot))
       if (dangling.nonEmpty)

@@ -615,11 +615,18 @@ final class LakeBatchScan(location: String, table: LakeTable,
     val dels = table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
     val deletesFor: DataFileMeta => Seq[DeleteSliceRef] =
       if (dels.isEmpty) _ => Nil
-      else f => table.deletesFor(dels, f)
+      else {
         // qualified through the table's fs: the metadata's scheme-less
-        // form would make the reader's FileSplit resolve the DEFAULT fs
-        .map(d => DeleteSliceRef(table.qualifiedDeletePath(d.path),
-          d.sizeBytes, d.eqColumns))
+        // form would make the reader's FileSplit resolve the DEFAULT fs.
+        // Qualified ONCE per delete entry (a small Seq) — inside the
+        // per-file closure it would re-run Path/URI construction once
+        // per (data file × matched delete), 10⁶+ times at planning scale
+        val qualified = dels.iterator
+          .map(d => d.path -> table.qualifiedDeletePath(d.path)).toMap
+        f => table.deletesFor(dels, f)
+          .map(d => DeleteSliceRef(qualified(d.path),
+            d.sizeBytes, d.eqColumns))
+      }
     LakePartitionPacker.pack(files, deletesFor)
   }
 

@@ -2317,10 +2317,40 @@ object PipelineQueries {
     * arrivals). The lake round-trip is value-transparent, so the indexed
     * entry's serve-from-committed-codes result replays identically.
     */
-  private[graft] def ivfPqExactOracleSql(seedWhere: String): String = {
+  private[graft] def ivfPqExactOracleSql(seedWhere: String): String =
+    ivfPqReplaySql(seedWhere, arrivals = None)
+
+  /** ONE SQL body behind both ivfPq replays — the plain serve
+    * (d02_ivfpq_exact / d02_ann_indexed / d07_ann_serve_live) and the
+    * arrival-ordered serve (d07_ann_ordered). `arrivals = Some((n, w))`
+    * adds the arr dimension: n corpus prefixes of w vectors each, served
+    * independently by restricting the CANDIDATE set to `oid < arr*w`
+    * (frozen models make assignment/encode arrival-independent, so every
+    * other CTE is shared verbatim). A tie-break or scoring fix edits one
+    * place and reaches every oracle.
+    */
+  private def ivfPqReplaySql(seedWhere: String,
+      arrivals: Option[(Int, Int)]): String = {
     def cos64(a: String, b: String): String =
       s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
         s"sqrt(${sqlSeqDot(b, b, 64)})))"
+    // key columns carried through the serve tail: (arr, qid) when the
+    // arrival dimension is on, plain qid otherwise
+    val key = if (arrivals.isDefined) Seq("arr", "qid") else Seq("qid")
+    val k = key.mkString(", ")
+    val ck = key.map("c." + _).mkString(", ")
+    val (arrsCte, cand) = arrivals match {
+      case Some((n, w)) => (
+        s"arrs AS (SELECT unnest(range(1, ${n + 1})) AS arr),\n",
+        s"""cand AS (
+           |  SELECT ar.arr, p.qid, a.oid FROM arrs ar
+           |  CROSS JOIN probes p JOIN assign a ON a.cell = p.cell
+           |  WHERE a.oid <> p.qid AND a.oid < ar.arr * $w)""".stripMargin)
+      case None => ("",
+        """cand AS (
+          |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
+          |  WHERE a.oid <> p.qid)""".stripMargin)
+    }
     s"""WITH fvs AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
@@ -2343,11 +2373,9 @@ object PipelineQueries {
       |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
       |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
       |  WHERE rn <= 8),
-      |cand AS (
-      |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
-      |  WHERE a.oid <> p.qid),
+      |$arrsCte$cand,
       |adc AS (
-      |  SELECT c.qid, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
+      |  SELECT $ck, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
       |  FROM cand c
       |  JOIN codesw k ON k.vec_id = c.oid
       |  JOIN lut l0 ON l0.qid = c.qid AND l0.sb = 0 AND l0.j = k.c0
@@ -2355,95 +2383,35 @@ object PipelineQueries {
       |  JOIN lut l2 ON l2.qid = c.qid AND l2.sb = 2 AND l2.j = k.c2
       |  JOIN lut l3 ON l3.qid = c.qid AND l3.sb = 3 AND l3.j = k.c3),
       |short AS (
-      |  SELECT qid, oid FROM (
-      |    SELECT qid, oid,
-      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, oid) AS arn
+      |  SELECT $k, oid FROM (
+      |    SELECT $k, oid,
+      |      ROW_NUMBER() OVER (PARTITION BY $k ORDER BY adc DESC, oid) AS arn
       |    FROM adc)
       |  WHERE arn <= 200),
       |fin AS (
-      |  SELECT sh.qid, sh.oid, ${cos64("e1.fv", "e2.fv")} AS cos
+      |  SELECT ${key.map("sh." + _).mkString(", ")}, sh.oid,
+      |    ${cos64("e1.fv", "e2.fv")} AS cos
       |  FROM short sh
       |  JOIN fvs e1 ON e1.vec_id = sh.qid
       |  JOIN fvs e2 ON e2.vec_id = sh.oid),
       |scored AS (
-      |  SELECT qid, oid, cos,
-      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+      |  SELECT $k, oid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY $k ORDER BY cos DESC, oid) AS rn
       |  FROM fin)
-      |SELECT qid, rn, oid,
+      |SELECT $k, rn, oid,
       |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
-      |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      |FROM scored WHERE rn <= 5 ORDER BY $k, rn""".stripMargin
   }
 
-  /** The ARRIVAL-ORDERED serve replay (oracles `d07_ann_ordered`): the
-    * ivfPqExact machinery with one extra dimension — `arrivals` corpus
-    * prefixes of `width` vectors each, served independently. Frozen
-    * models make assignment/encode arrival-independent (the same property
-    * the semantic ordered oracle leans on), so the full-corpus
-    * assign/codes CTEs are computed ONCE and each arrival's serve merely
-    * restricts the CANDIDATE set to `oid < arr * width` — exactly the
-    * state a monotonically-growing index exposes after arrival `arr`.
+  /** The ARRIVAL-ORDERED serve replay (oracles `d07_ann_ordered`):
+    * [[ivfPqReplaySql]] with the arrival dimension on — each arrival's
+    * serve is the shared machinery over the candidate prefix
+    * `oid < arr * width`, the state a monotonically-growing index
+    * exposes after arrival `arr`.
     */
   private[graft] def ivfPqOrderedOracleSql(seedWhere: String,
-      arrivals: Int, width: Int): String = {
-    def cos64(a: String, b: String): String =
-      s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
-        s"sqrt(${sqlSeqDot(b, b, 64)})))"
-    s"""WITH fvs AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
-      |  FROM embeddings),
-      |ivfc AS (
-      |  SELECT vec_id AS cid, fv AS cv FROM fvs
-      |  WHERE $seedWhere ORDER BY vec_id LIMIT 16),
-      |${pqCodebookCteSql(seedWhere)},
-      |assign AS (
-      |  SELECT vec_id AS oid, cell FROM (
-      |    SELECT f.vec_id, c.cid AS cell,
-      |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-      |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
-      |    FROM fvs f CROSS JOIN ivfc c)
-      |  WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS qid, cell FROM (
-      |    SELECT f.vec_id, c.cid AS cell,
-      |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-      |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
-      |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
-      |  WHERE rn <= 8),
-      |arrs AS (SELECT unnest(range(1, ${arrivals + 1})) AS arr),
-      |cand AS (
-      |  SELECT ar.arr, p.qid, a.oid FROM arrs ar
-      |  CROSS JOIN probes p JOIN assign a ON a.cell = p.cell
-      |  WHERE a.oid <> p.qid AND a.oid < ar.arr * $width),
-      |adc AS (
-      |  SELECT c.arr, c.qid, c.oid, ((l0.lv + l1.lv) + l2.lv) + l3.lv AS adc
-      |  FROM cand c
-      |  JOIN codesw k ON k.vec_id = c.oid
-      |  JOIN lut l0 ON l0.qid = c.qid AND l0.sb = 0 AND l0.j = k.c0
-      |  JOIN lut l1 ON l1.qid = c.qid AND l1.sb = 1 AND l1.j = k.c1
-      |  JOIN lut l2 ON l2.qid = c.qid AND l2.sb = 2 AND l2.j = k.c2
-      |  JOIN lut l3 ON l3.qid = c.qid AND l3.sb = 3 AND l3.j = k.c3),
-      |short AS (
-      |  SELECT arr, qid, oid FROM (
-      |    SELECT arr, qid, oid,
-      |      ROW_NUMBER() OVER (PARTITION BY arr, qid
-      |        ORDER BY adc DESC, oid) AS arn
-      |    FROM adc)
-      |  WHERE arn <= 200),
-      |fin AS (
-      |  SELECT sh.arr, sh.qid, sh.oid, ${cos64("e1.fv", "e2.fv")} AS cos
-      |  FROM short sh
-      |  JOIN fvs e1 ON e1.vec_id = sh.qid
-      |  JOIN fvs e2 ON e2.vec_id = sh.oid),
-      |scored AS (
-      |  SELECT arr, qid, oid, cos,
-      |    ROW_NUMBER() OVER (PARTITION BY arr, qid
-      |      ORDER BY cos DESC, oid) AS rn
-      |  FROM fin)
-      |SELECT arr, qid, rn, oid,
-      |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
-      |FROM scored WHERE rn <= 5 ORDER BY arr, qid, rn""".stripMargin
-  }
+      arrivals: Int, width: Int): String =
+    ivfPqReplaySql(seedWhere, Some((arrivals, width)))
 
   /** The INDEX-CONTENT replay (cell assignment + PQ codes per corpus
     * vector, no serving) — what a committed ANN index table must hold,
