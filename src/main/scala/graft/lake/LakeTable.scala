@@ -1971,22 +1971,51 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // hot partition's small-file debt, not the whole table — bounds
       // both the rewrite and the conflict window to the targeted buckets
       partitionMin: Option[Long] = None,
-      partitionMax: Option[Long] = None): Long = {
+      partitionMax: Option[Long] = None,
+      // MoR read-amplification trigger (the Iceberg DELETE_FILE_THRESHOLD
+      // shape, counted in MARKS): a file carrying >= this many pending
+      // position-delete marks is rewritten regardless of its size — at a
+      // streaming-upsert table the hot files are LARGE but pay a mask
+      // subtraction per scan; size-only selection never reclaims them
+      deleteMarkThreshold: Option[Long] = None): Long = {
     val effectiveSortBy =
       if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy
       else LakeFormat.sortOrderColumns(meta.properties,
         schema.fieldNames.toIndexedSeq)
     val scanSnapshot = meta.currentSnapshotId
+    // per-file pending pos-delete mark counts (only when the threshold is
+    // on): one distributed pass over the delete parquets; the collected
+    // map is bounded by marked-file count, the same driver budget as the
+    // files() inventory this selection already walks. file_path values
+    // are the scan's _file form == the manifest path form, so the keys
+    // match f.path exactly.
+    val markCounts: Map[String, Long] = deleteMarkThreshold match {
+      case None => Map.empty
+      case Some(_) =>
+        val pos = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
+        if (pos.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{col, count, lit}
+          spark.read.parquet(pos.map(d => qualifiedDeletePath(d.path)): _*)
+            .groupBy(col("file_path")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+    }
+    def overMarkThreshold(f: DataFileMeta): Boolean =
+      deleteMarkThreshold.exists(thr => markCounts.getOrElse(f.path, 0L) >= thr)
     // candidate selection groups by (spec vintage, bucket) so files that
     // merely share a bucket START across widths don't inflate the count;
     // the rewrite itself re-buckets rows under the CURRENT spec — compaction
-    // is the migration path that pays down an old layout
+    // is the migration path that pays down an old layout. A group with any
+    // over-threshold member always qualifies: materializing delete debt is
+    // worth a rewrite even for a single large file.
     val candidates = files()
-      .filter(_.sizeBytes < smallFileBytes)
+      .filter(f => f.sizeBytes < smallFileBytes || overMarkThreshold(f))
       .filter(f => partitionMin.forall(f.partitionValue >= _) &&
         partitionMax.forall(f.partitionValue <= _))
       .groupBy(f => (f.specId, f.partitionValue))
-      .filter(_._2.size >= minInputFiles)
+      .filter { case (_, g) =>
+        g.size >= minInputFiles || g.exists(overMarkThreshold) }
       .values.flatten.toSeq
     if (candidates.isEmpty) return -1L
     // pending MoR deletes are MATERIALIZED by compaction: the rewrite reads

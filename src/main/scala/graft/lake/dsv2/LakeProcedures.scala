@@ -91,7 +91,12 @@ object LakeProcedures {
         // pre-1970 timestamps), so any value a caller can actually pass
         // must be honored or the compaction silently goes full-table
         paramD("partition_min", LongType, Long.MinValue.toString),
-        paramD("partition_max", LongType, Long.MinValue.toString))) { in =>
+        paramD("partition_max", LongType, Long.MinValue.toString),
+        // MoR read-amplification trigger: rewrite any file carrying >=
+        // this many pending position-delete marks regardless of size
+        // (-1 = off; mark counts are never negative, so unlike the
+        // partition bounds -1 is unambiguous here)
+        paramD("delete_file_threshold", LongType, "-1"))) { in =>
         def cols(i: Int): Seq[String] =
           Option(in.getUTF8String(i)).map(_.toString.trim).filter(_.nonEmpty)
             .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -102,7 +107,8 @@ object LakeProcedures {
           smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2),
           sortBy = cols(3), zorderBy = cols(4),
           maxRecordsPerFile = in.getLong(5),
-          partitionMin = bound(6), partitionMax = bound(7))
+          partitionMin = bound(6), partitionMax = bound(7),
+          deleteMarkThreshold = Some(in.getLong(8)).filter(_ > 0))
       })
       case "expire_snapshots" => Some(bound(procName, Array(
         param("table", StringType),

@@ -115,6 +115,40 @@ class RewriteDeletesSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 70)
   }
 
+  test("delete-mark threshold compaction: a heavily-deleted file rewrites " +
+      "regardless of size; lightly-marked and clean files stay") {
+    val t = newMoRTable("mark-threshold")
+    appendBatch(t, 100, bucket(0), seed = 7) // ids 0..99, bucket 0
+    appendBatch(t, 100, bucket(1), seed = 8) // ids 0..99, bucket 1
+    // bucket 0: 50 marks (heavy); bucket 1: 5 marks (light)
+    assert(t.deleteWhere(spark, col("message_id") < 50 &&
+      col("timeperiod_loadedBy") === bucket(0)) > 0)
+    assert(t.deleteWhere(spark, col("message_id") < 5 &&
+      col("timeperiod_loadedBy") === bucket(1)) > 0)
+    val before = t.files().map(f => f.path -> f).toMap
+    assert(before.size == 2)
+    // size cutoff 0 disqualifies every file by size; only the mark
+    // threshold can select — and only bucket 0 crosses it
+    val snap = t.compactFiles(spark, smallFileBytes = 0L,
+      minInputFiles = 2, deleteMarkThreshold = Some(20L))
+    assert(snap > 0)
+    val after = t.files()
+    val (b0, b1) = after.partition(_.partitionValue == bucket(0))
+    assert(b1.map(_.path).toSet == before.keySet.filter(
+      p => before(p).partitionValue == bucket(1)),
+      "lightly-marked file must not be rewritten")
+    assert(b0.size == 1 && !before.contains(b0.head.path),
+      "heavily-marked file must be rewritten")
+    assert(b0.head.rowCount == 50) // delete debt materialized
+    // bucket 1's marks survive; bucket 0's entries were pruned with it
+    val marks = t.deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
+      .map(_.rowCount).sum
+    assert(marks == 5, s"expected only bucket 1's 5 marks, got $marks")
+    assert(t.toDF(spark).count() == 145)
+    // threshold off (None): nothing qualifies under the same size cutoff
+    assert(t.compactFiles(spark, smallFileBytes = 0L) == -1L)
+  }
+
   test("equality deletes carry forward verbatim; only pos files compact") {
     val t = newMoRTable("rewrite-del-eq")
     appendBatch(t, 100, bucket(0), seed = 6) // ids 0..99
