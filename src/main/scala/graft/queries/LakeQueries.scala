@@ -1441,10 +1441,46 @@ object LakeQueries {
     out
   }
 
+  // B67 — delete-mark-THRESHOLD compaction (the Iceberg
+  // DELETE_FILE_THRESHOLD shape): a MoR DELETE leaves every touched file
+  // carrying pending marks; `compact(delete_file_threshold => N)` selects
+  // files by MARK COUNT (size cutoff 0 disqualifies everything by size),
+  // rewrites them with the masks applied, and prunes the spent delete
+  // entries — the read-amplification payback a streaming-upsert table
+  // runs on its hot files. The entry asserts the debt materialized
+  // engine-side ($deletes empties) and hashes the post-compact read: a
+  // mark lost in the rewrite resurrects a row, one over-applied swallows.
+  def b67_compact_threshold(s: SparkSession, dir: String): DataFrame = {
+    val cat = dmlCatalog(s)
+    val name = s"ct${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$cat.ns.$name"
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (truncate(400, o_orderkey))
+         |TBLPROPERTIES ('${LakeFormat.PropDeleteMode}'='${LakeFormat.DeleteModeMergeOnRead}')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM graft_orders_src WHERE o_orderkey < 2000")
+    s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 3 = 0")
+    def posMarks(): Long = s.sql(
+      s"SELECT coalesce(sum(row_count), 0) FROM $cat.ns.`$name$$deletes` " +
+        "WHERE kind = 'pos'").head().getLong(0)
+    require(posMarks() > 0, "expected pending delete marks before compaction")
+    s.sql(s"CALL $cat.system.compact(`table` => 'ns.$name', " +
+      "small_file_bytes => 0, delete_file_threshold => 50)")
+    require(posMarks() == 0,
+      "threshold compaction must materialize every bucket's delete debt")
+    val out = localize(s.sql(
+      s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl ORDER BY o_orderkey"))
+    s.sql(s"DROP TABLE $tbl")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b64_rollback" -> b64_rollback _,
     "b65_orc_roundtrip" -> b65_orc_roundtrip _,
     "b66_rewrite_deletes" -> b66_rewrite_deletes _,
+    "b67_compact_threshold" -> b67_compact_threshold _,
     "b59_snapshots_meta" -> b59_snapshots_meta _,
     "b60_manifests_meta" -> b60_manifests_meta _,
     "b61_files_meta" -> b61_files_meta _,
@@ -1576,6 +1612,13 @@ object LakeQueries {
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
         |  AND NOT (o_orderkey % 11 = 3)
         |  AND NOT (o_totalprice < 50000 AND o_orderkey % 5 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    // post-compaction read = the DELETE's survivors; compaction must be
+    // content-neutral, so any mark lost/over-applied in the threshold
+    // rewrite flips rows against this replay
+    "b67_compact_threshold" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey < 2000 AND NOT (o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     // b02/b03/b04b run on scratch LakeTables whose content is fully
     // declared in the query (sequential snapshot ids, seeded batches), so
