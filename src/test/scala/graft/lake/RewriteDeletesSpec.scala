@@ -149,6 +149,49 @@ class RewriteDeletesSpec extends SparkSpec {
     assert(t.compactFiles(spark, smallFileBytes = 0L) == -1L)
   }
 
+  test("rewrite racing a concurrent MoR delete loses nothing, " +
+      "resurrects nothing, whichever order the CAS settles") {
+    // a REAL race (two threads through the commit CAS), not a modeled
+    // interleaving: the rewrite replaces the scanned pos entries and
+    // carries entries appended since its scan; the delete only appends.
+    // Whichever commit wins the CAS, the loser retries (or the rewrite
+    // aborts) — the one illegal outcome is a mask lost (rows resurrect)
+    // or over-kept (rows vanish). 8 rounds to vary the interleaving.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 8).foreach { round =>
+      val t = newMoRTable(s"rewrite-race-$round")
+      appendBatch(t, 200, bucket(0), seed = 100 + round) // ids 0..199
+      // fragment: three pos-delete commits masking ids 0..29
+      (0 until 3).foreach { i =>
+        assert(t.deleteWhere(spark,
+          col("message_id") >= i * 10 && col("message_id") < (i + 1) * 10) > 0)
+      }
+      val rewriter = Future {
+        val t2 = LakeTable.load(t.location)
+        try t2.rewritePositionDeletes(spark)
+        catch { case _: java.util.ConcurrentModificationException => -2L }
+      }
+      val deleter = Future {
+        val t3 = LakeTable.load(t.location)
+        t3.deleteWhere(spark, col("message_id") >= 150)
+      }
+      val rw = Await.result(rewriter, 120.seconds)
+      val dl = Await.result(deleter, 120.seconds)
+      assert(dl > 0, "the delete itself must commit")
+      val ids = t.refresh().toDF(spark).select("message_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == (30L until 150L).toSet,
+        s"round $round (rewrite=$rw): expected ids 30..149, " +
+          s"got ${ids.size} rows")
+      // steady state afterwards: one more rewrite still converges
+      t.rewritePositionDeletes(spark)
+      assert(t.toDF(spark).count() == 120)
+      LakeTable.drop(t.location)
+    }
+  }
+
   test("equality deletes carry forward verbatim; only pos files compact") {
     val t = newMoRTable("rewrite-del-eq")
     appendBatch(t, 100, bucket(0), seed = 6) // ids 0..99
