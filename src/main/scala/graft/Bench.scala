@@ -478,6 +478,9 @@ object Bench {
         // the committed semantic cell index (build one commit +
         // increment-sized gate/maintenance) against corpus size
         val semIdx = best2At("d01_semdedup_index")
+        // packed-stream sequence packing: a pure two-phase prefix sum —
+        // the curve should track corpus size ~linearly with no fixpoint
+        val seqPack = best2At("d04_seq_pack")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
@@ -486,6 +489,7 @@ object Bench {
           s"d03_minhash_index_x$m" -> mhIdx,
           s"d02_ann_indexed_trained_x$m" -> annTrained,
           s"d01_semdedup_index_x$m" -> semIdx,
+          s"d04_seq_pack_x$m" -> seqPack,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)
