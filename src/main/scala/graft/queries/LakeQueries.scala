@@ -866,6 +866,67 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** The incremental packer's table property: the committed stream's
+    * running token total — the ENTIRE pack state. */
+  private[graft] val SeqPackTotalProp = "graft.seqpack.token.total"
+  /** Optimized plan of the last d04_seqpack_incremental pack —
+    * spec-observable: must contain exactly ONE relation (the increment
+    * read off changesBetween); a corpus rescan would add a second. */
+  @volatile private[graft] var lastSeqPackIncPlan: Option[String] = None
+
+  // D4l — INCREMENTAL sequence packing: the packed-stream index
+  // (d04_seq_pack) maintained per arrival with work ∝ increment. The
+  // insight that makes it O(increment): the pack state of a
+  // concatenate-and-cut stream is ONE SCALAR — the committed stream's
+  // token total — so it lives as a table property, committed and rolled
+  // forward with each arrival (the committed-index pattern reduced to
+  // its smallest possible index). An arrival packs by reading ONLY the
+  // increment (changesBetween), running the two-phase prefix sum over
+  // it with the committed total as the base offset, and committing the
+  // advanced total; the corpus is never rescanned — not even for one
+  // aggregate. Oracle: the full-stream replay ordered corpus-first
+  // reproduces the base-offset arithmetic exactly; only the increment's
+  // rows are emitted. Stream order is arrival order (corpus, then the
+  // increment by doc_id) — the packed positions of committed docs are
+  // immutable, exactly what a training loader requires of shard indexes
+  // it has already consumed.
+  def d04_seqpack_incremental(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("seqpackinc")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val table = LakeTable.create(loc, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    try {
+      val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
+      // pack state at corpus commit: one aggregate, one property commit
+      val total = table.snapshotDF(s, s1)
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+      table.setProperty(SeqPackTotalProp, total.toString)
+      val s2 = table.append(LakeWriter.writeDataFiles(odds, table))
+      // arrival pack: base from a FRESH load's properties (self-contained
+      // — nothing the packer uses exists outside the table), rows from
+      // the incremental scan only
+      val base = LakeTable.load(loc).tableMeta
+        .properties(SeqPackTotalProp).toLong
+      val inc = table.changesBetween(s, s1, s2)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val out = P.packStreamSpans(inc, base)
+      lastSeqPackIncPlan = Some(out.queryExecution.optimizedPlan.toString)
+      val localized = localize(out)
+      // maintenance half: advance the committed total by the increment's
+      // tokens (derivable from the spans just computed — no extra scan)
+      val incTok = localized.agg(sum("tok_len")).head().getLong(0)
+      table.setProperty(SeqPackTotalProp, (base + incTok).toString)
+      require(LakeTable.load(loc).tableMeta
+        .properties(SeqPackTotalProp).toLong == base + incTok,
+        "pack state must roll forward with the arrival")
+      localized
+    } finally LakeTable.drop(loc)
+  }
+
   /** Optimized plan of the last d03_minhash_index GATE — spec-observable:
     * must show a LEFT SEMI probe whose committed side is the INDEX table's
     * scan (the laketable relation at the index location), not a recompute
@@ -1492,6 +1553,7 @@ object LakeQueries {
     "d01_dedup_incremental" -> d01_dedup_incremental _,
     "d01_semdedup_incremental" -> d01_semdedup_incremental _,
     "d01_minhash_incremental" -> d01_minhash_incremental _,
+    "d04_seqpack_incremental" -> d04_seqpack_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
@@ -1694,6 +1756,11 @@ object LakeQueries {
     // d03_minhash_exact signature recipe with a side marker: an increment
     // doc is a fuzzy dup iff any of its 4 band keys exists on side 0
     "d01_minhash_incremental" -> minhashIncrementalOracleSql,
+    // full-stream replay ordered corpus-first (evens, then odds — the
+    // arrival order), emitting the increment's rows only: reproduces the
+    // engine's base-offset arithmetic exactly
+    "d04_seqpack_incremental" -> graft.queries.PipelineQueries
+      .seqPackOracleSql("(doc_id % 2), doc_id", "doc_id % 2 = 1"),
     // the committed-index variant gates against the SAME committed band
     // space (persisted as a table instead of recomputed), so its verdict
     // set — and therefore its oracle — is identical by construction

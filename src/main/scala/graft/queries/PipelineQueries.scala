@@ -1296,11 +1296,52 @@ object PipelineQueries {
   // single-task global window over the corpus. Integer math end to end →
   // hash-oracled. Any cut set is correct (slices only bound per-task
   // sort size), so the sampled quantiles never affect the output.
-  def d04_seq_pack(s: SparkSession, dir: String): DataFrame = {
-    val cap = 512L
-    val slices = 32
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+  def d04_seq_pack(s: SparkSession, dir: String): DataFrame =
+    packStreamSpans(t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok")), base = 0L)
+
+  /** ONE SQL body behind both packed-stream replays: the whole-corpus
+    * pack (`orderCols = "doc_id"`, emit all) and the incremental pack in
+    * LakeQueries (stream order = corpus side first, emit the increment's
+    * rows only — the full-replay cumsum reproduces the engine's
+    * base-offset arithmetic exactly).
+    */
+  private[graft] def seqPackOracleSql(orderCols: String,
+      outWhere: String): String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (ORDER BY $orderCols ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS end_tok
+      |  FROM d),
+      |span AS (
+      |  SELECT doc_id, n_tok, end_tok, end_tok - n_tok AS start_tok FROM c),
+      |w AS (
+      |  SELECT doc_id, start_tok, end_tok,
+      |    unnest(range(start_tok // 512, (end_tok - 1) // 512 + 1)) AS seq_id
+      |  FROM span WHERE $outWhere)
+      |SELECT doc_id, seq_id,
+      |  GREATEST(seq_id * 512 - start_tok, 0) AS tok_start,
+      |  LEAST(end_tok, (seq_id + 1) * 512)
+      |    - GREATEST(start_tok, seq_id * 512) AS tok_len,
+      |  GREATEST(start_tok - seq_id * 512, 0) AS off_in_seq
+      |FROM w ORDER BY doc_id, seq_id""".stripMargin
+
+  /** The packed-stream span computation over (doc_id, n_tok) rows with
+    * the token stream starting at offset `base`: per-slice window cumsum
+    * + a broadcast of the ≤`slices` per-slice offsets (the two-phase
+    * prefix sum), then a pure sequence() explode into one row per
+    * (doc, overlapped sequence). Shared by [[d04_seq_pack]] (base 0,
+    * whole corpus) and the INCREMENTAL packer in LakeQueries (base = the
+    * committed stream's token total — the entire pack state is that one
+    * scalar, so arrivals pack with work ∝ increment).
+    */
+  private[graft] def packStreamSpans(d: DataFrame, base: Long,
+      cap: Long = 512L, slices: Int = 32): DataFrame = {
     val cuts = d.select(col("doc_id").cast("double").as("score"))
       .stat.approxQuantile("score",
         (1 until slices).map(_.toDouble / slices).toArray, 0.01)
@@ -1316,7 +1357,7 @@ object PipelineQueries {
     val wOff = Window.orderBy("slice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("slice").agg(sum("n_tok").as("ptot"))
-      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)) + base)
       .select("slice", "off")
     local.join(broadcast(offsets), Seq("slice"))
       .withColumn("end_tok", col("local_cum") + col("off"))
@@ -2910,28 +2951,7 @@ object PipelineQueries {
     // the packed stream is one global integer prefix sum cut every 512
     // tokens; a doc spans [start, end) and emits one row per overlapped
     // sequence — pure integer math, bit-identical across engines
-    "d04_seq_pack" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS end_tok
-        |  FROM d),
-        |span AS (
-        |  SELECT doc_id, n_tok, end_tok, end_tok - n_tok AS start_tok FROM c),
-        |w AS (
-        |  SELECT doc_id, start_tok, end_tok,
-        |    unnest(range(start_tok // 512, (end_tok - 1) // 512 + 1)) AS seq_id
-        |  FROM span)
-        |SELECT doc_id, seq_id,
-        |  GREATEST(seq_id * 512 - start_tok, 0) AS tok_start,
-        |  LEAST(end_tok, (seq_id + 1) * 512)
-        |    - GREATEST(start_tok, seq_id * 512) AS tok_len,
-        |  GREATEST(start_tok - seq_id * 512, 0) AS off_in_seq
-        |FROM w ORDER BY doc_id, seq_id""".stripMargin,
+    "d04_seq_pack" -> seqPackOracleSql("doc_id", "TRUE"),
     "d04_pii" ->
       """WITH r AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

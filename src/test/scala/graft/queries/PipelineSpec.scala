@@ -862,6 +862,37 @@ class PipelineSpec extends SparkSpec {
         plan.take(2000))
   }
 
+  test("D4l incremental sequence packing: base offset equals the committed " +
+      "total, positions continue the stream, no corpus rescan in the plan") {
+    import org.apache.spark.sql.functions._
+    val out = LakeQueries.d04_seqpack_incremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty && out.forall(_._1 % 2 == 1),
+      "output must be increment (odd) docs only")
+    // the first arrival's first span starts exactly at the committed
+    // stream's token total: seq_id*512 + off_in_seq == sum(evens n_tok)
+    val evensTot = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    val first = out.minBy(r => (r._1, r._2))
+    assert(first._2 * 512 + first._5 == evensTot,
+      s"first increment span starts at ${first._2 * 512 + first._5}, " +
+        s"committed total is $evensTot")
+    // spans tile the increment exactly: per-doc tok_len sums to n_tok
+    val lens = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val expect = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens == expect, "span lengths must tile each doc's tokens")
+    // scale shape: the pack plan reads the INCREMENT's parquet relation
+    // only — a corpus rescan would reintroduce the table's DSv2 scan
+    val plan = LakeQueries.lastSeqPackIncPlan.get
+    assert(!plan.contains("laketable"),
+      s"corpus table scan leaked into the incremental pack:\n${plan.take(2000)}")
+  }
+
   test("D3f committed MinHash band index: gate probes the INDEX TABLE scan " +
       "(not a corpus recompute), maintenance appends only novel keys, " +
       "verdicts equal the recompute gate") {
