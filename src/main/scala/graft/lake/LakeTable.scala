@@ -636,7 +636,12 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * fenced replay drops both together.
     */
   def appendEpoch(newFiles: Seq[DataFileMeta], queryId: String,
-      epochId: Long, newDeletes: Seq[DeleteFileMeta] = Nil): Long = {
+      epochId: Long, newDeletes: Seq[DeleteFileMeta] = Nil,
+      // per-batch STATE riding the same atomic commit as the epoch fence
+      // (e.g. the incremental packer's running token total): a replayed
+      // epoch is a no-op INCLUDING these — the fence check returns before
+      // they merge, so state advances exactly once per epoch
+      extraProps: Map[String, String] = Map.empty): Long = {
     val key = s"$PropStreamEpochPrefix$queryId"
     retryCommitFull("append") { () =>
       if (meta.properties.get(key)
@@ -672,7 +677,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           .filter(k => now - LakeTable.parseEpochValue(meta.properties(k))._2 >= ttl)
           .toSet
         Some((maybeMerge(withNew), meta.snapshots,
-          Map(key -> s"$epochId:$now"), stale,
+          extraProps + (key -> s"$epochId:$now"), stale,
           if (newDeletes.isEmpty) None else Some(withDels)))
       }
     }

@@ -856,6 +856,90 @@ object StreamingQueries {
     }
   }
 
+  /** Span rows landed by each of the two d07_seqpack_stream runs —
+    * exactly-once evidence: the restart packs ONLY the new wave. */
+  @volatile private[graft] var lastSeqPackStreamRunRows: Seq[Long] = Nil
+
+  // D7l — CONTINUOUS sequence packing: the incremental packer
+  // (d04_seqpack_incremental) run as a checkpointed stream, completing
+  // the family the way d07_ann_index_stream does for the ANN index. The
+  // pack state — ONE scalar, the stream's running token total — lives in
+  // the spans table's properties and advances ATOMICALLY with each
+  // epoch-fenced append (appendEpoch extraProps): a replayed micro-batch
+  // is a no-op for the files AND the scalar, so positions are
+  // exactly-once by the same fence that makes the rows exactly-once.
+  // Each batch packs ONLY its arrivals (two-phase prefix sum, base =
+  // the committed total read from a fresh load — self-contained). Two
+  // checkpointed AvailableNow runs over two arrival waves prove the
+  // restart packs only wave 2. Batch boundaries never move positions
+  // (each batch packs in doc_id order from the committed base), so the
+  // completed stream equals the batch incremental pack — the same
+  // corpus-first full-stream replay oracles both (batch-equivalence).
+  def d07_seqpack_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07sp-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07sp-idx-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oddMid = d.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val spans = LakeTable.create(locI,
+      "doc_id BIGINT,seq_id BIGINT,tok_start BIGINT,tok_len BIGINT,off_in_seq BIGINT",
+      TruncateSpec("seq_id", 64L))
+    try {
+      val s1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      // corpus pack state: the committed stream's token total
+      val total = data.snapshotDF(s, s1)
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+      spans.setProperty(L.SeqPackTotalProp, total.toString)
+      def nTok = size(split(col("text"), " ")).cast("long").as("n_tok")
+      def runPack(): Unit = {
+        val before = s.read.format("laketable").load(locI).count()
+        val q = s.readStream.format("laketable")
+          .option("startSnapshotId", s1.toString).load(locD)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val idx = LakeTable.load(locI) // fresh: committed state only
+            val base = idx.tableMeta.properties(L.SeqPackTotalProp).toLong
+            val packed = P.packStreamSpans(
+              batch.select(col("doc_id"), nTok), base)
+            // spans + the advanced scalar in ONE fenced commit: a replay
+            // re-lands neither
+            val batchTok = batch.select(nTok).agg(sum("n_tok"))
+              .head().getLong(0)
+            idx.appendEpoch(LakeWriter.writeDataFiles(packed, idx),
+              "seqpack", epoch,
+              extraProps = Map(L.SeqPackTotalProp -> (base + batchTok).toString))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val after = s.read.format("laketable").load(locI).count()
+        lastSeqPackStreamRunRows :+= (after - before)
+      }
+      lastSeqPackStreamRunRows = Nil
+      data.append(LakeWriter.writeDataFiles(
+        odds.filter(col("doc_id") < oddMid), data))
+      runPack() // wave 1
+      data.append(LakeWriter.writeDataFiles(
+        odds.filter(col("doc_id") >= oddMid), data))
+      runPack() // restart: only wave 2 packs
+      localize(s.read.format("laketable").load(locI)
+        .orderBy("doc_id", "seq_id"))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
@@ -1356,6 +1440,7 @@ object StreamingQueries {
     "d07_semdedup_live" -> d07_semdedup_live _,
     "d07_ann_serve_live" -> d07_ann_serve_live _,
     "d07_ann_ordered" -> d07_ann_ordered _,
+    "d07_seqpack_stream" -> d07_seqpack_stream _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1391,6 +1476,11 @@ object StreamingQueries {
     // once, each arrival's serve = candidate prefix oid < arr*100
     "d07_ann_ordered" -> graft.queries.PipelineQueries
       .ivfPqOrderedOracleSql("vec_id % 17 = 0", arrivals = 5, width = 100),
+    // batch-equivalence: batch boundaries never move positions (each
+    // batch packs in doc_id order from the committed base), so the
+    // completed stream equals the batch incremental pack's replay
+    "d07_seqpack_stream" -> graft.queries.PipelineQueries
+      .seqPackOracleSql("(doc_id % 2), doc_id", "doc_id % 2 = 1"),
     // the two waves union to the batch increment, and the gate reads the
     // same committed band space — the batch gate's replay oracles the
     // completed stream (SURVEY §5.4 batch-equivalence)

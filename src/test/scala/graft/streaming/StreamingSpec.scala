@@ -379,6 +379,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("D7l continuous packing: restart packs only the new wave; the " +
+      "completed stream equals the batch incremental pack") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.d07_seqpack_stream(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // exactly-once across the checkpointed restart: both runs landed
+    // rows, and together they account for every span exactly once
+    val runs = StreamingQueries.lastSeqPackStreamRunRows
+    assert(runs.size == 2 && runs.forall(_ > 0),
+      s"expected two productive runs, got $runs")
+    assert(runs.sum == streamed.size.toLong)
+    // batch-equivalence row for row: same positions, same tiling —
+    // batch boundaries and the restart moved nothing
+    val batch = graft.queries.LakeQueries
+      .d04_seqpack_incremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream diverged from batch on ${(streamed diff batch).take(3)}")
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
