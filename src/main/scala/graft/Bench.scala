@@ -61,6 +61,9 @@ object Bench {
     // round-9: the committed semantic cell index — completes the
     // committed-index family; same scratch-table churn rationale
     "d01_semdedup_index",
+    // continuation: the incremental packer (scratch-table commits +
+    // property roll-forward), priced with its family
+    "d04_seqpack_incremental",
     "d01_dedup_cluster", "d01_semdedup",
     // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
     // lake sink — honest pricing of the one-file-per-shard layout, but
