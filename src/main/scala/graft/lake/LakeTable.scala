@@ -251,6 +251,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       fm.grouped(cap).map(g => writeManifest(g)).toSeq
     }
 
+  /** Per-data-file PENDING position-delete mark counts over `pos`'s
+    * parquets, counting DISTINCT (file_path, pos): overlapping DELETE
+    * commits can legally land the same mark twice (both scans ran before
+    * either commit — delete-only commits don't conflict), and each mark
+    * masks a row ONCE. A raw count(1) here inflates the compaction
+    * threshold trigger and — worse — lets [[LakeTable
+    * .classifyDeleteDecisions]] call a file WHOLLY dropped while k
+    * unmatched live rows remain (matched == row_count − inflated_dels),
+    * silently deleting them. One definition behind the CoW classifier
+    * and the threshold selector so the dedup can't drift.
+    */
+  private[lake] def pendingPosMarkCounts(spark: SparkSession,
+      pos: Seq[DeleteFileMeta]): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    if (pos.isEmpty) None
+    else Some(spark.read
+      .parquet(pos.map(d => qualifiedDeletePath(d.path)): _*)
+      .select("file_path", "pos").distinct()
+      .groupBy(col("file_path")).agg(count(lit(1)).as("dels")))
+  }
+
   /** Delete-file METADATA records scheme-less paths (the stable
     * comparison form, [[writeDeleteParquets]]); qualify through the
     * table's OWN FileSystem before handing one to a reader — the bare
@@ -1318,10 +1339,8 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     // classify conservatively as a partial rewrite, which stays correct —
     // the rewrite reads through readWithDeletes and re-applies all masks.
     val dels = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
-    val delCounts: Option[DataFrame] =
-      if (dels.isEmpty) None
-      else Some(spark.read.parquet(dels.map(d => qualifiedDeletePath(d.path)): _*)
-        .groupBy(col("file_path").as("path")).agg(count(lit(1)).as("dels")))
+    val delCounts: Option[DataFrame] = pendingPosMarkCounts(spark, dels)
+      .map(_.withColumnRenamed("file_path", "path"))
     // Classification stays a DATAFLOW end-to-end: files-meta (manifests
     // parsed executor-side via filesDF) ⋈ matched counts ⋈ pending-delete
     // counts; the driver materializes ONLY (path, whole?) for files that
@@ -1988,23 +2007,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       else LakeFormat.sortOrderColumns(meta.properties,
         schema.fieldNames.toIndexedSeq)
     val scanSnapshot = meta.currentSnapshotId
-    // per-file pending pos-delete mark counts (only when the threshold is
-    // on): one distributed pass over the delete parquets; the collected
-    // map is bounded by marked-file count, the same driver budget as the
-    // files() inventory this selection already walks. file_path values
-    // are the scan's _file form == the manifest path form, so the keys
-    // match f.path exactly.
+    // per-file pending pos-delete mark counts (only when the threshold
+    // is on), DISTINCT marks via [[pendingPosMarkCounts]] — duplicate
+    // marks from overlapping DELETEs must not fake read-amp debt. A
+    // PARTITION-SCOPED call prunes the delete inventory first: only
+    // delete files that can reference an in-scope data file are read
+    // (their metadata carries exact path lists / ranges), so scoped
+    // maintenance never pays a full delete-inventory scan. The collected
+    // map is bounded by marked-file count; file_path values are the
+    // scan's _file form == the manifest path form, so keys match f.path.
     val markCounts: Map[String, Long] = deleteMarkThreshold match {
       case None => Map.empty
       case Some(_) =>
-        val pos = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
-        if (pos.isEmpty) Map.empty
-        else {
-          import org.apache.spark.sql.functions.{col, count, lit}
-          spark.read.parquet(pos.map(d => qualifiedDeletePath(d.path)): _*)
-            .groupBy(col("file_path")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        }
+        val pos0 = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindPos)
+        val pos =
+          if (partitionMin.isEmpty && partitionMax.isEmpty) pos0
+          else {
+            val inScope = files().filter(f =>
+              partitionMin.forall(f.partitionValue >= _) &&
+                partitionMax.forall(f.partitionValue <= _))
+            pos0.filter(d => inScope.exists(f => d.references(f.path)))
+          }
+        pendingPosMarkCounts(spark, pos)
+          .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty)
     }
     def overMarkThreshold(f: DataFileMeta): Boolean =
       deleteMarkThreshold.exists(thr => markCounts.getOrElse(f.path, 0L) >= thr)

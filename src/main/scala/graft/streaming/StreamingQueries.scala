@@ -906,15 +906,18 @@ object StreamingQueries {
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             val idx = LakeTable.load(locI) // fresh: committed state only
             val base = idx.tableMeta.properties(L.SeqPackTotalProp).toLong
-            val packed = P.packStreamSpans(
-              batch.select(col("doc_id"), nTok), base)
-            // spans + the advanced scalar in ONE fenced commit: a replay
-            // re-lands neither
-            val batchTok = batch.select(nTok).agg(sum("n_tok"))
-              .head().getLong(0)
-            idx.appendEpoch(LakeWriter.writeDataFiles(packed, idx),
-              "seqpack", epoch,
-              extraProps = Map(L.SeqPackTotalProp -> (base + batchTok).toString))
+            // three consumers (quantile cuts, the token sum, the span
+            // write) read the batch once through the cache, not 3×
+            val b = batch.select(col("doc_id"), nTok).persist()
+            try {
+              val packed = P.packStreamSpans(b, base)
+              val batchTok = b.agg(sum("n_tok")).head().getLong(0)
+              // spans + the advanced scalar in ONE fenced commit: a
+              // replay re-lands neither
+              idx.appendEpoch(LakeWriter.writeDataFiles(packed, idx),
+                "seqpack", epoch, extraProps =
+                  Map(L.SeqPackTotalProp -> (base + batchTok).toString))
+            } finally b.unpersist()
             ()
           }
           .option("checkpointLocation", ckpt)

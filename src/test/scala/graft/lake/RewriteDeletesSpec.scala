@@ -149,6 +149,28 @@ class RewriteDeletesSpec extends SparkSpec {
     assert(t.compactFiles(spark, smallFileBytes = 0L) == -1L)
   }
 
+  test("duplicate marks never fake a whole-file drop: CoW delete after " +
+      "overlapping MoR deletes keeps the unmatched rows") {
+    // regression: classifyDeleteDecisions called a file WHOLLY dropped
+    // when matched == row_count − dels with dels counting duplicate
+    // (path, pos) marks — here 30 rows, 10 positions marked TWICE (two
+    // overlapping delete commits), and a CoW predicate matching exactly
+    // 10 of the 20 live rows made 10 == 30 − 20 hold: rows 10..19 were
+    // silently deleted. Distinct-mark counting classifies PARTIAL.
+    val t = newMoRTable("dup-mark-cow")
+    appendBatch(t, 30, bucket(0), seed = 9) // ids 0..29, ONE file
+    val w1 = t.writePositionDeletes(spark, col("message_id") < 10)
+    val w2 = t.writePositionDeletes(spark, col("message_id") < 10)
+    assert(t.commitPositionDeletes(w1) > 0)
+    assert(t.commitPositionDeletes(w2) > 0) // 20 marks, 10 distinct
+    assert(t.toDF(spark).count() == 20)
+    assert(t.deleteWhereCoW(spark, col("message_id") >= 20) > 0)
+    val ids = t.toDF(spark).select("message_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (10L until 20L).toSet,
+      s"rows lost/resurrected by the CoW classify: got ${ids.size} rows")
+  }
+
   test("rewrite racing a concurrent MoR delete loses nothing, " +
       "resurrects nothing, whichever order the CAS settles") {
     // a REAL race (two threads through the commit CAS), not a modeled
