@@ -64,6 +64,21 @@ class DeleteRewritePropertySpec extends SparkSpec {
     }
     def compact(): Unit =
       t.compactFiles(spark, minInputFiles = 1 + rnd.nextInt(2))
+    // the classifier path the duplicate-mark data-loss bug lived in:
+    // CoW delete on a table carrying accumulated (possibly duplicate)
+    // MoR marks — whole-vs-partial classification must never drop an
+    // unmatched live row whatever the mark state
+    def cowDel(): Unit = {
+      val k = 2 + rnd.nextInt(4)
+      val r = rnd.nextInt(k)
+      t.deleteWhereCoW(spark, col("message_id") % k === r)
+      live.filterInPlace((id, _) => id % k != r)
+    }
+    // mark-count-triggered compaction under a random mark state: size
+    // cutoff 0 means ONLY the threshold selects; content must not move
+    def thresholdCompact(): Unit =
+      t.compactFiles(spark, smallFileBytes = 0L,
+        deleteMarkThreshold = Some(1L + rnd.nextInt(20)))
     def rewrite(): Unit = {
       val posBefore = t.deleteFilesMeta().count(_.kind == DeleteFileMeta.KindPos)
       val sid = t.rewritePositionDeletes(spark)
@@ -82,10 +97,12 @@ class DeleteRewritePropertySpec extends SparkSpec {
 
     append() // schedules start non-empty
     (0 until 8).foreach { _ =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(14)
       if (op < 3) { append(); lastOpWasRewrite = false }
       else if (op < 6) { del(); lastOpWasRewrite = false }
       else if (op < 8) { compact(); lastOpWasRewrite = false }
+      else if (op < 10) { cowDel(); lastOpWasRewrite = false }
+      else if (op < 12) { thresholdCompact(); lastOpWasRewrite = false }
       else { rewrite(); lastOpWasRewrite = true }
       assert(t.toDF(spark).count() == live.size.toLong,
         s"count diverged from model (seed $seed)")
