@@ -583,18 +583,24 @@ object Bench {
       }.reduce(_ union _)
       val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val odds = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      val index = LakeTable.create(loc, "band INT,h0 BIGINT,h1 BIGINT",
-        TruncateSpec("h0", 1L << 56))
+      val index = LakeTable.create(loc, P.BandIndexDdl,
+        TruncateSpec("bkey", 1L))
       index.append(LakeWriter.writeDataFiles(
-        P.explodeBands(P.md5MinhashSigs(evens))
-          .select("band", "h0", "h1").distinct(), index))
+        P.withBandKey(P.explodeBands(P.md5MinhashSigs(evens))
+          .select("band", "h0", "h1").distinct()), index))
       for (i <- 0 until 25) {
         index.append(LakeWriter.writeDataFiles(
-          P.explodeBands(P.md5MinhashSigs(
+          P.withBandKey(P.explodeBands(P.md5MinhashSigs(
               odds.filter(pmod(col("doc_id"), lit(50)) === i * 2 + 1)))
-            .select("band", "h0", "h1").distinct(), index))
+            .select("band", "h0", "h1").distinct()), index))
       }
       val filesBefore = index.refresh().files().size
+      // key-space balance under the uniformized bkey layout: file count
+      // per quarter of the 16 buckets — the r9 h0-minima layout measured
+      // ~70% in the low quarter; the re-key must keep max/min ≤ ~2×
+      val quarterFiles = index.files()
+        .groupBy(f => (f.partitionValue / 4).min(3L)).view
+        .mapValues(_.size.toDouble).toMap.withDefaultValue(0.0)
       val wave = docs.filter(col("doc_id") < 200)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       def gateOnce(): (Double, Long) = {
@@ -608,11 +614,11 @@ object Bench {
       gateOnce() // warmup
       val (gFrag, nFrag) = gateOnce()
       // PARTITION-SCOPED first: compact one quarter of the band space
-      // (h0-bucket range [0, 4·2^56)) — the targeted hot-bucket sweep;
-      // its cost must track the targeted slice, not the table
+      // (bkey buckets 0–3) — the targeted slice sweep; its cost must
+      // track the targeted slice, not the table
       val tP = System.nanoTime()
       index.compactFiles(spark, minInputFiles = 2,
-        partitionMin = Some(0L), partitionMax = Some(4L * (1L << 56) - 1))
+        partitionMin = Some(0L), partitionMax = Some(3L))
       val compactPartS = (System.nanoTime() - tP) / 1e9
       val filesAfterPart = index.refresh().files().size
       val t0 = System.nanoTime()
@@ -625,10 +631,114 @@ object Bench {
       LakeTable.drop(loc)
       Seq("corpus_mult" -> mult.toDouble,
         "files_before" -> filesBefore.toDouble,
+        "files_q0" -> quarterFiles(0L), "files_q1" -> quarterFiles(1L),
+        "files_q2" -> quarterFiles(2L), "files_q3" -> quarterFiles(3L),
         "files_after_part" -> filesAfterPart.toDouble,
         "files_after" -> filesAfter.toDouble,
         "gate_frag_s" -> gFrag, "gate_compact_s" -> gComp,
         "compact_part_s" -> compactPartS, "compact_s" -> compactS)
+    }
+
+    /** Contended-committer pricing (r9 verdict item 5): the reference's
+      * `writeandcommitfiles` runs FIVE committing processes against one
+      * table (run.sh:58-68, Writer.java:116); the CAS is fuzz-proven
+      * correct (CommitCasSpec) but was never priced under contention.
+      * Five threads (own LakeTable instance each — the multi-process
+      * shape in one JVM) append 200 one-file commits each; reported:
+      * p50/p99 commit latency across all 1000, lost-CAS retries per
+      * commit (LakeTable.commitRetries delta), and the single-committer
+      * p50 at the same depth as the uncontended baseline. Local-FS
+      * rename CAS; the mocks3 conditional-put seam is test-scoped
+      * (CommitCasSpec fuzzes its correctness) so object-store latency is
+      * not modeled here — this prices the COORDINATION cost only.
+      */
+    def runCommitContention(threads: Int = 5,
+        perThread: Int = 200): Seq[(String, Double)] = {
+      import graft.lake._
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted
+        s(math.min(s.size - 1, (p * s.size).toInt))
+      }
+      def commitStorm(nThreads: Int): (Seq[Double], Long) = {
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-cont-${java.util.UUID.randomUUID()}"
+        LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+        val before = LakeTable.commitRetries.get()
+        val lats = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Double]())
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        (0 until nThreads).foreach { th =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val t = LakeTable.load(loc) // own instance = own metadata view
+              start.await()
+              for (i <- 0 until perThread) {
+                val m = DataFileMeta(s"$loc/data/t$th-f$i.parquet", 1024L,
+                  10L, 5666666L * 300000000L)
+                val t0 = System.nanoTime()
+                t.append(Seq(m))
+                lats.add((System.nanoTime() - t0) / 1e6)
+              }
+            }
+          })
+        }
+        start.countDown()
+        pool.shutdown()
+        assert(pool.awaitTermination(20, java.util.concurrent.TimeUnit.MINUTES))
+        val table = LakeTable.load(loc)
+        assert(table.files().size == nThreads * perThread,
+          s"contended commits lost files: ${table.files().size}")
+        assert(table.currentSnapshotId == nThreads.toLong * perThread,
+          s"expected ${nThreads * perThread} snapshots, got ${table.currentSnapshotId}")
+        LakeTable.drop(loc)
+        import scala.jdk.CollectionConverters._
+        (lats.asScala.toSeq, LakeTable.commitRetries.get() - before)
+      }
+      val (base, baseRetries) = commitStorm(1)
+      val (cont, contRetries) = commitStorm(threads)
+      val out = Seq(
+        "threads" -> threads.toDouble,
+        "commits" -> cont.size.toDouble,
+        "p50_ms" -> pct(cont, 0.50), "p99_ms" -> pct(cont, 0.99),
+        "retries_per_commit" -> contRetries.toDouble / cont.size,
+        "single_p50_ms" -> pct(base, 0.50),
+        "single_p99_ms" -> pct(base, 0.99),
+        "single_retries_per_commit" -> baseRetries.toDouble / base.size)
+      System.err.println("[bench] commit_contention: " + out.map {
+        case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      out
+    }
+
+    /** Phase split for the shard export (r9 verdict item 3): the heavy
+      * entry `d06_pipeline_shards` prices gate→dedup→redact→pack COMPUTE,
+      * the one-file-per-shard LAKE WRITE, and the DSv2 READ-BACK as one
+      * number, while its DuckDB oracle replays only the compute CTE — the
+      * single-key artifact read as a 24.6× "regression". Same dataflow,
+      * three timed phases under their own keys; the entry's single number
+      * stays untouched for cross-round comparability.
+      */
+    def runShardPhases(): Seq[(String, Double)] = {
+      import graft.lake._
+      val P = graft.queries.PipelineQueries
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-d06p-${java.util.UUID.randomUUID()}"
+      def secs(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val sharded = P.shardedCorpus(spark, sfDir)
+      val computeS = secs(sharded.write.mode("overwrite").format("noop").save())
+      LakeTable.create(loc,
+        "lang STRING,doc_id BIGINT,n_tok BIGINT,cum_tok BIGINT," +
+          "shard BIGINT,redacted_sha STRING",
+        TruncateSpec("shard", 1L))
+      val writeS = secs(
+        sharded.write.format("laketable").mode("append").save(loc))
+      val readS = secs(
+        spark.read.format("laketable").load(loc)
+          .write.mode("overwrite").format("noop").save())
+      LakeTable.drop(loc)
+      System.err.println(f"[bench] d06 shard phases: compute=$computeS%.2fs " +
+        f"write=$writeS%.2fs read=$readS%.2fs")
+      Seq("compute_s" -> computeS, "write_s" -> writeS, "read_s" -> readS)
     }
 
     def runPlanScale(nFiles: Int): Seq[(String, Double)] = {
@@ -675,27 +785,86 @@ object Bench {
       // distributed data-tree listing, is ~0 here because the probe's
       // files are synthetic metas (that term runs one task per bucket dir
       // and is spec'd in LakeTableSpec, not priced here).
-      val expireMs = ms {
-        val id = fresh.expireSnapshots(System.currentTimeMillis() + 1000L,
-          retainLast = 100)
-        assert(id >= 0, "expiry committed nothing")
+      // r9 verdict item 2: the sweep numbers spread 4× across re-runs with
+      // no code change — a single sample is not a number. Protocol now:
+      // FIVE samples of each sweep inside ONE artifact (median + spread),
+      // each bracketed by an fs-op canary (a create/rename/stat/delete
+      // loop — the same op mix the commit path pays) so a slow sample is
+      // attributable to the filesystem, not the sweep code. Expiry
+      // mutates the table (2000 snapshots → 101), so each rep expires a
+      // fresh METADATA COPY of the built table; the orphan fold is
+      // non-destructive and reps in place. Caches drop per rep — "cold"
+      // must mean a fresh process, not the previous rep's parses.
+      def fsCanaryUs(): Double = {
+        val dir = new org.apache.hadoop.fs.Path(loc, "_canary")
+        val cfs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        cfs.mkdirs(dir)
+        val n = 200
+        val t0 = System.nanoTime()
+        for (i <- 0 until n) {
+          val a = new org.apache.hadoop.fs.Path(dir, s"a$i")
+          val b = new org.apache.hadoop.fs.Path(dir, s"b$i")
+          val out = cfs.create(a); out.write(42); out.close()
+          cfs.rename(a, b)
+          cfs.getFileStatus(b)
+          cfs.delete(b, false)
+        }
+        val us = (System.nanoTime() - t0) / 1e3 / n
+        cfs.delete(dir, true)
+        us
       }
-      assert(fresh.snapshots.size <= 101,
-        s"expiry retained ${fresh.snapshots.size} snapshots")
-      val orphanMs = ms {
-        val sweep = fresh.removeOrphanFiles(spark,
-          System.currentTimeMillis() - 3600000L)
-        assert(sweep.deletedCount == 0,
-          s"probe sweep deleted ${sweep.deletedCount} files")
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val reps = 5
+      val samples = (0 until reps).map { i =>
+        val canaryUs = fsCanaryUs()
+        val copy = s"$loc-exp$i"
+        org.apache.hadoop.fs.FileUtil.copy(
+          new org.apache.hadoop.fs.Path(loc).getFileSystem(new org.apache.hadoop.conf.Configuration()),
+          new org.apache.hadoop.fs.Path(loc),
+          new org.apache.hadoop.fs.Path(copy).getFileSystem(new org.apache.hadoop.conf.Configuration()),
+          new org.apache.hadoop.fs.Path(copy), false, new org.apache.hadoop.conf.Configuration())
+        LakeTable.manifestCache.clear()
+        LakeTable.metaParseCache.clear()
+        val t2 = LakeTable.load(copy)
+        val expire = ms {
+          val id = t2.expireSnapshots(System.currentTimeMillis() + 1000L,
+            retainLast = 100)
+          assert(id >= 0, "expiry committed nothing")
+        }
+        assert(t2.snapshots.size <= 101,
+          s"expiry retained ${t2.snapshots.size} snapshots")
+        LakeTable.drop(copy)
+        LakeTable.manifestCache.clear()
+        LakeTable.metaParseCache.clear()
+        val orphan = ms {
+          val sweep = fresh.removeOrphanFiles(spark,
+            System.currentTimeMillis() - 3600000L)
+          assert(sweep.deletedCount == 0,
+            s"probe sweep deleted ${sweep.deletedCount} files")
+        }
+        System.err.println(f"[bench] plan_scale rep $i: canary=$canaryUs%.0fus/op " +
+          f"expire=$expire%.0fms orphan=$orphan%.0fms")
+        (canaryUs, expire, orphan)
       }
+      val expireMs = med(samples.map(_._2))
+      val orphanMs = med(samples.map(_._3))
       System.err.println(f"[bench] plan_scale n=$nFiles: build=$buildS%.1fs " +
         f"cold=$cold%.0fms warm=$warm%.0fms filesDF=$dfMs%.0fms " +
         f"pruned=$prunedMs%.0fms ($prunedParts tasks) " +
-        f"expire=$expireMs%.0fms orphan=$orphanMs%.0fms")
+        f"expire_med=$expireMs%.0fms orphan_med=$orphanMs%.0fms")
       LakeTable.drop(loc)
       Seq("files_cold_ms" -> cold, "files_warm_ms" -> warm,
         "files_df_ms" -> dfMs, "pruned_plan_ms" -> prunedMs,
-        "expire_ms" -> expireMs, "orphan_ref_ms" -> orphanMs,
+        // median under the historical keys (cross-round comparability),
+        // spread + canary alongside so variance is in-artifact
+        "expire_ms" -> expireMs,
+        "expire_ms_min" -> samples.map(_._2).min,
+        "expire_ms_max" -> samples.map(_._2).max,
+        "orphan_ref_ms" -> orphanMs,
+        "orphan_ref_ms_min" -> samples.map(_._3).min,
+        "orphan_ref_ms_max" -> samples.map(_._3).max,
+        "fsop_canary_us_med" -> med(samples.map(_._1)),
+        "fsop_canary_us_max" -> samples.map(_._1).max,
         "n_files" -> nFiles.toDouble)
     }
 
@@ -735,7 +904,11 @@ object Bench {
       scanOnce() // warmup
       val (sFrag, nFrag) = scanOnce()
       val t0 = System.nanoTime()
-      assert(t.rewritePositionDeletes(spark) > 0)
+      // side effect hoisted out of assert: with -Xdisable-assertions the
+      // rewrite must still run, else the probe measures the fragmented
+      // scan twice
+      val rewritten = t.rewritePositionDeletes(spark)
+      assert(rewritten > 0)
       val rewriteS = (System.nanoTime() - t0) / 1e9
       val delAfter = t.refresh().deleteFilesMeta().size
       val (sComp, nComp) = scanOnce()
@@ -784,9 +957,24 @@ object Bench {
     val heavyScale = sys.env.get("SPARK_GRAFT_HEAVY_SCALE").toSeq.flatMap(s =>
       runHeavyScale(s.split(",").toSeq
         .flatMap(_.trim.toIntOption).filter(_ >= 1)))
+    // the commit curve doubles as the IN-ARTIFACT VM-HEALTH CANARY (r9
+    // verdict item 1): it is pure fs-op protocol work (no Spark jobs), so
+    // ms_per_commit_at_1000 ≈ 7 ms marks a healthy VM and ~2× that the
+    // degraded one that inflated the r9 envelope. Every FULL run embeds
+    // it — a reader can now adjudicate environment-vs-regression from the
+    // committed artifact alone. Runs AFTER the envelope+heavy entries so
+    // its 1000-commit churn can't shift them (the adjacency rule).
+    val fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
     val commitCurve =
-      if (sys.env.get("SPARK_GRAFT_COMMIT_CURVE").contains("1"))
+      if (fullRun || sys.env.get("SPARK_GRAFT_COMMIT_CURVE").contains("1"))
         runCommitCurve()
+      else Nil
+    // phase split rides every full artifact next to the single-key entry
+    val shardPhases = if (fullRun) runShardPhases() else Nil
+    // SPARK_GRAFT_COMMIT_CONTENTION=1: the 5-committer CAS pricing
+    val commitContention =
+      if (sys.env.get("SPARK_GRAFT_COMMIT_CONTENTION").contains("1"))
+        runCommitContention()
       else Nil
     val planScale = sys.env.get("SPARK_GRAFT_PLAN_SCALE")
       .flatMap(_.trim.toIntOption).filter(_ > 0)
@@ -884,6 +1072,8 @@ object Bench {
         optObj("plan_scale", planScale) +
         optObj("index_compact", indexCompact) +
         optObj("delete_compact", deleteCompact) +
+        optObj("d06_shards_phases", shardPhases) +
+        optObj("commit_contention", commitContention) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
@@ -897,7 +1087,11 @@ object Bench {
     // the file copies keep ms precision AND the full per-query duckdb map
     // (the historical artifact format); BENCH_FULL.json is committed so the
     // judge reads the complete map even though stdout carries summaries
-    for (path <- Seq("/tmp/graft_bench.json", "BENCH_FULL.json")) {
+    // partial runs (SPARK_GRAFT_BENCH_ONLY) write the /tmp copy only —
+    // a probe-only iteration must never clobber the committed full
+    // artifact with an empty envelope
+    for (path <- Seq("/tmp/graft_bench.json") ++
+        (if (fullRun) Seq("BENCH_FULL.json") else Nil)) {
       try {
         val w = new java.io.PrintWriter(path)
         try w.println(render(fmt3, fullDuckdb = true)) finally w.close()

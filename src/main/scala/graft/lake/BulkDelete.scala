@@ -62,7 +62,12 @@ object BulkDelete {
     * connectors that never overrode it would crash the sweeps here.
     */
   def forFs(fs: FileSystem): BulkDelete = {
-    val registered = registry.get(fs.getUri.getScheme)
+    // a FileSystem URI may legally carry no scheme (e.g. a raw local
+    // path wrapped by an exotic connector) and ConcurrentHashMap.get
+    // rejects null keys, so resolve scheme-less filesystems straight
+    // to the parallel default
+    val scheme = fs.getUri.getScheme
+    val registered = if (scheme == null) null else registry.get(scheme)
     if (registered != null) registered else Parallel
   }
 }

@@ -469,6 +469,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           catch {
             case _: java.io.IOException =>
               attempt += 1
+              LakeTable.commitRetries.incrementAndGet()
               if (attempt >= maxRetries)
                 throw new IllegalStateException(s"commit failed after $attempt retries")
               refresh()
@@ -1697,6 +1698,97 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     }
   }
 
+  /** Retire EQUALITY-delete debt by converting it to position deletes
+    * (the Iceberg `convert_equality_deletes` maintenance shape). Pending
+    * eq-delete files are the streaming-upsert residue (one per CDC
+    * batch): every scan of an older data file pays a key-set build and a
+    * per-row hash probe, schema evolution on a key column is blocked
+    * ([[assertNoEqDeletesOn]]), and the debt only grows. This op finds,
+    * for each live data file the eq entries can still retire (file seq <
+    * delete seq), the POSITIONS of rows whose key tuple matches any
+    * pending eq key — one distributed scan per key-column group, never
+    * per delete file — and commits the marks as range-binned pos-delete
+    * parquets while DROPPING every eq entry, in one snapshot. Row
+    * visibility is unchanged (operation "rewrite-deletes": a physical
+    * no-op to the changelog and incremental readers, like compaction).
+    *
+    * Mechanics: the match scan reads the PINNED snapshot with delete
+    * application OFF (`skipDeleteApplication`) — the default scan would
+    * hide exactly the rows whose positions are needed. Keys join
+    * null-safely (`<=>`) because the reader's UnsafeRow byte-equality
+    * treats null keys as matching. Per key group the eq parquets
+    * aggregate to DISTINCT keys with their MAX delete seq, so a row is
+    * marked iff its file's seq is older than the newest delete naming
+    * its key — byte-identical semantics to the read path's
+    * sequence-pruned key sets. File seq resolves through [[filesDF]]
+    * (manifests parsed executor-side; at 10⁶ files the seq map is a
+    * distributed join side, never a driver Set).
+    *
+    * Concurrency: same contract as [[rewritePositionDeletes]] — the
+    * commit aborts if any input eq entry was already replaced, and the
+    * new pos entries re-validate against the live file set per attempt.
+    * Pos entries (existing or appended since the scan) carry forward
+    * untouched. Returns the new snapshot id, or -1 with no pending eq
+    * deletes.
+    */
+  def convertEqualityDeletes(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    refresh()
+    val scanSnapshot = meta.currentSnapshotId
+    val eqs = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindEq)
+    if (eqs.isEmpty) return -1L
+    val raw = spark.read.format("laketable")
+      .option("snapshotId", scanSnapshot.toString)
+      .option("skipDeleteApplication", "true")
+      .load(location)
+    val seqDf = filesDF(spark, scanSnapshot)
+      .select(col("path").as("__fp"), col("seq").as("__fseq"))
+    val marks = eqs.groupBy(_.eqColumns).map { case (keyCols, dels) =>
+      val keys = dels.map { d =>
+        spark.read.parquet(qualifiedDeletePath(d.path))
+          .withColumn("__dseq", lit(d.seq))
+      }.reduce(_ unionByName _)
+        .groupBy(keyCols.map(col): _*).agg(max("__dseq").as("__dseq"))
+      val probe = raw.select(
+        keyCols.map(col) ++ Seq(
+          col(dsv2.LakeMetaColumns.FileColumn).as("file_path"),
+          col(dsv2.LakeMetaColumns.PosColumn).as("pos")): _*)
+      probe.join(keys,
+          keyCols.map(k => probe(k) <=> keys(k)).reduce(_ && _), "inner")
+        .join(seqDf, col("file_path") === col("__fp"))
+        .filter(col("__fseq") < col("__dseq"))
+        .select("file_path", "pos")
+    }.reduce(_ union _).distinct().persist()
+    val rewritten = try {
+      val n = marks.count()
+      if (n == 0L) Nil else writeDeleteParquets(spark, marks, n)
+    } finally marks.unpersist()
+    val replaced = eqs.map(_.path).toSet
+    // the replaced eq parquets become orphans after the commit; the
+    // bounded GC sweep (removeOrphanFiles) collects them with every
+    // other dead file
+    retryCommitDeletes("rewrite-deletes") { () =>
+      val curEntries = deleteFilesMeta()
+      val gone = replaced -- curEntries.map(_.path).toSet
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"convert-eq-deletes aborted: ${gone.size} input eq-delete " +
+            s"file(s) no longer in the current snapshot (first: " +
+            s"${gone.head}); re-run")
+      val dangling = danglingDeleteRefs(rewritten,
+        files().map(_.path).toSet, Some(scanSnapshot))
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"convert-eq-deletes invalidated by concurrent data rewrite: " +
+            s"${dangling.size} referenced data file(s) no longer live " +
+            s"(first: ${dangling.head})")
+      val kept = curEntries.filterNot(d => replaced.contains(d.path))
+      val next = kept ++ rewritten
+      Some((meta.current.map(_.manifests).getOrElse(Nil), meta.snapshots,
+        if (next.isEmpty) Nil else Seq(writeDeleteManifest(next))))
+    }
+  }
+
   /** Delta commit (merge-on-read MERGE/UPDATE via SupportsDelta): append
     * executor-written data files (the inserted/updated row versions) AND
     * position-delete files (the replaced row versions) in ONE snapshot —
@@ -2347,15 +2439,26 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         var n = 0L
         val sample = scala.collection.mutable.ArrayBuffer.empty[String]
         val batch = scala.collection.mutable.ArrayBuffer.empty[Path]
+        // flush in bounded chunks so a task with a very large haul never
+        // buffers the whole partition's Path list, and one bad path only
+        // fails its ~10k-entry chunk rather than the task's entire batch
+        val chunk = 10000
+        var fsHolder: FileSystem = null
+        def flush(): Unit = {
+          if (batch.nonEmpty && !dryRun) {
+            if (fsHolder == null)
+              fsHolder = batch.head.getFileSystem(LakeTable.hadoopConf)
+            BulkDelete.forFs(fsHolder).deleteAll(fsHolder, batch.toSeq)
+          }
+          batch.clear() // dry runs must not accumulate either
+        }
         it.foreach { case (plainPath, fullPath) =>
           batch += new Path(fullPath)
           n += 1
           if (sample.size < cap) sample += plainPath
+          if (batch.size >= chunk) flush()
         }
-        if (batch.nonEmpty && !dryRun) {
-          val f = batch.head.getFileSystem(LakeTable.hadoopConf)
-          BulkDelete.forFs(f).deleteAll(f, batch.toSeq)
-        }
+        flush()
         Iterator.single((n, sample.toSeq))
       }
       .collect()
@@ -2381,8 +2484,9 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     val manifestPaths = snap.manifests.map(new Path(metaDir, _).toString)
     if (manifestPaths.isEmpty)
-      return spark.emptyDataset[(String, Long, Long, Long, Int)]
-        .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id")
+      return spark.emptyDataset[(String, Long, Long, Long, Int, Long)]
+        .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id",
+          "seq")
     spark.createDataset(manifestPaths)
       .repartition(math.min(manifestPaths.size, 32))
       .flatMap { mp =>
@@ -2390,9 +2494,11 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         val in = p.getFileSystem(LakeTable.hadoopConf).open(p)
         val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         Json.manifestFromJson(content)
-          .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue, f.specId))
+          .map(f => (f.path, f.sizeBytes, f.rowCount, f.partitionValue,
+            f.specId, f.seq))
       }
-      .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id")
+      .toDF("path", "size_bytes", "row_count", "partition_value", "spec_id",
+        "seq")
   }
 
   /** Per-partition rollup (the skew audit) as a distributed groupBy over
@@ -2464,6 +2570,14 @@ object LakeTable {
     * per JVM (it is a static, not serialized state).
     */
   private[lake] lazy val hadoopConf = new Configuration()
+
+  /** JVM-global count of lost-CAS commit retries on the
+    * retryCommitFull path (appends / delete commits / property updates
+    * — the contended fast-append workload): each round that lost the
+    * rename race and re-derived against refreshed metadata.
+    * Observability only — the contention bench reads the delta around a
+    * run; nothing branches on it. */
+  val commitRetries = new java.util.concurrent.atomic.AtomicLong()
 
   /** Epoch watermark value: "epochId:commitTimestampMs". Bare-long values
     * (pre-GC metadata) parse with timestamp 0 — immediately GC-eligible,

@@ -32,7 +32,7 @@ object LakeProcedures {
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "publish_branch", "drop_branch", "remove_orphan_files",
     "set_partition_width", "rewrite_manifests", "add_files",
-    "rewrite_position_deletes")
+    "rewrite_position_deletes", "convert_equality_deletes")
 
   private val OutSchema = StructType.fromDDL("snapshot_id BIGINT")
 
@@ -93,9 +93,10 @@ object LakeProcedures {
         paramD("partition_min", LongType, Long.MinValue.toString),
         paramD("partition_max", LongType, Long.MinValue.toString),
         // MoR read-amplification trigger: rewrite any file carrying >=
-        // this many pending position-delete marks regardless of size
-        // (-1 = off; mark counts are never negative, so unlike the
-        // partition bounds -1 is unambiguous here)
+        // this many pending position-delete marks regardless of size.
+        // Exactly -1 means off; 0 and other negatives are rejected so a
+        // caller passing 0 expecting "rewrite every marked file" gets a
+        // loud error instead of a silent no-op (use 1 for that).
         paramD("delete_file_threshold", LongType, "-1"))) { in =>
         def cols(i: Int): Seq[String] =
           Option(in.getUTF8String(i)).map(_.toString.trim).filter(_.nonEmpty)
@@ -103,12 +104,18 @@ object LakeProcedures {
             .getOrElse(Nil)
         def bound(i: Int): Option[Long] =
           Some(in.getLong(i)).filter(_ != Long.MinValue)
+        val markThreshold = in.getLong(8) match {
+          case -1L          => None
+          case t if t >= 1L => Some(t)
+          case bad => throw new IllegalArgumentException(
+            s"delete_file_threshold must be >= 1 or -1 (off), got $bad")
+        }
         table(in).compactFiles(SparkSession.active,
           smallFileBytes = in.getLong(1), minInputFiles = in.getInt(2),
           sortBy = cols(3), zorderBy = cols(4),
           maxRecordsPerFile = in.getLong(5),
           partitionMin = bound(6), partitionMax = bound(7),
-          deleteMarkThreshold = Some(in.getLong(8)).filter(_ > 0))
+          deleteMarkThreshold = markThreshold)
       })
       case "expire_snapshots" => Some(bound(procName, Array(
         param("table", StringType),
@@ -170,6 +177,13 @@ object LakeProcedures {
       case "rewrite_position_deletes" => Some(bound(procName, Array(
         param("table", StringType))) { in =>
         table(in).rewritePositionDeletes(SparkSession.active)
+      })
+      // retire equality-delete debt: convert pending eq keys into
+      // position deletes (one snapshot), unblocking key-column schema
+      // evolution and the per-scan key-set probes
+      case "convert_equality_deletes" => Some(bound(procName, Array(
+        param("table", StringType))) { in =>
+        table(in).convertEqualityDeletes(SparkSession.active)
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),

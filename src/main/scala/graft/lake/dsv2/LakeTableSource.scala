@@ -123,7 +123,12 @@ final class LakeDsTable(location: String, asOf: Option[Long] = None,
       Option(options.get("startSnapshotId")).map(_.toLong), asOf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      endSnapshot = Option(options.get("endSnapshotId")).map(_.toLong))
+      endSnapshot = Option(options.get("endSnapshotId")).map(_.toLong),
+      // INTERNAL (maintenance): read raw rows with merge-on-read deletes
+      // NOT applied — convertEqualityDeletes scans for the row positions
+      // the pending eq keys retire, which the default scan would hide
+      skipDeletes =
+        Option(options.get("skipDeleteApplication")).exists(_.toBoolean))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -171,7 +176,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     startSnapshot: Option[Long], asOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    endSnapshot: Option[Long] = None)
+    endSnapshot: Option[Long] = None,
+    skipDeletes: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with SupportsPushDownLimit {
@@ -306,7 +312,8 @@ final class LakeScanBuilder(location: String, table: LakeTable,
     case None =>
       new LakeBatchScan(location, table, required, pushed, startSnapshot, asOf,
         maxFilesPerTrigger, pushedLimit = limit,
-        maxBytesPerTrigger = maxBytesPerTrigger, endSnapshot = endSnapshot)
+        maxBytesPerTrigger = maxBytesPerTrigger, endSnapshot = endSnapshot,
+        skipDeletes = skipDeletes)
   }
 }
 
@@ -465,7 +472,11 @@ final class LakeBatchScan(location: String, table: LakeTable,
     planListener: Option[Seq[DataFileMeta] => Unit] = None,
     pushedLimit: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    endSnapshot: Option[Long] = None)
+    endSnapshot: Option[Long] = None,
+    // maintenance-internal: plan NO delete refs — the eq→pos conversion
+    // scan needs the rows the deletes would mask (its `_pos` projection
+    // still routes it down the row path; that is the position source)
+    skipDeletes: Boolean = false)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -612,7 +623,9 @@ final class LakeBatchScan(location: String, table: LakeTable,
     // merge-on-read: attach each file's candidate delete files (position
     // entries range-pruned by data path, equality entries sequence-pruned);
     // readers apply them as skip masks / key sets
-    val dels = table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
+    val dels =
+      if (skipDeletes) Nil
+      else table.deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId))
     val deletesFor: DataFileMeta => Seq[DeleteSliceRef] =
       if (dels.isEmpty) _ => Nil
       else {
@@ -635,7 +648,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
       // Spark rejects mixed columnar/row partition sets, so ANY pending
       // delete sends the whole scan down the row path; delete-free scans
       // (the overwhelming majority) stay columnar
-      hasDeletes = table
+      hasDeletes = !skipDeletes && table
         .deleteFilesMeta(asOf.getOrElse(table.currentSnapshotId)).nonEmpty,
       // full table schema: equality-delete key columns may lie outside the
       // projection and need their types for the injected read

@@ -970,16 +970,17 @@ object LakeQueries {
           concat(col("text"), lit(" zq zr zs")).as("text")))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
-    // band keys are 60-bit md5 prefixes: 2^56-wide buckets spread the
-    // index over 16 partitions, so maintenance appends and gate scans
-    // parallelize without a single hot bucket
-    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
-      TruncateSpec("h0", 1L << 56))
+    // layout key = xxhash64(band,h0,h1) pmod 16 (PipelineQueries
+    // .withBandKey): band keys are minima, so partitioning on h0 itself
+    // piled ~70% of files into the low quarter — the uniformized re-key
+    // spreads maintenance appends and compaction evenly
+    val index = LakeTable.create(locI, P.BandIndexDdl,
+      TruncateSpec("bkey", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
       val i1 = index.append(LakeWriter.writeDataFiles(
-        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
-          .select("band", "h0", "h1").distinct(), index))
+        P.withBandKey(P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct()), index))
       val d2 = data.append(LakeWriter.writeDataFiles(increment, data))
       val inc = data.changesBetween(s, d1, d2)
       val incBands = P.explodeBands(P.md5MinhashSigs(inc))
@@ -999,8 +1000,9 @@ object LakeQueries {
       // maintenance: one commit of the increment's NOVEL distinct keys —
       // probe work ∝ increment, write work ∝ novel keys
       val i2 = index.append(LakeWriter.writeDataFiles(
-        incBands.select("band", "h0", "h1").distinct()
-          .join(comBands, Seq("band", "h0", "h1"), "left_anti"), index))
+        P.withBandKey(incBands.select("band", "h0", "h1").distinct()
+          .join(comBands.drop("bkey"), Seq("band", "h0", "h1"),
+            "left_anti")), index))
       lastMinhashIndexNewKeys =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       gated

@@ -1006,6 +1006,29 @@ object PipelineQueries {
       .select(col("doc_id"), col("col.band").as("band"),
         col("col.h0").as("h0"), col("col.h1").as("h1"))
 
+  /** Committed band-index table shape, shared by every index site
+    * (batch gate, streaming gates, compaction bench). Band hashes are
+    * MinHash MINIMA, so h0 skews hard toward low values — partitioning
+    * the index on truncate(h0) measured ~70% of files in the low-h0
+    * quarter (BENCH_index_compact_x10_r09.json). The LAYOUT key is
+    * therefore a uniformized re-key: xxhash64 over the whole
+    * (band, h0, h1) key, pmod'd into [[BandIndexBuckets]] buckets —
+    * uniform regardless of the minima skew, same 16-bucket fan-out the
+    * old 2^56-wide truncation aimed for. Gates and maintenance still
+    * JOIN on (band, h0, h1); `bkey` exists only for layout (even
+    * maintenance spread, partition-scoped compaction that now targets a
+    * true 1/16th of the files, not a hot quarter). */
+  private[graft] val BandIndexDdl = "band INT,h0 BIGINT,h1 BIGINT,bkey BIGINT"
+  private[graft] val BandIndexBuckets = 16L
+
+  /** Derive the uniform layout key for rows headed into a band-index
+    * table — apply to every frame written there so the partition column
+    * is always consistent with (band, h0, h1). */
+  private[graft] def withBandKey(df: DataFrame): DataFrame =
+    df.withColumn("bkey",
+      pmod(xxhash64(col("band"), col("h0"), col("h1")),
+        lit(BandIndexBuckets)))
+
   private def minhashBandPairs(withSig: DataFrame): DataFrame = {
     val bands = explodeBands(withSig)
     val wb = Window.partitionBy("band", "h0", "h1")
@@ -1802,6 +1825,79 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed public BPE merge list for [[d04_bpe_encode]], rank-ordered —
+    * the twelve highest-frequency English letter pairs/affixes (the
+    * classic Sennrich-style toy merge table). Serialized into the model
+    * table's properties as "a b,th e,…"; the encoder builds its
+    * expression from the PARSED property, never from this constant, so
+    * the committed model is the single source of truth at serve time. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"))
+  private[graft] val BpeMergesProp = "graft.bpe.merges"
+  private[graft] def bpeMergesToString(m: Seq[(String, String)]): String =
+    m.map { case (a, b) => s"$a $b" }.mkString(",")
+  private[graft] def bpeMergesFromString(s: String): Seq[(String, String)] =
+    s.split(',').toSeq.map { p =>
+      val Array(a, b) = p.split(' '); (a, b)
+    }
+
+  // D4j2 — TRUE byte-pair encoding (round-9 verdict item 6): unlike
+  // d04_bpe_tokens (pre-tokenization counting only), this APPLIES a
+  // merge table and emits token ids. The model is committed first: a
+  // lake table whose properties carry the rank-ordered merge list (the
+  // d02_ann_indexed discipline — nothing the encoder uses exists
+  // outside the committed table); the encoder parses the merges back
+  // from a FRESH load and builds a pure expression chain from them.
+  // Encoding is the classic Sennrich replace-by-rank form: each word
+  // becomes its characters wrapped in sentinels ("cat" → "<c><a><t>"),
+  // and merge k (a,b → ab) is ONE literal replace of "<a><b>" with
+  // "<ab>" — left-to-right non-overlapping replacement is exactly BPE's
+  // greedy per-rank application, the sentinels make matches whole-symbol
+  // only (no cross-token or mid-token merges), and both engines'
+  // replace() share those semantics, so the WHOLE encode hash-oracles.
+  // Ids index the committed vocab (26 base chars, then one id per merge
+  // in rank order). Scale: map-side expression chain over the corpus —
+  // the 12-deep replace nest is constant work per char; the only
+  // shuffle is the output sort.
+  def d04_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-d04bpe-${java.util.UUID.randomUUID()}"
+    LakeTable.create(loc, "rank INT,lhs STRING,rhs STRING",
+      TruncateSpec("rank", 1000L))
+      .setProperty(BpeMergesProp, bpeMergesToString(BpeMerges))
+    try {
+      // serve path: merges parsed back from the committed model table
+      val merges =
+        bpeMergesFromString(LakeTable.load(loc).tableMeta.properties(BpeMergesProp))
+      val vocab = ('a' to 'z').map(_.toString) ++ merges.map { case (a, b) => a + b }
+      val vocabSql = vocab.map(v => s"'$v'").mkString("array(", ", ", ")")
+      val mergeChain = merges.foldLeft("wrapped") { case (acc, (a, b)) =>
+        s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      t(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(lower(col("text")), "[^a-z ]", "")))
+        .filter(expr("length(replace(norm, ' ', ''))") > 0)
+        .withColumn("wrapped", expr(
+          """concat_ws('|', transform(filter(split(norm, ' '), x -> x != ''),
+            |  w -> regexp_replace(w, '(.)', '<$1>')))""".stripMargin))
+        .withColumn("merged", expr(mergeChain))
+        .withColumn("syms", expr(
+          "split(substring(merged, 2, length(merged) - 2), '>\\\\|?<')"))
+        .withColumn("ids", expr(
+          s"transform(syms, x -> array_position($vocabSql, x) - 1)"))
+        .select(col("doc_id"),
+          expr("cast(length(replace(norm, ' ', '')) as long)").as("n_chars"),
+          size(col("syms")).cast("long").as("n_tokens"),
+          expr("concat_ws(',', ids)").as("token_ids"))
+        .withColumn("compression",
+          dec4(col("n_chars").cast("double") / col("n_tokens")))
+        .orderBy("doc_id")
+    } finally LakeTable.drop(loc)
+  }
+
   // D4h — within-doc repetition ratio (the Gopher/RefinedWeb repetition
   // rule): 1 − distinct_bigrams/total_bigrams per document. Repetitive
   // machine-generated text scores high and gets filtered before training.
@@ -2247,6 +2343,7 @@ object PipelineQueries {
     "d03_contamination_bloom" -> d03_contamination_bloom _,
     "d01_dedup_passage" -> d01_dedup_passage _,
     "d04_bpe_tokens" -> d04_bpe_tokens _,
+    "d04_bpe_encode" -> d04_bpe_encode _,
     "d04_repetition" -> d04_repetition _,
     "d04_perplexity" -> d04_perplexity _,
     "d04_gopher_rules" -> d04_gopher_rules _,
@@ -3318,6 +3415,40 @@ object PipelineQueries {
         |    / len(string_split(raw, ' ')), 4) AS DECIMAL(28,4)) AS DOUBLE)
         |    AS fertility
         |FROM r ORDER BY doc_id""".stripMargin,
+    "d04_bpe_encode" -> {
+      // the oracle replays the SAME deterministic merge list (it is a
+      // fixed public constant); the chain interpolates from BpeMerges so
+      // Spark and DuckDB can never drift on rank order
+      val chain = BpeMerges.foldLeft("wrapped") { case (acc, (a, b)) =>
+        s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      val vocab = (('a' to 'z').map(_.toString) ++
+        BpeMerges.map { case (a, b) => a + b })
+        .map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS norm
+         |  FROM documents),
+         |wr AS (
+         |  SELECT doc_id, norm,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split(norm, ' '), x -> x <> ''),
+         |      w -> regexp_replace(w, '(.)', '<\\1>', 'g')), '|') AS wrapped
+         |  FROM w WHERE length(replace(norm, ' ', '')) > 0),
+         |m AS (SELECT doc_id, norm, $chain AS merged FROM wr),
+         |sy AS (
+         |  SELECT doc_id, norm, string_split_regex(
+         |    substring(merged, 2, length(merged) - 2), '>\\|?<') AS syms
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(len(syms) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_transform(syms,
+         |    x -> list_position($vocab, x) - 1), ',') AS token_ids,
+         |  CAST(CAST(round(CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+         |    / len(syms), 4) AS DECIMAL(28,4)) AS DOUBLE) AS compression
+         |FROM sy ORDER BY doc_id""".stripMargin
+    },
     "d04_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (

@@ -556,6 +556,65 @@ object StreamingQueries {
     out
   }
 
+  // B68 — EQUALITY-delete debt retirement (`CALL convert_equality_deletes`,
+  // round-9 verdict item 7): the c20 streaming CDC upsert leaves one
+  // eq-delete file per micro-batch — sequence-addressed key sets every
+  // scan of an older file must probe, and a standing block on key-column
+  // schema evolution. The conversion scans the pinned snapshot with
+  // delete application OFF, finds the positions the pending keys retire
+  // (file seq < delete seq — the read path's exact rule), commits them
+  // as range-binned pos-delete parquets and DROPS every eq entry in one
+  // snapshot. The entry asserts the debt shape engine-side ($deletes: eq
+  // entries before, none after, pos marks materialized) and hashes the
+  // post-convert read — a key over- or under-converted would swallow or
+  // resurrect a row version and break the keep-last oracle (same SQL as
+  // c20: conversion must be invisible to readers).
+  def b68_convert_eq_deletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-b68-${UUID.randomUUID()}"
+    val table = LakeTable.create(loc,
+      "o_orderkey BIGINT,o_totalprice DOUBLE,o_orderstatus STRING",
+      TruncateSpec("o_orderkey", 400L))
+    def drain(src: DataFrame): Unit = {
+      val in = replayDir(src, 2)
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.format("laketable")
+        .option("checkpointLocation", ckpt)
+        .option("upsertKeys", "o_orderkey")
+        .trigger(Trigger.AvailableNow())
+        .start(loc)
+      q.awaitTermination()
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(in))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    drain(orders.filter(col("o_orderkey") < 1000))
+    drain(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .withColumn("o_orderstatus", lit("U")))
+    def byKind(kind: String): Seq[DeleteFileMeta] =
+      table.refresh().deleteFilesMeta().filter(_.kind == kind)
+    require(byKind(DeleteFileMeta.KindEq).nonEmpty,
+      "upsert replays must leave pending equality-delete files")
+    val snap = table.convertEqualityDeletes(s)
+    require(snap > 0, "conversion must commit a snapshot")
+    require(byKind(DeleteFileMeta.KindEq).isEmpty,
+      "conversion must retire every equality-delete entry")
+    require(byKind(DeleteFileMeta.KindPos).map(_.rowCount).sum > 0,
+      "conversion must materialize position marks for the retired keys")
+    // idempotence: nothing left to convert
+    require(table.convertEqualityDeletes(s) == -1L,
+      "second conversion must be a no-op")
+    val out = localize(s.read.format("laketable").load(loc)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey"))
+    LakeTable.drop(loc)
+    out
+  }
+
   // D7c — the ANN index maintained CONTINUOUSLY: a streaming job reads
   // the DATA table's own incremental scan (the laketable source, A25),
   // encodes each arriving micro-batch under the frozen models
@@ -659,14 +718,17 @@ object StreamingQueries {
           concat(col("text"), lit(" zq zr zs")).as("text")))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
-    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
-      TruncateSpec("h0", 1L << 56))
+    // layout key = xxhash64(band,h0,h1) pmod 16 (P.withBandKey) — h0 is
+    // a minhash minimum and skews low; the uniform re-key spreads
+    // maintenance appends evenly across the 16 buckets
+    val index = LakeTable.create(locI, P.BandIndexDdl,
+      TruncateSpec("bkey", 1L))
     LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000000L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
       index.append(LakeWriter.writeDataFiles(
-        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
-          .select("band", "h0", "h1").distinct(), index))
+        P.withBandKey(P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct()), index))
       // the static side: the committed index table, read once per
       // micro-batch planning — shared by every gate stream
       val comBands = s.read.format("laketable").load(locI)
@@ -987,14 +1049,17 @@ object StreamingQueries {
           concat(col("text"), lit(" zq zr zs")).as("text")))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
-    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
-      TruncateSpec("h0", 1L << 56))
+    // layout key = xxhash64(band,h0,h1) pmod 16 (P.withBandKey) — h0 is
+    // a minhash minimum and skews low; the uniform re-key spreads
+    // maintenance appends evenly across the 16 buckets
+    val index = LakeTable.create(locI, P.BandIndexDdl,
+      TruncateSpec("bkey", 1L))
     LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000000L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
       index.append(LakeWriter.writeDataFiles(
-        P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
-          .select("band", "h0", "h1").distinct(), index))
+        P.withBandKey(P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+          .select("band", "h0", "h1").distinct()), index))
       def runLive(): Unit = {
         val before = s.read.format("laketable").load(locR)
           .select("doc_id").distinct().count()
@@ -1015,8 +1080,8 @@ object StreamingQueries {
                 .select("doc_id"), res), "live-gate", epoch)
             val idx = LakeTable.load(locI)
             idx.appendEpoch(LakeWriter.writeDataFiles(
-              bands.select("band", "h0", "h1").distinct()
-                .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+              P.withBandKey(bands.select("band", "h0", "h1").distinct()
+                .join(com, Seq("band", "h0", "h1"), "left_anti")), idx),
               "live-maint", epoch)
             ()
           }
@@ -1074,8 +1139,11 @@ object StreamingQueries {
       (107L, 6L, false), (108L, 8L, false))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
-    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
-      TruncateSpec("h0", 1L << 56))
+    // layout key = xxhash64(band,h0,h1) pmod 16 (P.withBandKey) — h0 is
+    // a minhash minimum and skews low; the uniform re-key spreads
+    // maintenance appends evenly across the 16 buckets
+    val index = LakeTable.create(locI, P.BandIndexDdl,
+      TruncateSpec("bkey", 1L))
     LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000L))
     try {
       plan.foreach { case (id, srcId, near) =>
@@ -1099,8 +1167,8 @@ object StreamingQueries {
               .select("doc_id"), res), "live-gate", epoch)
           val idx = LakeTable.load(locI)
           idx.appendEpoch(LakeWriter.writeDataFiles(
-            bands.select("band", "h0", "h1").distinct()
-              .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+            P.withBandKey(bands.select("band", "h0", "h1").distinct()
+              .join(com, Seq("band", "h0", "h1"), "left_anti")), idx),
             "live-maint", epoch)
           ()
         }
@@ -1461,6 +1529,7 @@ object StreamingQueries {
     "c18_stream_stream_join" -> c18_stream_stream_join _,
     "c19_stream_upsert" -> c19_stream_upsert _,
     "c20_stream_eq_upsert" -> c20_stream_eq_upsert _,
+    "b68_convert_eq_deletes" -> b68_convert_eq_deletes _,
     "c21_stream_tws" -> c21_stream_tws _,
     "d07_stream_pipeline" -> d07_stream_pipeline _,
     "d07_stream_fuzzy" -> d07_stream_fuzzy _,
@@ -1750,6 +1819,15 @@ object StreamingQueries {
     // replay 1: keys < 1000 as-is; replay 2 overrides [500, 1500) with
     // price*3 / status 'U' — keep-last per key
     "c20_stream_eq_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 500 THEN o_totalprice * 3
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey >= 500 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey""".stripMargin,
+    // identical keep-last state to c20 — the eq→pos conversion between
+    // the upserts and the read must be invisible to the scan
+    "b68_convert_eq_deletes" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey >= 500 THEN o_totalprice * 3
         |       ELSE o_totalprice END AS o_totalprice,

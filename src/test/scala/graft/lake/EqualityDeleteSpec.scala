@@ -156,4 +156,43 @@ class EqualityDeleteSpec extends SparkSpec {
       assert(d == (if (id < 5) "a" else "b"), s"key $id")
     }
   }
+
+  test("convertEqualityDeletes: eq debt becomes position marks, rows and " +
+      "mixed pos deletes unchanged, key rename unblocks, idempotent") {
+    val t = newTable("eq-convert")
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 100, bucket(0), seed = 7), t, 3))
+    // stacked upserts with overlap: keys 55..59 carry TWO eq generations —
+    // the max-seq aggregation must retire both older versions of 55..64
+    // without touching the second upsert's own batch
+    assert(upsert(t, 50L until 60L, "v1", epoch = 0) > 0)
+    assert(upsert(t, 55L until 65L, "v2", epoch = 1) > 0)
+    // a position delete in the same inventory must carry through untouched
+    assert(t.deleteWhereMoR(spark, col("message_id") === 99L) > 0)
+    assert(t.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindEq))
+    assert(t.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindPos))
+    // rename of the eq key column is blocked while the debt is pending
+    intercept[IllegalStateException] { t.renameColumn("message_id", "mid") }
+    val before = t.toDF(spark).select("message_id", "data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before.size == 99 && !before.exists(_._1 == 99L))
+    assert(before.count(_._2 == "v1") == 5)   // 50..54
+    assert(before.count(_._2 == "v2") == 10)  // 55..64
+    val snap = t.convertEqualityDeletes(spark)
+    assert(snap > 0)
+    val after = t.refresh().deleteFilesMeta()
+    assert(after.nonEmpty && after.forall(_.kind == DeleteFileMeta.KindPos),
+      s"eq entries survive conversion: $after")
+    val read = t.toDF(spark).select("message_id", "data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(read == before, "conversion changed visible rows")
+    // metadata shortcuts (manifest-count path) now see pos-only deletes
+    assert(t.toDF(spark).count() == 99)
+    // the retired debt unblocks key-column schema evolution
+    assert(t.renameColumn("message_id", "mid") > 0)
+    assert(t.toDF(spark).filter(col("mid") === 55L)
+      .head().getString(t.schema.fieldIndex("data")) == "v2")
+    // nothing left to convert
+    assert(t.convertEqualityDeletes(spark) == -1L)
+  }
 }

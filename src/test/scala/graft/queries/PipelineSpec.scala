@@ -1022,4 +1022,32 @@ class PipelineSpec extends SparkSpec {
     assert(pq2.map(_.map(_.toList).toList).toList ==
       pq.map(_.map(_.toList).toList).toList)
   }
+
+  test("D4j2 BPE encode: merges apply by rank, feed later merges, stay " +
+      "whole-symbol, and never cross token boundaries") {
+    val tdir = s"${System.getProperty("java.io.tmpdir")}/graft-bpe-${java.util.UUID.randomUUID()}"
+    import spark.implicits._
+    Seq((1L, "the cat in the hat", "en", "web", 18L),
+        (2L, "ander doing", "en", "web", 11L),
+        (3L, "xa b or", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tdir/documents.parquet")
+    try {
+      val out = PipelineQueries.d04_bpe_encode(spark, tdir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+        .toMap
+      // vocab ids: a=0..z=25, then merges in rank order: th=26 the=27
+      // in=28 an=29 er=30 on=31 re=32 at=33 en=34 or=35 and=36 ing=37
+      // "the"→[the], "cat"→[c,at], "in"→[in], "hat"→[h,at]
+      assert(out(1L) == ((14L, 7L, "27,2,33,28,27,7,33", 2.0)), out(1L))
+      // "ander": (a,n)→an, (e,r)→er, then (an,d)→and — MERGED symbols
+      // feed later merges; "doing": (i,n)→in then (in,g)→ing
+      assert(out(2L) == ((10L, 5L, "36,30,3,14,37", 2.0)), out(2L))
+      // "xa b": the 'a' inside "xa" must NOT merge across the token
+      // boundary with "b"; "or" merges by rule 10
+      assert(out(3L) == ((5L, 4L, "23,0,1,35", 1.25)), out(3L))
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tdir))
+  }
 }

@@ -264,8 +264,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
-    val index = LakeTable.create(locI, "band INT,h0 BIGINT,h1 BIGINT",
-      TruncateSpec("h0", 1L << 56))
+    val index = LakeTable.create(locI, P.BandIndexDdl,
+      TruncateSpec("bkey", 1L))
     LakeTable.create(locR, "doc_id BIGINT", TruncateSpec("doc_id", 1000L))
     val textA = "the quick brown fox jumps over the lazy dog again and again"
     val textC = "completely different content with no shared shingles at all here"
@@ -289,8 +289,8 @@ class StreamingSpec extends SparkSpec {
               .select("doc_id"), res), "live-gate", epoch)
           val idx = LakeTable.load(locI)
           idx.appendEpoch(LakeWriter.writeDataFiles(
-            bands.select("band", "h0", "h1").distinct()
-              .join(com, Seq("band", "h0", "h1"), "left_anti"), idx),
+            P.withBandKey(bands.select("band", "h0", "h1").distinct()
+              .join(com, Seq("band", "h0", "h1"), "left_anti")), idx),
             "live-maint", epoch)
           ()
         }
