@@ -372,7 +372,28 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     CommitCas.forScheme(fs.getScheme).publish(fs, dest, content)
 
   private def maxRetries: Int =
-    meta.properties.getOrElse(PropCommitRetries, "20").toInt
+    meta.properties.getOrElse(PropCommitRetries, "100").toInt
+
+  /** Jittered exponential backoff between lost-CAS retries. Without it,
+    * racing committers stay phase-locked (each re-derives at full speed
+    * and re-races the same pack), so consecutive losses are nearly
+    * independent coin flips and retry exhaustion becomes a real event —
+    * the round-10 contention probe measured whole committers dying this
+    * way at 5-way contention. Doubling with ±50% jitter (capped 64×)
+    * desynchronizes the pack; the k-th consecutive loss then requires
+    * losing against an ever-sparser schedule. Base is per-table
+    * ([[LakeFormat.PropCommitRetryWaitMs]]), 0 disables.
+    */
+  private def retryBackoff(attempt: Int): Unit = {
+    val base = meta.properties.getOrElse(PropCommitRetryWaitMs,
+      DefaultCommitRetryWaitMs).toLong
+    if (base > 0 && attempt > 0) {
+      val cap = base * (1L << math.min(attempt, 6))
+      val ms = cap / 2 +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(cap / 2 + 1)
+      Thread.sleep(ms)
+    }
+  }
 
   /** One CAS attempt: only the metadata write can signal a conflict;
     * everything after the CAS lands is best-effort maintenance and must
@@ -472,6 +493,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
               LakeTable.commitRetries.incrementAndGet()
               if (attempt >= maxRetries)
                 throw new IllegalStateException(s"commit failed after $attempt retries")
+              retryBackoff(attempt)
               refresh()
           }
       }
@@ -900,6 +922,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           attempt += 1
           if (attempt >= maxRetries)
             throw new IllegalStateException(s"alter failed after $attempt retries")
+          retryBackoff(attempt)
           refresh()
       }
     }
@@ -978,6 +1001,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           attempt += 1
           if (attempt >= maxRetries)
             throw new IllegalStateException(s"alter failed after $attempt retries")
+          retryBackoff(attempt)
           refresh()
       }
     }
@@ -1066,6 +1090,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           attempt += 1
           if (attempt >= maxRetries)
             throw new IllegalStateException(s"stage failed after $attempt retries")
+          retryBackoff(attempt)
           refresh()
       }
     }
@@ -1181,6 +1206,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           attempt += 1
           if (attempt >= maxRetries)
             throw new IllegalStateException(s"rollback failed after $attempt retries")
+          retryBackoff(attempt)
           refresh()
       }
     }
@@ -1210,6 +1236,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
           if (attempt >= maxRetries)
             throw new IllegalStateException(
               s"rewrite_manifests failed after $attempt retries")
+          retryBackoff(attempt)
           refresh()
       }
     }

@@ -314,6 +314,17 @@ object LakeFormat {
 
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
+  // Exponential-backoff base for lost-CAS retries (doubles per attempt,
+  // capped at 64×, with ±50% jitter so racing committers desynchronize).
+  // The round-10 contention probe showed why no-backoff spinning is not
+  // just slow but LOSSY in practice: with 5 committers racing one table,
+  // a loser re-derives at full speed, stays phase-locked with the pack,
+  // and can lose 20 straight races (p ≈ 0.8^20 per commit — ~1% — which
+  // at 200 commits/thread kills whole committers via retry exhaustion).
+  // Jittered backoff makes the k-th consecutive loss exponentially
+  // unlikely; 0 disables (tests that fuzz the race directly).
+  val PropCommitRetryWaitMs = "commit.retry.min-wait-ms"
+  val DefaultCommitRetryWaitMs = "2"
   val PropManifestMinMerge = "commit.manifest.min-count-to-merge"
   // Cap on file entries per MERGED manifest (our analog of Iceberg's
   // manifest target size): merge output is binned, never one unbounded
@@ -340,8 +351,16 @@ object LakeFormat {
   // of "stage" snapshots invisible to main readers until published
   val PropBranchPrefix = "ref.branch."
 
+  // 100, not the reference's low-tens shape: a lost CAS wins its retry
+  // race with probability ~1/N under N-way contention, so the attempt
+  // budget must cover N·ln(commits) with margin — at 20, five contending
+  // committers exhaust it ~1% of commits (measured, round 10), and an
+  // exhausted committer is a LOST WRITE for its caller. With jittered
+  // backoff the worst-case added wait stays bounded (~13 s at the 128 ms
+  // cap), so the larger budget costs nothing on the single-committer
+  // happy path (first attempt still wins immediately).
   val DefaultProperties: Map[String, String] = Map(
-    PropCommitRetries -> "20",
+    PropCommitRetries -> "100",
     PropManifestMinMerge -> "200",
     PropMinSnapshotsToKeep -> "100",
     "write.metadata.previous-versions-max" -> "200",

@@ -99,4 +99,44 @@ class CommitCasSpec extends SparkSpec {
       assert(ids == (ids.min to ids.max), s"version chain has gaps: $ids")
     } finally CommitCas.unregister("mocks3")
   }
+
+  test("5-way local-FS append storm: no commit lost, no committer dies " +
+      "(jittered backoff defeats retry-exhaustion starvation)") {
+    // The round-10 contention probe caught this for real: without
+    // backoff, a loser re-derives at full speed, stays phase-locked with
+    // the pack, and can lose commit.retry.num-retries straight races —
+    // the thread then dies and every one of its remaining commits is
+    // silently lost. The fix (retryBackoff: doubling + jitter) must keep
+    // ALL commits under genuine 5-way contention.
+    val loc = tmpDir("cas-storm")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val threads = 5
+    val per = 40
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val futures = (0 until threads).map { th =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val t = LakeTable.load(loc)
+          start.await()
+          for (i <- 0 until per) {
+            t.append(Seq(DataFileMeta(s"$loc/data/t$th-f$i.parquet",
+              1024L, 10L, 5666666L * 300000000L)))
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
+    futures.foreach(_.get()) // a dead committer surfaces here
+    val fin = LakeTable.load(loc)
+    assert(fin.files().size == threads * per,
+      s"lost commits: ${fin.files().size} of ${threads * per} files")
+    assert(fin.currentSnapshotId == threads.toLong * per)
+    val ids = fin.snapshots.map(_.id).sorted
+    assert(ids == (ids.min to ids.max), s"version chain has gaps: $ids")
+    LakeTable.drop(loc)
+  }
 }

@@ -32,6 +32,8 @@ class DeleteRewritePropertySpec extends SparkSpec {
     val t = newTable()
     import spark.implicits._
     var nextId = 0L
+    var totalAppended = 0L
+    var epoch = 0L
     // model: live row id -> its bucket
     val live = scala.collection.mutable.Map.empty[Long, Long]
     var lastOpWasRewrite = false
@@ -47,7 +49,50 @@ class DeleteRewritePropertySpec extends SparkSpec {
         lit(b).as("timeperiod_loadedBy"),
         lit("x").cast("binary").as("message_body"))
       t.append(LakeWriter.writeDataFiles(df, t, 1 + rnd.nextInt(2)))
+      totalAppended += n
       ids.foreach(i => live(i) = b)
+    }
+    // streaming-shape CDC upsert: new versions of a random id range land
+    // with an equality delete on message_id in ONE epoch-fenced commit —
+    // older versions (any bucket) retire, ids absent from the table are
+    // plain inserts; the model keeps last-writer-wins per id
+    def upsertOp(): Unit = {
+      val n = 5 + rnd.nextInt(15)
+      // bias toward EXISTING ids so retirement actually happens
+      val start = math.max(0L, nextId - n - rnd.nextInt(30))
+      val ids = (start until start + n)
+      val b = bucket(rnd.nextInt(3))
+      val df = ids.toDF("message_id").select(
+        col("message_id"), lit(s"u$seed-$epoch").as("data"),
+        timestamp_micros(lit(b) + col("message_id")).as("timestamp"),
+        lit(b).as("timeperiod_loadedBy"),
+        lit("u").cast("binary").as("message_body"))
+      val files = LakeWriter.writeDataFiles(df, t)
+      val eq = new graft.lake.dsv2.LakeEqualityDeleteWriter(
+        t.location, t.schema, Seq("message_id"))
+      val keyRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(t.schema.length)
+      ids.foreach { id =>
+        keyRow.setLong(t.schema.fieldIndex("message_id"), id)
+        eq.write(keyRow)
+      }
+      assert(t.appendEpoch(files, s"fuzz$seed", epoch, Seq(eq.finish())) > 0)
+      epoch += 1
+      totalAppended += n
+      nextId = math.max(nextId, start + n)
+      ids.foreach(i => live(i) = b)
+    }
+    // eq→pos conversion under a random mixed inventory: every eq entry
+    // must retire, visible content must not move, and a second call with
+    // nothing pending is a no-op
+    def convert(): Unit = {
+      val hadEq = t.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindEq)
+      val sid = t.convertEqualityDeletes(spark)
+      assert((sid > 0) == hadEq,
+        s"convert returned $sid with hadEq=$hadEq (seed $seed)")
+      assert(!t.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindEq),
+        s"eq entries survive conversion (seed $seed)")
+      if (!hadEq) assert(sid == -1L)
     }
     def del(): Unit = {
       val k = 2 + rnd.nextInt(4)
@@ -89,7 +134,7 @@ class DeleteRewritePropertySpec extends SparkSpec {
       // after a rewrite every surviving mark references a LIVE file and
       // is unique — the mark count is exactly the masked-row count
       if (sid >= 0) {
-        val masked = nextId - live.size // rows ever appended minus live
+        val masked = totalAppended - live.size // rows ever written minus live
         assert(pos.map(_.rowCount).sum <= masked,
           s"rewrite kept more marks than masked rows ($masked)")
       }
@@ -97,12 +142,14 @@ class DeleteRewritePropertySpec extends SparkSpec {
 
     append() // schedules start non-empty
     (0 until 8).foreach { _ =>
-      val op = rnd.nextInt(14)
+      val op = rnd.nextInt(18)
       if (op < 3) { append(); lastOpWasRewrite = false }
       else if (op < 6) { del(); lastOpWasRewrite = false }
       else if (op < 8) { compact(); lastOpWasRewrite = false }
       else if (op < 10) { cowDel(); lastOpWasRewrite = false }
       else if (op < 12) { thresholdCompact(); lastOpWasRewrite = false }
+      else if (op < 15) { upsertOp(); lastOpWasRewrite = false }
+      else if (op < 16) { convert(); lastOpWasRewrite = false }
       else { rewrite(); lastOpWasRewrite = true }
       assert(t.toDF(spark).count() == live.size.toLong,
         s"count diverged from model (seed $seed)")
@@ -114,7 +161,8 @@ class DeleteRewritePropertySpec extends SparkSpec {
     LakeTable.drop(t.location)
   }
 
-  test("random append/delete/compact/rewrite schedules preserve the model") {
+  test("random append/delete/compact/rewrite/upsert/convert schedules " +
+      "preserve the model") {
     (1L to 10L).foreach(runSchedule)
   }
 }

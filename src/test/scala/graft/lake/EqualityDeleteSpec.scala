@@ -195,4 +195,24 @@ class EqualityDeleteSpec extends SparkSpec {
     // nothing left to convert
     assert(t.convertEqualityDeletes(spark) == -1L)
   }
+
+  test("skipDeleteApplication read option exposes masked rows — the " +
+      "maintenance-scan contract conversion relies on") {
+    val t = newTable("eq-skip")
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 20, bucket(0), seed = 9), t))
+    assert(upsert(t, 0L until 5L, "nv", epoch = 0) > 0)
+    assert(t.deleteWhereMoR(spark, col("message_id") === 10L) > 0)
+    // default scan: eq masks the 5 older versions, pos mask hides key 10
+    assert(spark.read.format("laketable").load(t.location).count() == 19)
+    // skip scan: every PHYSICAL row — 20 originals + 5 upsert versions —
+    // including the rows both delete kinds would hide
+    val rawDf = spark.read.format("laketable")
+      .option("skipDeleteApplication", "true").load(t.location)
+    assert(rawDf.count() == 25)
+    assert(rawDf.filter(col("message_id") === 10L).count() == 1)
+    assert(rawDf.filter(col("message_id") < 5L).count() == 10)
+    // _file/_pos still served (row path) under skip
+    assert(rawDf.select("_file", "_pos").distinct().count() == 25)
+  }
 }
