@@ -75,7 +75,11 @@ object Bench {
     // ~5.5 s at sf0.1: the export writes ~500 per-shard files through the
     // lake sink — honest pricing of the one-file-per-shard layout, but
     // its IO/GC churn belongs after the envelope entries
-    "d06_pipeline_shards")
+    "d06_pipeline_shards",
+    // round-11: the production-vocab BPE encoder (commits a scratch model
+    // table → heavy family); its tokens/sec rides the full artifact via
+    // runBpeRate
+    "d04_bpe_encode_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,11 +107,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Warmup run (discarded), then best of two timed runs. */
+    /** Warmup run (discarded), then best of two timed runs — plus a THIRD
+      * timed run when the best so far is sub-1.5 s (r10 verdict item 1:
+      * the envelope is ~25 entries dominated by fixed per-job overhead, so
+      * on a weather-degraded VM a single bad scheduler/GC pause inflates a
+      * 0.3 s entry 2-3×; one extra rep on the cheap entries costs ~10 s of
+      * wall total and moves the reported min materially toward the true
+      * floor. Entries ≥1.5 s keep best-of-2: their runtime is real work,
+      * spiky noise is proportionally small, and a third rep there would
+      * add minutes).
+      */
     def run(name: String): Double = {
       runOnce(name)
       val a = runOnce(name); val b = runOnce(name)
-      if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      if (best >= 0 && best < 1.5) {
+        val c = runOnce(name)
+        if (c >= 0) math.min(best, c) else best
+      } else best
     }
 
     /** The reference's core workload (A4–A15): generate → write partitioned
@@ -720,6 +737,402 @@ object Bench {
       out
     }
 
+    /** SPARK_GRAFT_MOCKS3=<latencyMs>: object-store pricing (r10 verdict
+      * items 3+7). Local-FS numbers undersell per-file latency ~300×
+      * (NIO ~0.05 ms vs 10-20 ms per object-store round-trip), so three
+      * artifacts' caveats ("local FS undersells...") were never priced.
+      * This probe re-runs the latency-sensitive protocol paths through
+      * the `mocks3:` FS with MockStoreLatency injecting <latencyMs> per
+      * round-trip-shaped primitive and the ConditionalPutCas registered
+      * (the real flat-store commit posture — rename is NOT a CAS there):
+      *
+      *  1. commit curve at depth 300 — what a commit costs when every
+      *     metadata read/write is a request, not a syscall;
+      *  2. the 5-way contention storm (item 7: the reference's
+      *     20000-retry posture targets exactly this object-store race) —
+      *     zero losses asserted, p50/p99/retries reported;
+      *  3. snapshot-expiry GC over ~600 retired metadata files, per-file
+      *     deletes vs a registered S3-DeleteObjects-style batch (1000
+      *     keys/request) — the BulkDelete seam's reason to exist;
+      *  4. the orphan sweep over 1500 planted orphans, same pair.
+      *
+      * Setup (table builds, orphan planting) runs with latency OFF — the
+      * timed regions price the OPERATIONS, not the fixture construction.
+      * All keys land under `mocks3_latency` in the artifact.
+      */
+    def runMockS3(latencyMs: Int): Seq[(String, Double)] = {
+      import graft.lake._
+      val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      out += "latency_ms" -> latencyMs.toDouble
+      def lat[A](on: Boolean)(f: => A): A = {
+        if (on) System.setProperty(MockStoreLatency.Prop, latencyMs.toString)
+        else System.clearProperty(MockStoreLatency.Prop)
+        try f finally System.clearProperty(MockStoreLatency.Prop)
+      }
+      def loc(tag: String) =
+        s"mocks3:${System.getProperty("java.io.tmpdir")}/graft-bench-s3-$tag-${java.util.UUID.randomUUID()}"
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted
+        s(math.min(s.size - 1, (p * s.size).toInt))
+      }
+      // one S3 DeleteObjects request per ≤1000 keys; the store deletes
+      // server-side (no per-key client round-trip), emulated by charging
+      // ONE latency per chunk and removing the backing files via NIO
+      object BatchDelete extends BulkDelete {
+        override def deleteAll(fs: org.apache.hadoop.fs.FileSystem,
+            paths: Seq[org.apache.hadoop.fs.Path]): Unit =
+          paths.grouped(1000).foreach { chunk =>
+            MockStoreLatency.charge()
+            chunk.foreach(p => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(p.toUri.getPath)))
+          }
+      }
+      CommitCas.register("mocks3", ConditionalPutCas)
+      try {
+        // ---- 1. commit curve under per-request latency ----
+        val curveLoc = loc("curve")
+        val curve = LakeTable.create(curveLoc, LakeWriter.EventSchemaDdl,
+          LakeWriter.EventSpec)
+        val lats = lat(on = true) {
+          (0 until 300).map { i =>
+            val m = DataFileMeta(s"$curveLoc/data/f$i.parquet", 1024L, 10L,
+              5666666L * 300000000L)
+            val t0 = System.nanoTime()
+            curve.append(Seq(m))
+            (System.nanoTime() - t0) / 1e6
+          }
+        }
+        def win(until: Int): Double = {
+          val from = math.max(0, until - 10)
+          lats.slice(from, until).sum / (until - from)
+        }
+        out += "curve_ms_at_10" -> win(10)
+        out += "curve_ms_at_100" -> win(100)
+        out += "curve_ms_at_300" -> win(300)
+        System.err.println(f"[bench] mocks3 curve: at10=${win(10)}%.1fms " +
+          f"at100=${win(100)}%.1fms at300=${win(300)}%.1fms " +
+          f"total=${lats.sum / 1000}%.1fs")
+
+        // ---- 2. 5-way contention storm through the conditional put ----
+        // The first run of this probe at 15 ms/RT found REAL starvation:
+        // a loser's refresh+rederive cycle (~6 RTs) is slower than the
+        // in-sync pack's 2-RT win cycle, so one committer can lose every
+        // race until the pack drains — 100 straight losses killed it.
+        // That is precisely why the reference ships
+        // commit.retry.num-retries=20000 (Writer.java:116): on an object
+        // store the retry budget must cover the WHOLE contention window,
+        // not a fixed count of coin flips. The probe adopts the
+        // reference's posture via the table's own knobs: a deep retry
+        // budget plus a latency-proportional backoff base (10 ms → cap
+        // 640 ms, long enough to leapfrog the pack's cycle).
+        val contLoc = loc("cont")
+        LakeTable.create(contLoc, LakeWriter.EventSchemaDdl,
+          LakeWriter.EventSpec,
+          Map(LakeFormat.PropCommitRetries -> "20000",
+            LakeFormat.PropCommitRetryWaitMs -> "10"))
+        val before = LakeTable.commitRetries.get()
+        val contLats = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Double]())
+        lat(on = true) {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+          val start = new java.util.concurrent.CountDownLatch(1)
+          val futures = (0 until 5).map { th =>
+            pool.submit(new Runnable {
+              override def run(): Unit = {
+                val t = LakeTable.load(contLoc)
+                start.await()
+                for (i <- 0 until 100) {
+                  val m = DataFileMeta(s"$contLoc/data/t$th-f$i.parquet",
+                    1024L, 10L, 5666666L * 300000000L)
+                  val t0 = System.nanoTime()
+                  t.append(Seq(m))
+                  contLats.add((System.nanoTime() - t0) / 1e6)
+                }
+              }
+            })
+          }
+          start.countDown()
+          pool.shutdown()
+          assert(pool.awaitTermination(20,
+            java.util.concurrent.TimeUnit.MINUTES))
+          futures.foreach(_.get()) // a dead committer fails the probe loudly
+        }
+        val contTable = LakeTable.load(contLoc)
+        assert(contTable.files().size == 500,
+          s"mocks3 contention lost files: ${contTable.files().size}")
+        assert(contTable.currentSnapshotId == 500L,
+          s"expected 500 snapshots, got ${contTable.currentSnapshotId}")
+        import scala.jdk.CollectionConverters._
+        val cl = contLats.asScala.toSeq
+        out += "cont_commits" -> cl.size.toDouble
+        out += "cont_p50_ms" -> pct(cl, 0.50)
+        out += "cont_p99_ms" -> pct(cl, 0.99)
+        out += "cont_retries_per_commit" ->
+          (LakeTable.commitRetries.get() - before).toDouble / cl.size
+        LakeTable.drop(contLoc)
+
+        // ---- 3. expiry GC: per-file deletes vs batched DeleteObjects ----
+        // two identical 300-commit tables built latency-OFF; expiry
+        // retires ~299 manifests + ~299 version files each, and the only
+        // difference between the two timed regions is the delete seam
+        def buildExpireTable(): LakeTable = {
+          val l = loc("expire")
+          val t = LakeTable.create(l, LakeWriter.EventSchemaDdl,
+            LakeWriter.EventSpec)
+          (0 until 300).foreach { i =>
+            t.append(Seq(DataFileMeta(s"$l/data/e$i.parquet", 1024L, 10L,
+              5666666L * 300000000L)))
+          }
+          // full overwrite unreferences all 300 appended files, so the
+          // expiry GC below has REAL data-file deletes to price (~600
+          // objects: retired data + manifests), not just the manifest
+          // tail — without this the delete phase was ~200 objects and
+          // the pair's numbers were dominated by the fold, not the seam
+          t.overwrite(Seq(DataFileMeta(s"$l/data/final.parquet", 1024L,
+            10L, 5666666L * 300000000L)))
+          t
+        }
+        val (expA, expB) = (buildExpireTable(), buildExpireTable())
+        val cutoff = System.currentTimeMillis() + 3600000L
+        val perFileExpire = lat(on = true) {
+          val t0 = System.nanoTime()
+          expA.expireSnapshots(cutoff, retainLast = 1)
+          (System.nanoTime() - t0) / 1e9
+        }
+        BulkDelete.register("mocks3", BatchDelete)
+        val batchExpire =
+          try lat(on = true) {
+            val t0 = System.nanoTime()
+            expB.expireSnapshots(cutoff, retainLast = 1)
+            (System.nanoTime() - t0) / 1e9
+          } finally BulkDelete.unregister("mocks3")
+        out += "expire_perfile_s" -> perFileExpire
+        out += "expire_batch_s" -> batchExpire
+        LakeTable.drop(expA.location); LakeTable.drop(expB.location)
+
+        // ---- 4. orphan sweep: same pair over 1500 planted orphans ----
+        def plantOrphans(t: LakeTable): Unit = {
+          val dataDir = java.nio.file.Paths.get(
+            new org.apache.hadoop.fs.Path(t.location, "data").toUri.getPath)
+          java.nio.file.Files.createDirectories(dataDir)
+          (0 until 1500).foreach { i =>
+            java.nio.file.Files.write(dataDir.resolve(s"orphan-$i.parquet"),
+              Array[Byte](1, 2, 3))
+          }
+        }
+        def buildOrphanTable(): LakeTable = {
+          val l = loc("orphan")
+          val t = LakeTable.create(l, LakeWriter.EventSchemaDdl,
+            LakeWriter.EventSpec)
+          t.append(Seq(DataFileMeta(s"$l/data/kept.parquet", 1024L, 10L,
+            5666666L * 300000000L)))
+          plantOrphans(t)
+          t
+        }
+        val orphA = buildOrphanTable()
+        val perFileOrphan = lat(on = true) {
+          val t0 = System.nanoTime()
+          val swept = orphA.removeOrphanFiles(spark, cutoff)
+          assert(swept.deletedCount == 1500L,
+            s"per-file sweep deleted ${swept.deletedCount}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val orphB = buildOrphanTable()
+        BulkDelete.register("mocks3", BatchDelete)
+        val batchOrphan =
+          try lat(on = true) {
+            val t0 = System.nanoTime()
+            val swept = orphB.removeOrphanFiles(spark, cutoff)
+            assert(swept.deletedCount == 1500L,
+              s"batch sweep deleted ${swept.deletedCount}")
+            (System.nanoTime() - t0) / 1e9
+          } finally BulkDelete.unregister("mocks3")
+        out += "orphan_perfile_s" -> perFileOrphan
+        out += "orphan_batch_s" -> batchOrphan
+        LakeTable.drop(orphA.location); LakeTable.drop(orphB.location)
+        LakeTable.drop(curveLoc)
+      } finally {
+        CommitCas.unregister("mocks3")
+        BulkDelete.unregister("mocks3")
+        System.clearProperty(MockStoreLatency.Prop)
+      }
+      System.err.println("[bench] mocks3_latency: " + out.map {
+        case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      out.toSeq
+    }
+
+    /** SPARK_GRAFT_EQ_CONVERT=m: prices `convert_equality_deletes` (r10
+      * verdict item 6) at an m×-scaled corpus under a REALISTIC debt — 36
+      * CDC-style upsert batches (the c20 stream shape: new row versions +
+      * one eq-delete parquet each, appendEpoch-committed), each retiring
+      * scattered keys across every base file. Timed: the read tax while
+      * the debt is pending, the SEQ-SCOPED conversion (oldest half of the
+      * entries — the bounded-maintenance shape, since eq deletes are
+      * sequence-addressed and table-global), the remainder conversion,
+      * and the read after. Also asserts the threshold trigger: a call
+      * with min_eq_files above the pending count must no-op.
+      */
+    def runEqConvert(mult: Int): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-eqc-${java.util.UUID.randomUUID()}"
+      val table = LakeTable.create(loc, LakeWriter.EventSchemaDdl,
+        LakeWriter.EventSpec,
+        Map(LakeFormat.PropMergeMode -> LakeFormat.DeleteModeMergeOnRead))
+      try {
+        val rowsPer = 25000 * mult
+        for (i <- 0 until 4)
+          table.append(LakeWriter.writeDataFiles(
+            LakeWriter.generateBatch(spark, rowsPer,
+              (5666666L + i) * 300000000L, seed = 400 + i),
+            table, filesPerPartition = 4))
+        val totalRows = 4L * rowsPer
+        // 36 upsert batches: batch b retires keys ≡ b (mod 144) in its
+        // own bucket's id space — scattered matches in every base file
+        import spark.implicits._
+        for (b <- 0 until 36) {
+          val keys = (b.toLong until totalRows by 144L).toSeq
+          val df = keys.toDF("message_id").select(
+            col("message_id"), lit(s"uv$b").as("data"),
+            timestamp_micros(lit(5666666L * 300000000L) + col("message_id"))
+              .as("timestamp"),
+            lit(5666666L * 300000000L).as("timeperiod_loadedBy"),
+            lit(s"uv$b").cast("binary").as("message_body"))
+          val files = LakeWriter.writeDataFiles(df, table)
+          val eq = new graft.lake.dsv2.LakeEqualityDeleteWriter(
+            table.location, table.schema, Seq("message_id"))
+          val keyRow = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(table.schema.length)
+          keys.foreach { id =>
+            keyRow.setLong(table.schema.fieldIndex("message_id"), id)
+            eq.write(keyRow)
+          }
+          table.appendEpoch(files, "bench-eqc", b.toLong, Seq(eq.finish()))
+        }
+        val eqEntries = table.deleteFilesMeta()
+          .filter(_.kind == DeleteFileMeta.KindEq)
+        def scanOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.format("laketable").load(loc)
+            .agg(count(lit(1)).as("n"),
+              avg(length(col("data"))).as("alen"))
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        scanOnce()
+        val scanPending = math.min(scanOnce(), scanOnce())
+        // threshold trigger: debt below the bar → no-op
+        assert(table.convertEqualityDeletes(spark,
+          minEqFiles = eqEntries.size + 1) == -1L,
+          "threshold trigger did not no-op below the bar")
+        // seq-scoped: the oldest half of the debt first
+        val seqs = eqEntries.map(_.seq).sorted
+        val midSeq = seqs(seqs.size / 2 - 1)
+        val t1 = System.nanoTime()
+        assert(table.convertEqualityDeletes(spark, maxSeq = Some(midSeq),
+          minEqFiles = eqEntries.size / 4) > 0)
+        val scopedS = (System.nanoTime() - t1) / 1e9
+        val remaining = table.deleteFilesMeta()
+          .count(_.kind == DeleteFileMeta.KindEq)
+        assert(remaining == eqEntries.size - seqs.size / 2,
+          s"seq-scope retired wrong count: $remaining left")
+        val t2 = System.nanoTime()
+        assert(table.convertEqualityDeletes(spark) > 0)
+        val restS = (System.nanoTime() - t2) / 1e9
+        assert(!table.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindEq))
+        scanOnce()
+        val scanConverted = math.min(scanOnce(), scanOnce())
+        // visibility unchanged by conversion: same row count
+        assert(spark.read.format("laketable").load(loc).count() == totalRows)
+        val out = Seq(
+          "corpus_mult" -> mult.toDouble,
+          "rows" -> totalRows.toDouble,
+          "eq_files" -> eqEntries.size.toDouble,
+          "scan_pending_s" -> scanPending,
+          "convert_scoped_s" -> scopedS,
+          "convert_rest_s" -> restS,
+          "scan_converted_s" -> scanConverted)
+        System.err.println("[bench] eq_convert: " + out.map {
+          case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+        out
+      } finally LakeTable.drop(loc)
+    }
+
+    /** SPARK_GRAFT_ANN_REBUILD=m: prices the committed-ANN-index
+      * maintenance trade (r10 verdict item 4) at an m×-replicated corpus
+      * — (a) INCREMENTAL: encode one 10%-sized arrival under the frozen
+      * committed models and append (work ∝ increment; recall decays
+      * under drift), vs (b) REBUILD: retrain on the current corpus,
+      * re-encode everything, swap codes+models in one commit (work ∝
+      * corpus; recall re-earned). The ratio tells an operator how many
+      * increments one rebuild costs — the cadence number.
+      */
+    def runAnnRebuild(mult: Int): Seq[(String, Double)] = {
+      import graft.lake._
+      import org.apache.spark.sql.functions._
+      val P = graft.queries.PipelineQueries
+      val Q = graft.queries.LakeQueries
+      val e0 = graft.Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val maxId = e0.agg(max("vec_id")).head().getLong(0) + 1
+      val corpus = (0 until mult).map(i =>
+        e0.withColumn("vec_id", col("vec_id") + lit(i * maxId)))
+        .reduce(_ union _)
+      val locD = s"${System.getProperty("java.io.tmpdir")}/graft-bench-rbd-d-${java.util.UUID.randomUUID()}"
+      val locI = s"${System.getProperty("java.io.tmpdir")}/graft-bench-rbd-i-${java.util.UUID.randomUUID()}"
+      val data = LakeTable.create(locD,
+        "vec_id BIGINT,embedding ARRAY<FLOAT>", TruncateSpec("vec_id", 100L))
+      val index = LakeTable.create(locI,
+        "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+        TruncateSpec("vec_id", 100L))
+      try {
+        val d1 = data.append(LakeWriter.writeDataFiles(corpus, data))
+        val committed = data.snapshotDF(spark, d1)
+        val tb = System.nanoTime()
+        val ivf = P.trainIvfCentroids(committed)
+        val pq = P.trainPqCodebooks(committed)
+        index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+        index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+        index.append(LakeWriter.writeDataFiles(
+          P.ivfPqEncode(spark, committed, ivf, pq), index))
+        val buildS = (System.nanoTime() - tb) / 1e9
+        // one 10%-sized arrival
+        val incr = e0.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .withColumn("vec_id", col("vec_id") + lit(mult * maxId))
+        val d2 = data.append(LakeWriter.writeDataFiles(incr, data))
+        val incrRows = incr.count()
+        // (a) incremental maintenance under the FROZEN committed models,
+        // parsed back from the index table — the serve-path discipline
+        val ti = System.nanoTime()
+        val frozen = LakeTable.load(locI)
+        val ivfF = P.ivfModelFromString(
+          frozen.tableMeta.properties(P.AnnIvfProp))
+        val pqF = P.pqModelFromString(
+          frozen.tableMeta.properties(P.AnnPqProp))
+        index.append(LakeWriter.writeDataFiles(
+          P.ivfPqEncode(spark, data.changesBetween(spark, d1, d2), ivfF, pqF),
+          index))
+        val incrementalS = (System.nanoTime() - ti) / 1e9
+        // (b) the rebuild procedure: retrain + re-encode + one-commit swap
+        val tr = System.nanoTime()
+        Q.rebuildAnnIndex(spark, data, index, trained = true)
+        val rebuildS = (System.nanoTime() - tr) / 1e9
+        val out = Seq(
+          "corpus_mult" -> mult.toDouble,
+          "corpus_rows" -> (corpus.count() * 1.0),
+          "incr_rows" -> incrRows.toDouble,
+          "build_s" -> buildS,
+          "incremental_s" -> incrementalS,
+          "rebuild_s" -> rebuildS)
+        System.err.println("[bench] ann_rebuild: " + out.map {
+          case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+        out
+      } finally {
+        LakeTable.drop(locD)
+        LakeTable.drop(locI)
+      }
+    }
+
     /** Phase split for the shard export (r9 verdict item 3): the heavy
       * entry `d06_pipeline_shards` prices gate→dedup→redact→pack COMPUTE,
       * the one-file-per-shard LAKE WRITE, and the DSv2 READ-BACK as one
@@ -825,6 +1238,15 @@ object Bench {
         us
       }
       def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      // GC attribution for the r10 p100 finding (expire spread 1.07 s →
+      // 21.6 s with a FLAT fs canary): each rep reports the JVM-wide GC
+      // time that elapsed INSIDE its expire call, so an outlier sample
+      // carries its own root-cause evidence in the artifact
+      def gcMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+      }
       val reps = 5
       val samples = (0 until reps).map { i =>
         val canaryUs = fsCanaryUs()
@@ -837,11 +1259,13 @@ object Bench {
         LakeTable.manifestCache.clear()
         LakeTable.metaParseCache.clear()
         val t2 = LakeTable.load(copy)
+        val gc0 = gcMs()
         val expire = ms {
           val id = t2.expireSnapshots(System.currentTimeMillis() + 1000L,
             retainLast = 100)
           assert(id >= 0, "expiry committed nothing")
         }
+        val expireGc = (gcMs() - gc0).toDouble
         assert(t2.snapshots.size <= 101,
           s"expiry retained ${t2.snapshots.size} snapshots")
         LakeTable.drop(copy)
@@ -854,8 +1278,8 @@ object Bench {
             s"probe sweep deleted ${sweep.deletedCount} files")
         }
         System.err.println(f"[bench] plan_scale rep $i: canary=$canaryUs%.0fus/op " +
-          f"expire=$expire%.0fms orphan=$orphan%.0fms")
-        (canaryUs, expire, orphan)
+          f"expire=$expire%.0fms (gc=$expireGc%.0fms) orphan=$orphan%.0fms")
+        (canaryUs, expire, orphan, expireGc)
       }
       val expireMs = med(samples.map(_._2))
       val orphanMs = med(samples.map(_._3))
@@ -876,6 +1300,11 @@ object Bench {
         "orphan_ref_ms_max" -> samples.map(_._3).max,
         "fsop_canary_us_med" -> med(samples.map(_._1)),
         "fsop_canary_us_max" -> samples.map(_._1).max,
+        // GC time inside the expire reps: an expire_ms_max outlier with a
+        // matching expire_gc_ms_max and flat canary is JVM weather, not a
+        // sweep regression (r10 item 5's attribution, now in-artifact)
+        "expire_gc_ms_med" -> med(samples.map(_._4)),
+        "expire_gc_ms_max" -> samples.map(_._4).max,
         "n_files" -> nFiles.toDouble)
     }
 
@@ -943,7 +1372,14 @@ object Bench {
     // each invocation builds and drops its own scratch table, so repeats
     // are independent (single-shot runs read ±35% noise as regressions
     // across rounds 1-3)
-    def best2(f: () => Double): Double = { f(); math.min(f(), f()) }
+    def best2(f: () => Double): Double = {
+      f()
+      val best = math.min(f(), f())
+      // same adaptive third rep as `run` (r10 verdict item 1) — the
+      // sub-1.5 s members of this family (maintenance_compact, the merge
+      // pair) are equally exposed to spiky per-job overhead
+      if (best < 1.5) math.min(best, f()) else best
+    }
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
     val envelope = headline.filter(only).map(n => n -> run(n)) ++
       (if (only("ingest_100k")) Seq("ingest_100k" -> best2(() => runIngest())) else Nil) ++
@@ -982,6 +1418,20 @@ object Bench {
       else Nil
     // phase split rides every full artifact next to the single-key entry
     val shardPhases = if (fullRun) runShardPhases() else Nil
+    // r10 verdict item 2's "measured tokens/sec at a few-hundred-merge
+    // vocab": one end-to-end run of the production-vocab encoder (model
+    // commit + serve) reduced to sum(n_tokens); rate = corpus tokens
+    // emitted per second of wall, the number a tokenization budget uses
+    val bpeRate = if (fullRun) {
+      val t0 = System.nanoTime()
+      val toks = graft.queries.PipelineQueries
+        .d04_bpe_encode_full(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      Seq("merges" -> 256.0, "tokens" -> toks.toDouble,
+        "tokens_per_sec" -> toks / secs, "encode_s" -> secs)
+    } else Nil
     // SPARK_GRAFT_COMMIT_CONTENTION=1: the 5-committer CAS pricing
     val commitContention =
       if (sys.env.get("SPARK_GRAFT_COMMIT_CONTENTION").contains("1"))
@@ -1000,6 +1450,19 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_DELETE_COMPACT").contains("1"))
         runDeleteCompact()
       else Nil
+    // value = injected per-request latency in ms (15 ≈ mid-range
+    // published S3/ADLS first-byte latency)
+    val mockS3 = sys.env.get("SPARK_GRAFT_MOCKS3")
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
+      .map(runMockS3).getOrElse(Nil)
+    // value = corpus multiplier for the rebuild-vs-incremental pricing
+    val annRebuild = sys.env.get("SPARK_GRAFT_ANN_REBUILD")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1)
+      .map(runAnnRebuild).getOrElse(Nil)
+    // value = corpus multiplier for the eq-delete-debt conversion pricing
+    val eqConvert = sys.env.get("SPARK_GRAFT_EQ_CONVERT")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1)
+      .map(runEqConvert).getOrElse(Nil)
     val results = envelope ++ heavy
     // 10ms precision (round 8: was 3dp): cross-round deltas under ~0.3 s
     // are run variance on this harness, so 2dp loses nothing real, and
@@ -1083,7 +1546,11 @@ object Bench {
         optObj("plan_scale", planScale) +
         optObj("index_compact", indexCompact) +
         optObj("delete_compact", deleteCompact) +
+        optObj("mocks3_latency", mockS3) +
+        optObj("ann_rebuild", annRebuild) +
+        optObj("eq_convert", eqConvert) +
         optObj("d06_shards_phases", shardPhases) +
+        optObj("bpe_full", bpeRate) +
         optObj("commit_contention", commitContention) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""
@@ -1100,9 +1567,13 @@ object Bench {
     // judge reads the complete map even though stdout carries summaries
     // partial runs (SPARK_GRAFT_BENCH_ONLY) write the /tmp copy only —
     // a probe-only iteration must never clobber the committed full
-    // artifact with an empty envelope
+    // artifact with an empty envelope. Same guard for the SCALE: the
+    // committed artifact is sf0.1 evidence, and a full smoke at sf0.001
+    // (the verify recipe's step 4) silently replaced it once in r11 —
+    // only a full run at the driver's sf may write it.
     for (path <- Seq("/tmp/graft_bench.json") ++
-        (if (fullRun) Seq("BENCH_FULL.json") else Nil)) {
+        (if (fullRun && sfDir.endsWith("sf0.1")) Seq("BENCH_FULL.json")
+         else Nil)) {
       try {
         val w = new java.io.PrintWriter(path)
         try w.println(render(fmt3, fullDuckdb = true)) finally w.close()

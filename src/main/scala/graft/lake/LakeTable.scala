@@ -665,6 +665,22 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         meta.snapshots, Nil))
     }
 
+  /** Full-table overwrite that ATOMICALLY also updates table properties —
+    * the index-rebuild swap ([[graft.queries.LakeQueries.rebuildAnnIndex]]):
+    * re-encoded rows AND the retrained models they were encoded under land
+    * in ONE rewrite commit, so no reader snapshot can ever pair old codes
+    * with new centroids or vice versa. Prior snapshots (old codes + old
+    * model properties — properties are versioned with the metadata) stay
+    * time-travelable until expiry, the same contract as [[overwrite]].
+    */
+  def overwriteWithProps(newFiles: Seq[DataFileMeta],
+      props: Map[String, String]): Long =
+    retryCommitFull("rewrite") { () =>
+      val fresh = newFiles.distinctBy(_.path)
+      Some((writeManifests(stamp(fresh)), meta.snapshots, props,
+        Set.empty[String], Some(Nil)))
+    }
+
   /** Epoch-fenced fast append for exactly-once streaming sinks: the epoch
     * watermark for `queryId` is stored in table properties ATOMICALLY with
     * the snapshot swap, so a replayed micro-batch (restart between sink
@@ -1758,11 +1774,27 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * untouched. Returns the new snapshot id, or -1 with no pending eq
     * deletes.
     */
-  def convertEqualityDeletes(spark: SparkSession): Long = {
+  def convertEqualityDeletes(spark: SparkSession,
+      // seq-SCOPED conversion: retire only eq entries with seq <= maxSeq.
+      // Eq deletes are sequence-addressed and table-global (no partition
+      // value to scope by — unlike compaction), so the dimension that
+      // bounds the rewrite and its conflict window is the commit
+      // sequence: convert the oldest debt first, leave newer entries
+      // live. Union semantics keep visibility exact: scoped marks cover
+      // fseq < scoped max dseq; the remaining newer entries still cover
+      // the rest.
+      maxSeq: Option[Long] = None,
+      // threshold trigger (the b67 delete-mark-threshold analog): no-op
+      // unless the TOTAL pending eq-file count has reached `minEqFiles`
+      // — the knob a maintenance scheduler polls so conversion runs when
+      // debt warrants one distributed scan, not per CDC batch
+      minEqFiles: Int = 0): Long = {
     import org.apache.spark.sql.functions.{col, lit, max}
     refresh()
     val scanSnapshot = meta.currentSnapshotId
-    val eqs = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindEq)
+    val allEqs = deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindEq)
+    if (allEqs.size < minEqFiles) return -1L
+    val eqs = maxSeq.fold(allEqs)(ms => allEqs.filter(_.seq <= ms))
     if (eqs.isEmpty) return -1L
     val raw = spark.read.format("laketable")
       .option("snapshotId", scanSnapshot.toString)
@@ -2269,19 +2301,41 @@ final class LakeTable private (val location: String, private var meta: TableMeta
         orphanFiles =
           if (orphanManifests.isEmpty) Set.empty
           else {
-            // kept paths land in a ConcurrentHashMap (striped, parallel
-            // inserts) and orphan-side paths filter against it DURING the
-            // parallel parse — no million-entry immutable Set is ever
-            // built (the common outcome is an EMPTY orphan set: every
-            // file still referenced by a kept manifest)
-            val kept = java.util.concurrent.ConcurrentHashMap
-              .newKeySet[String](1 << 20)
+            // kept paths are held as PRIMITIVE 64-bit hashes (one sorted
+            // long[]), never as a million-entry boxed-string set: the r10
+            // plan_scale probe showed a 10× p100 on expire with a FLAT
+            // fs-op canary — old-gen churn from the CHM<String> keySet
+            // (10⁶ long-lived strings + node boxes) stretching a 2 s
+            // median to 21 s under an unlucky major GC. Hashing each
+            // path as it parses lets the strings die young; the
+            // surviving state is 8 MB of longs. Collision direction is
+            // LEAK-SAFE by construction: a path is deleted only when its
+            // hash is ABSENT from the kept array, so a 2⁻⁶⁴ collision
+            // can only RETAIN an orphan (the next sweep's problem),
+            // never delete a kept file.
+            val keptChunks =
+              new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
             java.util.Arrays.stream(keptManifests.toArray).parallel()
-              .forEach(m => manifestPaths(m).foreach(kept.add))
+              .forEach { m =>
+                val ps = manifestPaths(m)
+                val a = new Array[Long](ps.size)
+                var i = 0
+                ps.foreach { p => a(i) = LakeTable.pathHash64(p); i += 1 }
+                keptChunks.add(a)
+              }
+            var total = 0
+            keptChunks.forEach(a => total += a.length)
+            val kept = new Array[Long](total)
+            var off = 0
+            keptChunks.forEach { a =>
+              System.arraycopy(a, 0, kept, off, a.length); off += a.length
+            }
+            java.util.Arrays.parallelSort(kept)
             val orphan = new java.util.concurrent.ConcurrentLinkedQueue[String]()
             java.util.Arrays.stream(orphanManifests.toArray).parallel()
               .forEach(m => manifestPaths(m)
-                .foreach(p => if (!kept.contains(p)) orphan.add(p)))
+                .foreach(p => if (java.util.Arrays.binarySearch(kept,
+                  LakeTable.pathHash64(p)) < 0) orphan.add(p)))
             val b = Set.newBuilder[String]
             orphan.forEach(p => b += p)
             b.result()
@@ -2605,6 +2659,23 @@ object LakeTable {
     * Observability only — the contention bench reads the delta around a
     * run; nothing branches on it. */
   val commitRetries = new java.util.concurrent.atomic.AtomicLong()
+
+  /** 64-bit FNV-1a over the path's chars — the expire fold's primitive
+    * kept-set key. Quality bar is only "2⁻⁶⁴-rare accidental equality";
+    * the direction of a collision is leak-safe (see the fold's comment),
+    * so no cryptographic strength is needed and the per-call cost is one
+    * multiply-xor per char with zero allocation.
+    */
+  private[lake] def pathHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 
   /** Epoch watermark value: "epochId:commitTimestampMs". Bare-long values
     * (pre-GC metadata) parse with timestamp 0 — immediately GC-eligible,

@@ -179,11 +179,20 @@ object LakeProcedures {
         table(in).rewritePositionDeletes(SparkSession.active)
       })
       // retire equality-delete debt: convert pending eq keys into
-      // position deletes (one snapshot), unblocking key-column schema
-      // evolution and the per-scan key-set probes
+      // position deletes (one snapshot). max_seq scopes conversion to the
+      // OLDEST debt (entries with seq <= max_seq; -1 = all) — the
+      // sequence dimension is how eq deletes address data, so it is the
+      // knob that bounds the rewrite and its conflict window (eq entries
+      // are table-global: partition scoping cannot apply here).
+      // min_eq_files is the b67-style threshold trigger: no-op until the
+      // pending eq-file count reaches it (0 = always run).
       case "convert_equality_deletes" => Some(bound(procName, Array(
-        param("table", StringType))) { in =>
-        table(in).convertEqualityDeletes(SparkSession.active)
+        param("table", StringType),
+        paramD("max_seq", LongType, "-1"),
+        paramD("min_eq_files", IntegerType, "0"))) { in =>
+        table(in).convertEqualityDeletes(SparkSession.active,
+          maxSeq = Some(in.getLong(1)).filter(_ >= 0),
+          minEqFiles = in.getInt(2))
       })
       case "remove_orphan_files" => Some(bound(procName, Array(
         param("table", StringType),

@@ -1243,6 +1243,105 @@ object LakeQueries {
     }
   }
 
+  /** `CALL rebuild_index` — the committed-ANN-index retraining procedure
+    * (round-10 verdict item 4): centroids/codebooks freeze at corpus
+    * time, so after heavy drifted appends the frozen models place new
+    * vectors badly and recall decays with no way back — incremental
+    * maintenance can only ever encode under the models it has. This is
+    * the rewrite-op discipline applied to the model itself: retrain on
+    * the CURRENT corpus, re-encode every vector, and swap codes + models
+    * in ONE rewrite commit ([[LakeTable.overwriteWithProps]]) — readers
+    * see the old self-consistent index or the new one, never a mix, and
+    * the old index stays time-travelable until expiry.
+    *
+    * `trained = true` is the production path (2 Lloyd rounds, the
+    * d02_ann_indexed_trained convention → run-order-sensitive in the
+    * last ulp); `trained = false` freezes deterministic seed models
+    * (iters = 0, every-`seedMod`-th vector) so the whole procedure can
+    * hash-oracle. Cost shape: retraining is the bounded-collect Lloyd
+    * loop, re-encode is one map over the corpus, the swap is one commit
+    * — at 10⁸ vectors this is a scheduled maintenance job, vs the
+    * per-arrival incremental encode whose work is ∝ increment (the
+    * rebuild-vs-incremental bench key prices exactly that trade).
+    */
+  def rebuildAnnIndex(s: SparkSession, data: LakeTable, index: LakeTable,
+      trained: Boolean, seedMod: Int = 29): Long = {
+    val P = graft.queries.PipelineQueries
+    val corpus = data.refresh().toDF(s).select(col("vec_id"), col("embedding"))
+    val ivf =
+      if (trained) P.trainIvfCentroids(corpus)
+      else corpus.filter(pmod(col("vec_id"), lit(seedMod)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // seedMod serves both paths: the PQ seed sample must still yield 16
+    // codewords on the caller's corpus (the d02_ann_indexed_trained
+    // every-23rd lesson — small corpora starve the default stride)
+    val pq =
+      if (trained) P.trainPqCodebooks(corpus, seedMod = seedMod)
+      else P.trainPqCodebooks(corpus, iters = 0, seedMod = seedMod)
+    index.refresh().overwriteWithProps(
+      LakeWriter.writeDataFiles(P.ivfPqEncode(s, corpus, ivf, pq), index),
+      Map(P.AnnIvfProp -> P.ivfModelToString(ivf),
+        P.AnnPqProp -> P.pqModelToString(pq)))
+  }
+
+  // D2h — REBUILD the committed ANN index (exact twin, hash-green): the
+  // d02_ann_indexed lifecycle — corpus commit, models frozen (every-17th
+  // seed), increment encoded under the FROZEN models — then the
+  // [[rebuildAnnIndex]] procedure retrains (every-29th seeds over the
+  // NOW-FULL corpus), re-encodes, and swaps in one commit; serving from
+  // a fresh load uses only the post-rebuild table. The oracle replays
+  // just the END STATE (encode + serve under the every-29th models) —
+  // the rebuild's contract is precisely that history doesn't matter:
+  // a post-rebuild index is indistinguishable from one built fresh on
+  // the current corpus. The TRAINED path's drift-recovery claim
+  // (recall decays under a drifted increment, recovers post-rebuild)
+  // is spec'd in LakeIndexSpec, rows-only by the d02 convention.
+  def d02_ann_index_rebuild(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("annrbd-data")
+    val locI = scratch("annrbd-idx")
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, committed, ivf, pq), index))
+      // the drift phase: the whole remaining corpus arrives and is
+      // encoded under the STALE frozen models — exactly what incremental
+      // maintenance does, and exactly the debt the rebuild retires
+      val d2 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
+      // the procedure under test: retrain on the full corpus, re-encode,
+      // one-commit swap
+      val swapId = rebuildAnnIndex(s, data, index, trained = false)
+      // serve from a FRESH load of the swapped index — codes and models
+      // both come from the post-rebuild commit
+      val served = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(served.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(served.tableMeta.properties(P.AnnPqProp))
+      localize(P.ivfPqServe(s, served.snapshotDF(s, swapId),
+        data.snapshotDF(s, d2), ivf2, pq2))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   // B47 — `$history` lineage audit: CREATE + two appends on main, one
   // UNPUBLISHED WAP stage commit forked off the head. The history table
   // answers "which commits are visible to main readers?" from metadata:
@@ -1559,6 +1658,7 @@ object LakeQueries {
     "d03_minhash_index" -> d03_minhash_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
+    "d02_ann_index_rebuild" -> d02_ann_index_rebuild _,
     "d02_ann_indexed_trained" -> d02_ann_indexed_trained _,
     "b02_snapshot_scan" -> b02_snapshot_scan _,
     "b03_incremental_scan" -> b03_incremental_scan _,
@@ -1773,6 +1873,11 @@ object LakeQueries {
     // full computation over the same vectors
     "d02_ann_indexed" -> graft.queries.PipelineQueries
       .ivfPqExactOracleSql("vec_id % 17 = 0 AND vec_id < 400"),
+    // the rebuild's contract IS this oracle: post-swap, the index is
+    // indistinguishable from one built fresh on the current corpus under
+    // the retrained (every-29th-seed) models — history replay unneeded
+    "d02_ann_index_rebuild" -> graft.queries.PipelineQueries
+      .ivfPqExactOracleSql("vec_id % 29 = 0"),
     "b34b_merge_full" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800

@@ -1898,6 +1898,221 @@ object PipelineQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** Original fixture passage for the PRODUCTION-VOCAB BPE model
+    * ([[d04_bpe_encode_full]]) — plain English written for this repo, so
+    * it is public by construction and ships with the code. The trainer
+    * only needs pair statistics rich enough to yield a few hundred valid
+    * merges; the passage's topic is irrelevant to correctness.
+    */
+  private[graft] val BpeTrainText: String =
+    """A training data pipeline moves raw documents from crawl storage to
+      |model ready shards through a series of transformations that must be
+      |deterministic and cheap to audit. The first stage normalizes the
+      |text and computes quality signals such as token counts and stopword
+      |ratios. The second stage removes exact duplicates by hashing the
+      |content and keeping the first document in each hash bucket. Fuzzy
+      |duplicates survive exact hashing, so the third stage computes
+      |minhash signatures over shingles and joins candidate pairs inside
+      |each band bucket. Documents that share enough bands are near
+      |duplicates and only one member of each connected component is kept.
+      |The fourth stage scores every surviving document with language
+      |identification and perplexity filters, dropping pages that look
+      |machine generated or boilerplate heavy. The fifth stage tokenizes
+      |the clean corpus with a byte pair encoder whose merge table was
+      |learned from a held out sample, packing the resulting token stream
+      |into fixed length sequences that cross document boundaries. Every
+      |stage writes its output to a committed table so that the whole
+      |pipeline can resume after a failure and so that any sequence in the
+      |final shards can be traced back to the exact snapshot of the corpus
+      |that produced it. At petabyte scale the expensive operations are
+      |the shuffles, so the pipeline keys every join and aggregation on
+      |stable hashes, broadcasts the small side whenever the planner can
+      |prove it fits, and salts the hot keys that would otherwise pin a
+      |straggler task. The same dataflow runs unchanged on a laptop sample
+      |and on a thousand executor cluster because nothing in it depends on
+      |the order of arrival, only on the committed state of the tables it
+      |reads. Operators watch a handful of counters, the number of
+      |documents entering and leaving each gate, the ratio of tokens to
+      |characters after encoding, and the age of the oldest uncommitted
+      |file, because those three numbers catch almost every failure mode
+      |before it reaches a trainer. When a new snapshot of the crawl
+      |arrives only the increment flows through the gates, the committed
+      |indexes answer membership probes for everything seen before, and
+      |the packer extends the token stream from the single scalar offset
+      |it stored in the last commit.""".stripMargin.replace("\n", " ")
+
+  /** Driver-side BPE trainer (the Sennrich algorithm): start from
+    * characters, repeatedly merge the most frequent adjacent symbol pair
+    * (ties broken deterministically by count desc, then pair
+    * lexicographic), re-counting after each merge. Valid-by-construction:
+    * each merge's operands are base characters or products of EARLIER
+    * merges, which is the invariant that makes "apply ranks in order,
+    * each fully" equal to the tokenizer's "repeatedly merge the
+    * lowest-rank pair present" — a later merge can never create an
+    * earlier rank's pair, because that pair's operands predate it.
+    * Runs in milliseconds on the fixture passage; a production trainer
+    * would distribute the pair counting, but the TRAINING side is not
+    * what this operator prices — the ENCODER is.
+    */
+  private[graft] def trainBpeMerges(text: String,
+      nMerges: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      text.toLowerCase.replaceAll("[^a-z ]", " ")
+        .split(' ').filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toVector, ws.length.toLong) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((w, c) <- words; i <- 0 until w.length - 1)
+        counts.updateWith((w(i), w(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.toSeq.map { case (w, c) =>
+          (mergePass(w, best._1, best._2), c)
+        }.groupBy(_._1).map { case (w, ps) => (w, ps.map(_._2).sum) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping merge pass of (a,b) → ab over a
+    * symbol sequence — the exact semantics of both engines' `replace`
+    * over the sentinel-wrapped form, and of a real tokenizer's per-rank
+    * pass. One pass removes every occurrence: for a ≠ b occurrences
+    * cannot overlap, and for a == b the greedy pass leaves no two
+    * consecutive unmerged symbols.
+    */
+  private[graft] def mergePass(w: IndexedSeq[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < w.length) {
+      if (j < w.length - 1 && w(j) == a && w(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += w(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** The 256-merge model for [[d04_bpe_encode_full]] — trained once per
+    * JVM from the fixture passage; both the Spark encoder (via the
+    * committed model table) and the DuckDB oracle (via the generated
+    * replace chain) derive from this same pure function of constants,
+    * so they can never drift.
+    */
+  private[graft] lazy val BpeFullMerges: Seq[(String, String)] =
+    trainBpeMerges(BpeTrainText, 256)
+
+  /** Greedy per-word BPE encode against a rank map — the loop shape real
+    * tokenizers use (find the lowest-rank adjacent pair, merge all its
+    * occurrences, repeat). Equal to applying the merge list in rank
+    * order (see [[trainBpeMerges]]), which is what the expression-chain
+    * twin and the DuckDB oracle replay.
+    */
+  private[graft] def bpeEncodeWord(word: String,
+      ranks: collection.Map[(String, String), Int],
+      pairByRank: Array[(String, String)]): Vector[String] = {
+    var syms: IndexedSeq[String] = word.map(_.toString)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairByRank(bestRank)
+        syms = mergePass(syms, a, b)
+        done = syms.length < 2
+      }
+    }
+    syms.toVector
+  }
+
+  /** Row shape of the mapPartitions encoder (compression is appended as
+    * a column so the rounding matches the oracle's dec4 exactly). */
+  private[graft] case class BpeEncoded(doc_id: Long, n_chars: Long,
+      n_tokens: Long, token_ids: String)
+
+  // D4j3 — PRODUCTION-VOCAB BPE ENCODE (round-10 verdict item 2): the
+  // 12-merge d04_bpe_encode proves the committed-model discipline but its
+  // one-replace-per-merge expression chain cannot host a real merge
+  // table (a 50k-merge vocab would be a 50k-deep expression). This is
+  // the encoder shape that CAN: the merge list (256 merges, trained by
+  // [[trainBpeMerges]]) is committed to the model table exactly as
+  // before, parsed back from a FRESH load at serve time, and applied by
+  // a mapPartitions greedy loop over a BROADCAST rank map — per-word
+  // work is independent of vocab size (hash lookups, not a replace
+  // scan per merge), and a per-partition word→ids cache collapses the
+  // corpus's repeated words to one encode each (natural-language word
+  // frequency follows Zipf, so the cache hit rate is high and bounded
+  // memory: distinct words per partition). The DuckDB oracle replays
+  // the SAME merges as a replace chain split into ≤80-deep CTE blocks
+  // (DuckDB's binder caps expression recursion at 128), so the entry
+  // stays hash-green — the greedy loop and the rank-order chain are
+  // provably the same function on a valid merge list.
+  def d04_bpe_encode_full(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-d04bpef-${java.util.UUID.randomUUID()}"
+    LakeTable.create(loc, "rank INT,lhs STRING,rhs STRING",
+      TruncateSpec("rank", 1000L))
+      .setProperty(BpeMergesProp, bpeMergesToString(BpeFullMerges))
+    try {
+      val merges = bpeMergesFromString(
+        LakeTable.load(loc).tableMeta.properties(BpeMergesProp))
+      val vocabIdx: Map[String, Int] =
+        (('a' to 'z').map(_.toString) ++
+          merges.map { case (a, b) => a + b }).zipWithIndex.toMap
+      val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+      val pairByRank = merges.toArray
+      // one copy per executor, not per task — at 1000 executors the
+      // model ships once each, and a 50k-merge table is still only ~MBs
+      val bc = s.sparkContext.broadcast((ranks, pairByRank, vocabIdx))
+      import s.implicits._
+      val enc = t(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(lower(col("text")), "[^a-z ]", "")))
+        .filter(expr("length(replace(norm, ' ', ''))") > 0)
+        .select(col("doc_id"), col("norm")).as[(Long, String)]
+        .mapPartitions { iter =>
+          val (rk, byRank, vIdx) = bc.value
+          val cache = new java.util.HashMap[String, Array[Int]]()
+          iter.map { case (docId, norm) =>
+            var nChars = 0L
+            var nTok = 0L
+            val sb = new java.lang.StringBuilder
+            norm.split(' ').foreach { w =>
+              if (w.nonEmpty) {
+                nChars += w.length
+                val ids = cache.computeIfAbsent(w,
+                  _ => bpeEncodeWord(w, rk, byRank).map(vIdx).toArray)
+                var i = 0
+                while (i < ids.length) {
+                  if (sb.length > 0) sb.append(',')
+                  sb.append(ids(i))
+                  i += 1
+                }
+                nTok += ids.length
+              }
+            }
+            BpeEncoded(docId, nChars, nTok, sb.toString)
+          }
+        }
+      enc.toDF()
+        .withColumn("compression",
+          dec4(col("n_chars").cast("double") / col("n_tokens")))
+        .orderBy("doc_id")
+    } finally LakeTable.drop(loc)
+  }
+
   // D4h — within-doc repetition ratio (the Gopher/RefinedWeb repetition
   // rule): 1 − distinct_bigrams/total_bigrams per document. Repetitive
   // machine-generated text scores high and gets filtered before training.
@@ -2344,6 +2559,7 @@ object PipelineQueries {
     "d01_dedup_passage" -> d01_dedup_passage _,
     "d04_bpe_tokens" -> d04_bpe_tokens _,
     "d04_bpe_encode" -> d04_bpe_encode _,
+    "d04_bpe_encode_full" -> d04_bpe_encode_full _,
     "d04_repetition" -> d04_repetition _,
     "d04_perplexity" -> d04_perplexity _,
     "d04_gopher_rules" -> d04_gopher_rules _,
@@ -3440,6 +3656,51 @@ object PipelineQueries {
          |  SELECT doc_id, norm, string_split_regex(
          |    substring(merged, 2, length(merged) - 2), '>\\|?<') AS syms
          |  FROM m)
+         |SELECT doc_id,
+         |  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(len(syms) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_transform(syms,
+         |    x -> list_position($vocab, x) - 1), ',') AS token_ids,
+         |  CAST(CAST(round(CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+         |    / len(syms), 4) AS DECIMAL(28,4)) AS DOUBLE) AS compression
+         |FROM sy ORDER BY doc_id""".stripMargin
+    },
+    "d04_bpe_encode_full" -> {
+      // same replay as d04_bpe_encode but over the 256-merge trained
+      // model; the chain is split into ≤80-merge CTE blocks because
+      // DuckDB's binder caps expression recursion at 128. Both this SQL
+      // and the Spark encoder derive from BpeFullMerges (a pure function
+      // of in-repo constants), so rank order can never drift.
+      val merges = BpeFullMerges
+      def chain(src: String, blk: Seq[(String, String)]): String =
+        blk.foldLeft(src) { case (acc, (a, b)) =>
+          s"replace($acc, '<$a><$b>', '<$a$b>')"
+        }
+      val blocks = merges.grouped(80).toSeq
+      val ctes = blocks.zipWithIndex.map { case (blk, i) =>
+        val src = if (i == 0) "wr" else s"m$i"
+        s"m${i + 1} AS (SELECT doc_id, norm, " +
+          s"${chain("wrapped", blk)} AS wrapped FROM $src)"
+      }.mkString(",\n")
+      val last = s"m${blocks.size}"
+      val vocab = (('a' to 'z').map(_.toString) ++
+        merges.map { case (a, b) => a + b })
+        .map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS norm
+         |  FROM documents),
+         |wr AS (
+         |  SELECT doc_id, norm,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split(norm, ' '), x -> x <> ''),
+         |      w -> regexp_replace(w, '(.)', '<\\1>', 'g')), '|') AS wrapped
+         |  FROM w WHERE length(replace(norm, ' ', '')) > 0),
+         |$ctes,
+         |sy AS (
+         |  SELECT doc_id, norm, string_split_regex(
+         |    substring(wrapped, 2, length(wrapped) - 2), '>\\|?<') AS syms
+         |  FROM $last)
          |SELECT doc_id,
          |  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
          |  CAST(len(syms) AS BIGINT) AS n_tokens,

@@ -196,6 +196,44 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(t.convertEqualityDeletes(spark) == -1L)
   }
 
+  test("convertEqualityDeletes: min_eq_files threshold gates the run; " +
+      "seq-scoped conversion retires only the oldest debt with exact " +
+      "visibility throughout") {
+    val t = newTable("eq-convert-scoped")
+    t.append(LakeWriter.writeDataFiles(
+      LakeWriter.generateBatch(spark, 100, bucket(0), seed = 8), t, 3))
+    assert(upsert(t, 10L until 20L, "g0", epoch = 0) > 0)
+    assert(upsert(t, 30L until 40L, "g1", epoch = 1) > 0)
+    assert(upsert(t, 15L until 35L, "g2", epoch = 2) > 0)
+    val eqs = t.deleteFilesMeta().filter(_.kind == DeleteFileMeta.KindEq)
+    assert(eqs.size == 3)
+    val before = t.toDF(spark).select("message_id", "data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // threshold: debt (3) below the bar (4) → no-op, inventory untouched
+    assert(t.convertEqualityDeletes(spark, minEqFiles = 4) == -1L)
+    assert(t.deleteFilesMeta().count(_.kind == DeleteFileMeta.KindEq) == 3)
+    // seq-scope: retire the two oldest entries only; g2's entry stays
+    val cut = eqs.map(_.seq).sorted.apply(1)
+    assert(t.convertEqualityDeletes(spark, maxSeq = Some(cut),
+      minEqFiles = 3) > 0)
+    val left = t.refresh().deleteFilesMeta()
+      .filter(_.kind == DeleteFileMeta.KindEq)
+    assert(left.size == 1 && left.head.seq > cut,
+      s"seq-scope retired the wrong entries: $left")
+    // visibility exact mid-retirement: pos marks cover what the retired
+    // entries did, the surviving newer entry still covers the rest
+    val mid = t.toDF(spark).select("message_id", "data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mid == before, "scoped conversion changed visible rows")
+    // the remainder converts; the table ends eq-free and unchanged
+    assert(t.convertEqualityDeletes(spark) > 0)
+    assert(!t.refresh().deleteFilesMeta()
+      .exists(_.kind == DeleteFileMeta.KindEq))
+    val after = t.toDF(spark).select("message_id", "data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "full conversion changed visible rows")
+  }
+
   test("skipDeleteApplication read option exposes masked rows — the " +
       "maintenance-scan contract conversion relies on") {
     val t = newTable("eq-skip")

@@ -989,6 +989,113 @@ class PipelineSpec extends SparkSpec {
       pq.map(_.map(_.toList).toList).toList)
   }
 
+  test("D2h rebuild_index: drifted-increment recall decays under frozen " +
+      "models and recovers after the one-commit swap (old index stays " +
+      "time-travelable)") {
+    import graft.lake._
+    val P = PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-rbd-d-${java.util.UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-rbd-i-${java.util.UUID.randomUUID()}"
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val e = graft.Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // corpus A: all 500 natural vectors shifted to ids 500..999, so
+      // that every serve query (vec_id < 20) is a DRIFTED vector
+      val corpusA = e.select((col("vec_id") + 500).as("vec_id"),
+        col("embedding"))
+      // drift: rotate halves and flip alternate signs — an orthogonal
+      // transform, so the drifted set keeps its internal neighbor
+      // structure (truth ⊂ drifted) while being geometrically disjoint
+      // from A's distribution. 300 drifted vectors OVERFLOW the serve's
+      // 200-candidate ADC shortlist: under the A-frozen codebooks the
+      // drifted codes are noise, the shortlist cut loses true neighbors,
+      // and recall genuinely decays — the failure mode rebuild exists for
+      // (100 vectors would all survive the cut and the exact refine
+      // would mask the stale models entirely)
+      val drifted = e.filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          expr("""cast(transform(sequence(0, 63), i ->
+            |  embedding[int((i + 32) % 64)] *
+            |  (case when i % 2 = 0 then -1.0F else 1.0F end)) as array<float>)
+            |""".stripMargin).as("embedding"))
+      val d1 = data.append(LakeWriter.writeDataFiles(corpusA, data))
+      val committed = data.snapshotDF(spark, d1)
+      val ivf = P.trainIvfCentroids(committed)
+      // every-23rd seeds: the 400-vector committed corpus must yield the
+      // full 16 codewords (the d02_ann_indexed_trained convention)
+      val pq = P.trainPqCodebooks(committed, seedMod = 23)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(spark, committed, ivf, pq), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(drifted, data))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(spark, data.changesBetween(spark, d1, d2), ivf, pq),
+        index))
+      val preSwapIndexId = index.currentSnapshotId
+
+      def recallNow(): Double = {
+        val served = LakeTable.load(locI)
+        val ivf2 = P.ivfModelFromString(
+          served.tableMeta.properties(P.AnnIvfProp))
+        val pq2 = P.pqModelFromString(
+          served.tableMeta.properties(P.AnnPqProp))
+        val got = P.ivfPqServe(spark, served.toDF(spark),
+          data.refresh().toDF(spark), ivf2, pq2)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        // exact truth, driver-side (500 × 64 floats — spec-bounded)
+        val all = data.toDF(spark).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val truth = all.filter(_._1 < 20).flatMap { case (qid, qv) =>
+          all.filter(_._1 != qid)
+            .map { case (oid, ov) => (oid, cos(qv, ov)) }
+            .sortBy { case (oid, c) => (-c, oid) }.take(5)
+            .map { case (oid, _) => (qid, oid) }
+        }.toSet
+        truth.intersect(got).size.toDouble / truth.size
+      }
+
+      val pre = recallNow()
+      val swapId = LakeQueries.rebuildAnnIndex(spark, data, index,
+        trained = true, seedMod = 23)
+      val post = recallNow()
+      info(f"rebuild_index recall@5 on drifted queries: pre=$pre%.3f " +
+        f"post=$post%.3f")
+      // the claim: rebuild RE-EARNS the recall floor the frozen models
+      // lost under drift. Floors leave the d02 convention's margin under
+      // measured values; a rebuild that forgot to retrain (or to
+      // re-encode) collapses post to pre and fails
+      // measured pre=0.72 post=0.82; the +0.05 recovery margin (not the
+      // full measured +0.10) absorbs the last-ulp run-order wobble the
+      // distributed Lloyd means carry (the d02 rows-only rationale)
+      assert(post >= 0.70, s"post-rebuild recall $post below floor")
+      assert(post >= pre + 0.05,
+        s"rebuild did not recover recall: pre=$pre post=$post")
+      // the swap is ONE commit …
+      assert(index.refresh().currentSnapshotId == swapId)
+      // … and the pre-rebuild index is still time-travelable: the old
+      // snapshot's codes are exactly the pre-swap rows
+      val oldCodes = index.snapshotDF(spark, preSwapIndexId).count()
+      assert(oldCodes == 800L, s"time travel saw $oldCodes code rows")
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   test("D2f persisted ANN index: an append encodes ONLY the increment, and " +
       "serving from committed codes equals the per-query path") {
     val out = LakeQueries.d02_ann_indexed(spark, dir).collect().toSeq
@@ -1049,5 +1156,67 @@ class PipelineSpec extends SparkSpec {
       // boundary with "b"; "or" merges by rule 10
       assert(out(3L) == ((5L, 4L, "23,0,1,35", 1.25)), out(3L))
     } finally org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tdir))
+  }
+
+  test("D4j3 production-vocab BPE: trained merge list is full-size and " +
+      "valid; greedy encoder equals rank-order application on the corpus") {
+    val merges = PipelineQueries.BpeFullMerges
+    assert(merges.size == 256, s"trained only ${merges.size} merges")
+    // validity invariant (what makes greedy == rank-order): each merge's
+    // operands are base characters or products of strictly earlier merges
+    val products = scala.collection.mutable.HashSet[String]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      def known(s: String) = s.length == 1 || products.contains(s)
+      assert(known(a) && known(b), s"merge $r ($a,$b) has unknown operand")
+      products += (a + b)
+    }
+    assert(merges == merges.distinct, "duplicate merge learned")
+
+    // greedy-vs-rank-order equivalence over every word of the sf0.001
+    // corpus: the oracle/the chain twin apply ranks 0..255 in order,
+    // each fully; the mapPartitions encoder runs the tokenizer's greedy
+    // lowest-rank loop — same function on a valid list
+    val ranks = merges.zipWithIndex.toMap
+    val byRank = merges.toArray
+    def rankOrder(word: String): Vector[String] =
+      merges.foldLeft(word.map(_.toString).toVector) { case (syms, (a, b)) =>
+        PipelineQueries.mergePass(syms, a, b)
+      }
+    val dir = "/root/testdata/sf0.001"
+    val words = graft.Tables.t(spark, dir, "documents")
+      .select(lower(col("text")).as("t"))
+      .select(explode(split(regexp_replace(col("t"), "[^a-z ]", ""), " ")))
+      .filter(length(col("col")) > 0).distinct()
+      .collect().map(_.getString(0))
+    // the synthetic corpus's vocabulary is small (~31 words at sf0.001),
+    // so widen coverage with seeded random letter strings — these hit
+    // merge interactions (overlaps, repeats, rank races) natural words
+    // never produce
+    val rnd = new scala.util.Random(20260815L)
+    val fuzz = (0 until 2000).map(_ =>
+      (0 until (1 + rnd.nextInt(14))).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    assert(words.length > 20, s"corpus gave only ${words.length} words")
+    (words ++ fuzz).foreach { w =>
+      val greedy = PipelineQueries.bpeEncodeWord(w, ranks, byRank)
+      assert(greedy == rankOrder(w),
+        s"greedy != rank-order on '$w': $greedy vs ${rankOrder(w)}")
+    }
+
+    // end-to-end entry: ids decode back to the normalized text, and the
+    // committed-model serve path produced full-vocab tokens (some id
+    // must index past the 12-merge toy vocab's range)
+    val vocab = ('a' to 'z').map(_.toString) ++ merges.map(p => p._1 + p._2)
+    val out = PipelineQueries.d04_bpe_encode_full(spark, dir).collect()
+    assert(out.length > 0)
+    var sawBig = false
+    out.foreach { r =>
+      val ids = r.getString(3).split(',').filter(_.nonEmpty).map(_.toInt)
+      assert(ids.length == r.getLong(2), "n_tokens != id count")
+      val rebuilt = ids.map(vocab).mkString
+      assert(rebuilt.length == r.getLong(1), "ids do not rebuild n_chars")
+      if (ids.exists(_ >= 26 + 12)) sawBig = true
+    }
+    assert(sawBig, "no document used a merge beyond the toy-vocab range")
   }
 }
