@@ -1012,6 +1012,81 @@ object LakeQueries {
     }
   }
 
+  /** Optimized plan of the last d02_bm25_index SERVE plus the index
+    * location — spec-observable: the scoring probe's postings side must
+    * be the committed INDEX table's scan, not a tokenize/groupBy recompute
+    * of the corpus. */
+  @volatile private[graft] var lastBm25IndexServe: Option[(String, String)] = None
+  /** Posting rows appended by the last d02_bm25_index maintenance commit —
+    * spec-observable proof that index maintenance writes work proportional
+    * to the INCREMENT's postings, never rebuilding the corpus postings. */
+  @volatile private[graft] var lastBm25IndexMaintRows: Long = -1L
+
+  /** Corpus stats property on the BM25 index table: "nDocs:sumDl". Stored
+    * as a property (not rows) because every maintenance append must update
+    * it atomically with the postings commit it describes — a reader of any
+    * snapshot sees stats consistent with that snapshot's postings. */
+  private[graft] val Bm25StatsProp = "graft.bm25.stats"
+
+  // D2i — the BM25 inverted index as a first-class TABLE citizen,
+  // extending the committed-index family (ANN: d02_ann_indexed; fuzzy:
+  // d03_minhash_index; semantic: d01_semdedup_index) to lexical
+  // retrieval. d02_bm25_topk proves the scoring math but rebuilds the
+  // postings per query — fine per-snapshot, wasteful per-arrival. Here
+  // the postings are a laketable: (1) the corpus batch's postings
+  // (term, doc_id, tf, dl — df deliberately NOT stored; it is the
+  // posting count of the term, recoverable at serve time from the
+  // matched postings alone, so appends never rewrite existing rows)
+  // commit with corpus stats (N, Σdl) as a same-commit table property,
+  // (2) a new batch appends ONLY its own postings plus the updated
+  // stats property, (3) the SERVE loads the committed index FRESH and
+  // scores query terms against it — work ∝ the query terms' postings
+  // (bm25Serve semi-joins the broadcast term list before anything
+  // else). At 100 TB the index is a few posting rows per document of
+  // four smalls, layout-keyed on pmod(xxhash64(term), 16) so hot terms
+  // spread across files. End state = full-corpus BM25 → the same hash
+  // oracle as d02_bm25_topk.
+  def d02_bm25_index(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("bm25-idx")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def stats(docs: DataFrame): (Long, Long) = {
+      val r = docs.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1)) // 1-row corpus-stats agg — bounded
+    }
+    def keyed(postings: DataFrame): DataFrame = postings
+      .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
+      .select("tkey", "term", "doc_id", "tf", "dl")
+    val index = LakeTable.create(loc,
+      "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT",
+      TruncateSpec("tkey", 1L))
+    try {
+      val (n1, s1) = stats(evens)
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        keyed(P.bm25Postings(evens)), index))
+      index.setProperty(Bm25StatsProp, s"$n1:$s1")
+      // increment arrives: its OWN postings append + the stats property
+      // moves to the new corpus totals — existing postings untouched
+      val (n2, s2) = stats(odds)
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        keyed(P.bm25Postings(odds)), index))
+      index.setProperty(Bm25StatsProp, s"${n1 + n2}:${s1 + s2}")
+      lastBm25IndexMaintRows = index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      // serve from a FRESH load of the committed index — self-contained:
+      // postings rows + the stats property are everything BM25 needs
+      val idxT = LakeTable.load(loc)
+      val Array(nd, sdl) = idxT.tableMeta.properties(Bm25StatsProp).split(":")
+      val out = P.bm25Serve(
+        idxT.toDF(s).select("term", "doc_id", "tf", "dl"),
+        nd.toLong, sdl.toLong)
+      lastBm25IndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
+      localize(out)
+    } finally LakeTable.drop(loc)
+  }
+
   /** Optimized plan of the last d01_semdedup_index GATE plus the index
     * location — spec-observable: the cell-keyed probe's committed side
     * must be the INDEX table's scan (cells + embeddings persisted at
@@ -1656,6 +1731,7 @@ object LakeQueries {
     "d01_minhash_incremental" -> d01_minhash_incremental _,
     "d04_seqpack_incremental" -> d04_seqpack_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
+    "d02_bm25_index" -> d02_bm25_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "d02_ann_index_rebuild" -> d02_ann_index_rebuild _,
@@ -1867,6 +1943,8 @@ object LakeQueries {
     // space (persisted as a table instead of recomputed), so its verdict
     // set — and therefore its oracle — is identical by construction
     "d03_minhash_index" -> minhashIncrementalOracleSql,
+    // the committed-index serve ends at full-corpus BM25 → same oracle
+    "d02_bm25_index" -> graft.queries.PipelineQueries.bm25OracleSql,
     // the ivfPqExact replay with the frozen models' seed predicate (first
     // 16 every-17th vectors of the COMMITTED batch); the lake round-trip
     // is value-transparent, so serve-from-committed-codes replays as the

@@ -55,6 +55,62 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Shingle length for exact substring-span dedup — 40 chars ≈ the 6-8
+    * word window at which a shared span stops being idiom and starts
+    * being copied text (Lee et al. 2021, arXiv:2107.06499, use 50 BPE
+    * tokens; chars keep the oracle engine-portable). Shared with the
+    * DuckDB oracle via SQL interpolation so the two sides cannot drift.
+    */
+  private[graft] val SubstrShingle = 40
+
+  /** Exact duplicated-SPAN detection (the deduplicate-text-datasets
+    * operation, arXiv:2107.06499): every `SubstrShingle`-char window that
+    * occurs ≥2 times anywhere in the corpus marks its span, and per-doc
+    * overlapping marks merge into maximal [start, end) removal intervals
+    * (gaps-and-islands over a cumulative-max window). Unlike document- or
+    * passage-level dedup (d01_dedup_exact / d01_dedup_passage) this finds
+    * copied text INSIDE otherwise-novel documents — the boilerplate/quote
+    * contamination document dedup cannot see.
+    *
+    * Scale posture: the only wide shuffle is the groupBy on the shingle
+    * string itself (exactness requires the literal bytes; at 100 TB the
+    * lever is stride>1 sampling + a second exact-verify pass, or grouping
+    * on a 128-bit content hash — md5 is engine-portable if the oracle
+    * must follow). The island window is per-doc (bounded by doc length).
+    * All-integer output → hash-exact across engines.
+    */
+  private[graft] def substringDupSpans(docs: DataFrame): DataFrame = {
+    val L = SubstrShingle
+    val d = docs.filter(length(col("text")) >= L)
+    val sh = d
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - L)).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(text, p + 1, $L)").as("sgl"))
+    val dup = sh.groupBy("sgl").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sgl")
+    val hits = sh.join(dup, Seq("sgl"), "left_semi")
+      .select(col("doc_id"), col("p").cast("long").as("st"),
+        (col("p") + L).cast("long").as("en"))
+    val w = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
+    val prevMax = max(col("en"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = hits
+      .withColumn("brk",
+        when(col("st") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
+  // D1g — exact substring dedup: maximal duplicated char-spans per doc.
+  def d01_dedup_substring(s: SparkSession, dir: String): DataFrame =
+    substringDupSpans(t(s, dir, "documents").select("doc_id", "text"))
+
   // D1c — embedding-cosine near-dup: each vector is a duplicate of its
   // highest-cosine lower-id "canon" vector (id < 400) above the threshold.
   // The canon side broadcasts, so the corpus side never shuffles — the
@@ -438,6 +494,133 @@ object PipelineQueries {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** BM25 retrieval constants, shared by the Scala plans AND the DuckDB
+    * oracle (interpolated into the SQL — the two sides cannot drift).
+    * k1/b are the Robertson defaults; queries are fixed multi-word probes
+    * over the documents vocabulary with distinct terms per query.
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark table join", 2 -> "window agg stream",
+    3 -> "fast scan filter", 4 -> "customer order group",
+    5 -> "vector hash merge", 6 -> "big data query",
+    7 -> "slow row sort", 8 -> "batch line column")
+  private[graft] val Bm25TopK = 10
+
+  /** Inverted-index postings for a document set: one row per (term, doc)
+    * with the term frequency and the doc length — the layout a search
+    * engine commits (df is NOT stored: it is recoverable at serve time as
+    * the posting count of the term, so maintenance appends never have to
+    * rewrite existing rows).
+    */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** BM25 scoring + top-K over a postings set. Work ∝ the QUERY TERMS'
+    * postings only: the query-term list broadcasts, postings semi-join it
+    * before anything else, and df comes from a ≤|terms|-row aggregate of
+    * the matched postings (never a full-index pass) — the serve shape that
+    * lets the committed-index entry (d02_bm25_index) touch a 100 TB
+    * corpus's index proportionally to the query.
+    *
+    * Hash-exactness across engines: per-term contributions contain ln()
+    * (the one non-correctly-rounded primitive), so each contribution is
+    * quantized to integer micro-units via floor(x·1e6 + 0.5) — identical
+    * HALF-UP semantics in both engines, immune to sub-ulp libm drift —
+    * and the per-(query, doc) score is then an order-independent integer
+    * sum. Ranking orders by that exact integer (ties by doc_id).
+    */
+  private[graft] def bm25Serve(postings: DataFrame, nDocs: Long,
+      sumDl: Long): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    val q = Bm25Queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    val post = postings.join(broadcast(q.select("term").distinct()), Seq("term"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = lit(sumDl).cast("double") / lit(nDocs)
+    val denom = col("tf") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / avgdl)
+    val contrib = idf * col("tf") * lit(1.2 + 1) / denom
+    val micro = floor(contrib * lit(1e6) + lit(0.5)).cast("long")
+    val scored = post.join(broadcast(q), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("qid"), col("doc_id"), micro.as("micro"))
+      .groupBy("qid", "doc_id").agg(sum(col("micro")).as("sm"))
+    val w = Window.partitionBy("qid").orderBy(col("sm").desc, col("doc_id"))
+    // no dec4 hop: sm is the same exact integer in both engines, so the
+    // single IEEE division below is bit-identical — and dec4's round(,4)
+    // would land on half-way points for ~10% of micro-unit sums, exactly
+    // where Spark (HALF_UP) and DuckDB disagree
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("qid"), col("rn"), col("doc_id"),
+        (col("sm").cast("double") / lit(1e6)).as("score"))
+      .orderBy("qid", "rn")
+  }
+
+  // D2r — BM25 ranked retrieval (Robertson/Spärck Jones probabilistic
+  // model): full-corpus postings build + query-proportional serve. The
+  // committed-index variant is d02_bm25_index (LakeQueries).
+  def d02_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val stats = docs
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sd"))
+      .collect()(0) // 1-row corpus-stats aggregate — bounded by design
+    bm25Serve(bm25Postings(docs), stats.getLong(0), stats.getLong(1))
+  }
+
+  /** DuckDB replay of [[bm25Serve]] over the full documents corpus —
+    * shared by d02_bm25_topk and d02_bm25_index (the index entry serves
+    * the same corpus from its committed postings, so the end state is
+    * identical). Constants and query VALUES are interpolated from the
+    * same fields the Scala plans read.
+    */
+  private[graft] def bm25OracleSql: String = {
+    val values = Bm25Queries.map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         len(string_split(text, ' ')) AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM toks GROUP BY doc_id, term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         SUM(len(string_split(text, ' '))) AS sum_dl
+       |  FROM documents),
+       |q(qid, qtext) AS (VALUES $values),
+       |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |dfreq AS (
+       |  SELECT tf.term, COUNT(*) AS df FROM tf
+       |  WHERE tf.term IN (SELECT term FROM qt) GROUP BY tf.term),
+       |contrib AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |      * tf.tf * (1.2 + 1)
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+       |           / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+       |      * 1e6 + 0.5) AS BIGINT) AS micro
+       |  FROM qt JOIN tf ON qt.term = tf.term
+       |    JOIN dfreq d ON d.term = qt.term CROSS JOIN stats s),
+       |score AS (
+       |  SELECT qid, doc_id, SUM(micro) AS sm FROM contrib
+       |  GROUP BY qid, doc_id),
+       |ranked AS (
+       |  SELECT qid, doc_id, sm, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sm DESC, doc_id) AS rn FROM score)
+       |SELECT qid, rn, doc_id, CAST(sm AS DOUBLE) / 1e6 AS score
+       |FROM ranked WHERE rn <= $Bm25TopK ORDER BY qid, rn""".stripMargin
   }
 
   // D2-scale — LSH-bucketed ANN: random-hyperplane signatures (SimHash for
@@ -2525,6 +2708,8 @@ object PipelineQueries {
     "d05_decode_stub" -> d05_decode_stub _,
     "d01_dedup_exact" -> d01_dedup_exact _,
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
+    "d01_dedup_substring" -> d01_dedup_substring _,
+    "d02_bm25_topk" -> d02_bm25_topk _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
     "d01_semdedup_exact" -> d01_semdedup_exact _,
@@ -2936,6 +3121,30 @@ object PipelineQueries {
       |  FROM red)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d01_dedup_substring" -> {
+      val L = SubstrShingle
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
+         |sh AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p + 1, $L) AS s
+         |  FROM d, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
+         |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, p AS st, p + $L AS en FROM sh JOIN dup USING (s)),
+         |isl AS (
+         |  SELECT doc_id, st, en,
+         |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
+         |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl2 AS (
+         |  SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS island
+         |  FROM isl)
+         |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
+    "d02_bm25_topk" -> bm25OracleSql,
     "d06_pipeline_e2e" ->
       (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +
       """SELECT lang, doc_id, n_tok, cum_tok, redacted_sha

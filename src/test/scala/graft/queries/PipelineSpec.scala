@@ -1219,4 +1219,105 @@ class PipelineSpec extends SparkSpec {
     }
     assert(sawBig, "no document used a merge beyond the toy-vocab range")
   }
+
+  test("D1g substring dedup: planted shared 60-char run yields exactly its " +
+      "merged span in both carriers, clean docs yield none") {
+    import spark.implicits._
+    // a non-self-similar shared run: period-26 character walk, so no
+    // 40-gram inside it equals a shifted copy of itself (max overlap
+    // shift 20 < period) — the only duplicated shingles are the
+    // cross-document ones the operator must find
+    val s60 = (0 until 60).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val x37 = (0 until 37).map(i => ('A' + (i * 5) % 26).toChar).mkString
+    val y15 = (0 until 15).map(i => ('0' + (i * 3) % 10).toChar).mkString
+    val p22 = (0 until 22).map(i => ('A' + (i * 11 + 2) % 26).toChar).mkString
+    val q31 = (0 until 31).map(i => ('0' + (i * 7 + 1) % 10).toChar).mkString
+    // 45 chars: long enough to shingle (>= 40), short enough that no
+    // self-shift reaches the walk's period 26 (max shift 5)
+    val clean = (0 until 45).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, x37 + s60 + y15), (2L, p22 + s60 + q31), (3L, clean))
+      .toDF("doc_id", "text")
+    val spans = PipelineQueries.substringDupSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // merged island = the full planted run, positioned by each carrier's
+    // prefix length; the clean doc contributes nothing
+    assert(spans == Set((1L, 37L, 97L), (2L, 22L, 82L)), spans.toString)
+  }
+
+  test("D1g substring dedup spans are merged maximal intervals on testdata") {
+    val rows = PipelineQueries.d01_dedup_substring(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "corpus should contain duplicated spans")
+    rows.foreach { case (_, st, en) =>
+      assert(en - st >= PipelineQueries.SubstrShingle, s"span [$st,$en) " +
+        "shorter than one shingle") }
+    // merged: consecutive spans of one doc must have a gap, never touch
+    rows.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1, s"adjacent spans touch: end=$e1 next-start=$s2")
+        case _ => }
+    }
+  }
+
+  test("D2r BM25: tiny-corpus score matches a scalar reimplementation and " +
+      "all-term docs outrank single-term docs") {
+    import spark.implicits._
+    // query 1 is "spark table join" (Bm25Queries) — doc 10 carries all
+    // three terms, doc 11 one of them, doc 12 none
+    val docs = Seq(
+      (10L, "spark table join"),
+      (11L, "spark big big"),
+      (12L, "big data big data")).toDF("doc_id", "text")
+    val out = PipelineQueries.bm25Serve(
+      PipelineQueries.bm25Postings(docs), nDocs = 3L, sumDl = 10L)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val q1 = out.filter(_._1 == 1)
+    assert(q1.head._3 == 10L, s"all-term doc must rank first: ${q1.toSeq}")
+    // scalar reimplementation of the same math (independent of the plan):
+    // doc 10, query 1 — tf=1 for each of 3 terms, dl=3, avgdl=10/3,
+    // df(spark)=2 (docs 10, 11), df(table)=df(join)=1
+    def contrib(df: Long): Long = {
+      val idf = math.log(1.0 + (3L - df + 0.5) / (df + 0.5))
+      val denom = 1L + 1.2 * (1.0 - 0.75 + 0.75 * 3.0 / (10.0 / 3))
+      math.floor(idf * 1L * (1.2 + 1) / denom * 1e6 + 0.5).toLong
+    }
+    val expected = (contrib(2) + contrib(1) + contrib(1)).toDouble / 1e6
+    assert(q1.head._4 == expected,
+      s"doc 10 score ${q1.head._4} != scalar recompute $expected")
+    // docs without any query-1 term never appear under query 1
+    assert(!q1.exists(_._3 == 12L), q1.toSeq.toString)
+  }
+
+  test("D2i committed BM25 index: serve scans the INDEX TABLE (not a corpus " +
+      "re-tokenize), maintenance appends exactly the increment's postings, " +
+      "results equal the full recompute") {
+    val indexed = LakeQueries.d02_bm25_index(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val recomputed = PipelineQueries.d02_bm25_topk(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(indexed == recomputed,
+      s"index serve diverged from recompute: ${
+        (indexed.toSet diff recomputed.toSet).take(5)}")
+    val (plan, loc) = LakeQueries.lastBm25IndexServe.get
+    assert(plan.contains(loc),
+      s"serve does not scan the committed index table $loc:\n${plan.take(2000)}")
+    // a regression back to corpus re-tokenize would scan the documents
+    // source in the serve plan — the committed postings already carry
+    // tf/dl, so the corpus must not appear at all (the only split() left
+    // is the 8-literal-row query-side explode)
+    assert(!plan.contains("documents"),
+      s"serve plan re-reads the corpus:\n${plan.take(2000)}")
+    // maintenance wrote exactly the odd half's postings
+    val odds = graft.Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oddPostings = PipelineQueries.bm25Postings(odds).count()
+    assert(LakeQueries.lastBm25IndexMaintRows == oddPostings,
+      s"maintenance rows ${LakeQueries.lastBm25IndexMaintRows} != " +
+        s"increment postings $oddPostings")
+  }
 }

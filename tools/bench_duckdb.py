@@ -42,6 +42,15 @@ def main():
                 t0 = time.perf_counter()
                 con.execute(sqls[name]).fetchall()
                 times.append(time.perf_counter() - t0)
+            # adaptive third rep for the EXPENSIVE oracles (mirror of the
+            # Spark side's sub-1.5s rule, inverted: here the heavy entries
+            # dominate the denominator total, and r10->r11 healthy-VM runs
+            # showed a single >2s oracle swinging best-of-2 by ~30%, which
+            # moved the round ratio more than any code change)
+            if min(times) >= 1.5:
+                t0 = time.perf_counter()
+                con.execute(sqls[name]).fetchall()
+                times.append(time.perf_counter() - t0)
             # 10ms precision (round 8: was 3dp) — the bench protocol's own
             # noise floor is ~0.3 s, and every saved char keeps the growing
             # JSON line inside the driver's 2000-char tail capture
