@@ -1021,6 +1021,13 @@ object Bench {
         }
         scanOnce()
         val scanPending = math.min(scanOnce(), scanOnce())
+        // the invariant conversion must preserve is VISIBILITY, not the
+        // base row count: each upsert key retires its match in all four
+        // per-bucket id spaces while inserting one new version, so the
+        // MoR-visible count is totalRows - (retired - inserted), a
+        // mod-144 rounding expression — capture it once and require the
+        // conversions to leave it untouched
+        val visibleBefore = spark.read.format("laketable").load(loc).count()
         // threshold trigger: debt below the bar → no-op
         assert(table.convertEqualityDeletes(spark,
           minEqFiles = eqEntries.size + 1) == -1L,
@@ -1042,8 +1049,12 @@ object Bench {
         assert(!table.deleteFilesMeta().exists(_.kind == DeleteFileMeta.KindEq))
         scanOnce()
         val scanConverted = math.min(scanOnce(), scanOnce())
-        // visibility unchanged by conversion: same row count
-        assert(spark.read.format("laketable").load(loc).count() == totalRows)
+        // visibility unchanged by conversion: same MoR-visible count as
+        // before any eq→pos retirement (totalRows is the BASE count — the
+        // upserts legitimately shrank visibility, see visibleBefore)
+        val visibleAfter = spark.read.format("laketable").load(loc).count()
+        assert(visibleAfter == visibleBefore,
+          s"conversion changed visibility: $visibleBefore -> $visibleAfter")
         val out = Seq(
           "corpus_mult" -> mult.toDouble,
           "rows" -> totalRows.toDouble,

@@ -1057,12 +1057,8 @@ object LakeQueries {
         sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
       (r.getLong(0), r.getLong(1)) // 1-row corpus-stats agg — bounded
     }
-    def keyed(postings: DataFrame): DataFrame = postings
-      .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
-      .select("tkey", "term", "doc_id", "tf", "dl")
-    val index = LakeTable.create(loc,
-      "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT",
-      TruncateSpec("tkey", 1L))
+    def keyed(postings: DataFrame): DataFrame = P.bm25Keyed(postings)
+    val index = LakeTable.create(loc, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
     try {
       val (n1, s1) = stats(evens)
       val i1 = index.append(LakeWriter.writeDataFiles(

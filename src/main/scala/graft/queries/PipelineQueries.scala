@@ -111,6 +111,43 @@ object PipelineQueries {
   def d01_dedup_substring(s: SparkSession, dir: String): DataFrame =
     substringDupSpans(t(s, dir, "documents").select("doc_id", "text"))
 
+  // D1h — the APPLY side of substring dedup (the rewrite that actually
+  // shrinks a training corpus): cut every duplicated span and emit the
+  // kept segments. Rows, not a re-glued string, so the output is join-
+  // able back to offsets and hash-exact across engines: the mid segments
+  // are the gaps between consecutive merged spans (lag window over the
+  // span list), the tail segment runs from the last span's end to the
+  // doc end, and span-free docs pass through whole. Scale: spans are a
+  // tiny fraction of the corpus; the only doc-wide work is the final
+  // doc_id join to slice the text.
+  def d01_substring_clean(s: SparkSession, dir: String): DataFrame =
+    substringCleanSegs(t(s, dir, "documents").select("doc_id", "text"))
+
+  private[graft] def substringCleanSegs(docs: DataFrame): DataFrame = {
+    val spans = substringDupSpans(docs)
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val mids = spans
+      .withColumn("pe", lag(col("span_end"), 1, 0L).over(w))
+      .filter(col("span_start") > col("pe"))
+      .select(col("doc_id"), col("pe").as("seg_start"),
+        col("span_start").as("seg_end"))
+    val tails = spans.groupBy("doc_id").agg(max("span_end").as("me"))
+      .join(docs, "doc_id")
+      .filter(length(col("text")).cast("long") > col("me"))
+      .select(col("doc_id"), col("me").as("seg_start"),
+        length(col("text")).cast("long").as("seg_end"))
+    val whole = docs
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("seg_start"),
+        length(col("text")).cast("long").as("seg_end"))
+    mids.unionByName(tails).unionByName(whole)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        expr("substring(text, cast(seg_start as int) + 1, " +
+          "cast(seg_end - seg_start as int))").as("seg_text"))
+      .orderBy("doc_id", "seg_start")
+  }
+
   // D1c — embedding-cosine near-dup: each vector is a duplicate of its
   // highest-cosine lower-id "canon" vector (id < 400) above the threshold.
   // The canon side broadcasts, so the corpus side never shuffles — the
@@ -521,6 +558,17 @@ object PipelineQueries {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
       .select("term", "doc_id", "tf", "dl")
+
+  /** Committed BM25 index table DDL + layout key: pmod(xxhash64(term), 16)
+    * spreads hot terms' postings across files (a raw term key would pile
+    * the corpus's Zipf head into one bucket). Shared by the batch index
+    * entry (d02_bm25_index) and the streaming maintainer (d07_bm25_stream).
+    */
+  private[graft] val Bm25IndexDdl =
+    "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT"
+  private[graft] def bm25Keyed(postings: DataFrame): DataFrame = postings
+    .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
+    .select("tkey", "term", "doc_id", "tf", "dl")
 
   /** BM25 scoring + top-K over a postings set. Work ∝ the QUERY TERMS'
     * postings only: the query-term list broadcasts, postings semi-join it
@@ -2684,6 +2732,127 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality/routing filter constants, shared by the Scala
+    * training loop and the generated DuckDB oracle (both sides derive
+    * from these — they cannot drift): feature tokens, full-batch GD
+    * rounds, and learning rate. The label is the `lang='en'` proxy (the
+    * weak-label pattern of production LLM quality filters: train a cheap
+    * linear model on a heuristic label, score the corpus with it).
+    */
+  private[graft] val QualityLrTokens = Seq("order", "window", "table",
+    "hash", "customer", "scan", "big", "slow", "group", "join", "sort",
+    "query")
+  private[graft] val QualityLrRounds = 6
+  private[graft] val QualityLrRate = 0.5
+
+  /** D4q — logistic-regression quality filter TRAINED IN-ENGINE with a
+    * hash-exact cross-engine oracle — the first trained model here whose
+    * TRAINING (not just its serve) is DuckDB-replayable bit-for-bit. The
+    * committed-model family's trained variants (d02_ann_indexed_trained,
+    * d04_lang_model) are rows-only because double means/exp sums are
+    * aggregation-order-sensitive; this entry removes that excuse for
+    * gradient descent itself:
+    *   - features are exact rationals (32·count/n_tok — one correctly-
+    *     rounded IEEE division of exact integers);
+    *   - each doc's per-weight gradient contribution is quantized to
+    *     integer micro-units (floor(x·1e6 + 0.5) — the BM25 recipe), so
+    *     the batch gradient is an ORDER-INDEPENDENT integer sum immune
+    *     to sub-ulp exp() drift between libm and the JVM;
+    *   - weights re-round to 1e-6 after every update, so both engines
+    *     enter each round from identical state.
+    * Full-batch GD, QualityLrRounds rounds: the per-round driver action
+    * is ONE 13-long-column aggregate collect (K-bounded, the Lloyd-round
+    * pattern) — corpus work stays distributed and the model is 13
+    * doubles. Scale: one scan + one map-side partial agg per round.
+    */
+  def d04_quality_lr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val feat = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id") +:
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y") +:
+        QualityLrTokens.zipWithIndex.map { case (tk, i) =>
+          (lit(32.0) * expr(s"size(filter(toks, w -> w = '$tk'))")
+            .cast("double") / size(col("toks")).cast("double"))
+            .as(s"x${i + 1}")
+        }: _*)
+    val dims = QualityLrTokens.length + 1
+    val n = docs.count()
+    var w = Array.fill(dims)(0.0)
+    def zCol(wv: Array[Double]): org.apache.spark.sql.Column =
+      (1 until dims).foldLeft(lit(wv(0)): org.apache.spark.sql.Column) {
+        (acc, j) => acc + lit(wv(j)) * col(s"x$j") }
+    for (_ <- 1 to QualityLrRounds) {
+      val sig = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
+      val grads = (0 until dims).map { j =>
+        val xj = if (j == 0) lit(1.0) else col(s"x$j")
+        sum(floor((sig - col("y")) * xj * lit(1e6) + lit(0.5)).cast("long"))
+          .as(s"g$j")
+      }
+      // ONE 13-column aggregate per round — the whole driver-side state
+      // is the 13-double weight vector (K-bounded, the Lloyd pattern)
+      val g = feat.agg(grads.head, grads.tail: _*).collect()(0)
+      w = Array.tabulate(dims)(j => math.floor(
+        (w(j) - QualityLrRate * (g.getLong(j) / 1e6) / n) * 1e6 + 0.5) / 1e6)
+    }
+    val sigF = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
+    feat.select(col("doc_id"),
+        (floor(sigF * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("prob"))
+      .withColumn("pred", col("prob") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB replay of [[d04_quality_lr]]'s ENTIRE training run:
+    * w0 = zeros; per round r, s{r} computes each doc's sigmoid under
+    * w{r-1}, g{r} the micro-quantized gradient sums, w{r} the re-rounded
+    * update — then the final weights score the corpus. Every constant
+    * and expression shape is generated from the same fields the Scala
+    * loop reads.
+    */
+  private[graft] def qualityLrOracleSql: String = {
+    val dims = QualityLrTokens.length + 1
+    val featCols = QualityLrTokens.zipWithIndex.map { case (tk, i) =>
+      s"""    32.0 * len(list_filter(string_split(text, ' '), w -> w = '$tk'))
+         |      / len(string_split(text, ' ')) AS x${i + 1}""".stripMargin
+    }.mkString(",\n")
+    def zExpr = "w.w0 + " +
+      (1 until dims).map(j => s"w.w$j * f.x$j").mkString(" + ")
+    val rounds = (1 to QualityLrRounds).map { r =>
+      val gCols = (0 until dims).map { j =>
+        val xj = if (j == 0) "1.0" else s"x$j"
+        s"SUM(CAST(floor((sig - y) * $xj * 1e6 + 0.5) AS BIGINT)) AS g$j"
+      }.mkString(",\n    ")
+      val wCols = (0 until dims).map { j =>
+        s"floor((w.w$j - $QualityLrRate * (g.g$j / 1e6) / n.n) * 1e6 + 0.5)" +
+          s" / 1e6 AS w$j"
+      }.mkString(",\n    ")
+      s"""s$r AS (
+         |  SELECT f.*, 1.0 / (1.0 + exp(-($zExpr))) AS sig
+         |  FROM feat f CROSS JOIN w${r - 1} w),
+         |g$r AS (
+         |  SELECT $gCols
+         |  FROM s$r),
+         |w$r AS (
+         |  SELECT $wCols
+         |  FROM w${r - 1} w CROSS JOIN g$r g CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    val zeros = (0 until dims).map(j => s"0.0 AS w$j").mkString(", ")
+    s"""WITH feat AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |$featCols
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM feat),
+       |w0 AS (SELECT $zeros),
+       |$rounds
+       |SELECT f.doc_id,
+       |  floor((1.0 / (1.0 + exp(-($zExpr)))) * 1e6 + 0.5) / 1e6 AS prob,
+       |  floor((1.0 / (1.0 + exp(-($zExpr)))) * 1e6 + 0.5) / 1e6 > 0.5 AS pred
+       |FROM feat f CROSS JOIN w$QualityLrRounds w
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Frame count shared by the d05_decode_stub query AND its DuckDB
     * oracle (the oracle SQL interpolates this into `range(n)` and the
     * stride derivation) — one constant so the Scala call and the SQL
@@ -2709,7 +2878,9 @@ object PipelineQueries {
     "d01_dedup_exact" -> d01_dedup_exact _,
     "d01_dedup_keepfirst" -> d01_dedup_keepfirst _,
     "d01_dedup_substring" -> d01_dedup_substring _,
+    "d01_substring_clean" -> d01_substring_clean _,
     "d02_bm25_topk" -> d02_bm25_topk _,
+    "d04_quality_lr" -> d04_quality_lr _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
     "d01_semdedup_exact" -> d01_semdedup_exact _,
@@ -3120,31 +3291,66 @@ object PipelineQueries {
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
       |  FROM red)""".stripMargin
 
+  /** Shared CTE prefix for the substring-dedup oracles: everything up to
+    * the merged `spans` relation (doc_id, st, en) — one copy, so the
+    * detection oracle and the apply-side oracle cannot drift.
+    */
+  private def substrSpansCte: String = {
+    val L = SubstrShingle
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
+       |sh AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p + 1, $L) AS s
+       |  FROM d, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, p AS st, p + $L AS en FROM sh JOIN dup USING (s)),
+       |isl AS (
+       |  SELECT doc_id, st, en,
+       |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
+       |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) THEN 1 ELSE 0 END AS brk
+       |  FROM hits),
+       |isl2 AS (
+       |  SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, MIN(st) AS st, MAX(en) AS en
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "d01_dedup_substring" -> {
-      val L = SubstrShingle
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
-         |sh AS (
-         |  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p + 1, $L) AS s
-         |  FROM d, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
-         |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
-         |hits AS (SELECT doc_id, p AS st, p + $L AS en FROM sh JOIN dup USING (s)),
-         |isl AS (
-         |  SELECT doc_id, st, en,
-         |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
-         |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      -1) THEN 1 ELSE 0 END AS brk
-         |  FROM hits),
-         |isl2 AS (
-         |  SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
-         |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS island
-         |  FROM isl)
-         |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end
-         |FROM isl2 GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin
-    },
+    "d01_dedup_substring" ->
+      s"""$substrSpansCte
+         |SELECT doc_id, st AS span_start, en AS span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "d01_substring_clean" ->
+      s"""$substrSpansCte,
+         |pe AS (
+         |  SELECT doc_id, st, en, COALESCE(LAG(en) OVER (PARTITION BY doc_id
+         |    ORDER BY st), 0) AS pe
+         |  FROM spans),
+         |mids AS (SELECT doc_id, pe AS seg_start, st AS seg_end FROM pe
+         |  WHERE st > pe),
+         |tails AS (
+         |  SELECT m.doc_id, m.me AS seg_start, CAST(len(t0.text) AS BIGINT)
+         |    AS seg_end
+         |  FROM (SELECT doc_id, MAX(en) AS me FROM spans GROUP BY doc_id) m
+         |  JOIN documents t0 ON t0.doc_id = m.doc_id
+         |  WHERE CAST(len(t0.text) AS BIGINT) > m.me),
+         |whole AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS seg_start,
+         |    CAST(len(text) AS BIGINT) AS seg_end
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM spans)),
+         |segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails
+         |  UNION ALL SELECT * FROM whole)
+         |SELECT g.doc_id, g.seg_start,
+         |  substr(t0.text, CAST(g.seg_start AS INT) + 1,
+         |    CAST(g.seg_end - g.seg_start AS INT)) AS seg_text
+         |FROM segs g JOIN documents t0 ON t0.doc_id = g.doc_id
+         |ORDER BY g.doc_id, g.seg_start""".stripMargin,
     "d02_bm25_topk" -> bm25OracleSql,
+    "d04_quality_lr" -> qualityLrOracleSql,
     "d06_pipeline_e2e" ->
       (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +
       """SELECT lang, doc_id, n_tok, cum_tok, redacted_sha

@@ -1005,6 +1005,97 @@ object StreamingQueries {
     }
   }
 
+  /** Posting rows landed by each d07_bm25_stream maintenance run —
+    * exactly-once evidence across the checkpointed restart, and proof
+    * each wave wrote work ∝ its own postings. */
+  @volatile private[graft] var lastBm25StreamRunRows: Seq[Long] = Nil
+
+  // D7k — the BM25 inverted index maintained BY A STREAM, completing the
+  // committed-index family's continuous column (exact ✓ fuzzy ✓ semantic
+  // ✓ ANN ✓ seq-pack ✓ — lexical retrieval was the gap): the corpus
+  // commits to a data laketable and its postings+stats to the index
+  // table (the d02_bm25_index build), then a checkpointed AvailableNow
+  // stream tails the data table and, per micro-batch inside foreachBatch,
+  // appends ONLY the batch's postings with the corpus stats property
+  // advanced IN THE SAME epoch-fenced commit (the d07_seqpack_stream
+  // state discipline — a replayed epoch re-lands neither postings nor
+  // stats). df is never stored, so maintenance never rewrites existing
+  // rows; a serve between any two batches sees stats consistent with
+  // exactly the postings committed beside them. End state after both
+  // waves = the full corpus → the same BM25 hash oracle.
+  def d07_bm25_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07bm-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07bm-idx-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oddMid = d.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    def stats(docs: DataFrame): (Long, Long) = {
+      val r = docs.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1)) // 1-row corpus-stats agg — bounded
+    }
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    try {
+      val s1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      index.append(LakeWriter.writeDataFiles(
+        P.bm25Keyed(P.bm25Postings(data.snapshotDF(s, s1))), index))
+      val (n1, sd1) = stats(data.snapshotDF(s, s1))
+      index.setProperty(L.Bm25StatsProp, s"$n1:$sd1")
+      def runMaint(): Unit = {
+        val before = s.read.format("laketable").load(locI).count()
+        val q = s.readStream.format("laketable")
+          .option("startSnapshotId", s1.toString).load(locD)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val idx = LakeTable.load(locI) // fresh: committed state only
+            val Array(n0, sd0) = idx.tableMeta.properties(L.Bm25StatsProp)
+              .split(":").map(_.toLong)
+            // two consumers (postings, the stats delta) read the batch
+            // once through the cache, not twice
+            val b = batch.select(col("doc_id"), col("text")).persist()
+            try {
+              val (bn, bs) = stats(b)
+              idx.appendEpoch(
+                LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)), idx),
+                "bm25idx", epoch, extraProps =
+                  Map(L.Bm25StatsProp -> s"${n0 + bn}:${sd0 + bs}"))
+            } finally b.unpersist()
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val after = s.read.format("laketable").load(locI).count()
+        lastBm25StreamRunRows :+= (after - before)
+      }
+      lastBm25StreamRunRows = Nil
+      data.append(LakeWriter.writeDataFiles(
+        odds.filter(col("doc_id") < oddMid), data))
+      runMaint() // wave 1
+      data.append(LakeWriter.writeDataFiles(
+        odds.filter(col("doc_id") >= oddMid), data))
+      runMaint() // restart: only wave 2's postings flow
+      // serve from the stream-maintained committed index — self-contained
+      val idxT = LakeTable.load(locI)
+      val Array(nd, sdl) = idxT.tableMeta.properties(L.Bm25StatsProp).split(":")
+      localize(P.bm25Serve(
+        idxT.toDF(s).select("term", "doc_id", "tf", "dl"),
+        nd.toLong, sdl.toLong))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
@@ -1512,6 +1603,7 @@ object StreamingQueries {
     "d07_ann_serve_live" -> d07_ann_serve_live _,
     "d07_ann_ordered" -> d07_ann_ordered _,
     "d07_seqpack_stream" -> d07_seqpack_stream _,
+    "d07_bm25_stream" -> d07_bm25_stream _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1553,6 +1645,10 @@ object StreamingQueries {
     // completed stream equals the batch incremental pack's replay
     "d07_seqpack_stream" -> graft.queries.PipelineQueries
       .seqPackOracleSql("(doc_id % 2), doc_id", "doc_id % 2 = 1"),
+    // the stream-maintained postings + rolled stats end at the FULL
+    // corpus, so the full-corpus BM25 replay oracles the completed
+    // stream (batch-equivalence, same oracle as d02_bm25_topk/_index)
+    "d07_bm25_stream" -> graft.queries.PipelineQueries.bm25OracleSql,
     // the two waves union to the batch increment, and the gate reads the
     // same committed band space — the batch gate's replay oracles the
     // completed stream (SURVEY §5.4 batch-equivalence)

@@ -1245,6 +1245,28 @@ class PipelineSpec extends SparkSpec {
     assert(spans == Set((1L, 37L, 97L), (2L, 22L, 82L)), spans.toString)
   }
 
+  test("D1h substring clean: kept segments + cut spans tile each planted doc " +
+      "exactly; span-free docs pass through whole") {
+    import spark.implicits._
+    val s60 = (0 until 60).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val x37 = (0 until 37).map(i => ('A' + (i * 5) % 26).toChar).mkString
+    val y15 = (0 until 15).map(i => ('0' + (i * 3) % 10).toChar).mkString
+    val p22 = (0 until 22).map(i => ('A' + (i * 11 + 2) % 26).toChar).mkString
+    val q31 = (0 until 31).map(i => ('0' + (i * 7 + 1) % 10).toChar).mkString
+    val clean = (0 until 45).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val docA = x37 + s60 + y15
+    val docB = p22 + s60 + q31
+    val docs = Seq((1L, docA), (2L, docB), (3L, clean)).toDF("doc_id", "text")
+    val segs = PipelineQueries.substringCleanSegs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // doc 1 keeps its prefix and suffix around the cut [37,97); doc 2 the
+    // same around [22,82); the clean doc passes through whole
+    assert(segs == Set(
+      (1L, 0L, x37), (1L, 97L, y15),
+      (2L, 0L, p22), (2L, 82L, q31),
+      (3L, 0L, clean)), segs.toString)
+  }
+
   test("D1g substring dedup spans are merged maximal intervals on testdata") {
     val rows = PipelineQueries.d01_dedup_substring(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1289,6 +1311,31 @@ class PipelineSpec extends SparkSpec {
       s"doc 10 score ${q1.head._4} != scalar recompute $expected")
     // docs without any query-1 term never appear under query 1
     assert(!q1.exists(_._3 == 12L), q1.toSeq.toString)
+  }
+
+  test("D4q trained LR quality filter: beats the majority baseline, learns a " +
+      "non-constant model, and is run-to-run deterministic") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("en"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val out = PipelineQueries.d04_quality_lr(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val n = out.length
+    assert(n == docs.size)
+    val correct = out.count { case (id, _, pred) => pred == docs(id) }
+    val majority = math.max(docs.values.count(identity),
+      docs.values.count(!_))
+    assert(correct > majority,
+      s"LR $correct/$n did not beat majority $majority/$n")
+    // the model is non-trivial: many distinct quantized probabilities
+    assert(out.map(_._2).distinct.length > 50,
+      "probabilities collapsed — model learned nothing")
+    // determinism: the quantized-gradient training is aggregation-order
+    // independent, so a second full training run lands on the SAME model
+    val again = PipelineQueries.d04_quality_lr(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(again.toSeq == out.toSeq, "retraining diverged — gradient " +
+      "quantization failed to make training order-independent")
   }
 
   test("D2i committed BM25 index: serve scans the INDEX TABLE (not a corpus " +

@@ -401,6 +401,35 @@ class StreamingSpec extends SparkSpec {
       s"stream diverged from batch on ${(streamed diff batch).take(3)}")
   }
 
+  test("D7k stream-maintained BM25 index: each wave appends exactly its own " +
+      "postings with the stats property fenced alongside; serve equals the " +
+      "batch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val served = StreamingQueries.d07_bm25_stream(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // exactly-once across the checkpointed restart: two productive runs,
+    // each landing its own wave's postings (work ∝ the wave)
+    val runs = StreamingQueries.lastBm25StreamRunRows
+    assert(runs.size == 2 && runs.forall(_ > 0),
+      s"expected two productive maintenance runs, got $runs")
+    val d = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val oddPostings = graft.queries.PipelineQueries
+      .bm25Postings(d.filter(pmod(col("doc_id"), lit(2)) === 1)).count()
+    assert(runs.sum == oddPostings,
+      s"maintenance landed ${runs.sum} posting rows != increment's " +
+        s"$oddPostings — replay or corpus-proportional rewrite")
+    // the stream-maintained index serves the same ranking as the batch
+    // full recompute — stats property and postings stayed consistent
+    val batch = graft.queries.PipelineQueries.d02_bm25_topk(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(served == batch,
+      s"stream-maintained serve diverged: ${(served.toSet diff batch.toSet).take(3)}")
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width
