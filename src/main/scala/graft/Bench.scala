@@ -508,6 +508,14 @@ object Bench {
         // packed-stream sequence packing: a pure two-phase prefix sum —
         // the curve should track corpus size ~linearly with no fixpoint
         val seqPack = best2At("d04_seq_pack")
+        // round-11 additions priced against corpus size: substring-span
+        // dedup (the shingle groupBy is the wide stage — should track
+        // corpus ~linearly), the committed BM25 index (build ∝ corpus,
+        // serve ∝ query-term postings), and the trained LR (6 scans +
+        // map-side partial aggs — the flattest curve here by design)
+        val substr = best2At("d01_dedup_substring")
+        val bm25Idx = best2At("d02_bm25_index")
+        val qlr = best2At("d04_quality_lr")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
@@ -517,6 +525,9 @@ object Bench {
           s"d02_ann_indexed_trained_x$m" -> annTrained,
           s"d01_semdedup_index_x$m" -> semIdx,
           s"d04_seq_pack_x$m" -> seqPack,
+          s"d01_dedup_substring_x$m" -> substr,
+          s"d02_bm25_index_x$m" -> bm25Idx,
+          s"d04_quality_lr_x$m" -> qlr,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)

@@ -208,6 +208,21 @@ object LakeWriter {
     * (pruning must never rest on partial evidence).
     */
   def footerMeta(conf: Configuration, path: Path, partitionValue: Long): DataFileMeta = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try metaFromFooter(reader.getFooter, path,
+      path.getFileSystem(conf).getFileStatus(path).getLen, partitionValue)
+    finally reader.close()
+  }
+
+  /** Footer-stats harvest from an ALREADY-IN-MEMORY footer — the
+    * `ParquetWriter.getFooter` path (parquet 1.16): a writer that just
+    * closed a file already holds the exact footer it wrote, so re-opening
+    * the file to read it back (one full GET per file on an object store)
+    * is pure waste. [[footerMeta]] keeps the open-and-read shape for files
+    * this process did NOT write (add_files import, compaction inputs).
+    */
+  def metaFromFooter(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      path: Path, size: Long, partitionValue: Long): DataFileMeta = {
     // per-column accumulator across row groups
     final class Acc {
       var longMin, longMax: Option[Long] = None
@@ -217,9 +232,7 @@ object LakeWriter {
       var nullsValid = true
       var values = 0L
     }
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try {
-      val footer = reader.getFooter
+    {
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
       val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
@@ -272,10 +285,9 @@ object LakeWriter {
           nullCount = if (a.nullsValid) Some(a.nulls) else None,
           valueCount = Some(a.values))
       }.toMap
-      val size = path.getFileSystem(conf).getFileStatus(path).getLen
       DataFileMeta(path.toUri.getPath, size, rowCount, partitionValue,
         "parquet", stats.toMap)
-    } finally reader.close()
+    }
   }
 
   /** Top-level fields of a parquet file's footer schema — the add_files

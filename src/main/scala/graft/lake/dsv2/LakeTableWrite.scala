@@ -445,8 +445,7 @@ final class LakeDataWriter(location: String, schema: StructType,
     // task's whole lifetime
     if (sequentialBuckets && !writers.contains(bucket) && writers.nonEmpty) {
       writers.foreach { case (b, (path, w)) =>
-        w.close()
-        rolled += LakeWriter.footerMeta(conf, path, b)
+        rolled += closedMeta(path, w, b)
       }
       writers.clear()
       rowsSinceCheck.clear()
@@ -457,17 +456,28 @@ final class LakeDataWriter(location: String, schema: StructType,
       rowsSinceCheck(bucket) = 0
       val (path, w) = writers(bucket)
       if (w.getDataSize >= targetBytes) {
-        w.close()
-        rolled += LakeWriter.footerMeta(conf, path, bucket)
+        rolled += closedMeta(path, w, bucket)
         writers.remove(bucket)
       }
     } else rowsSinceCheck(bucket) = n
   }
 
+  /** Close the writer and harvest stats from ITS OWN in-memory footer
+    * (`ParquetWriter.getFooter`) — no read-back of the just-written file
+    * (on an object store that was one full GET per file). One stat call
+    * remains for the exact on-disk size (footer+magic bytes are not in
+    * `getDataSize`), a metadata round-trip, not a data read.
+    */
+  private def closedMeta(path: Path, w: ParquetWriter[InternalRow],
+      bucket: Long): DataFileMeta = {
+    w.close()
+    LakeWriter.metaFromFooter(w.getFooter, path,
+      path.getFileSystem(conf).getFileStatus(path).getLen, bucket)
+  }
+
   override def commit(): WriterCommitMessage = {
     val metas = writers.toSeq.map { case (bucket, (path, w)) =>
-      w.close()
-      LakeWriter.footerMeta(conf, path, bucket)
+      closedMeta(path, w, bucket)
     }
     writers.clear()
     LakeCommitMessage(rolled.result() ++ metas)

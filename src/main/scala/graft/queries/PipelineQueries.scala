@@ -633,9 +633,17 @@ object PipelineQueries {
     * identical). Constants and query VALUES are interpolated from the
     * same fields the Scala plans read.
     */
-  private[graft] def bm25OracleSql: String = {
+  private[graft] def bm25OracleSql: String =
+    s"""WITH $bm25RankedCte
+       |SELECT qid, rn, doc_id, CAST(sm AS DOUBLE) / 1e6 AS score
+       |FROM ranked WHERE rn <= $Bm25TopK ORDER BY qid, rn""".stripMargin
+
+  /** The BM25 replay up to the `ranked(qid, doc_id, sm, rn)` relation —
+    * shared by the three BM25 entry oracles and the hybrid-fusion oracle.
+    */
+  private def bm25RankedCte: String = {
     val values = Bm25Queries.map { case (id, s) => s"($id, '$s')" }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
        |         len(string_split(text, ' ')) AS dl
        |  FROM documents),
@@ -666,10 +674,93 @@ object PipelineQueries {
        |  GROUP BY qid, doc_id),
        |ranked AS (
        |  SELECT qid, doc_id, sm, ROW_NUMBER() OVER (PARTITION BY qid
-       |    ORDER BY sm DESC, doc_id) AS rn FROM score)
-       |SELECT qid, rn, doc_id, CAST(sm AS DOUBLE) / 1e6 AS score
-       |FROM ranked WHERE rn <= $Bm25TopK ORDER BY qid, rn""".stripMargin
+       |    ORDER BY sm DESC, doc_id) AS rn FROM score)""".stripMargin
   }
+
+  /** RRF constant (Cormack et al. 2009's k=60) — shared with the oracle. */
+  private[graft] val RrfK = 60
+
+  // D2f — HYBRID retrieval with reciprocal-rank fusion: the modern search
+  // stack's default shape — a lexical arm (BM25 over text) and a semantic
+  // arm (cosine over the probe's embedding, vec_id aligned with doc_id)
+  // each rank top-K independently, then fuse by RRF = Σ 1/(k + rank).
+  // Rank-space fusion needs no score calibration between arms, which is
+  // also what makes it hash-exact for free: both arms' RANKS are already
+  // engine-deterministic (integer micro-unit BM25 sums; the proven
+  // d02_cosine_topk ordering), and the fused score is a fixed-order
+  // two-term sum of exact-integer reciprocals — no aggregation anywhere.
+  // Scale: each arm is its own proven scale path (query-proportional
+  // postings serve; ANN index for the semantic arm); fusion itself is a
+  // top-K-sized full-outer join per query.
+  def d02_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val stats = docs
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sd"))
+      .collect()(0) // 1-row corpus-stats aggregate — bounded
+    val lex = bm25Serve(bm25Postings(docs), stats.getLong(0), stats.getLong(1))
+      .select(col("qid"), col("doc_id"), col("rn").as("rl"))
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id").between(1, Bm25Queries.length))
+      .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+    val sem = e.select(col("vec_id").as("doc_id"), col("embedding").as("oe"))
+      .crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("doc_id"))
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rs", row_number().over(w))
+      .filter(col("rs") <= Bm25TopK)
+      .select("qid", "doc_id", "rs")
+    val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("rs")), lit(0.0))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("qid"), col("rn"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rn")
+  }
+
+  /** DuckDB replay of [[d02_hybrid_rrf]]: the shared BM25 ranked CTE +
+    * the proven cosine-ranking replay + the same fixed-order RRF sum.
+    */
+  private[graft] def hybridRrfOracleSql: String =
+    s"""WITH $bm25RankedCte,
+       |elems AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |spairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+       |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+       |  FROM elems a JOIN elems b ON a.i = b.i
+       |  WHERE a.vec_id BETWEEN 1 AND ${Bm25Queries.length}
+       |    AND a.vec_id <> b.vec_id
+       |  GROUP BY qid, doc_id),
+       |sem AS (
+       |  SELECT CAST(qid AS INTEGER) AS qid, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, doc_id) AS rs
+       |  FROM spairs),
+       |lex AS (SELECT qid, doc_id, rn AS rl FROM ranked WHERE rn <= $Bm25TopK),
+       |semt AS (SELECT qid, doc_id, rs FROM sem WHERE rs <= $Bm25TopK),
+       |cand AS (
+       |  SELECT COALESCE(l.qid, s.qid) AS qid,
+       |    COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rl, s.rs
+       |  FROM lex l FULL OUTER JOIN semt s
+       |    ON l.qid = s.qid AND l.doc_id = s.doc_id),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    COALESCE(1.0 / ($RrfK + rl), 0.0) + COALESCE(1.0 / ($RrfK + rs), 0.0)
+       |      AS rrf
+       |  FROM cand),
+       |fout AS (
+       |  SELECT qid, doc_id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+       |SELECT qid, rn, doc_id, rrf FROM fout WHERE rn <= $Bm25TopK
+       |ORDER BY qid, rn""".stripMargin
 
   // D2-scale — LSH-bucketed ANN: random-hyperplane signatures (SimHash for
   // vectors), candidates only within equal signature buckets. Deterministic
@@ -2880,6 +2971,7 @@ object PipelineQueries {
     "d01_dedup_substring" -> d01_dedup_substring _,
     "d01_substring_clean" -> d01_substring_clean _,
     "d02_bm25_topk" -> d02_bm25_topk _,
+    "d02_hybrid_rrf" -> d02_hybrid_rrf _,
     "d04_quality_lr" -> d04_quality_lr _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
@@ -3350,6 +3442,7 @@ object PipelineQueries {
          |FROM segs g JOIN documents t0 ON t0.doc_id = g.doc_id
          |ORDER BY g.doc_id, g.seg_start""".stripMargin,
     "d02_bm25_topk" -> bm25OracleSql,
+    "d02_hybrid_rrf" -> hybridRrfOracleSql,
     "d04_quality_lr" -> qualityLrOracleSql,
     "d06_pipeline_e2e" ->
       (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +

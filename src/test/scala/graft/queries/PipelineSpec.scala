@@ -1313,6 +1313,48 @@ class PipelineSpec extends SparkSpec {
     assert(!q1.exists(_._3 == 12L), q1.toSeq.toString)
   }
 
+  test("D2f hybrid RRF retrieval equals a driver-side fusion of the two arms") {
+    val K = PipelineQueries.Bm25TopK
+    val nq = PipelineQueries.Bm25Queries.length
+    val out = PipelineQueries.d02_hybrid_rrf(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val lex = PipelineQueries.d02_bm25_topk(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val embs = graft.Tables.t(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same left-to-right fold order as the codegen'd cosine_sim — the
+    // doubles must match bit-for-bit for rank agreement
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val semRanks = (1 to nq).flatMap { q =>
+      val qe = embs(q.toLong)
+      embs.toSeq.filter(_._1 != q.toLong)
+        .map { case (oid, v) => (oid, cos(qe, v)) }
+        .sortBy { case (oid, c) => (-c, oid) }.take(K).zipWithIndex
+        .map { case ((oid, _), i) => (q, oid) -> (i + 1) }
+    }.toMap
+    val expected = (1 to nq).flatMap { q =>
+      val cands = (lex.keys.filter(_._1 == q).map(_._2) ++
+        semRanks.keys.filter(_._1 == q).map(_._2)).toSet
+      cands.toSeq.map { d =>
+        val rrf = lex.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          semRanks.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, d, rrf)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(K).zipWithIndex
+        .map { case ((q2, d, s), i) => (q2, i + 1, d, s) }
+    }
+    assert(out == expected,
+      s"fusion diverged: ${(out.toSet diff expected.toSet).take(3)} vs " +
+        s"${(expected.toSet diff out.toSet).take(3)}")
+  }
+
   test("D4q trained LR quality filter: beats the majority baseline, learns a " +
       "non-constant model, and is run-to-run deterministic") {
     val docs = graft.Tables.t(spark, dir, "documents")
