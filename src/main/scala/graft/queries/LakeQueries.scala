@@ -1012,6 +1012,79 @@ object LakeQueries {
     }
   }
 
+  /** Optimized plan of the last d01_substring_index GATE plus the index
+    * location — spec-observable: the duplicated-shingle probe's committed
+    * side must be the INDEX table's scan, never a re-shingling of the
+    * committed corpus. */
+  @volatile private[graft] var lastSubstrIndexGate: Option[(String, String)] = None
+  /** Shingle keys appended by the last d01_substring_index maintenance
+    * commit — spec-observable proof maintenance writes only the
+    * increment's NOVEL hashes. */
+  @volatile private[graft] var lastSubstrIndexNewKeys: Long = -1L
+
+  // D1i — the SUBSTRING shingle space as a first-class TABLE citizen,
+  // completing the committed-index family across all four dedup regimes
+  // (exact bloom gate: d01_dedup_incremental; fuzzy: d03_minhash_index;
+  // semantic: d01_semdedup_index; substring: this). d01_dedup_substring
+  // is corpus-batch; per-arrival it would re-shingle the whole committed
+  // corpus. Here the corpus's DISTINCT 60-bit shingle hashes are a
+  // laketable (~one small per 10 corpus chars before dedup, layout-keyed
+  // pmod(shash, 16)): the GATE shingles ONLY the increment, flags a span
+  // duplicated if its shingle hits the committed index (copied from the
+  // corpus) OR repeats within the increment itself (arrival-vs-arrival
+  // copying), and merges hit positions into maximal spans; maintenance
+  // appends only the increment's novel hashes, so the next arrival's
+  // index is current. At 100 TB the index is the corpus's distinct
+  // shingle set — large but flat (8-byte keys), and the gate's probe is
+  // increment-sized.
+  def d01_substring_index(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val locD = scratch("substr-data")
+    val locI = scratch("substr-idx")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "skey BIGINT,shash BIGINT",
+      TruncateSpec("skey", 1L))
+    def keyed(hashes: DataFrame): DataFrame = hashes
+      .withColumn("skey", pmod(col("shash"), lit(16L)))
+      .select("skey", "shash")
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        keyed(P.shingleHashes(data.snapshotDF(s, d1)).select("shash")
+          .distinct()), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(odds, data))
+      val inc = data.changesBetween(s, d1, d2)
+      val incSh = P.shingleHashes(inc)
+      // the gate serves from a FRESH load of the committed index — the
+      // shingle space is self-contained, shared by every arrival
+      val comSh = LakeTable.load(locI).snapshotDF(s, i1).select("shash")
+      val selfDup = incSh.groupBy("shash").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("shash")
+      val dupKeys = comSh.union(selfDup).distinct()
+      val hits = incSh.join(dupKeys, Seq("shash"), "left_semi")
+        .select(col("doc_id"), col("p").as("st"),
+          (col("p") + P.SubstrShingle).as("en"))
+      val out = P.mergeSpans(hits)
+      lastSubstrIndexGate =
+        Some((out.queryExecution.optimizedPlan.toString, locI))
+      val gated = localize(out)
+      // maintenance: one commit of the increment's NOVEL distinct hashes
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        keyed(incSh.select("shash").distinct()
+          .join(comSh, Seq("shash"), "left_anti")), index))
+      lastSubstrIndexNewKeys =
+        index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      gated
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   /** Optimized plan of the last d02_bm25_index SERVE plus the index
     * location — spec-observable: the scoring probe's postings side must
     * be the committed INDEX table's scan, not a tokenize/groupBy recompute
@@ -1728,6 +1801,7 @@ object LakeQueries {
     "d04_seqpack_incremental" -> d04_seqpack_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
     "d02_bm25_index" -> d02_bm25_index _,
+    "d01_substring_index" -> d01_substring_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "d02_ann_index_rebuild" -> d02_ann_index_rebuild _,
@@ -1941,6 +2015,43 @@ object LakeQueries {
     "d03_minhash_index" -> minhashIncrementalOracleSql,
     // the committed-index serve ends at full-corpus BM25 → same oracle
     "d02_bm25_index" -> graft.queries.PipelineQueries.bm25OracleSql,
+    // increment-vs-committed substring gate: corpus = evens' distinct
+    // 60-bit shingle hashes, increment = odds; a span is duplicated if
+    // its shingle hits the corpus OR repeats within the increment
+    "d01_substring_index" -> {
+      val L = graft.queries.PipelineQueries.SubstrShingle
+      s"""WITH d AS (
+         |  SELECT doc_id, text, doc_id % 2 AS side FROM documents
+         |  WHERE len(text) >= $L),
+         |sh AS (
+         |  SELECT doc_id, side, CAST(p AS BIGINT) AS p,
+         |    CAST(concat('0x', substring(md5(substr(text, p + 1, $L)), 1, 15))
+         |      AS BIGINT) AS shash
+         |  FROM d, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
+         |corpus AS (SELECT DISTINCT shash FROM sh WHERE side = 0),
+         |incsh AS (SELECT doc_id, p, shash FROM sh WHERE side = 1),
+         |selfdup AS (
+         |  SELECT shash FROM incsh GROUP BY shash HAVING COUNT(*) >= 2),
+         |dupkeys AS (
+         |  SELECT shash FROM corpus UNION SELECT shash FROM selfdup),
+         |hits AS (
+         |  SELECT doc_id, p AS st, p + $L AS en
+         |  FROM incsh JOIN dupkeys USING (shash)),
+         |isl AS (
+         |  SELECT doc_id, st, en,
+         |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
+         |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl2 AS (
+         |  SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS island
+         |  FROM isl)
+         |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
     // the ivfPqExact replay with the frozen models' seed predicate (first
     // 16 every-17th vectors of the COMMITTED batch); the lake round-trip
     // is value-transparent, so serve-from-committed-codes replays as the

@@ -93,6 +93,15 @@ object PipelineQueries {
     val hits = sh.join(dup, Seq("sgl"), "left_semi")
       .select(col("doc_id"), col("p").cast("long").as("st"),
         (col("p") + L).cast("long").as("en"))
+    mergeSpans(hits)
+  }
+
+  /** Gaps-and-islands interval merge shared by the batch substring-dedup
+    * entries and the committed-shingle-index gate: (doc_id, st, en) hit
+    * rows → maximal per-doc [span_start, span_end) intervals. The window
+    * is per-doc (bounded by doc length) — never corpus-wide.
+    */
+  private[graft] def mergeSpans(hits: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
     val prevMax = max(col("en"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -105,6 +114,23 @@ object PipelineQueries {
       .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
       .select("doc_id", "span_start", "span_end")
       .orderBy("doc_id", "span_start")
+  }
+
+  /** 60-bit md5-portable shingle hashes with positions — the committed-
+    * index representation of the substring space (a 40-char shingle
+    * string would bloat the index ~5×; the 60-bit prefix is the same
+    * engine-portable derivation every md5-hashed operator here uses,
+    * 2^-60 collision contract, and DuckDB replays it from the same hex).
+    */
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+    val L = SubstrShingle
+    docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - L)).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        expr(s"CAST(conv(substring(md5(substring(text, p + 1, $L)), 1, 15)" +
+          ", 16, 10) AS BIGINT)").as("shash"))
   }
 
   // D1g — exact substring dedup: maximal duplicated char-spans per doc.

@@ -1005,6 +1005,101 @@ object StreamingQueries {
     }
   }
 
+  /** Hit rows landed by each d07_substring_live gate run — exactly-once
+    * evidence across the checkpointed restart, and proof wave 2's hits
+    * include the wave-1 re-keys only a LIVE index can catch. */
+  @volatile private[graft] var lastSubstrLiveRunHits: Seq[Long] = Nil
+
+  // D7m — the LIVE substring gate: the committed shingle index
+  // (d01_substring_index) gated AND maintained in the same continuous
+  // job, so an arrival's copied spans are detected against EARLIER
+  // ARRIVALS too, not just the frozen corpus. Per micro-batch inside
+  // foreachBatch: (1) shingle the batch (60-bit md5-portable hashes),
+  // (2) land the positions whose shingle hits the index AS OF NOW — a
+  // fresh load that includes every previous batch's maintenance — in a
+  // hits table, (3) append the batch's NOVEL hashes; both commits ride
+  // the epoch fence, so a replayed batch re-lands neither. Wave 2
+  // plants re-keys of the CORPUS (+1M — any gate catches these) and of
+  // WAVE 1 (+3M exact, +4M suffix-extended — their shingles entered
+  // the index during run 1, so only a live gate flags them). The final
+  // result merges all landed hit positions into maximal per-doc spans.
+  def d07_substring_live(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val L = P.SubstrShingle
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-d07ss-data-${UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-d07ss-idx-${UUID.randomUUID()}"
+    val locR = s"${System.getProperty("java.io.tmpdir")}/graft-d07ss-res-${UUID.randomUUID()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${UUID.randomUUID()}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= L)
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val wave2 = evens.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .union(odds.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      .union(odds.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text")))
+    val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val index = LakeTable.create(locI, "skey BIGINT,shash BIGINT",
+      TruncateSpec("skey", 1L))
+    LakeTable.create(locR, "doc_id BIGINT,st BIGINT,en BIGINT",
+      TruncateSpec("doc_id", 1000000L))
+    def keyed(hashes: org.apache.spark.sql.DataFrame) = hashes
+      .withColumn("skey", pmod(col("shash"), lit(16L)))
+      .select("skey", "shash")
+    try {
+      val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      index.append(LakeWriter.writeDataFiles(
+        keyed(P.shingleHashes(data.snapshotDF(s, d1)).select("shash")
+          .distinct()), index))
+      def runLive(): Unit = {
+        val before = s.read.format("laketable").load(locR).count()
+        val q = s.readStream.format("laketable")
+          .option("startSnapshotId", d1.toString).load(locD)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // committed shingle space AS OF THIS BATCH — includes every
+            // earlier batch's maintenance; both appends are epoch-fenced
+            val com = s.read.format("laketable").load(locI).select("shash")
+            val bsh = P.shingleHashes(batch)
+            val res = LakeTable.load(locR)
+            res.appendEpoch(LakeWriter.writeDataFiles(
+              bsh.join(com, Seq("shash"), "left_semi")
+                .select(col("doc_id"), col("p").as("st"),
+                  (col("p") + L).as("en")), res), "substr-gate", epoch)
+            val idx = LakeTable.load(locI)
+            idx.appendEpoch(LakeWriter.writeDataFiles(
+              keyed(bsh.select("shash").distinct()
+                .join(com, Seq("shash"), "left_anti")), idx),
+              "substr-maint", epoch)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val after = s.read.format("laketable").load(locR).count()
+        lastSubstrLiveRunHits :+= (after - before)
+      }
+      lastSubstrLiveRunHits = Nil
+      data.append(LakeWriter.writeDataFiles(odds, data))
+      runLive() // wave 1: gated against the corpus; its hashes join the index
+      data.append(LakeWriter.writeDataFiles(wave2, data))
+      runLive() // restart: wave 2 gated against corpus ∪ wave 1
+      localize(P.mergeSpans(s.read.format("laketable").load(locR)
+        .select("doc_id", "st", "en")))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+      LakeTable.drop(locR)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    }
+  }
+
   /** Posting rows landed by each d07_bm25_stream maintenance run —
     * exactly-once evidence across the checkpointed restart, and proof
     * each wave wrote work ∝ its own postings. */
@@ -1604,6 +1699,7 @@ object StreamingQueries {
     "d07_ann_ordered" -> d07_ann_ordered _,
     "d07_seqpack_stream" -> d07_seqpack_stream _,
     "d07_bm25_stream" -> d07_bm25_stream _,
+    "d07_substring_live" -> d07_substring_live _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
     "d07_minhash_live" -> d07_minhash_live _,
@@ -1649,6 +1745,54 @@ object StreamingQueries {
     // corpus, so the full-corpus BM25 replay oracles the completed
     // stream (batch-equivalence, same oracle as d02_bm25_topk/_index)
     "d07_bm25_stream" -> graft.queries.PipelineQueries.bm25OracleSql,
+    // wave-grain replay of the live substring gate: a wave-k shingle is
+    // a hit iff it appears in the corpus or ANY earlier wave — monotone
+    // index growth, one side-aware membership check per wave
+    "d07_substring_live" -> {
+      val L = graft.queries.PipelineQueries.SubstrShingle
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE len(text) >= $L),
+         |src AS (
+         |  SELECT doc_id, text, 0 AS wave FROM base WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text, 1 FROM base WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, 2 FROM base
+         |  WHERE doc_id % 2 = 0 AND doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text, 2 FROM base
+         |  WHERE doc_id % 2 = 1 AND doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, text || ' zq zr zs', 2 FROM base
+         |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80),
+         |sh AS (
+         |  SELECT doc_id, wave, CAST(p AS BIGINT) AS p,
+         |    CAST(concat('0x', substring(md5(substr(text, p + 1, $L)), 1, 15))
+         |      AS BIGINT) AS shash
+         |  FROM src, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
+         |known1 AS (SELECT DISTINCT shash FROM sh WHERE wave = 0),
+         |known2 AS (SELECT DISTINCT shash FROM sh WHERE wave <= 1),
+         |hits AS (
+         |  SELECT doc_id, p AS st, p + $L AS en FROM sh
+         |  WHERE wave = 1 AND shash IN (SELECT shash FROM known1)
+         |  UNION ALL
+         |  SELECT doc_id, p AS st, p + $L AS en FROM sh
+         |  WHERE wave = 2 AND shash IN (SELECT shash FROM known2)),
+         |isl AS (
+         |  SELECT doc_id, st, en,
+         |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
+         |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl2 AS (
+         |  SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS island
+         |  FROM isl)
+         |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
     // the two waves union to the batch increment, and the gate reads the
     // same committed band space — the batch gate's replay oracles the
     // completed stream (SURVEY §5.4 batch-equivalence)

@@ -1313,6 +1313,51 @@ class PipelineSpec extends SparkSpec {
     assert(!q1.exists(_._3 == 12L), q1.toSeq.toString)
   }
 
+  test("D1i committed shingle index: gate spans equal a driver recompute, " +
+      "probe scans the INDEX TABLE, maintenance appends only novel hashes") {
+    val L = PipelineQueries.SubstrShingle
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter(_._2.length >= L)
+    val corpus = docs.filter(_._1 % 2 == 0).flatMap { case (_, t) =>
+      (0 to t.length - L).map(p => h60(t.substring(p, p + L))) }.toSet
+    val incSh = docs.filter(_._1 % 2 == 1).toSeq.flatMap { case (id, t) =>
+      (0 to t.length - L).map(p => (id, p.toLong, h60(t.substring(p, p + L)))) }
+    val counts = incSh.groupBy(_._3).view.mapValues(_.size).toMap
+    val hits = incSh.filter { case (_, _, h) => corpus(h) || counts(h) >= 2 }
+    val expected = hits.groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+      val sorted = hs.map(x => (x._2, x._2 + L)).sorted
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((st, en) <- sorted) {
+        if (merged.nonEmpty && st <= merged.last._2)
+          merged(merged.size - 1) =
+            (merged.last._1, math.max(merged.last._2, en))
+        else merged += ((st, en))
+      }
+      merged.map { case (st, en) => (id, st, en) }
+    }.sortBy(x => (x._1, x._2))
+    assert(expected.nonEmpty, "testdata should have cross-parity dup spans")
+    val got = LakeQueries.d01_substring_index(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"gate spans diverged: ${(got.toSet diff expected.toSet).take(3)} vs " +
+        s"${(expected.toSet diff got.toSet).take(3)}")
+    val (plan, locI) = LakeQueries.lastSubstrIndexGate.get
+    assert(plan.contains(locI),
+      s"gate does not scan the committed shingle index $locI:\n${plan.take(2000)}")
+    val novel = incSh.map(_._3).toSet.diff(corpus)
+    assert(LakeQueries.lastSubstrIndexNewKeys == novel.size.toLong,
+      s"maintenance wrote ${LakeQueries.lastSubstrIndexNewKeys} keys != " +
+        s"increment's ${novel.size} novel hashes")
+  }
+
   test("D2f hybrid RRF retrieval equals a driver-side fusion of the two arms") {
     val K = PipelineQueries.Bm25TopK
     val nq = PipelineQueries.Bm25Queries.length

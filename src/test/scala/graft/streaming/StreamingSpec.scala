@@ -430,6 +430,32 @@ class StreamingSpec extends SparkSpec {
       s"stream-maintained serve diverged: ${(served.toSet diff batch.toSet).take(3)}")
   }
 
+  test("D7m live substring gate: wave-1 re-keys are caught ONLY because the " +
+      "index self-maintains; both runs land hits exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val L = graft.queries.PipelineQueries.SubstrShingle
+    val spans = StreamingQueries.d07_substring_live(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val runs = StreamingQueries.lastSubstrLiveRunHits
+    assert(runs.size == 2 && runs.forall(_ > 0),
+      s"expected two productive gate runs, got $runs")
+    // the +3M docs re-key WAVE-1 arrivals: their shingles entered the
+    // index during run 1, so a frozen-corpus gate would miss them — the
+    // live gate must flag EVERY one, whole-doc span
+    val lens = graft.Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") < 40 &&
+        length(col("text")) >= L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => (r.getLong(0) + 3000000L, r.getLong(1))).toMap
+    assert(lens.nonEmpty)
+    lens.foreach { case (id, len) =>
+      val ss = spans.filter(_._1 == id)
+      assert(ss.length == 1 && ss.head._2 == 0L && ss.head._3 == len,
+        s"wave-1 re-key $id not whole-doc flagged: ${ss.toSeq} (len $len)")
+    }
+  }
+
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
     val Width = 300000000L
     def bucket(i: Int): Long = (5666666L + i) * Width

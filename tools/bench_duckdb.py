@@ -34,6 +34,26 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
+    # denominator canary: a FIXED synthetic aggregate-join, independent of
+    # the testdata files — r10->r11 showed the element-explode oracles
+    # drifting ~30% across rounds with unchanged SQL, and without this key
+    # a reader cannot tell engine/environment drift from data drift. Rides
+    # the duckdb_seconds map under a name no Spark entry uses, so it never
+    # joins the overlap ratio.
+    canary_sql = """
+        SELECT COUNT(*), SUM(a.v * b.v) FROM
+          (SELECT range AS i, CAST(range % 97 AS DOUBLE) AS v
+             FROM range(2000000)) a
+          JOIN (SELECT range AS i, CAST(range % 89 AS DOUBLE) AS v
+             FROM range(2000000)) b ON a.i % 1000 = b.i % 1000 AND a.i = b.i
+    """
+    con.execute(canary_sql).fetchall()  # warmup
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(canary_sql).fetchall()
+        times.append(time.perf_counter() - t0)
+    out["_duckdb_canary"] = round(min(times), 3)
     for name in sorted(sqls):
         try:
             con.execute(sqls[name]).fetchall()  # warmup
