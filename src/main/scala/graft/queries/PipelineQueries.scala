@@ -706,6 +706,73 @@ object PipelineQueries {
   /** RRF constant (Cormack et al. 2009's k=60) — shared with the oracle. */
   private[graft] val RrfK = 60
 
+  /** Two-word phrase probes for positional retrieval — shared with the
+    * oracle (words must be distinct within a phrase). */
+  private[graft] val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark table", 2 -> "fast scan", 3 -> "window agg", 4 -> "big data")
+
+  // D2p — PHRASE matching from POSITIONAL postings: the capability step
+  // beyond bag-of-words BM25 (an inverted index without positions cannot
+  // answer "these words ADJACENT"). Postings here carry the sorted
+  // position list per (doc, term) — built only for the phrase terms
+  // (broadcast semi-join first, so work ∝ the probes' postings, the
+  // d02_bm25 serve discipline) — and a phrase occurrence is a position p
+  // in t1's list with p+1 in t2's list (exact integer set intersect; the
+  // count is adjacency occurrences, overlap-safe where substring LIKE
+  // counting is not). All-integer output → hash-exact.
+  def d02_phrase_match(s: SparkSession, dir: String): DataFrame =
+    phraseMatch(t(s, dir, "documents").select("doc_id", "text"))
+
+  private[graft] def phraseMatch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val q = PhraseQueries.toDF("pid", "phrase")
+      .select(col("pid"),
+        split(col("phrase"), " ").getItem(0).as("t1"),
+        split(col("phrase"), " ").getItem(1).as("t2"))
+    val qterms = q.select(explode(array(col("t1"), col("t2"))).as("term"))
+      .distinct()
+    val postings = toks.join(broadcast(qterms), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val a = postings.select(col("doc_id"), col("term").as("ta"), col("ps").as("pa"))
+    val b = postings.select(col("doc_id"), col("term").as("tb"), col("ps").as("pb"))
+    broadcast(q).join(a, col("t1") === col("ta"))
+      .join(b, Seq("doc_id")).filter(col("t2") === col("tb"))
+      .withColumn("n_occur",
+        size(array_intersect(expr("transform(pa, x -> x + 1)"), col("pb")))
+          .cast("long"))
+      .filter(col("n_occur") > 0)
+      .select(col("pid"), col("doc_id"), col("n_occur"))
+      .orderBy("pid", "doc_id")
+  }
+
+  /** DuckDB replay of [[phraseMatch]]: 1-based token positions via
+    * generate_subscripts, adjacency as a position self-join — each
+    * occurrence counted once (position lists are duplicate-free), which a
+    * substring LIKE count would get wrong on boundary-sharing repeats.
+    */
+  private[graft] def phraseMatchOracleSql: String = {
+    val values = PhraseQueries.map { case (id, p) =>
+      val Array(t1, t2) = p.split(" ")
+      s"($id, '$t1', '$t2')"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+       |         unnest(t) AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |q(pid, t1, t2) AS (VALUES $values),
+       |m AS (
+       |  SELECT q.pid, a.doc_id, COUNT(*) AS n_occur
+       |  FROM q JOIN tok a ON a.term = q.t1
+       |    JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |      AND b.term = q.t2
+       |  GROUP BY q.pid, a.doc_id)
+       |SELECT pid, doc_id, n_occur FROM m ORDER BY pid, doc_id""".stripMargin
+  }
+
   // D2f — HYBRID retrieval with reciprocal-rank fusion: the modern search
   // stack's default shape — a lexical arm (BM25 over text) and a semantic
   // arm (cosine over the probe's embedding, vec_id aligned with doc_id)
@@ -2998,6 +3065,7 @@ object PipelineQueries {
     "d01_substring_clean" -> d01_substring_clean _,
     "d02_bm25_topk" -> d02_bm25_topk _,
     "d02_hybrid_rrf" -> d02_hybrid_rrf _,
+    "d02_phrase_match" -> d02_phrase_match _,
     "d04_quality_lr" -> d04_quality_lr _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
@@ -3469,6 +3537,7 @@ object PipelineQueries {
          |ORDER BY g.doc_id, g.seg_start""".stripMargin,
     "d02_bm25_topk" -> bm25OracleSql,
     "d02_hybrid_rrf" -> hybridRrfOracleSql,
+    "d02_phrase_match" -> phraseMatchOracleSql,
     "d04_quality_lr" -> qualityLrOracleSql,
     "d06_pipeline_e2e" ->
       (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +

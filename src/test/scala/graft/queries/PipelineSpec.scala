@@ -1267,6 +1267,43 @@ class PipelineSpec extends SparkSpec {
       (3L, 0L, clean)), segs.toString)
   }
 
+  test("D1g substring dedup agrees with an O(n²) brute force on 30 random " +
+      "tiny-alphabet corpora (forced collisions, overlaps, self-repeats)") {
+    import spark.implicits._
+    val L = PipelineQueries.SubstrShingle
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 30).foreach { trial =>
+      // 2-char alphabet, doc lengths straddling the shingle size: dense
+      // accidental collisions, self-overlapping repeats, whole-doc dups —
+      // the regimes natural text never exercises
+      val docs = (0 until (3 + rnd.nextInt(4))).map { id =>
+        val len = 30 + rnd.nextInt(80)
+        (id.toLong, (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      }
+      val expected = {
+        val all = docs.flatMap { case (id, t) =>
+          (0 to t.length - L).map(p => (id, p, t.substring(p, p + L))) }
+        val counts = all.groupBy(_._3).view.mapValues(_.size).toMap
+        val hits = all.filter { case (_, _, s) => counts(s) >= 2 }
+        hits.groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          for ((st, en) <- hs.map(h => (h._2.toLong, (h._2 + L).toLong)).sorted) {
+            if (merged.nonEmpty && st <= merged.last._2)
+              merged(merged.size - 1) =
+                (merged.last._1, math.max(merged.last._2, en))
+            else merged += ((st, en))
+          }
+          merged.map { case (st, en) => (id, st, en) }
+        }.sortBy(x => (x._1, x._2))
+      }
+      val got = PipelineQueries.substringDupSpans(
+          docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"trial $trial diverged: got ${got.take(5)} " +
+        s"expected ${expected.take(5)}")
+    }
+  }
+
   test("D1g substring dedup spans are merged maximal intervals on testdata") {
     val rows = PipelineQueries.d01_dedup_substring(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1356,6 +1393,21 @@ class PipelineSpec extends SparkSpec {
     assert(LakeQueries.lastSubstrIndexNewKeys == novel.size.toLong,
       s"maintenance wrote ${LakeQueries.lastSubstrIndexNewKeys} keys != " +
         s"increment's ${novel.size} novel hashes")
+  }
+
+  test("D2p phrase match counts adjacency occurrences exactly, including " +
+      "boundary-sharing repeats a substring count would miss") {
+    import spark.implicits._
+    val docs = Seq(
+      // "spark table" twice — the occurrences SHARE the middle space, so
+      // a non-overlapping substring count of ' spark table ' finds 1
+      (1L, "spark table spark table big"),
+      (2L, "spark big table"), // words present, never adjacent
+      (3L, "fast scan fast scan fast scan"), // 3 adjacencies
+      (4L, "window agg")).toDF("doc_id", "text")
+    val got = PipelineQueries.phraseMatch(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1, 1L, 2L), (2, 3L, 3L), (3, 4L, 1L)), got.toString)
   }
 
   test("D2f hybrid RRF retrieval equals a driver-side fusion of the two arms") {

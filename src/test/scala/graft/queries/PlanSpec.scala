@@ -259,6 +259,41 @@ class PlanSpec extends SparkSpec {
       s"shard-keyed exchange before the write:\n$p")
   }
 
+  test("D2r: BM25 serve broadcasts the query side and scans the corpus once") {
+    val p = plan(PipelineQueries.d02_bm25_topk(spark, dir))
+    // the tiny query-term relations (terms, per-query terms, dfreq)
+    // broadcast — the postings never shuffle to meet an 8-row list
+    assert(p.contains("BroadcastExchange"), p)
+    // the returned plan tokenizes the corpus exactly once: the stats
+    // aggregate was collected eagerly before plan build, so a second
+    // documents scan would mean postings are being recomputed per arm
+    val scans = "documents".r.findAllIn(p).size
+    assert(scans <= 2, // one scan node, its name may render twice
+      s"documents referenced $scans times — postings recomputed:\n$p")
+  }
+
+  test("D1g: substring dedup reads the corpus at most twice (dup derivation " +
+      "+ hit side), never once per shingle") {
+    val p = plan(PipelineQueries.d01_dedup_substring(spark, dir))
+    // formatted mode renders each node twice (tree + details): 2 scan
+    // nodes → at most 4 textual occurrences
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <=2 corpus scan nodes, got $scans/2:\n$p")
+    assert(p.contains("LeftSemi"), s"duplicated-shingle gate must be a semi join:\n$p")
+  }
+
+  test("D4q: trained-LR scoring is map-side — one scan, no hash exchange") {
+    val p = plan(PipelineQueries.d04_quality_lr(spark, dir))
+    // training happened at plan-build time (K-bounded collects); the
+    // returned scoring plan must be scan → project → final sort only
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 0,
+      s"scoring should carry no hash exchange, got $shuffles:\n$p")
+    // one scan node = two textual renders in formatted mode
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected exactly one corpus scan node, got $scans/2:\n$p")
+  }
+
   test("B48: LATERAL top-k decorrelates into a ranked join, not a per-row loop") {
     val p = plan(RelationalQueries.b48_lateral_topk(spark, dir))
     // Catalyst must rewrite the correlated ORDER BY+LIMIT subquery into a
