@@ -514,6 +514,7 @@ object Bench {
         // serve ∝ query-term postings), and the trained LR (6 scans +
         // map-side partial aggs — the flattest curve here by design)
         val substr = best2At("d01_dedup_substring")
+        val substrIdx = best2At("d01_substring_index")
         val bm25Idx = best2At("d02_bm25_index")
         val qlr = best2At("d04_quality_lr")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
@@ -526,6 +527,7 @@ object Bench {
           s"d01_semdedup_index_x$m" -> semIdx,
           s"d04_seq_pack_x$m" -> seqPack,
           s"d01_dedup_substring_x$m" -> substr,
+          s"d01_substring_index_x$m" -> substrIdx,
           s"d02_bm25_index_x$m" -> bm25Idx,
           s"d04_quality_lr_x$m" -> qlr,
           // the O(log diameter) claim as artifact data, not SURVEY prose:

@@ -1012,6 +1012,54 @@ object LakeQueries {
     }
   }
 
+  /** Optimized plan of the last d02_phrase_index SERVE plus the index
+    * location — spec-observable: the adjacency probe reads position lists
+    * from the committed POSITIONAL index scan, never re-tokenizing the
+    * corpus. */
+  @volatile private[graft] var lastPhraseIndexServe: Option[(String, String)] = None
+  /** Posting rows appended by the last d02_phrase_index maintenance
+    * commit — work ∝ the increment's postings. */
+  @volatile private[graft] var lastPhraseIndexMaintRows: Long = -1L
+
+  // D2p-index — the POSITIONAL inverted index as a committed table: one
+  // layout (term, doc_id, tf, dl, positions ARRAY<BIGINT>) that serves
+  // BOTH ranked retrieval (bm25Serve reads the tf/dl projection — the
+  // d02_bm25_index serve unchanged) and phrase adjacency (phraseServe
+  // reads the positions projection). Positions ride the row-path reader
+  // (Spark's ParquetReadSupport decodes the array; the vectorized path
+  // covers scalar-only schemas). Build commits the corpus half, the
+  // increment appends ONLY its own postings (df and corpus stats stay
+  // derived/serve-time, so appends never rewrite), and the serve loads
+  // the committed index FRESH. End state = full-corpus phrase results →
+  // the same hash oracle as d02_phrase_match.
+  def d02_phrase_index(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("phrase-idx")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def keyed(postings: DataFrame): DataFrame = postings
+      .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
+      .select("tkey", "term", "doc_id", "tf", "dl", "positions")
+    val index = LakeTable.create(loc,
+      "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT," +
+        "positions ARRAY<BIGINT>",
+      TruncateSpec("tkey", 1L))
+    try {
+      val i1 = index.append(LakeWriter.writeDataFiles(
+        keyed(P.positionalPostings(evens)), index))
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        keyed(P.positionalPostings(odds)), index))
+      lastPhraseIndexMaintRows =
+        index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      val idxT = LakeTable.load(loc)
+      val out = P.phraseServe(
+        idxT.toDF(s).select("term", "doc_id", "positions"))
+      lastPhraseIndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
+      localize(out)
+    } finally LakeTable.drop(loc)
+  }
+
   /** Optimized plan of the last d01_substring_index GATE plus the index
     * location — spec-observable: the duplicated-shingle probe's committed
     * side must be the INDEX table's scan, never a re-shingling of the
@@ -1802,6 +1850,7 @@ object LakeQueries {
     "d03_minhash_index" -> d03_minhash_index _,
     "d02_bm25_index" -> d02_bm25_index _,
     "d01_substring_index" -> d01_substring_index _,
+    "d02_phrase_index" -> d02_phrase_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "d02_ann_index_rebuild" -> d02_ann_index_rebuild _,
@@ -2015,6 +2064,8 @@ object LakeQueries {
     "d03_minhash_index" -> minhashIncrementalOracleSql,
     // the committed-index serve ends at full-corpus BM25 → same oracle
     "d02_bm25_index" -> graft.queries.PipelineQueries.bm25OracleSql,
+    // the committed positional serve ends at full-corpus phrase results
+    "d02_phrase_index" -> graft.queries.PipelineQueries.phraseMatchOracleSql,
     // increment-vs-committed substring gate: corpus = evens' distinct
     // 60-bit shingle hashes, increment = odds; a span is duplicated if
     // its shingle hits the corpus OR repeats within the increment

@@ -725,20 +725,41 @@ object PipelineQueries {
 
   private[graft] def phraseMatch(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    import s.implicits._
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    // build position lists ONLY for the probes' terms (work ∝ probes)
+    val postings = toks
+      .join(broadcast(phraseQueryTerms(s)), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .select("term", "doc_id", "positions")
+    phraseServe(postings)
+  }
+
+  private def phraseQueryTerms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PhraseQueries.toDF("pid", "phrase")
+      .select(explode(split(col("phrase"), " ")).as("term")).distinct()
+  }
+
+  /** Phrase adjacency over a positional postings set (term, doc_id,
+    * positions sorted ARRAY<BIGINT>) — shared by the direct entry and the
+    * committed positional index (d02_phrase_index), whose table layout
+    * (term, doc_id, tf, dl, positions) also serves bm25Serve unchanged:
+    * ONE committed index answers ranked AND phrase queries.
+    */
+  private[graft] def phraseServe(positional: DataFrame): DataFrame = {
+    val s = positional.sparkSession
+    import s.implicits._
     val q = PhraseQueries.toDF("pid", "phrase")
       .select(col("pid"),
         split(col("phrase"), " ").getItem(0).as("t1"),
         split(col("phrase"), " ").getItem(1).as("t2"))
-    val qterms = q.select(explode(array(col("t1"), col("t2"))).as("term"))
-      .distinct()
-    val postings = toks.join(broadcast(qterms), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    val a = postings.select(col("doc_id"), col("term").as("ta"), col("ps").as("pa"))
-    val b = postings.select(col("doc_id"), col("term").as("tb"), col("ps").as("pb"))
+    val matched = positional.join(broadcast(phraseQueryTerms(s)), Seq("term"))
+    val a = matched.select(col("doc_id"), col("term").as("ta"),
+      col("positions").as("pa"))
+    val b = matched.select(col("doc_id"), col("term").as("tb"),
+      col("positions").as("pb"))
     broadcast(q).join(a, col("t1") === col("ta"))
       .join(b, Seq("doc_id")).filter(col("t2") === col("tb"))
       .withColumn("n_occur",
@@ -748,6 +769,21 @@ object PipelineQueries {
       .select(col("pid"), col("doc_id"), col("n_occur"))
       .orderBy("pid", "doc_id")
   }
+
+  /** Full positional postings for the committed index: the production
+    * layout (term, doc_id, tf, dl, positions) — bm25Serve reads the
+    * (term, doc_id, tf, dl) projection, phraseServe the (term, doc_id,
+    * positions) one; appends never rewrite rows (df stays derived).
+    */
+  private[graft] def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .select("term", "doc_id", "tf", "dl", "positions")
 
   /** DuckDB replay of [[phraseMatch]]: 1-based token positions via
     * generate_subscripts, adjacency as a position self-join — each

@@ -1452,6 +1452,29 @@ class PipelineSpec extends SparkSpec {
         s"${(expected.toSet diff out.toSet).take(3)}")
   }
 
+  test("D2p committed positional index: phrase serve reads position lists " +
+      "from the INDEX TABLE, maintenance appends the increment's postings, " +
+      "results equal the direct recompute") {
+    val indexed = LakeQueries.d02_phrase_index(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = PipelineQueries.d02_phrase_match(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(indexed == direct,
+      s"index serve diverged: ${(indexed.toSet diff direct.toSet).take(5)}")
+    assert(indexed.nonEmpty, "corpus should contain phrase matches")
+    val (plan, loc) = LakeQueries.lastPhraseIndexServe.get
+    assert(plan.contains(loc),
+      s"serve does not scan the committed positional index $loc:\n${plan.take(2000)}")
+    assert(!plan.contains("documents"),
+      s"serve plan re-tokenizes the corpus:\n${plan.take(2000)}")
+    val odds = graft.Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oddPostings = PipelineQueries.positionalPostings(odds).count()
+    assert(LakeQueries.lastPhraseIndexMaintRows == oddPostings,
+      s"maintenance rows ${LakeQueries.lastPhraseIndexMaintRows} != " +
+        s"increment postings $oddPostings")
+  }
+
   test("D4q trained LR quality filter: beats the majority baseline, learns a " +
       "non-constant model, and is run-to-run deterministic") {
     val docs = graft.Tables.t(spark, dir, "documents")
