@@ -1149,6 +1149,13 @@ object StreamingQueries {
           .option("startSnapshotId", s1.toString).load(locD)
           .writeStream
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // ONE maintainer owns the stats roll (the checkpointed query
+            // id): the property carries an ABSOLUTE n:Σdl, so the
+            // read-increment-write below is only safe because no second
+            // committer advances it concurrently — a multi-maintainer
+            // deployment would shard the index (one stats property per
+            // maintainer's shard) or delta-encode the stats, not race
+            // absolute values through CAS retries
             val idx = LakeTable.load(locI) // fresh: committed state only
             val Array(n0, sd0) = idx.tableMeta.properties(L.Bm25StatsProp)
               .split(":").map(_.toLong)

@@ -1452,6 +1452,57 @@ class PipelineSpec extends SparkSpec {
         s"${(expected.toSet diff out.toSet).take(3)}")
   }
 
+  test("D2r BM25 agrees with a scalar reimplementation on 20 random corpora " +
+      "(skewed dfs, repeated terms, length extremes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = PipelineQueries.Bm25Queries.flatMap(_._2.split(" ")).distinct ++
+      Seq("xx", "yy", "zz")
+    (0 until 20).foreach { trial =>
+      val docs = (0 until (4 + rnd.nextInt(8))).map { id =>
+        val len = 1 + rnd.nextInt(30)
+        (id.toLong, (0 until len)
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val n = docs.size.toLong
+      val sumDl = docs.map(_._2.split(" ").length.toLong).sum
+      // scalar BM25, same expression shapes as bm25Serve
+      val tf = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ")
+        toks.groupBy(identity).map { case (w, g) =>
+          (w, id, g.length.toLong, toks.length.toLong) }
+      }
+      val qterms = PipelineQueries.Bm25Queries
+        .flatMap { case (qid, q) => q.split(" ").map(qid -> _) }
+      val dfm = tf.filter(p => qterms.exists(_._2 == p._1))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val expected = qterms
+        .flatMap { case (qid, term) =>
+          tf.filter(_._1 == term).map { case (_, id, f, dl) =>
+            val df = dfm(term)
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val denom = f + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble /
+              (sumDl.toDouble / n))
+            ((qid, id), math.floor(idf * f * (1.2 + 1) / denom * 1e6 + 0.5)
+              .toLong)
+          }
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .groupBy(_._1._1).toSeq.flatMap { case (qid, byDoc) =>
+          byDoc.sortBy { case ((_, id), sm) => (-sm, id) }
+            .take(PipelineQueries.Bm25TopK).zipWithIndex
+            .map { case (((q2, id), sm), i) =>
+              (q2, i + 1, id, sm.toDouble / 1e6) }
+        }.sortBy(x => (x._1, x._2))
+      val got = PipelineQueries.bm25Serve(
+          PipelineQueries.bm25Postings(docs.toDF("doc_id", "text")), n, sumDl)
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expected,
+        s"trial $trial diverged: got ${got.take(3)} expected ${expected.take(3)}")
+    }
+  }
+
   test("D2p committed positional index: phrase serve reads position lists " +
       "from the INDEX TABLE, maintenance appends the increment's postings, " +
       "results equal the direct recompute") {
