@@ -2125,6 +2125,38 @@ object PipelineQueries {
         explode(sequence(lit(1L), col("copies").cast("long"))).as("copy"))
       .orderBy("doc_id", "copy")
 
+  // D4j2 — TEMPERATURE-scaled language mixture (the multilingual-training
+  // reweighting recipe: sampling share ∝ natural_share^α, α = 1/T): where
+  // d04_mixture takes DECLARED per-language weights, this derives them
+  // from the corpus itself — low-resource languages upsample toward
+  // parity, the head language downsamples, total mass ≈ unchanged
+  // (Σ n_l · f_l = N by construction). α is fixed at 0.5 so the only
+  // non-rational primitive is sqrt — correctly rounded in every IEEE
+  // engine, unlike pow — and the per-language factor quantizes to integer
+  // TENTHS before the fractional-epoch machinery (the same w10 div/
+  // deterministic-bernoulli shape as d04_mixture, one discipline for
+  // both). Weights are computed IN-PLAN over a ≤|langs|-row frame that
+  // broadcasts — no driver collection.
+  def d04_mixture_temp(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .withColumn("share", col("nl").cast("double") / col("n"))
+      .withColumn("sq", sqrt(col("share")))
+    val w10 = w.crossJoin(broadcast(w.agg(sum(col("sq")).as("z"))))
+      .withColumn("f", col("sq") / col("z") / col("share"))
+      .select(col("lang"),
+        floor(col("f") * lit(10) + lit(0.5)).cast("long").as("w10"))
+    d.join(broadcast(w10), Seq("lang"))
+      .withColumn("u", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("copies", expr(
+        "w10 div 10 + CASE WHEN u * 10 < (w10 % 10) * 4294967296 THEN 1 ELSE 0 END"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies").cast("long"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   // D4k — deterministic train/val/test split assignment: every dataset
   // build needs splits that are (a) reproducible across runs and engines,
   // (b) stable (a doc keeps its split when the corpus grows — no
@@ -3102,6 +3134,7 @@ object PipelineQueries {
     "d02_bm25_topk" -> d02_bm25_topk _,
     "d02_hybrid_rrf" -> d02_hybrid_rrf _,
     "d02_phrase_match" -> d02_phrase_match _,
+    "d04_mixture_temp" -> d04_mixture_temp _,
     "d04_quality_lr" -> d04_quality_lr _,
     "d01_dedup_embed" -> d01_dedup_embed _,
     "d01_semdedup" -> d01_semdedup _,
@@ -3574,6 +3607,29 @@ object PipelineQueries {
     "d02_bm25_topk" -> bm25OracleSql,
     "d02_hybrid_rrf" -> hybridRrfOracleSql,
     "d02_phrase_match" -> phraseMatchOracleSql,
+    "d04_mixture_temp" ->
+      """WITH nl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (
+        |  SELECT lang, CAST(nl AS DOUBLE) / n AS share,
+        |         sqrt(CAST(nl AS DOUBLE) / n) AS sq
+        |  FROM nl CROSS JOIN tot),
+        |z AS (SELECT SUM(sq) AS z FROM w),
+        |w10 AS (
+        |  SELECT lang, CAST(floor(sq / z.z / share * 10 + 0.5) AS BIGINT)
+        |    AS w10
+        |  FROM w CROSS JOIN z),
+        |m AS (
+        |  SELECT d.doc_id, d.lang, w10.w10,
+        |    (d.doc_id * 2654435761) % 4294967296 AS u
+        |  FROM documents d JOIN w10 USING (lang)),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    w10 // 10 + CASE WHEN u * 10 < (w10 % 10) * 4294967296
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM m)
+        |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS copy
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
     "d04_quality_lr" -> qualityLrOracleSql,
     "d06_pipeline_e2e" ->
       (s"WITH $GateCteSql,\n$DedupCteSql,\n$RedactPackCteSql\n" +

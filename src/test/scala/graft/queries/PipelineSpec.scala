@@ -1526,6 +1526,36 @@ class PipelineSpec extends SparkSpec {
         s"increment postings $oddPostings")
   }
 
+  test("D4j2 temperature mixture upsamples tail languages toward parity and " +
+      "matches a scalar mirror copy-for-copy") {
+    val counts = graft.Tables.t(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val z = counts.values.map(c => math.sqrt(c.toDouble / n)).sum
+    val w10 = counts.map { case (l, c) =>
+      val share = c.toDouble / n
+      l -> math.floor(math.sqrt(share) / z / share * 10 + 0.5).toLong
+    }
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(w10(tail) > w10(head),
+      s"temperature must upsample the tail: $w10 (head=$head tail=$tail)")
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, l) =>
+      val w = w10(l)
+      val u = (id * 2654435761L) % 4294967296L
+      val copies = w / 10 + (if (u * 10 < (w % 10) * 4294967296L) 1L else 0L)
+      (1L to copies).map(c => (id, l, c))
+    }.sortBy(x => (x._1, x._3)).toSeq
+    val got = PipelineQueries.d04_mixture_temp(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"mixture diverged: got ${got.take(3)} expected ${expected.take(3)}")
+  }
+
   test("D4q trained LR quality filter: beats the majority baseline, learns a " +
       "non-constant model, and is run-to-run deterministic") {
     val docs = graft.Tables.t(spark, dir, "documents")
