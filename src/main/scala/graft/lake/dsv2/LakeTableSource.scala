@@ -408,6 +408,15 @@ object LakeStatsPruning {
   */
 object LakeScanMetrics {
   @volatile var lastPlannedFiles: Int = -1
+  /** location → planned file count of the most recent batch scan of that
+    * table — lets a spec observe ONE table's pruning inside a plan that
+    * scans several tables (gate plans read the data AND index tables). */
+  @volatile var lastPlannedByLocation: Map[String, Int] = Map.empty
+  private[dsv2] def record(location: String, planned: Int): Unit =
+    synchronized {
+      lastPlannedFiles = planned
+      lastPlannedByLocation = lastPlannedByLocation + (location -> planned)
+    }
 }
 
 /** Metadata columns (SupportsMetadataColumns): `_file` is the data-file
@@ -616,7 +625,7 @@ final class LakeBatchScan(location: String, table: LakeTable,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = plannedFiles
-    LakeScanMetrics.lastPlannedFiles = files.size
+    LakeScanMetrics.record(location, files.size)
     // row-level (CoW) operations record the planned group here — the set
     // their ReplaceData commit swaps out (post-runtime-filter truth)
     planListener.foreach(_(files))

@@ -1053,10 +1053,18 @@ object LakeQueries {
       lastPhraseIndexMaintRows =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       val idxT = LakeTable.load(loc)
+      // serve-side layout pruning, same as the BM25 serve: phrase terms
+      // are literals → their tkey buckets prune the index scan at the
+      // manifest, so a 4-phrase probe never reads unrelated buckets
       val out = P.phraseServe(
-        idxT.toDF(s).select("term", "doc_id", "positions"))
+        idxT.toDF(s).filter(col("tkey").isin(P.phraseQueryTkeys: _*))
+          .select("term", "doc_id", "positions"))
       lastPhraseIndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
-      localize(out)
+      val res = localize(out)
+      lastPhraseServeFilePrune =
+        (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+          .getOrElse(loc, -1), idxT.files().size)
+      res
     } finally LakeTable.drop(loc)
   }
 
@@ -1086,12 +1094,20 @@ object LakeQueries {
   // shingle set — large but flat (8-byte keys), and the gate's probe is
   // increment-sized.
   def d01_substring_index(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    substrIndexRun(s,
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
+  /** The committed-shingle-index lifecycle with caller-chosen corpus and
+    * increment — the entry splits the documents table by parity; specs
+    * drive tiny corpora to pin gate/maintenance/pruning invariants. */
+  private[graft] def substrIndexRun(s: SparkSession, evens: DataFrame,
+      odds: DataFrame): DataFrame = {
     val P = graft.queries.PipelineQueries
     val locD = scratch("substr-data")
     val locI = scratch("substr-idx")
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     val index = LakeTable.create(locI, "skey BIGINT,shash BIGINT",
@@ -1107,9 +1123,20 @@ object LakeQueries {
       val d2 = data.append(LakeWriter.writeDataFiles(odds, data))
       val inc = data.changesBetween(s, d1, d2)
       val incSh = P.shingleHashes(inc)
+      // gate-side LAYOUT pruning (r11 verdict item 2): the increment's
+      // shingles hash into a bounded skey set (≤16 by construction) —
+      // one increment-sized distinct-key aggregate derives it, and the
+      // IN predicate prunes the committed index SCAN to those buckets at
+      // the manifest. Any committed hash equal to an increment hash
+      // shares its bucket, so the pruned scan is sufficient for BOTH the
+      // gate probe and the novelty anti-join below.
+      val incKeys = incSh.select(pmod(col("shash"), lit(16L)).as("skey"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤16 rows
+      val idxT = LakeTable.load(locI)
       // the gate serves from a FRESH load of the committed index — the
       // shingle space is self-contained, shared by every arrival
-      val comSh = LakeTable.load(locI).snapshotDF(s, i1).select("shash")
+      val comSh = idxT.snapshotDF(s, i1)
+        .filter(col("skey").isin(incKeys: _*)).select("shash")
       val selfDup = incSh.groupBy("shash").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select("shash")
       val dupKeys = comSh.union(selfDup).distinct()
@@ -1120,6 +1147,9 @@ object LakeQueries {
       lastSubstrIndexGate =
         Some((out.queryExecution.optimizedPlan.toString, locI))
       val gated = localize(out)
+      lastSubstrGateFilePrune =
+        (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+          .getOrElse(locI, -1), idxT.files().size)
       // maintenance: one commit of the increment's NOVEL distinct hashes
       val i2 = index.append(LakeWriter.writeDataFiles(
         keyed(incSh.select("shash").distinct()
@@ -1142,6 +1172,14 @@ object LakeQueries {
     * spec-observable proof that index maintenance writes work proportional
     * to the INCREMENT's postings, never rebuilding the corpus postings. */
   @volatile private[graft] var lastBm25IndexMaintRows: Long = -1L
+  /** (files planned, files total) of the last d02_bm25_index serve scan —
+    * spec-observable proof the serve prunes the index SCAN to the query
+    * terms' layout buckets, not just its rows (r11 verdict item 2). */
+  @volatile private[graft] var lastBm25ServeFilePrune: (Int, Int) = (-1, -1)
+  /** Same observation for the last d02_phrase_index serve scan. */
+  @volatile private[graft] var lastPhraseServeFilePrune: (Int, Int) = (-1, -1)
+  /** Same observation for the last d01_substring_index gate probe scan. */
+  @volatile private[graft] var lastSubstrGateFilePrune: (Int, Int) = (-1, -1)
 
   /** Corpus stats property on the BM25 index table: "nDocs:sumDl". Stored
     * as a property (not rows) because every maintenance append must update
@@ -1196,11 +1234,22 @@ object LakeQueries {
       // postings rows + the stats property are everything BM25 needs
       val idxT = LakeTable.load(loc)
       val Array(nd, sdl) = idxT.tableMeta.properties(Bm25StatsProp).split(":")
+      // serve-side LAYOUT pruning (r11 verdict item 2): the query terms
+      // are literals, so their tkey buckets are plan-time constants —
+      // push them as an IN predicate and the manifest prunes the index
+      // SCAN to the matched buckets' files (rows were already
+      // term-filtered downstream, so results are unchanged; without this
+      // the serve read every index file and filtered rows after).
       val out = P.bm25Serve(
-        idxT.toDF(s).select("term", "doc_id", "tf", "dl"),
+        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+          .select("term", "doc_id", "tf", "dl"),
         nd.toLong, sdl.toLong)
       lastBm25IndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
-      localize(out)
+      val res = localize(out)
+      lastBm25ServeFilePrune =
+        (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+          .getOrElse(loc, -1), idxT.files().size)
+      res
     } finally LakeTable.drop(loc)
   }
 

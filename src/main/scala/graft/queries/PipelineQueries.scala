@@ -596,6 +596,31 @@ object PipelineQueries {
     .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
     .select("tkey", "term", "doc_id", "tf", "dl")
 
+  /** Driver-side replica of the layout key pmod(xxhash64(term), 16):
+    * evaluates the SAME Catalyst XxHash64 (seed 42) the index build's
+    * `xxhash64` column uses, so LITERAL query terms become plan-time
+    * bucket constants a serve can push into the committed index scan as
+    * an IN predicate — manifest/partition pruning then skips every file
+    * whose bucket no query term hashes into, instead of scanning the
+    * whole index and filtering rows after.
+    */
+  private[graft] def tkeyOf(term: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal.create(term,
+      org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % 16L) + 16L) % 16L
+  }
+
+  /** The layout buckets the fixed BM25 / phrase probes touch — derived at
+    * plan time from the literal query terms (they are constants, so their
+    * tkeys are too). Sorted for deterministic plans.
+    */
+  private[graft] def bm25QueryTkeys: Seq[Long] =
+    Bm25Queries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
+  private[graft] def phraseQueryTkeys: Seq[Long] =
+    PhraseQueries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
+
   /** BM25 scoring + top-K over a postings set. Work ∝ the QUERY TERMS'
     * postings only: the query-term list broadcasts, postings semi-join it
     * before anything else, and df comes from a ≤|terms|-row aggregate of

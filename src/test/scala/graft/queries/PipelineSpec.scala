@@ -1524,6 +1524,10 @@ class PipelineSpec extends SparkSpec {
     assert(LakeQueries.lastPhraseIndexMaintRows == oddPostings,
       s"maintenance rows ${LakeQueries.lastPhraseIndexMaintRows} != " +
         s"increment postings $oddPostings")
+    // r12: phrase serve scan is layout-pruned like the BM25 serve
+    val (planned, total) = LakeQueries.lastPhraseServeFilePrune
+    assert(planned > 0 && planned < total,
+      s"serve scan not bucket-pruned: planned $planned of $total files")
   }
 
   test("D4j2 temperature mixture upsamples tail languages toward parity and " +
@@ -1609,5 +1613,52 @@ class PipelineSpec extends SparkSpec {
     assert(LakeQueries.lastBm25IndexMaintRows == oddPostings,
       s"maintenance rows ${LakeQueries.lastBm25IndexMaintRows} != " +
         s"increment postings $oddPostings")
+    // r12: the serve SCAN is layout-pruned — the probes' literal terms
+    // hash into a strict subset of the 16 tkey buckets, so the scan must
+    // plan strictly fewer files than the index holds
+    val (planned, total) = LakeQueries.lastBm25ServeFilePrune
+    assert(planned > 0 && planned < total,
+      s"serve scan not bucket-pruned: planned $planned of $total files")
+  }
+
+  test("D2i driver-side tkeyOf replicates the engine's xxhash64 layout key " +
+      "for every probe term — the premise that makes serve-scan pruning " +
+      "safe — and the fixed probes cover a strict subset of buckets") {
+    import spark.implicits._
+    val terms = (PipelineQueries.Bm25Queries ++ PipelineQueries.PhraseQueries)
+      .flatMap(_._2.split(" ")).distinct
+    val engine = terms.toDF("term")
+      .select(col("term"), pmod(xxhash64(col("term")), lit(16L)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(PipelineQueries.tkeyOf(t) == engine(t),
+        s"driver tkey ${PipelineQueries.tkeyOf(t)} != engine ${engine(t)} " +
+          s"for '$t' — pruning would silently drop this term's postings")
+    }
+    assert(PipelineQueries.bm25QueryTkeys.length < 16,
+      s"bm25 probes cover all 16 buckets — prune assertions are vacuous")
+    assert(PipelineQueries.phraseQueryTkeys.length < 16,
+      s"phrase probes cover all 16 buckets — prune assertions are vacuous")
+  }
+
+  test("D1i substring gate prunes the committed index scan to the " +
+      "increment's skey buckets and still flags the copied span") {
+    import spark.implicits._
+    val L = PipelineQueries.SubstrShingle
+    // corpus long enough that its shingles populate every bucket; the
+    // increment is ONE shingle-width-plus-4 copy of a corpus span, so its
+    // ≤5 shingles touch at most 5 of the 16 skey buckets
+    val base = (0 until 40).map(i => s"corpus sentence $i keeps going on")
+      .mkString(" ")
+    val corpus = Seq((2L, base), (4L, base.reverse)).toDF("doc_id", "text")
+    // first shingle copies the corpus (gate must flag it); the trailing
+    // "!!!!" makes the other 4 shingles novel so maintenance has keys to
+    // append — still ≤5 skey buckets total
+    val inc = Seq((5L, base.substring(0, L) + "!!!!")).toDF("doc_id", "text")
+    val spans = LakeQueries.substrIndexRun(spark, corpus, inc).collect()
+    assert(spans.nonEmpty, "increment copies the corpus — gate must flag it")
+    val (planned, total) = LakeQueries.lastSubstrGateFilePrune
+    assert(planned > 0 && planned <= 5 && planned < total,
+      s"gate scan not bucket-pruned: planned $planned of $total files")
   }
 }
