@@ -1253,6 +1253,93 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** Optimized plan of the last d02_hybrid_indexed fusion plus the two
+    * index locations — spec-observable: both arms must serve from their
+    * COMMITTED index tables, with no documents read and no cross join
+    * anywhere in the fused plan. */
+  @volatile private[graft] var lastHybridIndexedPlan:
+    Option[(String, String, String)] = None
+
+  // D2h — INDEXED hybrid retrieval (r11 verdict item 6): both arms of
+  // the RRF fusion serve from COMMITTED index tables. d02_hybrid_rrf
+  // proves the fusion math but rebuilds postings per query and brute-
+  // forces the semantic arm (corpus × broadcast-probes); here the
+  // lexical arm is the d02_bm25_index serve (bucket-pruned postings
+  // scan + stats property) and the semantic arm is the d02_ann_indexed
+  // serve (nprobe=8 cell fan-out over committed PQ codes) — the two
+  // serve shapes already priced for a 100 TB corpus, fused rank-space.
+  // Hash-exact for free: both arms' RANKS are engine-deterministic and
+  // the fused score is a fixed-order two-term reciprocal sum. The
+  // semantic ranks differ from d02_hybrid_rrf's exactly where
+  // ADC+shortlist approximation does, so the entry carries its own
+  // oracle replaying BOTH committed serves end to end.
+  def d02_hybrid_indexed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val P = graft.queries.PipelineQueries
+    val locB = scratch("hyb-bm25")
+    val locD = scratch("hyb-ann-data")
+    val locI = scratch("hyb-ann-idx")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bm25 = LakeTable.create(locB, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      // lexical index: the corpus postings + same-commit stats property
+      // (maintenance mechanics are d02_bm25_index's concern; the hybrid
+      // needs the committed END STATE both entries share)
+      val st = d.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
+      bm25.append(LakeWriter.writeDataFiles(
+        P.bm25Keyed(P.bm25Postings(d)), bm25))
+      bm25.setProperty(Bm25StatsProp, s"${st.getLong(0)}:${st.getLong(1)}")
+      // semantic index: the d02_ann_indexed lifecycle — committed-batch
+      // frozen models, corpus encode, increment encode
+      val d1 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), data))
+      val committed = data.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, committed, ivf, pq), index))
+      val d2 = data.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), data))
+      val i2 = index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
+      // both serves from FRESH loads of the committed tables
+      val bT = LakeTable.load(locB)
+      val Array(nd, sdl) = bT.tableMeta.properties(Bm25StatsProp).split(":")
+      val lex = P.bm25Serve(
+        bT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+          .select("term", "doc_id", "tf", "dl"), nd.toLong, sdl.toLong)
+        .select(col("qid"), col("doc_id"), col("rn").as("rl"))
+      val iT = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(iT.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(iT.tableMeta.properties(P.AnnPqProp))
+      val sem = P.ivfPqServe(s, iT.snapshotDF(s, i2), data.snapshotDF(s, d2),
+          ivf2, pq2,
+          probeFilter = col("vec_id").between(1, P.Bm25Queries.length),
+          topK = P.Bm25TopK)
+        .select(col("qid").cast("int").as("qid"),
+          col("oid").as("doc_id"), col("rn").as("rs"))
+      val out = P.rrfFuse(lex, sem)
+      lastHybridIndexedPlan =
+        Some((out.queryExecution.optimizedPlan.toString, locB, locI))
+      localize(out)
+    } finally {
+      LakeTable.drop(locB)
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   /** Optimized plan of the last d01_semdedup_index GATE plus the index
     * location — spec-observable: the cell-keyed probe's committed side
     * must be the INDEX table's scan (cells + embeddings persisted at
@@ -1898,6 +1985,7 @@ object LakeQueries {
     "d04_seqpack_incremental" -> d04_seqpack_incremental _,
     "d03_minhash_index" -> d03_minhash_index _,
     "d02_bm25_index" -> d02_bm25_index _,
+    "d02_hybrid_indexed" -> d02_hybrid_indexed _,
     "d01_substring_index" -> d01_substring_index _,
     "d02_phrase_index" -> d02_phrase_index _,
     "d01_semdedup_index" -> d01_semdedup_index _,
@@ -2113,6 +2201,8 @@ object LakeQueries {
     "d03_minhash_index" -> minhashIncrementalOracleSql,
     // the committed-index serve ends at full-corpus BM25 → same oracle
     "d02_bm25_index" -> graft.queries.PipelineQueries.bm25OracleSql,
+    "d02_hybrid_indexed" ->
+      graft.queries.PipelineQueries.hybridIndexedOracleSql,
     // the committed positional serve ends at full-corpus phrase results
     "d02_phrase_index" -> graft.queries.PipelineQueries.phraseMatchOracleSql,
     // increment-vs-committed substring gate: corpus = evens' distinct

@@ -866,6 +866,16 @@ object PipelineQueries {
       .withColumn("rs", row_number().over(w))
       .filter(col("rs") <= Bm25TopK)
       .select("qid", "doc_id", "rs")
+    rrfFuse(lex, sem)
+  }
+
+  /** Rank-space RRF fusion of a lexical arm (qid, doc_id, rl) and a
+    * semantic arm (qid, doc_id, rs): fixed-order two-term sum of exact
+    * reciprocals, top-K per query. Shared by the recompute entry
+    * (d02_hybrid_rrf) and the committed-index one (d02_hybrid_indexed) —
+    * the fusion math cannot drift between them.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(RrfK) + col("rs")), lit(0.0))
     val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
@@ -910,6 +920,37 @@ object PipelineQueries {
        |    COALESCE(1.0 / ($RrfK + rl), 0.0) + COALESCE(1.0 / ($RrfK + rs), 0.0)
        |      AS rrf
        |  FROM cand),
+       |fout AS (
+       |  SELECT qid, doc_id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+       |SELECT qid, rn, doc_id, rrf FROM fout WHERE rn <= $Bm25TopK
+       |ORDER BY qid, rn""".stripMargin
+
+  /** DuckDB replay of d02_hybrid_indexed (LakeQueries): the shared BM25
+    * ranked CTE (the committed postings round-trip is value-transparent,
+    * so the index serve replays as the full recompute) + the IVF+PQ serve
+    * chain under the committed-batch seed predicate with the fusion's
+    * probe set and depth + the same fixed-order RRF sum. The fusion tail's
+    * candidate CTE is `fcand` — `cand` is taken by the IVF chain.
+    */
+  private[graft] def hybridIndexedOracleSql: String =
+    s"""WITH $bm25RankedCte,
+       |${ivfPqScoredCtes("vec_id % 17 = 0 AND vec_id < 400",
+          s"f.vec_id BETWEEN 1 AND ${Bm25Queries.length}")},
+       |lex AS (SELECT qid, doc_id, rn AS rl FROM ranked WHERE rn <= $Bm25TopK),
+       |semt AS (
+       |  SELECT CAST(qid AS INTEGER) AS qid, oid AS doc_id, rn AS rs
+       |  FROM scored WHERE rn <= $Bm25TopK),
+       |fcand AS (
+       |  SELECT COALESCE(l.qid, s.qid) AS qid,
+       |    COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rl, s.rs
+       |  FROM lex l FULL OUTER JOIN semt s
+       |    ON l.qid = s.qid AND l.doc_id = s.doc_id),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    COALESCE(1.0 / ($RrfK + rl), 0.0) + COALESCE(1.0 / ($RrfK + rs), 0.0)
+       |      AS rrf
+       |  FROM fcand),
        |fout AS (
        |  SELECT qid, doc_id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY rrf DESC, doc_id) AS rn FROM fused)
@@ -1327,7 +1368,12 @@ object PipelineQueries {
     */
   private[graft] def ivfPqServe(s: SparkSession, codes: DataFrame,
       vectors: DataFrame, ivf: Array[(Long, Seq[Float])],
-      pq: Array[Array[Seq[Double]]]): DataFrame = {
+      pq: Array[Array[Seq[Double]]],
+      // probe set + result depth default to the d02 contract (first 20
+      // vectors, top-5); the hybrid-fusion entry narrows the probes to
+      // the fixed query ids and deepens to the fusion's top-K
+      probeFilter: org.apache.spark.sql.Column = col("vec_id") < 20,
+      topK: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     def cellScores(vec: org.apache.spark.sql.Column) = array(ivf.toIndexedSeq.map {
       case (cid, cvec) => struct(
@@ -1345,7 +1391,7 @@ object PipelineQueries {
     // LUT-add per extra candidate, so doubling the probed cells buys back
     // the recall the two stacked approximations cost almost for free —
     // the exact-cosine refine still touches only the top-200 shortlist
-    val probes = vectors.filter(col("vec_id") < 20).withColumn("nv", pqNv)
+    val probes = vectors.filter(probeFilter).withColumn("nv", pqNv)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(slice(reverse(array_sort(cellScores(col("embedding")))), 1, 8)
           .getField("c")).as("cell"),
@@ -1364,7 +1410,7 @@ object PipelineQueries {
       .filter(col("arn") <= 200)
       .withColumn("cos", expr("cosine_sim(qe, oe)"))
       .withColumn("rn", row_number().over(wCos))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= topK)
       .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
       .orderBy("qid", "rn")
   }
@@ -3321,11 +3367,31 @@ object PipelineQueries {
     */
   private def ivfPqReplaySql(seedWhere: String,
       arrivals: Option[(Int, Int)]): String = {
+    val key = if (arrivals.isDefined) Seq("arr", "qid") else Seq("qid")
+    val k = key.mkString(", ")
+    s"""WITH ${ivfPqCteChain(seedWhere, arrivals, "f.vec_id < 20")}
+       |SELECT $k, rn, oid,
+       |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+       |FROM scored WHERE rn <= 5 ORDER BY $k, rn""".stripMargin
+  }
+
+  /** The serve replay's CTE chain up to `scored(qid, oid, cos, rn)` with
+    * the PROBE predicate split out — the hybrid-fusion oracle embeds it
+    * beside the BM25 ranked CTE (CTE names are disjoint by construction)
+    * and reads semantic ranks from `scored` directly.
+    */
+  private[graft] def ivfPqScoredCtes(seedWhere: String,
+      probeWhere: String): String =
+    ivfPqCteChain(seedWhere, None, probeWhere)
+
+  private def ivfPqCteChain(seedWhere: String,
+      arrivals: Option[(Int, Int)], probeWhere: String): String = {
     def cos64(a: String, b: String): String =
       s"(${sqlSeqDot(a, b, 64)} / (sqrt(${sqlSeqDot(a, a, 64)}) * " +
         s"sqrt(${sqlSeqDot(b, b, 64)})))"
     // key columns carried through the serve tail: (arr, qid) when the
-    // arrival dimension is on, plain qid otherwise
+    // arrival dimension is on, plain qid otherwise (no hybrid caller uses
+    // arrivals, so `scored` keeps its plain-qid shape there)
     val key = if (arrivals.isDefined) Seq("arr", "qid") else Seq("qid")
     val k = key.mkString(", ")
     val ck = key.map("c." + _).mkString(", ")
@@ -3341,7 +3407,7 @@ object PipelineQueries {
           |  SELECT p.qid, a.oid FROM probes p JOIN assign a ON a.cell = p.cell
           |  WHERE a.oid <> p.qid)""".stripMargin)
     }
-    s"""WITH fvs AS (
+    s"""fvs AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
       |  FROM embeddings),
@@ -3361,7 +3427,7 @@ object PipelineQueries {
       |    SELECT f.vec_id, c.cid AS cell,
       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
       |        ${cos64("f.fv", "c.cv")} DESC, c.cid DESC) AS rn
-      |    FROM fvs f CROSS JOIN ivfc c WHERE f.vec_id < 20)
+      |    FROM fvs f CROSS JOIN ivfc c WHERE $probeWhere)
       |  WHERE rn <= 8),
       |$arrsCte$cand,
       |adc AS (
@@ -3387,10 +3453,7 @@ object PipelineQueries {
       |scored AS (
       |  SELECT $k, oid, cos,
       |    ROW_NUMBER() OVER (PARTITION BY $k ORDER BY cos DESC, oid) AS rn
-      |  FROM fin)
-      |SELECT $k, rn, oid,
-      |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
-      |FROM scored WHERE rn <= 5 ORDER BY $k, rn""".stripMargin
+      |  FROM fin)""".stripMargin
   }
 
   /** The ARRIVAL-ORDERED serve replay (oracles `d07_ann_ordered`):

@@ -1621,6 +1621,33 @@ class PipelineSpec extends SparkSpec {
       s"serve scan not bucket-pruned: planned $planned of $total files")
   }
 
+  test("D2h indexed hybrid: both arms serve from COMMITTED index tables — " +
+      "no corpus read, no cross join — and per-query output is a full " +
+      "top-K ranking") {
+    val got = LakeQueries.d02_hybrid_indexed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val (plan, locB, locI) = LakeQueries.lastHybridIndexedPlan.get
+    assert(plan.contains(locB),
+      s"lexical arm does not scan the committed BM25 index $locB")
+    assert(plan.contains(locI),
+      s"semantic arm does not scan the committed ANN index $locI")
+    assert(!plan.contains("documents"),
+      s"fused plan re-reads the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("Cross"),
+      s"fused plan contains a cross join:\n${plan.take(2000)}")
+    // every query fused to a dense 1..K ranking
+    val K = PipelineQueries.Bm25TopK
+    PipelineQueries.Bm25Queries.map(_._1).foreach { q =>
+      assert(got.filter(_._1 == q).map(_._2).sorted.toSeq == (1 to K),
+        s"query $q ranking not dense 1..$K")
+    }
+    // the lexical serve inside the hybrid is bucket-pruned like the
+    // standalone d02_bm25_index serve
+    val rrfs = got.map(_._4)
+    assert(rrfs.forall(v => v > 0.0 && v <= 2.0 / (PipelineQueries.RrfK + 1)),
+      "RRF scores out of the two-arm reciprocal range")
+  }
+
   test("D2i driver-side tkeyOf replicates the engine's xxhash64 layout key " +
       "for every probe term — the premise that makes serve-scan pruning " +
       "safe — and the fixed probes cover a strict subset of buckets") {
