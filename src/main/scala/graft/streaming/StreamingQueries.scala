@@ -1009,6 +1009,12 @@ object StreamingQueries {
     * evidence across the checkpointed restart, and proof wave 2's hits
     * include the wave-1 re-keys only a LIVE index can catch. */
   @volatile private[graft] var lastSubstrLiveRunHits: Seq[Long] = Nil
+  /** Micro-batches processed by each d07_substring_live run — the
+    * wave-grain oracle assumes ONE batch per wave (AvailableNow with no
+    * admission cap); the spec pins that premise so an accidental
+    * maxFilesPerTrigger could never silently shift batch boundaries
+    * inside a wave. */
+  @volatile private[graft] var lastSubstrLiveRunEpochs: Seq[Long] = Nil
 
   // D7m — the LIVE substring gate: the committed shingle index
   // (d01_substring_index) gated AND maintained in the same continuous
@@ -1016,13 +1022,17 @@ object StreamingQueries {
   // ARRIVALS too, not just the frozen corpus. Per micro-batch inside
   // foreachBatch: (1) shingle the batch (60-bit md5-portable hashes),
   // (2) land the positions whose shingle hits the index AS OF NOW — a
-  // fresh load that includes every previous batch's maintenance — in a
-  // hits table, (3) append the batch's NOVEL hashes; both commits ride
-  // the epoch fence, so a replayed batch re-lands neither. Wave 2
-  // plants re-keys of the CORPUS (+1M — any gate catches these) and of
-  // WAVE 1 (+3M exact, +4M suffix-extended — their shingles entered
-  // the index during run 1, so only a live gate flags them). The final
-  // result merges all landed hit positions into maximal per-doc spans.
+  // fresh load that includes every previous batch's maintenance — OR
+  // repeats within the batch itself (the d01_substring_index selfDup
+  // term: same-batch twins must flag even though the index learns their
+  // hashes only after gating), (3) append the batch's NOVEL hashes;
+  // both commits ride the epoch fence, so a replayed batch re-lands
+  // neither. Wave 2 plants re-keys of the CORPUS (+1M — any gate
+  // catches these), of WAVE 1 (+3M exact, +4M suffix-extended — their
+  // shingles entered the index during run 1, so only a live gate flags
+  // them), and of EACH OTHER (+5M/+6M reversed-text twins in the same
+  // batch — only the within-batch term flags them). The final result
+  // merges all landed hit positions into maximal per-doc spans.
   def d07_substring_live(s: SparkSession, dir: String): DataFrame = {
     import graft.lake._
     val P = graft.queries.PipelineQueries
@@ -1035,6 +1045,10 @@ object StreamingQueries {
       .filter(length(col("text")) >= L)
     val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
     val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // +5M/+6M: SAME-BATCH twins — two arrivals whose reversed-text
+    // shingles exist nowhere in the corpus or wave 1 and duplicate only
+    // EACH OTHER inside wave 2; only the within-batch self-dup term can
+    // flag them (r11 verdict item 4 — the gate's former blind spot)
     val wave2 = evens.filter(col("doc_id") < 40)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       .union(odds.filter(col("doc_id") < 40)
@@ -1042,6 +1056,12 @@ object StreamingQueries {
       .union(odds.filter(col("doc_id") >= 40 && col("doc_id") < 80)
         .select((col("doc_id") + 4000000).as("doc_id"),
           concat(col("text"), lit(" zq zr zs")).as("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+        .select((col("doc_id") + 6000000).as("doc_id"),
+          reverse(col("text")).as("text")))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     val index = LakeTable.create(locI, "skey BIGINT,shash BIGINT",
@@ -1058,17 +1078,27 @@ object StreamingQueries {
           .distinct()), index))
       def runLive(): Unit = {
         val before = s.read.format("laketable").load(locR).count()
+        val epochs = new java.util.concurrent.atomic.AtomicLong(0L)
         val q = s.readStream.format("laketable")
           .option("startSnapshotId", d1.toString).load(locD)
           .writeStream
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            epochs.incrementAndGet()
             // committed shingle space AS OF THIS BATCH — includes every
             // earlier batch's maintenance; both appends are epoch-fenced
             val com = s.read.format("laketable").load(locI).select("shash")
             val bsh = P.shingleHashes(batch)
+            // within-batch self-dup (the d01_substring_index selfDup
+            // term): two arrivals in the SAME micro-batch copying each
+            // other are flagged here — the committed index only learns
+            // the batch's hashes AFTER gating, so membership alone
+            // would pass both
+            val selfDup = bsh.groupBy("shash").agg(count(lit(1)).as("n"))
+              .filter(col("n") >= 2).select("shash")
+            val dupKeys = com.union(selfDup).distinct()
             val res = LakeTable.load(locR)
             res.appendEpoch(LakeWriter.writeDataFiles(
-              bsh.join(com, Seq("shash"), "left_semi")
+              bsh.join(dupKeys, Seq("shash"), "left_semi")
                 .select(col("doc_id"), col("p").as("st"),
                   (col("p") + L).as("en")), res), "substr-gate", epoch)
             val idx = LakeTable.load(locI)
@@ -1084,8 +1114,10 @@ object StreamingQueries {
         q.awaitTermination()
         val after = s.read.format("laketable").load(locR).count()
         lastSubstrLiveRunHits :+= (after - before)
+        lastSubstrLiveRunEpochs :+= epochs.get()
       }
       lastSubstrLiveRunHits = Nil
+      lastSubstrLiveRunEpochs = Nil
       data.append(LakeWriter.writeDataFiles(odds, data))
       runLive() // wave 1: gated against the corpus; its hashes join the index
       data.append(LakeWriter.writeDataFiles(wave2, data))
@@ -1201,6 +1233,9 @@ object StreamingQueries {
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
+  /** Micro-batches processed by each d07_minhash_live run — pins the
+    * one-batch-per-wave premise the wave-grain oracle replays. */
+  @volatile private[graft] var lastMinhashLiveRunEpochs: Seq[Long] = Nil
 
   // D7e — the LIVE fuzzy gate: gate AND maintain the committed band
   // index in the same continuous job, so an arrival is deduped against
@@ -1215,11 +1250,14 @@ object StreamingQueries {
   // one index commit. Work per batch stays ∝ batch (two semi/anti joins
   // against the committed key space, per-key width 1); the corpus is
   // never re-banded. Wave 2 plants re-keys of WAVE-1 docs (+3M exact,
-  // +4M near) alongside corpus re-keys (+1M): the frozen-index gate
-  // would pass the +3M/+4M docs, the live gate must flag the exact ones
-  // — the oracle replays the wave-ordered band spaces (side-2 arrivals
-  // probe side-0 ∪ side-1). Two checkpointed AvailableNow runs prove the
-  // restart gates only the new wave (per-run dup deltas spec-asserted).
+  // +4M near) alongside corpus re-keys (+1M) and SAME-BATCH twins
+  // (+5M/+6M reversed-text pairs that duplicate only each other): the
+  // frozen-index gate would pass the +3M/+4M docs, the live gate must
+  // flag the exact ones, and only the within-batch self-dup term can
+  // flag the twins — the oracle replays the wave-ordered band spaces
+  // (side-2 arrivals probe side-0 ∪ side-1, plus per-side self-dups).
+  // Two checkpointed AvailableNow runs prove the restart gates only the
+  // new wave (per-run dup deltas spec-asserted).
   def d07_minhash_live(s: SparkSession, dir: String): DataFrame = {
     import graft.lake._
     val P = graft.queries.PipelineQueries
@@ -1233,6 +1271,9 @@ object StreamingQueries {
     // wave 2: corpus re-keys (+1M — any gate catches these) and WAVE-1
     // re-keys (+3M exact, +4M near — only a live, self-maintaining gate
     // can catch these: their bands entered the index during run 1)
+    // +5M/+6M: SAME-BATCH twins — reversed-text arrivals duplicating
+    // only EACH OTHER inside wave 2; the within-batch self-dup term is
+    // the only gate that can flag them (r11 verdict item 4)
     val wave2 = evens.filter(col("doc_id") < 40)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       .union(odds.filter(col("doc_id") < 40)
@@ -1240,6 +1281,12 @@ object StreamingQueries {
       .union(odds.filter(col("doc_id") >= 40 && col("doc_id") < 80)
         .select((col("doc_id") + 4000000).as("doc_id"),
           concat(col("text"), lit(" zq zr zs")).as("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+      .union(evens.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+        .select((col("doc_id") + 6000000).as("doc_id"),
+          reverse(col("text")).as("text")))
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     // layout key = xxhash64(band,h0,h1) pmod 16 (P.withBandKey) — h0 is
@@ -1256,10 +1303,12 @@ object StreamingQueries {
       def runLive(): Unit = {
         val before = s.read.format("laketable").load(locR)
           .select("doc_id").distinct().count()
+        val epochs = new java.util.concurrent.atomic.AtomicLong(0L)
         val q = s.readStream.format("laketable")
           .option("startSnapshotId", d1.toString).load(locD)
           .writeStream
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            epochs.incrementAndGet()
             // the committed band space AS OF THIS BATCH — includes every
             // earlier batch's maintenance append. Both appends ride the
             // epoch fence (appendEpoch): a foreachBatch replay after a
@@ -1267,9 +1316,17 @@ object StreamingQueries {
             // exactly-once guarantee the format sink gives.
             val com = s.read.format("laketable").load(locI)
             val bands = P.explodeBands(P.md5MinhashSigs(batch))
+            // within-batch self-dup: a band key shared by two arrivals
+            // of the SAME micro-batch flags both — the index learns the
+            // batch's keys only after gating, so membership alone would
+            // pass a same-batch twin pair (r11 verdict item 4)
+            val selfDup = bands.groupBy("band", "h0", "h1")
+              .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+              .select("band", "h0", "h1")
+            val dupKeys = com.select("band", "h0", "h1").union(selfDup)
             val res = LakeTable.load(locR)
             res.appendEpoch(LakeWriter.writeDataFiles(
-              bands.join(com, Seq("band", "h0", "h1"), "left_semi")
+              bands.join(dupKeys, Seq("band", "h0", "h1"), "left_semi")
                 .select("doc_id"), res), "live-gate", epoch)
             val idx = LakeTable.load(locI)
             idx.appendEpoch(LakeWriter.writeDataFiles(
@@ -1285,8 +1342,10 @@ object StreamingQueries {
         val after = s.read.format("laketable").load(locR)
           .select("doc_id").distinct().count()
         lastMinhashLiveRunDups :+= (after - before)
+        lastMinhashLiveRunEpochs :+= epochs.get()
       }
       lastMinhashLiveRunDups = Nil
+      lastMinhashLiveRunEpochs = Nil
       data.append(LakeWriter.writeDataFiles(odds, data))
       runLive() // wave 1: gated against the corpus; its bands join the index
       val d3 = data.append(LakeWriter.writeDataFiles(wave2, data))
@@ -1753,8 +1812,9 @@ object StreamingQueries {
     // stream (batch-equivalence, same oracle as d02_bm25_topk/_index)
     "d07_bm25_stream" -> graft.queries.PipelineQueries.bm25OracleSql,
     // wave-grain replay of the live substring gate: a wave-k shingle is
-    // a hit iff it appears in the corpus or ANY earlier wave — monotone
-    // index growth, one side-aware membership check per wave
+    // a hit iff it appears in the corpus, ANY earlier wave, or at least
+    // TWICE within its own wave (the within-batch self-dup term) —
+    // monotone index growth plus the same-batch check per wave
     "d07_substring_live" -> {
       val L = graft.queries.PipelineQueries.SubstrShingle
       s"""WITH base AS (
@@ -1771,7 +1831,13 @@ object StreamingQueries {
          |  WHERE doc_id % 2 = 1 AND doc_id < 40
          |  UNION ALL
          |  SELECT doc_id + 4000000, text || ' zq zr zs', 2 FROM base
-         |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80),
+         |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, reverse(text), 2 FROM base
+         |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 60
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, reverse(text), 2 FROM base
+         |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 60),
          |sh AS (
          |  SELECT doc_id, wave, CAST(p AS BIGINT) AS p,
          |    CAST(concat('0x', substring(md5(substr(text, p + 1, $L)), 1, 15))
@@ -1779,12 +1845,20 @@ object StreamingQueries {
          |  FROM src, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
          |known1 AS (SELECT DISTINCT shash FROM sh WHERE wave = 0),
          |known2 AS (SELECT DISTINCT shash FROM sh WHERE wave <= 1),
+         |selfw1 AS (
+         |  SELECT shash FROM sh WHERE wave = 1
+         |  GROUP BY shash HAVING COUNT(*) >= 2),
+         |selfw2 AS (
+         |  SELECT shash FROM sh WHERE wave = 2
+         |  GROUP BY shash HAVING COUNT(*) >= 2),
          |hits AS (
          |  SELECT doc_id, p AS st, p + $L AS en FROM sh
-         |  WHERE wave = 1 AND shash IN (SELECT shash FROM known1)
+         |  WHERE wave = 1 AND (shash IN (SELECT shash FROM known1)
+         |    OR shash IN (SELECT shash FROM selfw1))
          |  UNION ALL
          |  SELECT doc_id, p AS st, p + $L AS en FROM sh
-         |  WHERE wave = 2 AND shash IN (SELECT shash FROM known2)),
+         |  WHERE wave = 2 AND (shash IN (SELECT shash FROM known2)
+         |    OR shash IN (SELECT shash FROM selfw2))),
          |isl AS (
          |  SELECT doc_id, st, en,
          |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id
@@ -1864,8 +1938,10 @@ object StreamingQueries {
         |ORDER BY s.doc_id""".stripMargin,
     // the LIVE gate's band space GROWS between waves: side-1 arrivals
     // probe the side-0 (corpus) bands, side-2 arrivals probe side-0 ∪
-    // side-1 — the oracle replays the wave-ordered spaces with the same
-    // md5 banding CTEs as the frozen-gate replay
+    // side-1, and a band shared by TWO arrivals of the same wave flags
+    // both (the within-batch self-dup term) — the oracle replays the
+    // wave-ordered spaces with the same md5 banding CTEs as the
+    // frozen-gate replay
     "d07_minhash_live" ->
       """WITH src AS (
         |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
@@ -1879,7 +1955,13 @@ object StreamingQueries {
         |  WHERE doc_id % 2 = 1 AND doc_id < 40
         |  UNION ALL
         |  SELECT doc_id + 4000000, text || ' zq zr zs', 2 FROM documents
-        |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80),
+        |  WHERE doc_id % 2 = 1 AND doc_id >= 40 AND doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, reverse(text), 2 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, reverse(text), 2 FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id >= 40 AND doc_id < 60),
         |tk AS (
         |  SELECT doc_id, side, text, string_split(text, ' ') AS t FROM src),
         |sh AS (
@@ -1909,6 +1991,9 @@ object StreamingQueries {
         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
         |com0 AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side = 0),
         |com01 AS (SELECT DISTINCT band, h0, h1 FROM bands WHERE side <= 1),
+        |selfd AS (
+        |  SELECT side, band, h0, h1 FROM bands WHERE side >= 1
+        |  GROUP BY side, band, h0, h1 HAVING COUNT(*) >= 2),
         |dup AS (
         |  SELECT DISTINCT i.doc_id FROM bands i
         |  JOIN com0 c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
@@ -1916,7 +2001,11 @@ object StreamingQueries {
         |  UNION
         |  SELECT DISTINCT i.doc_id FROM bands i
         |  JOIN com01 c ON c.band = i.band AND c.h0 = i.h0 AND c.h1 = i.h1
-        |  WHERE i.side = 2)
+        |  WHERE i.side = 2
+        |  UNION
+        |  SELECT DISTINCT i.doc_id FROM bands i
+        |  JOIN selfd c ON c.side = i.side AND c.band = i.band
+        |    AND c.h0 = i.h0 AND c.h1 = i.h1)
         |SELECT i.doc_id, (d.doc_id IS NOT NULL) AS is_fuzzy_dup
         |FROM (SELECT DISTINCT doc_id FROM src WHERE side >= 1) i
         |LEFT JOIN dup d ON d.doc_id = i.doc_id

@@ -214,16 +214,28 @@ class StreamingSpec extends SparkSpec {
     // +1M corpus re-keys flag under any gate
     val corpusRekeys = out.keys.filter(k => k >= 1000000L && k < 2000000L)
     assert(corpusRekeys.size == 20 && corpusRekeys.forall(out(_)))
+    // +5M/+6M are SAME-BATCH twins (reversed text, novel everywhere
+    // else): neither membership in the committed index nor wave order
+    // can flag them — only the within-batch self-dup term, on BOTH
+    // halves of each pair
+    val twins = out.keys.filter(_ >= 5000000L)
+    assert(twins.size == 20, s"expected 20 same-batch twins, got ${twins.size}")
+    assert(twins.forall(out(_)),
+      s"within-batch self-dup missed twins: ${twins.filterNot(out(_)).take(5)}")
     // exactly-once across the checkpointed restart: per-run dup deltas
-    // sum to the verdict total; run 2 must carry at least the 40 planted
-    // exact re-keys (a replayed wave 1 would inflate it past the wave-2
-    // ceiling of 60)
+    // sum to the verdict total; run 2 must carry the 40 planted exact
+    // re-keys plus the 20 twins (a replayed wave 1 would inflate it
+    // past the wave-2 ceiling of 80)
     val deltas = StreamingQueries.lastMinhashLiveRunDups
     assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
     assert(deltas.sum == out.count(_._2).toLong,
       s"per-run deltas $deltas don't sum to ${out.count(_._2)}")
-    assert(deltas(1) >= 40L && deltas(1) <= 60L,
-      s"run-2 dup delta ${deltas(1)} outside wave 2's [40, 60] envelope")
+    assert(deltas(1) >= 60L && deltas(1) <= 80L,
+      s"run-2 dup delta ${deltas(1)} outside wave 2's [60, 80] envelope")
+    // the wave-grain oracle's premise: each AvailableNow run processed
+    // its wave as exactly ONE micro-batch
+    assert(StreamingQueries.lastMinhashLiveRunEpochs == Seq(1L, 1L),
+      s"waves split across micro-batches: ${StreamingQueries.lastMinhashLiveRunEpochs}")
   }
 
   test("D7g live semantic gate: wave-2 twins of wave-1 arrivals flag via " +
@@ -454,6 +466,26 @@ class StreamingSpec extends SparkSpec {
       assert(ss.length == 1 && ss.head._2 == 0L && ss.head._3 == len,
         s"wave-1 re-key $id not whole-doc flagged: ${ss.toSeq} (len $len)")
     }
+    // +5M/+6M are SAME-BATCH twins (reversed text — novel vs corpus and
+    // wave 1): only the within-batch self-dup term can flag them; both
+    // halves of each pair must carry the whole-doc span
+    val twinLens = graft.Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0 &&
+        col("doc_id") >= 40 && col("doc_id") < 60 &&
+        length(col("text")) >= L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().flatMap(r => Seq(
+        (r.getLong(0) + 5000000L, r.getLong(1)),
+        (r.getLong(0) + 6000000L, r.getLong(1)))).toMap
+    assert(twinLens.nonEmpty)
+    twinLens.foreach { case (id, len) =>
+      val ss = spans.filter(_._1 == id)
+      assert(ss.length == 1 && ss.head._2 == 0L && ss.head._3 == len,
+        s"same-batch twin $id not whole-doc flagged: ${ss.toSeq} (len $len)")
+    }
+    // the wave-grain oracle's premise: one micro-batch per run
+    assert(StreamingQueries.lastSubstrLiveRunEpochs == Seq(1L, 1L),
+      s"waves split across micro-batches: ${StreamingQueries.lastSubstrLiveRunEpochs}")
   }
 
   test("C17: streaming table ingest — moniker stream foreachBatch-appends into a LakeTable") {
