@@ -1181,11 +1181,25 @@ object LakeQueries {
   /** Same observation for the last d01_substring_index gate probe scan. */
   @volatile private[graft] var lastSubstrGateFilePrune: (Int, Int) = (-1, -1)
 
-  /** Corpus stats property on the BM25 index table: "nDocs:sumDl". Stored
-    * as a property (not rows) because every maintenance append must update
-    * it atomically with the postings commit it describes — a reader of any
-    * snapshot sees stats consistent with that snapshot's postings. */
-  private[graft] val Bm25StatsProp = "graft.bm25.stats"
+  /** Corpus-stats property FAMILY on the BM25 index table: one key per
+    * maintainer — "graft.bm25.stats.<maintainer>" holds that maintainer's
+    * ACCUMULATED "nDocs:sumDl" contribution — and readers fold the family
+    * to corpus totals. Stored as properties (not rows) so each maintenance
+    * append updates stats atomically with the postings commit it
+    * describes; SHARDED per maintainer so the scheme is multi-maintainer
+    * safe: a maintainer's read-increment-write touches only ITS key, and
+    * a commit's CAS retry re-merges that key onto the refreshed property
+    * map — two concurrent maintainers interleave without either
+    * overwriting the other's mass (the single absolute key lost exactly
+    * that race; pinned by the CommitCasSpec two-maintainer storm). */
+  private[graft] val Bm25StatsPrefix = "graft.bm25.stats."
+  private[graft] def bm25StatsKey(maintainer: String): String =
+    Bm25StatsPrefix + maintainer
+  private[graft] def bm25FoldStats(props: Map[String, String]): (Long, Long) =
+    props.iterator.collect { case (k, v) if k.startsWith(Bm25StatsPrefix) =>
+      val Array(n, sd) = v.split(":").map(_.toLong)
+      (n, sd)
+    }.foldLeft((0L, 0L)) { case ((an, asd), (n, sd)) => (an + n, asd + sd) }
 
   // D2i — the BM25 inverted index as a first-class TABLE citizen,
   // extending the committed-index family (ANN: d02_ann_indexed; fuzzy:
@@ -1222,18 +1236,18 @@ object LakeQueries {
       val (n1, s1) = stats(evens)
       val i1 = index.append(LakeWriter.writeDataFiles(
         keyed(P.bm25Postings(evens)), index))
-      index.setProperty(Bm25StatsProp, s"$n1:$s1")
-      // increment arrives: its OWN postings append + the stats property
-      // moves to the new corpus totals — existing postings untouched
+      index.setProperty(bm25StatsKey("build"), s"$n1:$s1")
+      // increment arrives: its OWN postings append + its OWN stats shard
+      // — existing postings and the build shard untouched; readers fold
       val (n2, s2) = stats(odds)
       val i2 = index.append(LakeWriter.writeDataFiles(
         keyed(P.bm25Postings(odds)), index))
-      index.setProperty(Bm25StatsProp, s"${n1 + n2}:${s1 + s2}")
+      index.setProperty(bm25StatsKey("maint"), s"$n2:$s2")
       lastBm25IndexMaintRows = index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       // serve from a FRESH load of the committed index — self-contained:
-      // postings rows + the stats property are everything BM25 needs
+      // postings rows + the folded stats shards are everything BM25 needs
       val idxT = LakeTable.load(loc)
-      val Array(nd, sdl) = idxT.tableMeta.properties(Bm25StatsProp).split(":")
+      val (nd, sdl) = bm25FoldStats(idxT.tableMeta.properties)
       // serve-side LAYOUT pruning (r11 verdict item 2): the query terms
       // are literals, so their tkey buckets are plan-time constants —
       // push them as an IN predicate and the manifest prunes the index
@@ -1243,7 +1257,7 @@ object LakeQueries {
       val out = P.bm25Serve(
         idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
           .select("term", "doc_id", "tf", "dl"),
-        nd.toLong, sdl.toLong)
+        nd, sdl)
       lastBm25IndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
       val res = localize(out)
       lastBm25ServeFilePrune =
@@ -1295,7 +1309,8 @@ object LakeQueries {
         sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
       bm25.append(LakeWriter.writeDataFiles(
         P.bm25Keyed(P.bm25Postings(d)), bm25))
-      bm25.setProperty(Bm25StatsProp, s"${st.getLong(0)}:${st.getLong(1)}")
+      bm25.setProperty(bm25StatsKey("build"),
+        s"${st.getLong(0)}:${st.getLong(1)}")
       // semantic index: the d02_ann_indexed lifecycle — committed-batch
       // frozen models, corpus encode, increment encode
       val d1 = data.append(LakeWriter.writeDataFiles(
@@ -1315,10 +1330,10 @@ object LakeQueries {
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
       // both serves from FRESH loads of the committed tables
       val bT = LakeTable.load(locB)
-      val Array(nd, sdl) = bT.tableMeta.properties(Bm25StatsProp).split(":")
+      val (nd, sdl) = bm25FoldStats(bT.tableMeta.properties)
       val lex = P.bm25Serve(
         bT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
-          .select("term", "doc_id", "tf", "dl"), nd.toLong, sdl.toLong)
+          .select("term", "doc_id", "tf", "dl"), nd, sdl)
         .select(col("qid"), col("doc_id"), col("rn").as("rl"))
       val iT = LakeTable.load(locI)
       val ivf2 = P.ivfModelFromString(iT.tableMeta.properties(P.AnnIvfProp))

@@ -1174,23 +1174,24 @@ object StreamingQueries {
       index.append(LakeWriter.writeDataFiles(
         P.bm25Keyed(P.bm25Postings(data.snapshotDF(s, s1))), index))
       val (n1, sd1) = stats(data.snapshotDF(s, s1))
-      index.setProperty(L.Bm25StatsProp, s"$n1:$sd1")
+      index.setProperty(L.bm25StatsKey("build"), s"$n1:$sd1")
       def runMaint(): Unit = {
         val before = s.read.format("laketable").load(locI).count()
         val q = s.readStream.format("laketable")
           .option("startSnapshotId", s1.toString).load(locD)
           .writeStream
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            // ONE maintainer owns the stats roll (the checkpointed query
-            // id): the property carries an ABSOLUTE n:Σdl, so the
-            // read-increment-write below is only safe because no second
-            // committer advances it concurrently — a multi-maintainer
-            // deployment would shard the index (one stats property per
-            // maintainer's shard) or delta-encode the stats, not race
-            // absolute values through CAS retries
+            // stats are SHARDED per maintainer (L.bm25StatsKey): this
+            // query advances only ITS OWN accumulated shard, so the
+            // read-increment-write stays safe under concurrent
+            // maintainers — a CAS retry re-merges the shard onto the
+            // refreshed property map, and no two maintainers ever write
+            // the same key (readers fold the family; two-maintainer race
+            // pinned by CommitCasSpec)
             val idx = LakeTable.load(locI) // fresh: committed state only
-            val Array(n0, sd0) = idx.tableMeta.properties(L.Bm25StatsProp)
-              .split(":").map(_.toLong)
+            val own = L.bm25StatsKey("stream")
+            val Array(n0, sd0) = idx.tableMeta.properties
+              .getOrElse(own, "0:0").split(":").map(_.toLong)
             // two consumers (postings, the stats delta) read the batch
             // once through the cache, not twice
             val b = batch.select(col("doc_id"), col("text")).persist()
@@ -1199,7 +1200,7 @@ object StreamingQueries {
               idx.appendEpoch(
                 LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)), idx),
                 "bm25idx", epoch, extraProps =
-                  Map(L.Bm25StatsProp -> s"${n0 + bn}:${sd0 + bs}"))
+                  Map(own -> s"${n0 + bn}:${sd0 + bs}"))
             } finally b.unpersist()
             ()
           }
@@ -1218,11 +1219,14 @@ object StreamingQueries {
         odds.filter(col("doc_id") >= oddMid), data))
       runMaint() // restart: only wave 2's postings flow
       // serve from the stream-maintained committed index — self-contained
+      // (stats folded across the build + stream maintainer shards; scan
+      // bucket-pruned to the query terms' tkeys like the batch serve)
       val idxT = LakeTable.load(locI)
-      val Array(nd, sdl) = idxT.tableMeta.properties(L.Bm25StatsProp).split(":")
+      val (nd, sdl) = L.bm25FoldStats(idxT.tableMeta.properties)
       localize(P.bm25Serve(
-        idxT.toDF(s).select("term", "doc_id", "tf", "dl"),
-        nd.toLong, sdl.toLong))
+        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+          .select("term", "doc_id", "tf", "dl"),
+        nd, sdl))
     } finally {
       LakeTable.drop(locD)
       LakeTable.drop(locI)

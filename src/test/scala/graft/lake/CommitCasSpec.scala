@@ -139,4 +139,53 @@ class CommitCasSpec extends SparkSpec {
     assert(ids == (ids.min to ids.max), s"version chain has gaps: $ids")
     LakeTable.drop(loc)
   }
+
+  test("two-maintainer stats-shard race: concurrent per-maintainer property " +
+      "rolls conserve mass (the absolute-single-key design lost updates here)") {
+    // The BM25 index's corpus stats are sharded one property key per
+    // maintainer (LakeQueries.bm25StatsKey): each maintainer's
+    // read-increment-write touches only its own key, and a commit's CAS
+    // retry re-merges that key onto the REFRESHED property map — so two
+    // maintainers interleaving postings+stats commits can never overwrite
+    // each other's accumulated mass. This storm drives both maintainers
+    // through the real epoch-fenced commit path and asserts the folded
+    // family equals the sum of everything both committed.
+    val loc = tmpDir("stats-race")
+    LakeTable.drop(loc)
+    LakeTable.create(loc, LakeWriter.EventSchemaDdl, LakeWriter.EventSpec)
+    val per = 30
+    val L = graft.queries.LakeQueries
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val futures = Seq("a", "b").map { m =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val t = LakeTable.load(loc)
+          val own = L.bm25StatsKey(m)
+          start.await()
+          var n = 0L
+          var sd = 0L
+          for (i <- 0 until per) {
+            n += 1L
+            sd += 10L
+            t.appendEpoch(Seq(DataFileMeta(s"$loc/data/$m-f$i.parquet",
+              1024L, 10L, 5666666L * 300000000L)), s"maint-$m", i.toLong,
+              extraProps = Map(own -> s"$n:$sd"))
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
+    futures.foreach(_.get())
+    val fin = LakeTable.load(loc)
+    val (n, sd) = L.bm25FoldStats(fin.tableMeta.properties)
+    assert(n == 2L * per && sd == 2L * per * 10L,
+      s"stats mass lost under the two-maintainer race: folded $n:$sd " +
+        s"(expected ${2 * per}:${2 * per * 10})")
+    assert(fin.files().size == 2 * per,
+      s"lost commits: ${fin.files().size} of ${2 * per}")
+    LakeTable.drop(loc)
+  }
 }
