@@ -617,12 +617,16 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     append(metas)
   }
 
-  def append(newFiles: Seq[DataFileMeta]): Long = {
+  def append(newFiles: Seq[DataFileMeta],
+      // properties merged ATOMICALLY with the snapshot swap (e.g. the
+      // ANN maintenance-debt odometer): a reader of any snapshot sees
+      // props consistent with that snapshot's files
+      props: Map[String, String] = Map.empty): Long = {
     // captured from the attempt that actually lands, to roll the known-path
     // cache forward without re-reading manifests (see below)
     var lastKnown: Set[String] = null
     var lastFresh: Seq[String] = Nil
-    val id = retryCommit("append") { () =>
+    val id = retryCommitProps("append") { () =>
       val existing = meta.current.map(_.manifests).getOrElse(Nil)
       // dedupe within the batch too: one sweep can carry the same file
       // twice (at-least-once event redelivery)
@@ -636,7 +640,7 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       // no new rows AND no history growth
       if (fresh.isEmpty) None
       else Some((maybeMerge(existing :+ writeManifest(stamp(fresh))),
-        meta.snapshots))
+        meta.snapshots, props))
     }
     // Roll the cache forward: the new snapshot's path set is exactly the
     // parent's plus this commit's fresh paths (a merge reshuffles manifests

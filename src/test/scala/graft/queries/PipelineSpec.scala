@@ -1096,6 +1096,91 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("D2h rebuild auto-trigger: the debt odometer advances per " +
+      "maintenance, the threshold fires exactly at N and resets, and a " +
+      "breached recall floor fires a rebuild that recovers recall") {
+    import graft.lake._
+    val P = PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-trg-d-${java.util.UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-trg-i-${java.util.UUID.randomUUID()}"
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("vec_id", 100L))
+    try {
+      val e = graft.Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpusA = e.select((col("vec_id") + 500).as("vec_id"),
+        col("embedding"))
+      val d1 = data.append(LakeWriter.writeDataFiles(corpusA, data))
+      val committed = data.snapshotDF(spark, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(spark, committed, ivf, pq), index))
+      def odometer: Long = index.refresh().tableMeta.properties
+        .getOrElse(LakeQueries.AnnIncrementsProp, "0").toLong
+      def models: String =
+        index.refresh().tableMeta.properties(P.AnnIvfProp)
+      assert(odometer == 0L)
+      val m0 = models
+      // three maintenances advance the odometer 1, 2, 3 — the trigger
+      // must hold below the threshold and fire exactly at it
+      Seq((0L, 100L), (100L, 200L), (200L, 300L))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          val inc = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          data.append(LakeWriter.writeDataFiles(inc, data))
+          LakeQueries.maintainAnnIndex(spark, index, inc)
+          assert(odometer == i + 1L,
+            s"odometer ${odometer} after ${i + 1} maintenances")
+          if (i < 2) {
+            assert(!LakeQueries.maybeRebuildAnnIndex(spark, data, index,
+              maxIncrements = 3), s"trigger fired early at debt ${i + 1}")
+            assert(models == m0, "models changed without a rebuild")
+          }
+        }
+      assert(LakeQueries.maybeRebuildAnnIndex(spark, data, index,
+        maxIncrements = 3), "trigger did not fire at the threshold")
+      assert(odometer == 0L, "swap did not reset the odometer")
+      assert(models != m0, "threshold rebuild did not retrain the models")
+      // recall-floor leg: a drifted maintenance (orthogonal transform,
+      // 300 vectors — enough to overflow the 200-candidate shortlist)
+      // decays measured recall under the now-frozen models; arming a
+      // floor just above the measured value must fire a TRAINED rebuild
+      // that recovers it
+      val drifted = e.filter(col("vec_id") < 300)
+        .select((col("vec_id") + 1500L).as("vec_id"),
+          expr("""cast(transform(sequence(0, 63), i ->
+            |  embedding[int((i + 32) % 64)] *
+            |  (case when i % 2 = 0 then -1.0F else 1.0F end)) as array<float>)
+            |""".stripMargin).as("embedding"))
+      data.append(LakeWriter.writeDataFiles(drifted, data))
+      LakeQueries.maintainAnnIndex(spark, index, drifted)
+      val pre = LakeQueries.measureAnnRecall(spark, data, index)
+      assert(pre < 1.0, "drift did not move measured recall at all")
+      assert(!LakeQueries.maybeRebuildAnnIndex(spark, data, index,
+        maxIncrements = 100, recallFloor = Some(pre - 0.01)),
+        "floor below the measurement must not fire")
+      assert(LakeQueries.maybeRebuildAnnIndex(spark, data, index,
+        maxIncrements = 100, recallFloor = Some(pre + 0.01),
+        trained = true, seedMod = 23),
+        "breached recall floor did not fire the rebuild")
+      val post = LakeQueries.measureAnnRecall(spark, data, index)
+      info(f"auto-trigger recall@5: pre=$pre%.3f post=$post%.3f")
+      assert(post >= pre,
+        s"recall-floor rebuild did not recover recall: pre=$pre post=$post")
+      assert(odometer == 0L)
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
+  }
+
   test("D2f persisted ANN index: an append encodes ONLY the increment, and " +
       "serving from committed codes equals the per-query path") {
     val out = LakeQueries.d02_ann_indexed(spark, dir).collect().toSeq
