@@ -1039,25 +1039,30 @@ object LakeQueries {
     val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
     val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
     def keyed(postings: DataFrame): DataFrame = postings
-      .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
-      .select("tkey", "term", "doc_id", "tf", "dl", "positions")
+      .withColumn("thash", xxhash64(col("term")))
+      .withColumn("tkey", pmod(col("thash"), lit(16L)))
+      .select("tkey", "thash", "term", "doc_id", "tf", "dl", "positions")
     val index = LakeTable.create(loc,
-      "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT," +
-        "positions ARRAY<BIGINT>",
+      "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT," +
+        "dl BIGINT,positions ARRAY<BIGINT>",
       TruncateSpec("tkey", 1L))
+    // same two-level layout as the BM25 index: thash-clustered files with
+    // disjoint ranges per bucket, so the serve skips within buckets too
+    def write(postings: DataFrame) = LakeWriter.writeDataFiles(
+      keyed(postings), index, sortBy = Seq("thash"),
+      maxRecordsPerFile = P.Bm25IndexRowsPerFile)
     try {
-      val i1 = index.append(LakeWriter.writeDataFiles(
-        keyed(P.positionalPostings(evens)), index))
-      val i2 = index.append(LakeWriter.writeDataFiles(
-        keyed(P.positionalPostings(odds)), index))
+      val i1 = index.append(write(P.positionalPostings(evens)))
+      val i2 = index.append(write(P.positionalPostings(odds)))
       lastPhraseIndexMaintRows =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       val idxT = LakeTable.load(loc)
-      // serve-side layout pruning, same as the BM25 serve: phrase terms
-      // are literals → their tkey buckets prune the index scan at the
-      // manifest, so a 4-phrase probe never reads unrelated buckets
+      // serve-side layout pruning, same two levels as the BM25 serve:
+      // phrase terms are literals → tkey IN prunes to matched buckets at
+      // the manifest, thash IN skips files within them via footer min/max
       val out = P.phraseServe(
-        idxT.toDF(s).filter(col("tkey").isin(P.phraseQueryTkeys: _*))
+        idxT.toDF(s).filter(col("tkey").isin(P.phraseQueryTkeys: _*)
+            && col("thash").isin(P.phraseQueryThashes: _*))
           .select("term", "doc_id", "positions"))
       lastPhraseIndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
       val res = localize(out)
@@ -1176,6 +1181,11 @@ object LakeQueries {
     * spec-observable proof the serve prunes the index SCAN to the query
     * terms' layout buckets, not just its rows (r11 verdict item 2). */
   @volatile private[graft] var lastBm25ServeFilePrune: (Int, Int) = (-1, -1)
+  /** Files in the query terms' MATCHED tkey buckets at the last
+    * d02_bm25_index serve — the within-bucket skip is spec-observable as
+    * planned < this (bucket pruning alone can never go below it; only
+    * footer min/max skipping on the thash-sorted files can). */
+  @volatile private[graft] var lastBm25ServeBucketFiles: Int = -1
   /** Same observation for the last d02_phrase_index serve scan. */
   @volatile private[graft] var lastPhraseServeFilePrune: (Int, Int) = (-1, -1)
   /** Same observation for the last d01_substring_index gate probe scan. */
@@ -1220,11 +1230,21 @@ object LakeQueries {
   // spread across files. End state = full-corpus BM25 → the same hash
   // oracle as d02_bm25_topk.
   def d02_bm25_index(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    bm25IndexRun(s,
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1),
+      graft.queries.PipelineQueries.Bm25IndexRowsPerFile)
+  }
+
+  /** The committed-BM25-index lifecycle with caller-chosen corpus halves
+    * and file sizing — the entry splits the documents table by parity;
+    * specs drive small rowsPerFile over a generated corpus to pin the
+    * within-bucket footer-skip invariant on many-file buckets. */
+  private[graft] def bm25IndexRun(s: SparkSession, evens: DataFrame,
+      odds: DataFrame, rowsPerFile: Long): DataFrame = {
     val P = graft.queries.PipelineQueries
     val loc = scratch("bm25-idx")
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
     def stats(docs: DataFrame): (Long, Long) = {
       val r = docs.agg(count(lit(1)),
         sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
@@ -1232,37 +1252,47 @@ object LakeQueries {
     }
     def keyed(postings: DataFrame): DataFrame = P.bm25Keyed(postings)
     val index = LakeTable.create(loc, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    // index writes CLUSTER by thash within each tkey bucket and split at
+    // rowsPerFile — files then hold DISJOINT thash ranges, which is what
+    // lets the serve's thash IN predicate skip files via footer min/max
+    // (r11 verdict item 2's "term-sorted file layout within buckets")
+    def write(postings: DataFrame) = LakeWriter.writeDataFiles(
+      keyed(postings), index, sortBy = Seq("thash"),
+      maxRecordsPerFile = rowsPerFile)
     try {
       val (n1, s1) = stats(evens)
-      val i1 = index.append(LakeWriter.writeDataFiles(
-        keyed(P.bm25Postings(evens)), index))
+      val i1 = index.append(write(P.bm25Postings(evens)))
       index.setProperty(bm25StatsKey("build"), s"$n1:$s1")
       // increment arrives: its OWN postings append + its OWN stats shard
       // — existing postings and the build shard untouched; readers fold
       val (n2, s2) = stats(odds)
-      val i2 = index.append(LakeWriter.writeDataFiles(
-        keyed(P.bm25Postings(odds)), index))
+      val i2 = index.append(write(P.bm25Postings(odds)))
       index.setProperty(bm25StatsKey("maint"), s"$n2:$s2")
       lastBm25IndexMaintRows = index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       // serve from a FRESH load of the committed index — self-contained:
       // postings rows + the folded stats shards are everything BM25 needs
       val idxT = LakeTable.load(loc)
       val (nd, sdl) = bm25FoldStats(idxT.tableMeta.properties)
-      // serve-side LAYOUT pruning (r11 verdict item 2): the query terms
-      // are literals, so their tkey buckets are plan-time constants —
-      // push them as an IN predicate and the manifest prunes the index
-      // SCAN to the matched buckets' files (rows were already
-      // term-filtered downstream, so results are unchanged; without this
-      // the serve read every index file and filtered rows after).
+      // serve-side LAYOUT pruning (r11 verdict item 2), two levels: the
+      // query terms are literals, so both layout keys are plan-time
+      // constants — tkey IN prunes the scan to matched BUCKETS at the
+      // manifest, thash IN then skips files WITHIN those buckets via
+      // footer min/max on the sorted column (rows were already
+      // term-filtered downstream, so results are unchanged; without
+      // these the serve read every index file and filtered rows after).
       val out = P.bm25Serve(
-        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
+            && col("thash").isin(P.bm25QueryThashes: _*))
           .select("term", "doc_id", "tf", "dl"),
         nd, sdl)
       lastBm25IndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
       val res = localize(out)
+      val files = idxT.files()
       lastBm25ServeFilePrune =
         (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
-          .getOrElse(loc, -1), idxT.files().size)
+          .getOrElse(loc, -1), files.size)
+      lastBm25ServeBucketFiles =
+        files.count(f => P.bm25QueryTkeys.contains(f.partitionValue))
       res
     } finally LakeTable.drop(loc)
   }
@@ -1300,7 +1330,13 @@ object LakeQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
+      // joins the index on cell, so Spark's runtime (DPP) filter prunes
+      // the index SCAN to the probed cells' files — the serve respects
+      // the index's own layout, like the BM25/phrase tkey pruning. At
+      // 100 TB (thousands of cells) this is the difference between a
+      // full-index scan per query and reading only the nprobe cells.
+      TruncateSpec("cell", 1L))
     try {
       // lexical index: the corpus postings + same-commit stats property
       // (maintenance mechanics are d02_bm25_index's concern; the hybrid
@@ -1308,7 +1344,8 @@ object LakeQueries {
       val st = d.agg(count(lit(1)),
         sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
       bm25.append(LakeWriter.writeDataFiles(
-        P.bm25Keyed(P.bm25Postings(d)), bm25))
+        P.bm25Keyed(P.bm25Postings(d)), bm25, sortBy = Seq("thash"),
+        maxRecordsPerFile = P.Bm25IndexRowsPerFile))
       bm25.setProperty(bm25StatsKey("build"),
         s"${st.getLong(0)}:${st.getLong(1)}")
       // semantic index: the d02_ann_indexed lifecycle — committed-batch
@@ -1332,7 +1369,8 @@ object LakeQueries {
       val bT = LakeTable.load(locB)
       val (nd, sdl) = bm25FoldStats(bT.tableMeta.properties)
       val lex = P.bm25Serve(
-        bT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+        bT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
+            && col("thash").isin(P.bm25QueryThashes: _*))
           .select("term", "doc_id", "tf", "dl"), nd, sdl)
         .select(col("qid"), col("doc_id"), col("rn").as("rl"))
       val iT = LakeTable.load(locI)
@@ -1464,6 +1502,15 @@ object LakeQueries {
     * proportional to the INCREMENT, not the corpus. */
   @volatile private[graft] var lastAnnIndexedIncrementRows: Long = -1L
 
+  /** Wall-second phase split of the last d02_ann_indexed run (r11 verdict
+    * item 7: the entry drifted +37% across rounds with untouched code and
+    * the artifact could not attribute WHICH phase moved). Captured on
+    * every run — pure clock reads at existing statement boundaries, no
+    * behavior change; Bench surfaces it on full artifacts under
+    * `d02_ann_indexed_phases` next to the single-key entry. */
+  @volatile private[graft] var lastAnnIndexedPhases: Seq[(String, Double)] =
+    Nil
+
   // D2f — the ANN index as a first-class TABLE citizen: every other d02
   // entry retrains/encodes per query; a real 10⁹-vector serving path
   // commits the index once and maintains it incrementally. Two
@@ -1491,10 +1538,19 @@ object LakeQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
+      // joins the index on cell, so Spark's runtime (DPP) filter prunes
+      // the index SCAN to the probed cells' files — the serve respects
+      // the index's own layout, like the BM25/phrase tkey pruning. At
+      // 100 TB (thousands of cells) this is the difference between a
+      // full-index scan per query and reading only the nprobe cells.
+      TruncateSpec("cell", 1L))
     try {
+      val tPhase0 = System.nanoTime()
+      def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
+      val tData = secsSince(tPhase0); val tPhase1 = System.nanoTime()
       val committed = data.snapshotDF(s, d1)
       val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
         .orderBy("vec_id").limit(16)
@@ -1505,21 +1561,29 @@ object LakeQueries {
       // uses ONLY what a fresh session could load from the two tables
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      val tModels = secsSince(tPhase1); val tPhase2 = System.nanoTime()
       val i1 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, committed, ivf, pq), index))
+      val tEncode = secsSince(tPhase2); val tPhase3 = System.nanoTime()
       val d2 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") >= 400), data))
       val i2 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
       lastAnnIndexedIncrementRows =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
+      val tIncr = secsSince(tPhase3); val tPhase4 = System.nanoTime()
       // serve from a FRESH load: committed codes + models parsed back
       // from the table's own properties (bit-exact round-trip)
       val served = LakeTable.load(locI)
       val ivf2 = P.ivfModelFromString(served.tableMeta.properties(P.AnnIvfProp))
       val pq2 = P.pqModelFromString(served.tableMeta.properties(P.AnnPqProp))
-      localize(P.ivfPqServe(s, served.snapshotDF(s, i2),
+      val out = localize(P.ivfPqServe(s, served.snapshotDF(s, i2),
         data.snapshotDF(s, d2), ivf2, pq2))
+      lastAnnIndexedPhases = Seq(
+        "data_commit_s" -> tData, "models_s" -> tModels,
+        "encode_commit_s" -> tEncode, "increment_s" -> tIncr,
+        "serve_s" -> secsSince(tPhase4))
+      out
     } finally {
       LakeTable.drop(locD)
       LakeTable.drop(locI)
@@ -1554,7 +1618,13 @@ object LakeQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
+      // joins the index on cell, so Spark's runtime (DPP) filter prunes
+      // the index SCAN to the probed cells' files — the serve respects
+      // the index's own layout, like the BM25/phrase tkey pruning. At
+      // 100 TB (thousands of cells) this is the difference between a
+      // full-index scan per query and reading only the nprobe cells.
+      TruncateSpec("cell", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
@@ -1739,7 +1809,13 @@ object LakeQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
+      // joins the index on cell, so Spark's runtime (DPP) filter prunes
+      // the index SCAN to the probed cells' files — the serve respects
+      // the index's own layout, like the BM25/phrase tkey pruning. At
+      // 100 TB (thousands of cells) this is the difference between a
+      // full-index scan per query and reading only the nprobe cells.
+      TruncateSpec("cell", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))

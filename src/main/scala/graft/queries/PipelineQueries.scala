@@ -585,16 +585,37 @@ object PipelineQueries {
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
       .select("term", "doc_id", "tf", "dl")
 
-  /** Committed BM25 index table DDL + layout key: pmod(xxhash64(term), 16)
-    * spreads hot terms' postings across files (a raw term key would pile
-    * the corpus's Zipf head into one bucket). Shared by the batch index
-    * entry (d02_bm25_index) and the streaming maintainer (d07_bm25_stream).
+  /** Committed BM25 index table DDL + layout keys. Two levels (r11
+    * verdict item 2, the 100 TB serve path):
+    *   - tkey = pmod(xxhash64(term), 16) — the PARTITION bucket; spreads
+    *     hot terms' postings across files (a raw term key would pile the
+    *     corpus's Zipf head into one bucket) and gives the serve its
+    *     first 16× manifest prune from literal query terms;
+    *   - thash = xxhash64(term) — the full 64-bit hash as a first-class
+    *     SORTED column: index writes cluster by thash within each bucket
+    *     (writeDataFiles sortBy + maxRecordsPerFile → files with DISJOINT
+    *     thash ranges), so a serve's thash IN (literals) predicate lets
+    *     footer min/max skipping prune WITHIN buckets — selectivity
+    *     approaches one-file-per-query-term instead of capping at 16×,
+    *     which is the difference between "reads 1/16th of a 100 TB index"
+    *     and "reads ~the postings it returns".
+    * Shared by the batch index entry (d02_bm25_index), the fused hybrid
+    * (d02_hybrid_indexed), and the streaming maintainer (d07_bm25_stream).
     */
   private[graft] val Bm25IndexDdl =
-    "tkey BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT"
+    "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT,dl BIGINT"
   private[graft] def bm25Keyed(postings: DataFrame): DataFrame = postings
-    .withColumn("tkey", pmod(xxhash64(col("term")), lit(16L)))
-    .select("tkey", "term", "doc_id", "tf", "dl")
+    .withColumn("thash", xxhash64(col("term")))
+    .withColumn("tkey", pmod(col("thash"), lit(16L)))
+    .select("tkey", "thash", "term", "doc_id", "tf", "dl")
+
+  /** Target rows per committed index data file: small enough that a
+    * bucket splits into several thash-range files at bench scale (so the
+    * within-bucket skip is exercised, not just spec'd), large enough that
+    * file-count overhead stays negligible. At 100 TB this would be sized
+    * to the store's optimal object size instead.
+    */
+  private[graft] val Bm25IndexRowsPerFile = 4096L
 
   /** Driver-side replica of the layout key pmod(xxhash64(term), 16):
     * evaluates the SAME Catalyst XxHash64 (seed 42) the index build's
@@ -604,22 +625,30 @@ object PipelineQueries {
     * whose bucket no query term hashes into, instead of scanning the
     * whole index and filtering rows after.
     */
-  private[graft] def tkeyOf(term: String): Long = {
+  private[graft] def thashOf(term: String): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val h = XxHash64(Seq(Literal.create(term,
+    XxHash64(Seq(Literal.create(term,
       org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
-    ((h % 16L) + 16L) % 16L
   }
+  private[graft] def tkeyOf(term: String): Long =
+    ((thashOf(term) % 16L) + 16L) % 16L
 
-  /** The layout buckets the fixed BM25 / phrase probes touch — derived at
-    * plan time from the literal query terms (they are constants, so their
-    * tkeys are too). Sorted for deterministic plans.
+  /** The layout buckets / sorted-column hashes the fixed BM25 / phrase
+    * probes touch — derived at plan time from the literal query terms
+    * (they are constants, so their tkeys/thashes are too). Sorted for
+    * deterministic plans. A serve pushes BOTH: tkey IN prunes at the
+    * manifest/partition level, thash IN prunes within buckets via footer
+    * min/max on the sorted column.
     */
   private[graft] def bm25QueryTkeys: Seq[Long] =
     Bm25Queries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
   private[graft] def phraseQueryTkeys: Seq[Long] =
     PhraseQueries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
+  private[graft] def bm25QueryThashes: Seq[Long] =
+    Bm25Queries.flatMap(_._2.split(" ")).distinct.map(thashOf).distinct.sorted
+  private[graft] def phraseQueryThashes: Seq[Long] =
+    PhraseQueries.flatMap(_._2.split(" ")).distinct.map(thashOf).distinct.sorted
 
   /** BM25 scoring + top-K over a postings set. Work ∝ the QUERY TERMS'
     * postings only: the query-term list broadcasts, postings semi-join it
@@ -631,9 +660,13 @@ object PipelineQueries {
     * Hash-exactness across engines: per-term contributions contain ln()
     * (the one non-correctly-rounded primitive), so each contribution is
     * quantized to integer micro-units via floor(x·1e6 + 0.5) — identical
-    * HALF-UP semantics in both engines, immune to sub-ulp libm drift —
-    * and the per-(query, doc) score is then an order-independent integer
-    * sum. Ranking orders by that exact integer (ties by doc_id).
+    * HALF-UP semantics in both engines, making the subsequent sum
+    * order-independent. (Not absolute immunity: an individual
+    * contribution can still flip when ln() drift lands x·1e6 + 0.5
+    * within an ulp of an integer — a half-way-point event whose
+    * probability is negligible but nonzero.) The per-(query, doc) score
+    * is then an order-independent integer sum. Ranking orders by that
+    * exact integer (ties by doc_id).
     */
   private[graft] def bm25Serve(postings: DataFrame, nDocs: Long,
       sumDl: Long): DataFrame = {
@@ -2210,12 +2243,20 @@ object PipelineQueries {
   // broadcasts — no driver collection.
   def d04_mixture_temp(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // sqrt(share) contributions quantize to integer MICRO-UNITS before the
+    // normalizer sum (the established floor(x*1e6+0.5) recipe): z as a raw
+    // SUM(double) is order-sensitive across Spark partial-agg vs DuckDB
+    // scan order, and a last-ulp z drift could flip floor(f*10+0.5) at a
+    // half-way point. With sqm integer, z is an order-independent integer
+    // sum; sqrt and division are correctly rounded in IEEE doubles, so f
+    // is then bit-identical across engines given identical (nl, n).
     val w = d.groupBy("lang").agg(count(lit(1)).as("nl"))
       .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
       .withColumn("share", col("nl").cast("double") / col("n"))
-      .withColumn("sq", sqrt(col("share")))
-    val w10 = w.crossJoin(broadcast(w.agg(sum(col("sq")).as("z"))))
-      .withColumn("f", col("sq") / col("z") / col("share"))
+      .withColumn("sqm",
+        floor(sqrt(col("share")) * lit(1e6) + lit(0.5)).cast("long"))
+    val w10 = w.crossJoin(broadcast(w.agg(sum(col("sqm")).as("zm"))))
+      .withColumn("f", col("sqm").cast("double") / col("zm") / col("share"))
       .select(col("lang"),
         floor(col("f") * lit(10) + lit(0.5)).cast("long").as("w10"))
     d.join(broadcast(w10), Seq("lang"))
@@ -3079,8 +3120,9 @@ object PipelineQueries {
     *     rounded IEEE division of exact integers);
     *   - each doc's per-weight gradient contribution is quantized to
     *     integer micro-units (floor(x·1e6 + 0.5) — the BM25 recipe), so
-    *     the batch gradient is an ORDER-INDEPENDENT integer sum immune
-    *     to sub-ulp exp() drift between libm and the JVM;
+    *     the batch gradient is an ORDER-INDEPENDENT integer sum
+    *     (half-way-point flips from sub-ulp exp() drift between libm and
+    *     the JVM remain probabilistically negligible, not impossible);
     *   - weights re-round to 1e-6 after every update, so both engines
     *     enter each round from identical state.
     * Full-batch GD, QualityLrRounds rounds: the per-round driver action
@@ -3700,12 +3742,13 @@ object PipelineQueries {
         |tot AS (SELECT COUNT(*) AS n FROM documents),
         |w AS (
         |  SELECT lang, CAST(nl AS DOUBLE) / n AS share,
-        |         sqrt(CAST(nl AS DOUBLE) / n) AS sq
+        |         CAST(floor(sqrt(CAST(nl AS DOUBLE) / n) * 1e6 + 0.5)
+        |           AS BIGINT) AS sqm
         |  FROM nl CROSS JOIN tot),
-        |z AS (SELECT SUM(sq) AS z FROM w),
+        |z AS (SELECT SUM(sqm) AS zm FROM w),
         |w10 AS (
-        |  SELECT lang, CAST(floor(sq / z.z / share * 10 + 0.5) AS BIGINT)
-        |    AS w10
+        |  SELECT lang, CAST(floor(CAST(sqm AS DOUBLE) / z.zm / share * 10
+        |    + 0.5) AS BIGINT) AS w10
         |  FROM w CROSS JOIN z),
         |m AS (
         |  SELECT d.doc_id, d.lang, w10.w10,

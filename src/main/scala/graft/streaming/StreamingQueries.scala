@@ -640,7 +640,9 @@ object StreamingQueries {
       TruncateSpec("vec_id", 100L))
     LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // cell-keyed like the batch ANN index tables (r12): probed-cell
+      // runtime pruning applies to the stream-maintained serve too
+      TruncateSpec("cell", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
@@ -793,7 +795,9 @@ object StreamingQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // cell-keyed like the batch ANN index tables (r12): probed-cell
+      // runtime pruning applies to the stream-maintained serve too
+      TruncateSpec("cell", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
@@ -862,7 +866,9 @@ object StreamingQueries {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      // cell-keyed like the batch ANN index tables (r12): probed-cell
+      // runtime pruning applies to the stream-maintained serve too
+      TruncateSpec("cell", 1L))
     LakeTable.create(locR,
       "arr BIGINT,qid BIGINT,rn INT,oid BIGINT,cos DOUBLE",
       TruncateSpec("arr", 1L))
@@ -1171,8 +1177,11 @@ object StreamingQueries {
     val index = LakeTable.create(locI, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
     try {
       val s1 = data.append(LakeWriter.writeDataFiles(evens, data))
+      // same thash-clustered file layout as the batch index (bm25IndexRun)
+      // so the stream-maintained serve skips within buckets too
       index.append(LakeWriter.writeDataFiles(
-        P.bm25Keyed(P.bm25Postings(data.snapshotDF(s, s1))), index))
+        P.bm25Keyed(P.bm25Postings(data.snapshotDF(s, s1))), index,
+        sortBy = Seq("thash"), maxRecordsPerFile = P.Bm25IndexRowsPerFile))
       val (n1, sd1) = stats(data.snapshotDF(s, s1))
       index.setProperty(L.bm25StatsKey("build"), s"$n1:$sd1")
       def runMaint(): Unit = {
@@ -1198,7 +1207,9 @@ object StreamingQueries {
             try {
               val (bn, bs) = stats(b)
               idx.appendEpoch(
-                LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)), idx),
+                LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)),
+                  idx, sortBy = Seq("thash"),
+                  maxRecordsPerFile = P.Bm25IndexRowsPerFile),
                 "bm25idx", epoch, extraProps =
                   Map(own -> s"${n0 + bn}:${sd0 + bs}"))
             } finally b.unpersist()
@@ -1224,7 +1235,8 @@ object StreamingQueries {
       val idxT = LakeTable.load(locI)
       val (nd, sdl) = L.bm25FoldStats(idxT.tableMeta.properties)
       localize(P.bm25Serve(
-        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*))
+        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
+            && col("thash").isin(P.bm25QueryThashes: _*))
           .select("term", "doc_id", "tf", "dl"),
         nd, sdl))
     } finally {

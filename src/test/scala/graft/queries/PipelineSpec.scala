@@ -1000,7 +1000,7 @@ class PipelineSpec extends SparkSpec {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      TruncateSpec("cell", 1L)) // cell-keyed like the entries (r12)
     try {
       val e = graft.Tables.t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -1107,7 +1107,7 @@ class PipelineSpec extends SparkSpec {
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
       "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("vec_id", 100L))
+      TruncateSpec("cell", 1L)) // cell-keyed like the entries (r12)
     try {
       val e = graft.Tables.t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -1213,6 +1213,50 @@ class PipelineSpec extends SparkSpec {
       PipelineQueries.pqModelToString(pq))
     assert(pq2.map(_.map(_.toList).toList).toList ==
       pq.map(_.map(_.toList).toList).toList)
+  }
+
+  test("D2f cell-keyed ANN index: a narrow serve prunes the index scan to " +
+      "the probed cells' files (runtime/DPP file pruning)") {
+    import graft.lake._
+    val P = PipelineQueries
+    val locD = s"${System.getProperty("java.io.tmpdir")}/graft-cellp-d-${java.util.UUID.randomUUID()}"
+    val locI = s"${System.getProperty("java.io.tmpdir")}/graft-cellp-i-${java.util.UUID.randomUUID()}"
+    val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val index = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("cell", 1L))
+    try {
+      val e = graft.Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      data.append(LakeWriter.writeDataFiles(e, data))
+      val corpus = data.toDF(spark)
+      val ivf = corpus.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(corpus, iters = 0, seedMod = 17)
+      index.append(LakeWriter.writeDataFiles(
+        P.ivfPqEncode(spark, corpus, ivf, pq), index))
+      val idxT = LakeTable.load(locI)
+      val total = idxT.files().size
+      // the cell layout writes one file per occupied cell — enough spread
+      // that an 8-cell probe fan-out is a strict subset
+      assert(total > 8, s"cell layout should spread the index: $total files")
+      val served = P.ivfPqServe(spark, idxT.toDF(spark), corpus, ivf, pq,
+        probeFilter = col("vec_id") === 0)
+      assert(served.count() > 0)
+      // the probe joins the index on cell with an 8-cell fan-out: the
+      // index SCAN must plan only those cells' files — the serve respects
+      // the index's own layout (the ANN sibling of the BM25 tkey prune)
+      val planned = graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+        .getOrElse(locI, -1)
+      assert(planned > 0 && planned <= 8 && planned < total,
+        s"index scan not pruned to probed cells: planned $planned of " +
+          s"$total files\n" + served.queryExecution.executedPlan.toString.take(3000))
+    } finally {
+      LakeTable.drop(locD)
+      LakeTable.drop(locI)
+    }
   }
 
   test("D4j2 BPE encode: merges apply by rank, feed later merges, stay " +
@@ -1621,10 +1665,15 @@ class PipelineSpec extends SparkSpec {
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = counts.values.sum
-    val z = counts.values.map(c => math.sqrt(c.toDouble / n)).sum
+    // mirror the plan's micro-quantized normalizer (r11 advice #1): each
+    // sqrt(share) contribution rounds to integer micro-units BEFORE the
+    // sum, so z is order-independent in both engines
+    val zm = counts.values
+      .map(c => math.floor(math.sqrt(c.toDouble / n) * 1e6 + 0.5).toLong).sum
     val w10 = counts.map { case (l, c) =>
       val share = c.toDouble / n
-      l -> math.floor(math.sqrt(share) / z / share * 10 + 0.5).toLong
+      val sqm = math.floor(math.sqrt(share) * 1e6 + 0.5)
+      l -> math.floor(sqm / zm / share * 10 + 0.5).toLong
     }
     val head = counts.maxBy(_._2)._1
     val tail = counts.minBy(_._2)._1
@@ -1704,6 +1753,39 @@ class PipelineSpec extends SparkSpec {
     val (planned, total) = LakeQueries.lastBm25ServeFilePrune
     assert(planned > 0 && planned < total,
       s"serve scan not bucket-pruned: planned $planned of $total files")
+  }
+
+  test("D2i term-sorted layout: the serve skips files WITHIN matched tkey " +
+      "buckets via footer min/max on the thash-sorted column") {
+    import spark.implicits._
+    // a corpus whose postings fan every tkey bucket across MANY files at
+    // rowsPerFile=64 (filler vocabulary of ~499 terms), with the fixed
+    // probe terms planted on every 3rd doc so the serve returns rows.
+    // Bucket pruning alone can never plan below the matched buckets' file
+    // count; only footer min/max skipping on the thash-sorted files can —
+    // so planned < bucketFiles is the within-bucket-skip invariant.
+    val probeVocab = PipelineQueries.Bm25Queries
+      .flatMap(_._2.split(" ")).distinct
+    val docs = (0L until 200L).map { i =>
+      val filler = (0 until 25).map(j => s"w${(i * 41 + j * 7) % 499}")
+      val probes =
+        if (i % 3 == 0) Seq(probeVocab((i % probeVocab.size).toInt)) else Nil
+      (i, (filler ++ probes).mkString(" "))
+    }.toDF("doc_id", "text")
+    val res = LakeQueries.bm25IndexRun(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      rowsPerFile = 64L)
+    assert(res.count() > 0, "serve must return ranked rows")
+    val (planned, total) = LakeQueries.lastBm25ServeFilePrune
+    val bucketFiles = LakeQueries.lastBm25ServeBucketFiles
+    assert(bucketFiles <= total)
+    assert(bucketFiles > PipelineQueries.bm25QueryTkeys.size * 2,
+      s"corpus too small to exercise the skip: $bucketFiles files across " +
+        s"${PipelineQueries.bm25QueryTkeys.size} matched buckets")
+    assert(planned > 0 && planned < bucketFiles,
+      s"no within-bucket skip: planned $planned of $bucketFiles files in " +
+        s"matched buckets ($total total)")
   }
 
   test("D2h indexed hybrid: both arms serve from COMMITTED index tables — " +
