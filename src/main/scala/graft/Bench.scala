@@ -79,7 +79,16 @@ object Bench {
     // round-11: the production-vocab BPE encoder (commits a scratch model
     // table → heavy family); its tokens/sec rides the full artifact via
     // runBpeRate
-    "d04_bpe_encode_full")
+    "d04_bpe_encode_full",
+    // round-12 (r11 verdict item 3): the round-11 operator family was
+    // priced only in the one-off x4/x10 artifact — round-over-round
+    // regressions in BM25/substring/LR were invisible. All commit scratch
+    // laketables (substring/BM25/phrase indexes, the LR's committed
+    // corpus) → heavy family, same placement rationale as their siblings.
+    // d02_hybrid_indexed is round-12's committed-fusion entry, tracked
+    // from birth.
+    "d01_dedup_substring", "d01_substring_index", "d02_bm25_index",
+    "d02_phrase_index", "d04_quality_lr", "d02_hybrid_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -534,6 +543,122 @@ object Bench {
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)
       }
+    }
+
+    /** r11 verdict item 1 — the WELL-CONDITIONED headline ratio. Three
+      * rounds of driver artifacts computed >2× vs DuckDB while committed
+      * runs sat at 1.15–1.55×; the in-artifact canaries proved why: at
+      * sf0.1 the 25-entry envelope numerator is ~70% fixed per-job Spark
+      * floor (spark_floor ≈ 0.09 s × 25 over a 17 MB corpus) and the
+      * denominator is ~70% ONE 3 s oracle — a ratio of two
+      * weather-exposed constants, not of engine work. This section makes
+      * the headline number itself well-conditioned: the SAME headline
+      * queries over a ×M-replicated corpus (default ×10) timed for BOTH
+      * engines inside the SAME run, so real work dominates the job floor
+      * and no single oracle dominates the denominator.
+      *
+      * Corpus replication preserves join selectivity — each replica joins
+      * only itself (fact keys offset per replica: orderkey/custkey/
+      * partkey/suppkey aligned across lineitem/orders/customer/part/
+      * supplier; events offset user_id+event_id so the range join's
+      * per-user pairing never crosses replicas) while the genuine
+      * dimensions (nation/region) stay unreplicated, exactly like a
+      * higher scale factor. Documents get the heavy-scale " cp$i" suffix
+      * (replica texts stay unique so dedup semantics don't degenerate);
+      * probe/eval/canonical sets keyed on low ids (vec_id < 20/400,
+      * doc_id < 20) stay CONSTANT-sized by construction — queries scale
+      * in corpus, not in probe count, the 100 TB shape.
+      *
+      * Estimator: warmup + MEDIAN-of-3 per entry per engine (verdict item
+      * 1b). The sf0.1 envelope keeps best-of for cross-round continuity
+      * (item 1c); here median is the right statistic because this section
+      * exists to produce THE summary ratio and a single lucky rep should
+      * not define it. The DuckDB side runs through the same
+      * tools/bench_duckdb.py with mode=median3 against the same scratch
+      * corpus in the same process run — same weather for both engines by
+      * construction. Returns (spark per-entry seconds, raw duckdb JSON).
+      */
+    def runEnvelopeX10(m: Int): (Seq[(String, Double)], String) = {
+      import org.apache.spark.sql.functions._
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft-envx$m-${java.util.UUID.randomUUID()}"
+      def tb(n: String) = graft.Tables.t(spark, sfDir, n)
+      def keyCeil(n: String, c: String): Long =
+        tb(n).agg(max(col(c))).head().getLong(0) + 1
+      val mOrd = keyCeil("orders", "o_orderkey")
+      val mCust = keyCeil("customer", "c_custkey")
+      val mPart = keyCeil("part", "p_partkey")
+      val mSupp = keyCeil("supplier", "s_suppkey")
+      val mUser = keyCeil("events", "user_id")
+      val mEvent = keyCeil("events", "event_id")
+      val mDoc = keyCeil("documents", "doc_id")
+      val mVec = keyCeil("embeddings", "vec_id")
+      def rep(table: String)(shift: (org.apache.spark.sql.DataFrame, Int) =>
+          org.apache.spark.sql.DataFrame): Unit =
+        (0 until m).map(i => shift(tb(table), i)).reduce(_ union _)
+          .write.parquet(s"$scratch/$table.parquet")
+      rep("lineitem")((d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * mOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * mPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * mSupp)))
+      rep("orders")((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * mOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * mCust)))
+      rep("customer")((d, i) => d
+        .withColumn("c_custkey", col("c_custkey") + lit(i * mCust)))
+      rep("part")((d, i) => d
+        .withColumn("p_partkey", col("p_partkey") + lit(i * mPart)))
+      rep("supplier")((d, i) => d
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * mSupp)))
+      rep("events")((d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * mEvent))
+        .withColumn("user_id", col("user_id") + lit(i * mUser)))
+      rep("documents")((d, i) => {
+        val sh = d.withColumn("doc_id", col("doc_id") + lit(i * mDoc))
+        if (i == 0) sh
+        else sh.withColumn("text", concat(col("text"), lit(s" cp$i")))
+      })
+      rep("embeddings")((d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i * mVec)))
+      // true dimensions ride along unreplicated (b09/b10 join them)
+      for (t <- Seq("nation", "region"))
+        tb(t).write.parquet(s"$scratch/$t.parquet")
+      def med3(name: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, scratch)
+            .write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name x$m failed: ${e.getMessage}")
+            return -1.0
+          } finally spark.sqlContext.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val reps = Seq(once(), once(), once())
+        if (reps.exists(_ < 0)) -1.0 else reps.sorted.apply(1)
+      }
+      val sparkSide = headline.map(n => n -> med3(n))
+      // DuckDB over the SAME scratch corpus, same protocol, same run
+      val duckJson: String = try {
+        val sqls = SparkEntry.oracleSql.filter { case (k, _) =>
+          headline.contains(k) }
+        val node = graft.lake.Json.obj()
+        sqls.foreach { case (k, v) => node.put(k, v) }
+        val f = java.io.File.createTempFile("graft-benchx10-sql", ".json")
+        f.deleteOnExit()
+        java.nio.file.Files.write(f.toPath,
+          graft.lake.Json.write(node).getBytes("UTF-8"))
+        val sb = new StringBuilder
+        val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+          scratch, f.getAbsolutePath, "median3")
+          .redirectErrorStream(false).start()
+        val src = scala.io.Source.fromInputStream(proc.getInputStream)
+        try sb.append(src.mkString) finally src.close()
+        val line = sb.toString.trim
+        if (proc.waitFor() == 0 && line.startsWith("{")) line else "null"
+      } catch { case _: Throwable => "null" }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
+      (sparkSide, duckJson)
     }
 
     /** SPARK_GRAFT_COMMIT_CURVE=1: commit latency vs snapshot-history
@@ -1436,6 +1561,20 @@ object Bench {
     // committed artifact alone. Runs AFTER the envelope+heavy entries so
     // its 1000-commit churn can't shift them (the adjacency rule).
     val fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
+    // r11 verdict item 1: the work-dominated headline ratio (see
+    // runEnvelopeX10 above). Runs on every FULL run — this is the
+    // section whose ratio is the round's summary number; the raw sf0.1
+    // envelope above stays untouched for cross-round continuity.
+    // SPARK_GRAFT_X10 overrides the multiplier (≤1 disables — a probe
+    // iteration aid; the driver's run leaves it unset → ×10). Runs
+    // AFTER the envelope+heavy entries (the adjacency rule) and BEFORE
+    // the commit-curve canary, so the canary still adjudicates the
+    // whole run's weather.
+    val x10Mult = sys.env.get("SPARK_GRAFT_X10")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
+    val (x10Spark, x10DuckJson) =
+      if (fullRun && x10Mult >= 2) runEnvelopeX10(x10Mult)
+      else (Seq.empty[(String, Double)], "null")
     val commitCurve =
       if (fullRun || sys.env.get("SPARK_GRAFT_COMMIT_CURVE").contains("1"))
         runCommitCurve()
@@ -1445,8 +1584,12 @@ object Bench {
     // entries whose cost at sf0.1 is dominated by fixed per-job overhead
     // (scheduling + 32-task shuffle stages + the noop write + clearCache),
     // not by plan quality — the floor probes price exactly that overhead
-    // through the SAME timed path as every entry (best-of protocol,
-    // clearCache after). Decomposition for a reader of the artifact:
+    // through the SAME timed path as every entry: noop write + clearCache,
+    // and the same MIN estimator the entries use (min-of-9 here vs
+    // best-of-2/3 there — more reps because the probe is ~0.1 s, so nine
+    // cost nothing; the estimator FAMILY matches, r11 advice #4, so
+    // subtracting the floor from entry numerators no longer mixes a
+    // median into best-of numbers). Decomposition for a reader:
     //   marginal_envelope ≈ spark_overlap_total − overlap × floor_shuffle_s
     // At the 100 TB design point this per-job constant amortizes into real
     // work; at sf0.1 it IS most of the numerator, and it is also the part
@@ -1464,7 +1607,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once(); once() // warm (codegen + scan metadata)
-        Seq.fill(9)(once()).sorted.apply(4) // median of 9
+        Seq.fill(9)(once()).min // min of 9 — the entries' estimator family
       }
       Seq(
         "floor_noshuffle_s" -> probe(() =>
@@ -1475,6 +1618,18 @@ object Bench {
     } else Nil
     // phase split rides every full artifact next to the single-key entry
     val shardPhases = if (fullRun) runShardPhases() else Nil
+    // r11 verdict item 7: d02_ann_indexed drifted +37% across rounds with
+    // untouched code and the artifact could not attribute which phase
+    // moved. The entry now clocks its own phase boundaries (data commit /
+    // model derive / corpus encode+commit / increment / fresh-load serve
+    // — LakeQueries.lastAnnIndexedPhases); the full artifact carries the
+    // split from the entry's LAST bench rep so the next drift is
+    // attributable in-artifact.
+    val annPhases =
+      if (fullRun) graft.queries.LakeQueries.lastAnnIndexedPhases else Nil
+    if (annPhases.nonEmpty)
+      System.err.println("[bench] d02_ann_indexed phases: " + annPhases
+        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
     // r10 verdict item 2's "measured tokens/sec at a few-hundred-merge
     // vocab": one end-to-end run of the production-vocab encoder (model
     // commit + serve) reduced to sum(n_tokens); rate = corpus tokens
@@ -1486,6 +1641,8 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("n_tokens"))
         .head().getLong(0)
       val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] bpe_full: ${toks / secs}%.0f tokens/s " +
+        f"($toks tokens in $secs%.2fs, 256 merges)")
       Seq("merges" -> 256.0, "tokens" -> toks.toDouble,
         "tokens_per_sec" -> toks / secs, "encode_s" -> secs)
     } else Nil
@@ -1593,6 +1750,28 @@ object Bench {
     val oracleShaped = Set("d04_bpe_encode_full")
     val overlap = results.filter { case (k, v) =>
       v >= 0 && duckdbByQuery.contains(k) && !oracleShaped(k) }
+    // ×10 section bookkeeping: parse the second duckdb blob, compute the
+    // work-dominated summary ratio over entries BOTH engines completed
+    // (the `_duckdb_canary` key never matches a Spark entry, so it can't
+    // join the overlap; it rides the full artifact as this run's second
+    // denominator canary)
+    val x10Duck: Map[String, Double] =
+      if (x10DuckJson == "null") Map.empty
+      else try {
+        val n = graft.lake.Json.parse(x10DuckJson)
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble(-1.0))
+          .filter(_._2 >= 0).toMap
+      } catch { case _: Throwable => Map.empty }
+    val x10Overlap = x10Spark.filter { case (k, v) =>
+      v >= 0 && x10Duck.contains(k) && !oracleShaped(k) }
+    val x10SparkTotal = x10Overlap.map(_._2).sum
+    val x10DuckTotal = x10Overlap.map(p => x10Duck(p._1)).sum
+    if (x10Spark.nonEmpty)
+      System.err.println(f"[bench] x10 envelope: spark=$x10SparkTotal%.2f " +
+        f"duckdb=$x10DuckTotal%.2f over ${x10Overlap.size} entries, " +
+        f"ratio=${if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0}%.2f")
     def render(f: Double => String, fullDuckdb: Boolean): String = {
       def optObj(key: String, entries: Seq[(String, Double)]): String =
         if (entries.isEmpty) ""
@@ -1606,8 +1785,25 @@ object Bench {
         else s""""duckdb_total":${f(overlap.map(p => duckdbByQuery(p._1)).sum)},""" +
           s""""duckdb_overlap":${overlap.size},""" +
           s""""spark_overlap_total":${f(overlap.map(_._2).sum)},"""
+      // the x10 SUMMARY (5 keys, ~90 chars) rides the stdout line — it is
+      // the round's headline ratio; the per-query x10 maps ride only the
+      // full artifact (the 2000-char tail-capture discipline)
+      val x10Summary =
+        if (x10Spark.isEmpty) ""
+        else optObj("x10", Seq(
+          "mult" -> x10Mult.toDouble,
+          "spark_total" -> x10SparkTotal,
+          "duckdb_total" -> x10DuckTotal,
+          "overlap" -> x10Overlap.size.toDouble,
+          "ratio" ->
+            (if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0)))
+      val x10Full =
+        if (!fullDuckdb || x10Spark.isEmpty) ""
+        else optObj("envelope_x10", x10Spark) +
+          s""""duckdb_x10":$x10DuckJson,"""
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
+        x10Summary + x10Full +
         optObj("heavy_scale", heavyScale) +
         optObj("commit_curve", commitCurve) +
         optObj("spark_floor", sparkFloor) +
@@ -1617,8 +1813,16 @@ object Bench {
         optObj("mocks3_latency", mockS3) +
         optObj("ann_rebuild", annRebuild) +
         optObj("eq_convert", eqConvert) +
-        optObj("d06_shards_phases", shardPhases) +
-        optObj("bpe_full", bpeRate) +
+        // phase splits + the BPE rate ride the FULL artifact only (r12):
+        // the six new heavy entries pushed the stdout line to ~1940 of
+        // the driver's 2000-char tail capture; these objects are
+        // committed in BENCH_FULL.json and printed to stderr, so the
+        // stdout line keeps headroom for the summary keys
+        (if (fullDuckdb) optObj("d06_shards_phases", shardPhases)
+         else "") +
+        (if (fullDuckdb) optObj("d02_ann_indexed_phases", annPhases)
+         else "") +
+        (if (fullDuckdb) optObj("bpe_full", bpeRate) else "") +
         optObj("commit_contention", commitContention) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""

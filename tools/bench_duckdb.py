@@ -4,11 +4,16 @@ not library code — graft.Bench shells out to this and embeds the result
 as "duckdb_seconds" so every round's BENCH json carries both engines on
 the same data at the same scale).
 
-Usage: bench_duckdb.py <sfDir> <sql_json>
+Usage: bench_duckdb.py <sfDir> <sql_json> [mode]
   <sql_json>: path to a JSON object {query_name: oracle_sql}
-Prints ONE JSON line {query_name: best_seconds} (null for queries that
-error). Protocol mirrors the Spark side: one warmup run, then best of
-two timed runs.
+  [mode]: "median3" = warmup + median of 3 timed runs (the envelope_x10
+          protocol, r11 verdict item 1b); default = warmup + best-of-2
+          with an adaptive third rep for >=1.5s oracles (the raw sf0.1
+          envelope protocol, kept for cross-round continuity).
+Prints ONE JSON line {query_name: seconds} (null for queries that
+error). <sfDir> tables may be single parquet files (driver testdata) or
+Spark-written directories (the x10 scratch corpus) — directories are
+read via a glob view.
 """
 import json
 import os
@@ -23,6 +28,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main():
     sf_dir, sql_path = sys.argv[1], sys.argv[2]
+    median3 = len(sys.argv) > 3 and sys.argv[3] == "median3"
     with open(sql_path) as f:
         sqls = json.load(f)
     con = duckdb.connect()
@@ -30,7 +36,10 @@ def main():
     con.execute(f"SET threads TO {int(threads)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out = {}
@@ -57,6 +66,17 @@ def main():
     for name in sorted(sqls):
         try:
             con.execute(sqls[name]).fetchall()  # warmup
+            if median3:
+                # envelope_x10 protocol: median of 3 — matches the Spark
+                # side's med3 estimator so the summary ratio compares the
+                # same statistic on both engines
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(sqls[name]).fetchall()
+                    times.append(time.perf_counter() - t0)
+                out[name] = round(sorted(times)[1], 2)
+                continue
             times = []
             for _ in range(2):
                 t0 = time.perf_counter()
