@@ -1088,6 +1088,65 @@ object Bench {
         out += "orphan_perfile_s" -> perFileOrphan
         out += "orphan_batch_s" -> batchOrphan
         LakeTable.drop(orphA.location); LakeTable.drop(orphB.location)
+
+        // ---- 5. committed-index serve: layout pruning as request count ----
+        // r11 verdict item 2's done-criterion: the serve-side layout
+        // prune priced at 15 ms/request. The BM25 index builds
+        // latency-OFF on the mocks3 store (the probe prices the SERVE);
+        // the timed region is a FRESH load + scan + score, once with the
+        // two-level layout predicates (tkey buckets + thash footer skip)
+        // and once with them stripped — identical results, different
+        // request counts. planned-file keys carry the count evidence
+        // (one parquet file ≈ open + footer + read round-trips); the
+        // seconds carry what that costs through 32-way read parallelism.
+        {
+          import org.apache.spark.sql.functions.{col, count => fcount,
+            lit, size => fsize, split => fsplit, sum => fsum}
+          val P = graft.queries.PipelineQueries
+          val LQ = graft.queries.LakeQueries
+          val idxLoc = loc("bm25idx")
+          val docs = graft.Tables.t(spark, sfDir, "documents")
+            .select(col("doc_id"), col("text"))
+          val idx = LakeTable.create(idxLoc, P.Bm25IndexDdl,
+            TruncateSpec("tkey", 1L))
+          idx.setProperty("write.sort-order", "thash")
+          val st = docs.agg(fcount(lit(1)),
+            fsum(fsize(fsplit(col("text"), " ")).cast("long"))).collect()(0)
+          idx.append(LakeWriter.writeDataFiles(
+            P.bm25Keyed(P.bm25Postings(docs)), idx, sortBy = Seq("thash"),
+            maxRecordsPerFile = 1024L))
+          idx.setProperty(LQ.bm25StatsKey("build"),
+            s"${st.getLong(0)}:${st.getLong(1)}")
+          def serve(pruned: Boolean): Double = {
+            val t0 = System.nanoTime()
+            val idxT = LakeTable.load(idxLoc)
+            val (nd, sdl) = LQ.bm25FoldStats(idxT.tableMeta.properties)
+            val df0 = idxT.toDF(spark)
+            val df = if (pruned)
+              df0.filter(col("tkey").isin(P.bm25QueryTkeys: _*)
+                && col("thash").isin(P.bm25QueryThashes: _*))
+            else df0
+            P.bm25Serve(df.select("term", "doc_id", "tf", "dl"), nd, sdl)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          def best2serve(pruned: Boolean): Double = {
+            serve(pruned) // warmup — every rep still pays its round-trips
+            math.min(serve(pruned), serve(pruned))
+          }
+          val sFull = lat(on = true) { best2serve(pruned = false) }
+          val plannedFull = graft.lake.dsv2.LakeScanMetrics
+            .lastPlannedByLocation.getOrElse(idxLoc, -1)
+          val sPruned = lat(on = true) { best2serve(pruned = true) }
+          val plannedPruned = graft.lake.dsv2.LakeScanMetrics
+            .lastPlannedByLocation.getOrElse(idxLoc, -1)
+          out += "serve_full_s" -> sFull
+          out += "serve_pruned_s" -> sPruned
+          out += "serve_files_total" -> idx.refresh().files().size.toDouble
+          out += "serve_files_planned_full" -> plannedFull.toDouble
+          out += "serve_files_planned_pruned" -> plannedPruned.toDouble
+          LakeTable.drop(idxLoc)
+        }
         LakeTable.drop(curveLoc)
       } finally {
         CommitCas.unregister("mocks3")

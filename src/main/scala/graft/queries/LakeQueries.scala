@@ -1046,6 +1046,7 @@ object LakeQueries {
       "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT," +
         "dl BIGINT,positions ARRAY<BIGINT>",
       TruncateSpec("tkey", 1L))
+    index.setProperty("write.sort-order", "thash") // compaction keeps it
     // same two-level layout as the BM25 index: thash-clustered files with
     // disjoint ranges per bucket, so the serve skips within buckets too
     def write(postings: DataFrame) = LakeWriter.writeDataFiles(
@@ -1252,6 +1253,11 @@ object LakeQueries {
     }
     def keyed(postings: DataFrame): DataFrame = P.bm25Keyed(postings)
     val index = LakeTable.create(loc, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    // the clustering is DECLARED on the table, not left to caller
+    // discipline: compaction with no explicit sortBy re-sorts by the
+    // declared order, so maintenance can never silently widen the files'
+    // thash ranges back to the whole bucket domain
+    index.setProperty("write.sort-order", "thash")
     // index writes CLUSTER by thash within each tkey bucket and split at
     // rowsPerFile — files then hold DISJOINT thash ranges, which is what
     // lets the serve's thash IN predicate skip files via footer min/max
@@ -1326,6 +1332,7 @@ object LakeQueries {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val bm25 = LakeTable.create(locB, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    bm25.setProperty("write.sort-order", "thash")
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,

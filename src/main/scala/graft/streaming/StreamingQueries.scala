@@ -1142,6 +1142,17 @@ object StreamingQueries {
     * exactly-once evidence across the checkpointed restart, and proof
     * each wave wrote work ∝ its own postings. */
   @volatile private[graft] var lastBm25StreamRunRows: Seq[Long] = Nil
+  /** Small-file-debt trigger for the live maintainer (the b67 threshold-
+    * compaction discipline applied to the index): when any tkey bucket
+    * accrues this many files, the maintainer runs one DEFAULT compaction
+    * — which re-sorts by the table's declared write.sort-order (thash),
+    * so the serve's within-bucket footer skip survives an unbounded
+    * stream of per-epoch appends. Default is high enough that the
+    * two-wave entry never trips it (entry behavior unchanged); the spec
+    * lowers it to pin the trigger. */
+  @volatile private[graft] var bm25StreamCompactPerBucketCap: Int = 64
+  /** Compactions the last d07_bm25_stream run triggered. */
+  @volatile private[graft] var lastBm25StreamCompactions: Int = 0
 
   // D7k — the BM25 inverted index maintained BY A STREAM, completing the
   // committed-index family's continuous column (exact ✓ fuzzy ✓ semantic
@@ -1175,6 +1186,7 @@ object StreamingQueries {
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     val index = LakeTable.create(locI, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    index.setProperty("write.sort-order", "thash") // compaction keeps it
     try {
       val s1 = data.append(LakeWriter.writeDataFiles(evens, data))
       // same thash-clustered file layout as the batch index (bm25IndexRun)
@@ -1212,6 +1224,21 @@ object StreamingQueries {
                   maxRecordsPerFile = P.Bm25IndexRowsPerFile),
                 "bm25idx", epoch, extraProps =
                   Map(own -> s"${n0 + bn}:${sd0 + bs}"))
+              // small-file-debt check AFTER the epoch commit: per-epoch
+              // appends accrue one small file per touched bucket; past
+              // the cap, one DEFAULT compaction (declared sort-order →
+              // thash re-cluster) pays the debt down, so pruning quality
+              // is bounded by the cap, not by stream lifetime. Runs on
+              // the committed state outside the epoch fence — a replayed
+              // epoch may skip it harmlessly (compaction moves no rows).
+              val post = LakeTable.load(locI)
+              val perBucket = post.files().groupBy(_.partitionValue)
+                .values.map(_.size).maxOption.getOrElse(0)
+              if (perBucket >= bm25StreamCompactPerBucketCap) {
+                post.compactFiles(b.sparkSession,
+                  maxRecordsPerFile = P.Bm25IndexRowsPerFile)
+                lastBm25StreamCompactions += 1
+              }
             } finally b.unpersist()
             ()
           }
@@ -1223,6 +1250,7 @@ object StreamingQueries {
         lastBm25StreamRunRows :+= (after - before)
       }
       lastBm25StreamRunRows = Nil
+      lastBm25StreamCompactions = 0
       data.append(LakeWriter.writeDataFiles(
         odds.filter(col("doc_id") < oddMid), data))
       runMaint() // wave 1

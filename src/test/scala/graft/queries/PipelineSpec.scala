@@ -1788,6 +1788,66 @@ class PipelineSpec extends SparkSpec {
         s"matched buckets ($total total)")
   }
 
+  test("D2i fragmented index re-clusters under DEFAULT compaction: the " +
+      "declared write.sort-order restores the within-bucket skip and the " +
+      "served rows are unchanged") {
+    import graft.lake._
+    import spark.implicits._
+    val P = PipelineQueries
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-idxsort-${java.util.UUID.randomUUID()}"
+    val probeVocab = P.Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val docs = (0L until 200L).map { i =>
+      val filler = (0 until 25).map(j => s"w${(i * 41 + j * 7) % 499}")
+      val probes =
+        if (i % 3 == 0) Seq(probeVocab((i % probeVocab.size).toInt)) else Nil
+      (i, (filler ++ probes).mkString(" "))
+    }.toDF("doc_id", "text")
+    val index = LakeTable.create(loc, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    index.setProperty("write.sort-order", "thash")
+    def serveRows(): (Seq[(Long, Long, Long)], Int, Int) = {
+      val idxT = LakeTable.load(loc)
+      val rows = idxT.toDF(spark)
+        .filter(col("tkey").isin(P.bm25QueryTkeys: _*)
+          && col("thash").isin(P.bm25QueryThashes: _*))
+        .select("thash", "doc_id", "tf")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val planned = graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+        .getOrElse(loc, -1)
+      val bucketFiles = idxT.files()
+        .count(f => P.bm25QueryTkeys.contains(f.partitionValue))
+      (rows, planned, bucketFiles)
+    }
+    try {
+      // 10 ingest waves, one commit each: every wave's per-bucket file is
+      // internally sorted but spans ~the whole bucket hash range, so the
+      // ranges OVERLAP across waves and the thash skip degrades toward
+      // "plan every file in the matched buckets" — exactly the debt a
+      // streaming maintainer accrues
+      for (w <- 0L until 10L)
+        index.append(LakeWriter.writeDataFiles(
+          P.bm25Keyed(P.bm25Postings(
+            docs.filter(pmod(col("doc_id"), lit(10L)) === w))),
+          index, sortBy = Seq("thash")))
+      val (rowsFrag, plannedFrag, bucketFrag) = serveRows()
+      assert(rowsFrag.nonEmpty)
+      assert(plannedFrag > bucketFrag / 2,
+        s"fragmented serve should plan most bucket files: $plannedFrag " +
+          s"of $bucketFrag")
+      // DEFAULT compaction — no explicit sortBy: it must pick up the
+      // declared write.sort-order and re-split at the record cap, or the
+      // maintenance would silently destroy the serve's pruning contract
+      assert(index.compactFiles(spark, maxRecordsPerFile = 64L) > 0)
+      val (rowsComp, plannedComp, bucketComp) = serveRows()
+      assert(rowsComp == rowsFrag, "compaction changed served rows")
+      assert(plannedComp < plannedFrag,
+        s"compaction did not restore pruning: $plannedFrag -> $plannedComp")
+      assert(plannedComp < bucketComp,
+        s"no within-bucket skip after compaction: planned $plannedComp " +
+          s"of $bucketComp bucket files")
+    } finally LakeTable.drop(loc)
+  }
+
   test("D2h indexed hybrid: both arms serve from COMMITTED index tables — " +
       "no corpus read, no cross join — and per-query output is a full " +
       "top-K ranking") {

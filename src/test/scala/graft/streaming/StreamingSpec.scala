@@ -440,6 +440,31 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(served == batch,
       s"stream-maintained serve diverged: ${(served.toSet diff batch.toSet).take(3)}")
+    // default cap must never fire on the two-wave entry — the trigger is
+    // for unbounded streams, not a behavior change here
+    assert(StreamingQueries.lastBm25StreamCompactions == 0,
+      s"default cap tripped ${StreamingQueries.lastBm25StreamCompactions}" +
+        " compactions on the two-wave entry")
+  }
+
+  test("D7k live index pays its small-file debt: a lowered per-bucket cap " +
+      "trips the DEFAULT compaction mid-stream (declared sort-order " +
+      "re-cluster) and the serve is unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val prev = StreamingQueries.bm25StreamCompactPerBucketCap
+    StreamingQueries.bm25StreamCompactPerBucketCap = 2
+    try {
+      val served = StreamingQueries.d07_bm25_stream(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(StreamingQueries.lastBm25StreamCompactions >= 1,
+        "lowered cap should trip at least one mid-stream compaction")
+      val batch = graft.queries.PipelineQueries.d02_bm25_topk(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(served == batch,
+        "mid-stream compaction changed the served ranking")
+    } finally StreamingQueries.bm25StreamCompactPerBucketCap = prev
   }
 
   test("D7m live substring gate: wave-1 re-keys are caught ONLY because the " +
