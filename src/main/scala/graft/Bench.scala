@@ -526,6 +526,11 @@ object Bench {
         val substrIdx = best2At("d01_substring_index")
         val bm25Idx = best2At("d02_bm25_index")
         val qlr = best2At("d04_quality_lr")
+        // round-12 additions: the positional index (same two-level layout
+        // as BM25 — curve should track postings ~linearly) and the fused
+        // committed-arm hybrid (serve ∝ query; build ∝ corpus encode)
+        val phraseIdx = best2At("d02_phrase_index")
+        val hybrid = best2At("d02_hybrid_indexed")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
         Seq(s"d01_dedup_cluster_x$m" -> cluster, s"d01_semdedup_x$m" -> sem,
           s"d03_minhash_lsh_x$m" -> mh,
@@ -539,6 +544,8 @@ object Bench {
           s"d01_substring_index_x$m" -> substrIdx,
           s"d02_bm25_index_x$m" -> bm25Idx,
           s"d04_quality_lr_x$m" -> qlr,
+          s"d02_phrase_index_x$m" -> phraseIdx,
+          s"d02_hybrid_indexed_x$m" -> hybrid,
           // the O(log diameter) claim as artifact data, not SURVEY prose:
           // rounds-vs-size rides the same JSON object as the seconds
           s"cc_rounds_x$m" -> ccRounds.toDouble)
@@ -1100,13 +1107,36 @@ object Bench {
         // (one parquet file ≈ open + footer + read round-trips); the
         // seconds carry what that costs through 32-way read parallelism.
         {
-          import org.apache.spark.sql.functions.{col, count => fcount,
-            lit, size => fsize, split => fsplit, sum => fsum}
+          import org.apache.spark.sql.functions.{col, concat, concat_ws,
+            count => fcount, element_at, lit, pmod, size => fsize,
+            split => fsplit, sum => fsum, typedLit, when, xxhash64}
           val P = graft.queries.PipelineQueries
           val LQ = graft.queries.LakeQueries
           val idxLoc = loc("bm25idx")
-          val docs = graft.Tables.t(spark, sfDir, "documents")
-            .select(col("doc_id"), col("text"))
+          // the testdata vocabulary is ~30 words, so the fixed probe
+          // terms ARE the corpus head: 80% of all postings are probe-term
+          // postings (measured 92,780 of 116,231 at sf0.1) and a CORRECT
+          // serve must read nearly every file — 99 of 120 planned is
+          // data, not a plan defect. Query-proportional retrieval is only
+          // measurable when queries are not the head, so the probe
+          // synthesizes a realistic-vocabulary corpus at the sf's doc
+          // count: 40 filler terms per doc from a 20,011-term vocabulary
+          // (deterministic xxhash64 draws) plus one probe term planted on
+          // every 50th doc — each query term then has ~nDocs/1200
+          // postings, the needle-in-corpus shape a 100 TB index serves.
+          val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+          val probeTerms = P.Bm25Queries.flatMap(_._2.split(" ")).distinct
+          val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+            concat(
+              concat_ws(" ", (0 until 40).map(j =>
+                concat(lit("w"),
+                  pmod(xxhash64(col("id"), lit(j)), lit(20011L)))): _*),
+              when(pmod(col("id"), lit(50L)) === 0L,
+                concat(lit(" "), element_at(
+                  typedLit(probeTerms),
+                  (pmod(col("id") / 50L, lit(probeTerms.size.toLong)) + 1L)
+                    .cast("int"))))
+                .otherwise(lit(""))).as("text"))
           val idx = LakeTable.create(idxLoc, P.Bm25IndexDdl,
             TruncateSpec("tkey", 1L))
           idx.setProperty("write.sort-order", "thash")
@@ -1122,10 +1152,7 @@ object Bench {
             val idxT = LakeTable.load(idxLoc)
             val (nd, sdl) = LQ.bm25FoldStats(idxT.tableMeta.properties)
             val df0 = idxT.toDF(spark)
-            val df = if (pruned)
-              df0.filter(col("tkey").isin(P.bm25QueryTkeys: _*)
-                && col("thash").isin(P.bm25QueryThashes: _*))
-            else df0
+            val df = if (pruned) df0.filter(P.bm25LayoutPredicate) else df0
             P.bm25Serve(df.select("term", "doc_id", "tf", "dl"), nd, sdl)
               .write.mode("overwrite").format("noop").save()
             (System.nanoTime() - t0) / 1e9
@@ -1689,6 +1716,12 @@ object Bench {
     if (annPhases.nonEmpty)
       System.err.println("[bench] d02_ann_indexed phases: " + annPhases
         .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+    // same discipline for the heavy tail's new biggest entry
+    val hybridPhases =
+      if (fullRun) graft.queries.LakeQueries.lastHybridIndexedPhases else Nil
+    if (hybridPhases.nonEmpty)
+      System.err.println("[bench] d02_hybrid_indexed phases: " + hybridPhases
+        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
     // r10 verdict item 2's "measured tokens/sec at a few-hundred-merge
     // vocab": one end-to-end run of the production-vocab encoder (model
     // commit + serve) reduced to sum(n_tokens); rate = corpus tokens
@@ -1880,6 +1913,8 @@ object Bench {
         (if (fullDuckdb) optObj("d06_shards_phases", shardPhases)
          else "") +
         (if (fullDuckdb) optObj("d02_ann_indexed_phases", annPhases)
+         else "") +
+        (if (fullDuckdb) optObj("d02_hybrid_indexed_phases", hybridPhases)
          else "") +
         (if (fullDuckdb) optObj("bpe_full", bpeRate) else "") +
         optObj("commit_contention", commitContention) +

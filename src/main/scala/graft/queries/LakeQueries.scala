@@ -1058,12 +1058,11 @@ object LakeQueries {
       lastPhraseIndexMaintRows =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       val idxT = LakeTable.load(loc)
-      // serve-side layout pruning, same two levels as the BM25 serve:
-      // phrase terms are literals → tkey IN prunes to matched buckets at
-      // the manifest, thash IN skips files within them via footer min/max
+      // serve-side layout pruning, same bucket-aware predicate as the
+      // BM25 serve: each OR branch pins a tkey bucket and footer-skips
+      // within it on that bucket's own term hashes
       val out = P.phraseServe(
-        idxT.toDF(s).filter(col("tkey").isin(P.phraseQueryTkeys: _*)
-            && col("thash").isin(P.phraseQueryThashes: _*))
+        idxT.toDF(s).filter(P.phraseLayoutPredicate)
           .select("term", "doc_id", "positions"))
       lastPhraseIndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
       val res = localize(out)
@@ -1279,16 +1278,16 @@ object LakeQueries {
       // postings rows + the folded stats shards are everything BM25 needs
       val idxT = LakeTable.load(loc)
       val (nd, sdl) = bm25FoldStats(idxT.tableMeta.properties)
-      // serve-side LAYOUT pruning (r11 verdict item 2), two levels: the
-      // query terms are literals, so both layout keys are plan-time
-      // constants — tkey IN prunes the scan to matched BUCKETS at the
-      // manifest, thash IN then skips files WITHIN those buckets via
-      // footer min/max on the sorted column (rows were already
-      // term-filtered downstream, so results are unchanged; without
-      // these the serve read every index file and filtered rows after).
+      // serve-side LAYOUT pruning (r11 verdict item 2), two levels in one
+      // bucket-aware predicate: the query terms are literals, so both
+      // layout keys are plan-time constants — each OR branch pins a tkey
+      // bucket (manifest prune) and tests ONLY that bucket's term hashes
+      // against the thash-sorted files' footer ranges (within-bucket
+      // skip). See layoutPredicate for why the flat two-IN form barely
+      // skipped. Rows were already term-filtered downstream, so results
+      // are unchanged.
       val out = P.bm25Serve(
-        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
-            && col("thash").isin(P.bm25QueryThashes: _*))
+        idxT.toDF(s).filter(P.bm25LayoutPredicate)
           .select("term", "doc_id", "tf", "dl"),
         nd, sdl)
       lastBm25IndexServe = Some((out.queryExecution.optimizedPlan.toString, loc))
@@ -1309,6 +1308,12 @@ object LakeQueries {
     * anywhere in the fused plan. */
   @volatile private[graft] var lastHybridIndexedPlan:
     Option[(String, String, String)] = None
+  /** Wall-second phase split of the last d02_hybrid_indexed run — the
+    * heavy tail's biggest entry from its first tracked round, so drift
+    * is attributable in-artifact from birth (the d02_ann_indexed
+    * discipline, r11 verdict item 7). */
+  @volatile private[graft] var lastHybridIndexedPhases: Seq[(String, Double)] =
+    Nil
 
   // D2h — INDEXED hybrid retrieval (r11 verdict item 6): both arms of
   // the RRF fusion serve from COMMITTED index tables. d02_hybrid_rrf
@@ -1345,6 +1350,8 @@ object LakeQueries {
       // full-index scan per query and reading only the nprobe cells.
       TruncateSpec("cell", 1L))
     try {
+      val tPhase0 = System.nanoTime()
+      def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
       // lexical index: the corpus postings + same-commit stats property
       // (maintenance mechanics are d02_bm25_index's concern; the hybrid
       // needs the committed END STATE both entries share)
@@ -1355,6 +1362,7 @@ object LakeQueries {
         maxRecordsPerFile = P.Bm25IndexRowsPerFile))
       bm25.setProperty(bm25StatsKey("build"),
         s"${st.getLong(0)}:${st.getLong(1)}")
+      val tLexBuild = secsSince(tPhase0); val tPhase1 = System.nanoTime()
       // semantic index: the d02_ann_indexed lifecycle — committed-batch
       // frozen models, corpus encode, increment encode
       val d1 = data.append(LakeWriter.writeDataFiles(
@@ -1372,12 +1380,12 @@ object LakeQueries {
         e.filter(col("vec_id") >= 400), data))
       val i2 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
+      val tAnnBuild = secsSince(tPhase1); val tPhase2 = System.nanoTime()
       // both serves from FRESH loads of the committed tables
       val bT = LakeTable.load(locB)
       val (nd, sdl) = bm25FoldStats(bT.tableMeta.properties)
       val lex = P.bm25Serve(
-        bT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
-            && col("thash").isin(P.bm25QueryThashes: _*))
+        bT.toDF(s).filter(P.bm25LayoutPredicate)
           .select("term", "doc_id", "tf", "dl"), nd, sdl)
         .select(col("qid"), col("doc_id"), col("rn").as("rl"))
       val iT = LakeTable.load(locI)
@@ -1392,7 +1400,11 @@ object LakeQueries {
       val out = P.rrfFuse(lex, sem)
       lastHybridIndexedPlan =
         Some((out.queryExecution.optimizedPlan.toString, locB, locI))
-      localize(out)
+      val res = localize(out)
+      lastHybridIndexedPhases = Seq(
+        "lex_build_s" -> tLexBuild, "ann_build_s" -> tAnnBuild,
+        "fused_serve_s" -> secsSince(tPhase2))
+      res
     } finally {
       LakeTable.drop(locB)
       LakeTable.drop(locD)

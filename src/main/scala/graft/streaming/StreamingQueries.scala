@@ -1263,8 +1263,7 @@ object StreamingQueries {
       val idxT = LakeTable.load(locI)
       val (nd, sdl) = L.bm25FoldStats(idxT.tableMeta.properties)
       localize(P.bm25Serve(
-        idxT.toDF(s).filter(col("tkey").isin(P.bm25QueryTkeys: _*)
-            && col("thash").isin(P.bm25QueryThashes: _*))
+        idxT.toDF(s).filter(P.bm25LayoutPredicate)
           .select("term", "doc_id", "tf", "dl"),
         nd, sdl))
     } finally {
