@@ -1273,6 +1273,129 @@ object StreamingQueries {
     }
   }
 
+  // D7n — CONTINUOUS hybrid retrieval: BOTH committed arms of the fused
+  // serve (d02_hybrid_indexed) maintained by checkpointed streams. The
+  // lexical arm is the d07_bm25_stream flow (per-epoch postings append +
+  // sharded stats property in one epoch-fenced commit); the semantic arm
+  // is the d07_ann_index_stream flow (frozen committed-batch models, the
+  // stream encodes each micro-batch's vectors into the cell-keyed index
+  // through the laketable sink). The serve then fuses the two committed
+  // end states rank-space exactly like the batch entry — bucket-aware
+  // layout-pruned postings scan + nprobe cell fan-out over committed PQ
+  // codes — so after both streams drain the full corpus the output IS
+  // d02_hybrid_indexed's, and the entry rides the same end-to-end hash
+  // oracle. This closes the continuous column for retrieval the way the
+  // dedup regimes were closed: a search service whose BOTH indexes trail
+  // arrivals, never rebuilt, fused at query time.
+  def d07_hybrid_stream(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    graft.functions.CosineSimilarity.register(s)
+    def tmp(tag: String) =
+      s"${System.getProperty("java.io.tmpdir")}/graft-d07hyb-$tag-${UUID.randomUUID()}"
+    val locD = tmp("docs"); val locB = tmp("bm25")
+    val locE = tmp("vecs"); val locI = tmp("ann")
+    val ckptB = tmp("ckptb"); val ckptA = tmp("ckpta")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def stats(docs: DataFrame): (Long, Long) = {
+      val r = docs.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val dataD = LakeTable.create(locD, "doc_id BIGINT,text STRING",
+      TruncateSpec("doc_id", 1000L))
+    val idxB = LakeTable.create(locB, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
+    idxB.setProperty("write.sort-order", "thash")
+    val dataE = LakeTable.create(locE, "vec_id BIGINT,embedding ARRAY<FLOAT>",
+      TruncateSpec("vec_id", 100L))
+    val idxI = LakeTable.create(locI,
+      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
+      TruncateSpec("cell", 1L))
+    try {
+      // ---- lexical arm: build half + stream-maintained half ----
+      val s1 = dataD.append(LakeWriter.writeDataFiles(evens, dataD))
+      idxB.append(LakeWriter.writeDataFiles(
+        P.bm25Keyed(P.bm25Postings(dataD.snapshotDF(s, s1))), idxB,
+        sortBy = Seq("thash"), maxRecordsPerFile = P.Bm25IndexRowsPerFile))
+      val (n1, sd1) = stats(dataD.snapshotDF(s, s1))
+      idxB.setProperty(L.bm25StatsKey("build"), s"$n1:$sd1")
+      dataD.append(LakeWriter.writeDataFiles(odds, dataD))
+      val qB = s.readStream.format("laketable")
+        .option("startSnapshotId", s1.toString).load(locD)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val idx = LakeTable.load(locB)
+          val own = L.bm25StatsKey("stream")
+          val Array(n0, sd0) = idx.tableMeta.properties
+            .getOrElse(own, "0:0").split(":").map(_.toLong)
+          val b = batch.select(col("doc_id"), col("text")).persist()
+          try {
+            val (bn, bs) = stats(b)
+            idx.appendEpoch(
+              LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)),
+                idx, sortBy = Seq("thash"),
+                maxRecordsPerFile = P.Bm25IndexRowsPerFile),
+              "hybbm25", epoch,
+              extraProps = Map(own -> s"${n0 + bn}:${sd0 + bs}"))
+          } finally b.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckptB)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qB.awaitTermination()
+      // ---- semantic arm: frozen committed-batch models, streamed encode ----
+      val d1 = dataE.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") < 400), dataE))
+      val committed = dataE.snapshotDF(s, d1)
+      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      idxI.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
+      idxI.setProperty(P.AnnPqProp, P.pqModelToString(pq))
+      def runAnnMaint(): Unit = {
+        val q = P.ivfPqEncode(s,
+            s.readStream.format("laketable")
+              .option("startSnapshotId", "0").load(locE), ivf, pq)
+          .writeStream.format("laketable")
+          .option("checkpointLocation", ckptA)
+          .trigger(Trigger.AvailableNow())
+          .start(locI)
+        q.awaitTermination()
+      }
+      runAnnMaint() // index the committed corpus
+      dataE.append(LakeWriter.writeDataFiles(
+        e.filter(col("vec_id") >= 400), dataE))
+      runAnnMaint() // restart: only the increment's files flow
+      // ---- fused serve from FRESH loads of both committed indexes ----
+      val bT = LakeTable.load(locB)
+      val (nd, sdl) = L.bm25FoldStats(bT.tableMeta.properties)
+      val lex = P.bm25Serve(
+        bT.toDF(s).filter(P.bm25LayoutPredicate)
+          .select("term", "doc_id", "tf", "dl"), nd, sdl)
+        .select(col("qid"), col("doc_id"), col("rn").as("rl"))
+      val iT = LakeTable.load(locI)
+      val ivf2 = P.ivfModelFromString(iT.tableMeta.properties(P.AnnIvfProp))
+      val pq2 = P.pqModelFromString(iT.tableMeta.properties(P.AnnPqProp))
+      val sem = P.ivfPqServe(s, iT.toDF(s), dataE.toDF(s), ivf2, pq2,
+          probeFilter = col("vec_id").between(1, P.Bm25Queries.length),
+          topK = P.Bm25TopK)
+        .select(col("qid").cast("int").as("qid"),
+          col("oid").as("doc_id"), col("rn").as("rs"))
+      localize(P.rrfFuse(lex, sem))
+    } finally {
+      LakeTable.drop(locD); LakeTable.drop(locB)
+      LakeTable.drop(locE); LakeTable.drop(locI)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckptB))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckptA))
+    }
+  }
+
   /** Distinct dup doc_ids landed by each of the two d07_minhash_live gate
     * runs — exactly-once evidence across the checkpointed restart. */
   @volatile private[graft] var lastMinhashLiveRunDups: Seq[Long] = Nil
@@ -1808,6 +1931,7 @@ object StreamingQueries {
     "d07_ann_ordered" -> d07_ann_ordered _,
     "d07_seqpack_stream" -> d07_seqpack_stream _,
     "d07_bm25_stream" -> d07_bm25_stream _,
+    "d07_hybrid_stream" -> d07_hybrid_stream _,
     "d07_substring_live" -> d07_substring_live _,
     "d07_ann_index_stream" -> d07_ann_index_stream _,
     "d07_minhash_stream" -> d07_minhash_stream _,
@@ -1854,6 +1978,10 @@ object StreamingQueries {
     // corpus, so the full-corpus BM25 replay oracles the completed
     // stream (batch-equivalence, same oracle as d02_bm25_topk/_index)
     "d07_bm25_stream" -> graft.queries.PipelineQueries.bm25OracleSql,
+    // both stream-maintained arms drain to the batch entry's committed
+    // end state, so the fused serve rides the same end-to-end replay
+    "d07_hybrid_stream" ->
+      graft.queries.PipelineQueries.hybridIndexedOracleSql,
     // wave-grain replay of the live substring gate: a wave-k shingle is
     // a hit iff it appears in the corpus, ANY earlier wave, or at least
     // TWICE within its own wave (the within-batch self-dup term) —

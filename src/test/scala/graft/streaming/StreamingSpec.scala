@@ -467,6 +467,21 @@ class StreamingSpec extends SparkSpec {
     } finally StreamingQueries.bm25StreamCompactPerBucketCap = prev
   }
 
+  test("D7n continuous hybrid retrieval: both stream-maintained arms drain " +
+      "to the batch end state and the fused serve equals d02_hybrid_indexed") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.d07_hybrid_stream(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty)
+    val batch = graft.queries.LakeQueries.d02_hybrid_indexed(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(streamed == batch,
+      s"continuous hybrid diverged from the batch fusion: ${
+        (streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("D7m live substring gate: wave-1 re-keys are caught ONLY because the " +
       "index self-maintains; both runs land hits exactly once") {
     val dir = "/root/testdata/sf0.001"
