@@ -1871,8 +1871,25 @@ object Bench {
           .mkString(s""""$key":{""", ",", "},")
       val q = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+      // the raw sf0.1 all-overlap quotient mixes two populations: the
+      // ENVELOPE queries (pure compute, comparable across engines) and
+      // the heavy-tail LIFECYCLE entries (table create + multi-commit +
+      // serve + drop, which the DuckDB oracle replays as pure logic with
+      // no storage — pricing the table round-trip against nothing, the
+      // r10 finding that moved them out of the envelope). The full
+      // artifact carries the split so a reader computes like-for-like;
+      // the cross-engine headline remains the x10 section.
+      val envNames = envelope.map(_._1).toSet
+      val envOverlap = overlap.filter(p => envNames(p._1))
+      val lifecycleOverlap = overlap.filterNot(p => envNames(p._1))
+      val split =
+        if (!fullDuckdb || duckdbByQuery.isEmpty) ""
+        else s""""spark_env_total":${f(envOverlap.map(_._2).sum)},""" +
+          s""""duckdb_env_total":${f(envOverlap.map(p => duckdbByQuery(p._1)).sum)},""" +
+          s""""spark_lifecycle_total":${f(lifecycleOverlap.map(_._2).sum)},""" +
+          s""""duckdb_lifecycle_total":${f(lifecycleOverlap.map(p => duckdbByQuery(p._1)).sum)},"""
       val duck =
-        if (fullDuckdb) s""""duckdb_seconds":$duckdbJson,"""
+        if (fullDuckdb) split + s""""duckdb_seconds":$duckdbJson,"""
         else if (duckdbByQuery.isEmpty) """"duckdb_total":null,"""
         else s""""duckdb_total":${f(overlap.map(p => duckdbByQuery(p._1)).sum)},""" +
           s""""duckdb_overlap":${overlap.size},""" +

@@ -132,6 +132,24 @@ object LakeQueries {
     local
   }
 
+  // B5b — ORC sink/scan round-trip: the remaining columnar format Spark
+  // ships natively (A8's format coverage: parquet b04, avro b05,
+  // json/csv b06, ORC here). DuckDB cannot read ORC, so the oracle
+  // replays the write→read identity over the source table — the
+  // roundtrip is the op under test and the aggregate pins content
+  // equality (same keys as the parquet roundtrip's oracle).
+  def b05b_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("orc")
+    t(s, dir, "lineitem").write.mode("overwrite").orc(tmp)
+    val out = s.read.orc(tmp).agg(
+      count(lit(1)).as("cnt"),
+      min("l_orderkey").as("min_ok"),
+      max("l_orderkey").as("max_ok"))
+    val local = localize(out)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    local
+  }
+
   // B5 — avro sink/scan round-trip (A8): events subset through Avro
   // container files and back.
   def b05_avro_roundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -2196,6 +2214,7 @@ object LakeQueries {
     "b03_incremental_scan" -> b03_incremental_scan _,
     "b03b_incremental_options" -> b03b_incremental_options _,
     "b04_parquet_roundtrip" -> b04_parquet_roundtrip _,
+    "b05b_orc_roundtrip" -> b05b_orc_roundtrip _,
     "b04b_lake_sink" -> b04b_lake_sink _,
     "b05_avro_roundtrip" -> b05_avro_roundtrip _,
     "b06_json_csv" -> b06_json_csv _,
@@ -2346,6 +2365,10 @@ object LakeQueries {
         |  CAST(COUNT(*) * 1600 AS BIGINT) FROM range(0, 50)
         |ORDER BY bucket""".stripMargin,
     "b04_parquet_roundtrip" ->
+      "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
+    // DuckDB cannot read ORC; the roundtrip is identity, so the oracle is
+    // the same aggregate over the source table
+    "b05b_orc_roundtrip" ->
       "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
     "b05_avro_roundtrip" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
