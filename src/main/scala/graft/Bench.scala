@@ -595,14 +595,23 @@ object Bench {
       val mCust = keyCeil("customer", "c_custkey")
       val mPart = keyCeil("part", "p_partkey")
       val mSupp = keyCeil("supplier", "s_suppkey")
-      val mUser = keyCeil("events", "user_id")
-      val mEvent = keyCeil("events", "event_id")
+      // events' two ceilings in ONE aggregate; all ceilings are one job
+      // per table, and rep() caches its base so the union of m shifted
+      // replicas reads the source parquet once, not m times (this is
+      // untimed setup, but it runs on every full bench)
+      val evCeil = tb("events")
+        .agg(max(col("user_id")), max(col("event_id"))).head()
+      val mUser = evCeil.getLong(0) + 1
+      val mEvent = evCeil.getLong(1) + 1
       val mDoc = keyCeil("documents", "doc_id")
       val mVec = keyCeil("embeddings", "vec_id")
       def rep(table: String)(shift: (org.apache.spark.sql.DataFrame, Int) =>
-          org.apache.spark.sql.DataFrame): Unit =
-        (0 until m).map(i => shift(tb(table), i)).reduce(_ union _)
+          org.apache.spark.sql.DataFrame): Unit = {
+        val base = tb(table).persist()
+        try (0 until m).map(i => shift(base, i)).reduce(_ union _)
           .write.parquet(s"$scratch/$table.parquet")
+        finally base.unpersist()
+      }
       rep("lineitem")((d, i) => d
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * mOrd))
         .withColumn("l_partkey", col("l_partkey") + lit(i * mPart))
@@ -656,9 +665,13 @@ object Bench {
         java.nio.file.Files.write(f.toPath,
           graft.lake.Json.write(node).getBytes("UTF-8"))
         val sb = new StringBuilder
+        // stderr INHERITs the bench's own stderr: a piped-but-unread
+        // stderr deadlocks the child (and this run) the moment a warning
+        // storm overflows the ~64 KB pipe buffer; merging into stdout
+        // would corrupt the JSON line instead
         val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
           scratch, f.getAbsolutePath, "median3")
-          .redirectErrorStream(false).start()
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
         val src = scala.io.Source.fromInputStream(proc.getInputStream)
         try sb.append(src.mkString) finally src.close()
         val line = sb.toString.trim
@@ -1317,9 +1330,7 @@ object Bench {
       val locI = s"${System.getProperty("java.io.tmpdir")}/graft-bench-rbd-i-${java.util.UUID.randomUUID()}"
       val data = LakeTable.create(locD,
         "vec_id BIGINT,embedding ARRAY<FLOAT>", TruncateSpec("vec_id", 100L))
-      val index = LakeTable.create(locI,
-        "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-        TruncateSpec("vec_id", 100L))
+      val index = LakeTable.create(locI, P.AnnIndexDdl, P.AnnIndexSpec)
       try {
         val d1 = data.append(LakeWriter.writeDataFiles(corpus, data))
         val committed = data.snapshotDF(spark, d1)
@@ -1804,8 +1815,10 @@ object Bench {
         java.nio.file.Files.write(f.toPath,
           graft.lake.Json.write(node).getBytes("UTF-8"))
         val sb = new StringBuilder
+        // same stderr-INHERIT rationale as the x10 invocation above
         val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
-          sfDir, f.getAbsolutePath).redirectErrorStream(false).start()
+          sfDir, f.getAbsolutePath)
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
         val src = scala.io.Source.fromInputStream(proc.getInputStream)
         try sb.append(src.mkString) finally src.close()
         val line = sb.toString.trim

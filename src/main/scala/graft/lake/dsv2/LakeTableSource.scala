@@ -410,12 +410,25 @@ object LakeScanMetrics {
   @volatile var lastPlannedFiles: Int = -1
   /** location → planned file count of the most recent batch scan of that
     * table — lets a spec observe ONE table's pruning inside a plan that
-    * scans several tables (gate plans read the data AND index tables). */
+    * scans several tables (gate plans read the data AND index tables).
+    * BOUNDED: scratch tables are UUID-named and dropped after each entry,
+    * so an unbounded map leaks one key per table ever scanned across a
+    * long Verify/bench session; observers only ever ask about tables
+    * scanned moments ago, so keeping the most recent 64 loses nothing. */
   @volatile var lastPlannedByLocation: Map[String, Int] = Map.empty
+  private val recentLocations = new java.util.LinkedHashMap[String, Int](
+      64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Int]): Boolean = size() > 64
+  }
   private[dsv2] def record(location: String, planned: Int): Unit =
     synchronized {
       lastPlannedFiles = planned
-      lastPlannedByLocation = lastPlannedByLocation + (location -> planned)
+      recentLocations.put(location, planned)
+      lastPlannedByLocation = {
+        import scala.jdk.CollectionConverters._
+        recentLocations.asScala.toMap
+      }
     }
 }
 

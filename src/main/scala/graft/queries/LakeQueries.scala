@@ -1359,14 +1359,7 @@ object LakeQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
-      // joins the index on cell, so Spark's runtime (DPP) filter prunes
-      // the index SCAN to the probed cells' files — the serve respects
-      // the index's own layout, like the BM25/phrase tkey pruning. At
-      // 100 TB (thousands of cells) this is the difference between a
-      // full-index scan per query and reading only the nprobe cells.
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val tPhase0 = System.nanoTime()
       def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
@@ -1386,10 +1379,7 @@ object LakeQueries {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
       val committed = data.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       index.append(LakeWriter.writeDataFiles(
@@ -1574,14 +1564,7 @@ object LakeQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
-      // joins the index on cell, so Spark's runtime (DPP) filter prunes
-      // the index SCAN to the probed cells' files — the serve respects
-      // the index's own layout, like the BM25/phrase tkey pruning. At
-      // 100 TB (thousands of cells) this is the difference between a
-      // full-index scan per query and reading only the nprobe cells.
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val tPhase0 = System.nanoTime()
       def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
@@ -1589,10 +1572,7 @@ object LakeQueries {
         e.filter(col("vec_id") < 400), data))
       val tData = secsSince(tPhase0); val tPhase1 = System.nanoTime()
       val committed = data.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       // the frozen models commit WITH the index (table properties, exact
       // text codec) — the index table is self-contained: serving below
       // uses ONLY what a fresh session could load from the two tables
@@ -1654,14 +1634,7 @@ object LakeQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
-      // joins the index on cell, so Spark's runtime (DPP) filter prunes
-      // the index SCAN to the probed cells' files — the serve respects
-      // the index's own layout, like the BM25/phrase tkey pruning. At
-      // 100 TB (thousands of cells) this is the difference between a
-      // full-index scan per query and reading only the nprobe cells.
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
@@ -1845,22 +1818,12 @@ object LakeQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // layout-keyed by IVF CELL (r12): the serve's probe→cell fan-out
-      // joins the index on cell, so Spark's runtime (DPP) filter prunes
-      // the index SCAN to the probed cells' files — the serve respects
-      // the index's own layout, like the BM25/phrase tkey pruning. At
-      // 100 TB (thousands of cells) this is the difference between a
-      // full-index scan per query and reading only the nprobe cells.
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
       val committed = data.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       index.append(LakeWriter.writeDataFiles(

@@ -641,13 +641,17 @@ object PipelineQueries {
     * manifest/partition level, thash IN prunes within buckets via footer
     * min/max on the sorted column.
     */
-  private[graft] def bm25QueryTkeys: Seq[Long] =
+  // lazy vals, not defs: the probes are compile-time constants, and a def
+  // re-runs XxHash64.eval over every term at each call site — including
+  // inside per-file closures (lastBm25ServeBucketFiles counts via
+  // bm25QueryTkeys.contains per file)
+  private[graft] lazy val bm25QueryTkeys: Seq[Long] =
     Bm25Queries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
-  private[graft] def phraseQueryTkeys: Seq[Long] =
+  private[graft] lazy val phraseQueryTkeys: Seq[Long] =
     PhraseQueries.flatMap(_._2.split(" ")).distinct.map(tkeyOf).distinct.sorted
-  private[graft] def bm25QueryThashes: Seq[Long] =
+  private[graft] lazy val bm25QueryThashes: Seq[Long] =
     Bm25Queries.flatMap(_._2.split(" ")).distinct.map(thashOf).distinct.sorted
-  private[graft] def phraseQueryThashes: Seq[Long] =
+  private[graft] lazy val phraseQueryThashes: Seq[Long] =
     PhraseQueries.flatMap(_._2.split(" ")).distinct.map(thashOf).distinct.sorted
 
   /** The serve-side layout predicate, BUCKET-AWARE: OR over matched
@@ -669,9 +673,9 @@ object PipelineQueries {
       .map { case (k, hs) =>
         col("tkey") === lit(k) && col("thash").isin(hs.distinct.sorted: _*)
       }.reduce(_ || _)
-  private[graft] def bm25LayoutPredicate: org.apache.spark.sql.Column =
+  private[graft] lazy val bm25LayoutPredicate: org.apache.spark.sql.Column =
     layoutPredicate(bm25QueryThashes)
-  private[graft] def phraseLayoutPredicate: org.apache.spark.sql.Column =
+  private[graft] lazy val phraseLayoutPredicate: org.apache.spark.sql.Column =
     layoutPredicate(phraseQueryThashes)
 
   /** BM25 scoring + top-K over a postings set. Work ∝ the QUERY TERMS'
@@ -1470,6 +1474,32 @@ object PipelineQueries {
       .filter(col("rn") <= topK)
       .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** Committed ANN index layout: one row per vector (IVF cell + 4 PQ
+    * codes), PARTITIONED BY CELL so the serve's probe→cell join
+    * runtime-prunes (DPP) the index scan to the probed cells' files —
+    * the semantic sibling of the BM25 tkey/thash layout. At 100 TB
+    * (thousands of cells) this is the difference between a full-index
+    * scan per query and reading only the nprobe cells. ONE definition
+    * for the six build sites (batch/trained/rebuild/hybrid entries, the
+    * stream maintainers, the specs) so they cannot diverge.
+    */
+  private[graft] val AnnIndexDdl =
+    "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT"
+  private[graft] val AnnIndexSpec = graft.lake.TruncateSpec("cell", 1L)
+
+  /** Frozen untrained seed models over a COMMITTED corpus: every-17th
+    * vec_id seeds (≤16) + iteration-0 PQ codebooks — THE model recipe the
+    * committed-ANN entries and their oracles share (the oracles' seed
+    * predicate is `vec_id % 17 = 0` over the committed batch). One
+    * definition so the five build sites cannot diverge from it. */
+  private[graft] def annSeedModels(committed: DataFrame)
+      : (Array[(Long, Seq[Float])], Array[Array[Seq[Double]]]) = {
+    val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    (ivf, trainPqCodebooks(committed, iters = 0, seedMod = 17))
   }
 
   /** Table-property keys + exact text codec for the frozen ANN models —

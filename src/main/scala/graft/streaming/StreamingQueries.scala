@@ -639,18 +639,12 @@ object StreamingQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // cell-keyed like the batch ANN index tables (r12): probed-cell
-      // runtime pruning applies to the stream-maintained serve too
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
       val committed = data.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       def runMaintenance(): Unit = {
         val q = P.ivfPqEncode(s,
             s.readStream.format("laketable")
@@ -794,18 +788,12 @@ object StreamingQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // cell-keyed like the batch ANN index tables (r12): probed-cell
-      // runtime pruning applies to the stream-maintained serve too
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
       val committed = data.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       def runMaintenance(): Unit = {
@@ -865,10 +853,7 @@ object StreamingQueries {
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      // cell-keyed like the batch ANN index tables (r12): probed-cell
-      // runtime pruning applies to the stream-maintained serve too
-      TruncateSpec("cell", 1L))
+      P.AnnIndexDdl, P.AnnIndexSpec)
     LakeTable.create(locR,
       "arr BIGINT,qid BIGINT,rn INT,oid BIGINT,cos DOUBLE",
       TruncateSpec("arr", 1L))
@@ -876,10 +861,7 @@ object StreamingQueries {
       // frozen models over the full corpus (arrival-independent encode),
       // committed WITH the index — nothing the stream uses lives outside
       // the tables
-      val ivf = e.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(e, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(e)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       // five arrivals, one commit each (one 100-wide bucket → one file,
@@ -1154,6 +1136,51 @@ object StreamingQueries {
   /** Compactions the last d07_bm25_stream run triggered. */
   @volatile private[graft] var lastBm25StreamCompactions: Int = 0
 
+  /** One epoch-fenced BM25 index-maintenance step over a micro-batch —
+    * shared by d07_bm25_stream and d07_hybrid_stream's lexical arm so
+    * the two maintainers cannot diverge. Fresh committed-state load;
+    * stats are SHARDED per maintainer (bm25StatsKey): this step advances
+    * only ITS OWN accumulated shard, so the read-increment-write stays
+    * safe under concurrent maintainers — a CAS retry re-merges the shard
+    * onto the refreshed property map, and no two maintainers ever write
+    * the same key (readers fold the family; the two-maintainer race is
+    * pinned by CommitCasSpec). Postings append thash-sorted in the SAME
+    * epoch-fenced commit as the stats delta (a replayed epoch re-lands
+    * neither), then the small-file-debt check runs on the committed
+    * state OUTSIDE the fence — compaction moves no rows, so a replayed
+    * epoch may skip it harmlessly. */
+  private def bm25MaintainEpoch(locI: String, shard: String,
+      queryId: String, batch: DataFrame, epoch: Long): Unit = {
+    import graft.lake._
+    val P = graft.queries.PipelineQueries
+    val L = graft.queries.LakeQueries
+    val idx = LakeTable.load(locI)
+    val own = L.bm25StatsKey(shard)
+    val Array(n0, sd0) = idx.tableMeta.properties
+      .getOrElse(own, "0:0").split(":").map(_.toLong)
+    // two consumers (postings, the stats delta) read the batch once
+    // through the cache, not twice
+    val b = batch.select(col("doc_id"), col("text")).persist()
+    try {
+      val r = b.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).head()
+      idx.appendEpoch(
+        LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)), idx,
+          sortBy = Seq("thash"),
+          maxRecordsPerFile = P.Bm25IndexRowsPerFile),
+        queryId, epoch, extraProps =
+          Map(own -> s"${n0 + r.getLong(0)}:${sd0 + r.getLong(1)}"))
+      val post = LakeTable.load(locI)
+      val perBucket = post.files().groupBy(_.partitionValue)
+        .values.map(_.size).maxOption.getOrElse(0)
+      if (perBucket >= bm25StreamCompactPerBucketCap) {
+        post.compactFiles(b.sparkSession,
+          maxRecordsPerFile = P.Bm25IndexRowsPerFile)
+        lastBm25StreamCompactions += 1
+      }
+    } finally b.unpersist()
+  }
+
   // D7k — the BM25 inverted index maintained BY A STREAM, completing the
   // committed-index family's continuous column (exact ✓ fuzzy ✓ semantic
   // ✓ ANN ✓ seq-pack ✓ — lexical retrieval was the gap): the corpus
@@ -1202,45 +1229,10 @@ object StreamingQueries {
           .option("startSnapshotId", s1.toString).load(locD)
           .writeStream
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            // stats are SHARDED per maintainer (L.bm25StatsKey): this
-            // query advances only ITS OWN accumulated shard, so the
-            // read-increment-write stays safe under concurrent
-            // maintainers — a CAS retry re-merges the shard onto the
-            // refreshed property map, and no two maintainers ever write
-            // the same key (readers fold the family; two-maintainer race
-            // pinned by CommitCasSpec)
-            val idx = LakeTable.load(locI) // fresh: committed state only
-            val own = L.bm25StatsKey("stream")
-            val Array(n0, sd0) = idx.tableMeta.properties
-              .getOrElse(own, "0:0").split(":").map(_.toLong)
-            // two consumers (postings, the stats delta) read the batch
-            // once through the cache, not twice
-            val b = batch.select(col("doc_id"), col("text")).persist()
-            try {
-              val (bn, bs) = stats(b)
-              idx.appendEpoch(
-                LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)),
-                  idx, sortBy = Seq("thash"),
-                  maxRecordsPerFile = P.Bm25IndexRowsPerFile),
-                "bm25idx", epoch, extraProps =
-                  Map(own -> s"${n0 + bn}:${sd0 + bs}"))
-              // small-file-debt check AFTER the epoch commit: per-epoch
-              // appends accrue one small file per touched bucket; past
-              // the cap, one DEFAULT compaction (declared sort-order →
-              // thash re-cluster) pays the debt down, so pruning quality
-              // is bounded by the cap, not by stream lifetime. Runs on
-              // the committed state outside the epoch fence — a replayed
-              // epoch may skip it harmlessly (compaction moves no rows).
-              val post = LakeTable.load(locI)
-              val perBucket = post.files().groupBy(_.partitionValue)
-                .values.map(_.size).maxOption.getOrElse(0)
-              if (perBucket >= bm25StreamCompactPerBucketCap) {
-                post.compactFiles(b.sparkSession,
-                  maxRecordsPerFile = P.Bm25IndexRowsPerFile)
-                lastBm25StreamCompactions += 1
-              }
-            } finally b.unpersist()
-            ()
+            // the shared maintainer step: sharded stats + thash-sorted
+            // postings in one epoch-fenced commit, then the
+            // small-file-debt check (see bm25MaintainEpoch)
+            bm25MaintainEpoch(locI, "stream", "bm25idx", batch, epoch)
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
@@ -1312,9 +1304,7 @@ object StreamingQueries {
     idxB.setProperty("write.sort-order", "thash")
     val dataE = LakeTable.create(locE, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
-    val idxI = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("cell", 1L))
+    val idxI = LakeTable.create(locI, P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       // ---- lexical arm: build half + stream-maintained half ----
       val s1 = dataD.append(LakeWriter.writeDataFiles(evens, dataD))
@@ -1328,21 +1318,10 @@ object StreamingQueries {
         .option("startSnapshotId", s1.toString).load(locD)
         .writeStream
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          val idx = LakeTable.load(locB)
-          val own = L.bm25StatsKey("stream")
-          val Array(n0, sd0) = idx.tableMeta.properties
-            .getOrElse(own, "0:0").split(":").map(_.toLong)
-          val b = batch.select(col("doc_id"), col("text")).persist()
-          try {
-            val (bn, bs) = stats(b)
-            idx.appendEpoch(
-              LakeWriter.writeDataFiles(P.bm25Keyed(P.bm25Postings(b)),
-                idx, sortBy = Seq("thash"),
-                maxRecordsPerFile = P.Bm25IndexRowsPerFile),
-              "hybbm25", epoch,
-              extraProps = Map(own -> s"${n0 + bn}:${sd0 + bs}"))
-          } finally b.unpersist()
-          ()
+          // the SAME maintainer step as d07_bm25_stream (sharded stats,
+          // thash-sorted epoch-fenced append, small-file-debt check) —
+          // shared so the two flows cannot diverge
+          bm25MaintainEpoch(locB, "stream", "hybbm25", batch, epoch)
         }
         .option("checkpointLocation", ckptB)
         .trigger(Trigger.AvailableNow())
@@ -1352,10 +1331,7 @@ object StreamingQueries {
       val d1 = dataE.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), dataE))
       val committed = dataE.snapshotDF(s, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       idxI.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       idxI.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       def runAnnMaint(): Unit = {

@@ -998,9 +998,7 @@ class PipelineSpec extends SparkSpec {
     val locI = s"${System.getProperty("java.io.tmpdir")}/graft-rbd-i-${java.util.UUID.randomUUID()}"
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
-    val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("cell", 1L)) // cell-keyed like the entries (r12)
+    val index = LakeTable.create(locI, P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val e = graft.Tables.t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -1105,9 +1103,7 @@ class PipelineSpec extends SparkSpec {
     val locI = s"${System.getProperty("java.io.tmpdir")}/graft-trg-i-${java.util.UUID.randomUUID()}"
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
-    val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("cell", 1L)) // cell-keyed like the entries (r12)
+    val index = LakeTable.create(locI, P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val e = graft.Tables.t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -1115,10 +1111,7 @@ class PipelineSpec extends SparkSpec {
         col("embedding"))
       val d1 = data.append(LakeWriter.writeDataFiles(corpusA, data))
       val committed = data.snapshotDF(spark, d1)
-      val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(committed)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       index.append(LakeWriter.writeDataFiles(
@@ -1196,10 +1189,7 @@ class PipelineSpec extends SparkSpec {
     val e = graft.Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val committed = e.filter(col("vec_id") < 400)
-    val ivf = committed.filter(pmod(col("vec_id"), lit(17)) === 0)
-      .orderBy("vec_id").limit(16)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val pq = PipelineQueries.trainPqCodebooks(committed, iters = 0, seedMod = 17)
+    val (ivf, pq) = PipelineQueries.annSeedModels(committed)
     val direct = PipelineQueries.ivfPqSearch(spark, e, ivf, pq).collect().toSeq
     assert(out == direct, s"indexed serve diverged from per-query path")
     // the model text codec (index-table properties) round-trips bit-exactly
@@ -1223,18 +1213,13 @@ class PipelineSpec extends SparkSpec {
     val locI = s"${System.getProperty("java.io.tmpdir")}/graft-cellp-i-${java.util.UUID.randomUUID()}"
     val data = LakeTable.create(locD, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
-    val index = LakeTable.create(locI,
-      "vec_id BIGINT,cell BIGINT,c0 INT,c1 INT,c2 INT,c3 INT",
-      TruncateSpec("cell", 1L))
+    val index = LakeTable.create(locI, P.AnnIndexDdl, P.AnnIndexSpec)
     try {
       val e = graft.Tables.t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       data.append(LakeWriter.writeDataFiles(e, data))
       val corpus = data.toDF(spark)
-      val ivf = corpus.filter(pmod(col("vec_id"), lit(17)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val pq = P.trainPqCodebooks(corpus, iters = 0, seedMod = 17)
+      val (ivf, pq) = P.annSeedModels(corpus)
       index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(spark, corpus, ivf, pq), index))
       val idxT = LakeTable.load(locI)
