@@ -134,17 +134,26 @@ object LakeQueries {
 
   // B5b — ORC sink/scan round-trip: the remaining columnar format Spark
   // ships natively (A8's format coverage: parquet b04, avro b05,
-  // json/csv b06, ORC here). DuckDB cannot read ORC, so the oracle
-  // replays the write→read identity over the source table — the
-  // roundtrip is the op under test and the aggregate pins content
-  // equality (same keys as the parquet roundtrip's oracle).
+  // json/csv b06, ORC here), through Spark's native vectorized ORC
+  // source/sink. The SINGLE canonical ORC entry (r13 folded the b65
+  // near-twin in): full-width lineitem written and read back, then the
+  // per-returnflag aggregate re-derived over the round-tripped files —
+  // count + key extrema + two decimal sums, so an encode/decode loss on
+  // any column class (int key, char flag, decimal measures) diverges the
+  // hash. DuckDB cannot read ORC; the roundtrip is identity, so the
+  // oracle replays the same aggregate over the original parquet table.
   def b05b_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.dec4
     val tmp = scratch("orc")
     t(s, dir, "lineitem").write.mode("overwrite").orc(tmp)
-    val out = s.read.orc(tmp).agg(
-      count(lit(1)).as("cnt"),
-      min("l_orderkey").as("min_ok"),
-      max("l_orderkey").as("max_ok"))
+    val out = s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        min("l_orderkey").as("min_ok"),
+        max("l_orderkey").as("max_ok"),
+        dec4(sum(col("l_quantity"))).as("sum_qty"),
+        dec4(sum(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("l_returnflag")
     val local = localize(out)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
     local
@@ -2054,28 +2063,6 @@ object LakeQueries {
     out
   }
 
-  // B65 — ORC round-trip: the third columnar interchange format next to
-  // parquet (B4) and Avro (B5). Spark's native vectorized ORC
-  // source/sink; the aggregate re-derives over the round-tripped files,
-  // so any encode/decode loss shows in the hash. DuckDB has no ORC
-  // reader — the oracle replays the LOGICAL result over the original
-  // parquet table (round-trip fidelity is exactly what that proves).
-  def b65_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    import graft.Tables.dec4
-    val tmp = scratch("orc")
-    t(s, dir, "lineitem")
-      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").orc(tmp)
-    val out = localize(s.read.orc(tmp)
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        dec4(sum(col("l_quantity"))).as("sum_qty"),
-        dec4(sum(col("l_extendedprice"))).as("sum_price"))
-      .orderBy("l_returnflag"))
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    out
-  }
-
   // B66 — position-delete COMPACTION (`CALL rewrite_position_deletes`,
   // the Iceberg maintenance op): three MoR DELETE commits fragment the
   // table's delete inventory into ≥3 pos-delete files (one parquet open
@@ -2149,7 +2136,6 @@ object LakeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b64_rollback" -> b64_rollback _,
-    "b65_orc_roundtrip" -> b65_orc_roundtrip _,
     "b66_rewrite_deletes" -> b66_rewrite_deletes _,
     "b67_compact_threshold" -> b67_compact_threshold _,
     "b59_snapshots_meta" -> b59_snapshots_meta _,
@@ -2273,14 +2259,6 @@ object LakeQueries {
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 900)
         |ORDER BY o_orderkey""".stripMargin,
-    // DuckDB has no ORC reader: the oracle replays the LOGICAL aggregate
-    // over the original parquet table — a lossy ORC encode/decode on any
-    // of the four columns diverges the hash
-    "b65_orc_roundtrip" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-        | CAST(CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // survivors of the three scripted MoR DELETEs, replayed as negated
     // predicates — a position lost in the rewrite resurrects a row, a
     // position invented (or mis-binned) swallows one; either flips rows
@@ -2330,9 +2308,15 @@ object LakeQueries {
     "b04_parquet_roundtrip" ->
       "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
     // DuckDB cannot read ORC; the roundtrip is identity, so the oracle is
-    // the same aggregate over the source table
+    // the same per-flag aggregate over the source table — a lossy ORC
+    // encode/decode on any column class (int key, char flag, decimal
+    // measures) diverges the hash
     "b05b_orc_roundtrip" ->
-      "SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem",
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        | MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        | CAST(CAST(round(SUM(l_quantity), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(round(SUM(l_extendedprice), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b05_avro_roundtrip" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         | COUNT(DISTINCT event_type) AS n_types FROM events""".stripMargin,

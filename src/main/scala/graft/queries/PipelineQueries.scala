@@ -73,26 +73,24 @@ object PipelineQueries {
     * contamination document dedup cannot see.
     *
     * Scale posture: the only wide shuffle is the groupBy on the shingle
-    * string itself (exactness requires the literal bytes; at 100 TB the
-    * lever is stride>1 sampling + a second exact-verify pass, or grouping
-    * on a 128-bit content hash — md5 is engine-portable if the oracle
-    * must follow). The island window is per-doc (bounded by doc length).
-    * All-integer output → hash-exact across engines.
+    * KEY — the 60-bit md5-prefix hash ([[shingleHashes]], the exact
+    * representation `d01_substring_index` commits), not the literal
+    * 40-char string (r13, verdict item 4: an 8-byte long shuffles ~5×
+    * narrower than 40 UTF-8 chars + offsets; 2^-60 collision contract,
+    * and the DuckDB oracle replays the identical hex derivation so the
+    * two sides cannot disagree even ON a collision). At 100 TB the
+    * further lever is stride>1 sampling + a second exact-verify pass.
+    * The island window is per-doc (bounded by doc length). All-integer
+    * output → hash-exact across engines.
     */
   private[graft] def substringDupSpans(docs: DataFrame): DataFrame = {
     val L = SubstrShingle
-    val d = docs.filter(length(col("text")) >= L)
-    val sh = d
-      .select(col("doc_id"),
-        explode(sequence(lit(0), length(col("text")) - L)).as("p"),
-        col("text"))
-      .select(col("doc_id"), col("p"),
-        expr(s"substring(text, p + 1, $L)").as("sgl"))
-    val dup = sh.groupBy("sgl").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("sgl")
-    val hits = sh.join(dup, Seq("sgl"), "left_semi")
-      .select(col("doc_id"), col("p").cast("long").as("st"),
-        (col("p") + L).cast("long").as("en"))
+    val sh = shingleHashes(docs)
+    val dup = sh.groupBy("shash").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("shash")
+    val hits = sh.join(dup, Seq("shash"), "left_semi")
+      .select(col("doc_id"), col("p").as("st"),
+        (col("p") + L).as("en"))
     mergeSpans(hits)
   }
 
@@ -1856,34 +1854,64 @@ object PipelineQueries {
     * set is correct (slices only bound per-task sort size), so the
     * one-time sample job's exact output never affects results.
     */
-  /** Sampled quantile cut points over `df.score`, descending. The cuts job
-    * executes `df`'s whole upstream plan — callers with an expensive
-    * pipeline behind `scored` should sample a CHEAP proxy distribution
-    * instead (any cut set is correct; cuts only bound per-task sort size).
+  /** Sampled quantile cut points over `df.score`, descending (pack
+    * order), as (score, doc_id) COMPOSITE cuts. The normal path is pure
+    * score quantiles (doc_id component = Long.MaxValue, which reproduces
+    * plain score-only slicing bit-for-bit). DEGENERATE-CUTS GUARD (r12
+    * verdict item 1): when near-constant scores collapse the distinct
+    * quantiles below slices/2 — plausible on a tiny-vocabulary corpus
+    * where the chars/token proxy is almost flat — pure score cuts would
+    * drive the whole corpus into a handful of (lang, slice) window
+    * tasks. The guard subdivides every surviving score band by doc_id
+    * quantiles (the pack-order TIEBREAK), so tie-heavy bands split into
+    * ~slices uniform groups and no single window task can hold the
+    * corpus. The cuts job executes `df`'s whole upstream plan — callers
+    * with an expensive pipeline behind `scored` should sample a CHEAP
+    * proxy distribution instead (any cut set is correct; cuts only bound
+    * per-task sort size).
     */
-  private def scoreCuts(df: DataFrame, slices: Int): Seq[Double] =
-    df.stat.approxQuantile("score",
-      (1 until slices).map(_.toDouble / slices).toArray, 0.01)
-      .toSeq.distinct.sorted.reverse // descending = pack order
+  private[graft] def scoreCuts(df: DataFrame, slices: Int): Seq[(Double, Long)] = {
+    val probs = (1 until slices).map(_.toDouble / slices).toArray
+    val qs = df.stat.approxQuantile(Array("score", "doc_id"), probs, 0.01)
+    val sc = qs(0).toSeq.distinct.sorted.reverse // descending = pack order
+    if (sc.size >= slices / 2) sc.map(v => (v, Long.MaxValue))
+    else {
+      val dc = qs(1).toSeq.distinct.sorted.map(_.toLong)
+      (sc.map(v => (v, Long.MaxValue)) ++
+        (for (v <- sc; d <- dc) yield (v, d))).distinct
+    }
+  }
 
   /** The cut-sampling proxy for quality score `n_chars / n_tok`: token
     * count approximated as spaces+1 — LINEAR in the string, no split
     * array ever built. Cut points are correct whatever distribution they
     * come from (they only bound per-task sort size), so the cuts job gets
-    * the cheapest scan that still tracks the real distribution.
+    * the cheapest scan that still tracks the real distribution. doc_id
+    * rides along for the degenerate-cuts guard's tiebreak quantiles.
     */
   private def proxyScore(d: DataFrame): DataFrame =
-    d.select((col("n_chars").cast("double") /
+    d.select(col("doc_id"), (col("n_chars").cast("double") /
       (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1))
       .as("score"))
 
-  private def applyScoreSlices(scored: DataFrame, cuts: Seq[Double]): DataFrame = {
+  /** Slice assignment from composite cuts: cut (cs, cd) precedes row
+    * (score, doc_id) in pack order iff cs > score OR (cs = score AND
+    * cd <= doc_id) — monotone in (score DESC, doc_id ASC), so slice
+    * order equals pack order for ANY cut set, tie-subdivided or not.
+    */
+  private[graft] def applyScoreSlices(scored: DataFrame,
+      cuts: Seq[(Double, Long)]): DataFrame = {
     val wLocal = Window.partitionBy("lang", "slice")
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutArr = array(cuts.map { case (v, d) =>
+      struct(lit(v).as("cs"), lit(d).as("cd")) }: _*)
     scored.withColumn("slice",
         if (cuts.isEmpty) lit(0)
-        else size(filter(array(cuts.map(lit): _*), c => c > col("score"))))
+        else size(filter(cutArr, c =>
+          c.getField("cs") > col("score") ||
+            (c.getField("cs") === col("score") &&
+              c.getField("cd") <= col("doc_id")))))
       .withColumn("local_cum", sum("n_tok").over(wLocal))
   }
 
@@ -3736,9 +3764,14 @@ object PipelineQueries {
     */
   private def substrSpansCte: String = {
     val L = SubstrShingle
+    // the engine groups on the 60-bit md5-prefix shingle hash (the
+    // committed-index representation); the oracle replays the SAME hex
+    // derivation so both sides agree bit-for-bit even on a collision
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $L),
        |sh AS (
-       |  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p + 1, $L) AS s
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    CAST(concat('0x', substring(md5(substr(text, p + 1, $L)), 1, 15))
+       |      AS BIGINT) AS s
        |  FROM d, unnest(range(0, CAST(len(text) - ${L - 1} AS BIGINT))) AS u(p)),
        |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
        |hits AS (SELECT doc_id, p AS st, p + $L AS en FROM sh JOIN dup USING (s)),

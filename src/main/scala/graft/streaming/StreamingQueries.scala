@@ -1314,6 +1314,10 @@ object StreamingQueries {
       val (n1, sd1) = stats(dataD.snapshotDF(s, s1))
       idxB.setProperty(L.bm25StatsKey("build"), s"$n1:$sd1")
       dataD.append(LakeWriter.writeDataFiles(odds, dataD))
+      // the shared maintainer advances the compaction counter; reset it
+      // here exactly as d07_bm25_stream does, so a hybrid run never
+      // leaves a stale count for a later assertion to read (r12 ADVICE)
+      lastBm25StreamCompactions = 0
       val qB = s.readStream.format("laketable")
         .option("startSnapshotId", s1.toString).load(locD)
         .writeStream
@@ -1759,11 +1763,26 @@ object StreamingQueries {
             val aInc = P.assignCellsHier(batch, cents2)
             val com = s.read.format("laketable").load(locI)
               .select(col("cell"), col("embedding").as("ce"))
+            // within-batch self-dup: two SAME-BATCH arrivals in the same
+            // cell above the cosine bar flag each other — the index
+            // learns the batch's vectors only after gating, so the
+            // membership probe alone would pass a same-batch twin pair
+            // (r12 verdict item 8; the d07_minhash_live selfDup shape
+            // applied to the semantic regime). Per-cell bounded × batch
+            // width — never corpus-wide.
+            val selfDup = aInc
+              .select(col("cell"), col("vec_id"), col("embedding"))
+              .join(aInc.select(col("cell"), col("vec_id").as("ovid"),
+                col("embedding").as("oe")), "cell")
+              .filter(col("vec_id") =!= col("ovid"))
+              .filter(expr("cosine_sim(embedding, oe)") > 0.43)
+              .select("vec_id")
             val res = LakeTable.load(locR)
             res.appendEpoch(LakeWriter.writeDataFiles(
               aInc.join(com, "cell")
                 .filter(expr("cosine_sim(embedding, ce)") > 0.43)
-                .select("vec_id").distinct(), res), "live-gate", epoch)
+                .select("vec_id").union(selfDup).distinct(), res),
+              "live-gate", epoch)
             idx.appendEpoch(LakeWriter.writeDataFiles(
               aInc.select(col("cell"), col("vec_id"), col("embedding")), idx),
               "live-maint", epoch)
@@ -1781,13 +1800,19 @@ object StreamingQueries {
       data.append(LakeWriter.writeDataFiles(
         q.filter(col("vec_id") >= 400 && col("vec_id") < 450), data))
       runLive() // wave 1: gated against the corpus cells
-      // wave 2: the tail of the space + exact twins of wave-1 vectors,
-      // re-keyed far above every original id (centroid derivation and
-      // oracle ordering untouched)
+      // wave 2: the tail of the space + exact twins of wave-1 vectors
+      // (+10000 — only a live, self-maintaining gate catches these) +
+      // SAME-BATCH twins (+20000 re-keys of [450,465), whose sources
+      // ride the SAME wave — only the within-batch self-dup term can
+      // flag the pair: neither side is in the index as of the batch).
+      // All re-keys far above every original id (max vec_id 1999 at
+      // sf0.1; centroid derivation and oracle ordering untouched).
       data.append(LakeWriter.writeDataFiles(
         q.filter(col("vec_id") >= 450).union(
           q.filter(col("vec_id") >= 400 && col("vec_id") < 420)
-            .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))),
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          .union(q.filter(col("vec_id") >= 450 && col("vec_id") < 465)
+            .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))),
         data))
       runLive() // restart: wave 2 gated against corpus ∪ wave 1
       val dups = s.read.format("laketable").load(locR)
@@ -2212,7 +2237,14 @@ object StreamingQueries {
            |  UNION ALL
            |  SELECT vec_id + 10000, list_transform(embedding,
            |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
-           |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 420""".stripMargin
+           |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 420
+           |  UNION ALL
+           |  SELECT vec_id + 20000, list_transform(embedding,
+           |    x -> round(CAST(x AS DOUBLE) * ${P.SemDeDupExactScale})) AS v
+           |  FROM embeddings WHERE vec_id >= 450 AND vec_id < 465""".stripMargin
+      // per-wave self-dup terms (r13): a same-cell pair INSIDE one wave
+      // flags both members — the oracle replay of the engine's
+      // within-batch gate term
       s"WITH ${P.semDedupHierAssignCteSqlFrom(qSelect)},\n" +
         s"""inc1 AS (SELECT vec_id, v, cell FROM fassign
            |         WHERE vec_id >= 400 AND vec_id < 450),
@@ -2223,8 +2255,14 @@ object StreamingQueries {
            |  SELECT DISTINCT i.vec_id FROM inc1 i JOIN com0 c ON c.cell = i.cell
            |  WHERE ${P.sdxCosSql("i.v", "c.v")} > 0.43
            |  UNION
+           |  SELECT DISTINCT i.vec_id FROM inc1 i JOIN inc1 j ON j.cell = i.cell
+           |  WHERE j.vec_id <> i.vec_id AND ${P.sdxCosSql("i.v", "j.v")} > 0.43
+           |  UNION
            |  SELECT DISTINCT i.vec_id FROM inc2 i JOIN com01 c ON c.cell = i.cell
-           |  WHERE ${P.sdxCosSql("i.v", "c.v")} > 0.43)
+           |  WHERE ${P.sdxCosSql("i.v", "c.v")} > 0.43
+           |  UNION
+           |  SELECT DISTINCT i.vec_id FROM inc2 i JOIN inc2 j ON j.cell = i.cell
+           |  WHERE j.vec_id <> i.vec_id AND ${P.sdxCosSql("i.v", "j.v")} > 0.43)
            |SELECT i.vec_id, i.cell, (d.vec_id IS NOT NULL) AS is_dup
            |FROM (SELECT vec_id, cell FROM fassign WHERE vec_id >= 400) i
            |LEFT JOIN dups d ON d.vec_id = i.vec_id

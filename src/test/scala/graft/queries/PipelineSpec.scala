@@ -1903,4 +1903,35 @@ class PipelineSpec extends SparkSpec {
     assert(planned > 0 && planned <= 5 && planned < total,
       s"gate scan not bucket-pruned: planned $planned of $total files")
   }
+
+  test("D4f degenerate-cuts guard: constant proxy scores still slice " +
+      "near-uniformly — no (lang, slice) window task can hold the corpus") {
+    import spark.implicits._
+    val n = 4096
+    val slices = 32
+    // a corpus whose quality proxy is CONSTANT — every score quantile
+    // collapses to one value, the exact hazard r12 named for the
+    // ~30-word testdata vocabulary
+    val proxy = (0 until n).map(i => (i.toLong, 1.0)).toDF("doc_id", "score")
+    val cuts = PipelineQueries.scoreCuts(proxy, slices)
+    assert(cuts.size >= slices / 2,
+      s"guard did not expand the collapsed cut set: ${cuts.size} cuts")
+    val scored = (0 until n).map(i => ("en", i.toLong, 1L, 1.0))
+      .toDF("lang", "doc_id", "n_tok", "score")
+    val widths = PipelineQueries.applyScoreSlices(scored, cuts)
+      .groupBy("slice").count().collect().map(_.getLong(1))
+    assert(widths.max <= 2L * n / slices,
+      s"degenerate slice width ${widths.max} exceeds 2x the uniform " +
+        s"share (${2L * n / slices}) over ${widths.length} slices")
+    // the two-phase invariant the guard must preserve: slice order ==
+    // pack order (score DESC, doc_id ASC), so per-slice cumsums + slice
+    // offsets reproduce the global prefix sum. With constant scores,
+    // pack order is doc_id order: every row's slice must be >= the
+    // previous doc_id's slice.
+    val byDoc = PipelineQueries.applyScoreSlices(scored, cuts)
+      .select("doc_id", "slice").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1).map(_._2)
+    assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b },
+      "slice assignment is not monotone in pack order")
+  }
 }

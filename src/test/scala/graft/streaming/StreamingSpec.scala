@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpec {
     // maintenance append — a corpus-frozen gate flags one only if its
     // source was itself a corpus dup; the live gate must flag them ALL,
     // and each twin must land in its source's cell
-    val twins = out.keys.filter(_ >= 10000L)
+    val twins = out.keys.filter(k => k >= 10000L && k < 20000L)
     assert(twins.size == 20, s"expected 20 wave-1 twins, got ${twins.size}")
     assert(twins.forall(out(_)._2),
       s"live gate missed wave-1 twins: ${twins.filterNot(out(_)._2).take(5)}")
@@ -256,12 +256,28 @@ class StreamingSpec extends SparkSpec {
       assert(out(k)._1 == out(k - 10000L)._1,
         s"twin $k landed in cell ${out(k)._1} != source cell ${out(k - 10000L)._1}")
     }
+    // +20000 docs are SAME-BATCH twins: their sources [450,465) ride the
+    // same wave-2 batch, so neither side is in the index as of the batch
+    // — only the within-batch self-dup term can flag the pair, and it
+    // must flag BOTH members (r12 verdict item 8)
+    val sameBatch = out.keys.filter(_ >= 20000L)
+    assert(sameBatch.size == 15,
+      s"expected 15 same-batch twins, got ${sameBatch.size}")
+    assert(sameBatch.forall(out(_)._2), "within-batch term missed twins: " +
+      s"${sameBatch.filterNot(out(_)._2).take(5)}")
+    assert(sameBatch.forall(k => out(k - 20000L)._2),
+      "within-batch term must flag the twin's SOURCE too: " +
+        s"${sameBatch.filterNot(k => out(k - 20000L)._2).take(5)}")
+    sameBatch.foreach { k =>
+      assert(out(k)._1 == out(k - 20000L)._1,
+        s"twin $k landed in cell ${out(k)._1} != source cell ${out(k - 20000L)._1}")
+    }
     val deltas = StreamingQueries.lastSemLiveRunDups
     assert(deltas.size == 2, s"expected 2 gate runs, saw $deltas")
     assert(deltas.sum == out.count(_._2._2).toLong,
       s"per-run deltas $deltas don't sum to ${out.count(_._2._2)}")
-    assert(deltas(1) >= 20L,
-      s"run-2 dup delta ${deltas(1)} below the 20 planted twins")
+    assert(deltas(1) >= 50L, s"run-2 dup delta ${deltas(1)} below the " +
+      "20 wave-1 twins + 15 same-batch pairs (30 members) planted")
   }
 
   test("D7e live gate is ARRIVAL-grained: within one run, a later " +
