@@ -561,8 +561,12 @@ object Bench {
       * weather-exposed constants, not of engine work. This section makes
       * the headline number itself well-conditioned: the SAME headline
       * queries over a ×M-replicated corpus (default ×10) timed for BOTH
-      * engines inside the SAME run, so real work dominates the job floor
-      * and no single oracle dominates the denominator.
+      * engines inside the SAME run, so real work dominates the job
+      * floor. The SUM ratio can still be dominated by one entry where
+      * the two engines' algorithms differ in complexity class (r12:
+      * d01_dedup_embed was 94% of the denominator) — which is why the
+      * x10 block also carries ratio_median and ratio_work, and why
+      * every replicated table gets de-duplication treatment below.
       *
       * Corpus replication preserves join selectivity — each replica joins
       * only itself (fact keys offset per replica: orderkey/custkey/
@@ -571,10 +575,15 @@ object Bench {
       * per-user pairing never crosses replicas) while the genuine
       * dimensions (nation/region) stay unreplicated, exactly like a
       * higher scale factor. Documents get the heavy-scale " cp$i" suffix
-      * (replica texts stay unique so dedup semantics don't degenerate);
-      * probe/eval/canonical sets keyed on low ids (vec_id < 20/400,
-      * doc_id < 20) stay CONSTANT-sized by construction — queries scale
-      * in corpus, not in probe count, the 100 TB shape.
+      * and embeddings a one-dimension deterministic perturbation per
+      * replica (replica texts AND vectors stay unique, so dedup
+      * semantics don't degenerate into giant equal groups — the r12
+      * ADVICE finding: exact-duplicate replica vectors drove the DuckDB
+      * dedup oracle quadratic and its 53 s were 94% of the ×10
+      * denominator); probe/eval/canonical sets keyed on low ids
+      * (vec_id < 20/400, doc_id < 20) stay CONSTANT-sized by
+      * construction — queries scale in corpus, not in probe count, the
+      * 100 TB shape.
       *
       * Estimator: warmup + MEDIAN-of-3 per entry per engine (verdict item
       * 1b). The sf0.1 envelope keeps best-of for cross-round continuity
@@ -585,7 +594,8 @@ object Bench {
       * corpus in the same process run — same weather for both engines by
       * construction. Returns (spark per-entry seconds, raw duckdb JSON).
       */
-    def runEnvelopeX10(m: Int): (Seq[(String, Double)], String) = {
+    def runEnvelopeX10(m: Int):
+        (Seq[(String, Double)], String, Seq[(String, Double)]) = {
       import org.apache.spark.sql.functions._
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft-envx$m-${java.util.UUID.randomUUID()}"
       def tb(n: String) = graft.Tables.t(spark, sfDir, n)
@@ -633,8 +643,19 @@ object Bench {
         if (i == 0) sh
         else sh.withColumn("text", concat(col("text"), lit(s" cp$i")))
       })
-      rep("embeddings")((d, i) => d
-        .withColumn("vec_id", col("vec_id") + lit(i * mVec)))
+      rep("embeddings")((d, i) => {
+        val sh = d.withColumn("vec_id", col("vec_id") + lit(i * mVec))
+        // the documents' " cp$i" treatment for vectors: nudge ONE
+        // dimension (cycling with the replica index) by a tiny
+        // deterministic epsilon — replicas stay near their source (same
+        // cells/buckets, same candidate structure) but are no longer
+        // bit-equal, so no engine's dedup path degenerates on
+        // corpus-sized equal groups
+        if (i == 0) sh
+        else sh.withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> IF(j = $i % size(embedding), " +
+            s"CAST(x + ${i}.0E-4 AS FLOAT), x))"))
+      })
       // true dimensions ride along unreplicated (b09/b10 join them)
       for (t <- Seq("nation", "region"))
         tb(t).write.parquet(s"$scratch/$t.parquet")
@@ -649,11 +670,33 @@ object Bench {
           } finally spark.sqlContext.clearCache()
           (System.nanoTime() - t0) / 1e9
         }
-        once()
-        val reps = Seq(once(), once(), once())
-        if (reps.exists(_ < 0)) -1.0 else reps.sorted.apply(1)
+        // short-circuit on the first failure (r12 ADVICE): a failed rep
+        // already condemns the entry to -1 — paying for the remaining
+        // reps only burns minutes; the -1 rides envelope_x10 in the full
+        // artifact, so a shrunken overlap is attributable from the JSON
+        if (once() < 0) return -1.0 // warmup
+        var reps = List.empty[Double]
+        while (reps.size < 3) {
+          val r = once()
+          if (r < 0) return -1.0
+          reps ::= r
+        }
+        reps.sorted.apply(1)
       }
       val sparkSide = headline.map(n => n -> med3(n))
+      // budget-pack phase probe at ×M (r12 verdict item 1): one timed
+      // job per stage of the two-phase pack plus the cut-count /
+      // max-slice-width canaries, so a superlinear wall in the summary
+      // is attributable from the artifact alone — degenerate cuts show
+      // as a corpus-sized max_slice_rows, environmental pressure as all
+      // phases inflating together while the canaries stay healthy
+      val packPhases: Seq[(String, Double)] =
+        try graft.queries.PipelineQueries.budgetPackPhases(spark, scratch)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] budget_pack phases x$m failed: " +
+            e.getMessage)
+          Nil
+        }
       // DuckDB over the SAME scratch corpus, same protocol, same run
       val duckJson: String = try {
         val sqls = SparkEntry.oracleSql.filter { case (k, _) =>
@@ -678,7 +721,133 @@ object Bench {
         if (proc.waitFor() == 0 && line.startsWith("{")) line else "null"
       } catch { case _: Throwable => "null" }
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
-      (sparkSide, duckJson)
+      (sparkSide, duckJson, packPhases)
+    }
+
+    /** Realistic-vocabulary retrieval selectivity (r12 verdict item 3).
+      * The testdata vocabulary is ~30 words, so the fixed probe terms ARE
+      * the corpus head (each in ~78% of docs, 80% of postings) — every
+      * committed-index serve is measured at its WORST case and layout
+      * pruning looks like it does nothing even when it is correct. This
+      * probe synthesizes the corpus a 100 TB index actually serves: the
+      * sf's doc count ×10, 40 terms per doc drawn Zipf(≈1) from a
+      * 20,011-term vocabulary (rank = floor(V^u) with deterministic
+      * xxhash64 u-draws — P(rank) ∝ 1/rank), a planted probe phrase and
+      * a planted 40-char duplicated span on every 512th doc. ONE
+      * committed positional index (the d02_phrase_index layout: tkey
+      * buckets, thash-sorted files) serves both ranked and phrase reads;
+      * the substring gate runs through its own committed shingle index.
+      * Reported per term-frequency DECILE (rank V^(k/10), k=1..10):
+      * serve wall (warmup + best-of-2), planned files, and df — the
+      * query-proportional curve from corpus-head (d1, df ≈ 80% of docs)
+      * to needle (d10, df ≈ a dozen docs). Full-artifact key
+      * `zipf_retrieval`; never inside total/heavy_total.
+      */
+    def runZipfRetrieval(): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions._
+      import graft.lake._
+      val P = graft.queries.PipelineQueries
+      val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val V = 20011L
+      val nDocs = graft.Tables.t(spark, sfDir, "documents").count() * 10
+      val span = "the exact same forty character span here"
+      def u(j: Int) =
+        pmod(xxhash64(col("id"), lit(j)), lit(1000000L)).cast("double") / 1e6
+      val terms = (0 until 40).map(j =>
+        concat(lit("w"), floor(pow(lit(V.toDouble), u(j))).cast("long")))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(concat_ws(" ", terms: _*),
+          when(pmod(col("id"), lit(512L)) === 0L,
+            lit(s" zp1 zp2 $span")).otherwise(lit(""))).as("text"))
+      val idxLoc = s"${System.getProperty("java.io.tmpdir")}/graft-bench-zipf-${java.util.UUID.randomUUID()}"
+      val idx = LakeTable.create(idxLoc,
+        "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT," +
+          "dl BIGINT,positions ARRAY<BIGINT>",
+        TruncateSpec("tkey", 1L))
+      idx.setProperty("write.sort-order", "thash")
+      try {
+        idx.append(LakeWriter.writeDataFiles(
+          P.positionalPostings(docs)
+            .withColumn("thash", xxhash64(col("term")))
+            .withColumn("tkey", pmod(col("thash"), lit(16L)))
+            .select("tkey", "thash", "term", "doc_id", "tf", "dl",
+              "positions"),
+          idx, sortBy = Seq("thash"), maxRecordsPerFile = 16384L))
+        val totalFiles = idx.refresh().files().size
+        out += "files_total" -> totalFiles.toDouble
+        out += "n_docs" -> nDocs.toDouble
+        def planned(): Double = graft.lake.dsv2.LakeScanMetrics
+          .lastPlannedByLocation.getOrElse(idxLoc, -1).toDouble
+        def timed(f: => Unit): Double = {
+          f // warmup — re-plans and re-reads like any serve
+          def once(): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once(), once())
+        }
+        // ---- ranked serve per term-frequency decile ----
+        for (k <- 1 to 10) {
+          val rank = math.min(V - 1,
+            math.max(1L, math.pow(V.toDouble, k / 10.0).toLong))
+          val term = s"w$rank"
+          val pred = P.layoutPredicate(Seq(P.thashOf(term)))
+          def serveOnce(): Unit =
+            LakeTable.load(idxLoc).toDF(spark).filter(pred)
+              .filter(col("term") === term)
+              .select(col("doc_id"),
+                (col("tf").cast("double") / col("dl")).as("score"))
+              .orderBy(col("score").desc, col("doc_id")).limit(10)
+              .write.mode("overwrite").format("noop").save()
+          val s = timed(serveOnce())
+          val df = LakeTable.load(idxLoc).toDF(spark).filter(pred)
+            .filter(col("term") === term).count()
+          out += s"bm25_d${k}_s" -> s
+          out += s"bm25_d${k}_files" -> planned()
+          out += s"bm25_d${k}_df" -> df.toDouble
+        }
+        // ---- phrase serve (planted needle phrase) ----
+        {
+          val pred = P.layoutPredicate(
+            Seq(P.thashOf("zp1"), P.thashOf("zp2")))
+          def phraseOnce(): Unit = {
+            val m = LakeTable.load(idxLoc).toDF(spark).filter(pred)
+              .filter(col("term").isin("zp1", "zp2"))
+              .select("term", "doc_id", "positions")
+            val a = m.filter(col("term") === "zp1")
+              .select(col("doc_id"), col("positions").as("pa"))
+            val b = m.filter(col("term") === "zp2")
+              .select(col("doc_id"), col("positions").as("pb"))
+            a.join(b, Seq("doc_id"))
+              .withColumn("n_occur", size(array_intersect(
+                expr("transform(pa, x -> x + 1)"), col("pb"))).cast("long"))
+              .filter(col("n_occur") > 0)
+              .select("doc_id", "n_occur")
+              .write.mode("overwrite").format("noop").save()
+          }
+          out += "phrase_s" -> timed(phraseOnce())
+          out += "phrase_files" -> planned()
+        }
+      } finally LakeTable.drop(idxLoc)
+      // ---- substring gate through the committed shingle index ----
+      // corpus = the zipf docs (planted span duplicated every 512th doc);
+      // increment = one novel doc COPYING the span — the gate must flag
+      // it while planning only the increment's skey buckets
+      locally {
+        import spark.implicits._
+        val inc = Seq((nDocs + 1L, span + " !!!!")).toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        val spans = graft.queries.LakeQueries
+          .substrIndexRun(spark, docs, inc)
+        val n = spans.count()
+        out += "substr_gate_s" -> (System.nanoTime() - t0) / 1e9
+        val (pl, tot) = graft.queries.LakeQueries.lastSubstrGateFilePrune
+        out += "substr_gate_hits" -> n.toDouble
+        out += "substr_files_planned" -> pl.toDouble
+        out += "substr_files_total" -> tot.toDouble
+      }
+      System.err.println("[bench] zipf_retrieval: " + out.map {
+        case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      out.toSeq
     }
 
     /** SPARK_GRAFT_COMMIT_CURVE=1: commit latency vs snapshot-history
@@ -1023,7 +1192,23 @@ object Bench {
         import scala.jdk.CollectionConverters._
         val cl = contLats.asScala.toSeq
         out += "cont_commits" -> cl.size.toDouble
+        // The p99 here is STRUCTURAL, not a tuning defect (r12 verdict
+        // item 5, attributed r13): at 15 ms/op a lagging committer's
+        // refresh→rederive→CAS window is ~6 round-trips ≈ 90 ms while
+        // the in-sync pack lands a commit every ~25 ms, so its per-round
+        // win probability is ~e^(-window/intercommit) — a few percent —
+        // and its worst-case latency is the PACK-DRAIN time, for any
+        // backoff schedule. Two fairness levers shipped r13 (the
+        // bounded-tail ladder decay + the chain-break yield) moved p99
+        // 11.5→8.7 s; closing the rest needs coordination (a fairness
+        // token), which no uncoordinated optimistic-CAS design has —
+        // the reference accepts the same tail via its 20000-retry
+        // posture (Writer.java:116). The CONTRACT here is zero lost
+        // writes (asserted above) with a retry budget covering the
+        // whole contention window; p90 rides along so the tail's shape
+        // (a thin worst-case spike, not a fat tail) is in-artifact.
         out += "cont_p50_ms" -> pct(cl, 0.50)
+        out += "cont_p90_ms" -> pct(cl, 0.90)
         out += "cont_p99_ms" -> pct(cl, 0.99)
         out += "cont_retries_per_commit" ->
           (LakeTable.commitRetries.get() - before).toDouble / cl.size
@@ -1669,9 +1854,19 @@ object Bench {
     // whole run's weather.
     val x10Mult = sys.env.get("SPARK_GRAFT_X10")
       .flatMap(_.trim.toIntOption).getOrElse(10)
-    val (x10Spark, x10DuckJson) =
+    val (x10Spark, x10DuckJson, x10PackPhases) =
       if (fullRun && x10Mult >= 2) runEnvelopeX10(x10Mult)
-      else (Seq.empty[(String, Double)], "null")
+      else (Seq.empty[(String, Double)], "null", Seq.empty[(String, Double)])
+    // realistic-vocabulary retrieval selectivity (r12 verdict item 3):
+    // full runs and SPARK_GRAFT_ZIPF=1 partial iterations
+    val zipfRetrieval =
+      if (fullRun || sys.env.get("SPARK_GRAFT_ZIPF").contains("1"))
+        try runZipfRetrieval()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] zipf_retrieval failed: ${e.getMessage}")
+          Nil
+        }
+      else Nil
     val commitCurve =
       if (fullRun || sys.env.get("SPARK_GRAFT_COMMIT_CURVE").contains("1"))
         runCommitCurve()
@@ -1873,10 +2068,35 @@ object Bench {
       v >= 0 && x10Duck.contains(k) && !oracleShaped(k) }
     val x10SparkTotal = x10Overlap.map(_._2).sum
     val x10DuckTotal = x10Overlap.map(p => x10Duck(p._1)).sum
+    // r12 verdict item 2: the sum ratio is kept for continuity but is
+    // not robust — one entry where the engines differ in complexity
+    // class can own either side of the quotient (r12: d01_dedup_embed's
+    // quadratic oracle replay was 94% of the denominator). ratio_median
+    // (median of per-entry ratios) is domination-proof; ratio_work
+    // (sum ratio over entries whose DuckDB side >= 0.1 s) conditions
+    // away the ~0.1 s per-job Spark floor that owns the sub-second
+    // entries' ratios.
+    val x10Ratios = x10Overlap
+      .map(p => (p._1, p._2, x10Duck(p._1))).filter(_._3 > 0)
+    val x10RatioMedian =
+      if (x10Ratios.isEmpty) -1.0
+      else {
+        val rs = x10Ratios.map(t => t._2 / t._3).sorted
+        rs((rs.size - 1) / 2)
+      }
+    val x10Work = x10Ratios.filter(_._3 >= 0.1)
+    val x10RatioWork =
+      if (x10Work.isEmpty) -1.0
+      else x10Work.map(_._2).sum / x10Work.map(_._3).sum
     if (x10Spark.nonEmpty)
       System.err.println(f"[bench] x10 envelope: spark=$x10SparkTotal%.2f " +
         f"duckdb=$x10DuckTotal%.2f over ${x10Overlap.size} entries, " +
-        f"ratio=${if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0}%.2f")
+        f"ratio=${if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0}%.2f " +
+        f"median=$x10RatioMedian%.2f work=$x10RatioWork%.2f " +
+        f"(${x10Work.size} work-dominated)")
+    if (x10PackPhases.nonEmpty)
+      System.err.println("[bench] d04_budget_pack x10 phases: " +
+        x10PackPhases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     def render(f: Double => String, fullDuckdb: Boolean): String = {
       def optObj(key: String, entries: Seq[(String, Double)]): String =
         if (entries.isEmpty) ""
@@ -1918,11 +2138,15 @@ object Bench {
           "duckdb_total" -> x10DuckTotal,
           "overlap" -> x10Overlap.size.toDouble,
           "ratio" ->
-            (if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0)))
+            (if (x10DuckTotal > 0) x10SparkTotal / x10DuckTotal else -1.0),
+          "ratio_median" -> x10RatioMedian,
+          "ratio_work" -> x10RatioWork,
+          "work_n" -> x10Work.size.toDouble))
       val x10Full =
         if (!fullDuckdb || x10Spark.isEmpty) ""
         else optObj("envelope_x10", x10Spark) +
-          s""""duckdb_x10":$x10DuckJson,"""
+          s""""duckdb_x10":$x10DuckJson,""" +
+          optObj("d04_budget_pack_x10_phases", x10PackPhases)
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
         x10Summary + x10Full +
@@ -1947,6 +2171,7 @@ object Bench {
         (if (fullDuckdb) optObj("d02_hybrid_indexed_phases", hybridPhases)
          else "") +
         (if (fullDuckdb) optObj("bpe_full", bpeRate) else "") +
+        (if (fullDuckdb) optObj("zipf_retrieval", zipfRetrieval) else "") +
         optObj("commit_contention", commitContention) +
         duck +
         s""""sf":"${sfDir.split('/').last}"}"""

@@ -379,19 +379,30 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * and re-races the same pack), so consecutive losses are nearly
     * independent coin flips and retry exhaustion becomes a real event —
     * the round-10 contention probe measured whole committers dying this
-    * way at 5-way contention. Doubling with ±50% jitter (capped 64×)
-    * desynchronizes the pack; the k-th consecutive loss then requires
-    * losing against an ever-sparser schedule. Base is per-table
+    * way at 5-way contention. Doubling with ±50% jitter desynchronizes
+    * the pack; the k-th consecutive loss then requires losing against an
+    * ever-sparser schedule.
+    *
+    * The ladder is BOUNDED-TAIL (r12 verdict item 5): it doubles only
+    * through attempt 4 (16× base), then DECAYS to a small full-range
+    * jittered wait (0..4× base). By the time the ladder is spent the
+    * pack is as desynchronized as it will get, and holding a long-loser
+    * at ladder-cap sleeps only starves it — the r12 probe's 11.5 s p99
+    * at 15 ms/op was exactly that: one committer paying ~640 ms per
+    * round against fresh attempt-0 rivals. In steady state the
+    * long-suffering committer races at rederive speed (its win
+    * probability per unit time goes UP with age, not down), so the tail
+    * is a few win cycles, not ladder-cap multiples. Base is per-table
     * ([[LakeFormat.PropCommitRetryWaitMs]]), 0 disables.
     */
   private def retryBackoff(attempt: Int): Unit = {
     val base = meta.properties.getOrElse(PropCommitRetryWaitMs,
       DefaultCommitRetryWaitMs).toLong
     if (base > 0 && attempt > 0) {
-      val cap = base * (1L << math.min(attempt, 6))
-      val ms = cap / 2 +
-        java.util.concurrent.ThreadLocalRandom.current().nextLong(cap / 2 + 1)
-      Thread.sleep(ms)
+      val (lo, hi) = LakeTable.backoffWindowMs(base, attempt)
+      val ms = lo +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(hi - lo + 1)
+      if (ms > 0) Thread.sleep(ms)
     }
   }
 
@@ -477,19 +488,56 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * delete-manifest list (merge-on-read deletes and the rewrite commits
     * that prune them); None carries the current snapshot's list forward.
     */
+  /** Lifetime contention signal: has THIS table handle ever lost a CAS?
+    * Gates the chain-break yield below — a single committer never sets
+    * it, so the yield costs nothing on the recommended path. */
+  private var conflictSeen = false
+  /** Consecutive first-attempt (uncontested) wins since the last retry. */
+  private var chainWins = 0
+
+  /** CHAIN-BREAK yield (r12 verdict item 5, the tail's real mechanism):
+    * under object-store latency a loser's refresh→rederive→CAS window
+    * (~5-7 round-trips) spans SEVERAL rival commit cycles, so once a
+    * committer falls behind, its CAS target is nearly always stale by
+    * put time and it keeps losing until the pack drains — backoff
+    * tuning cannot fix that (the r12→r13 ladder decay moved p99 only
+    * 11.5→9.3 s). What does fix it is breaking the WINNERS' chains: a
+    * committer that (a) has ever lost a CAS (so it KNOWS the table is
+    * contended — a lifetime-single committer never pays) and (b) has
+    * just strung several uncontested wins, steps aside for one jittered
+    * beat before its next commit, handing the freed slot to whoever is
+    * stuck in the refresh window. Fairness from purely local signals —
+    * no coordination object, no reads.
+    */
+  private def chainBreakYield(): Unit =
+    if (conflictSeen && chainWins > 0 && chainWins % 3 == 0) {
+      val base = meta.properties.getOrElse(PropCommitRetryWaitMs,
+        DefaultCommitRetryWaitMs).toLong
+      if (base > 0) {
+        val ms = java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(base * 3 + 1)
+        if (ms > 0) Thread.sleep(ms)
+      }
+    }
+
   private def retryCommitFull(op: String)(
       body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String],
         Set[String], Option[Seq[String]])]): Long = {
     var attempt = 0
+    chainBreakYield()
     while (true) {
       body() match {
         case None => return -1L
         case Some((manifests, keepSnapshots, props, remove, deletes)) =>
-          try return commitAttempt(op, manifests, keepSnapshots, props,
-            propsRemove = remove, deleteManifests = deletes)
-          catch {
+          try {
+            val id = commitAttempt(op, manifests, keepSnapshots, props,
+              propsRemove = remove, deleteManifests = deletes)
+            chainWins = if (attempt == 0) chainWins + 1 else 0
+            return id
+          } catch {
             case _: java.io.IOException =>
               attempt += 1
+              conflictSeen = true
               LakeTable.commitRetries.incrementAndGet()
               if (attempt >= maxRetries)
                 throw new IllegalStateException(s"commit failed after $attempt retries")
@@ -2663,6 +2711,18 @@ object LakeTable {
     * Observability only — the contention bench reads the delta around a
     * run; nothing branches on it. */
   val commitRetries = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The bounded-tail backoff ladder's jitter window [lo, hi] in ms for
+    * a lost-CAS retry: ±50% jittered doubling through attempt 4 (16×
+    * base), full-range 0..4× base decay past it. Pure so CommitCasSpec
+    * pins the shape — the ladder must GROW while desynchronizing the
+    * pack and must NOT hold a long-loser at ladder-cap sleeps (the r12
+    * 11.5 s contention p99). */
+  private[graft] def backoffWindowMs(base: Long, attempt: Int): (Long, Long) =
+    if (attempt <= 4) {
+      val cap = base * (1L << attempt)
+      (cap / 2, cap)
+    } else (0L, base * 4)
 
   /** 64-bit FNV-1a over the path's chars — the expire fold's primitive
     * kept-set key. Quality bar is only "2⁻⁶⁴-rare accidental equality";

@@ -314,8 +314,10 @@ object LakeFormat {
 
   // Table properties honored from the reference (SURVEY §1.3).
   val PropCommitRetries = "commit.retry.num-retries"
-  // Exponential-backoff base for lost-CAS retries (doubles per attempt,
-  // capped at 64×, with ±50% jitter so racing committers desynchronize).
+  // Exponential-backoff base for lost-CAS retries (doubles per attempt
+  // through 16×, with ±50% jitter so racing committers desynchronize,
+  // then decays to a 0..4× full-range jitter — the bounded-tail ladder,
+  // see LakeTable.retryBackoff).
   // The round-10 contention probe showed why no-backoff spinning is not
   // just slow but LOSSY in practice: with 5 committers racing one table,
   // a loser re-derives at full speed, stays phase-locked with the pack,
@@ -355,10 +357,11 @@ object LakeFormat {
   // race with probability ~1/N under N-way contention, so the attempt
   // budget must cover N·ln(commits) with margin — at 20, five contending
   // committers exhaust it ~1% of commits (measured, round 10), and an
-  // exhausted committer is a LOST WRITE for its caller. With jittered
-  // backoff the worst-case added wait stays bounded (~13 s at the 128 ms
-  // cap), so the larger budget costs nothing on the single-committer
-  // happy path (first attempt still wins immediately).
+  // exhausted committer is a LOST WRITE for its caller. With the
+  // bounded-tail jittered backoff the added wait per retry stays small
+  // (decay regime: 0..4x base), so the larger budget costs nothing on
+  // the single-committer happy path (first attempt still wins
+  // immediately).
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "100",
     PropManifestMinMerge -> "200",

@@ -666,7 +666,7 @@ object PipelineQueries {
     * footer range. Row-wise the OR is equivalent to the flat form (tkey
     * is a function of thash), so serve results are unchanged.
     */
-  private def layoutPredicate(hashes: Seq[Long]): org.apache.spark.sql.Column =
+  private[graft] def layoutPredicate(hashes: Seq[Long]): org.apache.spark.sql.Column =
     hashes.groupBy(h => ((h % 16L) + 16L) % 16L).toSeq.sortBy(_._1)
       .map { case (k, hs) =>
         col("tkey") === lit(k) && col("thash").isin(hs.distinct.sorted: _*)
@@ -1913,6 +1913,45 @@ object PipelineQueries {
             (c.getField("cs") === col("score") &&
               c.getField("cd") <= col("doc_id")))))
       .withColumn("local_cum", sum("n_tok").over(wLocal))
+  }
+
+  /** Bench-only phase probe for [[d04_budget_pack]] (r12 verdict item 1:
+    * the ×10 wall was unattributed). Times each stage of the two-phase
+    * pack as its own job — the proxy cuts sample, the slice widths (no
+    * window), the per-slice window cumsum — alongside the canaries that
+    * decide between the two suspects by inspection: `cut_count` (a
+    * collapsed cut set = the degenerate-input mode) and
+    * `max_slice_rows` (a corpus-holding window task = the superlinear
+    * hazard). The full entry is timed by the caller's own protocol.
+    */
+  private[graft] def budgetPackPhases(s: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val slices = 32
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    var cuts: Seq[(Double, Long)] = Nil
+    val tCuts = time {
+      cuts = scoreCuts(proxyScore(t(s, dir, "documents")), slices)
+    }
+    val toks = tokens(col("text"))
+    val scored = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      (col("n_chars").cast("double") / size(toks)).as("score"))
+    var maxSlice = 0L
+    val tWidths = time {
+      maxSlice = applyScoreSlices(scored, cuts)
+        .groupBy("lang", "slice").count()
+        .agg(max("count")).head().getLong(0)
+    }
+    // max(local_cum) cannot be pruned, so this job pays the real
+    // per-(lang, slice) window sort the widths job skips
+    val tWindow = time {
+      applyScoreSlices(scored, cuts).agg(max("local_cum")).head()
+    }
+    Seq("cuts_s" -> tCuts, "widths_s" -> tWidths, "window_s" -> tWindow,
+      "cut_count" -> cuts.size.toDouble,
+      "max_slice_rows" -> maxSlice.toDouble)
   }
 
   def d04_budget_pack(s: SparkSession, dir: String): DataFrame = {

@@ -188,4 +188,27 @@ class CommitCasSpec extends SparkSpec {
       s"lost commits: ${fin.files().size} of ${2 * per}")
     LakeTable.drop(loc)
   }
+
+  test("bounded-tail backoff ladder: jittered doubling through 16x, " +
+      "then decay — a long-loser is never held at ladder-cap sleeps") {
+    val base = 10L
+    // ladder phase: each window's cap doubles and the ±50% jitter floor
+    // tracks it — consecutive losers land on ever-sparser schedules
+    val ladder = (1 to 4).map(LakeTable.backoffWindowMs(base, _))
+    assert(ladder == Seq((10L, 20L), (20L, 40L), (40L, 80L), (80L, 160L)),
+      s"ladder shape drifted: $ladder")
+    // decay phase (r12 verdict item 5): once the ladder is spent the
+    // window drops to full-range 0..4x base and STAYS there — the 11.5 s
+    // contention p99 was a loser paying 64x-cap sleeps per round against
+    // fresh attempt-0 rivals; age must increase race frequency, not
+    // decrease it
+    for (attempt <- Seq(5, 6, 10, 50, 1000)) {
+      assert(LakeTable.backoffWindowMs(base, attempt) == (0L, 40L),
+        s"decay window at attempt $attempt != (0, 4x base)")
+    }
+    // the decay ceiling sits BELOW the ladder peak: a long-suffering
+    // committer always races more often than a freshly-desynchronized one
+    assert(LakeTable.backoffWindowMs(base, 5)._2 < ladder.last._2,
+      "decay ceiling must undercut the ladder peak")
+  }
 }
