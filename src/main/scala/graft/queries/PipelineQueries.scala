@@ -85,10 +85,16 @@ object PipelineQueries {
     */
   private[graft] def substringDupSpans(docs: DataFrame): DataFrame = {
     val L = SubstrShingle
-    val sh = shingleHashes(docs)
-    val dup = sh.groupBy("shash").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("shash")
-    val hits = sh.join(dup, Seq("shash"), "left_semi")
+    // ONE pass over the shingle space: a whole-group window count over
+    // the shash partitioning marks duplicated shingles in the same
+    // exchange that groups them — the groupBy + semi-join formulation
+    // would execute shingleHashes (and its md5 chain) twice and shuffle
+    // twice (r13: that cost +36% wall at sf0.1). Groups are shingle
+    // occurrence lists (tiny); the window needs no ORDER BY, so the
+    // exchange is the operator's only wide edge.
+    val hits = shingleHashes(docs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("shash")))
+      .filter(col("n") >= 2)
       .select(col("doc_id"), col("p").as("st"),
         (col("p") + L).as("en"))
     mergeSpans(hits)

@@ -272,14 +272,19 @@ class PlanSpec extends SparkSpec {
       s"documents referenced $scans times — postings recomputed:\n$p")
   }
 
-  test("D1g: substring dedup reads the corpus at most twice (dup derivation " +
-      "+ hit side), never once per shingle") {
+  test("D1g: substring dedup reads the corpus ONCE — the dup gate is a " +
+      "window count in the shingle exchange, not a second scan + semi join") {
     val p = plan(PipelineQueries.d01_dedup_substring(spark, dir))
-    // formatted mode renders each node twice (tree + details): 2 scan
-    // nodes → at most 4 textual occurrences
+    // r13: the whole-group window count marks duplicated shingles inside
+    // the same exchange that groups them, so the shingle space (and its
+    // md5 chain) materializes exactly once — one scan node = two textual
+    // occurrences in formatted mode (tree + details)
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 4, s"expected <=2 corpus scan nodes, got $scans/2:\n$p")
-    assert(p.contains("LeftSemi"), s"duplicated-shingle gate must be a semi join:\n$p")
+    assert(scans <= 2, s"expected ONE corpus scan node, got $scans/2:\n$p")
+    assert(p.contains("Window"),
+      s"duplicated-shingle gate must be the window count:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"the one-pass formulation must not re-join the shingle space:\n$p")
   }
 
   test("D4q: trained-LR scoring is map-side — one scan, no hash exchange") {
