@@ -840,12 +840,19 @@ object Bench {
       locally {
         import spark.implicits._
         val inc = Seq((nDocs + 1L, span + " !!!!")).toDF("doc_id", "text")
-        val t0 = System.nanoTime()
         val spans = graft.queries.LakeQueries
           .substrIndexRun(spark, docs, inc)
         val n = spans.count()
-        out += "substr_gate_s" -> (System.nanoTime() - t0) / 1e9
-        val (pl, tot) = graft.queries.LakeQueries.lastSubstrGateFilePrune
+        val LQ = graft.queries.LakeQueries
+        // phase-split (r13 review): substrIndexRun's wall is >99% the
+        // ONE-TIME corpus shingle-index build — reporting it as the
+        // gate would claim corpus-proportional serve work, the exact
+        // misattribution this probe exists to rule out. The gate key
+        // carries the increment-proportional serve only.
+        out += "substr_build_s" -> LQ.lastSubstrBuildS
+        out += "substr_gate_s" -> LQ.lastSubstrGateServeS
+        out += "substr_maint_s" -> LQ.lastSubstrMaintS
+        val (pl, tot) = LQ.lastSubstrGateFilePrune
         out += "substr_gate_hits" -> n.toDouble
         out += "substr_files_planned" -> pl.toDouble
         out += "substr_files_total" -> tot.toDouble

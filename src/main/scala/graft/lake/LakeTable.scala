@@ -488,9 +488,13 @@ final class LakeTable private (val location: String, private var meta: TableMeta
     * delete-manifest list (merge-on-read deletes and the rewrite commits
     * that prune them); None carries the current snapshot's list forward.
     */
-  /** Lifetime contention signal: has THIS table handle ever lost a CAS?
+  /** Contention signal: has THIS table handle recently lost a CAS?
     * Gates the chain-break yield below — a single committer never sets
-    * it, so the yield costs nothing on the recommended path. */
+    * it, so the yield costs nothing on the recommended path. DECAYS:
+    * after [[LakeTable.ChainCalmWins]] consecutive uncontested wins the
+    * handle concludes the contention window has passed and stops
+    * yielding — without this, one startup race would tax a long-lived
+    * maintainer's every 3rd commit forever (r13 review). */
   private var conflictSeen = false
   /** Consecutive first-attempt (uncontested) wins since the last retry. */
   private var chainWins = 0
@@ -524,15 +528,22 @@ final class LakeTable private (val location: String, private var meta: TableMeta
       body: () => Option[(Seq[String], Seq[Snapshot], Map[String, String],
         Set[String], Option[Seq[String]])]): Long = {
     var attempt = 0
-    chainBreakYield()
+    var yielded = false
     while (true) {
       body() match {
         case None => return -1L
         case Some((manifests, keepSnapshots, props, remove, deletes)) =>
+          // yield only when there is actually something to commit — a
+          // no-op body (idempotent replay) must never pay the beat
+          if (!yielded) { chainBreakYield(); yielded = true }
           try {
             val id = commitAttempt(op, manifests, keepSnapshots, props,
               propsRemove = remove, deleteManifests = deletes)
             chainWins = if (attempt == 0) chainWins + 1 else 0
+            if (chainWins >= LakeTable.ChainCalmWins) {
+              conflictSeen = false
+              chainWins = 0
+            }
             return id
           } catch {
             case _: java.io.IOException =>
@@ -2711,6 +2722,13 @@ object LakeTable {
     * Observability only — the contention bench reads the delta around a
     * run; nothing branches on it. */
   val commitRetries = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Consecutive uncontested wins after which a handle concludes the
+    * contention window has passed and stops chain-break yielding. Large
+    * enough that a storm participant rarely strings them mid-storm
+    * (and re-latches on the next loss if it does), small enough that a
+    * long-lived maintainer sheds a one-off startup race in minutes. */
+  private[lake] val ChainCalmWins = 64
 
   /** The bounded-tail backoff ladder's jitter window [lo, hi] in ms for
     * a lost-CAS retry: ±50% jittered doubling through attempt 4 (16×

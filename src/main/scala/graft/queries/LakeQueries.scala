@@ -1138,6 +1138,7 @@ object LakeQueries {
   private[graft] def substrIndexRun(s: SparkSession, evens: DataFrame,
       odds: DataFrame): DataFrame = {
     val P = graft.queries.PipelineQueries
+    val tStart = System.nanoTime()
     val locD = scratch("substr-data")
     val locI = scratch("substr-idx")
     val data = LakeTable.create(locD, "doc_id BIGINT,text STRING",
@@ -1178,14 +1179,24 @@ object LakeQueries {
       val out = P.mergeSpans(hits)
       lastSubstrIndexGate =
         Some((out.queryExecution.optimizedPlan.toString, locI))
+      // phase walls (r13): everything above is the ONE-TIME corpus
+      // build (table commits + whole-corpus shingle index); the
+      // localize below is the GATE SERVE — the increment-proportional
+      // part a probe must report separately or the build dominates and
+      // misreads as gate cost
+      lastSubstrBuildS = (System.nanoTime() - tStart) / 1e9
+      val tGate = System.nanoTime()
       val gated = localize(out)
+      lastSubstrGateServeS = (System.nanoTime() - tGate) / 1e9
       lastSubstrGateFilePrune =
         (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
           .getOrElse(locI, -1), idxT.files().size)
       // maintenance: one commit of the increment's NOVEL distinct hashes
+      val tMaint = System.nanoTime()
       val i2 = index.append(LakeWriter.writeDataFiles(
         keyed(incSh.select("shash").distinct()
           .join(comSh, Seq("shash"), "left_anti")), index))
+      lastSubstrMaintS = (System.nanoTime() - tMaint) / 1e9
       lastSubstrIndexNewKeys =
         index.addedFilesBetween(i1, i2).map(_.rowCount).sum
       gated
@@ -1217,6 +1228,13 @@ object LakeQueries {
   @volatile private[graft] var lastPhraseServeFilePrune: (Int, Int) = (-1, -1)
   /** Same observation for the last d01_substring_index gate probe scan. */
   @volatile private[graft] var lastSubstrGateFilePrune: (Int, Int) = (-1, -1)
+  /** Phase walls of the last [[substrIndexRun]]: one-time corpus build
+    * (table commits + whole-corpus shingle index), the gate SERVE (the
+    * increment-proportional part), and the maintenance append — so a
+    * probe never reports the build under the gate's name (r13). */
+  @volatile private[graft] var lastSubstrBuildS: Double = -1.0
+  @volatile private[graft] var lastSubstrGateServeS: Double = -1.0
+  @volatile private[graft] var lastSubstrMaintS: Double = -1.0
 
   /** Corpus-stats property FAMILY on the BM25 index table: one key per
     * maintainer — "graft.bm25.stats.<maintainer>" holds that maintainer's

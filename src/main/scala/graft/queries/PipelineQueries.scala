@@ -85,16 +85,22 @@ object PipelineQueries {
     */
   private[graft] def substringDupSpans(docs: DataFrame): DataFrame = {
     val L = SubstrShingle
-    // ONE pass over the shingle space: a whole-group window count over
-    // the shash partitioning marks duplicated shingles in the same
-    // exchange that groups them — the groupBy + semi-join formulation
-    // would execute shingleHashes (and its md5 chain) twice and shuffle
-    // twice (r13: that cost +36% wall at sf0.1). Groups are shingle
-    // occurrence lists (tiny); the window needs no ORDER BY, so the
-    // exchange is the operator's only wide edge.
-    val hits = shingleHashes(docs)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("shash")))
-      .filter(col("n") >= 2)
+    // The shingle space (explode + md5 chain) materializes ONCE — the
+    // persist is what keeps the two consumers below from re-deriving it
+    // (that double derivation cost +36% wall in the r13 interim). Both
+    // consumers are SKEW-SAFE by shape: the duplicated-key derivation
+    // is an algebraic groupBy count (map-side partial aggregation — a
+    // corpus-hot boilerplate shingle costs one combiner row per task)
+    // and the hit side is a streamed semi-join probe against those
+    // keys. The tempting one-pass alternative — a whole-group window
+    // count over shash — BUFFERS each group in a single task, which is
+    // corpus-sized exactly on the boilerplate-heavy inputs substring
+    // dedup exists for; threshold detection must stay algebraic. Cache
+    // is ~24 B/shingle, evicts LRU, and the bench clears it per entry.
+    val sh = shingleHashes(docs).persist()
+    val dup = sh.groupBy("shash").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("shash")
+    val hits = sh.join(dup, Seq("shash"), "left_semi")
       .select(col("doc_id"), col("p").as("st"),
         (col("p") + L).as("en"))
     mergeSpans(hits)
