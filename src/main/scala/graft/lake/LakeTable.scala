@@ -2732,15 +2732,24 @@ object LakeTable {
 
   /** The bounded-tail backoff ladder's jitter window [lo, hi] in ms for
     * a lost-CAS retry: ±50% jittered doubling through attempt 4 (16×
-    * base), full-range 0..4× base decay past it. Pure so CommitCasSpec
+    * base), jittered base..4× base decay past it. Pure so CommitCasSpec
     * pins the shape — the ladder must GROW while desynchronizing the
     * pack and must NOT hold a long-loser at ladder-cap sleeps (the r12
-    * 11.5 s contention p99). */
+    * 11.5 s contention p99).
+    *
+    * The decay window keeps a FLOOR of one base (r13 advice): a zero
+    * draw burns a retry attempt with no desynchronization bought, which
+    * matters exactly when rederive is cheap (in-memory CAS, local fs) —
+    * there the 0-draws let a loser spin through its whole budget inside
+    * one rival's commit window. The floor also gives the retry budget a
+    * wall-time guarantee: past the ladder, every retry waits ≥ base, so
+    * a budget of R covers at least (R−4)·base of pack drain even before
+    * counting rederive round-trips (see LakeFormat.DefaultProperties). */
   private[graft] def backoffWindowMs(base: Long, attempt: Int): (Long, Long) =
     if (attempt <= 4) {
       val cap = base * (1L << attempt)
       (cap / 2, cap)
-    } else (0L, base * 4)
+    } else (base, base * 4)
 
   /** 64-bit FNV-1a over the path's chars — the expire fold's primitive
     * kept-set key. Quality bar is only "2⁻⁶⁴-rare accidental equality";

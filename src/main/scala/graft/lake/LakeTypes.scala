@@ -357,11 +357,20 @@ object LakeFormat {
   // race with probability ~1/N under N-way contention, so the attempt
   // budget must cover N·ln(commits) with margin — at 20, five contending
   // committers exhaust it ~1% of commits (measured, round 10), and an
-  // exhausted committer is a LOST WRITE for its caller. With the
-  // bounded-tail jittered backoff the added wait per retry stays small
-  // (decay regime: 0..4x base), so the larger budget costs nothing on
-  // the single-committer happy path (first attempt still wins
-  // immediately).
+  // exhausted committer is a LOST WRITE for its caller.
+  //
+  // Wall-time sizing under the DECAY regime (r13 advice — the bounded
+  // tail trades per-retry wait for race frequency, which shrinks the
+  // drain window a fixed budget covers): past attempt 4 every retry
+  // waits base..4x base (floor of one base, LakeTable.backoffWindowMs)
+  // PLUS one refresh-rederive round (~6 object-store RTTs — the real
+  // per-retry clock at scale). At the probe's 15 ms/op that is ≥ ~90 ms
+  // per retry, so 100 attempts cover ≥ ~9 s of pack drain — above the
+  // measured worst p99 (9.2 s at 15-way, zero losses in 500 commits,
+  // BENCH_probes). A deployment with a slower store or wider packs
+  // raises PropCommitRetries (wall coverage scales linearly) or base
+  // (coverage per retry scales with it); the happy path still wins on
+  // attempt 0 with zero sleeps either way.
   val DefaultProperties: Map[String, String] = Map(
     PropCommitRetries -> "100",
     PropManifestMinMerge -> "200",

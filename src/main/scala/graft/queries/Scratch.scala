@@ -48,6 +48,8 @@ private[graft] object Scratch {
       s"${prefix}_${jvmToken}_${java.util.UUID.randomUUID().toString}")
     df.write.mode("overwrite").parquet(dir.toString)
     fs.deleteOnExit(dir)
-    session.read.parquet(dir.toString)
+    // explicit schema: an EMPTY frame (AQE can plan zero partitions)
+    // writes no part files, and a bare read would fail schema inference
+    session.read.schema(df.schema).parquet(dir.toString)
   }
 }

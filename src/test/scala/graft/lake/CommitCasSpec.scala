@@ -198,13 +198,15 @@ class CommitCasSpec extends SparkSpec {
     assert(ladder == Seq((10L, 20L), (20L, 40L), (40L, 80L), (80L, 160L)),
       s"ladder shape drifted: $ladder")
     // decay phase (r12 verdict item 5): once the ladder is spent the
-    // window drops to full-range 0..4x base and STAYS there — the 11.5 s
+    // window drops to base..4x base and STAYS there — the 11.5 s
     // contention p99 was a loser paying 64x-cap sleeps per round against
     // fresh attempt-0 rivals; age must increase race frequency, not
-    // decrease it
+    // decrease it. The floor of one base (r13 advice) keeps each spent
+    // retry buying ≥ base of desynchronization, so a budget of R retries
+    // covers ≥ (R-4)·base of pack drain in wall time.
     for (attempt <- Seq(5, 6, 10, 50, 1000)) {
-      assert(LakeTable.backoffWindowMs(base, attempt) == (0L, 40L),
-        s"decay window at attempt $attempt != (0, 4x base)")
+      assert(LakeTable.backoffWindowMs(base, attempt) == (10L, 40L),
+        s"decay window at attempt $attempt != (base, 4x base)")
     }
     // the decay ceiling sits BELOW the ladder peak: a long-suffering
     // committer always races more often than a freshly-desynchronized one

@@ -274,8 +274,18 @@ class PlanSpec extends SparkSpec {
 
   test("D1g: substring dedup derives the shingle space ONCE (cached), " +
       "gates with an algebraic count + streamed semi join — never a " +
-      "row-buffering window") {
-    val p = plan(PipelineQueries.d01_dedup_substring(spark, dir))
+      "row-buffering window — and releases its cache before returning") {
+    spark.sqlContext.clearCache() // isolate: prove THIS entry's hygiene
+    PipelineQueries.d01_dedup_substring(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    // the spans materialize INSIDE the call (self-contained lifecycle,
+    // r14): the computing plan is the captured one, and the corpus-sized
+    // shingle cache must be gone by the time the entry returns — a
+    // production session must not depend on LRU pressure or a bench-side
+    // clearCache to reclaim it
+    val p = PipelineQueries.lastSubstrSpansPlan
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shingle cache outlived the substring-dedup call")
     // r13: the persisted shingle space feeds both consumers, so the
     // corpus scan + md5 chain appear under ONE InMemoryRelation; the
     // dup gate must stay ALGEBRAIC (groupBy partial-aggregates a hot
@@ -286,13 +296,16 @@ class PlanSpec extends SparkSpec {
       s"shingle space must be cached, not re-derived per consumer:\n$p")
     assert(p.contains("LeftSemi"),
       s"duplicated-shingle gate must be a semi join:\n$p")
-    val windows = "Window".r.findAllIn(p).size
-    // the per-doc islands merge may window; the shingle-space gate must
-    // not — assert no window sits between the scan and the semi join by
-    // requiring the only Window nodes to partition by doc_id
     assert(!p.contains("windowspecdefinition(shash"),
       s"dup gate must not be a shash window (single-task skew wall):\n$p")
-    assert(windows >= 0) // islands window allowed
+    // the islands merge is the ONLY window allowed, and it is per-doc:
+    // every window spec in the plan must partition by doc_id (r13 advice:
+    // the old `windows >= 0` guard was a tautology)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the per-doc islands window:\n$p")
+    specs.foreach(c => assert(c.startsWith("doc_id"),
+      s"window partitions by '$c', not doc_id (skew wall):\n$p"))
   }
 
   test("D4q: trained-LR scoring is map-side — one scan, no hash exchange") {
