@@ -1951,16 +1951,22 @@ object Bench {
           .filter(_._2 >= 0).toMap
       } catch { case _: Throwable => Map.empty }
     val x10Duck: Map[String, Double] = parseDuck(x10DuckJson)
-    // ×40 tier over the FLOOR-DOMINATED subset (r14 verdict item 4):
+    // DEEP tier over the FLOOR-DOMINATED subset (r14 verdict item 4):
     // at ×10 roughly half the overlap is sub-0.1 s on DuckDB — those
     // entries' ratios price the fixed Spark job floor against an
     // in-process engine, not the plans. Entries the ×10 run measured
-    // under the 0.1 s work bar re-run at ×40 (derived from THIS run's
+    // under the 0.1 s work bar re-run at ×100 (derived from THIS run's
     // duckdb map, not a hardcoded list), growing the work-dominated
-    // population the combined ratio_work covers. SPARK_GRAFT_X40
-    // overrides the multiplier (≤1 disables).
-    val x40Mult = sys.env.get("SPARK_GRAFT_X40")
-      .flatMap(_.trim.toIntOption).getOrElse(40)
+    // population the combined ratio_work covers. ×100, not ×40: a ×40
+    // pilot moved only 4 of 16 over the bar — DuckDB answers the
+    // scan/filter/pivot shapes in near-metadata time, so the multiplier
+    // must buy an order of magnitude. Entries still under the bar at
+    // ×100 are genuinely floor-shaped in BOTH engines (b01-style
+    // metadata answers); they stay visible in duckdb_xfloor rather than
+    // being silently escalated further. SPARK_GRAFT_XFLOOR overrides
+    // the multiplier (≤1 disables).
+    val x40Mult = sys.env.get("SPARK_GRAFT_XFLOOR")
+      .flatMap(_.trim.toIntOption).getOrElse(100)
     val floorNames = x10Spark.filter(_._2 >= 0).map(_._1)
       .filter(k => x10Duck.get(k).exists(v => v > 0 && v < 0.1))
     val (x40Spark, x40DuckJson) =
@@ -2019,7 +2025,22 @@ object Bench {
           spark.range(1000).selectExpr("sum(id) AS s")),
         "floor_shuffle_s" -> probe(() =>
           spark.read.parquet(s"$sfDir/region.parquet")
-            .groupBy("r_name").count()))
+            .groupBy("r_name").count()),
+        // THIRD canary (r14): sustained shuffle THROUGHPUT, not just the
+        // per-job floor. The r14 full run measured the join-shaped
+        // B-entries 1.5-2.4× their three-round band while BOTH existing
+        // canaries read calm — fs-op latency and tiny-job floor do not
+        // see a machine epoch that taxes bulk exchange (page cache,
+        // memory bandwidth). 8M synthetic rows through one wide hash
+        // exchange + aggregate prices exactly that regime (~0.3 s
+        // healthy), so a board drift on the join/agg family is
+        // adjudicable from the committed artifact alone.
+        "floor_bulk_s" -> probe(() =>
+          spark.range(8000000L)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")
+              .as("s"))
+            .selectExpr("sum(s) AS t")))
     } else Nil
     // phase split rides every full artifact next to the single-key entry
     val shardPhases = if (fullRun) runShardPhases() else Nil
@@ -2232,7 +2253,7 @@ object Bench {
         f"median=$x10RatioMedian%.2f work=$x10RatioWork%.2f " +
         f"(${x10Work.size} work-dominated)")
     if (x40Spark.nonEmpty)
-      System.err.println(f"[bench] x40 floor tier: ${x40Spark.size} " +
+      System.err.println(f"[bench] x$x40Mult%d floor tier: ${x40Spark.size} " +
         f"entries re-run, ${x40Work.size} now work-dominated; combined " +
         f"work_n=${combinedWork.size} ratio_work=$ratioWorkAll%.2f")
     if (x10PackPhases.nonEmpty)
@@ -2291,12 +2312,12 @@ object Bench {
           "ratio_median" -> x10RatioMedian,
           "ratio_work" -> x10RatioWork,
           "work_n" -> x10Work.size.toDouble))
-      // the x40 summary's work_n/ratio_work are the COMBINED (×10 ∪ ×40)
-      // work-dominated statistics — the round's widest-coverage engine
-      // comparison (README "Reading the bench artifact (round 14)")
+      // the xfloor summary's work_n/ratio_work are the COMBINED
+      // (×10 ∪ deep-tier) work-dominated statistics — the round's
+      // widest-coverage engine comparison (README round 14)
       val x40Summary =
         if (x40Spark.isEmpty) ""
-        else optObj("x40",
+        else optObj("xfloor",
           (if (fullDuckdb) Seq("mult" -> x40Mult.toDouble,
             "n" -> x40Spark.size.toDouble) else Nil) ++ Seq(
           "work_n" -> combinedWork.size.toDouble,
@@ -2308,8 +2329,8 @@ object Bench {
           optObj("d04_budget_pack_x10_phases", x10PackPhases)
       val x40Full =
         if (!fullDuckdb || x40Spark.isEmpty) ""
-        else optObj("envelope_x40", x40Spark) +
-          s""""duckdb_x40":$x40DuckJson,"""
+        else optObj("envelope_xfloor", x40Spark) +
+          s""""duckdb_xfloor":$x40DuckJson,"""
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
         x10Summary + x40Summary + x10Full + x40Full +

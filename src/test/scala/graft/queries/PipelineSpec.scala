@@ -1464,6 +1464,46 @@ class PipelineSpec extends SparkSpec {
     assert(!q1.exists(_._3 == 12L), q1.toSeq.toString)
   }
 
+  test("D2z zipf expansion: postings equal a scalar reimplementation of " +
+      "the integer-octave derivation, dl preserved, vocabulary widened") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "data query data table"),
+      (7L, "data data")).toDF("doc_id", "text")
+    val got = PipelineQueries.zipfPostings(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // scalar recompute: the SAME md5 prefix + shift/mod arithmetic,
+    // independent of the Catalyst expressions
+    def rank(docId: Long, pos: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(md, 16)
+      val e = (u % 10).toInt
+      (1L << e) + (u / 10) % (1L << e)
+    }
+    val expected = Seq(3L -> "data query data table".split(" "),
+        7L -> "data data".split(" "))
+      .flatMap { case (id, toks) =>
+        toks.zipWithIndex.map { case (t, i) =>
+          (id, s"$t~${rank(id, i)}", toks.length.toLong) } }
+      .groupBy(x => (x._1, x._2))
+      .map { case ((id, term), hits) =>
+        (term, id, hits.size.toLong, hits.head._3) }.toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the expansion's point: repeated base tokens fan out to DISTINCT
+    // vocabulary entries unless two occurrences draw the same rank
+    val doc7Ranks = Seq(rank(7L, 0), rank(7L, 1))
+    val doc7Terms = got.filter(_._2 == 7L).map(_._1)
+    assert(doc7Terms.size == doc7Ranks.distinct.size,
+      s"doc 7 vocabulary $doc7Terms vs ranks $doc7Ranks")
+    // every rank lives in [1, 1024): e ∈ [0,9], offset < 2^e
+    got.foreach { case (term, _, _, _) =>
+      val r = term.split('~')(1).toLong
+      assert(r >= 1 && r < 1024, s"rank out of octave range: $term") }
+  }
+
   test("D1i committed shingle index: gate spans equal a driver recompute, " +
       "probe scans the INDEX TABLE, maintenance appends only novel hashes") {
     val L = PipelineQueries.SubstrShingle
