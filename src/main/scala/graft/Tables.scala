@@ -48,7 +48,18 @@ object Tables {
       org.apache.spark.sql.types.StructType]()
   private val inferenceLock = new Object
 
+  /** Optional access recorder: when set, every t() call reports its table
+    * name. Bench's deep-scale tier uses one dry plan-construction pass to
+    * learn which tables a selected entry subset actually reads, so the
+    * replicated scratch corpus materializes ONLY those — a hand-kept
+    * entry→tables map would silently fail an entry the first time a query
+    * grew a new input. Not thread-safe by design: only the single-threaded
+    * bench driver sets it, and always restores None.
+    */
+  @volatile private[graft] var accessRecorder: Option[String => Unit] = None
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    accessRecorder.foreach(_(name))
     // The NTZ/nanos flags are consulted by parquet SCHEMA INFERENCE from
     // the session conf only (they are not honored as per-read options),
     // so: infer the schema once inside a set-and-restore window, cache

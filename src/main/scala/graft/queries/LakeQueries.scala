@@ -1310,6 +1310,11 @@ object LakeQueries {
   @volatile private[graft] var lastZipfIndexPhases: Seq[(String, Double)] =
     Nil
   @volatile private[graft] var lastZipfServeFilePrune: (Int, Int) = (-1, -1)
+  /** Files in the probes' MATCHED tkey buckets at the last d02_bm25_zipf
+    * serve — planned < this proves the within-bucket footer skip worked
+    * (bucket pruning alone can never go below it), same observability as
+    * lastBm25ServeBucketFiles. */
+  @volatile private[graft] var lastZipfServeBucketFiles: Int = -1
 
   // D2z — BM25 ranked retrieval under a REALISTIC Zipf vocabulary: the
   // corpus's tokens are deterministically expanded to a ~30k-term
@@ -1344,9 +1349,12 @@ object LakeQueries {
       lastZipfIndexPhases = Seq(
         "build_s" -> tBuild,
         "serve_s" -> (System.nanoTime() - tS0) / 1e9)
+      val files = idxT.files()
       lastZipfServeFilePrune =
         (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
-          .getOrElse(loc, -1), idxT.files().size)
+          .getOrElse(loc, -1), files.size)
+      lastZipfServeBucketFiles =
+        files.count(f => P.zipfQueryTkeys.contains(f.partitionValue))
       res
     } finally LakeTable.drop(loc)
   }
