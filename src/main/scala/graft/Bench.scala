@@ -91,7 +91,67 @@ object Bench {
     "d02_phrase_index", "d04_quality_lr", "d02_hybrid_indexed",
     // realistic-selectivity ranked serve (r14): its committed-index
     // build + octave-probe serve track round-over-round, hash-oracled
-    "d02_bm25_zipf")
+    "d02_bm25_zipf",
+    // r15 (r14 verdict item 3): the phrase and hybrid arms under the
+    // same realistic Zipf selectivity, hash-oracled from birth
+    "d02_phrase_zipf", "d02_hybrid_zipf")
+
+  /** Global shuffle-exchange accumulator (r14 verdict item 1): the
+    * join-shaped envelope entries bounced 1.5–2.4× across code-identical
+    * runs and the artifact could not decompose a bounced wall into
+    * bytes-moved (plan drift) vs time-per-byte (machine epoch). This
+    * listener sums task-level shuffle read/write bytes, fetch-wait and
+    * write time across every task that completes between reset() and
+    * snapshot(); the bench brackets each timed rep of the join family
+    * with it and keeps the snapshot from the rep that produced the
+    * reported (min) wall. Listener events post asynchronously, so both
+    * reset and snapshot first drain: wait until the task counter is
+    * stable across a 20 ms window.
+    */
+  private object ExchangeProbe
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val readB = new AtomicLong
+    private val writeB = new AtomicLong
+    private val fetchWaitMs = new AtomicLong
+    private val writeMs = new AtomicLong
+    private val taskN = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        readB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        writeB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        writeMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+        taskN.incrementAndGet()
+      }
+    }
+    private def drain(): Unit = {
+      var prev = -1L
+      var i = 0
+      while (i < 50) {
+        val cur = taskN.get()
+        if (cur == prev) return
+        prev = cur
+        Thread.sleep(20)
+        i += 1
+      }
+    }
+    def reset(): Unit = {
+      drain()
+      readB.set(0); writeB.set(0); fetchWaitMs.set(0); writeMs.set(0)
+      taskN.set(0)
+    }
+    def snapshot(): Seq[(String, Double)] = {
+      drain()
+      Seq("rd_mb" -> readB.get() / 1048576.0,
+        "wr_mb" -> writeB.get() / 1048576.0,
+        "fw_ms" -> fetchWaitMs.get().toDouble,
+        "wt_ms" -> writeMs.get().toDouble,
+        "tasks" -> taskN.get().toDouble)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +167,62 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(ExchangeProbe)
+
+    // the join-shaped entries whose reps the ExchangeProbe brackets; the
+    // SPJ pair and the stream-catchup region are probed at their own
+    // call sites below (they time through dedicated runners). The two
+    // heavy entries are the other r14 bouncers (+26%/+37% same-code) —
+    // their bytes include scratch-table build shuffles, which is fine:
+    // the adjudication compares each entry against ITS OWN prior rounds.
+    val exchangeFamily = Set("b09_join_inner", "b11_join_left",
+      "d02_ann_indexed", "d06_pipeline_e2e")
+    // short artifact prefixes for the `exchange` object's keys
+    val exchangeKeyNames = Map(
+      "b09_join_inner" -> "b09", "b11_join_left" -> "b11",
+      "lake_join_spj" -> "spj", "lake_join_shuffle" -> "shuf",
+      "stream_catchup_backlog" -> "catchup",
+      "d02_ann_indexed" -> "ann", "d06_pipeline_e2e" -> "e2e")
+    val exchangeByEntry =
+      scala.collection.mutable.Map[String, (Double, Seq[(String, Double)])]()
+    def recordExchange(key: String, wall: Double): Unit =
+      if (wall >= 0) {
+        val snap = ExchangeProbe.snapshot()
+        exchangeByEntry.get(key) match {
+          case Some((w, _)) if w <= wall => ()
+          case _ => exchangeByEntry(key) = (wall, snap)
+        }
+      }
+
+    // per-entry phase getters (r14 verdict item 2): entries that expose a
+    // phase split record it on EVERY run, but the bench reports the MIN
+    // rep — capturing phases post-hoc took them from the LAST rep, so a
+    // taxed last rep made phases sum to 2× the reported wall (r14's own
+    // artifact: ann phases 9.58 s vs entry 4.05 s). run() now snapshots
+    // the phases at the rep that set the reported min and appends
+    // phases_wall_s so sum-of-phases ≈ wall is checkable from the JSON.
+    def zipfStylePhases(idx: () => Seq[(String, Double)],
+        prune: () => (Int, Int),
+        bucket: () => Int): () => Seq[(String, Double)] = () => {
+      val (pl, tot) = prune()
+      idx() ++ (if (tot >= 0) Seq(
+        "serve_files_planned" -> pl.toDouble,
+        "serve_bucket_files" -> bucket().toDouble,
+        "files_total" -> tot.toDouble) else Nil)
+    }
+    val LQ = graft.queries.LakeQueries
+    val phaseSources: Map[String, () => Seq[(String, Double)]] = Map(
+      "d02_ann_indexed" -> (() => LQ.lastAnnIndexedPhases),
+      "d02_hybrid_indexed" -> (() => LQ.lastHybridIndexedPhases),
+      "d02_phrase_index" -> (() => LQ.lastPhraseIndexPhases),
+      "d02_bm25_zipf" -> zipfStylePhases(() => LQ.lastZipfIndexPhases,
+        () => LQ.lastZipfServeFilePrune, () => LQ.lastZipfServeBucketFiles),
+      "d02_phrase_zipf" -> zipfStylePhases(() => LQ.lastPhraseZipfPhases,
+        () => LQ.lastPhraseZipfFilePrune,
+        () => LQ.lastPhraseZipfBucketFiles),
+      "d02_hybrid_zipf" -> (() => LQ.lastHybridZipfPhases))
+    val minRepPhases =
+      scala.collection.mutable.Map[String, Seq[(String, Double)]]()
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -130,11 +246,26 @@ object Bench {
       * add minutes).
       */
     def run(name: String): Double = {
-      runOnce(name)
-      val a = runOnce(name); val b = runOnce(name)
+      val probed = exchangeFamily(name)
+      val phases = phaseSources.get(name)
+      var minSoFar = Double.MaxValue
+      def rep(): Double = {
+        if (probed) ExchangeProbe.reset()
+        val w = runOnce(name)
+        if (probed) recordExchange(name, w)
+        if (w >= 0 && w < minSoFar) {
+          minSoFar = w
+          // snapshot the phase split AT the rep that set the reported min
+          phases.foreach(g =>
+            minRepPhases(name) = g() :+ ("phases_wall_s" -> w))
+        }
+        w
+      }
+      runOnce(name) // warmup — never probed, never sets the min
+      val a = rep(); val b = rep()
       val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
       if (best >= 0 && best < 1.5) {
-        val c = runOnce(name)
+        val c = rep()
         if (c >= 0) math.min(best, c) else best
       } else best
     }
@@ -371,13 +502,34 @@ object Bench {
         // All three timed reps are fresh needles — the pair reads
         // slightly higher than the pre-r14 warm-repeat protocol, once.
         val warm = once(tbl, 7919L * 4 % 1000000)
-        val reps = (1 to 3).map(i => once(tbl, 7919L * i % 1000000))
+        val warmPlanned = planned(loc)
+        val repPairs = (1 to 3).map { i =>
+          val w = once(tbl, 7919L * i % 1000000)
+          (w, planned(loc))
+        }
+        val reps = repPairs.map(_._1)
+        // planned-file counts are captured PER REP (r14 ADVICE: a single
+        // post-hoc sample reflects only the last rep's plan, so pruning
+        // drift that appears mid-side was invisible). Identical reps
+        // collapse to the single historical key; divergence emits per-rep
+        // keys alongside it plus a stderr warning.
+        val plans = warmPlanned +: repPairs.map(_._2)
+        val plannedDetail =
+          if (plans.distinct.size == 1) Seq(s"${tag}_planned" -> plans.head)
+          else {
+            System.err.println(s"[bench] point_lookup $tag: per-rep " +
+              "planned-file counts DIVERGED (warm,r1,r2,r3): " +
+              plans.map(_.toLong).mkString(","))
+            Seq(s"${tag}_planned" -> repPairs.last._2) ++
+              repPairs.zipWithIndex.map { case ((_, p), i) =>
+                s"${tag}_planned_r${i + 1}" -> p }
+          }
         val detail =
-          Seq(s"${tag}_total" -> graft.lake.LakeTable.load(loc).files()
-                .size.toDouble,
-              s"${tag}_planned" -> planned(loc),
-              s"${tag}_warm" -> warm,
-              s"${tag}_max" -> reps.max) ++
+          (Seq(s"${tag}_total" -> graft.lake.LakeTable.load(loc).files()
+                .size.toDouble) ++
+            plannedDetail ++
+            Seq(s"${tag}_warm" -> warm,
+              s"${tag}_max" -> reps.max)) ++
             reps.zipWithIndex.map { case (w, i) => s"${tag}_r${i + 1}" -> w }
         (reps.min, detail)
       }
@@ -439,8 +591,15 @@ object Bench {
         }
       }
       once(true); once(false) // warmup both shapes
-      val spjs = (1 to 3).map(_ => once(true))
-      val shuf = (1 to 3).map(_ => once(false))
+      def probedRep(key: String, spj: Boolean): Double = {
+        ExchangeProbe.reset()
+        val w = once(spj)
+        recordExchange(key, w)
+        w
+      }
+      val spjs = (1 to 3).map(_ => probedRep("lake_join_spj", spj = true))
+      val shuf = (1 to 3).map(_ =>
+        probedRep("lake_join_shuffle", spj = false))
       spark.sql(s"DROP TABLE $a"); spark.sql(s"DROP TABLE $b")
       Seq("lake_join_spj" -> spjs.min, "lake_join_shuffle" -> shuf.min)
     }
@@ -465,6 +624,7 @@ object Bench {
           LakeWriter.generateBatch(spark, 3125, (5666666L + i % 4) * 300000000L,
             seed = 400 + i), table))
       val totalBytes = table.files().map(_.sizeBytes).sum
+      ExchangeProbe.reset() // timed region only — the backlog build is untimed
       val t0 = System.nanoTime()
       val q = spark.readStream.format("laketable")
         .option("maxBytesPerTrigger", (totalBytes / 8).max(1L).toString)
@@ -474,6 +634,7 @@ object Bench {
         .start()
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
+      recordExchange("stream_catchup_backlog", secs)
       val admitted = q.recentProgress.map(_.numInputRows).filter(_ > 0)
       q.stop()
       assert(admitted.sum == 100000L, s"catch-up saw ${admitted.sum} rows")
@@ -668,9 +829,18 @@ object Bench {
         else {
           val acc = scala.collection.mutable.Set[String]()
           graft.Tables.accessRecorder = Some(n => acc += n)
+          // note: EAGER entries (those that execute jobs at construction)
+          // run fully here, untimed, against the base corpus — acceptable
+          // discovery cost, but a construction failure must be LOGGED: an
+          // entry that threw after touching only some of its tables gets
+          // a silently starved `needed` set otherwise (r14 ADVICE)
           try names.foreach { n =>
             try SparkEntry.queries(n)(spark, sfDir)
-            catch { case _: Throwable => () }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] x$m table discovery: $n threw " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage} — its " +
+                "needed-tables set may be incomplete")
+            }
           } finally graft.Tables.accessRecorder = None
           acc.toSet ++ Set("nation", "region") // tiny dims always ride
         }
@@ -1313,6 +1483,9 @@ object Bench {
             (LakeTable.commitRetries.get() - before).toDouble / cl.size
           out += s"${pfx}_structural_bound_ms" ->
             (expect - perCommitter) * stormWallMs / expect
+          System.err.println(s"[bench] $pfx depth profile (mean ms per " +
+            "100-commit window): " + cl.grouped(100)
+              .map(w => f"${w.sum / w.size}%.0f").mkString(" "))
           LakeTable.drop(contLoc)
         }
         storm("cont", committers = 5, perCommitter = 100)
@@ -1322,6 +1495,106 @@ object Bench {
         // probe, not the regime). Env-gated: probes-artifact runs only.
         if (sys.env.get("SPARK_GRAFT_MOCKS3_DRAIN").contains("1"))
           storm("cont_long", committers = 5, perCommitter = 200)
+
+        /** Coordination COUNTERFACTUAL (r14 verdict item 8, opt-in): the
+          * same 5×100 storm, but each commit passes through a FIFO
+          * ticket-queue lease held ON the mock store — enqueue a unique
+          * ticket object (PUT), poll with LIST until own ticket is the
+          * queue head, commit, DELETE the ticket. The structural claim
+          * behind the ~9 s uncoordinated p99 is that flat object stores
+          * offer no coordination primitive, so CAS losers must drain the
+          * winners' pack; this probe prices the alternative world where
+          * an external lease service exists — commit latency becomes
+          * queue-wait + single-commit service and the tail should
+          * collapse by an order of magnitude. Ticket ordering comes from
+          * a shared monotonic counter (the stand-in for the lease
+          * service's sequencer — a ZK sequential node / DynamoDB atomic
+          * counter; its one round-trip is priced by the ticket PUT);
+          * every queue operation pays the store's injected latency.
+          * Env-gated (SPARK_GRAFT_MOCKS3_LEASE=1): probes-artifact only.
+          */
+        def leaseStorm(pfx: String, committers: Int,
+            perCommitter: Int): Unit = {
+          val contLoc = loc(pfx)
+          LakeTable.create(contLoc, LakeWriter.EventSchemaDdl,
+            LakeWriter.EventSpec,
+            Map(LakeFormat.PropCommitRetries -> "20000",
+              LakeFormat.PropCommitRetryWaitMs -> "10"))
+          val before = LakeTable.commitRetries.get()
+          val leaseDir = new org.apache.hadoop.fs.Path(s"$contLoc/_lease")
+          val lfs = leaseDir
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val ticketSeq = new java.util.concurrent.atomic.AtomicLong()
+          val contLats = java.util.Collections.synchronizedList(
+            new java.util.ArrayList[Double]())
+          lat(on = true) {
+            lfs.mkdirs(leaseDir)
+            def acquire(): org.apache.hadoop.fs.Path = {
+              val id = ticketSeq.incrementAndGet()
+              val p = new org.apache.hadoop.fs.Path(leaseDir, f"t$id%020d")
+              lfs.create(p, false).close() // the ticket PUT
+              var mine = false
+              while (!mine) {
+                val entries = lfs.listStatus(leaseDir) // LIST round-trip
+                  .map(_.getPath.getName)
+                mine = entries.nonEmpty && entries.min == p.getName
+                if (!mine) Thread.sleep(2)
+              }
+              p
+            }
+            val pool =
+              java.util.concurrent.Executors.newFixedThreadPool(committers)
+            val start = new java.util.concurrent.CountDownLatch(1)
+            val futures = (0 until committers).map { th =>
+              pool.submit(new Runnable {
+                override def run(): Unit = {
+                  val t = LakeTable.load(contLoc)
+                  start.await()
+                  for (i <- 0 until perCommitter) {
+                    val m = DataFileMeta(s"$contLoc/data/t$th-f$i.parquet",
+                      1024L, 10L, 5666666L * 300000000L)
+                    // the latency a CALLER sees is acquire + commit +
+                    // release — the whole coordinated operation
+                    val t0 = System.nanoTime()
+                    val ticket = acquire()
+                    try t.append(Seq(m))
+                    finally lfs.delete(ticket, false)
+                    contLats.add((System.nanoTime() - t0) / 1e6)
+                  }
+                }
+              })
+            }
+            start.countDown()
+            pool.shutdown()
+            assert(pool.awaitTermination(30,
+              java.util.concurrent.TimeUnit.MINUTES))
+            futures.foreach(_.get())
+          }
+          val expect = committers.toLong * perCommitter
+          val contTable = LakeTable.load(contLoc)
+          assert(contTable.files().size == expect,
+            s"lease storm lost files: ${contTable.files().size}")
+          assert(contTable.currentSnapshotId == expect,
+            s"expected $expect snapshots, got ${contTable.currentSnapshotId}")
+          import scala.jdk.CollectionConverters._
+          val cl = contLats.asScala.toSeq
+          out += s"${pfx}_commits" -> cl.size.toDouble
+          out += s"${pfx}_p50_ms" -> pct(cl, 0.50)
+          out += s"${pfx}_p90_ms" -> pct(cl, 0.90)
+          out += s"${pfx}_p99_ms" -> pct(cl, 0.99)
+          out += s"${pfx}_max_ms" -> cl.max
+          out += s"${pfx}_retries_per_commit" ->
+            (LakeTable.commitRetries.get() - before).toDouble / cl.size
+          // depth profile: mean latency per 100-commit window (insertion
+          // order ≈ commit order) — distinguishes "tail = rare stall"
+          // from "tail = service time growing with table depth"
+          System.err.println(s"[bench] $pfx depth profile (mean ms per " +
+            "100-commit window): " + cl.grouped(100)
+              .map(w => f"${w.sum / w.size}%.0f").mkString(" "))
+          LakeTable.drop(contLoc)
+        }
+        if (sys.env.get("SPARK_GRAFT_MOCKS3_LEASE").contains("1"))
+          leaseStorm("cont_lease", committers = 5, perCommitter = 100)
 
         // ---- 3. expiry GC: per-file deletes vs batched DeleteObjects ----
         // two identical 300-commit tables built latency-OFF; expiry
@@ -2065,50 +2338,55 @@ object Bench {
             .selectExpr("id % 100000 AS k", "id AS v")
             .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")
               .as("s"))
-            .selectExpr("sum(s) AS t")))
+            .selectExpr("sum(s) AS t")),
+        // FOURTH canary (r15): sustained PARQUET-SCAN throughput over the
+        // testdata itself. The r14 bounce class (join-shaped entries
+        // moving 1.5-2.4× on identical code while range-based floor_bulk
+        // moved +5%) is consistent with page-cache eviction of the
+        // testdata files — a regime a synthetic range() shuffle never
+        // touches. This probe reads lineitem's widest column (l_comment)
+        // plus two numerics end to end, so a board drift on anything
+        // scan-fed decomposes against it: scan canary moves with the
+        // entries = storage/page-cache epoch; scan canary calm = look at
+        // the exchange object's bytes instead.
+        "floor_scan_s" -> probe(() =>
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .selectExpr("sum(l_extendedprice * l_discount) AS a",
+              "sum(l_quantity + l_tax) AS b", "count(l_returnflag) AS c",
+              "max(l_shipdate) AS d")))
     } else Nil
     // phase split rides every full artifact next to the single-key entry
     val shardPhases = if (fullRun) runShardPhases() else Nil
-    // r11 verdict item 7: d02_ann_indexed drifted +37% across rounds with
-    // untouched code and the artifact could not attribute which phase
-    // moved. The entry now clocks its own phase boundaries (data commit /
-    // model derive / corpus encode+commit / increment / fresh-load serve
-    // — LakeQueries.lastAnnIndexedPhases); the full artifact carries the
-    // split from the entry's LAST bench rep so the next drift is
-    // attributable in-artifact.
-    val annPhases =
-      if (fullRun) graft.queries.LakeQueries.lastAnnIndexedPhases else Nil
-    if (annPhases.nonEmpty)
-      System.err.println("[bench] d02_ann_indexed phases: " + annPhases
-        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
-    // same discipline for the heavy tail's new biggest entry
-    val hybridPhases =
-      if (fullRun) graft.queries.LakeQueries.lastHybridIndexedPhases else Nil
-    if (hybridPhases.nonEmpty)
-      System.err.println("[bench] d02_hybrid_indexed phases: " + hybridPhases
-        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
-    // r14 verdict item 2: d02_phrase_index drifted +70% in r13 with no
-    // split to attribute it — same discipline as its substring sibling
-    val phrasePhases =
-      if (fullRun) graft.queries.LakeQueries.lastPhraseIndexPhases else Nil
-    if (phrasePhases.nonEmpty)
-      System.err.println("[bench] d02_phrase_index phases: " + phrasePhases
-        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
-    // the Zipf serve's walls split from its build + the serve's file
-    // pruning, so round-over-round serve latency under realistic
-    // selectivity is attributable in-artifact (r14 verdict item 5)
-    val zipfPhases =
-      if (fullRun) {
-        val (pl, tot) = graft.queries.LakeQueries.lastZipfServeFilePrune
-        graft.queries.LakeQueries.lastZipfIndexPhases ++
-          (if (tot >= 0) Seq("serve_files_planned" -> pl.toDouble,
-            "serve_bucket_files" -> graft.queries.LakeQueries
-              .lastZipfServeBucketFiles.toDouble,
-            "files_total" -> tot.toDouble) else Nil)
-      } else Nil
-    if (zipfPhases.nonEmpty)
-      System.err.println("[bench] d02_bm25_zipf phases: " + zipfPhases
-        .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    // r11 verdict item 7 (attributable drift) + r14 verdict item 2
+    // (min-rep consistency): each phased entry's split is the one
+    // captured AT the rep that set the entry's reported wall, with
+    // phases_wall_s carrying that wall — so sum-of-time-phases ≈
+    // phases_wall_s is checkable from the artifact, and a reader never
+    // inherits the r14 trap of last-rep phases summing to 2× the entry.
+    def entryPhases(name: String): Seq[(String, Double)] =
+      if (!fullRun) Nil
+      else {
+        val ph = minRepPhases.getOrElse(name, Nil)
+        if (ph.nonEmpty) {
+          System.err.println(s"[bench] $name phases: " + ph
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+          val wall = ph.collectFirst { case ("phases_wall_s", w) => w }
+          val timeSum = ph.collect {
+            case (k, v) if k.endsWith("_s") && k != "phases_wall_s" => v
+          }.sum
+          for (w <- wall if timeSum > w * 1.3 + 0.2)
+            System.err.println(f"[bench] WARNING: $name phase sum " +
+              f"$timeSum%.2fs exceeds its min-rep wall $w%.2fs — " +
+              "phase capture drifted from the reported rep")
+        }
+        ph
+      }
+    val annPhases = entryPhases("d02_ann_indexed")
+    val hybridPhases = entryPhases("d02_hybrid_indexed")
+    val phrasePhases = entryPhases("d02_phrase_index")
+    val zipfPhases = entryPhases("d02_bm25_zipf")
+    val phraseZipfPhases = entryPhases("d02_phrase_zipf")
+    val hybridZipfPhases = entryPhases("d02_hybrid_zipf")
     // r10 verdict item 2's "measured tokens/sec at a few-hundred-merge
     // vocab": one end-to-end run of the production-vocab encoder (model
     // commit + serve) reduced to sum(n_tokens); rate = corpus tokens
@@ -2260,9 +2538,15 @@ object Bench {
       if (x10Work.isEmpty) -1.0
       else x10Work.map(_._2).sum / x10Work.map(_._3).sum
     // COMBINED work-dominated set (r14 verdict item 4): the ×10 work
-    // entries plus every floor entry the ×40 tier pushed over the 0.1 s
-    // DuckDB bar. Per entry the deeper tier is only used where ×10
-    // carried no signal, so the two tiers never double-count.
+    // entries plus every floor entry the ×100 (xfloorMult) tier pushed
+    // over the 0.1 s DuckDB bar. Per entry the deeper tier is only used
+    // where ×10 carried no signal, so the two tiers never double-count.
+    // Weighting caveat (r14 ADVICE): ratio_work sums ×10 walls and
+    // deep-tier walls into one sum-of-sums quotient, so a deep-tier entry
+    // carries ~(xfloorMult/x10Mult)× the weight per unit of base-corpus
+    // work. The quotient itself is still a fair engine comparison (both
+    // engines pay the same scale per entry); ratio_work_median below is
+    // the scale-weighting-free companion statistic.
     val xfloorRatios = xfloorSpark
       .filter { case (k, v) =>
         v >= 0 && xfloorDuck.contains(k) && !oracleShaped(k) }
@@ -2273,6 +2557,17 @@ object Bench {
     val ratioWorkAll =
       if (combinedWork.isEmpty) -1.0
       else combinedWork.map(_._2).sum / combinedWork.map(_._3).sum
+    // scale-weighting-free companion (r14 ADVICE) + the PINNED population
+    // (r14 verdict item 4): the combined set's entry names ride the full
+    // artifact as `work_set` so the cross-round headline ratio_work is
+    // comparable only when the named population matches
+    val ratioWorkMedian =
+      if (combinedWork.isEmpty) -1.0
+      else {
+        val rs = combinedWork.map(t => t._2 / t._3).sorted
+        rs((rs.size - 1) / 2)
+      }
+    val workSetNames = combinedWork.map(_._1).sorted
     if (x10Spark.nonEmpty)
       System.err.println(f"[bench] x10 envelope: spark=$x10SparkTotal%.2f " +
         f"duckdb=$x10DuckTotal%.2f over ${x10Overlap.size} entries, " +
@@ -2286,15 +2581,45 @@ object Bench {
     if (x10PackPhases.nonEmpty)
       System.err.println("[bench] d04_budget_pack x10 phases: " +
         x10PackPhases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    // the join family's min-rep exchange decomposition (r14 verdict item
+    // 1): per probed entry, the wall that was reported plus the shuffle
+    // bytes moved and the fetch-wait/write time behind it. Adjudication
+    // rule (README): bytes flat vs the prior round + wall up = machine
+    // epoch (time-per-byte moved); bytes up = plan drift — the two causes
+    // a bounced join entry could previously not be split into.
+    val exchangeStats: Seq[(String, Double)] = exchangeByEntry.toSeq
+      .sortBy(_._1).flatMap { case (entry, (wall, snap)) =>
+        val p = exchangeKeyNames.getOrElse(entry, entry)
+        (s"${p}_wall_s" -> wall) +: snap.map { case (k, v) =>
+          s"${p}_$k" -> v }
+      }
+    if (exchangeStats.nonEmpty)
+      System.err.println("[bench] exchange (min-rep): " + exchangeStats
+        .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     def render(f: Double => String, fullDuckdb: Boolean): String = {
       // counts (planned files, work_n, commit totals) render as bare
       // integers — "64" not "64.00" — the stdout line's 2000-char budget
-      // is real and decimals on counts buy nothing
-      def num(v: Double): String =
-        if (v == v.floor && math.abs(v) < 1e9) v.toLong.toString else f(v)
+      // is real and decimals on counts buy nothing. KEY-driven, not
+      // value-driven (r14 ADVICE): a timing that lands exactly on an
+      // integer must still render as "2.00", else textual artifact diffs
+      // are format-unstable depending on the value.
+      val countKeys = Set("sp", "pp", "mult", "n", "overlap", "work_n",
+        "merges", "tokens", "threads", "commits", "rows", "s_total",
+        "p_total", "n_docs", "n_files", "files_total", "files_before",
+        "files_after", "files_after_part", "eq_files")
+      def isCount(k: String): Boolean =
+        countKeys(k) || k.endsWith("_planned") || k.endsWith("_files") ||
+          k.endsWith("_df") || k.endsWith("_hits") || k.endsWith("_rows") ||
+          k.endsWith("_mult") || k.endsWith("_tasks") ||
+          k.startsWith("files_q") ||
+          k.contains("files_planned") || k.endsWith("files_total")
+      def num(k: String, v: Double): String =
+        if (isCount(k) && v == v.floor && math.abs(v) < 1e9)
+          v.toLong.toString
+        else f(v)
       def optObj(key: String, entries: Seq[(String, Double)]): String =
         if (entries.isEmpty) ""
-        else entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        else entries.map { case (k, v) => "\"" + k + "\":" + num(k, v) }
           .mkString(s""""$key":{""", ",", "},")
       val q = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -2348,7 +2673,8 @@ object Bench {
           (if (fullDuckdb) Seq("mult" -> xfloorMult.toDouble,
             "n" -> xfloorSpark.size.toDouble) else Nil) ++ Seq(
           "work_n" -> combinedWork.size.toDouble,
-          "ratio_work" -> ratioWorkAll))
+          "ratio_work" -> ratioWorkAll,
+          "ratio_work_median" -> ratioWorkMedian))
       val x10Full =
         if (!fullDuckdb || x10Spark.isEmpty) ""
         else optObj("envelope_x10", x10Spark) +
@@ -2357,7 +2683,10 @@ object Bench {
       val xfloorFull =
         if (!fullDuckdb || xfloorSpark.isEmpty) ""
         else optObj("envelope_xfloor", xfloorSpark) +
-          s""""duckdb_xfloor":$xfloorDuckJson,"""
+          s""""duckdb_xfloor":$xfloorDuckJson,""" +
+          (if (workSetNames.isEmpty) ""
+           else workSetNames.map("\"" + _ + "\"")
+             .mkString("\"work_set\":[", ",", "],"))
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""heavy_total":${f(heavyTotal)},"queries":$q,""" +
         x10Summary + xfloorSummary + x10Full + xfloorFull +
@@ -2386,6 +2715,10 @@ object Bench {
           if (fullDuckdb) commitCurve
           else commitCurve.filterNot(_._1 == "ms_per_commit_at_10")) +
         optObj("spark_floor", sparkFloor) +
+        // the join family's shuffle decomposition rides the FULL artifact
+        // only (25 keys ≈ 600 chars — stdout-tail budget); stderr prints
+        // it on every run
+        (if (fullDuckdb) optObj("exchange", exchangeStats) else "") +
         optObj("plan_scale", planScale) +
         optObj("index_compact", indexCompact) +
         optObj("delete_compact", deleteCompact) +
@@ -2406,6 +2739,10 @@ object Bench {
         (if (fullDuckdb) optObj("d02_phrase_index_phases", phrasePhases)
          else "") +
         (if (fullDuckdb) optObj("d02_bm25_zipf_phases", zipfPhases)
+         else "") +
+        (if (fullDuckdb) optObj("d02_phrase_zipf_phases", phraseZipfPhases)
+         else "") +
+        (if (fullDuckdb) optObj("d02_hybrid_zipf_phases", hybridZipfPhases)
          else "") +
         (if (fullDuckdb) optObj("bpe_full", bpeRate) else "") +
         (if (fullDuckdb) optObj("zipf_retrieval", zipfRetrieval) else "") +

@@ -1117,6 +1117,77 @@ object LakeQueries {
     } finally LakeTable.drop(loc)
   }
 
+  /** Phase walls + serve file pruning of the last d02_phrase_zipf run. */
+  @volatile private[graft] var lastPhraseZipfPhases: Seq[(String, Double)] =
+    Nil
+  @volatile private[graft] var lastPhraseZipfFilePrune: (Int, Int) = (-1, -1)
+  /** Files in the probes' matched tkey buckets at the last serve —
+    * planned < this proves the within-bucket footer skip worked. */
+  @volatile private[graft] var lastPhraseZipfBucketFiles: Int = -1
+
+  // D2pz — PHRASE adjacency under the REALISTIC Zipf vocabulary (r14
+  // verdict item 3): the committed positional index is built over the
+  // zipf-expanded corpus (each occurrence keeps its position, its term
+  // gains the octave-rank suffix), so the probes' posting sizes span df
+  // octaves (~1400 postings for a head rank-1 pair down to ~30 for an
+  // octave-5/6 needle) instead of every probe hitting the ~30-word
+  // corpus head. The corpus replicates ×16 with shifted doc_ids BEFORE
+  // expansion (PipelineQueries.ZipfPhraseReplicas — rank draws differ
+  // per replica, giving head probes a measurable match mass; exact-rank
+  // pair survival is ~1/100 and the organic corpus holds only ~30
+  // adjacencies per base pair). Hash-oracled end to end: DuckDB replays
+  // the same replication, expansion and adjacency self-join.
+  def d02_phrase_zipf(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.queries.PipelineQueries
+    val loc = scratch("phrase-zipf")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // ×16 deterministic replication, single corpus scan (broadcast range)
+    val rdocs = d
+      .crossJoin(broadcast(s.range(0, P.ZipfPhraseReplicas).toDF("ri")))
+      .withColumn("doc_id",
+        col("doc_id") + col("ri") * lit(P.ZipfPhraseShift))
+      .select("doc_id", "text")
+    val index = LakeTable.create(loc,
+      "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT," +
+        "dl BIGINT,positions ARRAY<BIGINT>",
+      TruncateSpec("tkey", 1L))
+    index.setProperty("write.sort-order", "thash")
+    try {
+      val t0 = System.nanoTime()
+      index.append(LakeWriter.writeDataFiles(
+        P.zipfPositionalPostings(rdocs)
+          .withColumn("thash", xxhash64(col("term")))
+          .withColumn("tkey", pmod(col("thash"), lit(16L)))
+          .select("tkey", "thash", "term", "doc_id", "tf", "dl",
+            "positions"),
+        // 16× the sibling indexes' file sizing: the ×16-replicated corpus
+        // would otherwise roll ~1,100 files at sf0.1 (4.3M posting rows /
+        // 4096) — per-row work is identical, but a thousand scratch files
+        // price file-open overhead, not the serve. ~70 files at sf0.1
+        // still splits every bucket 4–5 ways, so the within-bucket footer
+        // skip stays exercised where the prune counts are reported.
+        index, sortBy = Seq("thash"),
+        maxRecordsPerFile = P.Bm25IndexRowsPerFile * 16))
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val idxT = LakeTable.load(loc)
+      val tS0 = System.nanoTime()
+      val out = P.phraseServe(
+        idxT.toDF(s).filter(P.zipfPhraseLayoutPredicate)
+          .select("term", "doc_id", "positions"),
+        P.ZipfPhraseQueries)
+      val res = localize(out)
+      lastPhraseZipfPhases = Seq("build_s" -> tBuild,
+        "serve_s" -> (System.nanoTime() - tS0) / 1e9)
+      val files = idxT.files()
+      lastPhraseZipfFilePrune =
+        (graft.lake.dsv2.LakeScanMetrics.lastPlannedByLocation
+          .getOrElse(loc, -1), files.size)
+      lastPhraseZipfBucketFiles =
+        files.count(f => P.zipfPhraseQueryTkeys.contains(f.partitionValue))
+      res
+    } finally LakeTable.drop(loc)
+  }
+
   /** Optimized plan of the last d01_substring_index GATE plus the index
     * location — spec-observable: the duplicated-shingle probe's committed
     * side must be the INDEX table's scan, never a re-shingling of the
@@ -1450,12 +1521,40 @@ object LakeQueries {
   // semantic ranks differ from d02_hybrid_rrf's exactly where
   // ADC+shortlist approximation does, so the entry carries its own
   // oracle replaying BOTH committed serves end to end.
-  def d02_hybrid_indexed(s: SparkSession, dir: String): DataFrame = {
+  def d02_hybrid_indexed(s: SparkSession, dir: String): DataFrame =
+    hybridIndexedRun(s, dir, zipfLex = false)
+
+  /** Wall-second phase split + the serve's lexical-arm file pruning for
+    * the last d02_hybrid_zipf run (r14 verdict item 3: the fused serve
+    * measured worst-case selectivity only). */
+  @volatile private[graft] var lastHybridZipfPhases: Seq[(String, Double)] =
+    Nil
+
+  // D2hz — the INDEXED hybrid under the REALISTIC Zipf vocabulary (r14
+  // verdict item 3): identical lifecycle to d02_hybrid_indexed, but the
+  // lexical arm commits zipf-expanded postings (~30k-term vocabulary)
+  // and serves the octave-spanning ZipfQueries probes through the
+  // bucket-aware layout predicate, so the fused serve wall tracks
+  // realistic selectivity instead of the ~30-word corpus head. The
+  // semantic arm and fusion are unchanged machinery. Hash-oracled end to
+  // end: the oracle fuses the zipf ranked replay with the IVF+PQ chain.
+  def d02_hybrid_zipf(s: SparkSession, dir: String): DataFrame =
+    hybridIndexedRun(s, dir, zipfLex = true)
+
+  private def hybridIndexedRun(s: SparkSession, dir: String,
+      zipfLex: Boolean): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val P = graft.queries.PipelineQueries
     val locB = scratch("hyb-bm25")
     val locD = scratch("hyb-ann-data")
     val locI = scratch("hyb-ann-idx")
+    // the three zipf-vs-base knobs: postings expansion, serve-side layout
+    // predicate (each probe set prunes on its own terms' hashes), probes
+    val lexPostings: DataFrame => DataFrame =
+      if (zipfLex) P.zipfPostings else P.bm25Postings
+    val lexPredicate =
+      if (zipfLex) P.zipfLayoutPredicate else P.bm25LayoutPredicate
+    val queries = if (zipfLex) P.ZipfQueries else P.Bm25Queries
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val bm25 = LakeTable.create(locB, P.Bm25IndexDdl, TruncateSpec("tkey", 1L))
@@ -1473,7 +1572,7 @@ object LakeQueries {
       val st = d.agg(count(lit(1)),
         sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
       bm25.append(LakeWriter.writeDataFiles(
-        P.bm25Keyed(P.bm25Postings(d)), bm25, sortBy = Seq("thash"),
+        P.bm25Keyed(lexPostings(d)), bm25, sortBy = Seq("thash"),
         maxRecordsPerFile = P.Bm25IndexRowsPerFile))
       bm25.setProperty(bm25StatsKey("build"),
         s"${st.getLong(0)}:${st.getLong(1)}")
@@ -1497,15 +1596,15 @@ object LakeQueries {
       val bT = LakeTable.load(locB)
       val (nd, sdl) = bm25FoldStats(bT.tableMeta.properties)
       val lex = P.bm25Serve(
-        bT.toDF(s).filter(P.bm25LayoutPredicate)
-          .select("term", "doc_id", "tf", "dl"), nd, sdl)
+        bT.toDF(s).filter(lexPredicate)
+          .select("term", "doc_id", "tf", "dl"), nd, sdl, queries)
         .select(col("qid"), col("doc_id"), col("rn").as("rl"))
       val iT = LakeTable.load(locI)
       val ivf2 = P.ivfModelFromString(iT.tableMeta.properties(P.AnnIvfProp))
       val pq2 = P.pqModelFromString(iT.tableMeta.properties(P.AnnPqProp))
       val sem = P.ivfPqServe(s, iT.snapshotDF(s, i2), data.snapshotDF(s, d2),
           ivf2, pq2,
-          probeFilter = col("vec_id").between(1, P.Bm25Queries.length),
+          probeFilter = col("vec_id").between(1, queries.length),
           topK = P.Bm25TopK)
         .select(col("qid").cast("int").as("qid"),
           col("oid").as("doc_id"), col("rn").as("rs"))
@@ -1513,9 +1612,11 @@ object LakeQueries {
       lastHybridIndexedPlan =
         Some((out.queryExecution.optimizedPlan.toString, locB, locI))
       val res = localize(out)
-      lastHybridIndexedPhases = Seq(
+      val phases = Seq(
         "lex_build_s" -> tLexBuild, "ann_build_s" -> tAnnBuild,
         "fused_serve_s" -> secsSince(tPhase2))
+      if (zipfLex) lastHybridZipfPhases = phases
+      else lastHybridIndexedPhases = phases
       res
     } finally {
       LakeTable.drop(locB)
@@ -2249,8 +2350,10 @@ object LakeQueries {
     "d02_bm25_index" -> d02_bm25_index _,
     "d02_bm25_zipf" -> d02_bm25_zipf _,
     "d02_hybrid_indexed" -> d02_hybrid_indexed _,
+    "d02_hybrid_zipf" -> d02_hybrid_zipf _,
     "d01_substring_index" -> d01_substring_index _,
     "d02_phrase_index" -> d02_phrase_index _,
+    "d02_phrase_zipf" -> d02_phrase_zipf _,
     "d01_semdedup_index" -> d01_semdedup_index _,
     "d02_ann_indexed" -> d02_ann_indexed _,
     "d02_ann_index_rebuild" -> d02_ann_index_rebuild _,
@@ -2471,8 +2574,15 @@ object LakeQueries {
     "d02_bm25_zipf" -> graft.queries.PipelineQueries.bm25ZipfOracleSql,
     "d02_hybrid_indexed" ->
       graft.queries.PipelineQueries.hybridIndexedOracleSql,
+    // the zipf-lexical fusion replays the expansion + the IVF+PQ chain
+    "d02_hybrid_zipf" ->
+      graft.queries.PipelineQueries.hybridZipfOracleSql,
     // the committed positional serve ends at full-corpus phrase results
     "d02_phrase_index" -> graft.queries.PipelineQueries.phraseMatchOracleSql,
+    // the zipf phrase serve replays the ×16 replication + expansion +
+    // positional adjacency
+    "d02_phrase_zipf" ->
+      graft.queries.PipelineQueries.phraseZipfOracleSql,
     // increment-vs-committed substring gate: corpus = evens' distinct
     // 60-bit shingle hashes, increment = odds; a span is duplicated if
     // its shingle hits the corpus OR repeats within the increment

@@ -1504,6 +1504,57 @@ class PipelineSpec extends SparkSpec {
       assert(r >= 1 && r < 1024, s"rank out of octave range: $term") }
   }
 
+  test("D2pz zipf positional postings: tf == |positions|, dropping " +
+      "positions equals zipfPostings, and phraseServe over the expansion " +
+      "matches a scalar adjacency recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "data query data table sort query"),
+      (7L, "sort query sort query data"),
+      (11L, "table data sort")).toDF("doc_id", "text")
+    val pos = PipelineQueries.zipfPositionalPostings(docs)
+    val rows = pos.collect()
+    rows.foreach { r =>
+      val tf = r.getLong(2)
+      val ps = r.getSeq[Long](4)
+      assert(tf == ps.size, s"tf $tf != |positions| ${ps.size} for $r")
+      assert(ps == ps.sorted, s"positions not sorted: $r")
+    }
+    val flat = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+    val plain = PipelineQueries.zipfPostings(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(flat == plain,
+      "positional postings must equal zipfPostings modulo positions")
+    // scalar recompute of the expanded token STREAM (same derivation the
+    // D2z test pins), then adjacency counting over it — the probe pair is
+    // taken FROM the scalar stream so the test never depends on rank luck
+    def rank(docId: Long, p: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$p".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(md, 16)
+      val e = (u % 10).toInt
+      (1L << e) + (u / 10) % (1L << e)
+    }
+    val streams = Seq(3L -> "data query data table sort query",
+        7L -> "sort query sort query data", 11L -> "table data sort")
+      .map { case (id, t) =>
+        id -> t.split(" ").zipWithIndex.map { case (w, i) =>
+          s"$w~${rank(id, i)}" }.toSeq }
+    val (probeDoc, probeStream) = streams.head
+    val (z1, z2) = (probeStream(0), probeStream(1))
+    val expected = streams.flatMap { case (id, zs) =>
+      val n = zs.sliding(2).count(p => p.head == z1 && p.last == z2)
+      if (n > 0) Some((1, id, n.toLong)) else None
+    }.toSet
+    assert(expected.exists(_._2 == probeDoc))
+    val served = PipelineQueries.phraseServe(pos, Seq(1 -> s"$z1 $z2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == expected, s"served $served expected $expected")
+  }
+
   test("D1i committed shingle index: gate spans equal a driver recompute, " +
       "probe scans the INDEX TABLE, maintenance appends only novel hashes") {
     val L = PipelineQueries.SubstrShingle
