@@ -45,6 +45,11 @@ object Bench {
     * code didn't change.
     */
   val heavyTail: Seq[String] = Seq(
+    // r15: the filtered-ANN scale path (per-probe label predicate inside
+    // the oversampled IVF candidate join) — new surface, so appending it
+    // here (not to `headline`) keeps the envelope `total` population
+    // comparable across rounds; its wall reports under heavy_total
+    "d02_ann_filtered_ivf",
     // moved here from the END of `headline` in round 8: its scratch-table
     // commit+GC churn sat directly before `ingest_100k` and drifted that
     // entry +0.17 s with no code change (r7 verdict finding #1) — the

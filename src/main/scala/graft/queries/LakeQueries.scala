@@ -1143,17 +1143,15 @@ object LakeQueries {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // ×16 deterministic replication, single corpus scan (broadcast range)
     // the broadcast cross-join INHERITS the corpus scan's partitioning —
-    // documents.parquet is one file at sf0.1, so without an explicit
-    // repartition the entire ×16 expansion (4.3M md5+conv token draws)
-    // runs on ONE task until the groupBy shuffle; redistributing the
-    // replicated docs first is a ~30 MB shuffle that parallelizes the
-    // expensive map side across the cluster (r15: build 38 s → ~4 s)
+    // documents.parquet is one file at sf0.1, so the ×16 expansion
+    // (4.3M md5+conv token draws) would run on ONE task until the
+    // groupBy shuffle (r15: build 38 s → ~4 s once parallelized);
+    // zipfTokens repartitions by doc_id internally for all callers
     val rdocs = d
       .crossJoin(broadcast(s.range(0, P.ZipfPhraseReplicas).toDF("ri")))
       .withColumn("doc_id",
         col("doc_id") + col("ri") * lit(P.ZipfPhraseShift))
       .select("doc_id", "text")
-      .repartition(col("doc_id"))
     val index = LakeTable.create(loc,
       "tkey BIGINT,thash BIGINT,term STRING,doc_id BIGINT,tf BIGINT," +
         "dl BIGINT,positions ARRAY<BIGINT>",

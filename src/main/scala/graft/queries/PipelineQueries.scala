@@ -728,6 +728,11 @@ object PipelineQueries {
     */
   private[graft] def zipfTokens(docs: DataFrame): DataFrame =
     docs
+      // the expansion below costs an md5 + base-16 conv PER TOKEN; a
+      // one-file corpus scan would otherwise run it all on one task
+      // (the d02_phrase_zipf r15 finding) — map-side parallelism must
+      // never be bound to the input file count
+      .repartition(col("doc_id"))
       .selectExpr("doc_id",
         "posexplode(split(text, ' ')) AS (pos, term)",
         "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
@@ -1453,6 +1458,89 @@ object PipelineQueries {
       .orderBy("vec_id").limit(16)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     ivfSearch(s, e, cents)
+  }
+
+  // D2flt — FILTERED vector search ("neighbors within my category"),
+  // the predicate-constrained ANN serve every production vector store
+  // exposes and the reference's query surface lacks outright. Each
+  // probe retrieves top-5 among candidates sharing ITS OWN label —
+  // per-query filtering, the hard case (a global predicate could
+  // pre-filter once; a per-query one must ride the candidate join).
+  // Brute force is the correctness anchor AND the honest small-filter
+  // plan: a selective predicate shrinks candidates enough that exact
+  // scan wins — here the label equi-join (broadcast hash, ~1/10
+  // selectivity) replaces the unfiltered entry's crossJoin, so the
+  // filter prunes BEFORE the cosine, not after. Hash-oracled like
+  // d02_cosine_topk (dec4-rounded doubles).
+  def d02_ann_filtered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    e.select(col("vec_id").as("oid"), col("embedding").as("oe"),
+        col("label").as("olabel"))
+      .join(broadcast(probes), col("olabel") === col("qlabel"))
+      .filter(col("qid") =!= col("oid"))
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF search with a per-probe label filter on the candidate join —
+    * the scale path of [[d02_ann_filtered]]. The label predicate rides
+    * the SAME broadcast cell join (cell AND label equi-keys), so
+    * filtering prunes candidates before any cosine is computed; nprobe
+    * oversamples 6 → 10 because a ~1/10-selective filter thins each
+    * probed cell's candidate pool — the selectivity-aware knob a
+    * filtered-ANN serve tunes (at production K in the thousands the
+    * multiplier matters; at K=16 it saturates near "most cells", which
+    * is honest about what a 10-way filter does to a 16-cell index).
+    */
+  private[graft] def ivfFilteredSearch(s: SparkSession, e: DataFrame,
+      cents: Array[(Long, Seq[Float])], nprobe: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    def cellScores(vec: org.apache.spark.sql.Column) =
+      array(cents.toIndexedSeq.map { case (cid, cvec) => struct(
+        call_function("cosine_sim", vec, typedlit(cvec)).as("s"),
+        lit(cid).as("c"))
+      }: _*)
+    val assigned = e.select(col("vec_id").as("oid"),
+      col("embedding").as("oe"), col("label").as("olabel"),
+      array_max(cellScores(col("embedding"))).getField("c").as("cell"))
+    val probeCells = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(slice(reverse(array_sort(cellScores(col("embedding")))),
+          1, nprobe).getField("c")).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("qid") =!= col("oid") && col("olabel") === col("qlabel"))
+      .withColumn("cos", expr("cosine_sim(qe, oe)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("oid"), dec4(col("cos")).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // D2flt-scale — the filtered IVF under the exact-replay recipe
+  // (round(x·1e6) quantization, untrained every-31st seeds: every
+  // dot/norm an exact order-independent double sum), so the FILTERED
+  // candidate machinery itself — cell assignment, oversampled fan-out,
+  // label-constrained broadcast join, refine — is hash-verified the way
+  // d02_ivf_exact covers the unfiltered path.
+  def d02_ann_filtered_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  CAST(round(CAST(x AS DOUBLE) * 1000000D) AS FLOAT))""".stripMargin)
+      .as("embedding"), col("label"))
+    val cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    ivfFilteredSearch(s, e, cents)
   }
 
   // D2-scale (PQ) — product-quantization ANN: normalized 64-dim vectors
@@ -3597,6 +3685,8 @@ object PipelineQueries {
     "d02_ann_exact" -> d02_ann_exact _,
     "d02_ann_ivf" -> d02_ann_ivf _,
     "d02_ivf_exact" -> d02_ivf_exact _,
+    "d02_ann_filtered" -> d02_ann_filtered _,
+    "d02_ann_filtered_ivf" -> d02_ann_filtered_ivf _,
     "d02_ann_pq" -> d02_ann_pq _,
     "d02_pq_exact" -> d02_pq_exact _,
     "d02_ann_ivfpq" -> d02_ann_ivfpq _,
@@ -4547,6 +4637,72 @@ object PipelineQueries {
         |cand AS (
         |  SELECT p.qid, a.oid, ${cos("p.qv", "a.ov")} AS cos
         |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.oid <> p.qid),
+        |scored AS (
+        |  SELECT qid, oid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rn
+        |  FROM cand)
+        |SELECT qid, rn, oid,
+        |  CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    // d02_ann_filtered: the cosine_topk replay with the per-probe label
+    // constraint joined in BEFORE scoring — same dec4 rounding
+    "d02_ann_filtered" ->
+      """WITH lab AS (SELECT vec_id, label FROM embeddings),
+        |elems AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS oid,
+        |    SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |  GROUP BY qid, oid),
+        |filt AS (
+        |  SELECT p.* FROM pairs p
+        |  JOIN lab la ON la.vec_id = p.qid
+        |  JOIN lab lb ON lb.vec_id = p.oid AND lb.label = la.label),
+        |scored AS (
+        |  SELECT qid, oid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, oid) AS rn
+        |  FROM filt)
+        |SELECT qid, rn, oid, CAST(CAST(round(cos, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cos
+        |FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // d02_ann_filtered_ivf: the d02_ivf_exact replay with label carried
+    // through assignment, nprobe widened 6 -> 10 (the oversampling
+    // knob), and the label equality on the candidate join
+    "d02_ann_filtered_ivf" -> {
+      def cos(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b))))"
+      s"""WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM q
+        |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id AS oid, v AS ov, label AS olabel, cell FROM (
+        |    SELECT q.vec_id, q.v, q.label, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${cos("q.v", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, label AS qlabel, cell FROM (
+        |    SELECT q.vec_id, q.v, q.label, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${cos("q.v", "c.cv")} DESC, c.cid DESC) AS rn
+        |    FROM q CROSS JOIN cents c WHERE q.vec_id < 20)
+        |  WHERE rn <= 10),
+        |cand AS (
+        |  SELECT p.qid, a.oid, ${cos("p.qv", "a.ov")} AS cos
+        |  FROM probes p JOIN assign a
+        |    ON a.cell = p.cell AND a.olabel = p.qlabel
         |  WHERE a.oid <> p.qid),
         |scored AS (
         |  SELECT qid, oid, cos,

@@ -255,6 +255,32 @@ class PipelineSpec extends SparkSpec {
       .filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
   }
 
+  test("D2flt: filtered ANN — same-label invariant, filtered-IVF " +
+      "recall vs filtered brute force, label filter inside the join") {
+    val e = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairs(PipelineQueries.d02_ann_filtered(spark, dir))
+    assert(truth.nonEmpty)
+    // the operator's contract: every neighbor shares its probe's label
+    val crossLabel = truth.filter { case (q, o) => e(q) != e(o) }
+    assert(crossLabel.isEmpty,
+      s"${crossLabel.size} cross-label neighbors leaked the filter")
+    val ivf = pairs(PipelineQueries.d02_ann_filtered_ivf(spark, dir))
+    assert(ivf.forall { case (q, o) => e(q) == e(o) })
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    info(f"filtered-IVF recall@5: $recall%.3f (|ivf|=${ivf.size})")
+    // nprobe=10/16 with a ~1/10-selective label filter measures 0.76
+    // here (untrained seed centroids — the exact-replay recipe trades
+    // recall for hash-verifiability; the trained-centroid lift is
+    // covered by the unfiltered sibling). Floor ~0.06 under measured,
+    // the sibling IVF spec's discipline.
+    assert(recall >= 0.7,
+      s"filtered-IVF recall $recall below floor (|ivf|=${ivf.size})")
+  }
+
   test("D4: PII redaction scrubs every planted email/IP/phone") {
     val out = PipelineQueries.d04_pii(spark, dir).collect()
     assert(out.length == 500)
