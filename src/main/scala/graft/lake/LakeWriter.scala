@@ -104,7 +104,17 @@ object LakeWriter {
     val withPart = df.withColumn("__part",
       col(spec.column) - pmod(col(spec.column), lit(spec.widthMicros)))
     val repartitioned =
-      if (filesPerPartition <= 1) withPart.repartition(col("__part"))
+      if (filesPerPartition <= 1)
+        // EXPLICIT partition count: AQE treats a keyless
+        // REPARTITION_BY_COL exchange as coalescible and can fold all
+        // populated buckets into ~one task, serializing the per-bucket
+        // sort + parquet encode that follows. Routing is still by
+        // __part alone, so each bucket lands whole in exactly one task
+        // either way — the file count and the per-bucket sort-column
+        // disjointness (footer-skip contract) are unchanged; only the
+        // write-side parallelism is.
+        withPart.repartition(
+          spark.sessionState.conf.numShufflePartitions, col("__part"))
       else withPart.repartition(filesPerPartition, col("__part"),
         pmod(col("message_id"), lit(filesPerPartition)))
     // clustering: sort inside each partition task so the writer's

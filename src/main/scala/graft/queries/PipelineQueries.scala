@@ -156,9 +156,34 @@ object PipelineQueries {
     * engine-portable derivation every md5-hashed operator here uses,
     * 2^-60 collision contract, and DuckDB replays it from the same hex).
     */
+  /** Unbind compute-heavy map-side expansions from the INPUT FILE COUNT
+    * (guide §2.5, input skew: "one huge unsplittable file ... repartition
+    * immediately after the read"): a single-row-group parquet file scans
+    * as ONE task, so an expansion fused into the scan (shingle md5
+    * chains, zipf token draws, minhash lanes) runs serially no matter how
+    * many cores the session has. When the plan already scans with >= the
+    * session's shuffle parallelism (the 100 TB case — many files/splits),
+    * this is a NO-OP; otherwise the still-narrow pre-expansion rows
+    * hash-shuffle to an EXPLICIT partition count. Explicit, not
+    * `repartition(col)`: AQE treats a keyless REPARTITION_BY_COL exchange
+    * as coalescible and folds the tiny pre-expansion bytes back into ~one
+    * partition, re-serializing the expansion that follows (measured at
+    * sf0.1/32 cores: zipfTokens 3.6 s keyless vs 1.3 s explicit;
+    * shingleHashes 2.6 vs 0.35; md5MinhashSigs 4.9 vs 0.49). Results are
+    * partitioning-invariant: every consumer aggregates or joins by key
+    * downstream. Streaming frames pass through untouched (micro-batch
+    * planning handles their parallelism; `.rdd` is undefined for them).
+    */
+  private[graft] def fanOut(df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming) return df
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, col(key))
+  }
+
   private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
     val L = SubstrShingle
-    docs.filter(length(col("text")) >= L)
+    fanOut(docs.filter(length(col("text")) >= L), "doc_id")
       .select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - L)).as("p"),
         col("text"))
@@ -612,7 +637,7 @@ object PipelineQueries {
     * rewrite existing rows).
     */
   private[graft] def bm25Postings(docs: DataFrame): DataFrame =
-    docs
+    fanOut(docs, "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"),
         size(split(col("text"), " ")).cast("long").as("dl"))
       .groupBy("doc_id", "term")
@@ -727,12 +752,13 @@ object PipelineQueries {
     * own micro-unit quantization downstream).
     */
   private[graft] def zipfTokens(docs: DataFrame): DataFrame =
-    docs
-      // the expansion below costs an md5 + base-16 conv PER TOKEN; a
-      // one-file corpus scan would otherwise run it all on one task
-      // (the d02_phrase_zipf r15 finding) — map-side parallelism must
-      // never be bound to the input file count
-      .repartition(col("doc_id"))
+    // the expansion below costs an md5 + base-16 conv PER TOKEN; a
+    // one-file corpus scan would otherwise run it all on one task
+    // (the d02_phrase_zipf r15 finding) — map-side parallelism must
+    // never be bound to the input file count. fanOut, not a keyless
+    // repartition: AQE coalesced the latter back to ~1 partition
+    // (this round's finding — 3.6 s vs 1.3 s for the expansion alone)
+    fanOut(docs, "doc_id")
       .selectExpr("doc_id",
         "posexplode(split(text, ' ')) AS (pos, term)",
         "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
@@ -1978,7 +2004,10 @@ object PipelineQueries {
   private[graft] def md5MinhashSigs(d0: DataFrame): DataFrame = {
     def md5h(c: String) =
       s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
-    d0.withColumn("toks", tokens(col("text")))
+    // 9 md5 chains per shingle (1 shingle hash + 8 lane rehashes) — the
+    // heaviest per-row expansion in the repo; never leave it bound to
+    // the input file count (fanOut doc: measured 4.9 s -> 0.49 s)
+    fanOut(d0, "doc_id").withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(toks) < 3 THEN array(${md5h("text")})
           |ELSE transform(sequence(0, size(toks) - 3),

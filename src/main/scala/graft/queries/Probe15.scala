@@ -1,0 +1,169 @@
+package graft.queries
+
+object Probe15 {
+  import org.apache.spark.sql._
+  import org.apache.spark.sql.functions._
+
+  lazy val spark = SparkSession.builder()
+    .master("local[32]")
+    .appName("probe15")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.sources.useV1SourceList", "")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def init(): Unit = { spark.sparkContext.setLogLevel("WARN") }
+
+  def time[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime
+    val r = f
+    println(f"[t] $tag%-40s ${(System.nanoTime - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  val dir = "/root/testdata/sf0.1"
+
+  def docs: DataFrame =
+    graft.Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  val P = PipelineQueries
+
+  // d02_phrase_zipf build decomposition
+  def rdocs: DataFrame = docs
+    .crossJoin(broadcast(spark.range(0, P.ZipfPhraseReplicas).toDF("ri")))
+    .withColumn("doc_id", col("doc_id") + col("ri") * lit(P.ZipfPhraseShift))
+    .select("doc_id", "text")
+
+  def phraseZipfParts(): Unit = {
+    time("rdocs scan only")(noop(rdocs))
+    time("zipfTokens(rdocs)")(noop(P.zipfTokens(rdocs)))
+    time("zipfPositionalPostings(rdocs)")(noop(P.zipfPositionalPostings(rdocs)))
+    val keyed = P.zipfPositionalPostings(rdocs)
+      .withColumn("thash", xxhash64(col("term")))
+      .withColumn("tkey", pmod(col("thash"), lit(16L)))
+      .select("tkey", "thash", "term", "doc_id", "tf", "dl", "positions")
+    time("keyed (thash+tkey)")(noop(keyed))
+    val withPart = keyed.withColumn("__part", col("tkey"))
+    time("repart+sort (write shape)")(noop(
+      withPart.repartition(col("__part"))
+        .sortWithinPartitions(col("__part"), col("thash"))))
+  }
+
+  def phraseVariants(): Unit = {
+    val zt = P.zipfTokens(rdocs)
+    println("rows=" + zt.count())
+    val base = rdocs.repartition(col("doc_id"))
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, term)",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+    time("explode only")(noop(base))
+    time("explode+xxhash u")(noop(base.withColumn("u",
+      xxhash64(col("doc_id"), col("pos")))))
+    time("explode+md5 str")(noop(base.withColumn("m",
+      md5(concat(col("doc_id"), lit(":"), col("pos"))))))
+    time("explode+md5+conv")(noop(base.withColumn("u", expr(
+      "CAST(conv(substring(md5(concat(doc_id, ':', pos)), 1, 15), 16, 10) AS BIGINT)"))))
+    time("full zipfTokens")(noop(zt))
+    val base64 = rdocs.repartition(64, col("doc_id"))
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, term)",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+    time("explode only, repartition(64)")(noop(base64))
+    val zt64 = rdocs.repartition(64, col("doc_id"))
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, term)",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(doc_id, ':', pos)), 1, 15), " +
+          "16, 10) AS BIGINT)"))
+      .withColumn("zterm", expr(
+        "concat(term, '~', shiftleft(1L, CAST(u % 10 AS INT)) + " +
+          "(u DIV 10) % shiftleft(1L, CAST(u % 10 AS INT)))"))
+    time("full zipfTokens, repartition(64)")(noop(zt64))
+  }
+
+  def others(): Unit = {
+    val d = docs
+    time("shingleHashes (as-is)")(noop(P.shingleHashes(d)))
+    val dPar = d.repartition(64, col("doc_id"))
+    time("shingleHashes (repart 64)")(noop(P.shingleHashes(dPar)))
+    time("md5MinhashSigs (as-is)")(noop(P.md5MinhashSigs(d)))
+    time("md5MinhashSigs (repart 64)")(noop(P.md5MinhashSigs(dPar)))
+    time("bm25Postings (as-is)")(noop(P.bm25Postings(d)))
+    time("bm25Postings (repart 64)")(noop(P.bm25Postings(dPar)))
+  }
+
+  def capturePlans(tag: String): Unit = {
+    val outDir = "/root/repo/plans/r15"
+    new java.io.File(outDir).mkdirs()
+    def w(name: String, df: DataFrame): Unit = {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
+        p.getBytes("UTF-8"))
+      println(s"[plan] $name -> ${name}_$tag.txt")
+    }
+    w("zipf_expansion", P.zipfPositionalPostings(rdocs))
+    w("shingle_hashes", P.shingleHashes(docs))
+    w("minhash_sigs", P.md5MinhashSigs(docs))
+    w("bm25_postings", P.bm25Postings(docs))
+    w("d02_bm25_topk", graft.SparkEntry.queries("d02_bm25_topk")(spark, dir))
+    // the write-side clustering shape writeDataFiles produces (per-bucket
+    // repartition + sortWithinPartitions), as fed to the parquet writer
+    val keyed = P.bm25Keyed(P.bm25Postings(docs))
+      .withColumn("__part", col("tkey") - pmod(col("tkey"), lit(1L)))
+    val repartitioned = keyed.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("__part"))
+    w("writeDataFiles_cluster",
+      repartitioned.sortWithinPartitions(col("__part"), col("thash")))
+  }
+
+  def capturePlansBefore(tag: String): Unit = {
+    // pre-change shapes, reconstructed: keyless REPARTITION_BY_COL
+    val outDir = "/root/repo/plans/r15"
+    new java.io.File(outDir).mkdirs()
+    def w(name: String, df: DataFrame): Unit = {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
+        p.getBytes("UTF-8"))
+      println(s"[plan] $name -> ${name}_$tag.txt")
+    }
+    w("writeDataFiles_cluster",
+      P.bm25Keyed(P.bm25Postings(docs))
+        .withColumn("__part", col("tkey") - pmod(col("tkey"), lit(1L)))
+        .repartition(col("__part"))
+        .sortWithinPartitions(col("__part"), col("thash")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    init()
+    args.headOption.getOrElse("phrase") match {
+      case "plans" => capturePlans(args(1))
+      case "plansbefore" => capturePlansBefore(args(1))
+      case "phrase" =>
+        phraseZipfParts()
+        phraseZipfParts()  // second pass: warm numbers
+      case "variants" =>
+        phraseVariants(); phraseVariants()
+      case "others" =>
+        others(); others()
+      case name =>
+        fullEntry(name); fullEntry(name); fullEntry(name)
+    }
+    spark.stop()
+  }
+
+  def fullEntry(name: String): Unit = {
+    val t0 = System.nanoTime
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    println(f"[t] entry $name ${(System.nanoTime - t0) / 1e9}%8.3f s")
+    spark.sqlContext.clearCache()
+  }
+}
