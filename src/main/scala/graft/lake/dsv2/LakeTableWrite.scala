@@ -152,7 +152,29 @@ final class LakeWriteBuilder(location: String, info: LogicalWriteInfo,
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       sortOrders
 
-    override def requiredNumPartitions(): Int = 0 // let Spark/AQE size it
+    /** WIDTH-1 clustered writes pin the partition count to the session's
+      * shuffle parallelism: with 0 ("let AQE size it") the tiny pre-write
+      * bytes of a many-bucket insert coalesce to ~one task, which then
+      * writes every bucket's file SEQUENTIALLY (d06_pipeline_shards: ~540
+      * one-per-shard files on one task — write phase 3.5 s of a 4.9 s
+      * entry). The pin is safe exactly when the truncate width is 1:
+      * clustering is by the RAW column (see requiredDistribution), and at
+      * width 1 value-routing IS bucket-routing, so each bucket still
+      * lands whole in exactly one task — file count unchanged, only write
+      * parallelism. At width > 1 a bucket's many values would spread
+      * across every task (one small file per task per bucket — the N×K
+      * problem the clustering exists to avoid; it also dilutes per-file
+      * delete-mark counts, breaking threshold compaction selection), so
+      * wider specs keep 0 and let AQE coalesce. ORDERED (sort-order)
+      * writes also keep 0: their range split count determines how many
+      * files a bucket's sort range splits into, and pinning it would grow
+      * small tables' file counts (the sequentialBuckets ingest-pruning
+      * contract sizes those by data, not by core count).
+      */
+    override def requiredNumPartitions(): Int =
+      if (sortColumns.nonEmpty || spec.widthMicros != 1L) 0
+      else org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.numShufflePartitions
 
     override def toBatch: BatchWrite =
       new LakeBatchWrite(location, info.schema(), spec, mode,

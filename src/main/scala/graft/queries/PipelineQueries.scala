@@ -1902,7 +1902,7 @@ object PipelineQueries {
     // lanes by arithmetic mixing of that one hash: 8 folds of multiply-add
     // instead of 8 string re-hashes. This is the difference between ~1 s
     // and ~14 s at sf0.1, and the same factor at 100 TB.
-    val d = t(s, dir, "documents")
+    val d = fanOut(t(s, dir, "documents"), "doc_id")
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), expr(
         """CASE WHEN size(toks) < 3 THEN array(xxhash64(text))
@@ -2529,7 +2529,11 @@ object PipelineQueries {
     * d04_gopher_rules), map-side, fused by Catalyst into the scan stage.
     */
   private def gateStage(s: SparkSession, dir: String): DataFrame =
-    gateDf(t(s, dir, "documents"))
+    // fanOut at the BATCH call site (gateDf itself also serves the
+    // streaming pipeline, whose micro-batch planner owns parallelism):
+    // the gate's tokenize + per-doc aggregates otherwise fuse into the
+    // one-task corpus scan
+    gateDf(fanOut(t(s, dir, "documents"), "doc_id"))
 
   /** The gate as a frame transform — stateless column ops only, so the
     * same stage drops into a Structured Streaming plan unchanged
@@ -3230,7 +3234,7 @@ object PipelineQueries {
     // collision contract as the MinHash/fingerprint operators — a
     // collision merges two grams' document frequencies; value-identical
     // to the string form on the driver data (A/B-verified sf0.1).
-    val grams = t(s, dir, "documents")
+    val grams = fanOut(t(s, dir, "documents"), "doc_id")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
@@ -3304,8 +3308,17 @@ object PipelineQueries {
   private[graft] def connectedComponents(pairs: DataFrame,
       maxRounds: Int = 64): DataFrame = {
     val session = pairs.sparkSession
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // both edge directions from ONE pass over `pairs`: the union form
+    // scanned the pair-generator subtree twice (for the MinHash candidate
+    // graph that is two full signature+banding computations — the cache
+    // populate paid ~2× the generator before the first round even ran).
+    // explode(array(fwd, bwd)) emits the same rows from a single scan;
+    // row order differs from the union's, which nothing downstream
+    // observes (every consumer aggregates or joins by key).
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache() // reused every round; unpersisted below
     // init fuses the first propagation: label₀ = min(id, min neighbor) —
     // one groupBy replaces the distinct AND round 1's neighbor-min join,
@@ -3589,16 +3602,26 @@ object PipelineQueries {
     */
   def d04_quality_lr(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-    val feat = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(
+    // featurize ONCE: the GD loop is QualityLrRounds aggregate passes +
+    // the final scoring pass, and without materialization each re-ran
+    // the tokenize + 12-filter featurization from the corpus scan (8
+    // full text passes; 2.8 s -> ~1 s at sf0.1). The feature frame is
+    // 13 numeric columns + doc_id — corpus-linear but ~50× narrower
+    // than the text, the scratch-parquet handoff connectedComponents
+    // already uses (no executor blocks pinned past the entry). Values
+    // are bit-identical through the parquet round-trip (doubles are
+    // stored binary), so the trained weights cannot move.
+    val feat = Scratch.persist(
+      fanOut(docs, "doc_id")
+        .withColumn("toks", tokens(col("text")))
+        .select(
         col("doc_id") +:
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y") +:
         QualityLrTokens.zipWithIndex.map { case (tk, i) =>
           (lit(32.0) * expr(s"size(filter(toks, w -> w = '$tk'))")
             .cast("double") / size(col("toks")).cast("double"))
             .as(s"x${i + 1}")
-        }: _*)
+        }: _*), "qlr_feat")
     val dims = QualityLrTokens.length + 1
     val n = docs.count()
     var w = Array.fill(dims)(0.0)

@@ -96,6 +96,62 @@ object Probe15 {
     time("bm25Postings (repart 64)")(noop(P.bm25Postings(dPar)))
   }
 
+  def cluster(): Unit = {
+    val pairs = time("lsh pairs")(
+      { val p = P.d03_minhash_lsh(spark, dir).select("a_id", "b_id"); noop(p); p })
+    val cc = time("connectedComponents")(P.connectedComponents(pairs))
+    println("rounds=" + P.lastCcRounds)
+    time("final orderBy+noop")(noop(
+      cc.select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .withColumn("keeper", col("doc_id") === col("cluster"))
+        .orderBy("doc_id")))
+    spark.sqlContext.clearCache()
+  }
+
+  def ccSteps(): Unit = {
+    val pairs = P.d03_minhash_lsh(spark, dir).select("a_id", "b_id")
+    val session = spark
+    val edges = time("edges cache+count")({
+      val e = pairs.select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")).cache()
+      e.count(); e
+    })
+    var comp = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min("dst")).as("comp"))
+    var rounds = 0
+    var changed = 1L
+    var pinned: Option[DataFrame] = None
+    while (changed > 0 && rounds < 10) {
+      val t0 = System.nanoTime
+      val neighborMin = edges
+        .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src")).agg(min("ncomp").as("nmin"))
+      val propagated = comp
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"))
+      val jt = propagated.select(col("id").as("jid"), col("mid").as("jmid"))
+      val jumped = propagated.join(jt, propagated("mid") === jt("jid"), "left")
+        .select(propagated("id"), col("prev"),
+          coalesce(col("jmid"), col("mid")).as("comp"))
+        .persist()
+      changed = jumped.filter(col("comp") =!= col("prev")).count()
+      pinned.foreach(_.unpersist())
+      pinned = Some(jumped)
+      val labels = jumped.select(col("id"), col("comp"))
+      comp = session.createDataFrame(labels.rdd, labels.schema)
+      rounds += 1
+      println(f"[t] cc round $rounds (changed=$changed) ${(System.nanoTime - t0) / 1e9}%8.3f s")
+    }
+    val out = time("scratch persist")(Scratch.persist(comp, "cc"))
+    pinned.foreach(_.unpersist())
+    edges.unpersist()
+    time("out noop")(noop(out))
+    spark.sqlContext.clearCache()
+  }
+
   def capturePlans(tag: String): Unit = {
     val outDir = "/root/repo/plans/r15"
     new java.io.File(outDir).mkdirs()
@@ -112,6 +168,9 @@ object Probe15 {
     w("minhash_sigs", P.md5MinhashSigs(docs))
     w("bm25_postings", P.bm25Postings(docs))
     w("d02_bm25_topk", graft.SparkEntry.queries("d02_bm25_topk")(spark, dir))
+    w("d04_quality_lr", graft.SparkEntry.queries("d04_quality_lr")(spark, dir))
+    w("d03_boilerplate", graft.SparkEntry.queries("d03_boilerplate")(spark, dir))
+    w("d03_minhash_lsh", graft.SparkEntry.queries("d03_minhash_lsh")(spark, dir))
     // the write-side clustering shape writeDataFiles produces (per-bucket
     // repartition + sortWithinPartitions), as fed to the parquet writer
     val keyed = P.bm25Keyed(P.bm25Postings(docs))
@@ -153,6 +212,17 @@ object Probe15 {
         phraseVariants(); phraseVariants()
       case "others" =>
         others(); others()
+      case "cluster" =>
+        cluster(); cluster()
+      case "ccsteps" =>
+        ccSteps(); ccSteps()
+      case "substr" =>
+        for (_ <- 1 to 3) {
+          fullEntry("d01_substring_index")
+          println(f"[t]   build=${LakeQueries.lastSubstrBuildS}%.2f " +
+            f"gate=${LakeQueries.lastSubstrGateServeS}%.2f " +
+            f"maint=${LakeQueries.lastSubstrMaintS}%.2f")
+        }
       case name =>
         fullEntry(name); fullEntry(name); fullEntry(name)
     }
