@@ -1099,7 +1099,7 @@ object PipelineQueries {
     * positions) one; appends never rewrite rows (df stays derived).
     */
   private[graft] def positionalPostings(docs: DataFrame): DataFrame =
-    docs
+    fanOut(docs, "doc_id")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")),
         size(split(col("text"), " ")).cast("long").as("dl"))

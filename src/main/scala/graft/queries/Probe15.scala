@@ -216,6 +216,30 @@ object Probe15 {
         cluster(); cluster()
       case "ccsteps" =>
         ccSteps(); ccSteps()
+      case "fanwidth" =>
+        for (_ <- 1 to 2) {
+          for (n <- Seq(32, 64, 96)) {
+            val zt = rdocs.repartition(n, col("doc_id"))
+              .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, term)",
+                "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+              .withColumn("u", expr(
+                "CAST(conv(substring(md5(concat(doc_id, ':', pos)), 1, 15), " +
+                  "16, 10) AS BIGINT)"))
+              .withColumn("zterm", expr(
+                "concat(term, '~', shiftleft(1L, CAST(u % 10 AS INT)) + " +
+                  "(u DIV 10) % shiftleft(1L, CAST(u % 10 AS INT)))"))
+            time(s"zipfTokens n=$n")(noop(zt))
+            val sh = docs.filter(length(col("text")) >= 40)
+              .repartition(n, col("doc_id"))
+              .select(col("doc_id"),
+                explode(sequence(lit(0), length(col("text")) - 40)).as("p"),
+                col("text"))
+              .select(col("doc_id"), col("p").cast("long").as("p"),
+                expr("CAST(conv(substring(md5(substring(text, p + 1, 40)), 1, 15)" +
+                  ", 16, 10) AS BIGINT)").as("shash"))
+            time(s"shingles n=$n")(noop(sh))
+          }
+        }
       case "substr" =>
         for (_ <- 1 to 3) {
           fullEntry("d01_substring_index")
