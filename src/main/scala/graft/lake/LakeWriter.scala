@@ -75,10 +75,24 @@ object LakeWriter {
     * `filesPerPartition` > 1 emulates the reference's multi-file batches
     * (A9, Writer.java:126-137).
     */
+  /** `splitBy` (optional) appends caller-computed columns to the write-
+    * clustering key, letting ONE bucket's rows spread over several write
+    * tasks. Contract: each splitBy column must be a MONOTONE COARSENING of
+    * the leading sort key (e.g. `shiftright(thash, 61)` when sorting by
+    * thash) — tasks then own disjoint sort-key RANGES within a bucket, so
+    * every file still holds a disjoint range and the footer-skip contract
+    * is untouched. Why it exists: bucket-count caps write parallelism —
+    * a 16-bucket index build can never use more than 16 write tasks no
+    * matter the cluster (the d02_phrase_zipf build wrote 4.2 M posting
+    * rows through ~13 effective tasks at 32 cores; at 100 TB the same cap
+    * binds at ANY core count). Routing by __part alone is unchanged —
+    * files land in the same bucket dirs either way.
+    */
   def writeDataFiles(df: DataFrame, table: LakeTable,
       filesPerPartition: Int = 1, sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[DataFileMeta] = {
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
+      splitBy: Seq[org.apache.spark.sql.Column] = Nil): Seq[DataFileMeta] = {
     // the files are stamped with the table's CURRENT schema id — rows that
     // arrive under stale (e.g. pre-rename) column names would then resolve
     // to null at read time; fail the write instead of corrupting silently
@@ -114,7 +128,8 @@ object LakeWriter {
         // disjointness (footer-skip contract) are unchanged; only the
         // write-side parallelism is.
         withPart.repartition(
-          spark.sessionState.conf.numShufflePartitions, col("__part"))
+          spark.sessionState.conf.numShufflePartitions,
+          (col("__part") +: splitBy): _*)
       else withPart.repartition(filesPerPartition, col("__part"),
         pmod(col("message_id"), lit(filesPerPartition)))
     // clustering: sort inside each partition task so the writer's

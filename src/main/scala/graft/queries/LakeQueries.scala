@@ -1172,7 +1172,12 @@ object LakeQueries {
         // still splits every bucket 4–5 ways, so the within-bucket footer
         // skip stays exercised where the prune counts are reported.
         index, sortBy = Seq("thash"),
-        maxRecordsPerFile = P.Bm25IndexRowsPerFile * 16))
+        maxRecordsPerFile = P.Bm25IndexRowsPerFile * 16,
+        // 8 thash RANGES per tkey bucket (arithmetic shift = monotone in
+        // thash): the ×16 corpus's 4.2 M posting rows otherwise write
+        // through ≤16 tasks — the bucket count, not the core count, was
+        // the build's parallelism cap. Files stay disjoint in thash.
+        splitBy = Seq(shiftright(col("thash"), 61))))
       val tBuild = (System.nanoTime() - t0) / 1e9
       val idxT = LakeTable.load(loc)
       val tS0 = System.nanoTime()

@@ -781,12 +781,38 @@ object PipelineQueries {
     * position, only its term name gains the octave-rank suffix.
     */
   private[graft] def zipfPositionalPostings(docs: DataFrame): DataFrame =
-    zipfTokens(docs)
-      .groupBy(col("doc_id"), col("zterm"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"),
-        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
-      .select(col("zterm").as("term"), col("doc_id"), col("tf"), col("dl"),
+    positionalAssembly(zipfTokens(docs), col("zterm"))
+
+  /** Positional-posting assembly via ONE window sort (guide §5: the
+    * aggregation buffer is the scaling hazard). The groupBy collect_list
+    * form planned as partial+final ObjectHashAggregate: group keys here
+    * are nearly unique (tf ≈ 1), so the map-side partial pass built a
+    * second full set of per-group object buffers for no row reduction,
+    * and both passes churned GC on array-buffer rows (d02_phrase_zipf's
+    * r15 32-core collapse lived exactly there — 8.4 s of summed task GC
+    * in the build stage at sf0.1×16). The window form sorts each task
+    * once by (doc_id, term, pos) and assembles per-group state bounded
+    * by ONE position list; `hashpartitioning(doc_id)` from the upstream
+    * fanOut already satisfies the window's (doc_id, term) clustering, so
+    * no new exchange appears and the whole build fuses into the
+    * expansion stage (plans/r16/zipf_expansion_*). The frame order makes
+    * the list ascending by construction — sort_array is gone, same rows
+    * (probed bit-exact over all 4.24 M sf0.1×16 postings; oracle green).
+    */
+  private def positionalAssembly(tokens: DataFrame,
+      termCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"), termCol).orderBy("pos")
+    val wAll =
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tokens
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tf", count(lit(1)).over(wAll))
+      .withColumn("positions",
+        collect_list(col("pos").cast("long")).over(wAll))
+      .filter(col("rn") === 1)
+      .select(termCol.as("term"), col("doc_id"), col("tf"), col("dl"),
         col("positions"))
+  }
 
   /** Fixed ranked probes over the expanded vocabulary, one pair per df
     * octave band — the serve walls these produce track ROUND-OVER-ROUND
@@ -1099,14 +1125,12 @@ object PipelineQueries {
     * positions) one; appends never rewrite rows (df stays derived).
     */
   private[graft] def positionalPostings(docs: DataFrame): DataFrame =
-    fanOut(docs, "doc_id")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "term")),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"),
-        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
-      .select("term", "doc_id", "tf", "dl", "positions")
+    positionalAssembly(
+      fanOut(docs, "doc_id")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")),
+          size(split(col("text"), " ")).cast("long").as("dl")),
+      col("term"))
 
   /** DuckDB replay of [[phraseMatch]]: 1-based token positions via
     * generate_subscripts, adjacency as a position self-join — each

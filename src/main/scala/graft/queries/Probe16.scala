@@ -135,9 +135,73 @@ object Probe16 {
     println(s"[plan] $name -> ${name}_$tag.txt")
   }
 
+  def rdocs: DataFrame = docs
+    .crossJoin(broadcast(spark.range(0, P.ZipfPhraseReplicas).toDF("ri")))
+    .withColumn("doc_id", col("doc_id") + col("ri") * lit(P.ZipfPhraseShift))
+    .select("doc_id", "text")
+
+  /** Window-based positional assembly: ONE sort per partition key group,
+    * bounded per-group memory, list pre-sorted by the window order —
+    * replaces the double ObjectHashAggregate (partial+final collect_list)
+    * whose object buffers churn GC on nearly-unique group keys. */
+  def zipfPosWindow(in: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id", "zterm").orderBy("pos")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    P.zipfTokens(in)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tf", count(lit(1)).over(wAll))
+      .withColumn("positions", collect_list(col("pos").cast("long")).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("zterm").as("term"), col("doc_id"), col("tf"),
+        col("dl"), col("positions"))
+  }
+
+  def phrase16(): Unit = {
+    time("V1 zipfTokens only")(noop(P.zipfTokens(rdocs)))
+    for (i <- 1 to 2) {
+      StageProbe.reset()
+      time(s"V0 groupBy collect_list #$i")(noop(P.zipfPositionalPostings(rdocs)))
+      if (i == 2) StageProbe.report(6)
+    }
+    for (i <- 1 to 2) {
+      StageProbe.reset()
+      time(s"V2 window assembly #$i")(noop(zipfPosWindow(rdocs)))
+      if (i == 2) StageProbe.report(6)
+    }
+    // V3: pure hash object agg (no sort-based fallback) for reference
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "100000000")
+    for (i <- 1 to 2)
+      time(s"V3 hash-only collect_list #$i")(noop(P.zipfPositionalPostings(rdocs)))
+    spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+  }
+
   def main(args: Array[String]): Unit = {
     init()
     args.headOption.getOrElse("help") match {
+      case "phrase16" => phrase16()
+      case "plans16" =>
+        // before = the r15 groupBy collect_list shape (reconstructed);
+        // after = the code's current window assembly
+        val before = P.zipfTokens(rdocs)
+          .groupBy(col("doc_id"), col("zterm"))
+          .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"),
+            sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+          .select(col("zterm").as("term"), col("doc_id"), col("tf"),
+            col("dl"), col("positions"))
+        capturePlan("zipf_expansion", before, "before")
+        capturePlan("zipf_expansion", P.zipfPositionalPostings(rdocs), "after")
+        capturePlan("positional_postings", P.positionalPostings(docs), "after")
+      case "phraseeq" =>
+        // exact-equality gate: V2 must reproduce V0 row-for-row
+        def canon(df: DataFrame): Array[String] =
+          df.select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              concat_ws(",", col("positions").cast("array<string>")).as("p"))
+            .collect().map(_.mkString("|")).sorted
+        val a = canon(P.zipfPositionalPostings(rdocs))
+        val b = canon(zipfPosWindow(rdocs))
+        println(s"[eq] rows a=${a.length} b=${b.length} equal=${a.sameElements(b)}")
       case "entry" =>
         val n = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
         for (i <- 1 to n) fullEntry(args(1), stages = i == n)
