@@ -185,14 +185,21 @@ object Bench {
       // r15 canonical run's only >1.4x mover (1.02 -> 1.57 s same-code,
       // bloom-gated increment over committed state) — probed so an r16
       // bounce splits into bytes-moved vs time-per-byte like the rest
-      "d01_dedup_incremental")
+      "d01_dedup_incremental",
+      // r15 verdict item 3: the driver's trained-ANN regression
+      // (3.95 -> 6.31 s on a code path whose r16 same-JVM A/B read flat)
+      // gets the same adjudication bracket; ingest/maintenance are
+      // probed at their own best2 call sites below
+      "d02_ann_indexed_trained")
     // short artifact prefixes for the `exchange` object's keys
     val exchangeKeyNames = Map(
       "b09_join_inner" -> "b09", "b11_join_left" -> "b11",
       "lake_join_spj" -> "spj", "lake_join_shuffle" -> "shuf",
       "stream_catchup_backlog" -> "catchup",
       "d02_ann_indexed" -> "ann", "d06_pipeline_e2e" -> "e2e",
-      "d01_dedup_incremental" -> "dinc")
+      "d01_dedup_incremental" -> "dinc",
+      "d02_ann_indexed_trained" -> "annt", "ingest_100k" -> "ing",
+      "maintenance_compact" -> "mnt")
     val exchangeByEntry =
       scala.collection.mutable.Map[String, (Double, Seq[(String, Double)])]()
     def recordExchange(key: String, wall: Double): Unit =
@@ -2203,11 +2210,29 @@ object Bench {
       // pair) are equally exposed to spiky per-job overhead
       if (best < 1.5) math.min(best, f()) else best
     }
+    /** best2 with the ExchangeProbe bracket (r15 verdict item 3: the
+      * ingest_100k 2.17 -> 4.04 s move happened on byte-identical code and
+      * could not be adjudicated bytes-moved vs time-per-byte) — identical
+      * rep protocol, only the canary keys are new.
+      */
+    def best2Probed(key: String)(f: () => Double): Double = {
+      f() // warmup, never probed
+      def rep(): Double = {
+        ExchangeProbe.reset()
+        val w = f()
+        recordExchange(key, w)
+        w
+      }
+      val best = math.min(rep(), rep())
+      if (best < 1.5) math.min(best, rep()) else best
+    }
     run("b01_scan") // session warmup (codegen, FS metadata) — not reported
     val envelope = headline.filter(only).map(n => n -> run(n)) ++
-      (if (only("ingest_100k")) Seq("ingest_100k" -> best2(() => runIngest())) else Nil) ++
+      (if (only("ingest_100k")) Seq("ingest_100k" ->
+        best2Probed("ingest_100k")(() => runIngest())) else Nil) ++
       (if (only("maintenance_compact"))
-        Seq("maintenance_compact" -> best2(() => runMaintenance())) else Nil) ++
+        Seq("maintenance_compact" ->
+          best2Probed("maintenance_compact")(() => runMaintenance())) else Nil) ++
       (if (only("dml_merge_cow"))
         Seq("dml_merge_cow" -> best2(() => runMergeOnce(mor = false))) else Nil) ++
       (if (only("dml_merge_mor"))

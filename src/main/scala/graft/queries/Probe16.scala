@@ -181,6 +181,40 @@ object Probe16 {
     init()
     args.headOption.getOrElse("help") match {
       case "phrase16" => phrase16()
+      case "abwrite" =>
+        // A/B the no-sort write-clustering policy in ONE JVM (same-epoch
+        // rule): pinned 32-way vs AQE-coalescible, 3 reps each, per entry
+        val entries = args(1).split(",")
+        for (e <- entries) {
+          for (_ <- 1 to 3) fullEntry(e) // warm + pinned baseline
+          sys.props("graft.write.aqeCluster") = "1"
+          println(s"[ab] $e -> aqeCluster")
+          for (_ <- 1 to 3) fullEntry(e)
+          sys.props.remove("graft.write.aqeCluster")
+          println(s"[ab] $e -> pinned again")
+          for (_ <- 1 to 2) fullEntry(e)
+        }
+      case "writestats" =>
+        // plan-time sizeInBytes estimates for representative write inputs
+        def st(tag: String, df: DataFrame): Unit =
+          println(f"[est] $tag%-28s ${df.queryExecution.optimizedPlan.stats.sizeInBytes}")
+        val e = graft.Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        st("emb_filter400", e.filter(col("vec_id") < 400))
+        st("emb_full", e)
+        st("docs", docs)
+        st("bm25Postings(docs)", P.bm25Postings(docs))
+        st("zipfPositional(rdocs)", P.zipfPositionalPostings(rdocs)
+          .withColumn("thash", xxhash64(col("term")))
+          .withColumn("tkey", pmod(col("thash"), lit(16L))))
+        st("genBatch25k", graft.lake.LakeWriter.generateBatch(spark, 25000,
+          5666666L * 300000000L, seed = 0))
+        st("shingle distinct", P.shingleHashes(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+          .select("shash").distinct())
+        st("minhash bands distinct", P.explodeBands(P.md5MinhashSigs(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+          .select("band", "h0", "h1").distinct())
       case "plans16" =>
         // before = the r15 groupBy collect_list shape (reconstructed);
         // after = the code's current window assembly
