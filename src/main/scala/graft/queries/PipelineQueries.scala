@@ -3344,6 +3344,24 @@ object PipelineQueries {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache() // reused every round; unpersisted below
+    // SCALE-ADAPTIVE round parallelism (r15 verdict item 6 / guide §2.2):
+    // every fixpoint round is ~6 shuffle stages over the label frame, and
+    // the per-round `persist` pins each round's plan at the session's
+    // shuffle width — AQE cannot re-coalesce cached plans (the r16 probe
+    // read 43 stages × 32 near-empty tasks at sf0.1, pure task-launch
+    // overhead; 8 cores beat 32 on the driver's r15 scaling block). The
+    // edge count is measured by the SAME action that populates the edge
+    // cache (no extra pass), and the loop's exchanges are sized to ~2 M
+    // edge rows per task, clamped to the session width — tiny graphs run
+    // their rounds 1-wide, a 100 TB candidate graph still fans to the
+    // full session parallelism. Results are partitioning-invariant (all
+    // per-round ops aggregate or join by key).
+    val nEdges = edges.count()
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevParts = session.conf.get(spKey)
+    session.conf.set(spKey, math.max(1L, math.min(
+      session.sessionState.conf.numShufflePartitions.toLong,
+      (nEdges + 1999999L) / 2000000L)).toInt.toString)
     // init fuses the first propagation: label₀ = min(id, min neighbor) —
     // one groupBy replaces the distinct AND round 1's neighbor-min join,
     // shaving a full fixpoint round (each round is a multi-stage job,
@@ -3353,20 +3371,32 @@ object PipelineQueries {
     var pinned: Option[DataFrame] = None
     var changed = 1L
     var rounds = 0
-    while (changed > 0) {
+    try while (changed > 0) {
       if (rounds >= maxRounds) {
         pinned.foreach(_.unpersist())
         edges.unpersist()
         throw new IllegalStateException(
           s"connected components did not converge within $maxRounds rounds")
       }
-      val neighborMin = edges
+      // propagation FUSED into one aggregate (r15 verdict item 6): the
+      // former [neighbor-min groupBy + left-join back onto comp] pair was
+      // two keyed shuffles per round; unioning the neighbor candidates
+      // with each id's own label computes least(comp, min neighbor) in a
+      // single groupBy — every id keeps its own (id, comp) row, so ids
+      // without neighbor rows degrade to their own label exactly as the
+      // old coalesce did, and `prev` rides along as max over {label,
+      // null} (one non-null per group). Same fixpoint, one less exchange
+      // and two fewer stages per round.
+      val neighborCands = edges
         .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy(col("src")).agg(min("ncomp").as("nmin"))
-      val propagated = comp
-        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"))
+        .select(col("src").as("id"), col("ncomp").as("cand"),
+          lit(null).cast("long").as("lbl"))
+      val propagated = neighborCands
+        .unionByName(comp.select(col("id"), col("comp").as("cand"),
+          col("comp").as("lbl")))
+        .groupBy("id")
+        .agg(min("cand").as("mid"), max("lbl").as("prev"))
+        .select(col("id"), col("prev"), col("mid"))
       // pointer jump: follow the label one hop (labels are node ids, so
       // every label has a row) — this is what turns O(diameter) plain
       // propagation into O(log diameter)
@@ -3387,7 +3417,7 @@ object PipelineQueries {
       val labels = jumped.select(col("id"), col("comp"))
       comp = session.createDataFrame(labels.rdd, labels.schema)
       rounds += 1
-    }
+    } finally session.conf.set(spKey, prevParts)
     lastCcRounds = rounds
     val out = Scratch.persist(comp, "cc")
     pinned.foreach(_.unpersist())

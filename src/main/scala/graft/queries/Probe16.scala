@@ -194,6 +194,35 @@ object Probe16 {
           println(s"[ab] $e -> pinned again")
           for (_ <- 1 to 2) fullEntry(e)
         }
+      case "ccplans" =>
+        // one fixpoint round's physical shape: r15 join+agg+left-join form
+        // (reconstructed) vs the r16 fused union+aggregate form
+        val pairs = P.d03_minhash_lsh(spark, dir).select("a_id", "b_id")
+        val edges = pairs.select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val comp = edges.groupBy(col("src").as("id"))
+          .agg(least(col("src"), min("dst")).as("comp"))
+        val neighborMin = edges
+          .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+          .groupBy(col("src")).agg(min("ncomp").as("nmin"))
+        val before = comp
+          .join(neighborMin.select(col("src").as("id"), col("nmin")),
+            Seq("id"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"))
+        capturePlan("cc_round", before, "before")
+        val after = edges
+          .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+          .select(col("src").as("id"), col("ncomp").as("cand"),
+            lit(null).cast("long").as("lbl"))
+          .unionByName(comp.select(col("id"), col("comp").as("cand"),
+            col("comp").as("lbl")))
+          .groupBy("id")
+          .agg(min("cand").as("mid"), max("lbl").as("prev"))
+          .select(col("id"), col("prev"), col("mid"))
+        capturePlan("cc_round", after, "after")
       case "writestats" =>
         // plan-time sizeInBytes estimates for representative write inputs
         def st(tag: String, df: DataFrame): Unit =
