@@ -1005,10 +1005,17 @@ object LakeQueries {
       TruncateSpec("bkey", 1L))
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
-      val i1 = index.append(LakeWriter.writeDataFiles(
-        P.withBandKey(P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
-          .select("band", "h0", "h1").distinct()), index))
+      // the corpus band-key index build reads only the immutable d1
+      // snapshot and writes the INDEX table; the increment's DATA append
+      // needs only d1 — independent, so they overlap (guide §2.6)
+      val i1F = scala.concurrent.Future {
+        index.append(LakeWriter.writeDataFiles(
+          P.withBandKey(P.explodeBands(P.md5MinhashSigs(data.snapshotDF(s, d1)))
+            .select("band", "h0", "h1").distinct()), index))
+      }(scala.concurrent.ExecutionContext.global)
       val d2 = data.append(LakeWriter.writeDataFiles(increment, data))
+      val i1 = scala.concurrent.Await.result(i1F,
+        scala.concurrent.duration.Duration.Inf)
       val inc = data.changesBetween(s, d1, d2)
       val incBands = P.explodeBands(P.md5MinhashSigs(inc))
       // the gate serves from a FRESH load of the committed index — the
@@ -1145,8 +1152,10 @@ object LakeQueries {
     // the broadcast cross-join INHERITS the corpus scan's partitioning —
     // documents.parquet is one file at sf0.1, so the ×16 expansion
     // (4.3M md5+conv token draws) would run on ONE task until the
-    // groupBy shuffle (r15: build 38 s → ~4 s once parallelized);
-    // zipfTokens repartitions by doc_id internally for all callers
+    // assembly shuffle (r15: build 38 s → ~4 s once parallelized);
+    // zipfTokens fans out by doc_id only when the scan's partition count
+    // is below the session shuffle parallelism (fanOut is a no-op on
+    // already-parallel inputs — the r15 ADVICE wording fix)
     val rdocs = d
       .crossJoin(broadcast(s.range(0, P.ZipfPhraseReplicas).toDF("ri")))
       .withColumn("doc_id",
@@ -1248,10 +1257,17 @@ object LakeQueries {
       .select("skey", "shash")
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(evens, data))
-      val i1 = index.append(LakeWriter.writeDataFiles(
-        keyed(P.shingleHashes(data.snapshotDF(s, d1)).select("shash")
-          .distinct()), index))
+      // corpus shingle-index build (reads the immutable d1 snapshot,
+      // writes the index table) overlaps the increment's data append
+      // (needs only d1) — guide §2.6, same shape as d03_minhash_index
+      val i1F = scala.concurrent.Future {
+        index.append(LakeWriter.writeDataFiles(
+          keyed(P.shingleHashes(data.snapshotDF(s, d1)).select("shash")
+            .distinct()), index))
+      }(scala.concurrent.ExecutionContext.global)
       val d2 = data.append(LakeWriter.writeDataFiles(odds, data))
+      val i1 = scala.concurrent.Await.result(i1F,
+        scala.concurrent.duration.Duration.Inf)
       val inc = data.changesBetween(s, d1, d2)
       val incSh = P.shingleHashes(inc)
       // gate-side LAYOUT pruning (r11 verdict item 2): the increment's
@@ -1578,30 +1594,49 @@ object LakeQueries {
       def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
       // lexical index: the corpus postings + same-commit stats property
       // (maintenance mechanics are d02_bm25_index's concern; the hybrid
-      // needs the committed END STATE both entries share)
-      val st = d.agg(count(lit(1)),
-        sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
-      bm25.append(LakeWriter.writeDataFiles(
-        P.bm25Keyed(lexPostings(d)), bm25, sortBy = Seq("thash"),
-        maxRecordsPerFile = P.Bm25IndexRowsPerFile))
-      bm25.setProperty(bm25StatsKey("build"),
-        s"${st.getLong(0)}:${st.getLong(1)}")
-      val tLexBuild = secsSince(tPhase0); val tPhase1 = System.nanoTime()
+      // needs the committed END STATE both entries share). The two arm
+      // BUILDS are independent — different tables, no shared state — so
+      // the lexical build runs on a driver-side future while the caller
+      // thread builds the semantic arm (guide §2.6: actions are only
+      // sequential because driver code calls them sequentially; FIFO
+      // scheduling back-fills each build's stage tails with the other's
+      // tasks). Phase walls are now PER-THREAD durations: they overlap,
+      // so lex_build_s + ann_build_s can exceed the entry wall.
+      val lexBuild = scala.concurrent.Future {
+        val st = d.agg(count(lit(1)),
+          sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
+        bm25.append(LakeWriter.writeDataFiles(
+          P.bm25Keyed(lexPostings(d)), bm25, sortBy = Seq("thash"),
+          maxRecordsPerFile = P.Bm25IndexRowsPerFile))
+        bm25.setProperty(bm25StatsKey("build"),
+          s"${st.getLong(0)}:${st.getLong(1)}")
+        secsSince(tPhase0)
+      }(scala.concurrent.ExecutionContext.global)
+      val tPhase1 = System.nanoTime()
       // semantic index: the d02_ann_indexed lifecycle — committed-batch
       // frozen models, corpus encode, increment encode
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
+      // same §2.6 overlap as d02_ann_indexed: the increment's data append
+      // needs only d1, so it rides a future under the model/encode work
+      val d2F = scala.concurrent.Future {
+        data.append(LakeWriter.writeDataFiles(
+          e.filter(col("vec_id") >= 400), data))
+      }(scala.concurrent.ExecutionContext.global)
       val committed = data.snapshotDF(s, d1)
       val (ivf, pq) = P.annSeedModels(committed)
       index.setProperty(P.AnnIvfProp, P.ivfModelToString(ivf))
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, committed, ivf, pq), index))
-      val d2 = data.append(LakeWriter.writeDataFiles(
-        e.filter(col("vec_id") >= 400), data))
+      val d2 = scala.concurrent.Await.result(d2F,
+        scala.concurrent.duration.Duration.Inf)
       val i2 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
-      val tAnnBuild = secsSince(tPhase1); val tPhase2 = System.nanoTime()
+      val tAnnBuild = secsSince(tPhase1)
+      val tLexBuild = scala.concurrent.Await.result(lexBuild,
+        scala.concurrent.duration.Duration.Inf)
+      val tPhase2 = System.nanoTime()
       // both serves from FRESH loads of the committed tables
       val bT = LakeTable.load(locB)
       val (nd, sdl) = bm25FoldStats(bT.tableMeta.properties)
@@ -1786,6 +1821,14 @@ object LakeQueries {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
       val tData = secsSince(tPhase0); val tPhase1 = System.nanoTime()
+      // the increment's DATA append needs only d1 — overlap it with the
+      // model derivation + corpus encode on a driver future (guide §2.6);
+      // snapshot reads of d1 are immutable, and only this thread appends
+      // to the data table, so there is no commit contention
+      val d2F = scala.concurrent.Future {
+        data.append(LakeWriter.writeDataFiles(
+          e.filter(col("vec_id") >= 400), data))
+      }(scala.concurrent.ExecutionContext.global)
       val committed = data.snapshotDF(s, d1)
       val (ivf, pq) = P.annSeedModels(committed)
       // the frozen models commit WITH the index (table properties, exact
@@ -1797,8 +1840,8 @@ object LakeQueries {
       val i1 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, committed, ivf, pq), index))
       val tEncode = secsSince(tPhase2); val tPhase3 = System.nanoTime()
-      val d2 = data.append(LakeWriter.writeDataFiles(
-        e.filter(col("vec_id") >= 400), data))
+      val d2 = scala.concurrent.Await.result(d2F,
+        scala.concurrent.duration.Duration.Inf)
       val i2 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
       lastAnnIndexedIncrementRows =
@@ -1853,6 +1896,12 @@ object LakeQueries {
     try {
       val d1 = data.append(LakeWriter.writeDataFiles(
         e.filter(col("vec_id") < 400), data))
+      // overlap the increment's data append with the Lloyd training loops
+      // (guide §2.6) — training reads only the immutable d1 snapshot
+      val d2F = scala.concurrent.Future {
+        data.append(LakeWriter.writeDataFiles(
+          e.filter(col("vec_id") >= 400), data))
+      }(scala.concurrent.ExecutionContext.global)
       val committed = data.snapshotDF(s, d1)
       val ivf = P.trainIvfCentroids(committed)
       // every-23rd seeds (vs the full-corpus default 31): the committed
@@ -1864,8 +1913,8 @@ object LakeQueries {
       index.setProperty(P.AnnPqProp, P.pqModelToString(pq))
       index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, committed, ivf, pq), index))
-      val d2 = data.append(LakeWriter.writeDataFiles(
-        e.filter(col("vec_id") >= 400), data))
+      val d2 = scala.concurrent.Await.result(d2F,
+        scala.concurrent.duration.Duration.Inf)
       val i2 = index.append(LakeWriter.writeDataFiles(
         P.ivfPqEncode(s, data.changesBetween(s, d1, d2), ivf, pq), index))
       // serve from a FRESH load: committed codes + models parsed back

@@ -4,10 +4,14 @@ object Probe15 {
   import org.apache.spark.sql._
   import org.apache.spark.sql.functions._
 
+  // r15 ADVICE: dirs/core-count were machine-specific literals shipped in
+  // src/main — now system properties with the same local defaults
+  private val cpus = sys.props.getOrElse("graft.probe.cpus", "32")
+
   lazy val spark = SparkSession.builder()
-    .master("local[32]")
+    .master(s"local[$cpus]")
     .appName("probe15")
-    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.sources.useV1SourceList", "")
@@ -27,7 +31,7 @@ object Probe15 {
   def noop(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  val dir = "/root/testdata/sf0.1"
+  val dir = sys.props.getOrElse("graft.probe.dir", "/root/testdata/sf0.1")
 
   def docs: DataFrame =
     graft.Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -153,7 +157,7 @@ object Probe15 {
   }
 
   def capturePlans(tag: String): Unit = {
-    val outDir = "/root/repo/plans/r15"
+    val outDir = sys.props.getOrElse("graft.probe.plans", "/root/repo/plans/r15")
     new java.io.File(outDir).mkdirs()
     def w(name: String, df: DataFrame): Unit = {
       val p = df.queryExecution.explainString(
@@ -183,7 +187,7 @@ object Probe15 {
 
   def capturePlansBefore(tag: String): Unit = {
     // pre-change shapes, reconstructed: keyless REPARTITION_BY_COL
-    val outDir = "/root/repo/plans/r15"
+    val outDir = sys.props.getOrElse("graft.probe.plans", "/root/repo/plans/r15")
     new java.io.File(outDir).mkdirs()
     def w(name: String, df: DataFrame): Unit = {
       val p = df.queryExecution.explainString(

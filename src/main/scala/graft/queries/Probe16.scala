@@ -181,6 +181,15 @@ object Probe16 {
     init()
     args.headOption.getOrElse("help") match {
       case "phrase16" => phrase16()
+      case "aboverlap" =>
+        val e = args(1)
+        for (_ <- 1 to 3) fullEntry(e)
+        sys.props("graft.nooverlap") = "1"
+        println(s"[ab] $e -> sequential")
+        for (_ <- 1 to 3) fullEntry(e)
+        sys.props.remove("graft.nooverlap")
+        println(s"[ab] $e -> overlap again")
+        for (_ <- 1 to 3) fullEntry(e)
       case "abwrite" =>
         // A/B the no-sort write-clustering policy in ONE JVM (same-epoch
         // rule): pinned 32-way vs AQE-coalescible, 3 reps each, per entry
