@@ -36,6 +36,23 @@ object LakeQueries {
     out.sparkSession.createDataFrame(
       java.util.Arrays.asList(out.collect(): _*), out.schema)
 
+  /** Stage a batch's data FILES on a driver future while the caller
+    * commits earlier snapshots (guide §2.6). File writes are independent
+    * of table state — rows land in the data layout but are invisible
+    * until the returned metas commit via `append`, and these scratch
+    * tables never change schema/spec between the write and its commit —
+    * so `t.append(awaitFiles(f))` preserves the exact snapshot order
+    * while the parquet encode of batch N+1 overlaps the commit + reads
+    * of batch N.
+    */
+  private def stageFiles(df: DataFrame, table: LakeTable)
+      : scala.concurrent.Future[Seq[DataFileMeta]] =
+    scala.concurrent.Future(LakeWriter.writeDataFiles(df, table))(
+      scala.concurrent.ExecutionContext.global)
+  private def awaitFiles(f: scala.concurrent.Future[Seq[DataFileMeta]])
+      : Seq[DataFileMeta] =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
   /** Deterministic 3-snapshot scratch table shared by B2/B3. */
   private def stagedTable(spark: SparkSession): (LakeTable, Seq[Long]) = {
     val loc = scratch("laketable")
@@ -706,8 +723,9 @@ object LakeQueries {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       .union(odds.filter(col("doc_id") < 41)
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val incF = stageFiles(increment, table)
     val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
-    val s2 = table.append(LakeWriter.writeDataFiles(increment, table))
+    val s2 = table.append(awaitFiles(incF))
     val h = sha2(col("text").cast("binary"), 256)
     val w = Window.partitionBy("h").orderBy("doc_id")
     val inc = table.changesBetween(s, s1, s2)
@@ -805,10 +823,10 @@ object LakeQueries {
     val table = LakeTable.create(loc, "vec_id BIGINT,embedding ARRAY<FLOAT>",
       TruncateSpec("vec_id", 100L))
     try {
+      val incF = stageFiles(q.filter(col("vec_id") >= 400), table)
       val s1 = table.append(LakeWriter.writeDataFiles(
         q.filter(col("vec_id") < 400), table))
-      val s2 = table.append(LakeWriter.writeDataFiles(
-        q.filter(col("vec_id") >= 400), table))
+      val s2 = table.append(awaitFiles(incF))
       val committed = table.snapshotDF(s, s1)
       // fixed centroids = the committed corpus's first K quantized
       // vectors (vec_ids 0..K-1 — the same centroid set the full-corpus
@@ -872,8 +890,9 @@ object LakeQueries {
     val table = LakeTable.create(loc, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     try {
+      val incF = stageFiles(increment, table)
       val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
-      val s2 = table.append(LakeWriter.writeDataFiles(increment, table))
+      val s2 = table.append(awaitFiles(incF))
       // committed signature space: band-bucket KEYS only (DISTINCT), so
       // the semi-join's per-key width is 1 regardless of how many
       // committed docs share a band bucket
@@ -926,12 +945,13 @@ object LakeQueries {
     val table = LakeTable.create(loc, "doc_id BIGINT,text STRING",
       TruncateSpec("doc_id", 1000L))
     try {
+      val oddsF = stageFiles(odds, table)
       val s1 = table.append(LakeWriter.writeDataFiles(evens, table))
       // pack state at corpus commit: one aggregate, one property commit
       val total = table.snapshotDF(s, s1)
         .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
       table.setProperty(SeqPackTotalProp, total.toString)
-      val s2 = table.append(LakeWriter.writeDataFiles(odds, table))
+      val s2 = table.append(awaitFiles(oddsF))
       // arrival pack: base from a FRESH load's properties (self-contained
       // — nothing the packer uses exists outside the table), rows from
       // the incremental scan only
@@ -1736,11 +1756,18 @@ object LakeQueries {
       val cents = committed.orderBy("vec_id").limit(P.SemDeDupExactK)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       index.setProperty(SemCentroidsProp, P.ivfModelToString(cents))
-      val i1 = index.append(LakeWriter.writeDataFiles(
-        P.assignCellsHier(committed, cents)
-          .select(col("cell"), col("vec_id"), col("embedding")), index))
+      // corpus assignment build (immutable d1 snapshot -> index table)
+      // overlaps the increment's data append (guide §2.6, the
+      // d03_minhash_index shape)
+      val i1F = scala.concurrent.Future {
+        index.append(LakeWriter.writeDataFiles(
+          P.assignCellsHier(committed, cents)
+            .select(col("cell"), col("vec_id"), col("embedding")), index))
+      }(scala.concurrent.ExecutionContext.global)
       val d2 = data.append(LakeWriter.writeDataFiles(
         q.filter(col("vec_id") >= 400), data))
+      val i1 = scala.concurrent.Await.result(i1F,
+        scala.concurrent.duration.Duration.Inf)
       val inc = data.changesBetween(s, d1, d2)
       // the gate serves from a FRESH load of the committed index:
       // centroids parsed back from its properties, cells from its scan
